@@ -1,0 +1,6 @@
+"""Query inventory modules — importing this package registers every
+query into ``flink_1_16_0_src_spark.registry.QUERIES``."""
+
+from flink_1_16_0_src_spark.queries import (  # noqa: F401
+    aggregates,
+)
