@@ -3,4 +3,8 @@ query into ``flink_1_16_0_src_spark.registry.QUERIES``."""
 
 from flink_1_16_0_src_spark.queries import (  # noqa: F401
     aggregates,
+    joins,
+    over_windows,
+    rank_dedup,
+    setops_sort,
 )
