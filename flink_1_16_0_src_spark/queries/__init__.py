@@ -7,4 +7,7 @@ from flink_1_16_0_src_spark.queries import (  # noqa: F401
     over_windows,
     rank_dedup,
     setops_sort,
+    subqueries,
+    unnest_lateral,
+    window_tvf,
 )
