@@ -1,0 +1,57 @@
+"""Shims for Flink built-ins without a direct Spark equivalent.
+
+References into BuiltInFunctionDefinitions.java (T-COMMON/functions/)
+and runtime SqlFunctionUtils.java (T-RUNTIME/functions/) by line.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def split_index(col: Column | str, sep: str, index: int) -> Column:
+    """SPLIT_INDEX(str, sep, idx) — 0-based, NULL when out of range
+    (BuiltInFunctionDefinitions.java:923; runtime
+    SqlFunctionUtils.java splitIndex). Spark: get() over split()."""
+    return F.get(F.split(col, _regex_escape(sep)), index)
+
+
+def _regex_escape(sep: str) -> str:
+    # Flink's SPLIT_INDEX separator is a literal, Spark's split takes a
+    # regex — escape metacharacters
+    import re
+
+    return re.escape(sep)
+
+
+def truncate_number(col: Column | str, scale: int = 0) -> Column:
+    """TRUNCATE(x, d) — truncate toward zero to d decimals
+    (BuiltInFunctionDefinitions truncate; Flink SqlFunctionUtils).
+    Spark's trunc() is date-only, so compose: int-cast is
+    toward-zero."""
+    factor = 10**scale
+    c = F.col(col) if isinstance(col, str) else col
+    return (c * factor).cast("long") / F.lit(factor)
+
+
+def temporal_overlaps(
+    start1: Column, end1: Column, start2: Column, end2: Column
+) -> Column:
+    """(s1, e1) OVERLAPS (s2, e2) (BuiltInFunctionDefinitions.java:1475
+    temporalOverlaps): half-open interval intersection test, SQL
+    standard semantics (inclusive ends per Calcite)."""
+    return (start1 <= end2) & (start2 <= end1)
+
+
+def single_value(col: Column | str) -> Column:
+    """SINGLE_VALUE aggregate (SingleValueAggFunction.java): returns the
+    group's only value, raises if the group has more than one row —
+    used by the planner under scalar subqueries. Spark has no erroring
+    builtin; raise via assert_true + first."""
+    c = F.col(col) if isinstance(col, str) else col
+    check = F.assert_true(
+        F.count(c) <= 1, F.lit("SINGLE_VALUE: more than one row in group")
+    )
+    # assert_true returns NULL on success; coalesce keeps the value
+    return F.when(check.isNull(), F.first(c, ignorenulls=False)).otherwise(F.first(c))

@@ -46,6 +46,11 @@ def canonicalize(pdf: pd.DataFrame, float_decimals: int = 4) -> pd.DataFrame:
                 pdf[c] = s.map(
                     lambda v: tuple(np.asarray(v).tolist()) if v is not None else None
                 )
+            else:
+                from decimal import Decimal
+
+                if s.map(lambda v: isinstance(v, Decimal)).any():
+                    pdf[c] = np.round(s.astype("float64"), float_decimals)
     sort_cols = list(pdf.columns)
     if sort_cols:
         pdf = pdf.sort_values(sort_cols, na_position="first", kind="mergesort")
@@ -69,7 +74,7 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, atol: floa
                 np.isclose(av.astype(float), bv.astype(float), atol=atol, equal_nan=True)
             )
         else:
-            bad = np.array([x != y and not (_both_nan(x, y)) for x, y in zip(av, bv)])
+            bad = np.array([not _eq(x, y) for x, y in zip(av, bv)])
         if bad.any():
             i = int(np.argmax(bad))
             problems.append(
@@ -79,12 +84,13 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, atol: floa
     return problems
 
 
-def _both_nan(x, y) -> bool:
+def _eq(x, y) -> bool:
     try:
-        return (
-            x is None
-            and y is None
-            or (isinstance(x, float) and isinstance(y, float) and math.isnan(x) and math.isnan(y))
-        )
-    except TypeError:
+        if pd.isna(x) is True and pd.isna(y) is True:
+            return True
+    except (TypeError, ValueError):
+        pass
+    try:
+        return bool(x == y)
+    except (TypeError, ValueError):
         return False

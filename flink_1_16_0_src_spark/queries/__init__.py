@@ -3,6 +3,9 @@ query into ``flink_1_16_0_src_spark.registry.QUERIES``."""
 
 from flink_1_16_0_src_spark.queries import (  # noqa: F401
     aggregates,
+    functions_json_cond,
+    functions_math_temporal,
+    functions_string,
     joins,
     over_windows,
     rank_dedup,

@@ -18,7 +18,7 @@ from flink_1_16_0_src_spark.tables import load
 @query(
     "unnest_array",
     oracle="""
-    SELECT p_partkey, unnest(str_split(p_type, ' ')) AS word
+    SELECT p_partkey, unnest(str_split(p_name, ' ')) AS word
     FROM part
     """,
     tags=("unnest",),
@@ -26,15 +26,15 @@ from flink_1_16_0_src_spark.tables import load
 def unnest_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNNEST(array) → explode (reference LogicalUnnestRule.scala)."""
     p = load(spark, sf_dir, "part")
-    return p.select("p_partkey", F.explode(F.split("p_type", " ")).alias("word"))
+    return p.select("p_partkey", F.explode(F.split("p_name", " ")).alias("word"))
 
 
 @query(
     "unnest_with_ordinality",
     oracle="""
     SELECT p_partkey,
-           unnest(str_split(p_type, ' ')) AS word,
-           unnest(generate_series(0, len(str_split(p_type, ' ')) - 1)) AS pos
+           unnest(str_split(p_name, ' ')) AS word,
+           unnest(generate_series(0, len(str_split(p_name, ' ')) - 1)) AS pos
     FROM part
     """,
     tags=("unnest",),
@@ -43,7 +43,7 @@ def unnest_with_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNNEST WITH ORDINALITY → posexplode (DuckDB zips parallel
     unnests positionally — same pairing)."""
     p = load(spark, sf_dir, "part")
-    return p.select("p_partkey", F.posexplode(F.split("p_type", " ")).alias("pos", "word")).select(
+    return p.select("p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos", "word")).select(
         "p_partkey", "word", "pos"
     )
 
@@ -79,7 +79,7 @@ def unnest_outer_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lateral_view_split_agg",
     oracle="""
     SELECT word, count(*) AS n, count(DISTINCT p_brand) AS n_brands
-    FROM (SELECT p_brand, unnest(str_split(p_type, ' ')) AS word FROM part)
+    FROM (SELECT p_brand, unnest(str_split(p_name, ' ')) AS word FROM part)
     GROUP BY word
     """,
     tags=("unnest", "correlate"),
@@ -92,7 +92,7 @@ def lateral_view_split_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT word, count(*) AS n, count(DISTINCT p_brand) AS n_brands
-        FROM part LATERAL VIEW explode(split(p_type, ' ')) t AS word
+        FROM part LATERAL VIEW explode(split(p_name, ' ')) t AS word
         GROUP BY word
         """
     )
