@@ -1,0 +1,88 @@
+"""Text analysis operators: tokenization, language-ID heuristic,
+quality scoring, fingerprinting.
+
+All pure pyspark.sql.functions compositions (whole-stage codegen'd,
+zero Python in the hot path). Each mirrors a standard LLM-data-prep
+step (C4/Gopher-style quality signals from published pipelines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+# (public, standard function-word sets)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "is", "to", "in"],
+    "es": ["el", "la", "de", "y", "es", "en", "un"],
+    "de": ["der", "die", "das", "und", "ist", "in", "ein"],
+    "fr": ["le", "la", "de", "et", "est", "en", "un"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_estimate(col: Column | str) -> Column:
+    """BPE-ish token-count estimate: chars/4 plus one per word boundary
+    (the published ~4-chars-per-token heuristic)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.length(c) / 4).cast("bigint") + token_count(c)
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    toks = tokens(col)
+    arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(toks, arr))
+
+
+def language_id(col: Column | str) -> Column:
+    """Stopword-overlap language heuristic: argmax of per-language
+    stopword hit counts, 'und' (undetermined) when all zero."""
+    hits = {lang: stopword_hits(col, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    # when-chain in sorted order: first matching lang wins ties
+    chain = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):
+        chain = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(chain)
+    return chain
+
+
+def quality_signals(col: Column | str) -> dict[str, Column]:
+    """Gopher/C4-style quality signals (ratios in [0,1], rounded by the
+    caller): token count, mean token length, unique-token ratio,
+    stopword ratio, alpha-char ratio."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n = F.size(toks)
+    return {
+        "n_tokens": n.cast("bigint"),
+        "mean_tok_len": F.when(n > 0, F.length(F.concat_ws("", toks)) / n).otherwise(F.lit(0.0)),
+        "uniq_ratio": F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(n > 0, stopword_hits(c, "en") / n).otherwise(F.lit(0.0)),
+        "alpha_ratio": F.when(
+            F.length(c) > 0,
+            F.length(F.regexp_replace(c, r"[^A-Za-z]", "")) / F.length(c),
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text
+    (exact-dup key)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def bag_fingerprint(col: Column | str) -> Column:
+    """Order-insensitive fingerprint: md5 over the sorted distinct token
+    bag — catches token-shuffled duplicates."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))

@@ -8,6 +8,10 @@ from flink_1_16_0_src_spark.queries import (  # noqa: F401
     functions_string,
     joins,
     over_windows,
+    pipeline_dedup,
+    pipeline_multimodal,
+    pipeline_similarity,
+    pipeline_text,
     rank_dedup,
     setops_sort,
     subqueries,

@@ -1,0 +1,195 @@
+"""Deduplication pipeline queries (BASELINE.json north-star extras).
+
+The fixture has no natural duplicates, so each query constructs a
+deterministic dup-corpus in-query (originals ∪ perturbed copies) on
+BOTH sides — the oracle replicates the exact same md5-derived
+minhash/simhash arithmetic in DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_1_16_0_src_spark.pipeline.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    simhash,
+)
+from flink_1_16_0_src_spark.registry import query
+from flink_1_16_0_src_spark.tables import load
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies (doc_id%5==0, +100000) ∪ near-copies
+    with ' zz yy' appended (doc_id%4==0, +200000)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    exact = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+    )
+    near = d.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
+        "lang",
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+_DUP_CORPUS_SQL = """
+    SELECT doc_id, text, lang FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 200000, text || ' zz yy', lang FROM documents WHERE doc_id % 4 = 0
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    WITH corpus AS ({_DUP_CORPUS_SQL})
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM corpus
+    GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    """,
+    tags=("pipeline", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized-text fingerprint, keep
+    min doc_id (one shuffle; at 100 TB the fingerprint groupBy is the
+    canonical first dedup pass)."""
+    return exact_dedup(_dup_corpus(spark, sf_dir), "text", "doc_id")
+
+
+_TOKS = "str_split_regex(lower(trim(text)), '\\s+')"
+_SHINGLES = (
+    f"list_distinct(list_transform(generate_series(1, greatest(len({_TOKS}) - 2, 0)),"
+    f" i -> array_to_string(({_TOKS})[i:i+2], ' ')))"
+)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    shingled AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS sh FROM corpus
+    ),
+    hashed AS (
+      SELECT s.doc_id, p.perm,
+             ('0x' || substr(md5(p.perm || ':' || s.sh), 1, 15))::BIGINT AS h
+      FROM shingled s, generate_series(0, 15) p(perm)
+    ),
+    sigs AS (
+      SELECT doc_id, perm, min(h) AS minhash FROM hashed GROUP BY doc_id, perm
+    ),
+    banded AS (
+      SELECT doc_id, perm // 4 AS band,
+             md5(string_agg(minhash::VARCHAR, ',' ORDER BY perm)) AS band_hash
+      FROM sigs GROUP BY doc_id, perm // 4
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    sets_ AS (SELECT doc_id, {_SHINGLES} AS s FROM corpus)
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(sa.s, sb.s)) /
+                 (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4) AS jaccard
+    FROM cands c
+    JOIN sets_ sa ON sa.doc_id = c.id_a
+    JOIN sets_ sb ON sb.doc_id = c.id_b
+    WHERE round(len(list_intersect(sa.s, sb.s)) /
+          (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4) >= 0.6
+    """,
+    tags=("pipeline", "dedup", "custom-op"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 perms) + LSH(4 bands × 4 rows) near-dup pairs with
+    exact 3-shingle Jaccard verification ≥ 0.6. Everything md5-derived
+    → the DuckDB oracle reproduces the pipeline bit-for-bit."""
+    return minhash_dedup_pairs(
+        _dup_corpus(spark, sf_dir), "text", "doc_id", threshold=0.6, num_perm=16, bands=4, k=3
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    sets_ AS (SELECT doc_id, lang, {_SHINGLES} AS s FROM corpus)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s)) /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+    FROM sets_ a JOIN sets_ b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.s, b.s)) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.5
+    """,
+    tags=("pipeline", "dedup"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs, blocked by language (the
+    blocked-self-join baseline LSH replaces at scale)."""
+    from flink_1_16_0_src_spark.pipeline.dedup import shingles
+
+    corpus = _dup_corpus(spark, sf_dir)
+    sets_ = corpus.select("doc_id", "lang", shingles("text", 3).alias("s"))
+    a = sets_.select(F.col("doc_id").alias("id_a"), "lang", F.col("s").alias("sa"))
+    b = sets_.select(F.col("doc_id").alias("id_b"), "lang", F.col("s").alias("sb"))
+    joined = a.join(b, "lang").where(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    jac = F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 4)
+    return joined.select("id_a", "id_b", jac.alias("jaccard")).where(F.col("jaccard") >= 0.5)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    toks AS (
+      SELECT doc_id, ('0x' || substr(md5(unnest({_TOKS})), 1, 15))::BIGINT AS h
+      FROM docs
+    ),
+    votes AS (
+      SELECT doc_id, b.bit,
+             sum(((h >> b.bit) & 1) * 2 - 1) AS v
+      FROM toks, generate_series(0, 31) b(bit)
+      GROUP BY doc_id, b.bit
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+    tags=("pipeline", "dedup", "custom-op"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures (md5-derived token hashes, bit votes
+    weighted by token frequency)."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return simhash(docs, "text", "doc_id", bits=32)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
+    """,
+    tags=("pipeline", "dedup"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.35). Unblocked here
+    (500-vector fixture); pipeline.dedup.embedding_near_dup_pairs takes
+    a block column (LSH bucket) for the 100 TB path."""
+    from flink_1_16_0_src_spark.pipeline.dedup import embedding_near_dup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.35).select(
+        "id_a", "id_b", "cosine"
+    )

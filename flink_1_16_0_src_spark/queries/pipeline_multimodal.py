@@ -1,0 +1,68 @@
+"""Multimodal-column pipeline queries (BASELINE.json north-star
+extras): binary payloads + typed metadata + stubbed decode
+(pipeline.multimodal)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_1_16_0_src_spark.pipeline.multimodal import (
+    attach_media_columns,
+    decode_features,
+)
+from flink_1_16_0_src_spark.registry import query
+from flink_1_16_0_src_spark.tables import load
+
+
+@query(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'fake' AS format,
+           CAST(length(text) % 640 AS INT) AS width,
+           CAST(doc_id % 480 AS INT) AS height,
+           octet_length(encode(text)) AS n_bytes,
+           to_base64(encode(text)) AS payload_b64
+    FROM documents
+    """,
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + metadata struct plumbing: media table built from
+    documents (payload = utf8 bytes standing in for image bytes)."""
+    media = attach_media_columns(load(spark, sf_dir, "documents"), "text", "doc_id")
+    return media.select(
+        "media_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        # Spark base64 is MIME-chunked with CRLF every 76 chars; strip
+        # for the canonical single-line form DuckDB emits
+        F.regexp_replace(F.base64(F.col("payload")), r"[\r\n]", "").alias("payload_b64"),
+    )
+
+
+@query(
+    "multimodal_decode_fake",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           list_aggregate(list_transform(str_split(text, ''), c -> unicode(c)), 'sum')
+             % 2147483648 AS checksum,
+           CAST(length(text) % 640 AS INT) AS width,
+           CAST(doc_id % 480 AS INT) AS height
+    FROM documents
+    """,
+    tags=("pipeline", "multimodal", "custom-op"),
+)
+def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas decode path with the deterministic fake codec:
+    Arrow batches in, feature rows out (real decode stubbed — no
+    imaging libs in the container; oracle checks byte-sum checksum =
+    sum of codepoints for the ASCII fixture text)."""
+    media = attach_media_columns(load(spark, sf_dir, "documents"), "text", "doc_id")
+    return decode_features(media, codec="fake").select(
+        "media_id", "n_bytes", "checksum", "width", "height"
+    )

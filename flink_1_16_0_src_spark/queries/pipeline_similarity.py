@@ -1,0 +1,137 @@
+"""Similarity-search pipeline queries (BASELINE.json north-star
+extras) over the embeddings fixture."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_1_16_0_src_spark.pipeline.similarity import (
+    brute_force_topk,
+    lsh_bucket,
+    threshold_pairs,
+)
+from flink_1_16_0_src_spark.registry import query
+from flink_1_16_0_src_spark.tables import load
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle="""
+    SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank_num FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS cos,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                                CAST(b.embedding AS DOUBLE[])) DESC,
+                                         b.vec_id) AS rank_num
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 10
+    ) WHERE rank_num <= 5
+    """,
+    tags=("pipeline", "similarity"),
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for 10 query vectors — the ANN
+    baseline. Query side broadcast; corpus streams (work |Q|·|C|
+    distributed over corpus partitions)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        emb.where(F.col("vec_id") < 10), emb, "embedding", "vec_id", k=5
+    )
+
+
+@query(
+    "sim_threshold_pairs",
+    oracle="""
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < 25
+      AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.25
+    """,
+    tags=("pipeline", "similarity"),
+)
+def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return threshold_pairs(
+        emb.where(F.col("vec_id") < 25), emb, "embedding", "vec_id", threshold=0.25
+    )
+
+
+@query(
+    "sim_lsh_buckets",
+    oracle="""
+    WITH comps AS (
+      SELECT e.vec_id, p.plane,
+             list_sum(list_transform(generate_series(1, len(e.embedding)),
+               d -> CAST(e.embedding[d] AS DOUBLE) *
+                    (((('0x' || substr(md5(p.plane || ':' || (d - 1)), 1, 15))::BIGINT % 2) * 2) - 1)
+             )) AS dot
+      FROM embeddings e, generate_series(0, 7) p(plane)
+    )
+    SELECT vec_id,
+           CAST(sum(CASE WHEN dot >= 0 THEN (1 << plane) ELSE 0 END) AS INT) AS bucket
+    FROM comps GROUP BY vec_id
+    """,
+    tags=("pipeline", "similarity", "custom-op"),
+)
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH buckets (8 md5-derived ±1 hyperplanes
+    → 256 buckets): the scale path for ANN — bucket-join then rerank
+    instead of |Q|·|C| cosine evaluations."""
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_bucket(emb, "embedding", "vec_id", n_planes=8)
+
+
+@query(
+    "sim_bucket_join_ann",
+    oracle="""
+    WITH comps AS (
+      SELECT e.vec_id, e.embedding, p.plane,
+             list_sum(list_transform(generate_series(1, len(e.embedding)),
+               d -> CAST(e.embedding[d] AS DOUBLE) *
+                    (((('0x' || substr(md5(p.plane || ':' || (d - 1)), 1, 15))::BIGINT % 2) * 2) - 1)
+             )) AS dot
+      FROM embeddings e, generate_series(0, 7) p(plane)
+    ),
+    buckets AS (
+      SELECT vec_id, any_value(embedding) AS embedding,
+             CAST(sum(CASE WHEN dot >= 0 THEN (1 << plane) ELSE 0 END) AS INT) AS bucket
+      FROM comps GROUP BY vec_id
+    )
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.bucket,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+    FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    """,
+    tags=("pipeline", "similarity", "custom-op"),
+)
+def sim_bucket_join_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full LSH ANN shape: bucket both sides, join on bucket, exact
+    cosine rerank inside buckets — O(collisions), not O(n²)."""
+    emb = load(spark, sf_dir, "embeddings")
+    buckets = lsh_bucket(emb, "embedding", "vec_id", n_planes=8).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    a = buckets.select(
+        F.col("vec_id").alias("query_id"), F.col("bucket"), F.col("embedding").alias("__va")
+    )
+    b = buckets.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("bucket"), F.col("embedding").alias("__vb")
+    )
+    from flink_1_16_0_src_spark.pipeline.dedup import _cosine
+
+    return (
+        a.join(b, "bucket")
+        .where(F.col("query_id") < F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "bucket",
+            F.round(_cosine(F.col("__va"), F.col("__vb")), 4).alias("cosine"),
+        )
+    )
