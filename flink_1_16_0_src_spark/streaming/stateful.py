@@ -1,0 +1,358 @@
+"""Custom stateful streaming operators — the Flink-only semantics Spark
+has no builtin for (SURVEY.md §2 "custom" rows), on
+``applyInPandasWithState`` (per-key managed state + Arrow batches, the
+Spark analog of Flink's keyed ValueState).
+
+Reference parity:
+- streaming Top-N: StreamExecRank.java:83, AppendOnlyTopNFunction.java
+  → :func:`streaming_topn` (state = current top-k rows per key).
+- keep-last deduplicate: StreamExecDeduplicate.java:85,
+  ProcTimeDeduplicateKeepLastRowFunction.java:32 → :func:`keep_last_dedup`.
+- streaming OVER (unbounded preceding): StreamExecOverAggregate.java:91,
+  ProcTimeUnboundedPrecedingFunction.java → :func:`streaming_over_unbounded`.
+- changelog normalize: StreamExecChangelogNormalize.java:74 →
+  :func:`changelog_normalize` (emits explicit ``__rowkind`` +I/-U/+U/-D
+  — Spark has no retraction rows, so the changelog is a visible column,
+  SURVEY.md §7.3 risk 1).
+- upsert sink materialization: SinkUpsertMaterializer.java:62 →
+  :func:`foreach_batch_upsert` (keyed MERGE per micro-batch).
+- temporal/as-of join: StreamExecTemporalJoin.java:77,
+  TemporalRowTimeJoinOperator.java → :func:`streaming_asof_join`
+  (union-tag both sides, per-key sorted version store).
+
+Scale: every op keys its state (state size = O(k) / O(1) / O(versions)
+per key, never O(stream)); Arrow moves batches, no per-row Python; the
+shuffle is the single groupBy on the key — the same asymptotics as the
+reference's keyed-state operators.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_SCALARS = ("bigint", "int", "smallint", "tinyint", "double", "float", "string", "boolean")
+
+
+def _py(v):
+    """Normalize numpy/pandas scalars to Python natives — the JVM-side
+    state pickler rejects numpy dtypes."""
+    if hasattr(v, "to_pydatetime"):
+        return v.to_pydatetime()
+    if hasattr(v, "item"):
+        return v.item()
+    return v
+
+
+def _carry_cols(sdf: DataFrame, keys: list[str]) -> list[str]:
+    cols = []
+    for name, dtype in sdf.dtypes:
+        if name in keys:
+            continue
+        base = dtype.split("(")[0]
+        if base in _SCALARS or base.startswith("timestamp") or base.startswith("decimal"):
+            cols.append(name)
+    return cols
+
+
+def _array_state_schema(sdf: DataFrame, cols: list[str]) -> StructType:
+    by_name = {f.name: f for f in sdf.schema.fields}
+    return StructType([StructField(c, ArrayType(by_name[c].dataType)) for c in cols])
+
+
+def streaming_topn(
+    sdf: DataFrame,
+    partition_keys: list[str],
+    order_col: str,
+    k: int,
+    descending: bool = True,
+) -> DataFrame:
+    """Continuous per-key top-k (AppendOnly strategy): state holds the
+    current top-k rows; every batch emits the refreshed top-k with
+    ``rank_num``. Run in update output mode."""
+    carry = _carry_cols(sdf, partition_keys)
+    key_fields = [f for f in sdf.schema.fields if f.name in partition_keys]
+    out_schema = StructType(
+        key_fields
+        + [f for f in sdf.schema.fields if f.name in carry]
+        + [StructField("rank_num", IntegerType())]
+    )
+    state_schema = _array_state_schema(sdf, carry)
+    oi = carry.index(order_col)
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
+        cols = [list(x) for x in state.get] if state.exists else [[] for _ in carry]
+        rows = list(zip(*cols)) if cols and cols[0] else []
+        for pdf in pdfs:
+            rows.extend(tuple(t) for t in pdf[carry].itertuples(index=False))
+        rows.sort(key=lambda r: r[oi], reverse=descending)
+        rows = rows[:k]
+        state.update(tuple([_py(r[i]) for r in rows] for i in range(len(carry))))
+        out = pd.DataFrame(rows, columns=carry)
+        for kc, kv in zip(partition_keys, key):
+            out[kc] = kv
+        out["rank_num"] = range(1, len(rows) + 1)
+        yield out[[f.name for f in out_schema.fields]]
+
+    return sdf.groupBy(*partition_keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def keep_last_dedup(sdf: DataFrame, keys: list[str], order_col: str | None = None) -> DataFrame:
+    """Last row per key wins (emits the refreshed last row each batch —
+    update semantics). ``order_col`` breaks intra-batch order by that
+    column (rowtime dedup); None keeps arrival order (proctime)."""
+    carry = _carry_cols(sdf, keys)
+    key_fields = [f for f in sdf.schema.fields if f.name in keys]
+    out_schema = StructType(key_fields + [f for f in sdf.schema.fields if f.name in carry])
+    state_schema = _array_state_schema(sdf, carry)
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
+        last = tuple(v[0] for v in state.get) if state.exists else None
+        for pdf in pdfs:
+            if len(pdf):
+                p = pdf.sort_values(order_col, kind="stable") if order_col else pdf
+                cand = tuple(p[carry].iloc[-1])
+                if last is None or order_col is None or cand[carry.index(order_col)] >= last[
+                    carry.index(order_col)
+                ]:
+                    last = cand
+        if last is not None:
+            state.update(tuple([_py(v)] for v in last))
+            out = pd.DataFrame([last], columns=carry)
+            for kc, kv in zip(keys, key):
+                out[kc] = kv
+            yield out[[f.name for f in out_schema.fields]]
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_over_unbounded(
+    sdf: DataFrame, keys: list[str], order_col: str, value_col: str
+) -> DataFrame:
+    """Per-key running aggregates over UNBOUNDED PRECEDING (every input
+    row is emitted once, extended with running cnt/sum/avg/min/max).
+    Rows are processed in ``order_col`` order within a batch and in
+    arrival order across batches (same visible semantics as Flink's
+    proctime OVER; rowtime OVER exactness requires ordered input)."""
+    carry = _carry_cols(sdf, keys)
+    key_fields = [f for f in sdf.schema.fields if f.name in keys]
+    out_schema = StructType(
+        key_fields
+        + [f for f in sdf.schema.fields if f.name in carry]
+        + [
+            StructField("running_cnt", LongType()),
+            StructField("running_sum", DoubleType()),
+            StructField("running_avg", DoubleType()),
+            StructField("running_min", DoubleType()),
+            StructField("running_max", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("cnt", LongType()),
+            StructField("sum", DoubleType()),
+            StructField("min", DoubleType()),
+            StructField("max", DoubleType()),
+        ]
+    )
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
+        cnt, s, mn, mx = state.get if state.exists else (0, 0.0, None, None)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            p = pdf.sort_values(order_col, kind="stable").reset_index(drop=True)
+            v = p[value_col].astype(float)
+            p["running_cnt"] = v.notna().cumsum() + cnt
+            p["running_sum"] = v.fillna(0).cumsum() + s
+            p["running_avg"] = p["running_sum"] / p["running_cnt"]
+            run_min = v.cummin() if mn is None else v.cummin().combine(mn, min)
+            run_max = v.cummax() if mx is None else v.cummax().combine(mx, max)
+            p["running_min"], p["running_max"] = run_min, run_max
+            cnt, s = int(p["running_cnt"].iloc[-1]), float(p["running_sum"].iloc[-1])
+            mn, mx = float(run_min.iloc[-1]), float(run_max.iloc[-1])
+            for kc, kv in zip(keys, key):
+                p[kc] = kv
+            yield p[[f.name for f in out_schema.fields]]
+        state.update((cnt, s, mn, mx))
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def changelog_normalize(
+    sdf: DataFrame, keys: list[str], order_col: str | None = None, delete_col: str | None = None
+) -> DataFrame:
+    """Collapse an upsert stream into an explicit changelog: first value
+    per key → ``+I``; change → ``-U`` (old) then ``+U`` (new); a row
+    with ``delete_col`` true → ``-D``. The ``__rowkind`` column is the
+    Spark-visible stand-in for Flink's RowKind byte
+    (flink-core/.../types/RowKind.java:31-52)."""
+    carry = [c for c in _carry_cols(sdf, keys) if c != delete_col]
+    # the order column sequences updates but is NOT part of the value —
+    # two versions differing only in order_col are the same row
+    cmp_idx = [i for i, c in enumerate(carry) if c != order_col]
+    key_fields = [f for f in sdf.schema.fields if f.name in keys]
+    out_schema = StructType(
+        key_fields
+        + [f for f in sdf.schema.fields if f.name in carry]
+        + [StructField("__rowkind", StringType())]
+    )
+    state_schema = _array_state_schema(sdf, carry)
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
+        last = tuple(v[0] for v in state.get) if state.exists else None
+        cmp = lambda t: tuple(t[i] for i in cmp_idx)  # noqa: E731
+        out_rows = []
+        for pdf in pdfs:
+            p = pdf.sort_values(order_col, kind="stable") if order_col else pdf
+            for d in p.to_dict("records"):
+                vals = tuple(d[c] for c in carry)
+                if delete_col and d.get(delete_col):
+                    if last is not None:
+                        out_rows.append(last + ("-D",))
+                        last = None
+                    continue
+                if last is None:
+                    out_rows.append(vals + ("+I",))
+                elif cmp(vals) != cmp(last):
+                    out_rows.append(last + ("-U",))
+                    out_rows.append(vals + ("+U",))
+                last = vals
+        if last is not None:
+            state.update(tuple([_py(v)] for v in last))
+        out = pd.DataFrame(out_rows, columns=carry + ["__rowkind"])
+        for kc, kv in zip(keys, key):
+            out[kc] = kv
+        yield out[[f.name for f in out_schema.fields]] if len(out) else pd.DataFrame(
+            columns=[f.name for f in out_schema.fields]
+        )
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+) -> DataFrame:
+    """FOR SYSTEM_TIME AS OF: each left row joins the latest right
+    version with ``right_ts <= left_ts``. Both streams are tagged,
+    unioned, and keyed; state keeps the right side's (ts, payload)
+    versions sorted (payload JSON-encoded — versions are few per key).
+    Left rows that precede every version emit null payload columns."""
+    lcols = [c for c in left.columns if c != key]
+    tagged_l = left.select(
+        F.col(key).alias("__k"),
+        F.lit(0).alias("__side"),
+        F.col(left_ts).alias("__ts"),
+        F.to_json(F.struct(*lcols)).alias("__payload"),
+    )
+    tagged_r = right.select(
+        F.col(key).alias("__k"),
+        F.lit(1).alias("__side"),
+        F.col(right_ts).alias("__ts"),
+        F.to_json(F.struct(*right_vals)).alias("__payload"),
+    )
+    both = tagged_l.unionByName(tagged_r)
+
+    left_fields = [f for f in left.schema.fields if f.name != key]
+    right_fields = [f for f in right.schema.fields if f.name in right_vals]
+    key_field = [f for f in left.schema.fields if f.name == key]
+    out_schema = StructType(key_field + left_fields + right_fields)
+    state_schema = StructType(
+        [StructField("ts", ArrayType(DoubleType())), StructField("payload", ArrayType(StringType()))]
+    )
+
+    def fn(k, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
+        ts, payloads = ([list(x) for x in state.get] if state.exists else ([], []))
+        lrows = []
+        for pdf in pdfs:
+            # NOT itertuples: it mangles the __-prefixed column names
+            for d in pdf.to_dict("records"):
+                epoch = d["__ts"].timestamp() if hasattr(d["__ts"], "timestamp") else float(d["__ts"])
+                if d["__side"] == 1:
+                    ts.append(epoch)
+                    payloads.append(d["__payload"])
+                else:
+                    lrows.append((epoch, d["__payload"]))
+        order = sorted(range(len(ts)), key=lambda i: ts[i])
+        ts = [ts[i] for i in order]
+        payloads = [payloads[i] for i in order]
+        state.update((ts, payloads))
+
+        import bisect
+
+        out = []
+        for epoch, lp in sorted(lrows):
+            i = bisect.bisect_right(ts, epoch) - 1
+            lrec = json.loads(lp)
+            rrec = json.loads(payloads[i]) if i >= 0 else {c: None for c in right_vals}
+            out.append({key: k[0], **lrec, **rrec})
+        cols = [f.name for f in out_schema.fields]
+        df = pd.DataFrame(out, columns=cols)
+        for f in left_fields:
+            if "timestamp" in f.dataType.simpleString():
+                df[f.name] = pd.to_datetime(df[f.name])
+        yield df
+
+    return both.groupBy("__k").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def foreach_batch_upsert(target_path: str, keys: list[str], order_col: str):
+    """SinkUpsertMaterializer parity: returns a foreachBatch function
+    that MERGEs each micro-batch into a keyed parquet table — last write
+    (by ``order_col``) per key wins. On a transactional table format
+    this is a real MERGE INTO; plain parquet does read-union-rewrite,
+    which is correct but O(table) per batch — fine for sinks that are
+    periodically compacted dimension tables, documented limitation
+    otherwise."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        from pyspark.sql.window import Window
+
+        spark = batch_df.sparkSession
+        w = F.row_number().over(Window.partitionBy(*keys).orderBy(F.col(order_col).desc()))
+        if os.path.exists(target_path):
+            existing = spark.read.parquet(target_path)
+            merged = existing.unionByName(batch_df.select(existing.columns))
+        else:
+            merged = batch_df
+        result = merged.withColumn("__rn", w).where(F.col("__rn") == 1).drop("__rn")
+        tmp = target_path + ".tmp"
+        result.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(target_path):
+            shutil.rmtree(target_path)
+        os.rename(tmp, target_path)
+
+    return apply

@@ -1,0 +1,219 @@
+"""Stateful custom operator tests (SURVEY.md §2.4/§2.6 custom rows).
+
+Single-batch drains assert end-state parity with the batch equivalent;
+the scripted multi-batch source (maxFilesPerTrigger=1 over N files)
+asserts cross-batch state carry — the analog of pushing records through
+Flink's operator test harness in separate process() calls.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from flink_1_16_0_src_spark import tables
+from flink_1_16_0_src_spark.streaming import sources, stateful
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return tables.load(spark, SF_DIR, "events")
+
+
+def scripted_stream(spark, batches, tmpdir):
+    """Write each batch DataFrame as one parquet file; stream the dir
+    with maxFilesPerTrigger=1 so each file becomes one micro-batch."""
+    d = os.path.join(str(tmpdir), "scripted")
+    os.makedirs(d, exist_ok=True)
+    schema = batches[0].schema
+    for i, b in enumerate(batches):
+        staging = os.path.join(str(tmpdir), f"stage{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = [f for f in os.listdir(staging) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(staging, part), os.path.join(d, f"{i:04d}.parquet"))
+        time.sleep(0.05)  # distinct mod-times → deterministic file order
+    return spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+
+
+def test_streaming_topn_matches_batch(spark, events_batch):
+    sdf = sources.stream_table(spark, SF_DIR, "events").select("user_id", "event_type", "value")
+    out = stateful.streaming_topn(sdf, ["user_id"], "value", 3)
+    got = sources.run_to_memory(out, "s_topn", "update")
+
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc())
+    exp = (
+        events_batch.select("user_id", "event_type", "value")
+        .withColumn("rank_num", F.row_number().over(w))
+        .where(F.col("rank_num") <= 3)
+    )
+    cols = ["user_id", "rank_num", "value"]
+    assert [tuple(r) for r in got.select(*cols).orderBy(*cols).collect()] == [
+        tuple(r) for r in exp.select(*cols).orderBy(*cols).collect()
+    ]
+
+
+def test_streaming_topn_across_batches(spark, events_batch, tmp_path):
+    base = events_batch.select("user_id", "event_type", "value").where(F.col("user_id") < 5)
+    b1 = base.where(F.col("value") < 50)
+    b2 = base.where(F.col("value") >= 50)
+    sdf = scripted_stream(spark, [b1, b2], tmp_path)
+    out = stateful.streaming_topn(sdf, ["user_id"], "value", 2)
+    got = sources.run_to_memory(out, "s_topn_mb", "update")
+    # memory sink in update mode appends each batch's emission; the
+    # final state per key is the last emission — take rows from max batch
+    # via dedup on (user_id, rank_num) keeping the last occurrence
+    final = (
+        got.withColumn("__id", F.monotonically_increasing_id())
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "rank_num").orderBy(F.col("__id").desc())
+            ),
+        )
+        .where(F.col("__rn") == 1)
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc())
+    exp = (
+        base.withColumn("rank_num", F.row_number().over(w)).where(F.col("rank_num") <= 2)
+    )
+    cols = ["user_id", "rank_num", "value"]
+    assert [tuple(r) for r in final.select(*cols).orderBy(*cols).collect()] == [
+        tuple(r) for r in exp.select(*cols).orderBy(*cols).collect()
+    ]
+
+
+def test_keep_last_dedup_matches_batch(spark, events_batch):
+    sdf = sources.stream_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    out = stateful.keep_last_dedup(sdf, ["user_id", "event_type"], order_col="ts")
+    got = sources.run_to_memory(out, "s_keeplast", "update")
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("ts").desc())
+    exp = (
+        events_batch.select("user_id", "event_type", "ts", "value")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    cols = ["user_id", "event_type", "ts", "value"]
+    assert [tuple(r) for r in got.select(*cols).orderBy(*cols).collect()] == [
+        tuple(r) for r in exp.select(*cols).orderBy(*cols).collect()
+    ]
+
+
+def test_streaming_over_unbounded_matches_batch(spark, events_batch):
+    sdf = sources.stream_table(spark, SF_DIR, "events").select("user_id", "ts", "value")
+    out = stateful.streaming_over_unbounded(sdf, ["user_id"], "ts", "value")
+    got = sources.run_to_memory(out, "s_over", "append")
+
+    w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    exp = (
+        events_batch.select("user_id", "ts", "value")
+        .withColumn("running_cnt", F.count("value").over(w))
+        .withColumn("running_sum", F.round(F.sum("value").over(w), 6))
+        .withColumn("running_min", F.min("value").over(w))
+        .withColumn("running_max", F.max("value").over(w))
+    )
+    cols = ["user_id", "ts", "running_cnt", "running_min", "running_max"]
+    assert [tuple(r) for r in got.select(*cols).orderBy("user_id", "ts").collect()] == [
+        tuple(r) for r in exp.select(*cols).orderBy("user_id", "ts").collect()
+    ]
+    # sums need rounding (float accumulation order)
+    gs = [round(r.running_sum, 4) for r in got.select("user_id", "ts", "running_sum").orderBy("user_id", "ts").collect()]
+    es = [round(r.running_sum, 4) for r in exp.select("user_id", "ts", "running_sum").orderBy("user_id", "ts").collect()]
+    assert gs == es
+
+
+def test_changelog_normalize(spark, tmp_path):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2, 1],
+            "seq": [1, 2, 3, 1, 2, 4],
+            "v": [10.0, 10.0, 20.0, 5.0, 6.0, 20.0],
+            "deleted": [False, False, False, False, False, True],
+        }
+    )
+    b = spark.createDataFrame(pdf)
+    sdf = scripted_stream(spark, [b], tmp_path)
+    out = stateful.changelog_normalize(sdf, ["k"], order_col="seq", delete_col="deleted")
+    got = sources.run_to_memory(out, "s_changelog", "append")
+    rows = [
+        (r["k"], r["seq"], r["v"], r["__rowkind"])
+        for r in got.orderBy("k", "seq", "__rowkind").collect()
+    ]
+    # k=1: +I(10) at seq1; seq2 same value → no emission; seq3 → -U/+U; seq4 delete → -D
+    # k=2: +I(5); 6.0 → -U/+U
+    kinds = [(k, kind) for (k, _, _, kind) in rows]
+    assert kinds.count((1, "+I")) == 1 and kinds.count((1, "-U")) == 1
+    assert kinds.count((1, "+U")) == 1 and kinds.count((1, "-D")) == 1
+    assert kinds.count((2, "+I")) == 1 and kinds.count((2, "-U")) == 1 and kinds.count((2, "+U")) == 1
+    assert len(rows) == 7
+
+
+def test_streaming_asof_join(spark, tmp_path):
+    import pandas as pd
+
+    rates = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "cur": ["E", "E", "E"],
+                "rts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 06:00", "2024-01-01 12:00"]),
+                "rate": [1.0, 1.1, 1.2],
+            }
+        )
+    )
+    orders = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "cur": ["E", "E", "E", "E"],
+                "ots": pd.to_datetime(
+                    ["2023-12-31 23:00", "2024-01-01 03:00", "2024-01-01 06:00", "2024-01-01 23:00"]
+                ),
+                "amount": [100.0, 100.0, 100.0, 100.0],
+            }
+        )
+    )
+    l = scripted_stream(spark, [orders], tmp_path / "l")
+    r = scripted_stream(spark, [rates], tmp_path / "r")
+    out = stateful.streaming_asof_join(l, r, "cur", "ots", "rts", ["rate"])
+    got = sources.run_to_memory(out, "s_asof", "append")
+    rows = {r.ots.isoformat(): r.rate for r in got.collect()}
+    assert rows["2023-12-31T23:00:00"] is None
+    assert rows["2024-01-01T03:00:00"] == 1.0
+    assert rows["2024-01-01T06:00:00"] == 1.1
+    assert rows["2024-01-01T23:00:00"] == 1.2
+
+
+def test_foreach_batch_upsert(spark, events_batch, tmp_path):
+    target = str(tmp_path / "upsert_target")
+    sdf = sources.stream_table(spark, SF_DIR, "events").select("user_id", "event_type", "ts", "value")
+    q = (
+        sdf.writeStream.foreachBatch(
+            stateful.foreach_batch_upsert(target, ["user_id", "event_type"], "ts")
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(target)
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("ts").desc())
+    exp = (
+        events_batch.select("user_id", "event_type", "ts", "value")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    cols = ["user_id", "event_type", "ts", "value"]
+    assert [tuple(r) for r in got.select(*cols).orderBy(*cols).collect()] == [
+        tuple(r) for r in exp.select(*cols).orderBy(*cols).collect()
+    ]
