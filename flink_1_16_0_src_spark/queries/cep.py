@@ -1,0 +1,112 @@
+"""MATCH_RECOGNIZE / CEP queries (SURVEY.md §2.8).
+
+Reference: StreamExecMatch.java:59, MatchCodeGenerator.scala, CEP NFA
+NFA.java:86. The quantifier-free adjacent-pair pattern with AFTER MATCH
+SKIP TO NEXT ROW is exactly a lead() rewrite — that gives the DuckDB
+oracle. The greedy A+ B pattern has no ANSI-SQL equivalent, so it is
+registered rows-only (the driver records the weaker check; SURVEY.md
+§5 layer 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from flink_1_16_0_src_spark import tables
+from flink_1_16_0_src_spark.operators import cep
+from flink_1_16_0_src_spark.registry import query
+
+_PAIR_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("click_id", LongType()),
+        StructField("purchase_id", LongType()),
+        StructField("purchase_value", DoubleType()),
+    ]
+)
+
+_PAIR_STEPS = [
+    cep.Step("A", lambda r, m: r["event_type"] == "click"),
+    cep.Step("B", lambda r, m: r["event_type"] == "purchase"),
+]
+
+_PAIR_MEASURES = {
+    "click_id": lambda m: cep.first(m, "A", "event_id"),
+    "purchase_id": lambda m: cep.first(m, "B", "event_id"),
+    "purchase_value": lambda m: cep.first(m, "B", "value"),
+}
+
+
+@query(
+    "cep_adjacent_click_purchase",
+    oracle="""
+    SELECT user_id, click_id, purchase_id, purchase_value FROM (
+      SELECT user_id,
+             event_id AS click_id,
+             lead(event_id) OVER w AS purchase_id,
+             event_type,
+             lead(event_type) OVER w AS next_type,
+             lead(value) OVER w AS purchase_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) t
+    WHERE event_type = 'click' AND next_type = 'purchase'
+    """,
+    tags=("cep", "match-recognize"),
+)
+def cep_adjacent_click_purchase(spark: SparkSession, sf_dir: str):
+    """PATTERN (A B) quantifier-free, AFTER MATCH SKIP TO NEXT ROW —
+    every click immediately followed (strict contiguity per user) by a
+    purchase. Equivalent to the lead() rewrite, which is the oracle."""
+    ev = tables.load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type", "value")
+    return cep.match_recognize(
+        ev,
+        ["user_id"],
+        ["ts", "event_id"],
+        _PAIR_STEPS,
+        _PAIR_MEASURES,
+        _PAIR_SCHEMA,
+        after_match="to_next_row",
+    )
+
+
+_SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("start_ts", TimestampType()),
+        StructField("end_ts", TimestampType()),
+        StructField("n_clicks", IntegerType()),
+        StructField("purchase_value", DoubleType()),
+    ]
+)
+
+_SESSION_STEPS = [
+    cep.Step.plus("A", lambda r, m: r["event_type"] == "click"),
+    cep.Step("B", lambda r, m: r["event_type"] == "purchase"),
+]
+
+_SESSION_MEASURES = {
+    "start_ts": lambda m: cep.first(m, "A", "ts"),
+    "end_ts": lambda m: cep.last(m, "B", "ts"),
+    "n_clicks": lambda m: cep.count_of(m, "A"),
+    "purchase_value": lambda m: cep.last(m, "B", "value"),
+}
+
+
+@query("cep_clicks_then_purchase", oracle=None, tags=("cep", "match-recognize"))
+def cep_clicks_then_purchase(spark: SparkSession, sf_dir: str):
+    """PATTERN (A+ B): maximal run of clicks ending in a purchase,
+    AFTER MATCH SKIP PAST LAST ROW. Greedy quantifier — not
+    ANSI-SQL-expressible, driver records the rows-only check."""
+    ev = tables.load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type", "value")
+    return cep.match_recognize(
+        ev, ["user_id"], ["ts", "event_id"], _SESSION_STEPS, _SESSION_MEASURES, _SESSION_SCHEMA
+    )
