@@ -1,0 +1,248 @@
+"""DataStream-style fluent API over DataFrames (SURVEY.md §2.10).
+
+Reference parity — flink-streaming-java DataStream.java /
+KeyedStream.java surface, mapped onto the DataFrame API so every call
+stays inside Catalyst (declarative, optimizable) instead of opaque
+lambdas wherever possible:
+
+- DataStream.java: map:597, flatMap:642, filter:733, process:683,
+  keyBy:296, union:230, broadcast:441, shuffle:471, rebalance:491,
+  rescale:514, global:526, partitionCustom:378, join:768, coGroup:760,
+  print:978, writeAsText:1050, writeAsCsv:1093.
+- KeyedStream.java: reduce:769, sum:794, min:823, max:866, minBy:915,
+  maxBy:940, process:336, intervalJoin:458, window:750, countWindow:720.
+
+Design notes:
+- ``map``/``filter`` accept Column expressions (preferred — stays in
+  codegen) or Python callables (escape hatch — Arrow-batched
+  ``mapInPandas``, the documented slow path).
+- Physical-partitioning calls (shuffle/rebalance/rescale/broadcast)
+  translate to ``repartition``/broadcast hints; Spark's shuffle service
+  owns the actual movement.
+- ``iterate`` (DataStream.java:553) has no Structured Streaming
+  equivalent — out of scope, documented gap (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class DataStream:
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # ---- transforms ----
+
+    def map(self, fn, schema=None) -> "DataStream":
+        """Column-expr dict → select (codegen'd); callable → mapInPandas."""
+        if isinstance(fn, dict):
+            return DataStream(self.df.select(*[c.alias(n) for n, c in fn.items()]))
+
+        def gen(it: Iterable[pd.DataFrame]):
+            for pdf in it:
+                yield pd.DataFrame([fn(r) for r in pdf.to_dict("records")])
+
+        return DataStream(self.df.mapInPandas(gen, schema))
+
+    def flat_map(self, fn: Callable, schema) -> "DataStream":
+        def gen(it: Iterable[pd.DataFrame]):
+            for pdf in it:
+                out = [o for r in pdf.to_dict("records") for o in fn(r)]
+                yield pd.DataFrame(out)
+
+        return DataStream(self.df.mapInPandas(gen, schema))
+
+    def filter(self, pred) -> "DataStream":
+        return DataStream(self.df.where(pred))
+
+    def process(self, fn: Callable, schema) -> "DataStream":
+        """ProcessFunction analog: per-partition iterator over rows,
+        emitting any number of rows (mapInPandas, Arrow-batched)."""
+
+        def gen(it: Iterable[pd.DataFrame]):
+            for pdf in it:
+                out = [o for r in pdf.to_dict("records") for o in fn(r)]
+                yield pd.DataFrame(out)
+
+        return DataStream(self.df.mapInPandas(gen, schema))
+
+    def key_by(self, *keys: str) -> "KeyedStream":
+        return KeyedStream(self.df, list(keys))
+
+    def union(self, *others: "DataStream") -> "DataStream":
+        out = self.df
+        for o in others:
+            out = out.unionByName(o.df)
+        return DataStream(out)
+
+    # ---- physical partitioning (DataStream.java:441-526) ----
+
+    def broadcast(self) -> "DataStream":
+        return DataStream(F.broadcast(self.df))
+
+    def shuffle(self) -> "DataStream":
+        return DataStream(self.df.repartition(self.df.sparkSession.sparkContext.defaultParallelism))
+
+    def rebalance(self) -> "DataStream":
+        return self.shuffle()  # round-robin redistribute ≈ repartition()
+
+    def rescale(self) -> "DataStream":
+        return DataStream(self.df.coalesce(self.df.rdd.getNumPartitions() or 1))
+
+    def global_(self) -> "DataStream":
+        return DataStream(self.df.coalesce(1))
+
+    def partition_custom(self, *exprs) -> "DataStream":
+        return DataStream(self.df.repartition(*exprs))
+
+    # ---- joins ----
+
+    def join(self, other: "DataStream", on, how: str = "inner") -> "DataStream":
+        return DataStream(self.df.join(other.df, on, how))
+
+    def co_group(
+        self, other: "DataStream", left_keys: list[str], right_keys: list[str], fn, schema
+    ) -> "DataStream":
+        """coGroup (DataStream.java:760): full outer groups per key →
+        ``cogroup.applyInPandas`` — both sides' rows for a key handed to
+        one function, the exact CoGroupFunction contract."""
+
+        def apply(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+            return fn(lpdf, rpdf)
+
+        return DataStream(
+            self.df.groupBy(*left_keys)
+            .cogroup(other.df.groupBy(*right_keys))
+            .applyInPandas(apply, schema)
+        )
+
+    # ---- sinks (DataStream.java:978-1093) ----
+
+    def print(self, n: int = 20) -> None:
+        self.df.show(n)
+
+    def write_as_text(self, path: str) -> None:
+        self.df.select(F.to_json(F.struct(*self.df.columns)).alias("value")).write.mode(
+            "overwrite"
+        ).text(path)
+
+    def write_as_csv(self, path: str) -> None:
+        self.df.write.mode("overwrite").option("header", True).csv(path)
+
+
+class KeyedStream(DataStream):
+    def __init__(self, df: DataFrame, keys: list[str]):
+        super().__init__(df)
+        self.keys = keys
+
+    def reduce(self, fn: Callable, schema) -> "DataStream":
+        """ReduceFunction (KeyedStream.java:769): left-fold rows per key."""
+
+        def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = pdf.to_dict("records")
+            acc = rows[0]
+            for r in rows[1:]:
+                acc = fn(acc, r)
+            return pd.DataFrame([acc])
+
+        return DataStream(self.df.groupBy(*self.keys).applyInPandas(apply, schema))
+
+    def _agg(self, col: str, aggfn) -> "DataStream":
+        others = [c for c in self.df.columns if c not in self.keys and c != col]
+        return DataStream(
+            self.df.groupBy(*self.keys).agg(
+                aggfn(col).alias(col), *[F.first(c).alias(c) for c in others]
+            )
+        )
+
+    def sum(self, col: str) -> "DataStream":
+        return self._agg(col, F.sum)
+
+    def min(self, col: str) -> "DataStream":
+        return self._agg(col, F.min)
+
+    def max(self, col: str) -> "DataStream":
+        return self._agg(col, F.max)
+
+    def _by(self, col: str, asc: bool) -> "DataStream":
+        """minBy/maxBy (KeyedStream.java:915,940): whole row holding the
+        extreme value — max_by/min_by keeps it one shuffle, no window."""
+        fn = F.min_by if asc else F.max_by
+        others = [c for c in self.df.columns if c not in self.keys]
+        return DataStream(
+            self.df.groupBy(*self.keys).agg(
+                *[fn(c, F.col(col)).alias(c) for c in others]
+            )
+        )
+
+    def min_by(self, col: str) -> "DataStream":
+        return self._by(col, asc=True)
+
+    def max_by(self, col: str) -> "DataStream":
+        return self._by(col, asc=False)
+
+    def window(self, ts: str, size: str, slide: str | None = None) -> "WindowedKeyedStream":
+        return WindowedKeyedStream(self.df, self.keys, F.window(ts, size, slide))
+
+    def count_window(self, size: int) -> "WindowedKeyedStream":
+        """countWindow (KeyedStream.java:720): fixed-count tumbling per
+        key — window id = row_number() div size (one extra window calc,
+        still a single shuffle)."""
+        from pyspark.sql import Window as W
+
+        w = F.row_number().over(
+            W.partitionBy(*self.keys).orderBy(F.monotonically_increasing_id())
+        )
+        df = self.df.withColumn("__win", ((w - 1) / size).cast("bigint"))
+        return WindowedKeyedStream(df, self.keys, F.col("__win"))
+
+    def interval_join(
+        self, other: "KeyedStream", time_cols: tuple[str, str], lower: str, upper: str
+    ) -> "DataStream":
+        """intervalJoin (KeyedStream.java:458) — delegates to the
+        streaming interval join (works identically on batch frames)."""
+        from flink_1_16_0_src_spark.streaming.joins import interval_join as ij
+
+        return DataStream(
+            ij(self.df, other.df, (self.keys[0], other.keys[0]), time_cols, lower, upper)
+        )
+
+    def process(self, fn: Callable, schema) -> "DataStream":
+        """KeyedProcessFunction analog: all rows of one key to one call
+        (applyInPandas). For streaming state/timers use
+        streaming.stateful ops instead."""
+
+        def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+            return fn(pdf)
+
+        return DataStream(self.df.groupBy(*self.keys).applyInPandas(apply, schema))
+
+
+class WindowedKeyedStream:
+    def __init__(self, df: DataFrame, keys: list[str], window_col: Column):
+        self.df, self.keys, self.window_col = df, keys, window_col
+
+    def aggregate(self, *aggs: Column) -> DataStream:
+        return DataStream(
+            self.df.groupBy(self.window_col.alias("window"), *self.keys).agg(*aggs)
+        )
+
+    def reduce(self, fn: Callable, schema) -> DataStream:
+        def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = pdf.to_dict("records")
+            acc = rows[0]
+            for r in rows[1:]:
+                acc = fn(acc, r)
+            return pd.DataFrame([acc])
+
+        return DataStream(
+            self.df.withColumn("__w", self.window_col)
+            .groupBy("__w", *self.keys)
+            .applyInPandas(apply, schema)
+        )

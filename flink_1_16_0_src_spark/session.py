@@ -59,41 +59,81 @@ def _parse_props(props: str) -> dict[str, str]:
     return out
 
 
+_INSERT_INTO = re.compile(r"INSERT\s+INTO\s+(\w+)\s+(.*)$", re.IGNORECASE | re.DOTALL)
+
+
 class TableEnvironment:
-    """Minimal Flink-TableEnvironment-shaped facade over SparkSession.
+    """Flink-TableEnvironment-shaped facade over SparkSession
+    (TableEnvironmentImpl.java:715 sqlQuery / :735 executeSql).
 
     Supported Flink DDL subset: ``CREATE TABLE t (...) WITH
-    ('connector'='filesystem','path'='...','format'='parquet|csv|json')``
-    → registers a temp view backed by ``spark.read``. Everything else in
-    ``execute_sql`` passes through to ``spark.sql`` (Catalyst parses
-    ANSI SQL, same dialect family as Flink's Calcite).
+    ('connector'=..., ...)`` for connectors filesystem (formats
+    parquet/csv/json/orc/text/avro), datagen, print, blackhole, kafka
+    (passthrough mapping). Source tables register as temp views;
+    sink-only connectors (print/blackhole/filesystem with no existing
+    data) record the sink spec and ``INSERT INTO sink SELECT ...``
+    routes the query result to it. Everything else passes through to
+    ``spark.sql`` (Catalyst speaks the same ANSI dialect family as
+    Flink's Calcite).
     """
 
     def __init__(self, spark: SparkSession | None = None):
         self.spark = spark or get_spark()
+        self._sinks: dict[str, dict] = {}
 
     def execute_sql(self, sql: str) -> DataFrame | None:
-        m = _CREATE_TABLE_WITH.match(sql.strip())
+        from flink_1_16_0_src_spark import sources as srcs
+
+        stmt = sql.strip()
+        m = _CREATE_TABLE_WITH.match(stmt)
         if m:
             name = m.group(1)
             props = _parse_props(m.group("props"))
             connector = props.get("connector", "filesystem")
-            if connector != "filesystem":
-                raise NotImplementedError(
-                    f"connector {connector!r}: only 'filesystem' DDL is translated; "
-                    "use spark.readStream for kafka/rate parity (streaming module)"
-                )
             fmt = props.get("format", "parquet")
-            reader = self.spark.read
+            schema = None
             if m.group("schema"):
-                ddl_schema = ", ".join(
+                schema = ", ".join(
                     c.strip() for c in m.group("schema").split(",") if "WATERMARK" not in c.upper()
                 )
-                reader = reader.schema(ddl_schema)
-            df = getattr(reader, fmt)(props["path"])
-            df.createOrReplaceTempView(name)
-            return df
-        return self.spark.sql(sql)
+            if connector in ("print", "blackhole"):
+                self._sinks[name] = {"connector": connector, "props": props}
+                return None
+            if connector == "datagen":
+                df = srcs.datagen_source(
+                    self.spark, int(props.get("rows-per-second", "100"))
+                )
+                df.createOrReplaceTempView(name)
+                return df
+            if connector == "kafka":
+                df = srcs.kafka_source(self.spark, props)
+                df.createOrReplaceTempView(name)
+                return df
+            if connector == "filesystem":
+                path = props["path"]
+                if not os.path.exists(path.removeprefix("file://")):
+                    # path doesn't exist yet → it's a sink table
+                    self._sinks[name] = {"connector": connector, "props": props}
+                    return None
+                df = srcs.read_table(self.spark, path, fmt, schema, props)
+                df.createOrReplaceTempView(name)
+                return df
+            raise NotImplementedError(f"connector {connector!r}")
+        mi = _INSERT_INTO.match(stmt)
+        if mi and mi.group(1) in self._sinks:
+            from flink_1_16_0_src_spark import sources as srcs
+
+            sink = self._sinks[mi.group(1)]
+            df = self.spark.sql(mi.group(2))
+            srcs.write_table(
+                df,
+                sink["props"].get("path"),
+                sink["connector"],
+                sink["props"].get("format", "parquet"),
+                sink["props"],
+            )
+            return None
+        return self.spark.sql(stmt)
 
     def sql_query(self, sql: str) -> DataFrame:
         return self.spark.sql(sql)

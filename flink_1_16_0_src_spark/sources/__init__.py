@@ -1,0 +1,117 @@
+"""Connector + format registry (SURVEY.md §2.1).
+
+Reference parity:
+- filesystem connector (flink-connector-files FileSystemTableSource/
+  Sink) → ``spark.read/write.<format>``; formats csv
+  (CsvFormatFactory.java:62), json (JsonFormatFactory.java:59),
+  parquet, orc, avro (gated — needs the spark-avro package), text/raw.
+- kafka connector (KafkaDynamicSource.java / KafkaDynamicSink.java) →
+  ``format("kafka")`` passthrough option mapping (topic →
+  subscribe, properties.bootstrap.servers → kafka.bootstrap.servers).
+- datagen (DataGenTableSource.java) → ``format("rate")``.
+- print / blackhole sinks → console / noop.
+- jdbc (JdbcDynamicTableSource) → ``format("jdbc")`` passthrough.
+
+Pushdown note: all file formats here go through DataSource V2, so
+filter/projection/limit/partition pushdown (the reference's
+SupportsFilterPushDown etc. abilities) is Catalyst-automatic — verify
+with .explain(): PushedFilters / ReadSchema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+FILE_FORMATS = {"parquet", "csv", "json", "orc", "text", "avro"}
+
+# Flink connector option → Spark reader option (per-format)
+_CSV_OPTS = {
+    "csv.field-delimiter": "sep",
+    "csv.allow-comments": "comment",
+    "csv.ignore-parse-errors": "mode",  # value translated below
+    "csv.null-literal": "nullValue",
+}
+_JSON_OPTS = {
+    "json.ignore-parse-errors": "mode",
+}
+
+
+def read_table(
+    spark: SparkSession, path: str, fmt: str, schema: str | None = None, options: dict | None = None
+) -> DataFrame:
+    """Batch read with Flink→Spark option translation."""
+    options = options or {}
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", options.get("csv.include-header", "false"))
+        for fl, sp in _CSV_OPTS.items():
+            if fl in options:
+                v = options[fl]
+                if sp == "mode":
+                    v = "PERMISSIVE" if v == "true" else "FAILFAST"
+                reader = reader.option(sp, v)
+    elif fmt == "json":
+        if options.get("json.ignore-parse-errors") == "true":
+            reader = reader.option("mode", "PERMISSIVE")
+    if fmt not in FILE_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r} (supported: {sorted(FILE_FORMATS)})")
+    try:
+        return getattr(reader, fmt)(path)
+    except Exception as e:  # avro lacking the external package, etc.
+        if fmt == "avro":
+            raise NotImplementedError(
+                "avro requires the spark-avro package on the cluster classpath"
+            ) from e
+        raise
+
+
+def read_stream_table(
+    spark: SparkSession, path: str, fmt: str, schema, options: dict | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(schema)
+    for k, v in (options or {}).items():
+        if not k.startswith(("csv.", "json.")):
+            reader = reader.option(k, v)
+    return getattr(reader, fmt)(path)
+
+
+def kafka_source(spark: SparkSession, props: dict, streaming: bool = True) -> DataFrame:
+    """Kafka option mapping: Flink DDL keys → Spark kafka source keys.
+    Returns raw key/value binary columns + metadata (topic, partition,
+    offset, timestamp) — the same metadata columns Flink exposes via
+    METADATA FROM."""
+    reader = spark.readStream if streaming else spark.read
+    r = reader.format("kafka").option(
+        "kafka.bootstrap.servers", props.get("properties.bootstrap.servers", props.get("bootstrap.servers", ""))
+    )
+    if "topic" in props:
+        r = r.option("subscribe", props["topic"])
+    if "topic-pattern" in props:
+        r = r.option("subscribePattern", props["topic-pattern"])
+    start = props.get("scan.startup.mode", "group-offsets")
+    r = r.option(
+        "startingOffsets", {"earliest-offset": "earliest", "latest-offset": "latest"}.get(start, "latest")
+    )
+    return r.load()
+
+
+def datagen_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    return (
+        spark.readStream.format("rate").option("rowsPerSecond", str(rows_per_second)).load()
+    )
+
+
+def write_table(df: DataFrame, path: str | None, connector: str, fmt: str = "parquet", options: dict | None = None) -> None:
+    """Batch sink: filesystem formats, print (console), blackhole (noop)."""
+    if connector == "print":
+        df.show(truncate=False)
+        return
+    if connector == "blackhole":
+        df.write.format("noop").mode("overwrite").save()
+        return
+    writer = df.write.mode(options.get("sink.mode", "overwrite") if options else "overwrite")
+    if fmt == "csv":
+        writer = writer.option("header", True)
+    getattr(writer, fmt)(path)

@@ -1,0 +1,98 @@
+"""Connector / format / DDL tests (SURVEY.md §2.1)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from flink_1_16_0_src_spark import sources as srcs
+from flink_1_16_0_src_spark import tables
+from flink_1_16_0_src_spark.session import TableEnvironment
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tenv(spark):
+    return TableEnvironment(spark)
+
+
+@pytest.fixture(scope="module")
+def csv_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fmt") / "nation_csv")
+    tables.load(spark, SF_DIR, "nation").write.option("header", True).csv(d)
+    return d
+
+
+def test_ddl_filesystem_parquet(tenv):
+    df = tenv.execute_sql(
+        f"CREATE TABLE t_region WITH ('connector'='filesystem',"
+        f"'path'='{SF_DIR}/region.parquet','format'='parquet')"
+    )
+    assert df.count() == 5
+    assert tenv.sql_query("SELECT count(*) c FROM t_region").collect()[0].c == 5
+
+
+def test_ddl_filesystem_csv_roundtrip(tenv, spark, csv_dir):
+    df = tenv.execute_sql(
+        f"CREATE TABLE t_nation_csv (n_nationkey BIGINT, n_name STRING, "
+        f"n_regionkey BIGINT, n_comment STRING) WITH ("
+        f"'connector'='filesystem','path'='{csv_dir}','format'='csv',"
+        f"'csv.include-header'='true')"
+    )
+    exp = tables.load(spark, SF_DIR, "nation")
+    assert df.count() == exp.count()
+    assert {r.n_name for r in df.collect()} == {r.n_name for r in exp.collect()}
+
+
+def test_ddl_filesystem_json_roundtrip(tenv, spark, tmp_path):
+    d = str(tmp_path / "region_json")
+    tables.load(spark, SF_DIR, "region").write.json(d)
+    df = tenv.execute_sql(
+        f"CREATE TABLE t_region_json WITH ('connector'='filesystem',"
+        f"'path'='{d}','format'='json')"
+    )
+    assert df.count() == 5
+
+
+def test_ddl_sink_print_blackhole(tenv):
+    tenv.execute_sql("CREATE TABLE snk_print WITH ('connector'='print')")
+    tenv.execute_sql("CREATE TABLE snk_hole WITH ('connector'='blackhole')")
+    # routing INSERT INTO through both sinks must not raise
+    tenv.execute_sql("INSERT INTO snk_print SELECT * FROM t_region LIMIT 2")
+    tenv.execute_sql("INSERT INTO snk_hole SELECT * FROM t_region")
+
+
+def test_ddl_filesystem_sink_insert(tenv, spark, tmp_path):
+    out = str(tmp_path / "sink_out")
+    tenv.execute_sql(
+        f"CREATE TABLE snk_fs WITH ('connector'='filesystem','path'='{out}','format'='parquet')"
+    )
+    tenv.execute_sql("INSERT INTO snk_fs SELECT * FROM t_region WHERE r_regionkey < 3")
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_ddl_datagen(tenv):
+    df = tenv.execute_sql(
+        "CREATE TABLE gen (ts TIMESTAMP, val BIGINT) WITH "
+        "('connector'='datagen','rows-per-second'='5')"
+    )
+    assert df.isStreaming
+    assert set(df.columns) == {"timestamp", "value"}
+
+
+def test_read_table_option_translation(spark, csv_dir):
+    df = srcs.read_table(
+        spark,
+        csv_dir,
+        "csv",
+        schema="n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, n_comment STRING",
+        options={"csv.include-header": "true", "csv.field-delimiter": ","},
+    )
+    assert df.count() == 25
+
+
+def test_unsupported_format_raises(spark):
+    with pytest.raises(ValueError):
+        srcs.read_table(spark, "/tmp/x", "sequencefile")

@@ -1,0 +1,181 @@
+"""DataStream fluent API tests (SURVEY.md §2.10 parity checklist)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from flink_1_16_0_src_spark import tables
+from flink_1_16_0_src_spark.datastream import DataStream
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return tables.load(spark, SF_DIR, "events")
+
+
+def test_map_expr_and_filter(events):
+    ds = DataStream(events)
+    out = (
+        ds.filter(F.col("event_type") == "purchase")
+        .map({"user_id": F.col("user_id"), "doubled": F.col("value") * 2})
+        .df
+    )
+    rows = out.collect()
+    assert len(rows) == events.where("event_type = 'purchase'").count()
+    src = events.where("event_type = 'purchase'").select("value").collect()
+    assert {round(r.doubled, 4) for r in rows} == {round(r.value * 2, 4) for r in src}
+
+
+def test_map_callable(events):
+    schema = StructType([StructField("uid", LongType()), StructField("vx", DoubleType())])
+    ds = DataStream(events.select("user_id", "value").limit(100))
+    out = ds.map(lambda r: {"uid": r["user_id"], "vx": r["value"] + 1}, schema).df
+    assert out.count() == 100
+    assert out.schema.fieldNames() == ["uid", "vx"]
+
+
+def test_flat_map(events):
+    schema = StructType([StructField("tok", StringType())])
+    ds = DataStream(events.select("event_type").limit(10))
+    out = ds.flat_map(lambda r: [{"tok": c} for c in r["event_type"]], schema).df
+    exp = sum(len(r.event_type) for r in events.select("event_type").limit(10).collect())
+    assert out.count() == exp
+
+
+def test_key_by_sum_min_max(events):
+    ds = DataStream(events.select("user_id", "value"))
+    got = {r.user_id: round(r.value, 4) for r in ds.key_by("user_id").sum("value").df.collect()}
+    exp = {
+        r.user_id: round(r.s, 4)
+        for r in events.groupBy("user_id").agg(F.sum("value").alias("s")).collect()
+    }
+    assert got == exp
+
+
+def test_min_by_returns_whole_row(events):
+    ds = DataStream(events.select("user_id", "event_id", "value"))
+    got = {r.user_id: r.event_id for r in ds.key_by("user_id").min_by("value").df.collect()}
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("value").asc(), F.col("event_id"))
+    exp_df = (
+        events.select("user_id", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+    )
+    exp = {r.user_id: r.event_id for r in exp_df.collect()}
+    # min_by breaks value-ties arbitrarily; compare the value, not the id
+    vals = {r.user_id: r.value for r in ds.key_by("user_id").min_by("value").df.collect()}
+    exp_vals = {r.user_id: r.value for r in exp_df.collect()}
+    assert vals == exp_vals
+    assert set(got) == set(exp)
+
+
+def test_reduce(events):
+    schema = StructType([StructField("user_id", LongType()), StructField("value", DoubleType())])
+    ds = DataStream(events.select("user_id", "value"))
+
+    def add(a, b):
+        return {"user_id": a["user_id"], "value": a["value"] + b["value"]}
+
+    got = {r.user_id: round(r.value, 4) for r in ds.key_by("user_id").reduce(add, schema).df.collect()}
+    exp = {
+        r.user_id: round(r.s, 4)
+        for r in events.groupBy("user_id").agg(F.sum("value").alias("s")).collect()
+    }
+    assert got == exp
+
+
+def test_union_and_partitioning(events):
+    a = DataStream(events.where("event_type = 'click'"))
+    b = DataStream(events.where("event_type = 'error'"))
+    u = a.union(b)
+    assert u.df.count() == events.where("event_type IN ('click','error')").count()
+    assert u.rebalance().df.count() == u.df.count()
+    assert u.global_().df.rdd.getNumPartitions() == 1
+    assert u.partition_custom(F.col("user_id")).df.count() == u.df.count()
+
+
+def test_windowed_aggregate(events):
+    ds = DataStream(events)
+    out = (
+        ds.key_by("user_id")
+        .window("ts", "1 hour")
+        .aggregate(F.count("*").alias("cnt"))
+        .df
+    )
+    exp = events.groupBy(F.window("ts", "1 hour"), "user_id").count()
+    assert out.count() == exp.count()
+    assert out.agg(F.sum("cnt")).collect()[0][0] == events.count()
+
+
+def test_count_window(events):
+    ds = DataStream(events.select("user_id", "value"))
+    out = ds.key_by("user_id").count_window(10).aggregate(F.count("*").alias("cnt")).df
+    per_user = {r.user_id: r.cnt for r in events.groupBy("user_id").count().withColumnRenamed("count", "cnt").collect()}
+    got = out.groupBy("user_id").agg(F.sum("cnt").alias("total"), F.max("cnt").alias("mx")).collect()
+    for r in got:
+        assert r.total == per_user[r.user_id]
+        assert r.mx <= 10
+
+
+def test_co_group(events):
+    import pandas as pd
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_click", LongType()),
+            StructField("n_error", LongType()),
+        ]
+    )
+    clicks = DataStream(events.where("event_type = 'click'").select("user_id", "value"))
+    errors = DataStream(events.where("event_type = 'error'").select("user_id", "value"))
+
+    def fn(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        uid = l["user_id"].iloc[0] if len(l) else r["user_id"].iloc[0]
+        return pd.DataFrame([{"user_id": uid, "n_click": len(l), "n_error": len(r)}])
+
+    out = clicks.co_group(errors, ["user_id"], ["user_id"], fn, schema).df
+    exp_clicks = {r.user_id: r["count"] for r in events.where("event_type='click'").groupBy("user_id").count().collect()}
+    got = {r.user_id: (r.n_click, r.n_error) for r in out.collect()}
+    for uid, (nc, ne) in got.items():
+        assert nc == exp_clicks.get(uid, 0)
+
+
+def test_interval_join_batch(events):
+    purchases = DataStream(
+        events.where("event_type = 'purchase'").select("user_id", "ts", F.col("value").alias("pv"))
+    ).key_by("user_id")
+    clicks = DataStream(
+        events.where("event_type = 'click'").select(
+            F.col("user_id").alias("cuid"), F.col("ts").alias("cts"), F.col("value").alias("cv")
+        )
+    ).key_by("cuid")
+    out = purchases.interval_join(clicks, ("ts", "cts"), "10 minutes", "10 minutes").df
+    exp = events.where("event_type='purchase'").alias("p").join(
+        events.where("event_type='click'").alias("c"),
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("p.ts") >= F.col("c.ts") - F.expr("INTERVAL 10 minutes"))
+        & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 10 minutes")),
+    )
+    assert out.count() == exp.count()
+
+
+def test_write_sinks(events, tmp_path):
+    ds = DataStream(events.select("user_id", "event_type").limit(50))
+    ds.write_as_csv(str(tmp_path / "csv"))
+    ds.write_as_text(str(tmp_path / "txt"))
+    spark = events.sparkSession
+    assert spark.read.option("header", True).csv(str(tmp_path / "csv")).count() == 50
+    assert spark.read.text(str(tmp_path / "txt")).count() == 50
