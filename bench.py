@@ -18,11 +18,22 @@ import sys
 import time
 
 BENCH_QUERIES = [
-    # name in registry — keep these the heavy, representative ones
-    "agg_q1_pricing_summary",
-    "agg_q6_forecast_revenue",
-    "agg_distinct",
-    "agg_grouping_sets",
+    # one representative per operator family (SURVEY.md §2), heavy ones
+    "agg_q1_pricing_summary",    # scan+filter+agg (TPC-H q1)
+    "agg_q6_forecast_revenue",   # selective scan (TPC-H q6)
+    "agg_distinct",              # distinct agg expansion
+    "agg_grouping_sets",         # Expand + agg
+    "join_multiway_q5",          # 6-table join (TPC-H q5)
+    "join_theta_nonequi",        # broadcast NLJ
+    "subq_tpch_q20_nested_in",   # nested subqueries
+    "over_rows_sliding",         # OVER window frames
+    "topn_per_group",            # rank + filter
+    "tvf_hop_agg",               # sliding window TVF (row fan-out)
+    "setop_intersect_all",       # counted set op
+    "dedup_minhash_lsh",         # shingle→minhash→band join
+    "sim_topk_bruteforce",       # embedding cosine top-k
+    "text_token_stats",          # text analysis over documents
+    "cep_adjacent_click_purchase",  # MATCH_RECOGNIZE NFA per key
 ]
 
 

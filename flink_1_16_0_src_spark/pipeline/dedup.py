@@ -49,24 +49,33 @@ def shingles(text_col: str, k: int = 3):
     )
 
 
+_MERSENNE31 = 2_147_483_647  # 2^31-1, the classic minhash modulus
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_perm: int = 16, k: int = 3
 ) -> DataFrame:
-    """(id, perm, minhash) — md5-derived 60-bit hash per (perm, shingle),
-    min per doc+perm. Linear work: |docs| × |shingles| × num_perm rows
-    through a partial-aggregating groupBy."""
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("__sh"))
-    perms = sh.select(
-        id_col, "__sh", F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
-    )
-    hashed = perms.select(
+    """(id, perm, minhash): ONE md5 per shingle (60-bit base hash h),
+    then ``num_perm`` affine permutations h_p = ((2p+1)·(h mod M) +
+    40503p) mod M over the Mersenne prime M=2^31-1 — the standard
+    universal-hashing MinHash construction. 16× cheaper than hashing
+    per (perm, shingle); work is linear in corpus tokens, folded by a
+    partial-aggregating groupBy."""
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("__sh")).select(
         id_col,
-        "perm",
-        F.conv(F.substring(F.md5(F.concat_ws(":", F.col("perm"), F.col("__sh"))), 1, 15), 16, 10)
-        .cast("bigint")
-        .alias("__h"),
+        F.conv(F.substring(F.md5(F.col("__sh")), 1, 15), 16, 10).cast("bigint").alias("__h"),
     )
-    return hashed.groupBy(id_col, "perm").agg(F.min("__h").alias("minhash"))
+    perms = sh.select(
+        id_col, "__h", F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
+    )
+    hp = (
+        (2 * F.col("perm") + 1) * (F.col("__h") % _MERSENNE31) + F.col("perm") * 40503
+    ) % _MERSENNE31
+    return (
+        perms.select(id_col, "perm", hp.alias("__hp"))
+        .groupBy(id_col, "perm")
+        .agg(F.min("__hp").alias("minhash"))
+    )
 
 
 def lsh_candidate_pairs(
@@ -132,7 +141,18 @@ def minhash_dedup_pairs(
     k: int = 3,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidate
-    join → exact-Jaccard verification."""
+    join → exact-Jaccard verification.
+
+    The entry repartition spreads the shingle/permutation fan-out over
+    the cluster — small corpora otherwise ride a single input split
+    through the whole pipeline (one task doing all the hashing); at
+    scale the same shuffle co-locates docs by id ahead of the per-doc
+    groupBys."""
+    # explicit partition count: AQE would coalesce a by-size repartition
+    # of the (small, pre-explode) doc rows down to one task, serializing
+    # the ~|tokens|×num_perm hash fan-out that follows
+    n = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(n, F.col(id_col))
     sigs = minhash_signatures(df, text_col, id_col, num_perm, k)
     cands = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
     return jaccard_verify(df, cands, text_col, id_col, threshold, k)

@@ -75,10 +75,13 @@ _SHINGLES = (
     shingled AS (
       SELECT doc_id, unnest({_SHINGLES}) AS sh FROM corpus
     ),
+    base AS (
+      SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM shingled
+    ),
     hashed AS (
-      SELECT s.doc_id, p.perm,
-             ('0x' || substr(md5(p.perm || ':' || s.sh), 1, 15))::BIGINT AS h
-      FROM shingled s, generate_series(0, 15) p(perm)
+      SELECT b.doc_id, p.perm,
+             ((2*p.perm + 1) * (b.h % 2147483647) + p.perm * 40503) % 2147483647 AS h
+      FROM base b, generate_series(0, 15) p(perm)
     ),
     sigs AS (
       SELECT doc_id, perm, min(h) AS minhash FROM hashed GROUP BY doc_id, perm

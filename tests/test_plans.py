@@ -1,0 +1,72 @@
+"""Plan-quality tests — the analog of the reference's golden plan files
+(SURVEY.md §5 layer 2: 222 XML plan snapshots). Instead of brittle full
+snapshots, assert the load-bearing physical-plan properties that make
+the 100 TB story true: pushdown, column pruning, broadcast choice,
+partial aggregation, codegen (no Python in relational hot paths).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_1_16_0_src_spark.registry import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = all_queries()[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q6_filter_pushdown_and_pruning(spark):
+    plan = _plan(spark, "agg_q6_forecast_revenue")
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(l_shipdate" in plan
+    # projection pruned to the 4 referenced columns at the scan
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate" in plan
+
+
+def test_q1_two_phase_aggregation(spark):
+    plan = _plan(spark, "agg_q1_pricing_summary")
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    assert plan.count("Exchange") <= 2
+
+
+def test_small_dim_join_broadcasts(spark):
+    plan = _plan(spark, "join_lookup_broadcast")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_multiway_join_no_python(spark):
+    plan = _plan(spark, "join_multiway_q5")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # all five dims broadcast — no shuffle joins in the TPC-H q5 shape
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_scalar_functions_stay_jvm_side(spark):
+    for name in ("func_string_basic", "func_math_basic", "func_temporal"):
+        plan = _plan(spark, name)
+        assert "EvalPython" not in plan, f"{name} fell off the codegen path"
+
+
+def test_topn_uses_window_group_limit(spark):
+    plan = _plan(spark, "topn_per_group")
+    # Spark 3.5+/4.x pushes rn<=k into WindowGroupLimit before the sort
+    assert "WindowGroupLimit" in plan or "TakeOrdered" in plan
+
+
+def test_minhash_no_cartesian(spark):
+    plan = _plan(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan  # banded equi-join only
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_dedup_single_shuffle(spark):
+    plan = _plan(spark, "dedup_exact")
+    # fingerprint groupBy: partial agg + one exchange
+    assert plan.count("Exchange") <= 2
+    assert "partial_min" in plan or "partial_count" in plan
