@@ -3,6 +3,7 @@ query into ``flink_1_16_0_src_spark.registry.QUERIES``."""
 
 from flink_1_16_0_src_spark.queries import (  # noqa: F401
     aggregates,
+    aggregates_extra,
     cep,
     functions_json_cond,
     functions_math_temporal,
