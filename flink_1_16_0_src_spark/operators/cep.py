@@ -57,10 +57,21 @@ class Step:
         return Step(var, predicate, 0, 1)
 
 
-def _match_at(rows: list[Row], start: int, steps: list[Step]) -> tuple[int, Matched] | None:
+def _match_at(
+    rows: list[Row], start: int, steps: list[Step], within: tuple[str, object] | None = None
+) -> tuple[int, Matched] | None:
     """Greedy backtracking match anchored at ``start``; returns
     (end_exclusive, matched-rows-per-var) for the longest match, else
-    None. Strict contiguity (every row must be consumed by some var)."""
+    None. Strict contiguity (every row must be consumed by some var).
+    ``within=(ts_col, max_delta)`` prunes matches spanning more than
+    max_delta from the first matched row (Pattern.within /
+    flink-cep Pattern.java windowTime)."""
+
+    def in_window(j: int) -> bool:
+        if within is None:
+            return True
+        ts_col, max_delta = within
+        return rows[j][ts_col] - rows[start][ts_col] <= max_delta
 
     def rec(i: int, si: int, matched: Matched) -> tuple[int, Matched] | None:
         if si == len(steps):
@@ -72,7 +83,7 @@ def _match_at(rows: list[Row], start: int, steps: list[Step]) -> tuple[int, Matc
         # greedily consume as many as allowed
         j = i
         while (step.max is None or len(taken) < step.max) and j < len(rows):
-            if step.predicate(rows[j], matched):
+            if in_window(j) and step.predicate(rows[j], matched):
                 matched[step.var].append(rows[j])
                 taken.append(rows[j])
                 j += 1
@@ -136,15 +147,19 @@ def _partial_at(rows: list[Row], start: int, steps: list[Step]) -> bool:
 
 
 def match_sequence(
-    rows: list[Row], steps: list[Step], after_match: str = "past_last_row"
+    rows: list[Row],
+    steps: list[Step],
+    after_match: str = "past_last_row",
+    within: tuple[str, object] | None = None,
 ) -> list[Matched]:
     """Run the pattern over one key's ordered rows. ``after_match``:
     'past_last_row' resumes after the match (non-overlapping, Flink's
-    default) or 'to_next_row' resumes at start+1 (overlapping)."""
+    default) or 'to_next_row' resumes at start+1 (overlapping).
+    ``within=(ts_col, max_delta)`` bounds a match's time span."""
     out: list[Matched] = []
     i = 0
     while i < len(rows):
-        m = _match_at(rows, i, steps)
+        m = _match_at(rows, i, steps, within)
         if m is not None:
             end, matched = m
             out.append(matched)
@@ -181,17 +196,19 @@ def match_recognize(
     measures: dict[str, Callable[[Matched], object]],
     output_schema: StructType,
     after_match: str = "past_last_row",
+    within: tuple[str, object] | None = None,
 ) -> DataFrame:
     """Batch MATCH_RECOGNIZE: one output row per match, carrying the
     partition keys + computed measures. Distributed per partition key
-    (single shuffle), NFA scan inside each key."""
+    (single shuffle), NFA scan inside each key. ``within`` bounds the
+    match's time span (Pattern.within parity)."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_by, kind="stable")  # str or list both fine
         rows = pdf.to_dict("records")
         keys = {k: pdf.iloc[0][k] for k in partition_by}
         out = []
-        for matched in match_sequence(rows, steps, after_match):
+        for matched in match_sequence(rows, steps, after_match, within):
             rec = dict(keys)
             for name, fmeas in measures.items():
                 rec[name] = fmeas(matched)

@@ -169,3 +169,22 @@ def test_match_recognize_stream_matches_batch(spark):
     assert len(g) >= len(e) - exp.select("user_id").distinct().count()
     assert set(g) <= set(e)
     assert len(g) > 0
+
+
+def test_within_bounds_match_span():
+    steps = [
+        cep.Step("A", lambda r, m: r["v"] == 1),
+        cep.Step.plus("B", lambda r, m: r["v"] == 2),
+    ]
+    rows = [
+        {"v": 1, "t": 0},
+        {"v": 2, "t": 5},
+        {"v": 2, "t": 100},  # outside the 10-tick window
+        {"v": 1, "t": 200},
+        {"v": 2, "t": 205},
+    ]
+    unbounded = cep.match_sequence(rows, steps)
+    bounded = cep.match_sequence(rows, steps, within=("t", 10))
+    assert cep.count_of(unbounded[0], "B") == 2
+    assert cep.count_of(bounded[0], "B") == 1  # t=100 row pruned
+    assert len(bounded) == 2
