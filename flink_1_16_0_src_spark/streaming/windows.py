@@ -62,6 +62,44 @@ def session_agg(
     )
 
 
+def window_topn(
+    sdf: DataFrame,
+    ts: str,
+    size: str,
+    keys: list[str],
+    order_col: str,
+    k: int,
+    payload: list[str],
+    descending: bool = True,
+) -> DataFrame:
+    """Streaming window Top-N (StreamExecWindowRank.java:77): top-k rows
+    per (tumbling window, keys), emitted when the window closes — an
+    APPEND-mode composition (window agg collect → sort → slice →
+    explode), no custom state op needed; state is freed at window end
+    exactly like the reference's window-rank operator."""
+    entry = F.struct(F.col(order_col).alias("__o"), *[F.col(c) for c in payload])
+    sorted_entries = F.array_sort(F.collect_list(entry))
+    top = F.slice(F.reverse(sorted_entries) if descending else sorted_entries, 1, k)
+    exploded = (
+        sdf.groupBy(F.window(ts, size).alias("__w"), *keys)
+        .agg(top.alias("__top"))
+        .select(
+            F.col("__w.start").alias("window_start"),
+            F.col("__w.end").alias("window_end"),
+            *keys,
+            F.posexplode("__top").alias("rank0", "__e"),
+        )
+    )
+    return exploded.select(
+        "window_start",
+        "window_end",
+        *keys,
+        (F.col("rank0") + 1).alias("rank_num"),
+        F.col("__e.__o").alias(order_col),
+        *[F.col(f"__e.{c}").alias(c) for c in payload],
+    )
+
+
 def cumulate_agg(
     sdf: DataFrame, ts: str, step: str, max_size: str, keys: list[str], *aggs: Column
 ) -> DataFrame:
