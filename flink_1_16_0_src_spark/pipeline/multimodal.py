@@ -109,6 +109,26 @@ def decode_features(df: DataFrame, codec: str = "fake", feat_dim: int = 4) -> Da
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize(df: DataFrame, width: int, height: int, codec: str = "fake") -> DataFrame:
+    """Resize stub: rewrites the metadata struct to the target
+    dimensions; the pixel transform itself needs an imaging lib (raises
+    for real codecs). The metadata/schema plumbing — what a real
+    implementation would keep identical — is exercised end-to-end."""
+    if codec != "fake":
+        raise NotImplementedError(
+            f"codec {codec!r}: pixel-level resize needs an imaging library"
+        )
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.format").alias("format"),
+            F.lit(width).cast("int").alias("width"),
+            F.lit(height).cast("int").alias("height"),
+            F.col("meta.n_bytes").alias("n_bytes"),
+        ),
+    )
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' stand-in: slice the payload every N bytes
     (JVM-side substring arithmetic — the video-frame analog of a
