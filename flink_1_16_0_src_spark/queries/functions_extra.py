@@ -1,0 +1,171 @@
+"""Scalar function library part 2 (SURVEY.md §2.11 tail).
+
+Reference functions covered here (BuiltInFunctionDefinitions.java):
+parseUrl (:830), strToMap (:935), splitIndex (:923), lpad/rpad,
+ltrim/rtrim, left/right, position, timestampDiff/timestampAdd,
+fromUnixtime (:1378), truncate, cot, e/pi. DuckDB 1.0 has no
+parse_url/str_to_map — their oracles rebuild the same values from
+regexp/string primitives, which also pins down OUR semantics exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_1_16_0_src_spark.registry import query
+from flink_1_16_0_src_spark.tables import load
+
+
+@query(
+    "func_parse_url",
+    oracle="""
+    WITH urls AS (
+      SELECT n_nationkey,
+             'https://ex' || n_nationkey || '.org/p/' || n_name || '?rk=' || n_regionkey AS url
+      FROM nation
+    )
+    SELECT n_nationkey,
+           regexp_extract(url, '^([a-z]+)://', 1)              AS proto,
+           regexp_extract(url, '://([^/?#]+)', 1)               AS host,
+           regexp_extract(url, '://[^/?#]+(/[^?#]*)', 1)        AS path,
+           regexp_extract(url, '\\?rk=(\\d+)', 1)               AS rk
+    FROM urls
+    """,
+    tags=("functions", "string"),
+)
+def func_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARSE_URL(url, part) — Spark parse_url; oracle re-derives the
+    same parts with regexes (DuckDB has no parse_url)."""
+    n = load(spark, sf_dir, "nation")
+    url = F.concat(
+        F.lit("https://ex"),
+        F.col("n_nationkey").cast("string"),
+        F.lit(".org/p/"),
+        F.col("n_name"),
+        F.lit("?rk="),
+        F.col("n_regionkey").cast("string"),
+    )
+    u = n.select("n_nationkey", url.alias("url"))
+    return u.select(
+        "n_nationkey",
+        F.lower(F.parse_url("url", F.lit("PROTOCOL"))).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("rk")).alias("rk"),
+    )
+
+
+@query(
+    "func_str_to_map",
+    oracle="""
+    SELECT n_nationkey,
+           'k=' || n_name || ',r=' || n_regionkey AS raw,
+           n_name       AS k_val,
+           n_regionkey::VARCHAR AS r_val
+    FROM nation
+    """,
+    tags=("functions", "string", "collections"),
+)
+def func_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STR_TO_MAP + element access (map values projected out so the
+    oracle compares scalars, not map types)."""
+    n = load(spark, sf_dir, "nation")
+    raw = F.concat(
+        F.lit("k="), F.col("n_name"), F.lit(",r="), F.col("n_regionkey").cast("string")
+    )
+    m = F.str_to_map(raw, F.lit(","), F.lit("="))
+    return n.select(
+        "n_nationkey",
+        raw.alias("raw"),
+        m.getItem("k").alias("k_val"),
+        m.getItem("r").alias("r_val"),
+    )
+
+
+@query(
+    "func_split_index_pad",
+    oracle="""
+    SELECT doc_id,
+           str_split(text, ' ')[1]                           AS first_word,
+           str_split(text, ' ')[2]                           AS second_word,
+           lpad(lang, 8, '*')                                AS padded_l,
+           rpad(lang, 8, '.')                                AS padded_r,
+           ltrim(rtrim('  ' || lang || '  '))                AS trimmed,
+           left(text, 3)                                     AS l3,
+           right(text, 3)                                    AS r3,
+           position('e' IN text)                             AS pos_e
+    FROM documents
+    """,
+    tags=("functions", "string"),
+)
+def func_split_index_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT_INDEX (split + element_at), LPAD/RPAD, LTRIM/RTRIM,
+    LEFT/RIGHT, POSITION."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.element_at(words, 1).alias("first_word"),
+        F.element_at(words, 2).alias("second_word"),
+        F.lpad("lang", 8, "*").alias("padded_l"),
+        F.rpad("lang", 8, ".").alias("padded_r"),
+        F.ltrim(F.rtrim(F.concat(F.lit("  "), F.col("lang"), F.lit("  ")))).alias("trimmed"),
+        F.substring("text", 1, 3).alias("l3"),
+        F.col("text").substr(F.length("text") - 2, F.lit(3)).alias("r3"),
+        F.locate("e", F.col("text")).alias("pos_e"),
+    )
+
+
+@query(
+    "func_timestamp_arith",
+    oracle="""
+    SELECT event_id,
+           date_diff('minute', TIMESTAMP '2024-01-01 00:00:00', ts) AS mins_since_epoch0,
+           ts + INTERVAL 90 MINUTE                                  AS plus_90m,
+           ts - INTERVAL 1 DAY                                      AS minus_1d,
+           floor(epoch(ts))::BIGINT                                        AS unix_secs,
+           to_timestamp(floor(epoch(ts))::BIGINT)::TIMESTAMP               AS roundtrip
+    FROM events
+    """,
+    tags=("functions", "temporal"),
+)
+def func_timestamp_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMPDIFF/TIMESTAMPADD/FROM_UNIXTIME family."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.timestamp_diff("MINUTE", F.lit("2024-01-01 00:00:00").cast("timestamp"), F.col("ts"))
+        .alias("mins_since_epoch0"),
+        F.timestamp_add("MINUTE", F.lit(90), F.col("ts")).alias("plus_90m"),
+        (F.col("ts") - F.expr("INTERVAL 1 DAY")).alias("minus_1d"),
+        F.unix_timestamp("ts").alias("unix_secs"),
+        F.timestamp_seconds(F.unix_timestamp("ts")).alias("roundtrip"),
+    )
+
+
+@query(
+    "func_math_misc",
+    oracle="""
+    SELECT event_id,
+           round(1.0 / tan(value), 6)                 AS cot_v,
+           round(exp(1.0), 6)                         AS e_const,
+           round(pi(), 6)                             AS pi_const,
+           floor(value * 100) / 100                   AS trunc2,
+           round(mod(floor(value)::BIGINT, 7), 4)            AS mod7
+    FROM events WHERE value > 0.1
+    """,
+    tags=("functions", "math"),
+)
+def func_math_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COT (1/tan), E, PI, TRUNCATE(x,2) (floor arithmetic — identical
+    on both engines for positive values), MOD."""
+    ev = load(spark, sf_dir, "events").where(F.col("value") > 0.1)
+    return ev.select(
+        "event_id",
+        F.round(1.0 / F.tan("value"), 6).alias("cot_v"),
+        F.round(F.exp(F.lit(1.0)), 6).alias("e_const"),
+        F.round(F.lit(3.14159265358979), 6).alias("pi_const"),
+        (F.floor(F.col("value") * 100) / 100).alias("trunc2"),
+        F.round(F.floor("value").cast("bigint") % 7, 4).alias("mod7"),
+    )

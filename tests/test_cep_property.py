@@ -1,0 +1,95 @@
+"""Property-based CEP NFA tests (hypothesis).
+
+The greedy backtracking NFA is checked against a brute-force regex
+reduction: encode each row as a character by which predicates it
+satisfies, translate the Step list to an anchored greedy regex, and
+compare match spans. Valid because the tested predicates are
+row-local (no matched-so-far references), which is exactly the regex-
+expressible fragment.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flink_1_16_0_src_spark.operators import cep
+
+# rows are drawn from a 3-letter alphabet; predicates select one letter
+ALPHABET = "abc"
+
+
+def _steps_from_spec(spec: list[tuple[str, int, int | None]]) -> list[cep.Step]:
+    return [
+        cep.Step(f"V{i}_{ch}", (lambda c: lambda r, m: r["ch"] == c)(ch), mn, mx)
+        for i, (ch, mn, mx) in enumerate(spec)
+    ]
+
+
+def _regex_from_spec(spec: list[tuple[str, int, int | None]]) -> str:
+    parts = []
+    for ch, mn, mx in spec:
+        parts.append(f"{ch}{{{mn},{'' if mx is None else mx}}}")
+    return "".join(parts)
+
+
+step_spec = st.lists(
+    st.tuples(
+        st.sampled_from(ALPHABET),
+        st.integers(min_value=0, max_value=2),
+        st.one_of(st.none(), st.integers(min_value=1, max_value=3)),
+    ).filter(lambda t: t[2] is None or t[2] >= t[1]),
+    min_size=1,
+    max_size=4,
+).filter(lambda spec: any(mn > 0 for _, mn, _ in spec))  # non-empty pattern
+
+rows_strategy = st.text(alphabet=ALPHABET, min_size=0, max_size=12)
+
+
+@settings(max_examples=300, deadline=None)
+@given(spec=step_spec, s=rows_strategy)
+def test_nfa_matches_regex_reduction(spec, s):
+    rows = [{"ch": c, "i": i} for i, c in enumerate(s)]
+    steps = _steps_from_spec(spec)
+    pattern = re.compile(_regex_from_spec(spec))
+
+    got = cep.match_sequence(rows, steps, after_match="past_last_row")
+
+    # brute-force: greedy leftmost non-overlapping regex matches
+    exp_spans = []
+    pos = 0
+    while pos <= len(s):
+        m = pattern.match(s, pos)
+        if m and m.end() > m.start():
+            exp_spans.append((m.start(), m.end()))
+            pos = m.end()
+        elif m:  # zero-width match (all-optional satisfied) — skip ahead
+            pos += 1
+        else:
+            pos += 1
+        if pos > len(s):
+            break
+
+    got_spans = []
+    for matched in got:
+        idxs = [r["i"] for rows_ in matched.values() for r in rows_]
+        if idxs:
+            got_spans.append((min(idxs), max(idxs) + 1))
+
+    assert got_spans == exp_spans
+
+
+@settings(max_examples=200, deadline=None)
+@given(s=rows_strategy)
+def test_to_next_row_finds_all_overlapping(s):
+    # PATTERN (a b) with skip-to-next-row == count of "ab" at every offset
+    rows = [{"ch": c, "i": i} for i, c in enumerate(s)]
+    steps = [
+        cep.Step("A", lambda r, m: r["ch"] == "a"),
+        cep.Step("B", lambda r, m: r["ch"] == "b"),
+    ]
+    got = cep.match_sequence(rows, steps, after_match="to_next_row")
+    exp = sum(1 for i in range(len(s) - 1) if s[i : i + 2] == "ab")
+    assert len(got) == exp
