@@ -16,6 +16,7 @@ from flink_1_16_0_src_spark.queries import (  # noqa: F401
     pipeline_similarity,
     pipeline_text,
     rank_dedup,
+    session_dynamic,
     setops_sort,
     subqueries,
     unnest_lateral,

@@ -82,10 +82,18 @@ def streaming_topn(
     order_col: str,
     k: int,
     descending: bool = True,
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Continuous per-key top-k (AppendOnly strategy): state holds the
     current top-k rows; every batch emits the refreshed top-k with
-    ``rank_num``. Run in update output mode."""
+    ``rank_num``. Run in update output mode. ``ttl_ms`` expires a
+    key's state on next access after the idle period — the same
+    visibility semantics as Flink's default StateTtlConfig
+    (OnReadAndWrite cleanup, flink-core/.../state/StateTtlConfig.java).
+    NB: Spark's ProcessingTimeTimeout (eager background eviction)
+    crashes Python workers in this build, so expiry is lazy-on-access;
+    at 100 TB cap total state via watermark-scoped operators where
+    possible."""
     carry = _carry_cols(sdf, partition_keys)
     key_fields = [f for f in sdf.schema.fields if f.name in partition_keys]
     out_schema = StructType(
@@ -93,17 +101,26 @@ def streaming_topn(
         + [f for f in sdf.schema.fields if f.name in carry]
         + [StructField("rank_num", IntegerType())]
     )
-    state_schema = _array_state_schema(sdf, carry)
+    base_schema = _array_state_schema(sdf, carry)
+    state_schema = StructType(list(base_schema.fields) + [StructField("__updated", DoubleType())])
     oi = carry.index(order_col)
 
     def fn(key, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
-        cols = [list(x) for x in state.get] if state.exists else [[] for _ in carry]
+        import time as _time
+
+        now = _time.time()
+        fresh = state.exists and (
+            ttl_ms is None or (now - state.get[-1]) * 1000.0 <= ttl_ms
+        )
+        cols = [list(x) for x in state.get[:-1]] if fresh else [[] for _ in carry]
         rows = list(zip(*cols)) if cols and cols[0] else []
         for pdf in pdfs:
             rows.extend(tuple(t) for t in pdf[carry].itertuples(index=False))
         rows.sort(key=lambda r: r[oi], reverse=descending)
         rows = rows[:k]
-        state.update(tuple([_py(r[i]) for r in rows] for i in range(len(carry))))
+        state.update(
+            tuple([_py(r[i]) for r in rows] for i in range(len(carry))) + (now,)
+        )
         out = pd.DataFrame(rows, columns=carry)
         for kc, kv in zip(partition_keys, key):
             out[kc] = kv
@@ -115,17 +132,28 @@ def streaming_topn(
     )
 
 
-def keep_last_dedup(sdf: DataFrame, keys: list[str], order_col: str | None = None) -> DataFrame:
+def keep_last_dedup(
+    sdf: DataFrame, keys: list[str], order_col: str | None = None, ttl_ms: int | None = None
+) -> DataFrame:
     """Last row per key wins (emits the refreshed last row each batch —
     update semantics). ``order_col`` breaks intra-batch order by that
-    column (rowtime dedup); None keeps arrival order (proctime)."""
+    column (rowtime dedup); None keeps arrival order (proctime).
+    ``ttl_ms`` expires state lazily on next access (StateTtlConfig
+    OnReadAndWrite semantics — see streaming_topn note)."""
     carry = _carry_cols(sdf, keys)
     key_fields = [f for f in sdf.schema.fields if f.name in keys]
     out_schema = StructType(key_fields + [f for f in sdf.schema.fields if f.name in carry])
-    state_schema = _array_state_schema(sdf, carry)
+    base_schema = _array_state_schema(sdf, carry)
+    state_schema = StructType(list(base_schema.fields) + [StructField("__updated", DoubleType())])
 
     def fn(key, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
-        last = tuple(v[0] for v in state.get) if state.exists else None
+        import time as _time
+
+        now = _time.time()
+        fresh = state.exists and (
+            ttl_ms is None or (now - state.get[-1]) * 1000.0 <= ttl_ms
+        )
+        last = tuple(v[0] for v in state.get[:-1]) if fresh else None
         for pdf in pdfs:
             if len(pdf):
                 p = pdf.sort_values(order_col, kind="stable") if order_col else pdf
@@ -135,7 +163,7 @@ def keep_last_dedup(sdf: DataFrame, keys: list[str], order_col: str | None = Non
                 ]:
                     last = cand
         if last is not None:
-            state.update(tuple([_py(v)] for v in last))
+            state.update(tuple([_py(v)] for v in last) + (now,))
             out = pd.DataFrame([last], columns=carry)
             for kc, kv in zip(keys, key):
                 out[kc] = kv

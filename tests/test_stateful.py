@@ -217,3 +217,33 @@ def test_foreach_batch_upsert(spark, events_batch, tmp_path):
     assert [tuple(r) for r in got.select(*cols).orderBy(*cols).collect()] == [
         tuple(r) for r in exp.select(*cols).orderBy(*cols).collect()
     ]
+
+
+def test_streaming_topn_with_ttl(spark, events_batch):
+    # TTL path: state machinery accepts the timeout config and still
+    # produces the right single-batch answer (eviction itself needs
+    # wall-clock idle time, not assertable in a drain test).
+    # NB: availableNow + ProcessingTimeTimeout never terminates (the
+    # trigger waits for pending timeouts) — drain with
+    # processAllAvailable() + stop() instead.
+    sdf = sources.stream_table(spark, SF_DIR, "events").select("user_id", "event_type", "value")
+    out = stateful.streaming_topn(sdf, ["user_id"], "value", 3, ttl_ms=60_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("s_topn_ttl")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM s_topn_ttl")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc())
+    exp = (
+        events_batch.select("user_id", "event_type", "value")
+        .withColumn("rank_num", F.row_number().over(w))
+        .where(F.col("rank_num") <= 3)
+    )
+    cols = ["user_id", "rank_num", "value"]
+    assert [tuple(r) for r in got.select(*cols).orderBy(*cols).collect()] == [
+        tuple(r) for r in exp.select(*cols).orderBy(*cols).collect()
+    ]
