@@ -162,13 +162,14 @@ def agg_multiset_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def over_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE BETWEEN INTERVAL '10' MINUTE PRECEDING — time-range frame
-    (reference RangeBoundedPrecedingOverFrame): orderBy unix seconds,
-    rangeBetween(-600, 0)."""
+    (reference RangeBoundedPrecedingOverFrame): orderBy unix micros
+    (full timestamp precision — second-truncation flips rows at the
+    exact 600s boundary), rangeBetween(-600e6, 0)."""
     ev = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-600_000_000, 0)
     )
     return ev.select(
         "event_id", "user_id", "ts", F.round(F.sum("value").over(w), 4).alias("sum_10m")

@@ -1,0 +1,369 @@
+"""Complete TPC-H suite (the 14 queries not already covered elsewhere).
+
+The reference gates end-to-end correctness on full decision-support
+suites (TPC-DS 99/99 at SF1, TPC-H q6/q11/q15/q20:
+flink-end-to-end-tests/flink-tpcds-test/.../TpcdsTestProgram.java:76-84,
+test-scripts/test-data/tpch/modified-query/). This module completes our
+TPC-H coverage to all 22 query *shapes*. The driver's synthetic star
+schema lacks partsupp, l_shipmode, l_commitdate/receiptdate, p_container
+and c_phone, so affected queries are adapted: the predicate constants
+and missing columns change, the operator structure (correlated scalar
+subqueries, disjunctive pushdown predicates, null-aware anti joins,
+multi-way join trees, CASE-inside-agg) does not — that structure is what
+exercises the planner, exactly as the reference's "modified-query"
+TPC-H variants do.
+
+Already covered elsewhere: q1/q6 (aggregates.py), q3/q5/q10 (joins.py),
+q11/q15/q20 (subqueries.py).
+
+Scale notes (100 TB): every query here is a pure declarative plan —
+Catalyst chooses broadcast for region/nation/supplier/part dims,
+shuffled joins for lineitem⋈orders, partial aggregation before every
+shuffle, and DPP when the fact side is partitioned. No Python in any
+hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_1_16_0_src_spark.registry import query
+from flink_1_16_0_src_spark.tables import register_views
+
+_BATCH = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+
+def _sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    register_views(spark, sf_dir, _BATCH)
+    return spark.sql(sql)
+
+
+def _register(name: str, sql: str, doc: str):
+    @query(name, oracle=sql, tags=("tpch",))
+    def _q(spark: SparkSession, sf_dir: str, _sql_text=sql) -> DataFrame:
+        return _sql(spark, sf_dir, _sql_text)
+
+    _q.__doc__ = doc
+    _q.__name__ = name
+    return _q
+
+
+# q2: minimum-cost supplier. partsupp is absent; the supply relation is
+# derived from lineitem (supplier s supplies part p iff some lineitem
+# links them) and supply cost proxied by min unit price. Keeps q2's
+# defining feature: a correlated scalar subquery on the same derived
+# relation that the outer query joins.
+_register(
+    "tpch_q2_min_cost_supplier",
+    """
+WITH supply AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         min(l_extendedprice / l_quantity) AS ps_supplycost
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type,
+       round(ps.ps_supplycost, 2) AS supplycost
+FROM part p
+JOIN supply ps ON p.p_partkey = ps.ps_partkey
+JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE p.p_size = 15 AND p.p_type = 'LARGE' AND r.r_name = 'REGION_1'
+  AND ps.ps_supplycost = (
+    SELECT min(ps2.ps_supplycost)
+    FROM supply ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'REGION_1'
+  )
+""",
+    "TPC-H q2 (adapted): correlated min-cost scalar subquery over a "
+    "derived supply relation; 5-way dim join tree.",
+)
+
+# q4: order priority checking. commit/receipt dates absent — "late"
+# is l_shipdate > o_orderdate + 30 days. Keeps correlated EXISTS →
+# left-semi join, then count per priority.
+_register(
+    "tpch_q4_order_priority",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+""",
+    "TPC-H q4 (adapted): correlated EXISTS with inequality on the "
+    "correlation column → semi join + agg.",
+)
+
+# q7: volume shipping between two nations, either direction.
+_register(
+    "tpch_q7_volume_shipping",
+    """
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l.l_shipdate) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                         AND TIMESTAMP '1997-12-31 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""",
+    "TPC-H q7: 6-way join, disjunctive nation-pair predicate, "
+    "year extraction, grouped volume.",
+)
+
+# q8: national market share — CASE inside sum ratio.
+_register(
+    "tpch_q8_market_share",
+    """
+SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+             / sum(volume), 4) AS mkt_share
+FROM (
+  SELECT year(o.o_orderdate) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'REGION_2' AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                          AND TIMESTAMP '1997-12-31 00:00:00'
+) all_nations
+GROUP BY o_year
+""",
+    "TPC-H q8: 8-way join tree; market share = conditional-sum ratio.",
+)
+
+# q9: product type profit. ps_supplycost absent — proxied by
+# 0.6 * p_retailprice per unit.
+_register(
+    "tpch_q9_product_profit",
+    """
+SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount)
+           - 0.6 * p.p_retailprice * l.l_quantity AS amount
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+""",
+    "TPC-H q9 (adapted): LIKE-filtered part join, profit expression, "
+    "group by nation x year.",
+)
+
+# q12: shipmode priority counts. l_shipmode absent — grouped by
+# l_linestatus instead; keeps the CASE-in-agg pivot structure.
+_register(
+    "tpch_q12_priority_pivot",
+    """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+""",
+    "TPC-H q12 (adapted): join + CASE-pivot counts per category.",
+)
+
+# q13: customer order-count distribution (left outer join + double agg).
+_register(
+    "tpch_q13_order_distribution",
+    """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+  GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+""",
+    "TPC-H q13: outer join with join-side filter, aggregate of an "
+    "aggregate (distribution).",
+)
+
+# q14: promotion effect — conditional revenue share in one month.
+_register(
+    "tpch_q14_promo_effect",
+    """
+SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+""",
+    "TPC-H q14: single-row conditional-ratio aggregate over a "
+    "selective join.",
+)
+
+# q16: supplier count per part attribute. partsupp derived from
+# lineitem; the NOT IN "complaint suppliers" subquery keeps its
+# null-aware anti-join shape.
+_register(
+    "tpch_q16_supplier_count",
+    """
+SELECT p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_type, p_size
+""",
+    "TPC-H q16 (adapted): distinct-agg over join, IN value list, "
+    "NOT IN anti join.",
+)
+
+# q17: small-quantity-order revenue — correlated avg subquery per part.
+_register(
+    "tpch_q17_small_qty_revenue",
+    """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3' AND p.p_type = 'SMALL'
+  AND l.l_quantity < (
+    SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p.p_partkey
+  )
+""",
+    "TPC-H q17: correlated scalar avg subquery (decorrelated to an "
+    "aggregate join on both engines).",
+)
+
+# q18: large-volume customers (top by order total, volume > threshold).
+_register(
+    "tpch_q18_large_volume_customer",
+    """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       round(o.o_totalprice, 2) AS o_totalprice,
+       round(sum(l.l_quantity), 2) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+""",
+    "TPC-H q18: IN over aggregated-HAVING subquery feeding a 3-way "
+    "join + group-by.",
+)
+
+# q19: disjunctive predicate pushdown — three OR'd brand/size/qty bands.
+_register(
+    "tpch_q19_disjunctive_revenue",
+    """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 21)
+   OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 40)
+""",
+    "TPC-H q19: disjunction of conjunctive bands across both join "
+    "sides — exercises CNF conversion + partial pushdown.",
+)
+
+# q21: suppliers who kept orders waiting. commit/receipt absent —
+# "late" = l_shipdate > o_orderdate + 90 days. Keeps the signature
+# EXISTS(other supplier) AND NOT EXISTS(other late supplier) pair.
+_register(
+    "tpch_q21_suppliers_waiting",
+    """
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY s.s_name
+""",
+    "TPC-H q21 (adapted): correlated EXISTS + NOT EXISTS pair "
+    "(semi then anti join) over the same fact table.",
+)
+
+# q22: global sales opportunity. c_phone absent — country code is the
+# tail of c_name. Keeps substring + IN list + scalar avg subquery +
+# NOT EXISTS anti join.
+_register(
+    "tpch_q22_sales_opportunity",
+    """
+SELECT cntrycode, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM (
+  SELECT substr(c.c_name, 17, 2) AS cntrycode, c.c_acctbal
+  FROM customer c
+  WHERE substr(c.c_name, 17, 2) IN ('00', '11', '22', '33', '44', '55', '66')
+    AND c.c_acctbal > (
+      SELECT avg(c2.c_acctbal) FROM customer c2
+      WHERE c2.c_acctbal > 0.00
+        AND substr(c2.c_name, 17, 2) IN ('00', '11', '22', '33', '44', '55', '66')
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+) custsale
+GROUP BY cntrycode
+""",
+    "TPC-H q22 (adapted): substring bucketing, uncorrelated scalar avg "
+    "subquery, NOT EXISTS anti join, final rollup.",
+)
