@@ -75,6 +75,70 @@ class DataStream:
     def key_by(self, *keys: str) -> "KeyedStream":
         return KeyedStream(self.df, list(keys))
 
+    def connect(self, other: "DataStream") -> "ConnectedStreams":
+        """connect (DataStream.java:257): pair two differently-typed
+        streams for CoMap/CoFlatMap/CoProcess processing."""
+        return ConnectedStreams(self, other)
+
+    def connect_broadcast(
+        self, control: "DataStream", fn: Callable, schema
+    ) -> "DataStream":
+        """Broadcast state pattern (CoBroadcastWithKeyedOperator.java:64):
+        every task sees the full (small) control stream alongside its
+        slice of the data stream. ``fn(pdf, control_pdf) -> pdf``.
+
+        Spark mapping: the control side is collected and shipped as a
+        broadcast variable into an Arrow-batched ``mapInPandas`` — the
+        same full-replication Flink's broadcast state performs, so the
+        control stream must be small by contract (rule/config streams).
+        The data side is never collected and scales to any size.
+        """
+        spark = self.df.sparkSession
+        control_rows = control.df.toPandas()
+        bc = spark.sparkContext.broadcast(control_rows)
+
+        def gen(it: Iterable[pd.DataFrame]):
+            ctl = bc.value
+            for pdf in it:
+                out = fn(pdf, ctl)
+                if out is not None and len(out):
+                    yield out
+
+        return DataStream(self.df.mapInPandas(gen, schema))
+
+    def process_with_side_outputs(
+        self, fn: Callable, schema, tags: list[str]
+    ) -> dict[str, "DataStream"]:
+        """Side outputs (OutputTag, ProcessFunction.Context#output):
+        ``fn(row) -> iterable[(tag, row_dict)]`` routes each emitted row
+        to one named output; returns ``{tag: DataStream}`` (plus
+        ``"main"``). One shared pass produces a tagged frame (persisted
+        so each output's filter does not recompute the pass), then each
+        tag is a codegen'd filter — the Spark analog of Flink's
+        side-output edges."""
+
+        if isinstance(schema, str):
+            tagged = f"__tag string, {schema}"
+        else:
+            from pyspark.sql.types import StringType, StructField, StructType
+
+            tagged = StructType([StructField("__tag", StringType())] + list(schema.fields))
+
+        def gen(it: Iterable[pd.DataFrame]):
+            for pdf in it:
+                rows = []
+                for r in pdf.to_dict("records"):
+                    for tag, out in fn(r):
+                        rows.append({"__tag": tag, **out})
+                if rows:
+                    yield pd.DataFrame(rows)
+
+        all_df = self.df.mapInPandas(gen, tagged).persist()
+        return {
+            t: DataStream(all_df.where(F.col("__tag") == t).drop("__tag"))
+            for t in ["main", *tags]
+        }
+
     def union(self, *others: "DataStream") -> "DataStream":
         out = self.df
         for o in others:
@@ -134,6 +198,64 @@ class DataStream:
 
     def write_as_csv(self, path: str) -> None:
         self.df.write.mode("overwrite").option("header", True).csv(path)
+
+
+class ConnectedStreams:
+    """CoMap/CoFlatMap/CoProcess over two connected streams
+    (ConnectedStreams.java; operator CoProcessOperator). Spark mapping:
+    tag each side, union by name with missing columns nulled, process
+    the tagged frame — one shuffle-free pass; keyed variant groups both
+    sides' rows per key into one call (CoGroup-style state sharing)."""
+
+    def __init__(self, first: DataStream, second: DataStream):
+        self.first, self.second = first, second
+
+    def _tagged(self) -> DataFrame:
+        l = self.first.df.withColumn("__side", F.lit(1))
+        r = self.second.df.withColumn("__side", F.lit(2))
+        return l.unionByName(r, allowMissingColumns=True)
+
+    def co_map(self, fn1: Callable, fn2: Callable, schema) -> DataStream:
+        def gen(it: Iterable[pd.DataFrame]):
+            for pdf in it:
+                out = [
+                    (fn1 if r["__side"] == 1 else fn2)(r)
+                    for r in pdf.to_dict("records")
+                ]
+                if out:
+                    yield pd.DataFrame(out)
+
+        return DataStream(self._tagged().mapInPandas(gen, schema))
+
+    def co_flat_map(self, fn1: Callable, fn2: Callable, schema) -> DataStream:
+        def gen(it: Iterable[pd.DataFrame]):
+            for pdf in it:
+                out = [
+                    o
+                    for r in pdf.to_dict("records")
+                    for o in (fn1 if r["__side"] == 1 else fn2)(r)
+                ]
+                if out:
+                    yield pd.DataFrame(out)
+
+        return DataStream(self._tagged().mapInPandas(gen, schema))
+
+    def keyed_co_process(
+        self, keys: tuple[str, str], fn: Callable, schema
+    ) -> DataStream:
+        """CoProcessFunction with shared per-key state: ``fn(key_pdf1,
+        key_pdf2) -> pdf`` receives both sides' rows for one key (the
+        two keyed states Flink would hand the operator)."""
+        k1, k2 = keys
+
+        def apply(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+            return fn(lpdf, rpdf)
+
+        return DataStream(
+            self.first.df.groupBy(k1)
+            .cogroup(self.second.df.groupBy(k2))
+            .applyInPandas(apply, schema)
+        )
 
 
 class KeyedStream(DataStream):

@@ -179,3 +179,108 @@ def test_write_sinks(events, tmp_path):
     spark = events.sparkSession
     assert spark.read.option("header", True).csv(str(tmp_path / "csv")).count() == 50
     assert spark.read.text(str(tmp_path / "txt")).count() == 50
+
+
+def test_connect_co_map(events):
+    """connect (DataStream.java:257) + CoMapFunction: each side mapped
+    by its own fn into a common output type."""
+    clicks = DataStream(events.where("event_type = 'click'").select("event_id", "value"))
+    buys = DataStream(events.where("event_type = 'purchase'").select("event_id", "value"))
+    out = clicks.connect(buys).co_map(
+        lambda r: {"event_id": r["event_id"], "signal": r["value"]},
+        lambda r: {"event_id": r["event_id"], "signal": -r["value"]},
+        "event_id long, signal double",
+    ).df
+    n_clicks = events.where("event_type = 'click'").count()
+    n_buys = events.where("event_type = 'purchase'").count()
+    assert out.count() == n_clicks + n_buys
+    assert out.where("signal < 0").count() == events.where(
+        "event_type = 'purchase' AND value > 0"
+    ).count()
+
+
+def test_connect_co_flat_map(events):
+    a = DataStream(events.limit(5).select("event_id"))
+    b = DataStream(events.limit(3).select("event_id"))
+    out = a.connect(b).co_flat_map(
+        lambda r: [{"eid": r["event_id"]}, {"eid": -r["event_id"]}],
+        lambda r: [],
+        "eid long",
+    ).df
+    assert out.count() == 10  # side-1 doubles, side-2 swallowed
+
+
+def test_keyed_co_process(events):
+    """CoProcessFunction with per-key shared state: count both sides."""
+    clicks = events.where("event_type = 'click'").select("user_id", "value")
+    buys = events.where("event_type = 'purchase'").select("user_id", "value")
+
+    def fn(lpdf, rpdf):
+        import pandas as pd
+
+        uid = (lpdf if len(lpdf) else rpdf)["user_id"].iloc[0]
+        return pd.DataFrame([{"user_id": uid, "n_click": len(lpdf), "n_buy": len(rpdf)}])
+
+    out = (
+        DataStream(clicks)
+        .connect(DataStream(buys))
+        .keyed_co_process(("user_id", "user_id"), fn, "user_id long, n_click long, n_buy long")
+        .df
+    )
+    expect = (
+        events.where("event_type IN ('click','purchase')")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("b"),
+        )
+    )
+    got = {(r.user_id): (r.n_click, r.n_buy) for r in out.collect()}
+    for r in expect.collect():
+        assert got[r.user_id] == (r.c, r.b)
+
+
+def test_connect_broadcast_state(events):
+    """Broadcast state pattern: small rule stream joined against every
+    task's slice without shuffling the data side."""
+    rules = DataStream(
+        events.sparkSession.createDataFrame(
+            [("click", 2.0), ("purchase", 10.0)], "etype string, weight double"
+        )
+    )
+
+    def apply_rules(pdf, ctl):
+        m = dict(zip(ctl["etype"], ctl["weight"]))
+        pdf = pdf[pdf["event_type"].isin(m)].copy()
+        pdf["scored"] = pdf["value"] * pdf["event_type"].map(m)
+        return pdf[["event_id", "scored"]]
+
+    out = DataStream(events).connect_broadcast(
+        rules, apply_rules, "event_id long, scored double"
+    ).df
+    assert out.count() == events.where("event_type IN ('click','purchase')").count()
+    one = events.where("event_type = 'purchase'").select("event_id", "value").first()
+    got = out.where(F.col("event_id") == one.event_id).first()
+    assert abs(got.scored - one.value * 10.0) < 1e-9
+
+
+def test_side_outputs(events):
+    """OutputTag routing: one pass, three filtered outputs."""
+
+    def route(r):
+        if r["value"] > 5:
+            yield ("big", {"event_id": r["event_id"], "value": r["value"]})
+        else:
+            yield ("main", {"event_id": r["event_id"], "value": r["value"]})
+        if r["event_type"] == "error":
+            yield ("errors", {"event_id": r["event_id"], "value": r["value"]})
+
+    outs = DataStream(events).process_with_side_outputs(
+        route, "event_id long, value double", tags=["big", "errors"]
+    )
+    assert set(outs) == {"main", "big", "errors"}
+    n_big = outs["big"].df.count()
+    n_main = outs["main"].df.count()
+    assert n_big == events.where("value > 5").count()
+    assert n_main == events.where("value <= 5").count()
+    assert outs["errors"].df.count() == events.where("event_type = 'error'").count()
