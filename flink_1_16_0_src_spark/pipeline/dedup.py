@@ -55,51 +55,58 @@ _MERSENNE31 = 2_147_483_647  # 2^31-1, the classic minhash modulus
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_perm: int = 16, k: int = 3
 ) -> DataFrame:
-    """(id, perm, minhash): ONE md5 per shingle (60-bit base hash h),
-    then ``num_perm`` affine permutations h_p = ((2p+1)·(h mod M) +
-    40503p) mod M over the Mersenne prime M=2^31-1 — the standard
-    universal-hashing MinHash construction. 16× cheaper than hashing
-    per (perm, shingle); work is linear in corpus tokens, folded by a
-    partial-aggregating groupBy."""
+    """(id, mh0..mh{num_perm-1}) wide signature: ONE md5 per shingle
+    (60-bit base hash h), then ``num_perm`` affine permutations
+    h_p = ((2p+1)·(h mod M) + 40503p) mod M over the Mersenne prime
+    M=2^31-1 — the standard universal-hashing MinHash construction.
+
+    All permutations are folded in a SINGLE groupBy as ``num_perm``
+    min() aggregate columns over the shingle rows (each permutation is
+    a cheap codegen'd expression): shuffle volume is |docs| wide rows,
+    not |tokens|×num_perm exploded rows — at 100 TB that ×num_perm
+    fan-out was the pipeline's dominant shuffle, and min() partials
+    fold it map-side to one row per doc before the exchange."""
     sh = df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("__sh")).select(
         id_col,
         F.conv(F.substring(F.md5(F.col("__sh")), 1, 15), 16, 10).cast("bigint").alias("__h"),
     )
-    perms = sh.select(
-        id_col, "__h", F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
-    )
-    hp = (
-        (2 * F.col("perm") + 1) * (F.col("__h") % _MERSENNE31) + F.col("perm") * 40503
-    ) % _MERSENNE31
-    return (
-        perms.select(id_col, "perm", hp.alias("__hp"))
-        .groupBy(id_col, "perm")
-        .agg(F.min("__hp").alias("minhash"))
+    hmod = F.col("__h") % _MERSENNE31
+    return sh.groupBy(id_col).agg(
+        *[
+            F.min(((2 * p + 1) * hmod + p * 40503) % _MERSENNE31).alias(f"mh{p}")
+            for p in range(num_perm)
+        ]
     )
 
 
 def lsh_candidate_pairs(
     signatures: DataFrame, id_col: str, num_perm: int = 16, bands: int = 4
 ) -> DataFrame:
-    """Band the signature (rows_per_band = num_perm/bands), hash each
-    band, join docs sharing any (band, band_hash). Returns distinct
-    (id_a < id_b) candidate pairs."""
+    """Band the wide signature (rows_per_band = num_perm/bands), hash
+    each band, join docs sharing any (band, band_hash). Returns
+    distinct (id_a < id_b) candidate pairs. The band explode fans out
+    |docs|×bands tiny rows — negligible next to the corpus scan."""
     rows_per_band = num_perm // bands
-    banded = (
-        signatures.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
-                        lambda x: x["minhash"].cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("band_hash")
-        )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{p}").cast("string")
+                            for p in range(b * rows_per_band, (b + 1) * rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
     )
+    banded = signatures.select(
+        F.col(id_col), F.explode(band_structs).alias("__b")
+    ).select(id_col, F.col("__b.band").alias("band"), F.col("__b.band_hash").alias("band_hash"))
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     return (
@@ -118,11 +125,24 @@ def jaccard_verify(
     threshold: float,
     k: int = 3,
 ) -> DataFrame:
-    """Exact k-shingle Jaccard on candidate pairs only."""
-    sets_ = df.select(F.col(id_col), shingles(text_col, k).alias("__set"))
-    a = sets_.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__set_a"))
-    b = sets_.select(F.col(id_col).alias("id_b"), F.col("__set").alias("__set_b"))
-    joined = candidates.join(a, "id_a").join(b, "id_b")
+    """Exact k-shingle Jaccard on candidate pairs only. Texts are
+    joined to the (small) candidate set FIRST and shingle sets computed
+    on the surviving rows only — shingling the whole corpus a second
+    time was a full extra pass; the candidate set is broadcast so
+    neither text join shuffles the corpus."""
+    texts = df.select(F.col(id_col), F.col(text_col))
+    a = texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
+    b = texts.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    joined = (
+        a.join(F.broadcast(candidates), "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            shingles("__ta", k).alias("__set_a"),
+            shingles("__tb", k).alias("__set_b"),
+        )
+    )
     inter = F.size(F.array_intersect("__set_a", "__set_b"))
     union = F.size(F.array_union("__set_a", "__set_b"))
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
@@ -152,8 +172,17 @@ def minhash_dedup_pairs(
     # of the (small, pre-explode) doc rows down to one task, serializing
     # the ~|tokens|×num_perm hash fan-out that follows
     n = df.sparkSession.sparkContext.defaultParallelism
-    df = df.repartition(n, F.col(id_col))
+    # persist the repartitioned corpus: the signature pass and the two
+    # verify-side text joins each re-scan it; at 100 TB swap this for
+    # DISK_ONLY or drop it and pay the re-scan — the pipeline is
+    # correct either way
+    df = df.repartition(n, F.col(id_col)).persist()
     sigs = minhash_signatures(df, text_col, id_col, num_perm, k)
+    # signatures are one narrow row per doc (|corpus| ≫ |sigs| bytes):
+    # persist so the banded self-join's two sides and the broadcast of
+    # the candidate set don't re-run the shingle+md5 corpus pass — the
+    # expensive stage — once per consumer
+    sigs = sigs.persist()
     cands = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
     return jaccard_verify(df, cands, text_col, id_col, threshold, k)
 
@@ -161,8 +190,8 @@ def minhash_dedup_pairs(
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
     """SimHash signature: per-token md5-derived ``bits``-bit hash; each
     bit position votes +1/-1 weighted by token frequency; sign of the
-    vote is the signature bit. Explode factor = tokens × bits (bounded;
-    use bits=32 at scale, 64 doubles the fan-out)."""
+    vote is the signature bit. Work is one token explode + one groupBy
+    with ``bits`` sum columns — no per-bit row fan-out."""
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__tok"),
@@ -171,22 +200,23 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
         id_col,
         F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10).cast("bigint").alias("__h"),
     )
-    # shiftleft/shiftright take literal shift amounts only — use exact
-    # pow(2, bit) arithmetic instead (exact for bit <= 52 in float64)
-    pow2 = F.pow(F.lit(2.0), F.col("bit")).cast("bigint")
-    bit = tok_h.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        F.col("__h"),
-    ).select(
-        id_col,
-        "bit",
-        ((F.expr("__h div cast(pow(2.0, bit) as bigint)") % 2) * 2 - 1).alias("vote"),
+    # one groupBy with ``bits`` sum() columns (each bit test is a
+    # codegen'd expression) instead of a ×bits row explode — shuffle is
+    # |docs| wide rows and the sums fold map-side, same shape as the
+    # minhash signature agg
+    votes = tok_h.groupBy(id_col).agg(
+        *[
+            F.sum((F.shiftright("__h", b) % 2) * 2 - 1).alias(f"v{b}")
+            for b in range(bits)
+        ]
     )
-    votes = bit.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
-    return votes.groupBy(id_col).agg(
-        F.sum(F.when(F.col("v") > 0, pow2).otherwise(F.lit(0).cast("bigint"))).alias("simhash")
-    )
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = term if sig is None else sig + term
+    return votes.select(id_col, sig.alias("simhash"))
 
 
 def embedding_near_dup_pairs(

@@ -169,3 +169,73 @@ def func_math_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("value") * 100) / 100).alias("trunc2"),
         F.round(F.floor("value").cast("bigint") % 7, 4).alias("mod7"),
     )
+
+
+@query(
+    "func_math_hyperbolic_conv",
+    oracle="""
+    SELECT n_nationkey,
+           round((exp(n_nationkey/10.0) - exp(-n_nationkey/10.0)) / 2, 6) AS h_sinh,
+           round((exp(n_nationkey/10.0) + exp(-n_nationkey/10.0)) / 2, 6) AS h_cosh,
+           round((exp(2*n_nationkey/10.0) - 1) / (exp(2*n_nationkey/10.0) + 1), 6) AS h_tanh,
+           upper(to_hex(n_nationkey + 200)) AS hex_conv,
+           round(exp(1), 6) AS euler,
+           'int' AS typeof_key,
+           TRUE AS uuid_shape_ok
+    FROM nation
+    """,
+    tags=("functions", "math"),
+)
+def func_math_hyperbolic_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SINH/COSH/TANH (BuiltInFunctionDefinitions math tail), CONV
+    base-10→16 (FlinkSqlOperatorTable BIN/HEX family), E(), TYPEOF,
+    UUID (:uuid — nondeterministic, so the oracle pins its *shape*:
+    36 chars, 8-4-4-4-12 hex groups). DuckDB 1.x has no hyperbolics —
+    the oracle rebuilds them from exp(), which also pins our exact
+    definition."""
+    n = load(spark, sf_dir, "nation")
+    x = F.col("n_nationkey") / 10.0
+    return n.select(
+        "n_nationkey",
+        F.round(F.sinh(x), 6).alias("h_sinh"),
+        F.round(F.cosh(x), 6).alias("h_cosh"),
+        F.round(F.tanh(x), 6).alias("h_tanh"),
+        F.conv((F.col("n_nationkey") + 200).cast("string"), 10, 16).alias("hex_conv"),
+        F.round(F.expr("e()"), 6).alias("euler"),
+        F.expr("typeof(n_nationkey)").alias("typeof_key"),
+        F.expr(
+            "uuid() rlike '^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$'"
+        ).alias("uuid_shape_ok"),
+    )
+
+
+@query(
+    "func_tz_json_path",
+    oracle="""
+    SELECT event_id,
+           ts + INTERVAL 8 HOUR AS sh_time,
+           ts - INTERVAL 5 HOUR AS ny_winter_time,
+           CAST(props::JSON ->> 'k' AS BIGINT) AS k_val,
+           props::JSON ->> 'k' IS NOT NULL AS k_exists,
+           NULL AS missing_path
+    FROM events
+    WHERE event_id < 500
+    """,
+    tags=("functions", "temporal", "json"),
+)
+def func_tz_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT_TZ / timezone shifting (FlinkSqlOperatorTable
+    CONVERT_TZ; toTimestampLtz :1520) via from_utc_timestamp against
+    fixed-offset zones (Asia/Shanghai +8 year-round; Etc/GMT+5 = UTC-5
+    — DST-free so the interval oracle is exact), plus SQL/JSON
+    JSON_VALUE / JSON_EXISTS / JSON_QUERY over the events.props JSON
+    column (reference SqlJsonUtils.java:63)."""
+    ev = load(spark, sf_dir, "events").where("event_id < 500")
+    return ev.select(
+        "event_id",
+        F.from_utc_timestamp("ts", "Asia/Shanghai").alias("sh_time"),
+        F.from_utc_timestamp("ts", "Etc/GMT+5").alias("ny_winter_time"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        F.get_json_object("props", "$.k").isNotNull().alias("k_exists"),
+        F.get_json_object("props", "$.nope.deep").alias("missing_path"),
+    )
