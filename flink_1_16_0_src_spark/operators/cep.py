@@ -37,24 +37,34 @@ Predicate = Callable[[Row, Matched], bool]
 @dataclass
 class Step:
     """One pattern variable: ``var`` with quantifier {min,max} and a
-    DEFINE predicate. ``max=None`` means unbounded (* / +); greedy."""
+    DEFINE predicate. ``max=None`` means unbounded (* / +); greedy.
+
+    ``vec`` is an optional VECTORIZED form of the same predicate
+    (``pdf -> bool array``), valid only when the predicate ignores
+    previously-matched rows. When every step supplies one,
+    ``match_recognize`` evaluates each DEFINE once per partition as a
+    numpy mask and the NFA scan tests O(1) array entries instead of
+    calling a Python predicate per (row, step) — the same
+    condition-hoisting MatchCodeGenerator.scala performs when it
+    compiles DEFINE clauses."""
 
     var: str
     predicate: Predicate
     min: int = 1
     max: int | None = 1
+    vec: Callable | None = None
 
     @staticmethod
-    def star(var: str, predicate: Predicate) -> "Step":
-        return Step(var, predicate, 0, None)
+    def star(var: str, predicate: Predicate, vec: Callable | None = None) -> "Step":
+        return Step(var, predicate, 0, None, vec)
 
     @staticmethod
-    def plus(var: str, predicate: Predicate) -> "Step":
-        return Step(var, predicate, 1, None)
+    def plus(var: str, predicate: Predicate, vec: Callable | None = None) -> "Step":
+        return Step(var, predicate, 1, None, vec)
 
     @staticmethod
-    def opt(var: str, predicate: Predicate) -> "Step":
-        return Step(var, predicate, 0, 1)
+    def opt(var: str, predicate: Predicate, vec: Callable | None = None) -> "Step":
+        return Step(var, predicate, 0, 1, vec)
 
 
 def _match_at(
@@ -169,6 +179,92 @@ def match_sequence(
     return out
 
 
+def _match_at_masks(
+    masks: list, n: int, start: int, steps: list[Step], ts=None, max_delta=None
+) -> tuple[int, dict[str, list[int]]] | None:
+    """Mask-based twin of ``_match_at``: identical greedy backtracking,
+    but each predicate test is an O(1) numpy index. ``matched`` holds
+    row INDICES; callers materialize rows for actual matches only."""
+
+    def in_window(j: int) -> bool:
+        return max_delta is None or ts[j] - ts[start] <= max_delta
+
+    def rec(i: int, si: int, matched: dict) -> tuple[int, dict] | None:
+        if si == len(steps):
+            return i, {k: list(v) for k, v in matched.items()}
+        step = steps[si]
+        mask = masks[si]
+        taken = 0
+        matched.setdefault(step.var, [])
+        base_len = len(matched[step.var])
+        j = i
+        while (step.max is None or taken < step.max) and j < n:
+            if in_window(j) and mask[j]:
+                matched[step.var].append(j)
+                taken += 1
+                j += 1
+            else:
+                break
+        while True:
+            if taken >= step.min:
+                res = rec(j, si + 1, matched)
+                if res is not None:
+                    return res
+            if not taken:
+                break
+            taken -= 1
+            matched[step.var].pop()
+            j -= 1
+        del matched[step.var][base_len:]
+        if not matched[step.var]:
+            del matched[step.var]
+        return None
+
+    return rec(start, 0, {})
+
+
+def match_sequence_masks(
+    masks: list, n: int, steps: list[Step], after_match: str = "past_last_row",
+    ts=None, max_delta=None,
+) -> list[dict[str, list[int]]]:
+    """Mask-based twin of ``match_sequence`` (index output).
+
+    Quantifier-free patterns (every step exactly {1,1}) short-circuit
+    to pure numpy: anchors = AND of the steps' masks shifted into
+    alignment — the Python scan then visits only anchor positions
+    (actual matches), not every row."""
+    if all(s.min == 1 and s.max == 1 for s in steps):
+        import numpy as np
+
+        L = len(steps)
+        if n < L:
+            return []
+        anchors = masks[0][: n - L + 1].copy()
+        for si in range(1, L):
+            anchors &= masks[si][si : n - L + 1 + si]
+        if max_delta is not None:
+            anchors &= (ts[L - 1 : n] - ts[: n - L + 1]) <= max_delta
+        out = []
+        prev_end = 0
+        for i in np.nonzero(anchors)[0]:
+            if after_match == "past_last_row" and i < prev_end:
+                continue  # overlaps the previous match
+            out.append({s.var: [i + si] for si, s in enumerate(steps)})
+            prev_end = i + L
+        return out
+    out = []
+    i = 0
+    while i < n:
+        m = _match_at_masks(masks, n, i, steps, ts, max_delta)
+        if m is not None:
+            end, matched = m
+            out.append(matched)
+            i = end if (after_match == "past_last_row" and end > i) else i + 1
+        else:
+            i += 1
+    return out
+
+
 # ---- MEASURES helpers (reference: MatchCodeGenerator.scala measures) ----
 
 
@@ -203,17 +299,36 @@ def match_recognize(
     (single shuffle), NFA scan inside each key. ``within`` bounds the
     match's time span (Pattern.within parity)."""
 
+    vectorized = all(s.vec is not None for s in steps)
+
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_by, kind="stable")  # str or list both fine
-        rows = pdf.to_dict("records")
         keys = {k: pdf.iloc[0][k] for k in partition_by}
-        out = []
-        for matched in match_sequence(rows, steps, after_match, within):
-            rec = dict(keys)
-            for name, fmeas in measures.items():
-                rec[name] = fmeas(matched)
-            out.append(rec)
         cols = [f.name for f in output_schema.fields]
+        out = []
+        if vectorized:
+            n = len(pdf)
+            masks = [s.vec(pdf) for s in steps]
+            ts = pdf[within[0]].to_numpy() if within else None
+            idx_matches = match_sequence_masks(
+                masks, n, steps, after_match, ts, within[1] if within else None
+            )
+            # materialize dict rows only for rows inside some match
+            hit = sorted({j for m in idx_matches for v in m.values() for j in v})
+            recs = dict(zip(hit, pdf.iloc[hit].to_dict("records"))) if hit else {}
+            for im in idx_matches:
+                matched = {var: [recs[j] for j in js] for var, js in im.items()}
+                rec = dict(keys)
+                for name, fmeas in measures.items():
+                    rec[name] = fmeas(matched)
+                out.append(rec)
+        else:
+            rows = pdf.to_dict("records")
+            for matched in match_sequence(rows, steps, after_match, within):
+                rec = dict(keys)
+                for name, fmeas in measures.items():
+                    rec[name] = fmeas(matched)
+                out.append(rec)
         return pd.DataFrame(out, columns=cols)
 
     return df.groupBy(*partition_by).applyInPandas(fn, output_schema)

@@ -34,8 +34,10 @@ _PAIR_SCHEMA = StructType(
 )
 
 _PAIR_STEPS = [
-    cep.Step("A", lambda r, m: r["event_type"] == "click"),
-    cep.Step("B", lambda r, m: r["event_type"] == "purchase"),
+    cep.Step("A", lambda r, m: r["event_type"] == "click",
+             vec=lambda pdf: (pdf["event_type"] == "click").to_numpy()),
+    cep.Step("B", lambda r, m: r["event_type"] == "purchase",
+             vec=lambda pdf: (pdf["event_type"] == "purchase").to_numpy()),
 ]
 
 _PAIR_MEASURES = {
@@ -89,8 +91,10 @@ _SESSION_SCHEMA = StructType(
 )
 
 _SESSION_STEPS = [
-    cep.Step.plus("A", lambda r, m: r["event_type"] == "click"),
-    cep.Step("B", lambda r, m: r["event_type"] == "purchase"),
+    cep.Step.plus("A", lambda r, m: r["event_type"] == "click",
+                  vec=lambda pdf: (pdf["event_type"] == "click").to_numpy()),
+    cep.Step("B", lambda r, m: r["event_type"] == "purchase",
+             vec=lambda pdf: (pdf["event_type"] == "purchase").to_numpy()),
 ]
 
 _SESSION_MEASURES = {

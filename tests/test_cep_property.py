@@ -93,3 +93,54 @@ def test_to_next_row_finds_all_overlapping(s):
     got = cep.match_sequence(rows, steps, after_match="to_next_row")
     exp = sum(1 for i in range(len(s) - 1) if s[i : i + 2] == "ab")
     assert len(got) == exp
+
+
+# ---- mask fast path ≡ dict path (the vectorized DEFINE hoisting must
+# never change semantics, quantified or not) ----
+
+@given(
+    st.lists(st.sampled_from("abc"), min_size=0, max_size=40),
+    st.sampled_from(["past_last_row", "to_next_row"]),
+)
+@settings(max_examples=300, deadline=None)
+def test_mask_path_equivalent_quantified(seq, after_match):
+    import numpy as np
+
+    steps = [
+        cep.Step.plus("A", lambda r, m: r["c"] == "a", vec=None),
+        cep.Step.opt("B", lambda r, m: r["c"] == "b", vec=None),
+        cep.Step("C", lambda r, m: r["c"] == "c", vec=None),
+    ]
+    rows = [{"i": i, "c": c} for i, c in enumerate(seq)]
+    expected = cep.match_sequence(rows, steps, after_match)
+    masks = [
+        np.array([c == "a" for c in seq], dtype=bool),
+        np.array([c == "b" for c in seq], dtype=bool),
+        np.array([c == "c" for c in seq], dtype=bool),
+    ]
+    got = cep.match_sequence_masks(masks, len(seq), steps, after_match)
+    as_idx = [{v: [r["i"] for r in rs] for v, rs in m.items()} for m in expected]
+    assert got == as_idx
+
+
+@given(
+    st.lists(st.sampled_from("ab"), min_size=0, max_size=40),
+    st.sampled_from(["past_last_row", "to_next_row"]),
+)
+@settings(max_examples=300, deadline=None)
+def test_mask_path_equivalent_quantifier_free(seq, after_match):
+    import numpy as np
+
+    steps = [
+        cep.Step("A", lambda r, m: r["c"] == "a"),
+        cep.Step("B", lambda r, m: r["c"] == "b"),
+    ]
+    rows = [{"i": i, "c": c} for i, c in enumerate(seq)]
+    expected = cep.match_sequence(rows, steps, after_match)
+    masks = [
+        np.array([c == "a" for c in seq], dtype=bool),
+        np.array([c == "b" for c in seq], dtype=bool),
+    ]
+    got = cep.match_sequence_masks(masks, len(seq), steps, after_match)
+    as_idx = [{v: [r["i"] for r in rs] for v, rs in m.items()} for m in expected]
+    assert got == as_idx
