@@ -257,3 +257,53 @@ def join_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "agg_grouping_funcs",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def agg_grouping_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING / GROUPING_ID over CUBE (FlinkSqlOperatorTable GROUPING
+    :GROUPING_ID; DecomposeGroupingSetsRule rewrites them onto the
+    Expand marker column — Catalyst's spark_grouping_id is the same
+    mechanism, and the bit order matches the standard)."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+            F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "agg_sum0_empty_input",
+    oracle="""
+    SELECT coalesce(CAST(sum(l_quantity) AS DOUBLE), 0.0) AS sum0_qty,
+           count(*) AS n
+    FROM lineitem WHERE l_quantity < 0
+    """,
+    tags=("agg",),
+)
+def agg_sum0_empty_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM0 (SumAggFunction.Sum0AggFunction — 0, not NULL, on empty
+    input): coalesce(sum, 0) over a provably-empty selection; the
+    global agg still emits exactly one row on both engines."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.where("l_quantity < 0").agg(
+        F.coalesce(F.sum("l_quantity"), F.lit(0.0)).alias("sum0_qty"),
+        F.count("*").alias("n"),
+    )
