@@ -70,3 +70,32 @@ def test_exact_dedup_single_shuffle(spark):
     # fingerprint groupBy: partial agg + one exchange
     assert plan.count("Exchange") <= 2
     assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_tpch_suite_no_python_no_cartesian(spark):
+    """Every adapted TPC-H query stays fully JVM-side and never
+    degenerates into an unconstrained cross product."""
+    tpch = [n for n in all_queries() if n.startswith("tpch_q")]
+    assert len(tpch) == 14
+    for name in tpch:
+        plan = _plan(spark, name)
+        assert "EvalPython" not in plan, f"{name} fell off codegen"
+        assert "CartesianProduct" not in plan, f"{name} cross-joins"
+
+
+def test_tpch_q9_pushdown_and_partial_agg(spark):
+    plan = _plan(spark, "tpch_q9_product_profit")
+    # LIKE filter reaches the part scan; agg combines map-side
+    assert "PushedFilters" in plan and "StringContains(p_name,widget)" in plan
+    assert "partial_sum" in plan
+
+
+def test_tpch_q21_semi_and_anti_joins(spark):
+    plan = _plan(spark, "tpch_q21_suppliers_waiting")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_tpch_q19_disjunction_partial_pushdown(spark):
+    plan = _plan(spark, "tpch_q19_disjunctive_revenue")
+    # the l_quantity bands are pushable per-branch as an OR filter
+    assert "l_quantity" in plan.split("PushedFilters")[1][:400]
