@@ -1,0 +1,145 @@
+"""Late-data handling: allowed lateness + side output of late rows,
+and count-window / evictor analogs.
+
+Reference parity (SURVEY.md §2.9 "Triggers / evictors / late data"):
+- WindowedStream.allowedLateness / sideOutputLateData
+  (DS/api/datastream/WindowedStream.java) — Flink routes rows whose
+  timestamp is behind the watermark to a side output instead of
+  silently dropping them.
+- CountTumblingWindowAssigner / CountSlidingWindowAssigner
+  (T-RUNTIME/operators/window/assigners/) — fire on element count, not
+  time.
+- CountEvictor / TimeEvictor (DS/api/windowing/evictors/) — trim a
+  window's buffered contents before the window function runs.
+
+Spark mapping: Structured Streaming exposes no per-row watermark hook
+and no side outputs, so the late router lives in ``foreachBatch``: it
+carries the bounded-out-of-orderness watermark across micro-batches
+(exactly WatermarkStrategy.forBoundedOutOfOrderness,
+flink-core/.../eventtime/BoundedOutOfOrdernessWatermarks.java:37) and
+splits each batch into on-time/late before handing both to user sinks.
+Late rows are detected at batch granularity — the documented timer
+skew (SURVEY.md §7.3 risk 3).
+
+Count windows buffer per key in ``applyInPandasWithState``; state is
+bounded by window size (the leftover partial window only).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StructType
+
+
+class LateRowRouter:
+    """foreachBatch splitter: on-time rows → ``on_time``, rows behind
+    the carried watermark → ``on_late`` (side output). Watermark =
+    max event time seen so far − ``delay`` (bounded out-of-orderness),
+    advancing monotonically across micro-batches; rows of the batch
+    that advances the watermark are judged against the PREVIOUS
+    watermark, matching Flink's emit-then-advance order."""
+
+    def __init__(self, ts_col: str, delay, on_time, on_late):
+        self.ts_col, self.delay = ts_col, delay
+        self.on_time, self.on_late = on_time, on_late
+        self.watermark = None  # no rows seen yet
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        if self.watermark is None:
+            late = batch_df.where(F.lit(False))
+            on_time = batch_df
+        else:
+            late = batch_df.where(F.col(self.ts_col) < F.lit(self.watermark))
+            on_time = batch_df.where(~(F.col(self.ts_col) < F.lit(self.watermark)))
+        self.on_time(on_time, batch_id)
+        self.on_late(late, batch_id)
+        mx = batch_df.agg(F.max(self.ts_col)).collect()[0][0]
+        if mx is not None:
+            wm = mx - self.delay if not isinstance(self.delay, str) else None
+            if wm is None:
+                wm = (
+                    batch_df.select(
+                        (F.max(self.ts_col) - F.expr(f"INTERVAL {self.delay}")).alias("w")
+                    ).collect()[0]["w"]
+                )
+            if self.watermark is None or wm > self.watermark:
+                self.watermark = wm
+
+
+def route_late_rows(
+    sdf: DataFrame, ts_col: str, delay, on_time, on_late
+):
+    """Attach a LateRowRouter to a streaming DataFrame; returns the
+    DataStreamWriter (caller starts/awaits it)."""
+    return sdf.writeStream.foreachBatch(LateRowRouter(ts_col, delay, on_time, on_late))
+
+
+def _evict(pdf: pd.DataFrame, evictor, ts_col: str | None) -> pd.DataFrame:
+    """Apply a Flink-style evictor to one window's buffered rows."""
+    if evictor is None:
+        return pdf
+    kind, arg = evictor
+    if kind == "count":  # CountEvictor.of(n): keep the LAST n rows
+        return pdf.iloc[-arg:]
+    if kind == "time":  # TimeEvictor.of(t): keep rows within t of max ts
+        mx = pdf[ts_col].max()
+        return pdf[pdf[ts_col] >= mx - arg]
+    raise ValueError(f"unknown evictor {kind!r}")
+
+
+def streaming_count_window(
+    sdf: DataFrame,
+    keys: list[str],
+    size: int,
+    agg_fn: Callable[[pd.DataFrame], dict],
+    output_schema: StructType,
+    evictor: tuple | None = None,
+    ts_col: str | None = None,
+) -> DataFrame:
+    """CountTumblingWindowAssigner + optional evictor: per key, every
+    ``size`` rows form a window; ``agg_fn(window_pdf) -> dict`` emits
+    one output row per fired window (the window function). The
+    under-full tail is carried in state — bounded by ``size`` rows per
+    key. Row order inside a key follows arrival order (same caveat as
+    Flink's count windows, which are arrival-ordered too)."""
+    import json
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import ArrayType, StringType, StructField
+
+    if isinstance(output_schema, str):
+        output_schema = StructType.fromDDL(output_schema)
+    state_schema = StructType([StructField("buf", ArrayType(StringType()))])
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
+        buf = [json.loads(s) for s in state.get[0]] if state.exists else []
+        for pdf in pdfs:
+            for d in pdf.to_dict("records"):
+                buf.append(json.loads(json.dumps(d, default=str)))
+        out = []
+        while len(buf) >= size:
+            window, buf = buf[:size], buf[size:]
+            wpdf = pd.DataFrame(window)
+            if ts_col is not None:
+                wpdf[ts_col] = pd.to_datetime(wpdf[ts_col])
+            wpdf = _evict(wpdf, evictor, ts_col)
+            rec = dict(zip(keys, key))
+            rec.update(agg_fn(wpdf))
+            out.append(rec)
+        state.update(([json.dumps(r, default=str) for r in buf],))
+        cols = [f.name for f in output_schema.fields]
+        res = pd.DataFrame(out, columns=cols)
+        for f in output_schema.fields:
+            if "timestamp" in f.dataType.simpleString():
+                res[f.name] = pd.to_datetime(res[f.name])
+        yield res
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        fn, output_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -1,0 +1,115 @@
+"""Late-data side output + count windows / evictors
+(SURVEY.md §2.9 triggers/evictors/late-data row).
+
+The LateRowRouter is a foreachBatch function — driven here with
+scripted micro-batches (the OneInputStreamOperatorTestHarness pattern:
+feed batches, assert routed output), then the count window drains a
+real file stream.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from flink_1_16_0_src_spark import tables
+from flink_1_16_0_src_spark.streaming import sources
+from flink_1_16_0_src_spark.streaming.late import (
+    LateRowRouter,
+    _evict,
+    streaming_count_window,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_late_router_scripted_batches(spark):
+    got_time, got_late = [], []
+    router = LateRowRouter(
+        "ts",
+        dt.timedelta(minutes=10),
+        lambda df, bid: got_time.extend(r.ts for r in df.collect()),
+        lambda df, bid: got_late.extend(r.ts for r in df.collect()),
+    )
+
+    def batch(*ts):
+        return spark.createDataFrame([(t,) for t in map(_ts, ts)], "ts timestamp")
+
+    # batch 0: no watermark yet — everything on time; advances wm to 12:50
+    router(batch("2024-01-01 12:30:00", "2024-01-01 13:00:00"), 0)
+    # batch 1: wm=12:50 — 12:40 is late, 12:55 on time; wm → 13:20
+    router(batch("2024-01-01 12:40:00", "2024-01-01 12:55:00",
+                 "2024-01-01 13:30:00"), 1)
+    # batch 2: wm=13:20 — 13:00 late, 13:25 on time
+    router(batch("2024-01-01 13:00:00", "2024-01-01 13:25:00"), 2)
+
+    assert [t.isoformat(" ") for t in got_late] == [
+        "2024-01-01 12:40:00",
+        "2024-01-01 13:00:00",
+    ]
+    assert len(got_time) == 5
+    # watermark never regresses: a batch with only old rows leaves it
+    router(batch("2024-01-01 12:00:00"), 3)
+    assert got_late[-1].isoformat(" ") == "2024-01-01 12:00:00"
+    assert router.watermark == _ts("2024-01-01 13:20:00")
+
+
+def test_evictors():
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 12:00", "2024-01-01 12:20", "2024-01-01 12:40"]
+            ),
+            "v": [1.0, 2.0, 3.0],
+        }
+    )
+    assert list(_evict(pdf, ("count", 2), None)["v"]) == [2.0, 3.0]
+    assert list(_evict(pdf, ("time", pd.Timedelta(minutes=25)), "ts")["v"]) == [2.0, 3.0]
+    assert list(_evict(pdf, None, None)["v"]) == [1.0, 2.0, 3.0]
+
+
+def test_streaming_count_window_matches_batch(spark):
+    sdf = sources.stream_table(spark, SF_DIR, "events")
+    out = streaming_count_window(
+        sdf.select("user_id", "ts", "value"),
+        ["user_id"],
+        5,
+        lambda w: {"n": len(w), "total": round(float(w["value"].sum()), 4)},
+        "user_id long, n long, total double",
+    )
+    got = sources.run_to_memory(out, "t_countwin", "append")
+    # every fired window has exactly 5 rows; per key, fired count =
+    # floor(rows/5) (tail stays in state)
+    ev = tables.load(spark, SF_DIR, "events")
+    expected = (
+        ev.groupBy("user_id").count().select("user_id", (F.floor(F.col("count") / 5)).alias("k"))
+    )
+    exp = {r.user_id: r.k for r in expected.collect() if r.k > 0}
+    rows = got.collect()
+    assert all(r.n == 5 for r in rows)
+    fired = {}
+    for r in rows:
+        fired[r.user_id] = fired.get(r.user_id, 0) + 1
+    assert fired == exp
+
+
+def test_streaming_count_window_with_evictor(spark):
+    sdf = sources.stream_table(spark, SF_DIR, "events")
+    out = streaming_count_window(
+        sdf.select("user_id", "ts", "value"),
+        ["user_id"],
+        4,
+        lambda w: {"n": len(w)},
+        "user_id long, n long",
+        evictor=("count", 2),
+    )
+    got = sources.run_to_memory(out, "t_countwin_ev", "append")
+    rows = got.collect()
+    assert len(rows) > 0 and all(r.n == 2 for r in rows)  # evicted to last 2
