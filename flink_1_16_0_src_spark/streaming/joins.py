@@ -9,8 +9,11 @@ Reference parity (SURVEY.md §2.4):
   → equi-join on the tumbling-window struct + keys; state dropped at
   window end.
 - Unbounded stream-stream join with update output
-  (StreamingJoinOperator.java:36) has no append-mode equivalent —
-  stateful.py documents the gap and foreachBatch is the escape hatch.
+  (StreamingJoinOperator.java:36) → ``unbounded_join``: dual per-key
+  row buffers in ``applyInPandasWithState``, ``__rowkind`` changelog
+  output (+I pairs; left-outer retracts null padding with -D on the
+  numMatches 0→1 transition), optional event-time TTL with
+  expire-on-access semantics.
 
 Scale: both joins shuffle on (key [, window]); interval-join state is
 O(rows within the time bound per key) — identical asymptotics to
@@ -59,3 +62,178 @@ def window_join(
     rw = right.withColumn("window", F.window(rt, size))
     cond = (lw["window"] == rw["window"]) & (lw[lk] == rw[rk])
     return lw.join(rw, cond, how)
+
+
+def unbounded_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: tuple[str, str],
+    how: str = "inner",
+    ttl: tuple[str, str, str] | None = None,
+) -> DataFrame:
+    """Unbounded stream-stream equi-join with update output — the
+    reference's StreamingJoinOperator.java:36 (dual keyed state, emits
+    changelog rows as either side arrives; no time bound).
+
+    Spark has no two-input keyed operator, so both sides are tagged and
+    unioned (the same connect() reduction datastream.ConnectedStreams
+    uses) and a single ``applyInPandasWithState`` keeps the dual
+    per-key row buffers Flink keeps in its left/right state views.
+
+    Output is a changelog with an explicit ``__rowkind`` column (Spark
+    has no retraction rows — SURVEY.md §7.3 risk 1):
+    - inner: every new pairing emits ``+I`` (an append-only changelog —
+      matches can only accumulate);
+    - left_outer: an unmatched left row emits ``+I`` null-padded; when
+      its first match arrives the null-padded row is retracted with
+      ``-D`` and the real pairings emitted ``+I`` — exactly the
+      OuterJoinRecordStateView numMatches 0→1 transition. Right-outer =
+      call with sides swapped; full outer is out of scope (documented).
+
+    ``ttl=(left_ts, right_ts, interval)`` bounds state like Flink's
+    table.exec.state.ttl (SURVEY.md §7.3 risk 2): stored rows whose
+    event time is older than ``max seen ts − interval`` are evicted
+    lazily per key. Without it state grows with the stream — same
+    caveat the reference documents.
+
+    Column names of the two sides must be disjoint (rename before
+    joining; Flink SQL forces the same via aliases).
+    """
+    import json
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    assert how in ("inner", "left_outer"), f"unsupported how={how!r}"
+    lk, rk = key
+    lcols = left.columns
+    rcols = right.columns
+    clash = (set(lcols) & set(rcols)) - set()
+    assert not clash, f"column names must be disjoint, clash: {sorted(clash)}"
+
+    out_fields = list(left.schema.fields) + [
+        StructField(f.name, f.dataType, True) for f in right.schema.fields
+    ]
+    output_schema = StructType(out_fields + [StructField("__rowkind", StringType())])
+    # state: JSON rows per side + per-left-row match counters
+    state_schema = StructType(
+        [
+            StructField("lbuf", ArrayType(StringType())),
+            StructField("rbuf", ArrayType(StringType())),
+            StructField("lmatches", ArrayType(LongType())),
+        ]
+    )
+
+    tagged = left.select(
+        F.col(lk).cast("string").alias("__key"),
+        F.lit(1).alias("__side"),
+        F.to_json(F.struct(*lcols)).alias("__payload"),
+    ).unionByName(
+        right.select(
+            F.col(rk).cast("string").alias("__key"),
+            F.lit(2).alias("__side"),
+            F.to_json(F.struct(*rcols)).alias("__payload"),
+        )
+    )
+
+    ttl_expr = ttl
+    lts, rts, interval = ttl if ttl else (None, None, None)
+    delta = pd.Timedelta(interval) if interval else None
+
+    def _expire(buf: list[dict], ts_col: str | None, wm) -> list[dict]:
+        if delta is None or ts_col is None or wm is None:
+            return buf
+        return [r for r in buf if pd.Timestamp(r[ts_col]) >= wm - delta]
+
+    def fn(pkey, pdfs, state):
+        if state.exists:
+            lbuf = [json.loads(s) for s in state.get[0]]
+            rbuf = [json.loads(s) for s in state.get[1]]
+            lmatches = list(state.get[2])
+        else:
+            lbuf, rbuf, lmatches = [], [], []
+        out = []
+
+        def emit(lrow, rrow, kind):
+            rec = {c: None for c in lcols + rcols}
+            if lrow is not None:
+                rec.update(lrow)
+            if rrow is not None:
+                rec.update(rrow)
+            rec["__rowkind"] = kind
+            out.append(rec)
+
+        max_ts = None
+
+        def fresh(stored: dict, ts_col: str | None) -> bool:
+            # expire-on-access (StateTtlConfig NeverReturnExpired): a
+            # stored row older than the event clock − ttl never matches,
+            # even before the end-of-batch sweep evicts it
+            if delta is None or ts_col is None or max_ts is None:
+                return True
+            t = stored.get(ts_col)
+            return t is None or pd.Timestamp(t) >= max_ts - delta
+
+        def tick(row: dict, ts_col: str | None):
+            nonlocal max_ts
+            if ttl_expr and ts_col and row.get(ts_col) is not None:
+                ts = pd.Timestamp(row[ts_col])
+                max_ts = ts if max_ts is None else max(max_ts, ts)
+
+        for pdf in pdfs:
+            for t in pdf.to_dict("records"):
+                row = json.loads(t["__payload"])
+                if t["__side"] == 1:
+                    tick(row, lts)
+                    n = 0
+                    for rrow in rbuf:
+                        if fresh(rrow, rts):
+                            emit(row, rrow, "+I")
+                            n += 1
+                    if n == 0 and how == "left_outer":
+                        emit(row, None, "+I")
+                    lbuf.append(row)
+                    lmatches.append(n)
+                else:
+                    tick(row, rts)
+                    for i, lrow in enumerate(lbuf):
+                        if not fresh(lrow, lts):
+                            continue
+                        if how == "left_outer" and lmatches[i] == 0:
+                            emit(lrow, None, "-D")  # retract null padding
+                        emit(lrow, row, "+I")
+                        lmatches[i] += 1
+                    rbuf.append(row)
+        if ttl_expr and max_ts is not None:
+            keep = [
+                i for i, r in enumerate(lbuf)
+                if r.get(lts) is None or pd.Timestamp(r[lts]) >= max_ts - delta
+            ]
+            lbuf = [lbuf[i] for i in keep]
+            lmatches = [lmatches[i] for i in keep]
+            rbuf = _expire(rbuf, rts, max_ts)
+        state.update(
+            (
+                [json.dumps(r, default=str) for r in lbuf],
+                [json.dumps(r, default=str) for r in rbuf],
+                lmatches,
+            )
+        )
+        cols = [f.name for f in output_schema.fields]
+        res = pd.DataFrame(out, columns=cols)
+        for f in output_schema.fields:
+            if "timestamp" in f.dataType.simpleString():
+                res[f.name] = pd.to_datetime(res[f.name])
+        yield res
+
+    return tagged.groupBy("__key").applyInPandasWithState(
+        fn, output_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
