@@ -239,3 +239,37 @@ def func_tz_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").isNotNull().alias("k_exists"),
         F.get_json_object("props", "$.nope.deep").alias("missing_path"),
     )
+
+
+@query(
+    "func_decimal_precision",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS dec_sum,
+           CAST(avg(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS dec_avg,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(1 - l_discount AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS dec_revenue,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,10))
+                / count(*) AS DECIMAL(38,6)) AS dec_div
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("functions", "decimal"),
+)
+def func_decimal_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL(38) arithmetic parity (reference DecimalITCase /
+    DecimalData.java, SURVEY.md §1.3): high-precision SUM/AVG, scaled
+    multiplication, and division with explicit result casts so both
+    engines land on identical (precision, scale) — the places decimal
+    engines actually diverge (HALF_UP vs truncation, scale promotion)
+    are pinned by the casts."""
+    l = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,6)")
+    return l.groupBy("l_returnflag").agg(
+        F.sum(price).cast("decimal(38,2)").alias("dec_sum"),
+        F.avg(qty).cast("decimal(38,8)").alias("dec_avg"),
+        F.sum(price * disc).cast("decimal(38,4)").alias("dec_revenue"),
+        (F.sum(price).cast("decimal(38,10)") / F.count("*")).cast("decimal(38,6)").alias("dec_div"),
+    )
