@@ -113,3 +113,48 @@ def test_streaming_count_window_with_evictor(spark):
     got = sources.run_to_memory(out, "t_countwin_ev", "append")
     rows = got.collect()
     assert len(rows) > 0 and all(r.n == 2 for r in rows)  # evicted to last 2
+
+
+def test_temporal_sort_watermark_ordered_emission(spark, tmp_path):
+    """RowTimeSortOperator parity: out-of-order rows re-ordered before
+    release; rows newer than the watermark held in state."""
+    import os
+    import time as _time
+
+    rdir = str(tmp_path / "ts")
+    os.makedirs(rdir)
+    pd.DataFrame(
+        {
+            "uid": [1, 1, 1],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 10:30", "2024-01-01 10:05"]
+            ),
+        }
+    ).to_parquet(os.path.join(rdir, "a.parquet"), coerce_timestamps="us")
+    _time.sleep(1.1)
+    pd.DataFrame(
+        {
+            "uid": [1, 1],
+            "ts": pd.to_datetime(["2024-01-01 10:20", "2024-01-01 11:00"]),
+        }
+    ).to_parquet(os.path.join(rdir, "b.parquet"), coerce_timestamps="us")
+
+    from flink_1_16_0_src_spark.streaming.dedup import temporal_sort
+
+    sdf = (
+        spark.readStream.schema(spark.read.parquet(rdir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(rdir)
+    )
+    out = temporal_sort(sdf, "ts", "20 minutes", ["uid"])
+    got = sources.run_to_memory(out, "t_temporal_sort", "append")
+    emitted = [r.ts.isoformat(" ") for r in got.collect()]
+    # batch1 wm=10:10 → 10:00,10:05 out (sorted); batch2 wm=10:40 →
+    # 10:20,10:30 out (the late 10:20 re-ordered before 10:30);
+    # 11:00 still buffered when the drain ends
+    assert sorted(emitted) == [
+        "2024-01-01 10:00:00",
+        "2024-01-01 10:05:00",
+        "2024-01-01 10:20:00",
+        "2024-01-01 10:30:00",
+    ]
