@@ -46,13 +46,22 @@ class Step:
     numpy mask and the NFA scan tests O(1) array entries instead of
     calling a Python predicate per (row, step) — the same
     condition-hoisting MatchCodeGenerator.scala performs when it
-    compiles DEFINE clauses."""
+    compiles DEFINE clauses.
+
+    ``expr`` is an optional SQL form of the same predicate (a boolean
+    expression over the row's columns). When every step of a
+    quantifier-free pattern carries one, ``match_recognize`` compiles
+    the whole MATCH to a Catalyst lead()-window plan — zero Python,
+    whole-stage codegen — the strategy choice Flink's planner makes in
+    StreamPhysicalMatchRule, just with a cheaper physical target
+    available."""
 
     var: str
     predicate: Predicate
     min: int = 1
     max: int | None = 1
     vec: Callable | None = None
+    expr: str | None = None
 
     @staticmethod
     def star(var: str, predicate: Predicate, vec: Callable | None = None) -> "Step":
@@ -293,11 +302,54 @@ def match_recognize(
     output_schema: StructType,
     after_match: str = "past_last_row",
     within: tuple[str, object] | None = None,
+    measures_cols: dict[str, tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Batch MATCH_RECOGNIZE: one output row per match, carrying the
     partition keys + computed measures. Distributed per partition key
     (single shuffle), NFA scan inside each key. ``within`` bounds the
-    match's time span (Pattern.within parity)."""
+    match's time span (Pattern.within parity).
+
+    ``measures_cols`` is the declarative measure form ``{out_name:
+    (var, col)}``. When it is given, every step is quantifier-free
+    with a SQL ``expr``, and the skip mode permits it (TO NEXT ROW, or
+    a 1-step pattern), the MATCH compiles to a lead()-window Catalyst
+    plan — no Python anywhere, one shuffle, whole-stage codegen."""
+
+    compilable = (
+        measures_cols is not None
+        and all(s.min == 1 and s.max == 1 and s.expr is not None for s in steps)
+        and (after_match == "to_next_row" or len(steps) == 1)
+        and (within is None or isinstance(within[1], str))
+    )
+    if compilable:
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+        w = W.partitionBy(*partition_by).orderBy(*order_cols)
+        var_idx = {s.var: i for i, s in enumerate(steps)}
+        cond = None
+        for i, s in enumerate(steps):
+            m = F.expr(s.expr)
+            mi = m if i == 0 else F.lead(m, i).over(w)
+            cond = mi if cond is None else cond & mi
+        if within is not None:
+            ts_col, max_delta = within
+            span_ok = (
+                F.lead(ts_col, len(steps) - 1).over(w) - F.col(ts_col)
+                <= F.expr(f"INTERVAL {max_delta}")
+            ) if len(steps) > 1 else F.lit(True)
+            cond = cond & span_ok
+        sel = [F.col(k) for k in partition_by]
+        for name, (var, col) in measures_cols.items():
+            i = var_idx[var]
+            c = F.col(col) if i == 0 else F.lead(col, i).over(w)
+            sel.append(c.alias(name))
+        return (
+            df.select(*sel, cond.alias("__cep_ok"))
+            .where(F.col("__cep_ok"))
+            .drop("__cep_ok")
+        )
 
     vectorized = all(s.vec is not None for s in steps)
 

@@ -35,9 +35,11 @@ _PAIR_SCHEMA = StructType(
 
 _PAIR_STEPS = [
     cep.Step("A", lambda r, m: r["event_type"] == "click",
-             vec=lambda pdf: (pdf["event_type"] == "click").to_numpy()),
+             vec=lambda pdf: (pdf["event_type"] == "click").to_numpy(),
+             expr="event_type = 'click'"),
     cep.Step("B", lambda r, m: r["event_type"] == "purchase",
-             vec=lambda pdf: (pdf["event_type"] == "purchase").to_numpy()),
+             vec=lambda pdf: (pdf["event_type"] == "purchase").to_numpy(),
+             expr="event_type = 'purchase'"),
 ]
 
 _PAIR_MEASURES = {
@@ -67,7 +69,10 @@ _PAIR_MEASURES = {
 def cep_adjacent_click_purchase(spark: SparkSession, sf_dir: str):
     """PATTERN (A B) quantifier-free, AFTER MATCH SKIP TO NEXT ROW —
     every click immediately followed (strict contiguity per user) by a
-    purchase. Equivalent to the lead() rewrite, which is the oracle."""
+    purchase. The declarative measures + SQL DEFINEs let
+    match_recognize COMPILE this to a lead()-window Catalyst plan
+    (zero Python); the DuckDB oracle is the same rewrite, so the
+    compiled plan and the NFA are cross-checked in test_cep.py."""
     ev = tables.load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type", "value")
     return cep.match_recognize(
         ev,
@@ -77,6 +82,11 @@ def cep_adjacent_click_purchase(spark: SparkSession, sf_dir: str):
         _PAIR_MEASURES,
         _PAIR_SCHEMA,
         after_match="to_next_row",
+        measures_cols={
+            "click_id": ("A", "event_id"),
+            "purchase_id": ("B", "event_id"),
+            "purchase_value": ("B", "value"),
+        },
     )
 
 
