@@ -116,3 +116,27 @@ def unnest_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("name"), F.col("n_name"), F.lit("region"), F.col("n_regionkey").cast("string")
     )
     return n.select("n_nationkey", F.explode(m).alias("key", "val"))
+
+
+@query(
+    "scan_metadata_columns",
+    oracle="""
+    SELECT 'region.parquet' AS meta_file_name, count(*) AS n
+    FROM region GROUP BY 1
+    """,
+    tags=("scan", "metadata"),
+)
+def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata columns (SqlCreateTable `METADATA FROM`, SURVEY.md
+    §1.4) via Spark's hidden _metadata struct on file sources. The
+    fixture is a single file per table, so the oracle pins the exact
+    file name as a constant (DuckDB's filename=true equivalent isn't
+    reachable through the driver's pre-registered views)."""
+    from flink_1_16_0_src_spark.sources import with_metadata_columns
+
+    r = load(spark, sf_dir, "region")
+    return (
+        with_metadata_columns(r)
+        .groupBy("meta_file_name")
+        .agg(F.count("*").alias("n"))
+    )

@@ -21,6 +21,7 @@ with .explain(): PushedFilters / ReadSchema.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 FILE_FORMATS = {"parquet", "csv", "json", "orc", "text", "avro"}
 
@@ -115,3 +116,55 @@ def write_table(df: DataFrame, path: str | None, connector: str, fmt: str = "par
     if fmt == "csv":
         writer = writer.option("header", True)
     getattr(writer, fmt)(path)
+
+
+def with_metadata_columns(df: DataFrame) -> DataFrame:
+    """Metadata columns (`METADATA FROM 'file.path'` etc., SURVEY.md
+    §1.4; SqlCreateTable metadata column syntax): Spark's file sources
+    expose the hidden ``_metadata`` struct — project the Flink-named
+    metadata fields from it."""
+    return df.select(
+        "*",
+        F.col("_metadata.file_path").alias("meta_file_path"),
+        F.col("_metadata.file_name").alias("meta_file_name"),
+        F.col("_metadata.file_size").alias("meta_file_size"),
+    )
+
+
+def enforce_constraints(
+    df: DataFrame,
+    not_null: list[str] | None = None,
+    char_length: dict[str, int] | None = None,
+    not_null_enforcer: str = "ERROR",
+    char_length_enforcer: str = "TRIM_PAD",
+) -> DataFrame:
+    """Sink-side constraint enforcement — ConstraintEnforcer.java
+    (T-RUNTIME/operators/sink/): Flink validates NOT NULL and
+    CHAR/VARCHAR(n) lengths on write.
+
+    - ``not_null_enforcer``: 'ERROR' (fail the job on a NULL — done
+      declaratively with raise_error so it happens distributed, not on
+      the driver) or 'DROP' (filter violating rows), matching
+      table.exec.sink.not-null-enforcer.
+    - ``char_length_enforcer``: 'TRIM_PAD' (truncate to n like Flink's
+      CHAR semantics) or 'IGNORE', matching
+      table.exec.sink.type-length-enforcer.
+    """
+    out = df
+    for c in not_null or []:
+        if not_null_enforcer == "DROP":
+            out = out.where(F.col(c).isNotNull())
+        else:
+            out = out.withColumn(
+                c,
+                F.when(
+                    F.col(c).isNull(),
+                    F.raise_error(
+                        F.lit(f"Column '{c}' is NOT NULL, however, a null value is being written")
+                    ),
+                ).otherwise(F.col(c)),
+            )
+    for c, n in (char_length or {}).items():
+        if char_length_enforcer == "TRIM_PAD":
+            out = out.withColumn(c, F.substring(F.col(c), 1, n))
+    return out

@@ -96,3 +96,35 @@ def test_read_table_option_translation(spark, csv_dir):
 def test_unsupported_format_raises(spark):
     with pytest.raises(ValueError):
         srcs.read_table(spark, "/tmp/x", "sequencefile")
+
+
+def test_constraint_enforcer(spark):
+    """ConstraintEnforcer.java parity: NOT NULL ERROR/DROP, CHAR(n)
+    TRIM_PAD on the sink path."""
+    import pytest as _pytest
+
+    from flink_1_16_0_src_spark.sources import enforce_constraints
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, None), (3, "toolongvalue")], "id int, name string"
+    )
+    # DROP: null row filtered
+    dropped = enforce_constraints(df, not_null=["name"], not_null_enforcer="DROP")
+    assert sorted(r.id for r in dropped.collect()) == [1, 3]
+    # TRIM_PAD: truncated to length
+    trimmed = enforce_constraints(
+        df.where("name IS NOT NULL"), char_length={"name": 5}
+    )
+    assert {r.name for r in trimmed.collect()} == {"alpha", "toolo"}
+    # ERROR: distributed raise on null
+    with _pytest.raises(Exception, match="NOT NULL"):
+        enforce_constraints(df, not_null=["name"]).collect()
+
+
+def test_metadata_columns(spark):
+    from flink_1_16_0_src_spark.sources import with_metadata_columns
+
+    df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    out = with_metadata_columns(df)
+    row = out.select("meta_file_name", "meta_file_size").first()
+    assert row.meta_file_name == "nation.parquet" and row.meta_file_size > 0
