@@ -89,6 +89,10 @@ def unbounded_join(
       ``-D`` and the real pairings emitted ``+I`` — exactly the
       OuterJoinRecordStateView numMatches 0→1 transition. Right-outer =
       call with sides swapped; full outer is out of scope (documented).
+    - left_semi / left_anti (StreamingSemiAntiJoinOperator.java:34):
+      left rows only. Semi emits ``+I`` when EXISTS first becomes true;
+      anti emits ``+I`` while NOT EXISTS holds and retracts with ``-D``
+      on the first match.
 
     ``ttl=(left_ts, right_ts, interval)`` bounds state like Flink's
     table.exec.state.ttl (SURVEY.md §7.3 risk 2): stored rows whose
@@ -112,16 +116,21 @@ def unbounded_join(
         StructType,
     )
 
-    assert how in ("inner", "left_outer"), f"unsupported how={how!r}"
+    assert how in ("inner", "left_outer", "left_semi", "left_anti"), (
+        f"unsupported how={how!r}"
+    )
+    pairs = how in ("inner", "left_outer")  # semi/anti emit left rows only
     lk, rk = key
     lcols = left.columns
     rcols = right.columns
     clash = (set(lcols) & set(rcols)) - set()
     assert not clash, f"column names must be disjoint, clash: {sorted(clash)}"
 
-    out_fields = list(left.schema.fields) + [
-        StructField(f.name, f.dataType, True) for f in right.schema.fields
-    ]
+    out_fields = list(left.schema.fields) + (
+        [StructField(f.name, f.dataType, True) for f in right.schema.fields]
+        if pairs
+        else []
+    )
     output_schema = StructType(out_fields + [StructField("__rowkind", StringType())])
     # state: JSON rows per side + per-left-row match counters
     state_schema = StructType(
@@ -163,7 +172,7 @@ def unbounded_join(
         out = []
 
         def emit(lrow, rrow, kind):
-            rec = {c: None for c in lcols + rcols}
+            rec = {c: None for c in (lcols + rcols if pairs else lcols)}
             if lrow is not None:
                 rec.update(lrow)
             if rrow is not None:
@@ -196,10 +205,15 @@ def unbounded_join(
                     n = 0
                     for rrow in rbuf:
                         if fresh(rrow, rts):
-                            emit(row, rrow, "+I")
+                            if pairs:
+                                emit(row, rrow, "+I")
                             n += 1
                     if n == 0 and how == "left_outer":
                         emit(row, None, "+I")
+                    elif n > 0 and how == "left_semi":
+                        emit(row, None, "+I")  # EXISTS satisfied on arrival
+                    elif n == 0 and how == "left_anti":
+                        emit(row, None, "+I")  # NOT EXISTS holds (for now)
                     lbuf.append(row)
                     lmatches.append(n)
                 else:
@@ -207,9 +221,16 @@ def unbounded_join(
                     for i, lrow in enumerate(lbuf):
                         if not fresh(lrow, lts):
                             continue
-                        if how == "left_outer" and lmatches[i] == 0:
-                            emit(lrow, None, "-D")  # retract null padding
-                        emit(lrow, row, "+I")
+                        if lmatches[i] == 0:
+                            # numMatches 0→1 transition
+                            if how == "left_outer":
+                                emit(lrow, None, "-D")  # retract null padding
+                            elif how == "left_semi":
+                                emit(lrow, None, "+I")  # EXISTS newly true
+                            elif how == "left_anti":
+                                emit(lrow, None, "-D")  # NOT EXISTS now false
+                        if pairs:
+                            emit(lrow, row, "+I")
                         lmatches[i] += 1
                     rbuf.append(row)
         if ttl_expr and max_ts is not None:

@@ -118,3 +118,43 @@ def test_unbounded_join_ttl_bounds_state(spark, tmp_path):
     # 10:30 probe joins (left row fresh); 12:30 probe finds the left row
     # evicted (10:00 < 12:30 - 1h) → no second pair
     assert vals == [1.0]
+
+
+def test_unbounded_semi_anti(spark, tmp_path):
+    import os
+
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    os.makedirs(ldir), os.makedirs(rdir)
+    pd.DataFrame({"uid": [1, 2, 3], "uname": ["a", "b", "c"]}).to_parquet(
+        os.path.join(ldir, "left.parquet")
+    )
+    pd.DataFrame({"ruid": [1], "rval": [10.0]}).to_parquet(os.path.join(rdir, "a.parquet"))
+    time.sleep(1.1)
+    pd.DataFrame({"ruid": [2], "rval": [20.0]}).to_parquet(os.path.join(rdir, "b.parquet"))
+
+    def run(how, name):
+        lsdf = spark.readStream.schema(spark.read.parquet(ldir).schema).parquet(ldir)
+        rsdf = (
+            spark.readStream.schema(spark.read.parquet(rdir).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(rdir)
+        )
+        out = unbounded_join(lsdf, rsdf, ("uid", "ruid"), how=how)
+        got = sources.run_to_memory(out, name, "append")
+        assert "rval" not in got.columns  # left rows only
+        return [(r["uid"], r["__rowkind"]) for r in got.collect()]
+
+    semi = run("left_semi", "t_unb_semi")
+    # u1 matches (order within batch1 irrelevant: exactly one +I), u2
+    # matches in batch2, u3 never — net semi = {1, 2}
+    from collections import Counter
+
+    assert +Counter({u: 1 for u, k in semi if k == "+I"}) == Counter({1: 1, 2: 1})
+    assert all(k == "+I" for _, k in semi)
+
+    anti = run("left_anti", "t_unb_anti")
+    net = Counter()
+    for u, k in anti:
+        net[u] += 1 if k == "+I" else -1
+    assert +net == Counter({3: 1})  # only u3 still satisfies NOT EXISTS
+    assert (2, "-D") in anti  # u2's anti row was retracted cross-batch
