@@ -19,6 +19,7 @@ from flink_1_16_0_src_spark.queries import (  # noqa: F401
     session_dynamic,
     setops_sort,
     subqueries,
+    tpcds_shapes,
     tpch,
     unnest_lateral,
     window_tvf,
