@@ -99,3 +99,34 @@ def test_tpch_q19_disjunction_partial_pushdown(spark):
     plan = _plan(spark, "tpch_q19_disjunctive_revenue")
     # the l_quantity bands are pushable per-branch as an OR filter
     assert "l_quantity" in plan.split("PushedFilters")[1][:400]
+
+
+def test_bucketed_join_eliminates_exchange(spark):
+    """SURVEY.md §2.7 Exchange row: pre-bucketed layout must satisfy
+    the join distribution — zero shuffles, zero sorts (bucket+sortBy),
+    the Flink FORWARD-instead-of-HASH trait match."""
+    from flink_1_16_0_src_spark import tables
+    from flink_1_16_0_src_spark.operators.bucketing import bucketed_join, write_bucketed
+
+    o = tables.load(spark, SF_DIR, "orders")
+    li = tables.load(spark, SF_DIR, "lineitem")
+    write_bucketed(o, "b_orders", "o_orderkey", 8)
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey", 8
+    )
+    # sf0.001 fits under the broadcast threshold — disable it so the
+    # planner must choose between shuffled and bucketed SMJ
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        # sanity: same result as the shuffled join
+        shuffled = o.join(li, o.o_orderkey == li.l_orderkey)
+        assert joined.count() == shuffled.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
