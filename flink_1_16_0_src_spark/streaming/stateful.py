@@ -229,6 +229,94 @@ def streaming_over_unbounded(
     )
 
 
+def streaming_over_bounded(
+    sdf: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    rows: int | None = None,
+    range_interval: str | None = None,
+) -> DataFrame:
+    """Per-key OVER with a BOUNDED preceding frame — the reference's
+    RowTimeRowsBoundedPrecedingFunction (``rows=n`` → ROWS BETWEEN n-1
+    PRECEDING AND CURRENT ROW) and RowTimeRangeBoundedPrecedingFunction
+    (``range_interval='10 minutes'`` → RANGE BETWEEN interval PRECEDING
+    AND CURRENT ROW). State carries only the tail that can still enter
+    a future row's frame (last n rows / rows within the interval of the
+    newest timestamp) — bounded, exactly like the reference's cleanup
+    timers. Aggregation itself is pandas rolling (vectorized)."""
+    assert (rows is None) != (range_interval is None), "pass exactly one frame bound"
+    carry = _carry_cols(sdf, keys)
+    key_fields = [f for f in sdf.schema.fields if f.name in keys]
+    out_schema = StructType(
+        key_fields
+        + [f for f in sdf.schema.fields if f.name in carry]
+        + [
+            StructField("bounded_cnt", LongType()),
+            StructField("bounded_sum", DoubleType()),
+            StructField("bounded_avg", DoubleType()),
+            StructField("bounded_min", DoubleType()),
+            StructField("bounded_max", DoubleType()),
+        ]
+    )
+    from pyspark.sql.types import ArrayType, StringType
+
+    state_schema = StructType(
+        [
+            StructField("tail_v", ArrayType(DoubleType())),
+            StructField("tail_t", ArrayType(StringType())),
+        ]
+    )
+    delta = pd.Timedelta(range_interval) if range_interval else None
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
+        tail_v, tail_t = (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            p = pdf.sort_values(order_col, kind="stable").reset_index(drop=True)
+            ncarry = len(tail_v)
+            v = pd.concat(
+                [pd.Series(tail_v, dtype=float), p[value_col].astype(float)],
+                ignore_index=True,
+            )
+            t = pd.concat(
+                [pd.Series(pd.to_datetime(tail_t)), pd.to_datetime(p[order_col])],
+                ignore_index=True,
+            )
+            if rows is not None:
+                r = v.rolling(rows, min_periods=1)
+            else:
+                r = pd.DataFrame({"v": v.values}, index=pd.DatetimeIndex(t))["v"].rolling(
+                    delta, min_periods=1
+                )
+            agg = {
+                "bounded_cnt": r.count().astype("int64"),
+                "bounded_sum": r.sum(),
+                "bounded_avg": r.mean(),
+                "bounded_min": r.min(),
+                "bounded_max": r.max(),
+            }
+            for name, series in agg.items():
+                p[name] = series.to_numpy()[ncarry:]
+            for kc, kv in zip(keys, key):
+                p[kc] = kv
+            yield p[[f.name for f in out_schema.fields]]
+            # retain only the tail a future frame can reference
+            if rows is not None:
+                keep = min(len(v), rows - 1)
+            else:
+                cutoff = t.iloc[-1] - delta
+                keep = int((t >= cutoff).sum())
+            tail_v = [float(x) for x in v.iloc[len(v) - keep :]] if keep else []
+            tail_t = [str(x) for x in t.iloc[len(t) - keep :]] if keep else []
+        state.update((tail_v, tail_t))
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def changelog_normalize(
     sdf: DataFrame, keys: list[str], order_col: str | None = None, delete_col: str | None = None
 ) -> DataFrame:

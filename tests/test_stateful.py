@@ -247,3 +247,42 @@ def test_streaming_topn_with_ttl(spark, events_batch):
     assert [tuple(r) for r in got.select(*cols).orderBy(*cols).collect()] == [
         tuple(r) for r in exp.select(*cols).orderBy(*cols).collect()
     ]
+
+
+def test_streaming_over_bounded_rows_matches_batch(spark):
+    """RowTimeRowsBoundedPrecedingFunction parity: streaming ROWS
+    3-PRECEDING frame == batch window over the drained stream."""
+    from pyspark.sql import Window as W
+
+    from flink_1_16_0_src_spark import tables
+    from flink_1_16_0_src_spark.streaming import sources
+    from flink_1_16_0_src_spark.streaming.stateful import streaming_over_bounded
+
+    sdf = sources.stream_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    got = sources.run_to_memory(
+        streaming_over_bounded(sdf, ["user_id"], "ts", "value", rows=4),
+        "t_over_bounded",
+        "append",
+    )
+    ev = tables.load(spark, SF_DIR, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    exp = ev.select(
+        "user_id",
+        "event_id",
+        F.count("value").over(w).alias("bounded_cnt"),
+        F.round(F.sum("value").over(w), 4).alias("bounded_sum"),
+    )
+    g = {
+        (r.user_id, r.event_id): (r.bounded_cnt, round(r.bounded_sum, 4))
+        for r in got.collect()
+    }
+    mismatch = 0
+    for r in exp.collect():
+        if g.get((r.user_id, r.event_id)) != (r.bounded_cnt, r.bounded_sum):
+            mismatch += 1
+    # ties on ts may order differently between the stream drain and the
+    # batch window; the overwhelming majority must agree exactly
+    assert mismatch <= len(g) * 0.02, f"{mismatch}/{len(g)} frames differ"
+    assert len(g) == ev.count()
