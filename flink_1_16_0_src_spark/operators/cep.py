@@ -362,8 +362,13 @@ def match_recognize(
             n = len(pdf)
             masks = [s.vec(pdf) for s in steps]
             ts = pdf[within[0]].to_numpy() if within else None
+            md = within[1] if within else None
+            if md is not None and not isinstance(md, (int, float)):
+                # numpy 2 rejects timedelta64 <= datetime.timedelta —
+                # normalize any str/timedelta bound to timedelta64
+                md = pd.Timedelta(md).to_timedelta64()
             idx_matches = match_sequence_masks(
-                masks, n, steps, after_match, ts, within[1] if within else None
+                masks, n, steps, after_match, ts, md
             )
             # materialize dict rows only for rows inside some match
             hit = sorted({j for m in idx_matches for v in m.values() for j in v})

@@ -7,6 +7,8 @@ lead()-based SQL rewrite for the quantifier-free pattern.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -188,3 +190,55 @@ def test_within_bounds_match_span():
     assert cep.count_of(unbounded[0], "B") == 2
     assert cep.count_of(bounded[0], "B") == 1  # t=100 row pruned
     assert len(bounded) == 2
+
+
+def test_compiled_match_with_within_equals_nfa(spark):
+    """The lead()-window compiled plan and the NFA must agree on a
+    quantifier-free pattern WITH a WITHIN bound."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    rows = [
+        # uid, ts, kind — pair at 10:00→10:02 inside 5m; pair at
+        # 11:00→11:20 outside; adjacent pair 12:00→12:01 inside
+        (1, dt.datetime(2024, 1, 1, 10, 0), "a"),
+        (1, dt.datetime(2024, 1, 1, 10, 2), "b"),
+        (1, dt.datetime(2024, 1, 1, 11, 0), "a"),
+        (1, dt.datetime(2024, 1, 1, 11, 20), "b"),
+        (2, dt.datetime(2024, 1, 1, 12, 0), "a"),
+        (2, dt.datetime(2024, 1, 1, 12, 1), "b"),
+    ]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp, kind string")
+    steps = [
+        cep.Step("A", lambda r, m: r["kind"] == "a", expr="kind = 'a'",
+                 vec=lambda pdf: (pdf["kind"] == "a").to_numpy()),
+        cep.Step("B", lambda r, m: r["kind"] == "b", expr="kind = 'b'",
+                 vec=lambda pdf: (pdf["kind"] == "b").to_numpy()),
+    ]
+    schema = StructType(
+        [StructField("uid", LongType()), StructField("start_ts", TimestampType())]
+    )
+    measures = {"start_ts": lambda m: cep.first(m, "A", "ts")}
+    kw = dict(
+        partition_by=["uid"], order_by="ts", steps=steps, measures=measures,
+        output_schema=schema, after_match="to_next_row",
+        within=("ts", "5 minutes"),
+    )
+    compiled = cep.match_recognize(df, measures_cols={"start_ts": ("A", "ts")}, **kw)
+    # NFA path: same args minus measures_cols, but within delta as a
+    # timedelta (the dict/mask matchers compare timestamps directly)
+    kw_nfa = dict(kw, within=("ts", dt.timedelta(minutes=5)))
+    nfa = cep.match_recognize(df, **kw_nfa)
+    got_c = sorted((r.uid, r.start_ts) for r in compiled.collect())
+    got_n = sorted((r.uid, r.start_ts) for r in nfa.collect())
+    assert got_c == got_n
+    assert got_c == [
+        (1, pd.Timestamp("2024-01-01 10:00")),
+        (2, pd.Timestamp("2024-01-01 12:00")),
+    ]
