@@ -88,7 +88,8 @@ def unbounded_join(
       its first match arrives the null-padded row is retracted with
       ``-D`` and the real pairings emitted ``+I`` — exactly the
       OuterJoinRecordStateView numMatches 0→1 transition. Right-outer =
-      call with sides swapped; full outer is out of scope (documented).
+      call with sides swapped; full_outer pads and retracts on BOTH
+      sides (dual numMatches counters).
     - left_semi / left_anti (StreamingSemiAntiJoinOperator.java:34):
       left rows only. Semi emits ``+I`` when EXISTS first becomes true;
       anti emits ``+I`` while NOT EXISTS holds and retracts with ``-D``
@@ -116,10 +117,10 @@ def unbounded_join(
         StructType,
     )
 
-    assert how in ("inner", "left_outer", "left_semi", "left_anti"), (
+    assert how in ("inner", "left_outer", "full_outer", "left_semi", "left_anti"), (
         f"unsupported how={how!r}"
     )
-    pairs = how in ("inner", "left_outer")  # semi/anti emit left rows only
+    pairs = how in ("inner", "left_outer", "full_outer")  # semi/anti emit left rows only
     lk, rk = key
     lcols = left.columns
     rcols = right.columns
@@ -138,6 +139,7 @@ def unbounded_join(
             StructField("lbuf", ArrayType(StringType())),
             StructField("rbuf", ArrayType(StringType())),
             StructField("lmatches", ArrayType(LongType())),
+            StructField("rmatches", ArrayType(LongType())),
         ]
     )
 
@@ -157,18 +159,14 @@ def unbounded_join(
     lts, rts, interval = ttl if ttl else (None, None, None)
     delta = pd.Timedelta(interval) if interval else None
 
-    def _expire(buf: list[dict], ts_col: str | None, wm) -> list[dict]:
-        if delta is None or ts_col is None or wm is None:
-            return buf
-        return [r for r in buf if pd.Timestamp(r[ts_col]) >= wm - delta]
-
     def fn(pkey, pdfs, state):
         if state.exists:
             lbuf = [json.loads(s) for s in state.get[0]]
             rbuf = [json.loads(s) for s in state.get[1]]
             lmatches = list(state.get[2])
+            rmatches = list(state.get[3])
         else:
-            lbuf, rbuf, lmatches = [], [], []
+            lbuf, rbuf, lmatches, rmatches = [], [], [], []
         out = []
 
         def emit(lrow, rrow, kind):
@@ -203,12 +201,15 @@ def unbounded_join(
                 if t["__side"] == 1:
                     tick(row, lts)
                     n = 0
-                    for rrow in rbuf:
+                    for j, rrow in enumerate(rbuf):
                         if fresh(rrow, rts):
+                            if how == "full_outer" and rmatches[j] == 0:
+                                emit(None, rrow, "-D")  # retract right padding
                             if pairs:
                                 emit(row, rrow, "+I")
+                            rmatches[j] += 1
                             n += 1
-                    if n == 0 and how == "left_outer":
+                    if n == 0 and how in ("left_outer", "full_outer"):
                         emit(row, None, "+I")
                     elif n > 0 and how == "left_semi":
                         emit(row, None, "+I")  # EXISTS satisfied on arrival
@@ -218,12 +219,13 @@ def unbounded_join(
                     lmatches.append(n)
                 else:
                     tick(row, rts)
+                    n = 0
                     for i, lrow in enumerate(lbuf):
                         if not fresh(lrow, lts):
                             continue
                         if lmatches[i] == 0:
                             # numMatches 0→1 transition
-                            if how == "left_outer":
+                            if how in ("left_outer", "full_outer"):
                                 emit(lrow, None, "-D")  # retract null padding
                             elif how == "left_semi":
                                 emit(lrow, None, "+I")  # EXISTS newly true
@@ -232,7 +234,11 @@ def unbounded_join(
                         if pairs:
                             emit(lrow, row, "+I")
                         lmatches[i] += 1
+                        n += 1
+                    if n == 0 and how == "full_outer":
+                        emit(None, row, "+I")  # unmatched right padded
                     rbuf.append(row)
+                    rmatches.append(n)
         if ttl_expr and max_ts is not None:
             keep = [
                 i for i, r in enumerate(lbuf)
@@ -240,12 +246,18 @@ def unbounded_join(
             ]
             lbuf = [lbuf[i] for i in keep]
             lmatches = [lmatches[i] for i in keep]
-            rbuf = _expire(rbuf, rts, max_ts)
+            rkeep = [
+                j for j, r in enumerate(rbuf)
+                if r.get(rts) is None or pd.Timestamp(r[rts]) >= max_ts - delta
+            ]
+            rbuf = [rbuf[j] for j in rkeep]
+            rmatches = [rmatches[j] for j in rkeep]
         state.update(
             (
                 [json.dumps(r, default=str) for r in lbuf],
                 [json.dumps(r, default=str) for r in rbuf],
                 lmatches,
+                rmatches,
             )
         )
         cols = [f.name for f in output_schema.fields]

@@ -158,3 +158,36 @@ def test_unbounded_semi_anti(spark, tmp_path):
         net[u] += 1 if k == "+I" else -1
     assert +net == Counter({3: 1})  # only u3 still satisfies NOT EXISTS
     assert (2, "-D") in anti  # u2's anti row was retracted cross-batch
+
+
+def test_unbounded_full_outer(spark, tmp_path):
+    """Full outer: both sides padded when unmatched, both retracted on
+    their numMatches 0→1 flip; net effect == batch full outer join."""
+    import os
+
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    os.makedirs(ldir), os.makedirs(rdir)
+    pd.DataFrame({"uid": [1, 3], "uname": ["a", "c"]}).to_parquet(
+        os.path.join(ldir, "left.parquet")
+    )
+    pd.DataFrame({"ruid": [1], "rval": [10.0]}).to_parquet(os.path.join(rdir, "a.parquet"))
+    time.sleep(1.1)
+    pd.DataFrame({"ruid": [2], "rval": [20.0]}).to_parquet(os.path.join(rdir, "b.parquet"))
+
+    lsdf = spark.readStream.schema(spark.read.parquet(ldir).schema).parquet(ldir)
+    rsdf = (
+        spark.readStream.schema(spark.read.parquet(rdir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(rdir)
+    )
+    out = unbounded_join(lsdf, rsdf, ("uid", "ruid"), how="full_outer")
+    got = sources.run_to_memory(out, "t_unb_full", "append")
+    from collections import Counter
+
+    net = Counter()
+    for r in got.collect():
+        net[(r["uid"], r["ruid"], r["rval"])] += 1 if r["__rowkind"] == "+I" else -1
+    # u1 paired; u3 left-padded; right row ruid=2 right-padded
+    assert +net == Counter(
+        {(1, 1, 10.0): 1, (3, None, None): 1, (None, 2, 20.0): 1}
+    )
