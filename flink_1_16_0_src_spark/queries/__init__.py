@@ -5,6 +5,7 @@ from flink_1_16_0_src_spark.queries import (  # noqa: F401
     aggregates,
     aggregates_extra,
     cep,
+    datastream_api,
     functions_extra,
     functions_json_cond,
     functions_math_temporal,

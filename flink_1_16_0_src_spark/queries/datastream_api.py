@@ -1,0 +1,119 @@
+"""DataStream fluent-API queries with DuckDB oracles (SURVEY.md §2.10).
+
+The DataStream surface is unit-tested in test_datastream.py; these
+registry entries additionally put its core aggregating paths under the
+driver's value-hash gate: minBy/maxBy (KeyedStream.java:915,940),
+reduce (:769) via an order-insensitive fold, and coGroup
+(DataStream.java:760).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_1_16_0_src_spark.datastream import DataStream
+from flink_1_16_0_src_spark.registry import query
+from flink_1_16_0_src_spark.tables import load
+
+
+@query(
+    "ds_min_by_max_by",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, event_id, "value",
+             min("value") OVER (PARTITION BY user_id) AS mv,
+             max("value") OVER (PARTITION BY user_id) AS xv
+      FROM events
+    )
+    SELECT user_id,
+           min(CASE WHEN "value" = mv THEN event_id END) AS min_event_id,
+           round(min("value"), 4) AS min_value,
+           min(CASE WHEN "value" = xv THEN event_id END) AS max_event_id,
+           round(max("value"), 4) AS max_value
+    FROM x GROUP BY user_id
+    """,
+    tags=("datastream",),
+)
+def ds_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minBy/maxBy keep the whole row holding the extreme value. Ties
+    on the value are broken by the smallest event_id on BOTH sides
+    (Flink's minBy(first=true) determinism knob): the stream carries a
+    (value, event_id) struct ordering column through the same
+    KeyedStream API."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    ev_min = ev.withColumn("__ord", F.struct("value", "event_id"))
+    ev_max = ev.withColumn(
+        "__ord", F.struct("value", (-F.col("event_id")).alias("event_id"))
+    )
+    mins = DataStream(ev_min).key_by("user_id").min_by("__ord").df.select(
+        "user_id",
+        F.col("event_id").alias("min_event_id"),
+        F.round("value", 4).alias("min_value"),
+    )
+    maxs = DataStream(ev_max).key_by("user_id").max_by("__ord").df.select(
+        "user_id",
+        F.col("event_id").alias("max_event_id"),
+        F.round("value", 4).alias("max_value"),
+    )
+    return mins.join(maxs, "user_id")
+
+
+@query(
+    "ds_keyed_reduce",
+    oracle="""
+    SELECT user_id, round(sum("value"), 4) AS value, min(event_id) AS event_id
+    FROM events GROUP BY user_id
+    """,
+    tags=("datastream",),
+)
+def ds_keyed_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReduceFunction fold per key — the fold is commutative/
+    associative (sum + min) so the result is arrival-order independent
+    and SQL-checkable."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "value")
+
+    def fold(acc, r):
+        return {
+            "user_id": acc["user_id"],
+            "event_id": min(acc["event_id"], r["event_id"]),
+            "value": acc["value"] + r["value"],
+        }
+
+    out = DataStream(ev).key_by("user_id").reduce(
+        fold, "user_id long, event_id long, value double"
+    )
+    return out.df.select("user_id", F.round("value", 4).alias("value"), "event_id")
+
+
+@query(
+    "ds_co_group",
+    oracle="""
+    WITH l AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey),
+         r AS (SELECT c_custkey, count(*) AS n_cust FROM customer GROUP BY c_custkey)
+    SELECT coalesce(l.o_custkey, r.c_custkey) AS custkey,
+           coalesce(l.n_orders, 0) AS n_orders,
+           coalesce(r.n_cust, 0) AS n_cust
+    FROM l FULL OUTER JOIN r ON l.o_custkey = r.c_custkey
+    """,
+    tags=("datastream",),
+)
+def ds_co_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coGroup: both sides' rows for a key in one call (cogroup +
+    applyInPandas) — CoGroupFunction contract, counted per side."""
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+
+    def fn(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        key = lpdf["o_custkey"].iloc[0] if len(lpdf) else rpdf["c_custkey"].iloc[0]
+        return pd.DataFrame(
+            [{"custkey": key, "n_orders": len(lpdf), "n_cust": len(rpdf)}]
+        )
+
+    out = DataStream(o).co_group(
+        DataStream(c), ["o_custkey"], ["c_custkey"], fn,
+        "custkey long, n_orders long, n_cust long",
+    )
+    return out.df
