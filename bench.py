@@ -25,6 +25,9 @@ BENCH_QUERIES = [
     "agg_grouping_sets",         # Expand + agg
     "join_multiway_q5",          # 6-table join (TPC-H q5)
     "join_theta_nonequi",        # broadcast NLJ
+    "tpch_q9_product_profit",    # LIKE-filtered 5-way join + agg
+    "tpch_q21_suppliers_waiting",  # EXISTS + NOT EXISTS (semi+anti)
+    "tpcds_q67_rollup_rank",     # ROLLUP + window rank
     "subq_tpch_q20_nested_in",   # nested subqueries
     "over_rows_sliding",         # OVER window frames
     "topn_per_group",            # rank + filter
