@@ -71,31 +71,39 @@ def plane_component(plane: Column | int, dim: Column | int) -> Column:
     return (h % 2) * 2 - 1
 
 
-def lsh_bucket(df: DataFrame, vec_col: str, id_col: str, n_planes: int = 8) -> DataFrame:
+def _plane_sign(plane: int, dim: int) -> int:
+    """Driver-side twin of ``plane_component`` — identical md5('p:d')
+    parity, so oracles that re-derive components in SQL still match."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()[:15], 16)
+    return (h % 2) * 2 - 1
+
+
+def lsh_bucket(
+    df: DataFrame, vec_col: str, id_col: str, n_planes: int = 8, dim: int | None = None
+) -> DataFrame:
     """Sign-random-projection bucket: bit j = (Σ_d v[d]·s(j,d)) ≥ 0,
-    bucket = Σ_j bit_j·2^j. One explode of n_planes per row; the dot
-    product over ±1 components folds inside aggregate()."""
-    dim = F.size(F.col("__v"))
-    per_plane = df.select(
-        F.col(id_col),
-        F.col(vec_col).alias("__v"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("plane"),
-    )
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("__v"),
-            F.sequence(F.lit(0), dim - 1),
-            lambda x, i: x.cast("double") * plane_component(F.col("plane"), i).cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    # shiftleft needs a literal shift — pow(2, plane) is exact here
-    bits = per_plane.select(
-        id_col,
-        "plane",
-        F.when(dot >= 0, F.pow(F.lit(2.0), F.col("plane")).cast("bigint")).otherwise(0).alias(
-            "__bit"
-        ),
-    )
-    return bits.groupBy(id_col).agg(F.sum("__bit").cast("int").alias("bucket"))
+    bucket = Σ_j bit_j·2^j.
+
+    The ±1 hyperplane matrix is only n_planes×dim values — it is
+    precomputed ONCE on the driver and embedded as array literals, so
+    the per-row work is n_planes codegen'd dot products and ZERO
+    hashing (the previous formulation recomputed an md5 per
+    row×plane×component — at 100 TB that hash work dwarfed the actual
+    scan). ``dim`` is probed from the first row when not given."""
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+    v = F.col(vec_col)
+    bucket = None
+    for j in range(n_planes):
+        signs = F.array(*[F.lit(float(_plane_sign(j, d))) for d in range(dim)])
+        dot = F.aggregate(
+            F.zip_with(v, signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return df.select(F.col(id_col), bucket.cast("int").alias("bucket"))
