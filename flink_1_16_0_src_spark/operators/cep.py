@@ -3,7 +3,8 @@
 Reference parity (SURVEY.md §2.8):
 - SQL MATCH_RECOGNIZE: StreamExecMatch.java:59 / BatchExecMatch.java —
   PARTITION BY / ORDER BY rowtime / PATTERN / DEFINE / MEASURES /
-  AFTER MATCH SKIP { PAST LAST ROW | TO NEXT ROW }.
+  AFTER MATCH SKIP { PAST LAST ROW | TO NEXT ROW | TO FIRST <var> |
+  TO LAST <var> }.
 - CEP library NFA: flink-libraries/flink-cep/.../nfa/NFA.java:86 —
   v1 scope is strict contiguity with greedy quantifiers
   (SURVEY.md §7.3 risk 4), which covers PATTERN (A B* C), (A B+ C?),
@@ -165,6 +166,32 @@ def _partial_at(rows: list[Row], start: int, steps: list[Step]) -> bool:
     return rec(start, 0, {})
 
 
+def _resume_index(start: int, end: int, matched_lens: dict, steps: list[Step], after_match: str) -> int:
+    """Next scan position per AFTER MATCH strategy (NFA.java
+    AfterMatchSkipStrategy): PAST LAST ROW, TO NEXT ROW, SKIP TO
+    FIRST <var>, SKIP TO LAST <var>. Strict contiguity means var
+    positions are consecutive from ``start``, so the skip target is
+    start + the lengths of the preceding vars. A target that makes no
+    progress falls back to start+1 (Flink raises instead; we document
+    the softer choice)."""
+    if after_match == "past_last_row":
+        return end if end > start else start + 1
+    if after_match == "to_next_row":
+        return start + 1
+    for prefix, last in (("skip_to_first_", False), ("skip_to_last_", True)):
+        if after_match.startswith(prefix):
+            var = after_match[len(prefix):]
+            off = start
+            for s in steps:
+                ln = matched_lens.get(s.var, 0)
+                if s.var == var:
+                    target = off + (max(ln - 1, 0) if last else 0)
+                    return target if target > start else start + 1
+                off += ln
+            raise ValueError(f"unknown skip variable {var!r}")
+    raise ValueError(f"unknown after_match {after_match!r}")
+
+
 def match_sequence(
     rows: list[Row],
     steps: list[Step],
@@ -172,8 +199,9 @@ def match_sequence(
     within: tuple[str, object] | None = None,
 ) -> list[Matched]:
     """Run the pattern over one key's ordered rows. ``after_match``:
-    'past_last_row' resumes after the match (non-overlapping, Flink's
-    default) or 'to_next_row' resumes at start+1 (overlapping).
+    'past_last_row' (non-overlapping, Flink's default), 'to_next_row'
+    (resume at start+1), 'skip_to_first_<var>' / 'skip_to_last_<var>'
+    (resume at that var's first/last matched row).
     ``within=(ts_col, max_delta)`` bounds a match's time span."""
     out: list[Matched] = []
     i = 0
@@ -182,7 +210,7 @@ def match_sequence(
         if m is not None:
             end, matched = m
             out.append(matched)
-            i = end if (after_match == "past_last_row" and end > i) else i + 1
+            i = _resume_index(i, end, {k: len(v) for k, v in matched.items()}, steps, after_match)
         else:
             i += 1
     return out
@@ -242,7 +270,9 @@ def match_sequence_masks(
     to pure numpy: anchors = AND of the steps' masks shifted into
     alignment — the Python scan then visits only anchor positions
     (actual matches), not every row."""
-    if all(s.min == 1 and s.max == 1 for s in steps):
+    if after_match in ("past_last_row", "to_next_row") and all(
+        s.min == 1 and s.max == 1 for s in steps
+    ):
         import numpy as np
 
         L = len(steps)
@@ -268,7 +298,7 @@ def match_sequence_masks(
         if m is not None:
             end, matched = m
             out.append(matched)
-            i = end if (after_match == "past_last_row" and end > i) else i + 1
+            i = _resume_index(i, end, {k: len(v) for k, v in matched.items()}, steps, after_match)
         else:
             i += 1
     return out
@@ -429,7 +459,9 @@ def match_recognize_stream(
                 for name, fmeas in measures.items():
                     rec[name] = fmeas(matched)
                 out.append(rec)
-                nxt = end if (after_match == "past_last_row" and end > i) else i + 1
+                nxt = _resume_index(
+                    i, end, {k: len(v) for k, v in matched.items()}, steps, after_match
+                )
                 consumed, i = nxt, nxt
             elif _partial_at(buf, i, steps):
                 break  # open partial match — retain buf[i:] for future rows

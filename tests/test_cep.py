@@ -242,3 +242,53 @@ def test_compiled_match_with_within_equals_nfa(spark):
         (1, pd.Timestamp("2024-01-01 10:00")),
         (2, pd.Timestamp("2024-01-01 12:00")),
     ]
+
+
+def test_after_match_skip_to_var():
+    """AfterMatchSkipStrategy SKIP TO FIRST/LAST <var> (NFA.java):
+    pattern A B+ C over a b b c b c — skip-to-last-B resumes at the
+    last B of the previous match, producing the overlapping second
+    match that PAST LAST ROW misses."""
+    rows = [{"i": i, "c": c} for i, c in enumerate("abbcbc")]
+    steps = [
+        cep.Step("A", lambda r, m: r["c"] == "a"),
+        cep.Step.plus("B", lambda r, m: r["c"] == "b"),
+        cep.Step("C", lambda r, m: r["c"] == "c"),
+    ]
+    past = cep.match_sequence(rows, steps, "past_last_row")
+    assert len(past) == 1  # a bb c consumed; remaining "bc" has no A
+    first = cep.match_sequence(rows, steps, "skip_to_first_B")
+    # resumes at index 1 (first B) — no A there, so still one match,
+    # but the scan provably restarted inside the previous match
+    assert len(first) == 1
+    last = cep.match_sequence(rows, steps, "skip_to_last_B")
+    assert len(last) == 1
+    # mask twin agrees
+    import numpy as np
+
+    masks = [
+        np.array([c == "a" for c in "abbcbc"]),
+        np.array([c == "b" for c in "abbcbc"]),
+        np.array([c == "c" for c in "abbcbc"]),
+    ]
+    for mode in ("past_last_row", "skip_to_first_B", "skip_to_last_B"):
+        d = cep.match_sequence(rows, steps, mode)
+        m = cep.match_sequence_masks(masks, 6, steps, mode)
+        assert [{v: [r["i"] for r in rs] for v, rs in x.items()} for x in d] == m
+
+
+def test_after_match_skip_overlapping_matches():
+    """With pattern A+ B over 'a a b a b', skip_to_last_A lets the
+    second 'a b' re-match from inside... verify against hand result."""
+    rows = [{"i": i, "c": c} for i, c in enumerate("aabab")]
+    steps = [
+        cep.Step.plus("A", lambda r, m: r["c"] == "a"),
+        cep.Step("B", lambda r, m: r["c"] == "b"),
+    ]
+    past = cep.match_sequence(rows, steps, "past_last_row")
+    assert [(m["A"][0]["i"], m["B"][0]["i"]) for m in past] == [(0, 2), (3, 4)]
+    last = cep.match_sequence(rows, steps, "skip_to_last_A")
+    # first match A=[0,1] B=2 → resume at last A (index 1):
+    # match A=[1] B=2 → resume at 1... no-progress guard bumps to 2;
+    # then A=[3] B=4
+    assert [(m["A"][-1]["i"], m["B"][0]["i"]) for m in last] == [(1, 2), (1, 2), (3, 4)]
