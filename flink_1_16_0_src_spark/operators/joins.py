@@ -158,3 +158,46 @@ def batched_lookup_join(
             yield pd.concat([pdf, enriched], axis=1)
 
     return fact.mapInPandas(run, schema=result_schema)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    bounds: tuple[str, str],
+    width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval range join as an EQUI-join via bucket
+    expansion.
+
+    The naive plan for ``p BETWEEN lo AND hi`` is a (broadcast) nested
+    loop — O(|points|·|intervals|), the reference's
+    BatchExecNestedLoopJoin fate for non-equi predicates. Bucketing
+    turns it into a shuffle equi-join: points hash to bucket
+    floor(p/width); each interval explodes into its covered buckets
+    (≈ span/width + 1 rows, bounded by choosing ``width`` near the
+    typical span); the join key is the bucket, the exact BETWEEN runs
+    as a post-filter. Work is O(|points| + Σ span/width + |matches|) —
+    linear, shuffle-partitioned, skew handled by AQE like any equi-join.
+
+    Column names of the two inputs must be disjoint.
+    """
+    lo, hi = bounds
+    clash = set(points.columns) & set(intervals.columns)
+    assert not clash, f"column names must be disjoint, clash: {sorted(clash)}"
+    b_pts = points.withColumn("__b", F.floor(F.col(point_col) / width))
+    b_iv = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / width).cast("long"),
+                F.floor(F.col(hi) / width).cast("long"),
+            )
+        ),
+    )
+    return (
+        b_pts.join(b_iv, "__b", how)
+        .where((F.col(point_col) >= F.col(lo)) & (F.col(point_col) <= F.col(hi)))
+        .drop("__b")
+    )

@@ -292,3 +292,40 @@ def join_lookup_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("l_extendedprice") - F.col("p_retailprice"), 2).alias("price_delta"),
         )
     )
+
+
+@query(
+    "join_range_bucketed",
+    oracle="""
+    SELECT p.p_partkey,
+           count(*) AS n_in_band,
+           round(sum(l.l_quantity), 2) AS qty_in_band
+    FROM part p
+    JOIN lineitem l
+      ON (l.l_extendedprice / l.l_quantity) BETWEEN p.p_retailprice * 0.98
+                                                AND p.p_retailprice * 1.02
+    GROUP BY p.p_partkey
+    """,
+    tags=("join", "range", "custom-op"),
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (point-in-interval) executed as a bucketed EQUI-join
+    (operators.joins.range_join) instead of the nested-loop plan the
+    BETWEEN predicate would otherwise force — the scale path for
+    non-equi joins. The oracle runs the plain BETWEEN join."""
+    from flink_1_16_0_src_spark.operators.joins import range_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_retailprice") * 0.98).alias("lo"),
+        (F.col("p_retailprice") * 1.02).alias("hi"),
+    )
+    joined = range_join(li, p, "unit_price", ("lo", "hi"), width=50.0)
+    return joined.groupBy("p_partkey").agg(
+        F.count("*").alias("n_in_band"),
+        F.round(F.sum("l_quantity"), 2).alias("qty_in_band"),
+    )

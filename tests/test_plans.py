@@ -130,3 +130,11 @@ def test_bucketed_join_eliminates_exchange(spark):
         assert joined.count() == shuffled.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
+def test_range_join_is_equi_not_nlj(spark):
+    """The bucketed range join must plan as a hash/sort-merge EQUI join
+    — no BroadcastNestedLoopJoin / CartesianProduct."""
+    plan = _plan(spark, "join_range_bucketed")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
