@@ -161,3 +161,47 @@ def tvf_session_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session(ev, "ts", "2 hours", "user_id").select(
         "user_id", "event_id", "window_start", "window_end"
     )
+
+
+@query(
+    "rollup_hypertable_multires",
+    oracle="""
+    WITH lv AS (
+      SELECT '1 hour' AS resolution, date_trunc('hour', ts) AS bucket_start,
+             event_type, count("value") AS cnt,
+             sum("value") AS raw_total,
+             round(min("value"), 4) AS vmin, round(max("value"), 4) AS vmax
+      FROM events GROUP BY 2, 3
+      UNION ALL
+      SELECT '1 day', date_trunc('day', ts), event_type, count("value"),
+             sum("value"), round(min("value"), 4), round(max("value"), 4)
+      FROM events GROUP BY 2, 3
+    )
+    SELECT resolution, bucket_start, event_type, cnt,
+           round(raw_total, 2) AS total, vmin, vmax,
+           round(raw_total / cnt, 4) AS avg_v
+    FROM lv
+    """,
+    tags=("rollup", "window-tvf", "custom-op"),
+)
+def rollup_hypertable_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup: hour + day resolutions, the day level
+    re-aggregated FROM the hour level (one raw scan total). The oracle
+    recomputes both levels from raw — equality proves re-aggregation
+    is lossless."""
+    from flink_1_16_0_src_spark.operators.rollup import hypertable_rollup
+
+    ev = load(spark, sf_dir, "events")
+    out = hypertable_rollup(
+        ev, "ts", ["event_type"], "value", resolutions=["1 hour", "1 day"]
+    )
+    return out.select(
+        "resolution",
+        "bucket_start",
+        "event_type",
+        "cnt",
+        F.round("total", 2).alias("total"),
+        F.round("vmin", 4).alias("vmin"),
+        F.round("vmax", 4).alias("vmax"),
+        F.round(F.col("total") / F.col("cnt"), 4).alias("avg_v"),
+    )
