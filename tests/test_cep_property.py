@@ -144,3 +144,33 @@ def test_mask_path_equivalent_quantifier_free(seq, after_match):
     got = cep.match_sequence_masks(masks, len(seq), steps, after_match)
     as_idx = [{v: [r["i"] for r in rs] for v, rs in m.items()} for m in expected]
     assert got == as_idx
+
+
+# ---- range-join bucket expansion ≡ brute force (pure logic twin of
+# operators.joins.range_join: bucket membership must be exact at
+# boundaries, negative values, and zero-width intervals) ----
+
+@given(
+    st.lists(st.integers(-50, 50), min_size=0, max_size=30),
+    st.lists(st.tuples(st.integers(-50, 50), st.integers(0, 20)), min_size=0, max_size=15),
+    st.sampled_from([1, 3, 7, 50]),
+)
+@settings(max_examples=200, deadline=None)
+def test_range_join_bucketing_exact(points, spans, width):
+    import math
+
+    intervals = [(lo, lo + w) for lo, w in spans]
+    brute = {
+        (i, j)
+        for i, p in enumerate(points)
+        for j, (lo, hi) in enumerate(intervals)
+        if lo <= p <= hi
+    }
+    bucketed = set()
+    for i, p in enumerate(points):
+        pb = math.floor(p / width)
+        for j, (lo, hi) in enumerate(intervals):
+            buckets = range(math.floor(lo / width), math.floor(hi / width) + 1)
+            if pb in buckets and lo <= p <= hi:
+                bucketed.add((i, j))
+    assert bucketed == brute
