@@ -65,16 +65,19 @@ class Step:
     expr: str | None = None
 
     @staticmethod
-    def star(var: str, predicate: Predicate, vec: Callable | None = None) -> "Step":
-        return Step(var, predicate, 0, None, vec)
+    def star(var: str, predicate: Predicate, vec: Callable | None = None,
+             expr: str | None = None) -> "Step":
+        return Step(var, predicate, 0, None, vec, expr)
 
     @staticmethod
-    def plus(var: str, predicate: Predicate, vec: Callable | None = None) -> "Step":
-        return Step(var, predicate, 1, None, vec)
+    def plus(var: str, predicate: Predicate, vec: Callable | None = None,
+             expr: str | None = None) -> "Step":
+        return Step(var, predicate, 1, None, vec, expr)
 
     @staticmethod
-    def opt(var: str, predicate: Predicate, vec: Callable | None = None) -> "Step":
-        return Step(var, predicate, 0, 1, vec)
+    def opt(var: str, predicate: Predicate, vec: Callable | None = None,
+            expr: str | None = None) -> "Step":
+        return Step(var, predicate, 0, 1, vec, expr)
 
 
 def _match_at(
