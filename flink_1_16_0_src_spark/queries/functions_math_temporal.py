@@ -34,6 +34,7 @@ from flink_1_16_0_src_spark.tables import load
     tags=("functions", "math"),
 )
 def func_math_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic core: +,-,*,/, mod, abs, exp, ln/log10/log2, power, sqrt, sign, round (BuiltInFunctionDefinitions.java:960-1411)."""
     li = load(spark, sf_dir, "lineitem").where(
         (F.col("l_linenumber") == 1) & (F.col("l_extendedprice") > 0)
     )
@@ -75,6 +76,7 @@ def func_math_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("functions", "math"),
 )
 def func_math_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trig family sin/cos/tan/asin/acos/atan/atan2 + degrees/radians (BuiltInFunctionDefinitions.java trig block)."""
     n = load(spark, sf_dir, "nation")
     k = F.col("n_nationkey")
     return n.select(

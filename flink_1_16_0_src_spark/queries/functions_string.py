@@ -37,6 +37,7 @@ from flink_1_16_0_src_spark.tables import load
     tags=("functions", "string"),
 )
 def func_string_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """charLength/initCap-adjacent basics: lower/upper, trim, concat/concat_ws, substring, replace, repeat, reverse, ascii/chr (BuiltInFunctionDefinitions.java:501-935)."""
     c = load(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",

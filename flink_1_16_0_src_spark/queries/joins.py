@@ -38,6 +38,7 @@ from flink_1_16_0_src_spark.tables import load
     tags=("join",),
 )
 def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain equi inner join orders x lineitem (BatchExecHashJoin.java:55 shape)."""
     o, c = load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer")
     return (
         o.join(c, o.o_custkey == c.c_custkey, "inner")
@@ -74,6 +75,7 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join",),
 )
 def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join with nulls on the unmatched build side (FlinkJoinType RIGHT)."""
     s, n = load(spark, sf_dir, "supplier"), load(spark, sf_dir, "nation")
     return s.join(n, s.s_nationkey == n.n_nationkey, "right").select(
         "n_name", "s_name", F.round("s_acctbal", 2).alias("bal")
@@ -92,6 +94,7 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join",),
 )
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — both sides null-padded (SortMergeJoinOperator full-outer iterators)."""
     c = load(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000).select("c_custkey", "c_acctbal")
     s = load(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 5000).select("s_suppkey", "s_acctbal")
     return c.join(s, c.c_custkey == s.s_suppkey, "full").select(
@@ -129,6 +132,7 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join",),
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS -> left anti join (FlinkJoinType ANTI; customers with no orders)."""
     o, c = load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 

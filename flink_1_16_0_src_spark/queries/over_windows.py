@@ -29,6 +29,7 @@ from flink_1_16_0_src_spark.tables import load
     tags=("over",),
 )
 def over_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW_NUMBER/RANK/DENSE_RANK over partitioned ordered windows (RankAggFunction family)."""
     o = load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     return o.select(
@@ -53,6 +54,7 @@ def over_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("over",),
 )
 def over_percent_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK/CUME_DIST/NTILE window functions (PercentRankAggFunction, NTILEAggFunction)."""
     o = load(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return o.select(

@@ -56,6 +56,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pipeline", "similarity"),
 )
 def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs with cosine >= threshold (query side broadcast, corpus streamed)."""
     emb = load(spark, sf_dir, "embeddings")
     return threshold_pairs(
         emb.where(F.col("vec_id") < 25), emb, "embedding", "vec_id", threshold=0.25

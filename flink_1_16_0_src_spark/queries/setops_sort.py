@@ -79,6 +79,7 @@ def _orders_split(spark: SparkSession, sf_dir: str):
     tags=("setop",),
 )
 def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (StreamExecUnion.java:45 / BatchExecUnion)."""
     a, b = _orders_split(spark, sf_dir)
     return a.unionAll(b)
 
@@ -93,6 +94,7 @@ def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("setop",),
 )
 def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — union + agg-dedup rewrite (Calcite UNION_TO_DISTINCT)."""
     a, b = _orders_split(spark, sf_dir)
     return a.union(b).distinct()
 
@@ -107,6 +109,7 @@ def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("setop",),
 )
 def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT -> semi-join rewrite (ReplaceIntersectWithSemiJoinRule.scala)."""
     a, b = _orders_split(spark, sf_dir)
     return a.intersect(b)
 
@@ -137,6 +140,7 @@ def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("setop",),
 )
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT -> anti-join rewrite (ReplaceMinusWithAntiJoinRule.scala)."""
     a, b = _orders_split(spark, sf_dir)
     return a.subtract(b)
 
@@ -151,6 +155,7 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("setop",),
 )
 def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL -> counted replication rewrite (RewriteMinusAllRule.scala)."""
     a, b = _orders_split(spark, sf_dir)
     return a.exceptAll(b)
 

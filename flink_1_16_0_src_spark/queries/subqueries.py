@@ -32,6 +32,7 @@ WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
 
 @query("subq_scalar_uncorrelated", oracle=_SCALAR, tags=("subquery",))
 def subq_scalar_uncorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in WHERE (orders above 2x the average price)."""
     return _sql(spark, sf_dir, _SCALAR)
 
 

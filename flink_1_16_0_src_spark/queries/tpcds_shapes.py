@@ -35,13 +35,13 @@ def _sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
 
 
 def _register(name: str, sql: str, doc: str):
-    @query(name, oracle=sql, tags=("tpcds-shape",))
     def _q(spark: SparkSession, sf_dir: str, _sql_text=sql) -> DataFrame:
         return _sql(spark, sf_dir, _sql_text)
 
+    # doc/name must be set BEFORE the decorator captures them
     _q.__doc__ = doc
     _q.__name__ = name
-    return _q
+    return query(name, oracle=sql, tags=("tpcds-shape",))(_q)
 
 
 _register(

@@ -35,6 +35,7 @@ from flink_1_16_0_src_spark.tables import load
     tags=("window-tvf",),
 )
 def tvf_tumble_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TUMBLE window TVF aggregation (SqlTumbleTableFunction.java:37; window() builtin)."""
     ev = tumble(load(spark, sf_dir, "events"), "ts", "1 hour")
     return ev.groupBy("window_start", "event_type").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
