@@ -273,3 +273,42 @@ def func_decimal_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(price * disc).cast("decimal(38,4)").alias("dec_revenue"),
         (F.sum(price).cast("decimal(38,10)") / F.count("*")).cast("decimal(38,6)").alias("dec_div"),
     )
+
+
+@query(
+    "func_extract_fields",
+    oracle="""
+    SELECT event_id,
+           year(ts)  AS y, quarter(ts) AS q, month(ts) AS mo,
+           weekofyear(ts) AS iso_week,
+           dayofweek(ts) + 1 AS dow_sun1,
+           isodow(ts) AS iso_dow,
+           dayofyear(ts) AS doy,
+           hour(ts) AS h, minute(ts) AS mi,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+           last_day(ts)::DATE::VARCHAR AS month_end
+    FROM events WHERE event_id < 2000
+    """,
+    tags=("functions", "temporal"),
+)
+def func_extract_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTRACT field parity (BuiltInFunctionDefinitions.java:1439
+    extract): YEAR/QUARTER/MONTH/ISO week/day-of-week (Spark numbers
+    Sunday=1, DuckDB Sunday=0 — oracle normalizes +1), ISO dow,
+    DOY/HOUR/MINUTE/EPOCH, LAST_DAY. These numberings are exactly
+    where engines diverge; the oracle pins ours."""
+    ev = load(spark, sf_dir, "events").where("event_id < 2000")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.quarter("ts").alias("q"),
+        F.month("ts").alias("mo"),
+        F.weekofyear("ts").alias("iso_week"),
+        F.dayofweek("ts").alias("dow_sun1"),
+        F.expr("extract(DAYOFWEEK_ISO FROM ts)").alias("iso_dow"),
+        F.dayofyear("ts").alias("doy"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.last_day("ts").cast("string").alias("month_end"),
+    )
