@@ -44,6 +44,37 @@ def temporal_overlaps(
     return (start1 <= end2) & (start2 <= end1)
 
 
+def time_of_day_millis(ts: Column | str) -> Column:
+    """TIME(p) representation (T-COMMON/types/logical/TimeType.java;
+    runtime stores TIME as int millis-of-day, RowData.java getInt).
+    Spark has no TIME type — SURVEY §1.3 maps it to an integer
+    millis-of-day column. Millis within the minute come from the epoch
+    so sub-second precision survives (unix_timestamp would truncate)."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return (
+        F.hour(c).cast("bigint") * 3600000
+        + F.minute(c).cast("bigint") * 60000
+        + (F.unix_micros(c) / 1000).cast("bigint") % 60000
+    )
+
+
+def time_from_millis(millis: Column | str) -> Column:
+    """Render an int millis-of-day TIME value as 'HH:mm:ss.SSS' (the
+    inverse of time_of_day_millis, for sinks/display — Flink's
+    TimeType casts to string the same way)."""
+    c = F.col(millis) if isinstance(millis, str) else millis
+    return F.concat_ws(
+        ":",
+        F.lpad((c / 3600000).cast("bigint").cast("string"), 2, "0"),
+        F.lpad(((c / 60000).cast("bigint") % 60).cast("string"), 2, "0"),
+        F.concat(
+            F.lpad(((c / 1000).cast("bigint") % 60).cast("string"), 2, "0"),
+            F.lit("."),
+            F.lpad((c % 1000).cast("string"), 3, "0"),
+        ),
+    )
+
+
 def single_value(col: Column | str) -> Column:
     """SINGLE_VALUE aggregate (SingleValueAggFunction.java): returns the
     group's only value, raises if the group has more than one row —

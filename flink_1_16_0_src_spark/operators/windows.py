@@ -27,12 +27,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def tumble(df: DataFrame, ts: str, size: str) -> DataFrame:
-    return _with_window(df, F.window(ts, size))
+def tumble(df: DataFrame, ts: str, size: str, offset: str | None = None) -> DataFrame:
+    """TUMBLE(ts, size [, offset]) — the optional offset shifts window
+    boundaries (SqlTumbleTableFunction.java:37 third operand;
+    TumblingWindowAssigner.withOffset). Spark: window()'s startTime."""
+    if offset is None:
+        return _with_window(df, F.window(ts, size))
+    return _with_window(df, F.window(ts, size, size, offset))
 
 
-def hop(df: DataFrame, ts: str, slide: str, size: str) -> DataFrame:
-    return _with_window(df, F.window(ts, size, slide))
+def hop(df: DataFrame, ts: str, slide: str, size: str, offset: str | None = None) -> DataFrame:
+    if offset is None:
+        return _with_window(df, F.window(ts, size, slide))
+    return _with_window(df, F.window(ts, size, slide, offset))
 
 
 def _with_window(df: DataFrame, w: Column) -> DataFrame:

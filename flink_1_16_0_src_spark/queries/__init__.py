@@ -10,6 +10,7 @@ from flink_1_16_0_src_spark.queries import (  # noqa: F401
     functions_json_cond,
     functions_math_temporal,
     functions_string,
+    functions_types,
     joins,
     over_windows,
     pipeline_dedup,

@@ -146,6 +146,65 @@ GROUP BY ROLLUP (p_type, p_brand)
 )
 
 _register(
+    "tpcds_q38_intersect_count",
+    """
+SELECT count(*) AS cnt FROM (
+  SELECT DISTINCT o_custkey, year(o_orderdate) AS yr
+  FROM orders WHERE o_orderstatus = 'O'
+  INTERSECT
+  SELECT DISTINCT o_custkey, year(o_orderdate) AS yr
+  FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT
+  SELECT DISTINCT o_custkey, year(o_orderdate) AS yr
+  FROM orders WHERE o_orderstatus = 'P'
+) t
+""",
+    "TPC-DS q38 shape: COUNT over a three-way multi-column INTERSECT "
+    "of per-channel distinct customer/date tuples (anti-join chain "
+    "after Catalyst's ReplaceIntersectWithSemiJoin).",
+)
+
+_register(
+    "tpcds_q87_except_count",
+    """
+SELECT count(*) AS cnt FROM (
+  SELECT DISTINCT o_custkey, year(o_orderdate) AS yr
+  FROM orders WHERE o_orderstatus = 'O'
+  EXCEPT
+  SELECT DISTINCT o_custkey, year(o_orderdate) AS yr
+  FROM orders WHERE o_orderstatus = 'F'
+  EXCEPT
+  SELECT DISTINCT o_custkey, year(o_orderdate) AS yr
+  FROM orders WHERE o_orderstatus = 'P'
+) t
+""",
+    "TPC-DS q87 shape: chained multi-column EXCEPT feeding a COUNT "
+    "(ReplaceExceptWithAntiJoin path).",
+)
+
+_register(
+    "tpcds_q95_exists_chain",
+    """
+SELECT count(DISTINCT o.o_orderkey) AS order_cnt,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o
+WHERE o.o_orderstatus = 'F'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l1 JOIN lineitem l2
+      ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+    WHERE l1.l_orderkey = o.o_orderkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = o.o_orderkey AND l3.l_returnflag = 'R'
+  )
+""",
+    "TPC-DS q95 shape: correlated EXISTS over a self-joined fact "
+    "(multi-supplier orders) plus a NOT EXISTS filter — semi- and "
+    "anti-join against the same fact table in one query.",
+)
+
+_register(
     "tpcds_q49_union_ranked_channels",
     """
 WITH ranked AS (

@@ -43,6 +43,27 @@ def tvf_tumble_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tvf_tumble_offset_agg",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '15 minutes') AS window_start,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("window-tvf",),
+)
+def tvf_tumble_offset_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TUMBLE with a window OFFSET (SqlTumbleTableFunction.java:37
+    optional third operand; TumblingWindowAssigner.withOffset): hourly
+    windows shifted to :15 boundaries via window()'s startTime."""
+    ev = tumble(load(spark, sf_dir, "events"), "ts", "1 hour", offset="15 minutes")
+    return ev.groupBy("window_start").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+@query(
     "tvf_hop_agg",
     oracle="""
     SELECT time_bucket(INTERVAL '10 minutes', e.ts) - (j.j * INTERVAL '10 minutes') AS window_start,

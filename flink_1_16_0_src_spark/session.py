@@ -36,6 +36,10 @@ def get_spark(app_name: str = "flink_1_16_0_src_spark", cpus: str | None = None)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # large heaps go long stretches without a full GC, so the
+        # ContextCleaner (triggered by driver GC) never releases dead
+        # broadcasts/shuffle files on long-running sessions
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # fixture events.parquet stores TIMESTAMP(NANOS); read as long + convert (tables.load)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
