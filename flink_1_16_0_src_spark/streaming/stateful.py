@@ -472,3 +472,82 @@ def foreach_batch_upsert(target_path: str, keys: list[str], order_col: str):
         os.rename(tmp, target_path)
 
     return apply
+
+
+def keyed_inactivity_timer(
+    sdf: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    timeout: str,
+) -> DataFrame:
+    """Per-key EVENT-TIME TIMERS — KeyedProcessFunction parity
+    (DS/api/functions/KeyedProcessFunction.java:52 +
+    SimpleTimerService.registerEventTimeTimer): every event re-arms the
+    key's timer at last_seen + ``timeout``; when the watermark passes
+    the armed time with no newer event, the timer FIRES and emits one
+    alert row (key, last_seen, n_events) and clears the key's state —
+    the inactivity-detection pattern from the reference's
+    ProcessFunction docs. Input must carry ``withWatermark`` on
+    ``ts_col`` (the harness's stream_table(watermark=...) does).
+
+    Spark mapping: ``GroupStateTimeout.EventTimeTimeout`` — the timer
+    callback is the ``state.hasTimedOut`` branch; watermark granularity
+    is the micro-batch boundary (documented skew, SURVEY §7.3 risk 3).
+    Scale: state is (last_seen, count) per key — O(1); one shuffle on
+    the key columns."""
+    import re as _re
+
+    m = _re.match(r"(\d+)\s*(ms|milliseconds?|s|seconds?|m|minutes?|h|hours?)$", timeout.strip())
+    if not m:
+        raise ValueError(f"unsupported timeout literal: {timeout!r}")
+    u = m.group(2)
+    if u in ("ms",) or u.startswith("milli"):
+        unit_ms = 1
+    else:
+        unit_ms = {"s": 1000, "m": 60000, "h": 3600000}[u[0]]
+    timeout_ms = int(m.group(1)) * unit_ms
+
+    key_fields = [f for f in sdf.schema.fields if f.name in keys]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("last_seen", next(f.dataType for f in sdf.schema.fields if f.name == ts_col)),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("last_ms", LongType()), StructField("n", LongType())]
+    )
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            last_ms, n = state.get
+            state.remove()
+            out = pd.DataFrame(
+                [tuple(key) + (pd.Timestamp(last_ms, unit="ms"), n)],
+                columns=[f.name for f in out_schema.fields],
+            )
+            yield out
+            return
+        last_ms, n = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ts_ms = (
+                pd.to_datetime(pdf[ts_col]).astype("datetime64[ns]").astype("int64") // 1_000_000
+            )
+            mx = int(ts_ms.max())
+            last_ms = mx if last_ms is None else max(last_ms, mx)
+            n += len(pdf)
+        if last_ms is not None:
+            state.update((int(last_ms), int(n)))
+            # a timer armed at-or-before the watermark would be rejected;
+            # clamp to wm+1 so it fires on the next batch (same behavior
+            # as Flink registering an already-elapsed event-time timer)
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(last_ms + timeout_ms, wm + 1))
+        yield pd.DataFrame(columns=[f.name for f in out_schema.fields])
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )

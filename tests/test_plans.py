@@ -138,3 +138,31 @@ def test_range_join_is_equi_not_nlj(spark):
     plan = _plan(spark, "join_range_bucketed")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """SURVEY §4.1 batch extras: Flink's dynamic partition pruning
+    (BatchExecDynamicFilteringDataCollector) maps to Catalyst DPP —
+    assert a partitioned fact joined to a filtered dim gets a
+    dynamicpruning subquery on the partition column, so only matching
+    partitions are scanned."""
+    from pyspark.sql import functions as F
+
+    from flink_1_16_0_src_spark import tables
+
+    li = tables.load(spark, SF_DIR, "lineitem").withColumn("yr", F.year("l_shipdate"))
+    path = str(tmp_path / "li_by_year")
+    li.write.partitionBy("yr").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(1995, "keep"), (1996, "drop")], "yr int, tag string"
+    ).where(F.col("tag") == "keep")
+    plan = (
+        fact.join(dim, "yr")
+        .groupBy("yr")
+        .count()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower(), plan[:2000]

@@ -286,3 +286,32 @@ def test_streaming_over_bounded_rows_matches_batch(spark):
     # batch window; the overwhelming majority must agree exactly
     assert mismatch <= len(g) * 0.02, f"{mismatch}/{len(g)} frames differ"
     assert len(g) == ev.count()
+
+
+def test_keyed_inactivity_timer_fires_on_watermark(spark, tmp_path):
+    import pandas as pd
+
+    # batch 1: keys A and B active around t0. batch 2/3: only B keeps
+    # sending, pushing the watermark past A's timer -> A's alert fires;
+    # B stays live (its re-armed timer is beyond the final watermark).
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    b1 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["A", "A", "B"],
+                "ts": [t0, t0 + pd.Timedelta(seconds=10), t0 + pd.Timedelta(seconds=10)],
+                "v": [1.0, 2.0, 3.0],
+            }
+        )
+    )
+    b2 = spark.createDataFrame(
+        pd.DataFrame({"k": ["B"], "ts": [t0 + pd.Timedelta(minutes=2)], "v": [4.0]})
+    )
+    b3 = spark.createDataFrame(
+        pd.DataFrame({"k": ["B"], "ts": [t0 + pd.Timedelta(minutes=4)], "v": [5.0]})
+    )
+    sdf = scripted_stream(spark, [b1, b2, b3], tmp_path).withWatermark("ts", "5 seconds")
+    out = stateful.keyed_inactivity_timer(sdf, ["k"], "ts", "30 seconds")
+    got = sources.run_to_memory(out, "s_timer", "append")
+    rows = [(r.k, r.last_seen.isoformat(), r.n_events) for r in got.collect()]
+    assert rows == [("A", "2024-01-01T00:00:10", 2)]
