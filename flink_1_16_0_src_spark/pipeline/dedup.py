@@ -125,24 +125,29 @@ def jaccard_verify(
     threshold: float,
     k: int = 3,
 ) -> DataFrame:
-    """Exact k-shingle Jaccard on candidate pairs only. Texts are
-    joined to the (small) candidate set FIRST and shingle sets computed
-    on the surviving rows only — shingling the whole corpus a second
-    time was a full extra pass; the candidate set is broadcast so
-    neither text join shuffles the corpus."""
-    texts = df.select(F.col(id_col), F.col(text_col))
-    a = texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
-    b = texts.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
-    joined = (
-        a.join(F.broadcast(candidates), "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            shingles("__ta", k).alias("__set_a"),
-            shingles("__tb", k).alias("__set_b"),
-        )
+    """Exact k-shingle Jaccard on candidate pairs only. Each candidate
+    DOCUMENT is shingled exactly once in a pre-join projection and the
+    pair join consumes the finished arrays. Shingling per PAIR (the
+    obvious join-texts-then-shingle shape) is a trap: the shingle
+    expression is a higher-order ``transform`` lambda, which disables
+    whole-stage codegen for the enclosing operators, and the
+    interpreted evaluator has no subexpression elimination — the
+    filter + double array op re-evaluated the whole shingle tree ~6x
+    per pair (measured ~10-20ms/pair at sf0.1). Keeping the lambda in
+    its own per-doc projection bounds it to one eval per candidate doc
+    regardless of how many pairs the doc appears in — at 100 TB the
+    candidate-doc set is the small side by LSH construction."""
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
+    sets_ = df.join(F.broadcast(cand_ids), id_col).select(
+        F.col(id_col), shingles(text_col, k).alias("__set")
+    )
+    a = sets_.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__set_a"))
+    b = sets_.select(F.col(id_col).alias("id_b"), F.col("__set").alias("__set_b"))
+    joined = candidates.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("__set_a", "__set_b"))
     union = F.size(F.array_union("__set_a", "__set_b"))
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
