@@ -107,3 +107,93 @@ def lsh_bucket(
         term = F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = term if bucket is None else bucket + term
     return df.select(F.col(id_col), bucket.cast("int").alias("bucket"))
+
+
+def _l2sq_to_seed(vec: Column, seed: list[float]) -> Column:
+    """Squared L2 distance from an array<double> column to a literal
+    centroid — a left-fold over zip_with, so the summation order is the
+    ascending dimension index (the oracle's generate_series order)."""
+    sarr = F.array(*[F.lit(float(x)) for x in seed])
+    return F.aggregate(
+        F.zip_with(vec, sarr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_assign(df: DataFrame, vec_col: str, id_col: str, seeds: list[list[float]]) -> DataFrame:
+    """IVF coarse quantizer: each vector joins the cell of its nearest
+    seed centroid. Ties break to the lowest cell id (array_position
+    returns the FIRST minimum). Map-only — no explode, no shuffle: the
+    n_cells distances are sibling expressions in one projection, the
+    same shape as the minhash permutation fold."""
+    v = F.col(vec_col).cast("array<double>")
+    dists = F.array(*[_l2sq_to_seed(v, s) for s in seeds])
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        dists.alias("__dists"),
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cell"),
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_pred: Column,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into ``n_cells``
+    inverted lists, probe each query's ``nprobe`` nearest cells, exact
+    cosine rerank inside the probed cells only — work is
+    |Q|·|corpus|/n_cells·nprobe instead of |Q|·|corpus|.
+
+    Seeds are the ``n_cells`` lowest-id vectors (deterministic, no
+    training RNG); the centroid table is collected driver-side — k×dim
+    floats, the classic bounded coordination state of an IVF/k-means
+    quantizer, never O(corpus). At 100 TB: assignment is a map-only
+    pass over the corpus; the probe join shuffles on the cell id, whose
+    cardinality (n_cells) caps skew; raise n_cells so cells fit a
+    partition."""
+    seeds_rows = df.where(F.col(id_col) < n_cells).select(id_col, vec_col).collect()
+    seeds = [list(map(float, r[1])) for r in sorted(seeds_rows, key=lambda r: r[0])]
+    assigned = ivf_assign(df, vec_col, id_col, seeds)
+    corpus = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vc"), "cell"
+    )
+    q = assigned.where(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__vq"), "__dists"
+    )
+    # nprobe nearest cells: repeated first-minimum with the taken cell
+    # masked out — identical tie behavior to sorting by (distance, cell)
+    probe_cols = []
+    cur = F.col("__dists")
+    for i in range(nprobe):
+        q = q.withColumn(f"__p{i}", (F.array_position(cur, F.array_min(cur)) - 1).cast("int"))
+        taken = F.col(f"__p{i}")
+        nxt = F.transform(
+            cur, lambda x, j: F.when(j == taken, F.lit(float("inf"))).otherwise(x)
+        )
+        q = q.withColumn(f"__d{i}", nxt)
+        cur = F.col(f"__d{i}")
+        probe_cols.append(f"__p{i}")
+    probes = q.select(
+        "query_id", "__vq", F.explode(F.array(*[F.col(c) for c in probe_cols])).alias("cell")
+    )
+    joined = probes.join(corpus, "cell").where(F.col("neighbor_id") != F.col("query_id"))
+    cos = _cosine(F.col("__vq"), F.col("__vc"))
+    w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), "neighbor_id")
+    return (
+        joined.select("query_id", "neighbor_id", cos.alias("__cos"))
+        .withColumn("rank_num", F.row_number().over(w))
+        .where(F.col("rank_num") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__cos"), 4).alias("cosine"),
+            "rank_num",
+        )
+    )

@@ -136,3 +136,54 @@ def sim_bucket_join_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_cosine(F.col("__va"), F.col("__vb")), 4).alias("cosine"),
         )
     )
+
+
+@query(
+    "sim_ivf_topk",
+    oracle="""
+    WITH seeds AS (
+      SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < 8
+    ),
+    dists AS (
+      SELECT e.vec_id, s.cell,
+             list_sum(list_transform(generate_series(1, len(e.embedding)),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - s.cvec[i])
+                  * (CAST(e.embedding[i] AS DOUBLE) - s.cvec[i]))) AS d
+      FROM embeddings e, seeds s
+    ),
+    ranked AS (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      FROM dists
+    ),
+    assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id, cell FROM ranked WHERE rn <= 2 AND vec_id % 50 = 0)
+    SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank_num FROM (
+      SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) AS cos,
+             row_number() OVER (PARTITION BY p.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[])) DESC,
+                        a.vec_id) AS rank_num
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+      JOIN embeddings q ON q.vec_id = p.vec_id
+      JOIN embeddings c ON c.vec_id = a.vec_id
+    ) WHERE rank_num <= 5
+    """,
+    tags=("pipeline", "similarity", "custom-op"),
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (the scale path next to LSH): 8 inverted cells seeded by
+    the lowest-id vectors, queries probe their 2 nearest cells, exact
+    cosine top-5 rerank inside probed cells — |Q|x|C|/4 work vs brute
+    force. Centroids are driver-held k x dim state, assignment is a
+    map-only pass."""
+    from flink_1_16_0_src_spark.pipeline.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, "embedding", "vec_id", F.col("vec_id") % 50 == 0, k=5, n_cells=8, nprobe=2
+    )
