@@ -142,5 +142,111 @@ class TableEnvironment:
     def sql_query(self, sql: str) -> DataFrame:
         return self.spark.sql(sql)
 
+    def create_statement_set(self) -> "StatementSet":
+        """TableEnvironment.createStatementSet (T-API
+        StatementSet.java): buffer INSERTs, execute as one shared-plan
+        job."""
+        return StatementSet(self)
+
     def from_path(self, path: str, fmt: str = "parquet") -> DataFrame:
         return getattr(self.spark.read, fmt)(path)
+
+
+class StatementSet:
+    """Multi-sink statement set — StatementSet.java (T-API) /
+    StreamStatementSet parity. Flink optimizes all buffered INSERTs as
+    ONE DAG, computing common sub-plans once
+    (StreamCommonSubGraphBasedOptimizer.scala:49 splits the multi-sink
+    DAG into shared sub-graphs). Spark has no multi-sink job, so
+    ``execute()`` reproduces the sharing explicitly: it finds the
+    maximal analyzed sub-plans appearing in 2+ buffered statements,
+    persists each once (Spark's CacheManager then substitutes the
+    cached relation into every consumer automatically), runs the sinks
+    sequentially, and unpersists.
+
+    Bare table scans are never persisted — re-reading columnar parquet
+    is cheaper than materializing a 100 TB scan; sharing starts at the
+    first non-leaf operator (filtered/projected/aggregated prefix).
+    """
+
+    def __init__(self, tenv: "TableEnvironment"):
+        self._tenv = tenv
+        self._inserts: list[tuple[str, DataFrame]] = []
+
+    def add_insert(self, sink_name: str, df: DataFrame) -> "StatementSet":
+        self._inserts.append((sink_name, df))
+        return self
+
+    def add_insert_sql(self, sql: str) -> "StatementSet":
+        mi = _INSERT_INTO.match(sql.strip())
+        if not mi:
+            raise ValueError("statement must be INSERT INTO <sink> <query>")
+        return self.add_insert(mi.group(1), self._tenv.spark.sql(mi.group(2)))
+
+    def _maximal_shared(self) -> list:
+        """Maximal analyzed subtrees occurring in >= 2 statements
+        (keyed by canonicalized semantic hash; leaves excluded)."""
+        plans = [df._jdf.queryExecution().analyzed() for _, df in self._inserts]
+
+        def subtrees(p, acc):
+            acc.append(p)
+            ch = p.children()
+            for i in range(ch.size()):
+                subtrees(ch.apply(i), acc)
+
+        occur: dict[int, set] = {}
+        node_by_key: dict[int, object] = {}
+        for si, p in enumerate(plans):
+            acc: list = []
+            subtrees(p, acc)
+            for t in acc:
+                key = t.semanticHash()
+                occur.setdefault(key, set()).add(si)
+                node_by_key[key] = t
+        shared = {k for k, s in occur.items() if len(s) > 1}
+
+        maximal: dict[int, object] = {}
+
+        def walk(p):
+            key = p.semanticHash()
+            if key in shared and p.children().size() > 0:
+                maximal[key] = node_by_key[key]
+                return  # don't descend: parent subsumes children
+            ch = p.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i))
+
+        for p in plans:
+            walk(p)
+        return list(maximal.values())
+
+    def execute(self) -> dict:
+        from pyspark.sql import DataFrame as PyDataFrame
+
+        from flink_1_16_0_src_spark import sources as srcs
+
+        spark = self._tenv.spark
+        cached: list[DataFrame] = []
+        for jnode in self._maximal_shared():
+            jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                spark._jsparkSession, jnode
+            )
+            pdf = PyDataFrame(jdf, spark)
+            pdf.persist()
+            cached.append(pdf)
+        try:
+            for sink_name, df in self._inserts:
+                sink = self._tenv._sinks.get(sink_name)
+                if sink is None:
+                    raise KeyError(f"unknown sink table {sink_name!r}")
+                srcs.write_table(
+                    df,
+                    sink["props"].get("path"),
+                    sink["connector"],
+                    sink["props"].get("format", "parquet"),
+                    sink["props"],
+                )
+        finally:
+            for pdf in cached:
+                pdf.unpersist()
+        return {"statements": len(self._inserts), "shared_subplans": len(cached)}

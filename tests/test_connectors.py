@@ -128,3 +128,46 @@ def test_metadata_columns(spark):
     out = with_metadata_columns(df)
     row = out.select("meta_file_name", "meta_file_size").first()
     assert row.meta_file_name == "nation.parquet" and row.meta_file_size > 0
+
+
+def test_statement_set_shares_common_subplan(spark, tmp_path):
+    """StatementSet parity (StreamCommonSubGraphBasedOptimizer): two
+    INSERTs over the same aggregate compute the shared sub-plan once
+    (persisted + CacheManager substitution), both sinks get correct
+    rows, and the shared scan-only prefix is NOT cached."""
+    from pyspark.sql import functions as F
+
+    tenv = TableEnvironment(spark)
+    s1, s2 = str(tmp_path / "hi"), str(tmp_path / "lo")
+    tenv.execute_sql(
+        f"CREATE TABLE sink_hi WITH ('connector'='filesystem','path'='{s1}','format'='parquet')"
+    )
+    tenv.execute_sql(
+        f"CREATE TABLE sink_lo WITH ('connector'='filesystem','path'='{s2}','format'='parquet')"
+    )
+    agg = (
+        tables.load(spark, SF_DIR, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("total"))
+    )
+    ss = tenv.create_statement_set()
+    ss.add_insert("sink_hi", agg.where(F.col("total") > 100000))
+    ss.add_insert("sink_lo", agg.where(F.col("total") <= 100000))
+    report = ss.execute()
+    assert report == {"statements": 2, "shared_subplans": 1}
+    hi = spark.read.parquet(s1)
+    lo = spark.read.parquet(s2)
+    assert hi.count() + lo.count() == agg.count()
+    assert hi.where(F.col("total") <= 100000).count() == 0
+    # a second set whose statements share only the bare scan caches nothing
+    o = tables.load(spark, SF_DIR, "orders")
+    ss2 = tenv.create_statement_set()
+    tenv.execute_sql(
+        f"CREATE TABLE sink_a WITH ('connector'='filesystem','path'='{tmp_path/'a'}','format'='parquet')"
+    )
+    tenv.execute_sql(
+        f"CREATE TABLE sink_b WITH ('connector'='filesystem','path'='{tmp_path/'b'}','format'='parquet')"
+    )
+    ss2.add_insert("sink_a", o.where(F.col("o_orderkey") % 2 == 0))
+    ss2.add_insert("sink_b", o.where(F.col("o_orderkey") % 2 == 1))
+    assert ss2.execute()["shared_subplans"] == 0
