@@ -1,0 +1,62 @@
+"""Embedding clustering — driver-coordinated Lloyd k-means over the
+IVF coarse quantizer (pipeline extra next to similarity search: cluster
+ids are the blocking/bucketing key for dedup, curation and IVF cells).
+
+Scale contract: centroids are k x dim floats held driver-side (the
+classic bounded coordination state — never O(corpus)); each iteration
+is ONE map-only assignment pass plus ONE groupBy whose shuffle is k
+rows x dim agg columns (dimension means fold as sibling avg() columns,
+map-side partials — no per-dimension row explode)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_1_16_0_src_spark.pipeline.similarity import ivf_assign
+
+
+def _centroid_means(assigned: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    v = F.col(vec_col).cast("array<double>")
+    return assigned.groupBy("cell").agg(
+        F.count("*").alias("n"),
+        *[F.avg(F.element_at(v, d + 1)).alias(f"m{d}") for d in range(dim)],
+    )
+
+
+def kmeans(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 3,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's algorithm with deterministic init (the ``k`` lowest-id
+    vectors seed the centroids — no RNG, reproducible across engines).
+    Returns (assignments with ``cell`` column, final centroids).
+    Empty clusters keep their previous centroid (the standard Lloyd
+    fallback)."""
+    seed_rows = df.where(F.col(id_col) < k).select(id_col, vec_col).collect()
+    cents = [list(map(float, r[1])) for r in sorted(seed_rows, key=lambda r: r[0])]
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = ivf_assign(df, vec_col, id_col, cents)
+        stats = _centroid_means(assigned, vec_col, dim).collect()
+        new = {int(r["cell"]): [float(r[f"m{d}"]) for d in range(dim)] for r in stats}
+        cents = [new.get(c, cents[c]) for c in range(k)]
+    return ivf_assign(df, vec_col, id_col, cents).drop("__dists"), cents
+
+
+def inertia(assigned: DataFrame, vec_col: str, cents: list[list[float]]) -> float:
+    """Sum of squared distances to the assigned centroid — the Lloyd
+    objective (non-increasing across iterations)."""
+    from flink_1_16_0_src_spark.pipeline.similarity import _l2sq_to_seed
+
+    v = F.col(vec_col).cast("array<double>")
+    # one masked distance term per centroid, summed — k sibling
+    # expressions, no row fan-out
+    expr = None
+    for c, cent in enumerate(cents):
+        t = F.when(F.col("cell") == c, _l2sq_to_seed(v, cent)).otherwise(F.lit(0.0))
+        expr = t if expr is None else expr + t
+    return assigned.select(F.sum(expr).alias("i")).collect()[0]["i"]

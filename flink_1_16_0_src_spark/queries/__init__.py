@@ -13,6 +13,7 @@ from flink_1_16_0_src_spark.queries import (  # noqa: F401
     functions_types,
     joins,
     over_windows,
+    pipeline_cluster,
     pipeline_dedup,
     pipeline_multimodal,
     pipeline_similarity,

@@ -1,0 +1,62 @@
+"""Clustering pipeline query — k-means centroid update with a DuckDB
+oracle replaying one exact Lloyd iteration (deterministic seed init,
+argmin ties to the lowest cell)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_1_16_0_src_spark.registry import query
+from flink_1_16_0_src_spark.tables import load
+
+
+@query(
+    "cluster_kmeans_update",
+    oracle="""
+    WITH seeds AS (
+      SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < 8
+    ),
+    dists AS (
+      SELECT e.vec_id, s.cell,
+             list_sum(list_transform(generate_series(1, len(e.embedding)),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - s.cvec[i])
+                  * (CAST(e.embedding[i] AS DOUBLE) - s.cvec[i]))) AS d
+      FROM embeddings e, seeds s
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    )
+    SELECT a.cell, CAST(count(*) AS BIGINT) AS n,
+           round(avg(CAST(e.embedding[1] AS DOUBLE)), 4) AS m0,
+           round(avg(CAST(e.embedding[2] AS DOUBLE)), 4) AS m1,
+           round(avg(CAST(e.embedding[3] AS DOUBLE)), 4) AS m2,
+           round(avg(CAST(e.embedding[4] AS DOUBLE)), 4) AS m3
+    FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+    GROUP BY a.cell
+    """,
+    tags=("pipeline", "cluster", "custom-op"),
+)
+def cluster_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd iteration: nearest-seed assignment (8 cells,
+    deterministic lowest-id seeds) then per-cluster sizes + dimension
+    means (first 4 dims, rounded) — the centroid-update shuffle is k
+    rows x dim sibling avg() columns, never a per-dimension explode."""
+    from flink_1_16_0_src_spark.pipeline.cluster import _centroid_means
+    from flink_1_16_0_src_spark.pipeline.similarity import ivf_assign
+
+    emb = load(spark, sf_dir, "embeddings")
+    seed_rows = emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    seeds = [list(map(float, r[1])) for r in sorted(seed_rows, key=lambda r: r[0])]
+    assigned = ivf_assign(emb, "embedding", "vec_id", seeds)
+    stats = _centroid_means(assigned, "embedding", dim=4)
+    return stats.select(
+        "cell",
+        F.col("n").cast("bigint").alias("n"),
+        *[F.round(F.col(f"m{d}"), 4).alias(f"m{d}") for d in range(4)],
+    )
