@@ -255,3 +255,219 @@ class GroupedTable:
 
     def agg(self, *exprs) -> Table:
         return Table(self._df.groupBy(*self._keys).agg(*_cols(exprs)))
+
+
+# ---- group windows (Tumble/Slide/Session descriptors, pyflink/table/window.py;
+# reference GroupWindowedTable / WindowGroupedTable in T-API table.py twins) ----
+
+
+class _GroupWindow:
+    """Resolved window descriptor: kind + durations + time column +
+    alias. ``spark_key()`` lowers it to the builtin window()/
+    session_window() grouping expression."""
+
+    def __init__(self, kind: str, size: str, slide: str | None, ts: Column | None, name: str | None):
+        self.kind, self.size, self.slide, self.ts, self.name = kind, size, slide, ts, name
+
+    def on(self, ts) -> "_GroupWindow":
+        self.ts = _cols([ts])[0]
+        return self
+
+    def alias(self, name: str) -> "_GroupWindow":
+        self.name = name
+        return self
+
+    def spark_key(self) -> Column:
+        if self.kind == "tumble":
+            w = F.window(self.ts, self.size)
+        elif self.kind == "slide":
+            w = F.window(self.ts, self.size, self.slide)
+        else:
+            w = F.session_window(self.ts, self.size)
+        return w.alias(self.name)
+
+
+class Tumble:
+    @staticmethod
+    def over(size: str) -> _GroupWindow:
+        return _GroupWindow("tumble", size, None, None, None)
+
+
+class Slide:
+    @staticmethod
+    def over(size: str) -> "_SlideBuilder":
+        return _SlideBuilder(size)
+
+
+class _SlideBuilder:
+    def __init__(self, size: str):
+        self._size = size
+
+    def every(self, slide: str) -> _GroupWindow:
+        return _GroupWindow("slide", self._size, slide, None, None)
+
+
+class Session:
+    @staticmethod
+    def with_gap(gap: str) -> _GroupWindow:
+        return _GroupWindow("session", gap, None, None, None)
+
+
+class WindowedTable:
+    """Table.window(Tumble.over(...).on(...).alias('w')) — group_by
+    must reference the window alias plus any keys (PyFlink
+    GroupWindowedTable contract)."""
+
+    def __init__(self, df: DataFrame, win: _GroupWindow):
+        self._df, self._win = df, win
+
+    def group_by(self, *keys) -> "GroupedTable":
+        spark_keys = []
+        for k in keys:
+            # the window alias is referenced as col('<name>'): compare
+            # the unresolved column reprs
+            if isinstance(k, Expr) and str(k._c) == str(F.col(self._win.name)):
+                spark_keys.append(self._win.spark_key())
+            else:
+                spark_keys.append(_cols([k])[0])
+        return WindowGroupedTable(self._df, spark_keys)
+
+
+class WindowGroupedTable(GroupedTable):
+    """PyFlink WindowGroupedTable: select() lists one projection per
+    grouping key first (window properties like col('w').start resolve
+    against the aggregated output), then the aggregates."""
+
+    def select(self, *exprs) -> "Table":
+        n_keys = len(self._keys)
+        cols = _cols(exprs)
+        out = self._df.groupBy(*self._keys).agg(*cols[n_keys:])
+        agg_names = out.columns[n_keys:]
+        return Table(out.select(*cols[:n_keys], *agg_names))
+
+
+# window_start/window_end accessors: col("w").start / col("w").end
+def _expr_start(self: Expr) -> Expr:
+    return Expr(self._c.getField("start"))
+
+
+def _expr_end(self: Expr) -> Expr:
+    return Expr(self._c.getField("end"))
+
+
+Expr.start = property(_expr_start)
+Expr.end = property(_expr_end)
+
+
+def _table_window(self: Table, win: _GroupWindow) -> WindowedTable:
+    if win.ts is None or win.name is None:
+        raise ValueError("window descriptor needs .on(col) and .alias(name)")
+    return WindowedTable(self._df, win)
+
+
+Table.window = _table_window
+
+
+# ---- OVER windows (pyflink Over descriptor → pyspark.sql.Window) ----
+
+
+class Over:
+    @staticmethod
+    def partition_by(*keys) -> "_OverBuilder":
+        return _OverBuilder(keys)
+
+    @staticmethod
+    def order_by(*exprs) -> "_OverBuilder":
+        return _OverBuilder(()).order_by(*exprs)
+
+
+class _OverBuilder:
+    """Over.partition_by(...).order_by(...).preceding(...).alias(name)
+    (pyflink/table/window.py Over). preceding accepts 'unbounded_range',
+    'unbounded_row', or an int row count; following defaults to
+    CURRENT ROW/RANGE like the reference."""
+
+    def __init__(self, keys):
+        from pyspark.sql import Window as W
+
+        self._keys = _cols(list(keys)) if keys else []
+        self._order: list[Column] = []
+        self._preceding: str | int = "unbounded_range"
+        self._name: str | None = None
+        self._W = W
+
+    def order_by(self, *exprs) -> "_OverBuilder":
+        self._order = _cols(exprs)
+        return self
+
+    def preceding(self, p: str | int) -> "_OverBuilder":
+        self._preceding = p
+        return self
+
+    def alias(self, name: str) -> "_OverBuilder":
+        self._name = name
+        return self
+
+    def spec(self):
+        w = self._W.partitionBy(*self._keys)
+        if self._order:
+            w = w.orderBy(*self._order)
+        if self._preceding == "unbounded_range":
+            w = w.rangeBetween(self._W.unboundedPreceding, self._W.currentRow)
+        elif self._preceding == "unbounded_row":
+            w = w.rowsBetween(self._W.unboundedPreceding, self._W.currentRow)
+        else:
+            w = w.rowsBetween(-int(self._preceding), self._W.currentRow)
+        return w
+
+
+class OverWindowedTable:
+    def __init__(self, df: DataFrame, over: _OverBuilder):
+        self._df, self._over = df, over
+
+    def select(self, *exprs) -> Table:
+        out = []
+        for e in exprs:
+            if isinstance(e, Expr) and getattr(e, "_pending_over", False):
+                c = e._c.over(self._over.spec())
+                name = getattr(e, "_over_alias", None)
+                out.append(c.alias(name) if name else c)
+            else:
+                out.append(_cols([e])[0])
+        return Table(self._df.select(*out))
+
+
+def _expr_over(self: Expr, _window_ref) -> Expr:
+    """col('b').sum.over(col('w')) — the aggregate is applied over the
+    enclosing over_window's spec at select time (the reference resolves
+    the alias the same way). A later .alias() is deferred until after
+    the OVER is attached (aliasing the bare aggregate first would make
+    Column.over illegal)."""
+    e = Expr(self._c)
+    e._pending_over = True
+    return e
+
+
+_expr_alias_plain = Expr.alias
+
+
+def _expr_alias(self: Expr, name: str) -> Expr:
+    if getattr(self, "_pending_over", False):
+        e = Expr(self._c)
+        e._pending_over = True
+        e._over_alias = name
+        return e
+    return _expr_alias_plain(self, name)
+
+
+Expr.alias = _expr_alias
+
+
+Expr.over = _expr_over
+
+
+def _table_over_window(self: Table, over: _OverBuilder) -> OverWindowedTable:
+    return OverWindowedTable(self._df, over)
+
+
+Table.over_window = _table_over_window

@@ -87,3 +87,87 @@ def test_add_rename_drop_columns(orders):
     )
     cols = t.execute().columns
     assert "hund" in cols and "prio" in cols and "o_orderdate" not in cols
+
+
+def test_tumble_window_group_by(spark):
+    from pyspark.sql import functions as F
+
+    from flink_1_16_0_src_spark.table_api import Tumble
+
+    ev = tables.load(spark, SF_DIR, "events")
+    got = (
+        Table(ev)
+        .window(Tumble.over("1 hour").on(col("ts")).alias("w"))
+        .group_by(col("w"), col("event_type"))
+        .select(
+            col("w").start.alias("window_start"),
+            col("event_type"),
+            col("value").sum.alias("sv"),
+        )
+        .execute()
+    )
+    exp = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.sum("value").alias("sv"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "sv")
+    )
+    key = lambda r: (r.window_start, r.event_type)
+    assert sorted(got.collect(), key=key) == sorted(exp.collect(), key=key)
+
+
+def test_slide_and_session_windows(spark):
+    from pyspark.sql import functions as F
+
+    from flink_1_16_0_src_spark.table_api import Session, Slide
+
+    ev = tables.load(spark, SF_DIR, "events")
+    got = (
+        Table(ev)
+        .window(Slide.over("30 minutes").every("10 minutes").on(col("ts")).alias("w"))
+        .group_by(col("w"))
+        .select(col("w").start.alias("ws"), col("value").count.alias("n"))
+        .execute()
+    )
+    exp = ev.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w")).agg(
+        F.count("value").alias("n")
+    )
+    assert got.count() == exp.count()
+
+    got_s = (
+        Table(ev.where(F.col("user_id") == 1))
+        .window(Session.with_gap("30 minutes").on(col("ts")).alias("w"))
+        .group_by(col("w"))
+        .select(col("w").start.alias("ws"), col("value").count.alias("n"))
+        .execute()
+    )
+    exp_s = (
+        ev.where(F.col("user_id") == 1)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("value").alias("n"))
+    )
+    assert got_s.count() == exp_s.count()
+
+
+def test_over_window_running_sum(spark):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from flink_1_16_0_src_spark.table_api import Over
+
+    ev = tables.load(spark, SF_DIR, "events").where(F.col("user_id") < 5)
+    got = (
+        Table(ev)
+        .over_window(
+            Over.partition_by(col("user_id")).order_by(col("ts")).preceding("unbounded_row").alias("ow")
+        )
+        .select(
+            col("user_id"),
+            col("ts"),
+            col("value").sum.over(col("ow")).alias("running"),
+        )
+        .execute()
+    )
+    w = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    exp = ev.select("user_id", "ts", F.sum("value").over(w).alias("running"))
+    key = lambda r: (r.user_id, r.ts)
+    assert sorted(got.collect(), key=key) == sorted(exp.collect(), key=key)
