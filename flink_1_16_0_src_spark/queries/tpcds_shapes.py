@@ -205,6 +205,56 @@ WHERE o.o_orderstatus = 'F'
 )
 
 _register(
+    "tpcds_q5_channel_rollup",
+    """
+WITH sales AS (
+  SELECT 'open' AS channel, o_orderpriority AS id,
+         o_totalprice AS sales, 0.0 AS returns_
+  FROM orders WHERE o_orderstatus = 'O'
+  UNION ALL
+  SELECT 'closed' AS channel, o_orderpriority AS id,
+         o_totalprice AS sales, o_totalprice * 0.1 AS returns_
+  FROM orders WHERE o_orderstatus = 'F'
+)
+SELECT channel, id,
+       round(sum(sales), 2)    AS sales,
+       round(sum(returns_), 2) AS returns_,
+       CAST(count(*) AS BIGINT) AS n
+FROM sales
+GROUP BY ROLLUP (channel, id)
+""",
+    "TPC-DS q5 shape: per-channel sales/returns fact union rolled up "
+    "with ROLLUP over (channel, id) — union feeding Expand.",
+)
+
+_register(
+    "tpcds_q33_union_agg",
+    """
+WITH a AS (
+  SELECT p_brand, round(sum(l_extendedprice), 2) AS amt
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_returnflag = 'A' GROUP BY p_brand
+),
+b AS (
+  SELECT p_brand, round(sum(l_extendedprice), 2) AS amt
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_returnflag = 'N' GROUP BY p_brand
+),
+c AS (
+  SELECT p_brand, round(sum(l_extendedprice), 2) AS amt
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_returnflag = 'R' GROUP BY p_brand
+)
+SELECT p_brand, round(sum(amt), 2) AS total
+FROM (SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c) u
+GROUP BY p_brand
+""",
+    "TPC-DS q33 shape: three per-segment aggregates of the same "
+    "fact-dim join unioned then re-aggregated (repeated-scan fusion "
+    "stress).",
+)
+
+_register(
     "tpcds_q49_union_ranked_channels",
     """
 WITH ranked AS (
