@@ -96,3 +96,37 @@ def func_interval_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dt_total_secs"),
     )
+
+
+@query(
+    "func_string_slice_bytes",
+    oracle="""
+    SELECT n_nationkey,
+           left(n_name, 3)                       AS v_left,
+           right(n_name, 3)                      AS v_right,
+           CAST(position('A' IN n_name) AS BIGINT)        AS v_pos,
+           CAST(octet_length(encode(n_name)) AS BIGINT)   AS v_octet,
+           CAST(bit_length(n_name) AS BIGINT)             AS v_bitlen,
+           translate(n_name, 'AEI', 'aei')       AS v_translate,
+           hex(encode(n_name))                   AS v_bytes_hex,
+           CAST(n_nationkey AS VARCHAR)          AS v_str
+    FROM nation
+    """,
+    tags=("functions", "string"),
+)
+def func_string_slice_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String slicing + byte functions (BuiltInFunctionDefinitions
+    left/right :SqlFunctionUtils, position, octet/bit length, translate,
+    encode) — the stragglers of §2.11's string block."""
+    n = load(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.expr("left(n_name, 3)").alias("v_left"),
+        F.expr("right(n_name, 3)").alias("v_right"),
+        F.expr("position('A' IN n_name)").cast("bigint").alias("v_pos"),
+        F.octet_length("n_name").cast("bigint").alias("v_octet"),
+        F.bit_length("n_name").cast("bigint").alias("v_bitlen"),
+        F.translate("n_name", "AEI", "aei").alias("v_translate"),
+        F.hex(F.encode("n_name", "UTF-8")).alias("v_bytes_hex"),
+        F.col("n_nationkey").cast("string").alias("v_str"),
+    )
