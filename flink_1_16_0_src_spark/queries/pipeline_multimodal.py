@@ -66,3 +66,61 @@ def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(media, codec="fake").select(
         "media_id", "n_bytes", "checksum", "width", "height"
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT media_id,
+           CAST(frame_no AS BIGINT)      AS frame_no,
+           CAST(frame_no * 64 AS BIGINT) AS frame_offset,
+           CAST(n_bytes AS BIGINT)       AS n_bytes
+    FROM (
+      SELECT doc_id AS media_id,
+             unnest(generate_series(0, (octet_length(encode(text)) - 1) // 64))
+               AS frame_no,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    )
+    """,
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride frame sampler (video-frame analog): one row per 64-byte
+    frame of each payload, JVM-side sequence+explode — fan-out bounded
+    by payload size / stride."""
+    from flink_1_16_0_src_spark.pipeline.multimodal import frame_sample
+
+    media = attach_media_columns(load(spark, sf_dir, "documents"), "text", "doc_id")
+    return frame_sample(media, every_n_bytes=64).select(
+        "media_id",
+        F.col("frame_no").cast("bigint").alias("frame_no"),
+        F.col("frame_offset").cast("bigint").alias("frame_offset"),
+        F.col("meta.n_bytes").cast("bigint").alias("n_bytes"),
+    )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id AS media_id, 'fake' AS format,
+           224 AS width, 224 AS height,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stub round-trip: metadata struct rewritten to the target
+    dimensions, payload byte count preserved (pixel transform stubbed —
+    no imaging libs in the container)."""
+    from flink_1_16_0_src_spark.pipeline.multimodal import resize
+
+    media = attach_media_columns(load(spark, sf_dir, "documents"), "text", "doc_id")
+    return resize(media, 224, 224).select(
+        "media_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
