@@ -276,18 +276,34 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx_count_distinct",
-    oracle=None,  # approximate — HLL++ sketch parameters differ from DuckDB's; rows-only check
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CASE WHEN approx_count_distinct(l_orderkey)
+                     BETWEEN 0.95 * count(DISTINCT l_orderkey)
+                         AND 1.05 * count(DISTINCT l_orderkey)
+                THEN 1 ELSE 0 END AS approx_within_5pct,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
     tags=("agg", "approx"),
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPROX_COUNT_DISTINCT (reference
     T-RUNTIME/functions/aggregate/hyperloglog/HyperLogLogPlusPlus.java:26
     — Flink uses the same HLL++ algorithm Spark's builtin implements).
-    Not oracle-hashable (sketch estimates differ per implementation);
-    tests assert relative error < 5% vs exact."""
+    Raw sketch estimates aren't hash-comparable across engines, so the
+    oracle contract is each engine's own estimate landing within 5% of
+    its exact distinct count — plus the exact count itself, which IS
+    engine-independent."""
     li = load(spark, sf_dir, "lineitem")
+    exact = F.count_distinct("l_orderkey")
+    approx = F.approx_count_distinct("l_orderkey", 0.01)
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        exact.cast("bigint").alias("exact_orders"),
+        ((approx >= 0.95 * exact) & (approx <= 1.05 * exact))
+        .cast("int")
+        .alias("approx_within_5pct"),
         F.count("*").alias("n"),
     )
 
