@@ -51,9 +51,14 @@ def stream_table(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) fixture read as long (nanosAsLong) — integer-div to µs
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        dtype = dict(df.dtypes).get("ts")
+        if dtype == "bigint":
+            # TIMESTAMP(NANOS) fixture read as long (nanosAsLong) — integer-div to µs
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dtype == "timestamp_ntz":
+            # newer Spark reads parquet NANOS as NTZ — withWatermark needs TIMESTAMP
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if watermark:
         df = df.withWatermark(*watermark)
     return df

@@ -28,14 +28,19 @@ TABLE_NAMES = (
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); Spark reads it as long
-        # (spark.sql.legacy.parquet.nanosAsLong) — convert to micros
-        # timestamp, matching DuckDB's ns→µs truncation.
+        # events.ts is parquet TIMESTAMP(NANOS). Depending on the Spark
+        # build it surfaces either as long (legacy nanosAsLong) or as
+        # TIMESTAMP_NTZ (ns truncated to µs). Normalize both to
+        # TIMESTAMP (session tz pinned to UTC ⇒ value-identical), which
+        # unix_micros/withWatermark/window() require.
         from pyspark.sql import functions as F
 
-        if dict(df.dtypes).get("ts") == "bigint":
+        dtype = dict(df.dtypes).get("ts")
+        if dtype == "bigint":
             # integer div — float division would lose precision on ns-epoch magnitudes
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
