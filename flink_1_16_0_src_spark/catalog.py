@@ -1,0 +1,182 @@
+"""Catalog surface — Flink `Catalog` / `CatalogManager` parity on Spark.
+
+Reference parity (SURVEY.md §1.1 "Catalog" row):
+- `flink-table/flink-table-common/src/main/java/org/apache/flink/table/
+  catalog/Catalog.java` — the catalog SPI: listDatabases (:132),
+  createDatabase (:166), dropDatabase (:196), listTables (:222),
+  listViews (:232), tableExists (:252), dropTable (:263), renameTable
+  (:276), createTable (:295), listFunctions (:471), createFunction
+  (:506), dropFunction (:532).
+- `GenericInMemoryCatalog.java` (flink-table-api-java .../catalog/) —
+  the default in-memory implementation backing every TableEnvironment.
+- `CatalogManager.java` — current-catalog/current-database resolution
+  (`useDatabase`, 3-part name resolution).
+
+Spark mapping: the session catalog IS the in-memory catalog
+(`spark.catalog`, SessionCatalog). Databases map to Spark namespaces
+(`CREATE DATABASE`), tables/views to catalog tables and temp views,
+functions to `spark.udf.register` registrations. We wrap rather than
+reimplement — Catalyst resolves 3-part names, so `useDatabase` ≡ `USE`.
+
+Scale: catalog metadata is driver-side only; at 100 TB the catalog's
+job is partition metadata — delegated to the Spark/Hive metastore, the
+same division the reference makes with HiveCatalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class DatabaseNotExistException(Exception):
+    """Catalog.java:222 throws DatabaseNotExistException."""
+
+
+class TableNotExistException(Exception):
+    """Catalog.java dropTable with ignoreIfNotExists=false."""
+
+
+class TableAlreadyExistException(Exception):
+    """Catalog.java createTable with ignoreIfExists=false."""
+
+
+class GenericInMemoryCatalog:
+    """`GenericInMemoryCatalog` parity backed by the Spark session
+    catalog. Method names/signatures follow Catalog.java (snake_cased);
+    `ignore_if_exists` / `ignore_if_not_exists` flags match the
+    reference's boolean parameters."""
+
+    def __init__(self, spark: SparkSession, name: str = "default_catalog"):
+        self.spark = spark
+        self.name = name
+
+    # -- databases (Catalog.java:132-209) --------------------------------
+    def list_databases(self) -> list[str]:
+        return [d.name for d in self.spark.catalog.listDatabases()]
+
+    def database_exists(self, db: str) -> bool:
+        return self.spark.catalog.databaseExists(db)
+
+    def create_database(self, db: str, ignore_if_exists: bool = False) -> None:
+        clause = "IF NOT EXISTS " if ignore_if_exists else ""
+        self.spark.sql(f"CREATE DATABASE {clause}{db}")
+
+    def drop_database(
+        self, db: str, ignore_if_not_exists: bool = False, cascade: bool = False
+    ) -> None:
+        if not ignore_if_not_exists and not self.database_exists(db):
+            raise DatabaseNotExistException(db)
+        clause = "IF EXISTS " if ignore_if_not_exists else ""
+        self.spark.sql(f"DROP DATABASE {clause}{db}{' CASCADE' if cascade else ''}")
+
+    # -- tables / views (Catalog.java:222-314) ---------------------------
+    def list_tables(self, db: str | None = None) -> list[str]:
+        if db is not None and not self.database_exists(db):
+            raise DatabaseNotExistException(db)
+        return [t.name for t in self.spark.catalog.listTables(db)]
+
+    def list_views(self, db: str | None = None) -> list[str]:
+        if db is not None and not self.database_exists(db):
+            raise DatabaseNotExistException(db)
+        return [
+            t.name
+            for t in self.spark.catalog.listTables(db)
+            if t.tableType in ("TEMPORARY", "VIEW")
+        ]
+
+    def table_exists(self, table: str) -> bool:
+        return self.spark.catalog.tableExists(table)
+
+    def create_table(
+        self, table: str, df: DataFrame, ignore_if_exists: bool = False
+    ) -> None:
+        """Register a DataFrame as a named temp view (the in-memory
+        catalog's createTable: metadata only, no data copy)."""
+        if self.table_exists(table):
+            if ignore_if_exists:
+                return
+            raise TableAlreadyExistException(table)
+        df.createTempView(table)
+
+    def get_table(self, table: str) -> DataFrame:
+        if not self.table_exists(table):
+            raise TableNotExistException(table)
+        return self.spark.table(table)
+
+    def drop_table(self, table: str, ignore_if_not_exists: bool = False) -> None:
+        if not self.table_exists(table):
+            if ignore_if_not_exists:
+                return
+            raise TableNotExistException(table)
+        if not self.spark.catalog.dropTempView(table):
+            self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    def rename_table(
+        self, table: str, new_name: str, ignore_if_not_exists: bool = False
+    ) -> None:
+        """Catalog.java:276. Temp views have no ALTER ... RENAME in
+        Spark; re-register the same logical plan under the new name —
+        metadata-only, identical to the reference's map-key move."""
+        if not self.table_exists(table):
+            if ignore_if_not_exists:
+                return
+            raise TableNotExistException(table)
+        df = self.spark.table(table)
+        df.createTempView(new_name)
+        self.spark.catalog.dropTempView(table)
+
+    def describe_table(self, table: str) -> list[tuple[str, str]]:
+        """DESCRIBE — (column, dataType) pairs like CatalogTable schema."""
+        if not self.table_exists(table):
+            raise TableNotExistException(table)
+        return self.spark.table(table).dtypes
+
+    # -- functions (Catalog.java:471-532) --------------------------------
+    def list_functions(self) -> list[str]:
+        return [f.name for f in self.spark.catalog.listFunctions()]
+
+    def function_exists(self, name: str) -> bool:
+        return self.spark.catalog.functionExists(name)
+
+    def create_function(self, name: str, fn, return_type=None) -> None:
+        """CREATE FUNCTION ≈ spark.udf.register (SqlCreateFunction.java →
+        FunctionCatalog.registerTempSystemFunction)."""
+        self.spark.udf.register(name, fn, return_type)
+
+    def drop_function(self, name: str, ignore_if_not_exists: bool = False) -> None:
+        if not self.function_exists(name):
+            if ignore_if_not_exists:
+                return
+            raise TableNotExistException(name)
+        self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
+
+
+class CatalogManager:
+    """CatalogManager.java parity: current catalog/database tracking and
+    name resolution. Spark has one session catalog; extra "catalogs"
+    register as wrappers sharing it (the common single-metastore case;
+    true federation needs Spark catalog plugins, out of scope)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._catalogs: dict[str, GenericInMemoryCatalog] = {
+            "default_catalog": GenericInMemoryCatalog(spark)
+        }
+        self.current_catalog = "default_catalog"
+
+    def register_catalog(self, name: str, catalog: GenericInMemoryCatalog) -> None:
+        self._catalogs[name] = catalog
+
+    def get_catalog(self, name: str | None = None) -> GenericInMemoryCatalog:
+        return self._catalogs[name or self.current_catalog]
+
+    def use_catalog(self, name: str) -> None:
+        if name not in self._catalogs:
+            raise DatabaseNotExistException(name)
+        self.current_catalog = name
+
+    def use_database(self, db: str) -> None:
+        self.spark.sql(f"USE {db}")
+
+    def current_database(self) -> str:
+        return self.spark.catalog.currentDatabase()

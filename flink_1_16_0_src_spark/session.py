@@ -84,6 +84,30 @@ class TableEnvironment:
     def __init__(self, spark: SparkSession | None = None):
         self.spark = spark or get_spark()
         self._sinks: dict[str, dict] = {}
+        from flink_1_16_0_src_spark.catalog import CatalogManager
+
+        self.catalog_manager = CatalogManager(self.spark)
+
+    # Flink TableEnvironment catalog methods (TableEnvironmentImpl.java
+    # useCatalog/useDatabase/listTables/listFunctions) delegate to the
+    # CatalogManager; SHOW/DESCRIBE/USE SQL passes through execute_sql.
+    def use_catalog(self, name: str) -> None:
+        self.catalog_manager.use_catalog(name)
+
+    def use_database(self, db: str) -> None:
+        self.catalog_manager.use_database(db)
+
+    def list_tables(self) -> list[str]:
+        return self.catalog_manager.get_catalog().list_tables()
+
+    def list_functions(self) -> list[str]:
+        return self.catalog_manager.get_catalog().list_functions()
+
+    def create_temporary_view(self, name: str, df: DataFrame) -> None:
+        self.catalog_manager.get_catalog().create_table(name, df)
+
+    def drop_temporary_view(self, name: str) -> None:
+        self.catalog_manager.get_catalog().drop_table(name)
 
     def execute_sql(self, sql: str) -> DataFrame | None:
         from flink_1_16_0_src_spark import sources as srcs

@@ -1,0 +1,99 @@
+"""Catalog surface tests — Catalog.java / CatalogManager.java parity
+(SURVEY.md §1.1): databases, tables/views, rename, functions, and the
+SHOW/DESCRIBE/USE SQL passthrough in TableEnvironment."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_1_16_0_src_spark import tables
+from flink_1_16_0_src_spark.catalog import (
+    DatabaseNotExistException,
+    GenericInMemoryCatalog,
+    TableAlreadyExistException,
+    TableNotExistException,
+)
+from flink_1_16_0_src_spark.session import TableEnvironment
+
+
+@pytest.fixture()
+def catalog(spark):
+    return GenericInMemoryCatalog(spark)
+
+
+def test_database_lifecycle(catalog):
+    catalog.create_database("cat_test_db", ignore_if_exists=True)
+    assert catalog.database_exists("cat_test_db")
+    assert "cat_test_db" in catalog.list_databases()
+    catalog.drop_database("cat_test_db", cascade=True)
+    assert not catalog.database_exists("cat_test_db")
+    with pytest.raises(DatabaseNotExistException):
+        catalog.drop_database("cat_test_db")
+    catalog.drop_database("cat_test_db", ignore_if_not_exists=True)  # no raise
+
+
+def test_table_lifecycle_and_rename(catalog, spark, sf_dir):
+    df = tables.load(spark, sf_dir, "region")
+    catalog.create_table("cat_region_v", df)
+    assert catalog.table_exists("cat_region_v")
+    with pytest.raises(TableAlreadyExistException):
+        catalog.create_table("cat_region_v", df)
+    catalog.create_table("cat_region_v", df, ignore_if_exists=True)  # no raise
+
+    n = catalog.get_table("cat_region_v").count()
+    assert n == df.count()
+
+    # rename is metadata-only: same rows under the new name, old gone
+    catalog.rename_table("cat_region_v", "cat_region_renamed")
+    assert not catalog.table_exists("cat_region_v")
+    assert catalog.get_table("cat_region_renamed").count() == n
+    assert ("r_regionkey", "int") in catalog.describe_table("cat_region_renamed")
+
+    catalog.drop_table("cat_region_renamed")
+    assert not catalog.table_exists("cat_region_renamed")
+    with pytest.raises(TableNotExistException):
+        catalog.drop_table("cat_region_renamed")
+
+
+def test_list_views_includes_temp_views(catalog, spark, sf_dir):
+    df = tables.load(spark, sf_dir, "nation")
+    catalog.create_table("cat_nation_view", df, ignore_if_exists=True)
+    assert "cat_nation_view" in catalog.list_views()
+    catalog.drop_table("cat_nation_view")
+
+
+def test_function_lifecycle(catalog, spark):
+    catalog.create_function("cat_double_it", lambda x: x * 2, "bigint")
+    assert catalog.function_exists("cat_double_it")
+    assert "cat_double_it" in catalog.list_functions()
+    row = spark.sql("SELECT cat_double_it(21) AS v").collect()[0]
+    assert row.v == 42
+
+
+def test_tenv_catalog_methods_and_sql_passthrough(spark, sf_dir):
+    tenv = TableEnvironment(spark)
+    df = tables.load(spark, sf_dir, "region")
+    tenv.create_temporary_view("tenv_cat_region", df)
+    assert "tenv_cat_region" in tenv.list_tables()
+
+    # SHOW TABLES / DESCRIBE pass through to Catalyst unchanged
+    shown = {r.tableName for r in tenv.execute_sql("SHOW TABLES").collect()}
+    assert "tenv_cat_region" in shown
+    desc = tenv.execute_sql("DESCRIBE tenv_cat_region").collect()
+    assert any(r.col_name == "r_name" for r in desc)
+
+    tenv.drop_temporary_view("tenv_cat_region")
+    assert "tenv_cat_region" not in tenv.list_tables()
+
+
+def test_catalog_manager_use(spark):
+    tenv = TableEnvironment(spark)
+    cm = tenv.catalog_manager
+    assert cm.current_catalog == "default_catalog"
+    cm.register_catalog("other_cat", GenericInMemoryCatalog(spark, "other_cat"))
+    tenv.use_catalog("other_cat")
+    assert cm.current_catalog == "other_cat"
+    with pytest.raises(DatabaseNotExistException):
+        tenv.use_catalog("nope")
+    tenv.use_catalog("default_catalog")
+    assert cm.current_database() == "default"
