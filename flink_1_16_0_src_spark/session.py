@@ -51,7 +51,9 @@ def get_spark(app_name: str = "flink_1_16_0_src_spark", cpus: str | None = None)
 
 _CREATE_TABLE_WITH = re.compile(
     r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
-    r"(?:\((?P<schema>[^)]*)\))?\s*WITH\s*\((?P<props>.*)\)\s*;?\s*$",
+    r"(?:\((?P<schema>[^)]*)\))?\s*"
+    r"(?:PARTITIONED\s+BY\s*\((?P<partcols>[^)]*)\)\s*)?"
+    r"WITH\s*\((?P<props>.*)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -119,6 +121,9 @@ class TableEnvironment:
             props = _parse_props(m.group("props"))
             connector = props.get("connector", "filesystem")
             fmt = props.get("format", "parquet")
+            partcols = [
+                c.strip() for c in (m.group("partcols") or "").split(",") if c.strip()
+            ]
             schema = None
             if m.group("schema"):
                 schema = ", ".join(
@@ -141,7 +146,11 @@ class TableEnvironment:
                 path = props["path"]
                 if not os.path.exists(path.removeprefix("file://")):
                     # path doesn't exist yet → it's a sink table
-                    self._sinks[name] = {"connector": connector, "props": props}
+                    self._sinks[name] = {
+                        "connector": connector,
+                        "props": props,
+                        "partitioned_by": partcols,
+                    }
                     return None
                 df = srcs.read_table(self.spark, path, fmt, schema, props)
                 df.createOrReplaceTempView(name)
@@ -159,6 +168,7 @@ class TableEnvironment:
                 sink["connector"],
                 sink["props"].get("format", "parquet"),
                 sink["props"],
+                partitioned_by=sink.get("partitioned_by"),
             )
             return None
         return self.spark.sql(stmt)
@@ -269,6 +279,7 @@ class StatementSet:
                     sink["connector"],
                     sink["props"].get("format", "parquet"),
                     sink["props"],
+                    partitioned_by=sink.get("partitioned_by"),
                 )
         finally:
             for pdf in cached:

@@ -104,8 +104,23 @@ def datagen_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame
     )
 
 
-def write_table(df: DataFrame, path: str | None, connector: str, fmt: str = "parquet", options: dict | None = None) -> None:
-    """Batch sink: filesystem formats, print (console), blackhole (noop)."""
+def write_table(
+    df: DataFrame,
+    path: str | None,
+    connector: str,
+    fmt: str = "parquet",
+    options: dict | None = None,
+    partitioned_by: list[str] | None = None,
+) -> None:
+    """Batch sink: filesystem formats, print (console), blackhole (noop).
+
+    ``partitioned_by`` = Flink `PARTITIONED BY (...)` on the filesystem
+    connector (FileSystemTableSink.java:115 partitionKeys →
+    :177 setPartitionColumns) → hive-style directory layout via Spark's
+    ``partitionBy``. At 100 TB this is the difference between a full
+    scan and partition-pruned reads — downstream queries filtering on a
+    partition key touch only matching directories.
+    """
     if connector == "print":
         df.show(truncate=False)
         return
@@ -113,9 +128,60 @@ def write_table(df: DataFrame, path: str | None, connector: str, fmt: str = "par
         df.write.format("noop").mode("overwrite").save()
         return
     writer = df.write.mode(options.get("sink.mode", "overwrite") if options else "overwrite")
+    if partitioned_by:
+        writer = writer.partitionBy(*partitioned_by)
     if fmt == "csv":
         writer = writer.option("header", True)
     getattr(writer, fmt)(path)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    partitioned_by: list[str] | None = None,
+    target_file_size_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction — the filesystem sink's `auto-compaction`
+    (FileSystemConnectorOptions.java:232 'auto-compaction';
+    FileSystemTableSink.java:199 autoCompaction; compact operators under
+    flink-connector-files .../table/stream/compact/). Flink compacts
+    per-checkpoint files below `compaction.file-size` into bigger ones;
+    here: read the table back, coalesce to ceil(bytes/target) files
+    (per partition directory when partitioned), and atomically replace
+    via overwrite. Returns the file count after compaction.
+
+    Scale: streaming sinks at high parallelism produce
+    O(executors × triggers) small files; unchecked, a 100 TB table
+    becomes millions of KB-files and listing dominates query time.
+    Run this per partition as it closes (partition-commit analog).
+    """
+    import math
+    import os
+
+    def _size(p):
+        total = 0
+        for root, _dirs, files in os.walk(p):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files if not f.startswith(("_", ".")))
+        return total
+
+    raw = path.removeprefix("file://")
+    n_files = max(1, math.ceil(_size(raw) / target_file_size_bytes))
+    df = getattr(spark.read, fmt)(path)
+    tmp = raw.rstrip("/") + ".compact_tmp"
+    writer = df.coalesce(n_files).write.mode("overwrite")
+    if partitioned_by:
+        # repartition by partition cols so each output dir gets few writers
+        writer = df.repartition(n_files, *partitioned_by).write.mode("overwrite").partitionBy(*partitioned_by)
+    getattr(writer, fmt)(tmp)
+    import shutil
+
+    shutil.rmtree(raw)
+    os.rename(tmp, raw)
+    out = 0
+    for root, _dirs, files in os.walk(raw):
+        out += sum(1 for f in files if f.endswith("." + fmt) or (fmt == "text" and f.endswith(".txt")))
+    return out
 
 
 def with_metadata_columns(df: DataFrame) -> DataFrame:

@@ -171,3 +171,61 @@ def test_statement_set_shares_common_subplan(spark, tmp_path):
     ss2.add_insert("sink_a", o.where(F.col("o_orderkey") % 2 == 0))
     ss2.add_insert("sink_b", o.where(F.col("o_orderkey") % 2 == 1))
     assert ss2.execute()["shared_subplans"] == 0
+
+
+def test_partitioned_sink_and_pruned_read(tenv, spark, tmp_path):
+    """PARTITIONED BY DDL (FileSystemTableSink.java:115 partitionKeys)
+    → hive-layout directories; a filter on the partition key must be
+    pruned at listing time (PartitionFilters), not scanned."""
+    d = str(tmp_path / "orders_part")
+    tenv.execute_sql(
+        f"CREATE TABLE orders_part PARTITIONED BY (o_orderpriority) WITH ("
+        f"'connector'='filesystem','path'='{d}','format'='parquet')"
+    )
+    tables.load(spark, SF_DIR, "orders").createOrReplaceTempView("orders_src")
+    tenv.execute_sql(
+        "INSERT INTO orders_part SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders_src"
+    )
+    # hive-style partition dirs exist
+    assert any(p.startswith("o_orderpriority=") for p in os.listdir(d))
+
+    back = spark.read.parquet(d)
+    pri = back.select("o_orderpriority").distinct().count()
+    assert pri == tables.load(spark, SF_DIR, "orders").select("o_orderpriority").distinct().count()
+
+    filtered = back.where(back.o_orderpriority == "1-URGENT")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "o_orderpriority" in plan.split("PartitionFilters")[1][:200]
+    exp = (
+        tables.load(spark, SF_DIR, "orders")
+        .where("o_orderpriority = '1-URGENT'")
+        .count()
+    )
+    assert filtered.count() == exp
+
+
+def test_compact_partitions_reduces_files(spark, tmp_path):
+    """auto-compaction parity (FileSystemConnectorOptions.java:232):
+    many small files → few near-target files, same rows."""
+    d = str(tmp_path / "li_small")
+    li = tables.load(spark, SF_DIR, "lineitem")
+    li.repartition(24).write.parquet(d)
+    before = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+    assert before >= 24
+    n_rows = li.count()
+    after = srcs.compact_partitions(spark, d, target_file_size_bytes=64 * 1024 * 1024)
+    assert after < before
+    assert spark.read.parquet(d).count() == n_rows
+
+
+def test_compact_partitions_partitioned(spark, tmp_path):
+    d = str(tmp_path / "li_part_small")
+    li = tables.load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity", "l_returnflag")
+    li.repartition(16).write.partitionBy("l_returnflag").parquet(d)
+    n_rows = li.count()
+    srcs.compact_partitions(
+        spark, d, partitioned_by=["l_returnflag"], target_file_size_bytes=64 * 1024 * 1024
+    )
+    back = spark.read.parquet(d)
+    assert back.count() == n_rows
+    assert {r.l_returnflag for r in back.select("l_returnflag").distinct().collect()} == {"A", "N", "R"}
