@@ -19,8 +19,16 @@ Design notes:
 - Physical-partitioning calls (shuffle/rebalance/rescale/broadcast)
   translate to ``repartition``/broadcast hints; Spark's shuffle service
   owns the actual movement.
-- ``iterate`` (DataStream.java:553) has no Structured Streaming
-  equivalent — out of scope, documented gap (SURVEY.md §2.10).
+- ``iterate`` (DataStream.java:553) — Flink feeds records back to the
+  iteration head until the feedback edge is quiet for maxWaitTime. The
+  Spark mapping is a driver-coordinated superstep loop
+  (``DataStream.iterate``): step_fn(stream) → (feedback, output);
+  feedback re-enters the head, outputs accumulate, loop ends when
+  feedback is empty (the batch analog of "no data received in the set
+  time") or at max_iterations. Lineage is truncated per superstep via
+  localCheckpoint so 100-iteration loops don't build 100-deep plans.
+  Asynchronous per-record feedback (no superstep barrier) is the one
+  part with no Spark equivalent — documented.
 """
 
 from __future__ import annotations
@@ -187,6 +195,36 @@ class DataStream:
         )
 
     # ---- sinks (DataStream.java:978-1093) ----
+
+    def iterate(
+        self,
+        step: Callable[["DataStream"], tuple["DataStream", "DataStream"]],
+        max_iterations: int = 100,
+    ) -> "DataStream":
+        """Bounded iteration — DataStream.iterate (DataStream.java:553)
+        + IterativeStream.closeWith. ``step`` receives the current head
+        and returns ``(feedback, output)``: feedback rows re-enter the
+        head next superstep, output rows accumulate into the result.
+        Terminates when feedback is empty (batch analog of the feedback
+        edge going quiet, DataStream.java:582 maxWaitTimeMillis) or
+        after ``max_iterations``.
+
+        Scale: each superstep is a full distributed job; the feedback
+        frame is localCheckpoint-ed so the plan stays O(1) deep and the
+        emptiness probe doesn't recompute the whole loop history.
+        """
+        head = self.df
+        outputs: list[DataFrame] = []
+        for _ in range(max_iterations):
+            fb, out = step(DataStream(head))
+            outputs.append(out.df)
+            head = fb.df.localCheckpoint(eager=True)
+            if not head.take(1):
+                break
+        result = outputs[0]
+        for o in outputs[1:]:
+            result = result.unionByName(o)
+        return DataStream(result)
 
     def print(self, n: int = 20) -> None:
         self.df.show(n)

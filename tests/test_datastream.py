@@ -284,3 +284,29 @@ def test_side_outputs(events):
     assert n_big == events.where("value > 5").count()
     assert n_main == events.where("value <= 5").count()
     assert outs["errors"].df.count() == events.where("event_type = 'error'").count()
+
+
+def test_iterate_decrement_until_zero(spark):
+    """IterateExample semantics: each superstep decrements positive
+    values back into the head, emits zeros; every input row must come
+    out exactly once as zero, within a bounded iteration count."""
+    src = spark.range(1, 11).select(F.col("id").alias("n"), F.col("id").alias("orig"))
+
+    def step(ds):
+        dec = ds.map({"n": F.col("n") - 1, "orig": F.col("orig")})
+        return dec.filter(F.col("n") > 0), dec.filter(F.col("n") <= 0)
+
+    out = DataStream(src).iterate(step, max_iterations=50).df
+    rows = {r.orig: r.n for r in out.collect()}
+    assert rows == {i: 0 for i in range(1, 11)}
+
+
+def test_iterate_respects_max_iterations(spark):
+    src = spark.range(0, 4).select(F.col("id").alias("n"))
+
+    def step(ds):
+        # never-terminating feedback: everything loops forever
+        return ds.map({"n": F.col("n") + 1}), ds.filter(F.lit(False))
+
+    out = DataStream(src).iterate(step, max_iterations=3).df
+    assert out.count() == 0  # no outputs, but the loop ended
