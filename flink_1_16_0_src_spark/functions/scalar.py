@@ -86,3 +86,21 @@ def single_value(col: Column | str) -> Column:
     )
     # assert_true returns NULL on success; coalesce keeps the value
     return F.when(check.isNull(), F.first(c, ignorenulls=False)).otherwise(F.first(c))
+
+def current_watermark(ts: Column, delay_interval: str, arrival_order: Column) -> Column:
+    """CURRENT_WATERMARK(rowtime) (BuiltInFunctionDefinitions.java:1754)
+    — bounded-out-of-orderness watermark as of each row's ARRIVAL:
+    max rowtime over strictly-preceding arrivals minus the delay, NULL
+    before any row (Flink returns NULL when no watermark was emitted
+    yet). The 1-PRECEDING frame encodes emit-then-advance: a row is
+    judged against the watermark from BEFORE it arrived, the same rule
+    `streaming/late.LateRowRouter` applies across micro-batches.
+
+    Batch analog only — in live streams the carried watermark lives in
+    LateRowRouter. Global ordering ⇒ single-partition window; use on
+    bounded replay/debug data, not a 100 TB scan.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(arrival_order).rowsBetween(Window.unboundedPreceding, -1)
+    return F.max(ts).over(w) - F.expr(f"INTERVAL {delay_interval}")

@@ -170,3 +170,33 @@ def func_temporal_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("overlaps_flag"),
     )
+
+
+@query(
+    "func_current_watermark",
+    oracle="""
+    SELECT event_id,
+           max(ts) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             - INTERVAL '10 minutes' AS wm,
+           CASE WHEN ts < max(ts) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          - INTERVAL '10 minutes'
+                THEN 1 ELSE 0 END AS is_late
+    FROM events WHERE event_id % 11 = 0
+    """,
+    tags=("functions", "temporal", "streaming"),
+)
+def func_current_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRENT_WATERMARK (BuiltInFunctionDefinitions.java:1754):
+    arrival-ordered bounded-out-of-orderness watermark, NULL before the
+    first row, emit-then-advance (late rows judged vs the PREVIOUS
+    watermark) — the same contract streaming/late.LateRowRouter enforces
+    across micro-batches."""
+    from flink_1_16_0_src_spark.functions.scalar import current_watermark
+
+    e = load(spark, sf_dir, "events").where(F.col("event_id") % 11 == 0)
+    wm = current_watermark(F.col("ts"), "10 MINUTES", F.col("event_id"))
+    return e.select(
+        "event_id",
+        wm.alias("wm"),
+        F.when(F.col("ts") < wm, 1).otherwise(0).alias("is_late"),
+    )
