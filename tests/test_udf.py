@@ -83,3 +83,38 @@ def test_streaming_window_topn(spark):
     g = [tuple(r) for r in got.select(*cols).orderBy(*cols).collect()]
     e = [tuple(r) for r in exp.select(*cols).orderBy(*cols).collect()]
     assert g == e and len(g) > 0
+
+
+def test_raw_codec_roundtrip(spark, sf_dir):
+    """RAW type (RawType.java): opaque binary survives shuffle/group;
+    only the declared codec reads it back."""
+    from flink_1_16_0_src_spark.functions.raw_codec import raw_decode, raw_encode
+    from flink_1_16_0_src_spark import tables
+
+    ev = (
+        tables.load(spark, sf_dir, "events")
+        .where(F.col("event_id") % 501 == 0)
+        .select("event_id", "user_id", F.struct("event_type", "value").alias("payload"))
+    )
+    enc = ev.select("event_id", "user_id", raw_encode("payload").alias("raw"))
+    assert dict(enc.dtypes)["raw"] == "binary"
+
+    # engine-side ops on the opaque column: shuffle + keep-first per user
+    shuffled = enc.repartition(8, "user_id").groupBy("user_id").agg(
+        F.min_by(F.col("raw"), F.col("event_id")).alias("raw"),
+        F.min("event_id").alias("event_id"),
+    )
+    dec = shuffled.select(
+        "event_id",
+        raw_decode("raw", lambda obj: float(obj["value"]), "double").alias("val"),
+    )
+    got = {r.event_id: round(r.val, 6) for r in dec.collect()}
+
+    exp_rows = (
+        ev.select("event_id", "user_id", F.col("payload.value").alias("value"))
+        .groupBy("user_id")
+        .agg(F.min_by("value", "event_id").alias("value"), F.min("event_id").alias("event_id"))
+        .collect()
+    )
+    exp = {r.event_id: round(r.value, 6) for r in exp_rows}
+    assert got == exp and len(got) > 0
