@@ -274,3 +274,127 @@ FROM ranked WHERE rnk <= 10
     "TPC-DS q49 shape: per-channel ranked aggregates unioned then "
     "rank-filtered.",
 )
+
+
+_register(
+    "tpcds_q1_returns_above_avg",
+    """
+WITH cust_total AS (
+  SELECT o_custkey, c_nationkey, round(sum(o_totalprice), 2) AS total
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY o_custkey, c_nationkey
+)
+SELECT ct.o_custkey, ct.total
+FROM cust_total ct
+WHERE ct.total > (SELECT avg(ct2.total) * 1.2 FROM cust_total ct2
+                  WHERE ct2.c_nationkey = ct.c_nationkey)
+ORDER BY ct.o_custkey
+""",
+    "TPC-DS q1 shape: correlated scalar subquery comparing each "
+    "customer's total against 1.2x their nation's average (CTE reused "
+    "on both sides of the correlation).",
+)
+
+_register(
+    "tpcds_q57_monthly_deviation",
+    """
+WITH monthly AS (
+  SELECT p_brand, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+         round(sum(l_extendedprice), 2) AS sales
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, year(o_orderdate), month(o_orderdate)
+), with_avg AS (
+  SELECT p_brand, yr, mo, sales,
+         round(avg(sales) OVER (PARTITION BY p_brand, yr), 2) AS avg_sales
+  FROM monthly
+), dev AS (
+  SELECT p_brand, yr, mo, sales, avg_sales,
+         rank() OVER (PARTITION BY p_brand, yr
+                      ORDER BY round(sales - avg_sales, 2) DESC, mo) AS rnk
+  FROM with_avg
+)
+SELECT p_brand, yr, mo, sales, avg_sales, rnk
+FROM dev WHERE rnk <= 2
+ORDER BY p_brand, yr, rnk, mo
+""",
+    "TPC-DS q57/q47 shape: per-entity monthly series, window average "
+    "within the year, rank months by (rounded) deviation from that "
+    "average, keep the top deviators.",
+)
+
+_register(
+    "tpcds_q62_delay_buckets",
+    """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN mdelay <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS within_1mo,
+       CAST(sum(CASE WHEN mdelay = 2 THEN 1 ELSE 0 END) AS BIGINT) AS mo_2,
+       CAST(sum(CASE WHEN mdelay = 3 THEN 1 ELSE 0 END) AS BIGINT) AS mo_3,
+       CAST(sum(CASE WHEN mdelay > 3 THEN 1 ELSE 0 END) AS BIGINT) AS over_3mo
+FROM (
+  SELECT o_orderpriority,
+         (year(l_shipdate) * 12 + month(l_shipdate))
+         - (year(o_orderdate) * 12 + month(o_orderdate)) AS mdelay
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+) d
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    "TPC-DS q62/q99 shape: shipping-latency histogram — pivoted CASE "
+    "bucket counts per priority (dialect-neutral month arithmetic "
+    "instead of datediff).",
+)
+
+_register(
+    "tpcds_q73_order_count_band",
+    """
+WITH cnt AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, n_orders
+FROM cnt JOIN customer ON o_custkey = c_custkey
+WHERE n_orders BETWEEN 3 AND 8
+ORDER BY n_orders DESC, c_custkey
+LIMIT 50
+""",
+    "TPC-DS q73/q34 shape: frequency-band membership — per-customer "
+    "order counts filtered to a band, deterministically ranked limit.",
+)
+
+_register(
+    "tpcds_q78_unreturned_ratio",
+    """
+WITH returned AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT year(o_orderdate) AS yr, l.l_suppkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS net_sales,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+LEFT JOIN returned r
+  ON l.l_orderkey = r.l_orderkey AND l.l_partkey = r.l_partkey
+WHERE r.l_orderkey IS NULL
+GROUP BY year(o_orderdate), l.l_suppkey
+ORDER BY yr, l.l_suppkey
+""",
+    "TPC-DS q78 shape: exclude returned sales via anti-join (LEFT JOIN "
+    "... IS NULL over a DISTINCT returns derivation), then aggregate "
+    "the surviving lines per supplier-year.",
+)
+
+_register(
+    "tpcds_q54_revenue_segments",
+    """
+WITH rev AS (
+  SELECT o_custkey, CAST(floor(sum(o_totalprice) / 50000) AS BIGINT) AS segment
+  FROM orders GROUP BY o_custkey
+)
+SELECT segment, CAST(count(*) AS BIGINT) AS n_customers
+FROM rev GROUP BY segment ORDER BY segment
+""",
+    "TPC-DS q54 shape: customer segmentation — bucket lifetime revenue "
+    "into fixed-width segments and count the histogram.",
+)
