@@ -86,3 +86,38 @@ def bag_fingerprint(col: Column | str) -> Column:
     """Order-insensitive fingerprint: md5 over the sorted distinct token
     bag — catches token-shuffled duplicates."""
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
+
+
+PII_PATTERNS = (
+    # (regex, replacement) — applied in order, all JVM-side regexp_replace
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\+?1[-. ]?)?(?:\(\d{3}\)|\d{3})[-. ]?\d{3}[-. ]?\d{4}\b", "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+)
+
+
+def pii_scrub(col: Column | str) -> Column:
+    """PII redaction — email / NANP phone / IPv4 / SSN patterns replaced
+    with typed placeholders. Pure chained ``regexp_replace`` (JVM
+    regex, whole-stage codegen) — no Python in the hot path, so the
+    scrub runs at full scan speed over a 100 TB corpus."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def repetition_signals(col: Column | str) -> dict[str, Column]:
+    """Within-document repetition (Gopher-style quality filters):
+    ``dup_word_frac`` = 1 - distinct/total words. The companion
+    top-bigram fraction is relational (explode + count) — see the
+    ``text_repetition`` query. All array ops are Spark built-ins."""
+    c = F.col(col) if isinstance(col, str) else col
+    w = F.split(c, " ")
+    return {
+        "n_words": F.size(w).cast("bigint"),
+        "dup_word_frac": F.round(
+            1.0 - F.size(F.array_distinct(w)).cast("double") / F.size(w), 4
+        ),
+    }

@@ -130,3 +130,97 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.where(
         n.between(20, 1000) & (sig["uniq_ratio"] > 0.1) & (F.col("n_chars") >= 100)
     ).select("doc_id", "n_chars", n.alias("n_tokens"))
+
+
+@query(
+    "text_pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   text || ' contact user' || doc_id || '@example.com call 555-123-4567 host 10.1.2.' || (doc_id % 256) || ' ssn 123-45-6789',
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\\b(?:\\+?1[-. ]?)?(?:\\(\\d{3}\\)|\\d{3})[-. ]?\\d{3}[-. ]?\\d{4}\\b', '<PHONE>', 'g'),
+               '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+             '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS scrubbed
+    FROM documents WHERE doc_id % 17 = 0
+    """,
+    tags=("pipeline", "text"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (training-data redaction): email/phone/IPv4/SSN →
+    typed placeholders, chained codegen'd regexp_replace. PII is
+    injected deterministically from doc_id so the scrub is exercised on
+    every row (the synthetic corpus contains none)."""
+    from flink_1_16_0_src_spark.pipeline.text import pii_scrub
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") % 17 == 0)
+    with_pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com call 555-123-4567 host 10.1.2."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(" ssn 123-45-6789"),
+    )
+    return d.select("doc_id", pii_scrub(with_pii).alias("scrubbed"))
+
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 13 = 0
+    ), base AS (
+      SELECT doc_id, len(w) AS n_words,
+             round(1.0 - len(list_distinct(w))::DOUBLE / len(w), 4) AS dup_word_frac, w
+      FROM words WHERE len(w) >= 2
+    ), big AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+      FROM base
+    ), cnt AS (
+      SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg
+    ), top AS (
+      SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_bigrams
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words, b.dup_word_frac,
+           round(t.top_c::DOUBLE / t.n_bigrams, 4) AS top_bigram_frac
+    FROM base b JOIN top t ON b.doc_id = t.doc_id
+    """,
+    tags=("pipeline", "text"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (Gopher-style): duplicate-word
+    fraction (array built-ins) + top-bigram fraction (explode + count —
+    relational, shuffles on doc_id only)."""
+    from flink_1_16_0_src_spark.pipeline.text import repetition_signals
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 0)
+    w = F.split(F.col("text"), " ")
+    sig = repetition_signals("text")
+    base = d.select(
+        "doc_id",
+        sig["n_words"].alias("n_words"),
+        sig["dup_word_frac"].alias("dup_word_frac"),
+        w.alias("w"),
+    ).where(F.col("n_words") >= 2)
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")
+        ).alias("bg"),
+    )
+    cnt = bigrams.groupBy("doc_id", "bg").count()
+    top = cnt.groupBy("doc_id").agg(
+        F.max("count").alias("top_c"), F.sum("count").cast("bigint").alias("n_bigrams")
+    )
+    return base.drop("w").join(top, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "dup_word_frac",
+        F.round(F.col("top_c").cast("double") / F.col("n_bigrams"), 4).alias(
+            "top_bigram_frac"
+        ),
+    )
