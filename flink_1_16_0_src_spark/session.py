@@ -67,6 +67,29 @@ def _parse_props(props: str) -> dict[str, str]:
 
 _INSERT_INTO = re.compile(r"INSERT\s+INTO\s+(\w+)\s+(.*)$", re.IGNORECASE | re.DOTALL)
 
+# Flink join-strategy hints (T-PLANNER hint/JoinStrategy.java:29-47) →
+# Spark's equivalents. BROADCAST/SHUFFLE_HASH share names; SHUFFLE_MERGE
+# → MERGE; NEST_LOOP → SHUFFLE_REPLICATE_NL. The table-options hint
+# (FlinkHints.java OPTIONS) has no Spark analog inside a query — options
+# belong on the DDL/reader here — so it is stripped.
+_HINT_MAP = {"SHUFFLE_MERGE": "MERGE", "NEST_LOOP": "SHUFFLE_REPLICATE_NL"}
+_HINT_BLOCK = re.compile(r"/\*\+(.*?)\*/", re.DOTALL)
+_OPTIONS_HINT = re.compile(r"OPTIONS\s*\([^)]*\)\s*,?", re.IGNORECASE)
+
+
+def translate_hints(sql: str) -> str:
+    """Rewrite Flink hint names inside every /*+ ... */ block to the
+    Spark planner's vocabulary (JoinStrategy.java:29-47 parity)."""
+
+    def _one(m: re.Match) -> str:
+        body = _OPTIONS_HINT.sub("", m.group(1))
+        for flink, spark_name in _HINT_MAP.items():
+            body = re.sub(rf"\b{flink}\b", spark_name, body, flags=re.IGNORECASE)
+        body = body.strip().rstrip(",").strip()
+        return f"/*+ {body} */" if body else ""
+
+    return _HINT_BLOCK.sub(_one, sql)
+
 
 class TableEnvironment:
     """Flink-TableEnvironment-shaped facade over SparkSession
@@ -156,6 +179,7 @@ class TableEnvironment:
                 df.createOrReplaceTempView(name)
                 return df
             raise NotImplementedError(f"connector {connector!r}")
+        stmt = translate_hints(stmt)
         mi = _INSERT_INTO.match(stmt)
         if mi and mi.group(1) in self._sinks:
             from flink_1_16_0_src_spark import sources as srcs
@@ -174,7 +198,7 @@ class TableEnvironment:
         return self.spark.sql(stmt)
 
     def sql_query(self, sql: str) -> DataFrame:
-        return self.spark.sql(sql)
+        return self.spark.sql(translate_hints(sql))
 
     def create_statement_set(self) -> "StatementSet":
         """TableEnvironment.createStatementSet (T-API

@@ -229,3 +229,42 @@ def test_compact_partitions_partitioned(spark, tmp_path):
     back = spark.read.parquet(d)
     assert back.count() == n_rows
     assert {r.l_returnflag for r in back.select("l_returnflag").distinct().collect()} == {"A", "N", "R"}
+
+
+def test_flink_join_hints_translate_to_spark_strategies(tenv, spark):
+    """JoinStrategy.java:29-47 hint parity: Flink hint names steer
+    Spark's physical join selection after translation."""
+    from flink_1_16_0_src_spark.session import translate_hints
+
+    tables.load(spark, SF_DIR, "nation").createOrReplaceTempView("h_nation")
+    tables.load(spark, SF_DIR, "customer").createOrReplaceTempView("h_customer")
+
+    def phys(sql):
+        return tenv.sql_query(sql)._jdf.queryExecution().executedPlan().toString()
+
+    broadcast = phys(
+        "SELECT /*+ BROADCAST(h_nation) */ c_custkey, n_name "
+        "FROM h_customer JOIN h_nation ON c_nationkey = n_nationkey"
+    )
+    assert "BroadcastHashJoin" in broadcast
+
+    merge = phys(
+        "SELECT /*+ SHUFFLE_MERGE(h_nation) */ c_custkey, n_name "
+        "FROM h_customer JOIN h_nation ON c_nationkey = n_nationkey"
+    )
+    assert "SortMergeJoin" in merge
+
+    hashj = phys(
+        "SELECT /*+ SHUFFLE_HASH(h_nation) */ c_custkey, n_name "
+        "FROM h_customer JOIN h_nation ON c_nationkey = n_nationkey"
+    )
+    assert "ShuffledHashJoin" in hashj
+
+    # OPTIONS table hint is stripped, remaining hints survive
+    assert translate_hints(
+        "SELECT /*+ OPTIONS('scan.mode'='latest'), BROADCAST(t) */ * FROM t"
+    ) == "SELECT /*+ BROADCAST(t) */ * FROM t"
+    assert translate_hints("SELECT /*+ OPTIONS('a'='b') */ * FROM t") == "SELECT  * FROM t"
+    assert translate_hints(
+        "SELECT /*+ NEST_LOOP(t) */ * FROM t JOIN u ON t.a < u.b"
+    ) == "SELECT /*+ SHUFFLE_REPLICATE_NL(t) */ * FROM t JOIN u ON t.a < u.b"
