@@ -234,3 +234,32 @@ def enforce_constraints(
         if char_length_enforcer == "TRIM_PAD":
             out = out.withColumn(c, F.substring(F.col(c), 1, n))
     return out
+
+
+def list_partitions(path: str) -> list[dict[str, str]]:
+    """Partition discovery — FileSystemTableSource.getOrFetchPartitions
+    (flink-connector-files .../table/FileSystemTableSource.java:128) and
+    Catalog.listPartitions: enumerate hive-style key=value directories
+    under a partitioned table path. Pure metadata (directory listing) —
+    the same listing Spark's scan does before pruning; at 100 TB scale
+    this is what a metastore caches."""
+    import os
+
+    raw = path.removeprefix("file://")
+    out: list[dict[str, str]] = []
+
+    def walk(d: str, spec: dict[str, str]):
+        subs = [
+            e for e in os.listdir(d)
+            if "=" in e and os.path.isdir(os.path.join(d, e))
+        ]
+        if not subs:
+            if spec:
+                out.append(spec)
+            return
+        for e in sorted(subs):
+            k, _, v = e.partition("=")
+            walk(os.path.join(d, e), {**spec, k: v})
+
+    walk(raw, {})
+    return out

@@ -268,3 +268,18 @@ def test_flink_join_hints_translate_to_spark_strategies(tenv, spark):
     assert translate_hints(
         "SELECT /*+ NEST_LOOP(t) */ * FROM t JOIN u ON t.a < u.b"
     ) == "SELECT /*+ SHUFFLE_REPLICATE_NL(t) */ * FROM t JOIN u ON t.a < u.b"
+
+
+def test_list_partitions(spark, tmp_path):
+    d = str(tmp_path / "part_listing")
+    li = tables.load(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag", "l_linestatus"
+    )
+    li.write.partitionBy("l_returnflag", "l_linestatus").parquet(d)
+    parts = srcs.list_partitions(d)
+    flags = {(p["l_returnflag"], p["l_linestatus"]) for p in parts}
+    exp = {
+        (r.l_returnflag, r.l_linestatus)
+        for r in li.select("l_returnflag", "l_linestatus").distinct().collect()
+    }
+    assert flags == exp and all(len(p) == 2 for p in parts)

@@ -26,6 +26,16 @@ PINNED = [
     "topn_per_group",            # WindowGroupLimit
     "setop_intersect_all",       # intersect-all rewrite
     "join_range_bucketed",       # custom range join lowering
+    "agg_q1_pricing_summary",    # two-phase hash agg (partial+final)
+    "tpch_q21_suppliers_waiting",  # semi + anti join pair
+    "subq_tpch_q20_nested_in",   # nested IN → semi-join chain
+    "join_semi",                 # IN-subquery semi join
+    "join_asof_temporal",        # as-of temporal join lowering
+    "agg_grouping_sets",         # Expand operator
+    "over_rows_sliding",         # window frame physical op
+    "dedup_keep_first",          # dedup → window + filter
+    "unnest_with_ordinality",    # posexplode generator
+    "tpcds_q67_rollup_rank",     # rollup + rank over aggregate
 ]
 
 
