@@ -1,0 +1,82 @@
+"""Property-based MinHash-LSH tests (hypothesis) — cross-implementation
+oracle: the Spark pipeline's signatures and LSH candidate pairs are
+recomputed in plain Python (hashlib.md5 + the same affine permutations)
+and must agree exactly. Analog of the reference's operator-harness
+property coverage (SURVEY.md §5.1)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from flink_1_16_0_src_spark.pipeline.dedup import (
+    _MERSENNE31,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+
+WORDS = ["spark", "flink", "join", "scan", "sort", "hash", "window", "agg"]
+
+doc_strategy = st.lists(st.sampled_from(WORDS), min_size=0, max_size=10).map(" ".join)
+corpus_strategy = st.lists(doc_strategy, min_size=2, max_size=8)
+
+NUM_PERM, BANDS, K = 8, 4, 3
+
+
+def _py_shingles(text: str, k: int = K) -> set[str]:
+    toks = text.lower().strip().split()
+    if len(toks) < k:
+        return set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _py_signature(text: str) -> list[int] | None:
+    sh = _py_shingles(text)
+    if not sh:
+        return None  # groupBy over zero shingle rows drops the doc
+    hs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _MERSENNE31 for s in sh]
+    return [
+        min(((2 * p + 1) * h + p * 40503) % _MERSENNE31 for h in hs)
+        for p in range(NUM_PERM)
+    ]
+
+
+def _py_band_hashes(sig: list[int]) -> list[str]:
+    rows = NUM_PERM // BANDS
+    return [
+        hashlib.md5(",".join(str(v) for v in sig[b * rows : (b + 1) * rows]).encode()).hexdigest()
+        for b in range(BANDS)
+    ]
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpus=corpus_strategy)
+def test_signatures_and_candidates_match_python_oracle(spark, corpus):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(df, "text", "doc_id", num_perm=NUM_PERM, k=K)
+    got_sigs = {
+        r["doc_id"]: [r[f"mh{p}"] for p in range(NUM_PERM)] for r in sigs.collect()
+    }
+    want_sigs = {
+        i: s for i, t in enumerate(corpus) if (s := _py_signature(t)) is not None
+    }
+    assert got_sigs == want_sigs
+
+    got_pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sigs, "doc_id", num_perm=NUM_PERM, bands=BANDS).collect()
+    }
+    ids = sorted(want_sigs)
+    want_pairs = {
+        (a, b)
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1 :]
+        if set(_py_band_hashes(want_sigs[a])) & set(_py_band_hashes(want_sigs[b]))
+    }
+    assert got_pairs == want_pairs
