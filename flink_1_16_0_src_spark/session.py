@@ -161,7 +161,7 @@ class TableEnvironment:
                 )
                 df.createOrReplaceTempView(name)
                 return df
-            if connector == "kafka":
+            if connector in ("kafka", "upsert-kafka"):
                 df = srcs.kafka_source(self.spark, props)
                 df.createOrReplaceTempView(name)
                 return df

@@ -78,23 +78,51 @@ def read_stream_table(
     return getattr(reader, fmt)(path)
 
 
-def kafka_source(spark: SparkSession, props: dict, streaming: bool = True) -> DataFrame:
-    """Kafka option mapping: Flink DDL keys → Spark kafka source keys.
-    Returns raw key/value binary columns + metadata (topic, partition,
-    offset, timestamp) — the same metadata columns Flink exposes via
-    METADATA FROM."""
-    reader = spark.readStream if streaming else spark.read
-    r = reader.format("kafka").option(
-        "kafka.bootstrap.servers", props.get("properties.bootstrap.servers", props.get("bootstrap.servers", ""))
-    )
+def kafka_options(props: dict) -> dict[str, str]:
+    """Pure Flink-DDL → Spark-kafka option translation
+    (KafkaDynamicSource.java / KafkaConnectorOptions): topic →
+    subscribe, topic-pattern → subscribePattern,
+    properties.bootstrap.servers → kafka.bootstrap.servers,
+    scan.startup.mode → startingOffsets (+ timestamp/specific-offsets
+    passthrough values). Split out from the reader so the mapping is
+    testable without a broker or the kafka package."""
+    out = {
+        "kafka.bootstrap.servers": props.get(
+            "properties.bootstrap.servers", props.get("bootstrap.servers", "")
+        )
+    }
     if "topic" in props:
-        r = r.option("subscribe", props["topic"])
+        out["subscribe"] = props["topic"]
     if "topic-pattern" in props:
-        r = r.option("subscribePattern", props["topic-pattern"])
+        out["subscribePattern"] = props["topic-pattern"]
     start = props.get("scan.startup.mode", "group-offsets")
-    r = r.option(
-        "startingOffsets", {"earliest-offset": "earliest", "latest-offset": "latest"}.get(start, "latest")
-    )
+    if start == "timestamp" and "scan.startup.timestamp-millis" in props:
+        out["startingTimestamp"] = props["scan.startup.timestamp-millis"]
+    elif start == "specific-offsets" and "scan.startup.specific-offsets" in props:
+        out["startingOffsets"] = props["scan.startup.specific-offsets"]
+    else:
+        out["startingOffsets"] = {
+            "earliest-offset": "earliest",
+            "latest-offset": "latest",
+        }.get(start, "latest")
+    if "properties.group.id" in props:
+        out["kafka.group.id"] = props["properties.group.id"]
+    return out
+
+
+def kafka_source(spark: SparkSession, props: dict, streaming: bool = True) -> DataFrame:
+    """Kafka source: Flink DDL keys → Spark kafka source keys. Returns
+    raw key/value binary columns + metadata (topic, partition, offset,
+    timestamp) — the same metadata columns Flink exposes via METADATA
+    FROM. For connector 'upsert-kafka' (UpsertKafkaDynamicTableFactory)
+    the wire source is identical; upsert semantics come from piping the
+    keyed stream through ``streaming.stateful.changelog_normalize``
+    (tombstone value = NULL → -D), which is exactly how Flink models
+    the upsert-kafka changelog."""
+    reader = spark.readStream if streaming else spark.read
+    r = reader.format("kafka")
+    for k, v in kafka_options(props).items():
+        r = r.option(k, v)
     return r.load()
 
 

@@ -29,3 +29,29 @@ def test_kmeans_inertia_non_increasing(spark):
     # every cell id is a valid [0, k) label
     cells = [r.cell for r in assigned3.select("cell").distinct().collect()]
     assert all(0 <= c < 8 for c in cells)
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    """IVF exactness contract: probing ALL cells (nprobe == n_cells)
+    must reproduce brute-force top-k exactly — the approximation comes
+    only from probing fewer cells, never from the cell routing itself."""
+    from flink_1_16_0_src_spark import tables
+    from flink_1_16_0_src_spark.pipeline.similarity import brute_force_topk, ivf_topk
+    from pyspark.sql import functions as F
+
+    emb = tables.load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    pred = F.col("vec_id") % 29 == 0
+    n_cells = 4
+    got = {
+        (r.query_id, r.rank_num): r.neighbor_id
+        for r in ivf_topk(
+            emb, "embedding", "vec_id", pred, k=3, n_cells=n_cells, nprobe=n_cells
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.rank_num): r.neighbor_id
+        for r in brute_force_topk(
+            emb.where(pred), emb, "embedding", "vec_id", k=3
+        ).collect()
+    }
+    assert got == want and len(got) > 0

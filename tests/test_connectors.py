@@ -283,3 +283,39 @@ def test_list_partitions(spark, tmp_path):
         for r in li.select("l_returnflag", "l_linestatus").distinct().collect()
     }
     assert flags == exp and all(len(p) == 2 for p in parts)
+
+
+def test_kafka_option_mapping_offline():
+    """KafkaDynamicSource option translation (no broker needed)."""
+    opts = srcs.kafka_options(
+        {
+            "topic": "orders",
+            "properties.bootstrap.servers": "b1:9092,b2:9092",
+            "scan.startup.mode": "earliest-offset",
+            "properties.group.id": "g1",
+        }
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "orders",
+        "startingOffsets": "earliest",
+        "kafka.group.id": "g1",
+    }
+    assert srcs.kafka_options({"topic-pattern": "o.*"})["subscribePattern"] == "o.*"
+    assert (
+        srcs.kafka_options(
+            {"scan.startup.mode": "timestamp", "scan.startup.timestamp-millis": "123"}
+        )["startingTimestamp"]
+        == "123"
+    )
+    assert (
+        srcs.kafka_options(
+            {
+                "scan.startup.mode": "specific-offsets",
+                "scan.startup.specific-offsets": "partition:0,offset:42",
+            }
+        )["startingOffsets"]
+        == "partition:0,offset:42"
+    )
+    # default: group-offsets has no Spark analog -> latest
+    assert srcs.kafka_options({})["startingOffsets"] == "latest"
