@@ -138,3 +138,29 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     return df.select("media_id", F.col("meta"), idx.alias("frame_no"),).withColumn(
         "frame_offset", F.col("frame_no") * every_n_bytes
     )
+
+
+def chunk_media(df: DataFrame, chunk_bytes: int = 64) -> DataFrame:
+    """Split each binary payload into fixed-size ordered chunks —
+    (media_id, chunk_idx, chunk, chunk_len). The 100 TB pattern for
+    large blobs (video/audio): one multi-GB payload pins a whole task,
+    chunking re-partitions decode work at byte-range granularity and
+    each chunk carries its ordinal so a downstream groupBy(media_id,
+    sort chunk_idx) reassembles losslessly. Pure JVM expressions:
+    sequence + transform + substring-on-binary, exploded — no Python,
+    no driver involvement."""
+    n_chunks = F.ceil(F.octet_length("payload") / F.lit(chunk_bytes)).cast("int")
+    chunks = F.expr(
+        f"transform(sequence(0, int(ceil(octet_length(payload) / {chunk_bytes})) - 1),"
+        f" i -> struct(i AS chunk_idx, substring(payload, i * {chunk_bytes} + 1, {chunk_bytes}) AS chunk))"
+    )
+    return (
+        df.where(F.octet_length("payload") > 0)
+        .select("media_id", F.explode(chunks).alias("__c"))
+        .select(
+            "media_id",
+            F.col("__c.chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("__c.chunk").alias("chunk"),
+            F.octet_length("__c.chunk").cast("int").alias("chunk_len"),
+        )
+    )

@@ -124,3 +124,33 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.height").alias("height"),
         F.col("meta.n_bytes").alias("n_bytes"),
     )
+
+
+@query(
+    "multimodal_chunking",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id, encode(text) AS payload
+      FROM documents WHERE doc_id % 19 = 0 AND len(text) > 0
+    ), idx AS (
+      SELECT media_id, payload, unnest(range(0, CAST(ceil(octet_length(payload) / 64.0) AS BIGINT))) AS chunk_idx
+      FROM media
+    )
+    SELECT media_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(least(64, octet_length(payload) - chunk_idx * 64) AS INTEGER) AS chunk_len
+    FROM idx
+    """,
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary chunking for parallel decode (byte-range work units with
+    reassembly ordinals); conformance on chunk count/ordinals/lengths —
+    the byte slices themselves are checked by the Spark-side
+    reassembly test."""
+    from flink_1_16_0_src_spark.pipeline.multimodal import attach_media_columns, chunk_media
+
+    d = load(spark, sf_dir, "documents").where(
+        (F.col("doc_id") % 19 == 0) & (F.length("text") > 0)
+    )
+    media = attach_media_columns(d, "text", "doc_id")
+    return chunk_media(media, 64).select("media_id", "chunk_idx", "chunk_len")
