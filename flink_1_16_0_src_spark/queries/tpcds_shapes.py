@@ -398,3 +398,91 @@ FROM rev GROUP BY segment ORDER BY segment
     "TPC-DS q54 shape: customer segmentation — bucket lifetime revenue "
     "into fixed-width segments and count the histogram.",
 )
+
+
+_register(
+    "tpcds_q17_quantity_stats",
+    """
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(avg(l_quantity), 4) AS mean_qty,
+       round(stddev_samp(l_quantity), 4) AS std_qty,
+       round(CASE WHEN avg(l_quantity) = 0 THEN NULL
+                  ELSE stddev_samp(l_quantity) / avg(l_quantity) END, 4) AS cov_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+HAVING count(*) >= 5 AND stddev_samp(l_quantity) / avg(l_quantity) > 0.4
+ORDER BY p_brand
+""",
+    "TPC-DS q17 shape: per-group mean/stddev with a coefficient-of-"
+    "variation HAVING filter (statistical agg + post-agg predicate).",
+)
+
+_register(
+    "tpcds_q23_frequent_buyers",
+    """
+WITH frequent AS (
+  SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) >= 4
+), spend AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+  FROM orders GROUP BY o_custkey
+), best AS (
+  SELECT o_custkey, total_spend,
+         rank() OVER (ORDER BY total_spend DESC, o_custkey) AS rnk
+  FROM spend WHERE o_custkey IN (SELECT o_custkey FROM frequent)
+)
+SELECT o_custkey, total_spend, rnk FROM best WHERE rnk <= 20
+""",
+    "TPC-DS q23 shape: frequency-qualified membership (HAVING-derived "
+    "set) intersected with a spend ranking — semi join into window "
+    "rank.",
+)
+
+_register(
+    "tpcds_q65_min_revenue_brand",
+    """
+WITH rev AS (
+  SELECT l_suppkey, p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY l_suppkey, p_brand
+), min_rev AS (
+  SELECT l_suppkey, min(revenue) AS min_revenue FROM rev GROUP BY l_suppkey
+)
+SELECT s_name, r.p_brand, r.revenue
+FROM rev r
+JOIN min_rev m ON r.l_suppkey = m.l_suppkey AND r.revenue = m.min_revenue
+JOIN supplier ON r.l_suppkey = s_suppkey
+ORDER BY s_name, r.p_brand
+""",
+    "TPC-DS q65 shape: per-entity minimum selection via self-join of "
+    "an aggregate with its per-key min (argmin without window "
+    "functions, the q65 idiom).",
+)
+
+_register(
+    "tpcds_q89_rolling_deviation",
+    """
+WITH monthly AS (
+  SELECT p_type, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+         round(sum(l_extendedprice), 2) AS sales
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE year(o_orderdate) = 1995
+  GROUP BY p_type, year(o_orderdate), month(o_orderdate)
+), roll AS (
+  SELECT p_type, yr, mo, sales,
+         round(avg(sales) OVER (PARTITION BY p_type ORDER BY mo
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS roll_avg
+  FROM monthly
+)
+SELECT p_type, yr, mo, sales, roll_avg,
+       round(sales - roll_avg, 2) AS dev
+FROM roll
+WHERE abs(sales - roll_avg) > 0.1 * roll_avg
+ORDER BY p_type, mo
+""",
+    "TPC-DS q89 shape: rolling window average over a monthly series "
+    "with a relative-deviation filter (moving frame + post-window "
+    "predicate).",
+)
