@@ -180,3 +180,35 @@ class CatalogManager:
 
     def current_database(self) -> str:
         return self.spark.catalog.currentDatabase()
+
+
+def analyze_table(
+    spark: SparkSession, table: str, columns: list[str] | None = None
+) -> None:
+    """Statistics collection — Catalog.java:645 alterTableStatistics /
+    :659 alterTableColumnStatistics, the surface behind the reference's
+    CBO-with-stats TPC-DS runs (flink-tpcds-test TpcdsStatsProvider
+    loads row counts + column NDV/min/max before planning). Spark
+    analog: ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS ...] into
+    the session catalog; with spark.sql.cbo.enabled the optimizer uses
+    them for join reordering and build-side choice — same division of
+    labor, stats feed the cost model, the engine replans.
+
+    At 100 TB stats collection is itself a distributed scan — run it at
+    load time (the reference does exactly this: stats ship WITH the
+    data), not per query."""
+    stmt = f"ANALYZE TABLE {table} COMPUTE STATISTICS"
+    if columns:
+        stmt += " FOR COLUMNS " + ", ".join(columns)
+    spark.sql(stmt)
+
+
+def table_stats(spark: SparkSession, table: str) -> dict:
+    """Read back catalog statistics (rowCount/sizeInBytes) the way the
+    planner sees them — CatalogTableStatistics parity."""
+    rows = spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+    out = {}
+    for r in rows:
+        if r.col_name == "Statistics":
+            out["raw"] = r.data_type
+    return out

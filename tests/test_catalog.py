@@ -97,3 +97,32 @@ def test_catalog_manager_use(spark):
         tenv.use_catalog("nope")
     tenv.use_catalog("default_catalog")
     assert cm.current_database() == "default"
+
+
+def test_analyze_table_feeds_cbo(spark, sf_dir):
+    """TpcdsStatsProvider parity: ANALYZE puts rowCount into the
+    catalog; with CBO on, the optimizer's plan stats carry the exact
+    row count instead of a size-based guess."""
+    from flink_1_16_0_src_spark.catalog import analyze_table, table_stats
+
+    df = tables.load(spark, sf_dir, "nation")
+    df.write.mode("overwrite").saveAsTable("cat_stats_nation")
+    analyze_table(spark, "cat_stats_nation", columns=["n_nationkey", "n_name"])
+    stats = table_stats(spark, "cat_stats_nation")
+    assert "rows" in stats.get("raw", "")
+
+    n = df.count()
+    prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        jstats = (
+            spark.table("cat_stats_nation")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+        )
+        assert jstats.rowCount().isDefined()
+        assert int(str(jstats.rowCount().get())) == n
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev)
+    spark.sql("DROP TABLE IF EXISTS cat_stats_nation")
