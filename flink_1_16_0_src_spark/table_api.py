@@ -192,6 +192,11 @@ class Table:
 
     limit = fetch
 
+    def offset(self, n: int) -> "Table":
+        """Table.offset (SortQueryOperation offset) — pair with
+        ``fetch`` after ``order_by`` for deterministic pagination."""
+        return Table(self._df.offset(n))
+
     # ---- joins (JoinQueryOperation) ----
 
     def join(self, other: "Table", on=None, how: str = "inner") -> "Table":

@@ -171,3 +171,12 @@ def test_over_window_running_sum(spark):
     exp = ev.select("user_id", "ts", F.sum("value").over(w).alias("running"))
     key = lambda r: (r.user_id, r.ts)
     assert sorted(got.collect(), key=key) == sorted(exp.collect(), key=key)
+
+
+def test_offset_fetch_pagination(spark, sf_dir):
+    from flink_1_16_0_src_spark import tables
+    from flink_1_16_0_src_spark.table_api import Table, col
+
+    t = Table(tables.load(spark, sf_dir, "nation")).order_by(col("n_nationkey"))
+    page2 = t.offset(5).fetch(5).to_data_frame().collect()
+    assert [r.n_nationkey for r in page2] == [5, 6, 7, 8, 9]
