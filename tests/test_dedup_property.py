@@ -80,3 +80,33 @@ def test_signatures_and_candidates_match_python_oracle(spark, corpus):
         if set(_py_band_hashes(want_sigs[a])) & set(_py_band_hashes(want_sigs[b]))
     }
     assert got_pairs == want_pairs
+
+
+BITS = 16
+
+
+def _py_simhash(text: str) -> int:
+    import re
+
+    # re.split matches Spark's split(): "" yields one empty token
+    toks = re.split(r"\s+", text.lower().strip())
+    votes = [0] * BITS
+    for t in toks:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        for b in range(BITS):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    return sum((1 << b) for b in range(BITS) if votes[b] > 0)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpus=corpus_strategy)
+def test_simhash_matches_python_oracle(spark, corpus):
+    from flink_1_16_0_src_spark.pipeline.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.simhash for r in simhash(df, "text", "doc_id", bits=BITS).collect()}
+    want = {i: _py_simhash(t) for i, t in enumerate(corpus)}
+    assert got == want
