@@ -180,6 +180,9 @@ class TableEnvironment:
                 return df
             raise NotImplementedError(f"connector {connector!r}")
         stmt = translate_hints(stmt)
+        # Flink EXPLAIN syntax (SqlRichExplain: EXPLAIN [PLAN FOR] <q>)
+        # → Spark's EXPLAIN <q>
+        stmt = re.sub(r"^EXPLAIN\s+PLAN\s+FOR\s+", "EXPLAIN ", stmt, flags=re.IGNORECASE)
         mi = _INSERT_INTO.match(stmt)
         if mi and mi.group(1) in self._sinks:
             from flink_1_16_0_src_spark import sources as srcs

@@ -319,3 +319,10 @@ def test_kafka_option_mapping_offline():
     )
     # default: group-offsets has no Spark analog -> latest
     assert srcs.kafka_options({})["startingOffsets"] == "latest"
+
+
+def test_explain_plan_for_translation(tenv, spark):
+    tables.load(spark, SF_DIR, "region").createOrReplaceTempView("e_region")
+    out = tenv.execute_sql("EXPLAIN PLAN FOR SELECT count(*) AS c FROM e_region")
+    text = out.collect()[0][0]
+    assert "Physical Plan" in text or "Aggregate" in text

@@ -36,6 +36,8 @@ PINNED = [
     "dedup_keep_first",          # dedup → window + filter
     "unnest_with_ordinality",    # posexplode generator
     "tpcds_q67_rollup_rank",     # rollup + rank over aggregate
+    "tpcds_q57_monthly_deviation",  # window avg + rank over agg CTE
+    "tpcds_q78_unreturned_ratio",   # distinct-derived anti join + agg
 ]
 
 
