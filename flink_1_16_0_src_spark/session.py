@@ -65,7 +65,12 @@ def _parse_props(props: str) -> dict[str, str]:
     return out
 
 
-_INSERT_INTO = re.compile(r"INSERT\s+INTO\s+(\w+)\s+(.*)$", re.IGNORECASE | re.DOTALL)
+# INSERT INTO appends (sink.mode=append), INSERT OVERWRITE replaces —
+# the filesystem sink's two write modes (FileSystemTableSink overwrite
+# flag from SqlInsert.isOverwrite)
+_INSERT_INTO = re.compile(
+    r"INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\s+(.*)$", re.IGNORECASE | re.DOTALL
+)
 
 # Flink join-strategy hints (T-PLANNER hint/JoinStrategy.java:29-47) →
 # Spark's equivalents. BROADCAST/SHUFFLE_HASH share names; SHUFFLE_MERGE
@@ -184,17 +189,18 @@ class TableEnvironment:
         # → Spark's EXPLAIN <q>
         stmt = re.sub(r"^EXPLAIN\s+PLAN\s+FOR\s+", "EXPLAIN ", stmt, flags=re.IGNORECASE)
         mi = _INSERT_INTO.match(stmt)
-        if mi and mi.group(1) in self._sinks:
+        if mi and mi.group(2) in self._sinks:
             from flink_1_16_0_src_spark import sources as srcs
 
-            sink = self._sinks[mi.group(1)]
-            df = self.spark.sql(mi.group(2))
+            sink = self._sinks[mi.group(2)]
+            df = self.spark.sql(mi.group(3))
+            mode = "overwrite" if mi.group(1).upper() == "OVERWRITE" else "append"
             srcs.write_table(
                 df,
                 sink["props"].get("path"),
                 sink["connector"],
                 sink["props"].get("format", "parquet"),
-                sink["props"],
+                {**sink["props"], "sink.mode": sink["props"].get("sink.mode", mode)},
                 partitioned_by=sink.get("partitioned_by"),
             )
             return None
@@ -242,7 +248,7 @@ class StatementSet:
         mi = _INSERT_INTO.match(sql.strip())
         if not mi:
             raise ValueError("statement must be INSERT INTO <sink> <query>")
-        return self.add_insert(mi.group(1), self._tenv.spark.sql(mi.group(2)))
+        return self.add_insert(mi.group(2), self._tenv.spark.sql(mi.group(3)))
 
     def _maximal_shared(self) -> list:
         """Maximal analyzed subtrees occurring in >= 2 statements

@@ -326,3 +326,18 @@ def test_explain_plan_for_translation(tenv, spark):
     out = tenv.execute_sql("EXPLAIN PLAN FOR SELECT count(*) AS c FROM e_region")
     text = out.collect()[0][0]
     assert "Physical Plan" in text or "Aggregate" in text
+
+
+def test_insert_into_appends_overwrite_replaces(tenv, spark, tmp_path):
+    """SqlInsert.isOverwrite parity: INTO appends, OVERWRITE replaces."""
+    d = str(tmp_path / "ins_modes")
+    tenv.execute_sql(
+        f"CREATE TABLE ins_sink WITH ('connector'='filesystem','path'='{d}','format'='parquet')"
+    )
+    tables.load(spark, SF_DIR, "region").createOrReplaceTempView("ins_region")
+    tenv.execute_sql("INSERT INTO ins_sink SELECT * FROM ins_region")
+    tenv.execute_sql("INSERT INTO ins_sink SELECT * FROM ins_region")
+    n = tables.load(spark, SF_DIR, "region").count()
+    assert spark.read.parquet(d).count() == 2 * n
+    tenv.execute_sql("INSERT OVERWRITE ins_sink SELECT * FROM ins_region")
+    assert spark.read.parquet(d).count() == n
