@@ -78,6 +78,14 @@ _INSERT_INTO = re.compile(
 # (FlinkHints.java OPTIONS) has no Spark analog inside a query — options
 # belong on the DDL/reader here — so it is stripped.
 _HINT_MAP = {"SHUFFLE_MERGE": "MERGE", "NEST_LOOP": "SHUFFLE_REPLICATE_NL"}
+
+# WATERMARK FOR ts AS ts - INTERVAL '5' SECOND (SqlWatermark.java) —
+# bounded-out-of-orderness only (expression watermarks need a computed
+# column first, SURVEY.md §2.9)
+_WATERMARK_SPEC = re.compile(
+    r"WATERMARK\s+FOR\s+(\w+)\s+AS\s+\1\s*-\s*INTERVAL\s*'([\d.]+)'\s*(\w+)",
+    re.IGNORECASE,
+)
 _HINT_BLOCK = re.compile(r"/\*\+(.*?)\*/", re.DOTALL)
 _OPTIONS_HINT = re.compile(r"OPTIONS\s*\([^)]*\)\s*,?", re.IGNORECASE)
 
@@ -114,6 +122,8 @@ class TableEnvironment:
     def __init__(self, spark: SparkSession | None = None):
         self.spark = spark or get_spark()
         self._sinks: dict[str, dict] = {}
+        self._sources: dict[str, dict] = {}
+        self._watermarks: dict[str, tuple[str, str]] = {}
         from flink_1_16_0_src_spark.catalog import CatalogManager
 
         self.catalog_manager = CatalogManager(self.spark)
@@ -154,6 +164,12 @@ class TableEnvironment:
             ]
             schema = None
             if m.group("schema"):
+                wm = _WATERMARK_SPEC.search(m.group("schema"))
+                if wm:
+                    unit = wm.group(3).upper().rstrip("S") + (
+                        "S" if float(wm.group(2)) != 1 else ""
+                    )
+                    self._watermarks[name] = (wm.group(1), f"{wm.group(2)} {unit}")
                 schema = ", ".join(
                     c.strip() for c in m.group("schema").split(",") if "WATERMARK" not in c.upper()
                 )
@@ -182,6 +198,7 @@ class TableEnvironment:
                     return None
                 df = srcs.read_table(self.spark, path, fmt, schema, props)
                 df.createOrReplaceTempView(name)
+                self._sources[name] = props
                 return df
             raise NotImplementedError(f"connector {connector!r}")
         stmt = translate_hints(stmt)
@@ -214,6 +231,21 @@ class TableEnvironment:
         StatementSet.java): buffer INSERTs, execute as one shared-plan
         job."""
         return StatementSet(self)
+
+    def stream(self, name: str) -> DataFrame:
+        """Open a DDL-registered filesystem table as a STREAMING frame
+        with its declared watermark applied (SqlWatermark.java →
+        withWatermark). The batch view registered by execute_sql stays
+        untouched; this is the streaming-side bridge of the same table."""
+        props = self._sources.get(name)
+        if props is None:
+            raise ValueError(f"{name!r} was not registered by execute_sql DDL")
+        schema = self.spark.table(name).schema
+        reader = self.spark.readStream.schema(schema)
+        sdf = getattr(reader, props.get("format", "parquet"))(props["path"])
+        if name in self._watermarks:
+            sdf = sdf.withWatermark(*self._watermarks[name])
+        return sdf
 
     def from_path(self, path: str, fmt: str = "parquet") -> DataFrame:
         return getattr(self.spark.read, fmt)(path)

@@ -341,3 +341,23 @@ def test_insert_into_appends_overwrite_replaces(tenv, spark, tmp_path):
     assert spark.read.parquet(d).count() == 2 * n
     tenv.execute_sql("INSERT OVERWRITE ins_sink SELECT * FROM ins_region")
     assert spark.read.parquet(d).count() == n
+
+
+def test_ddl_watermark_wired_to_stream(tenv, spark, tmp_path):
+    """SqlWatermark.java: the DDL WATERMARK clause reaches the
+    streaming read as withWatermark (EventTimeWatermark node), while
+    the batch view is unaffected."""
+    d = str(tmp_path / "wm_events")
+    tables.load(spark, SF_DIR, "events").select("event_id", "ts", "value").write.parquet(d)
+    tenv.execute_sql(
+        f"CREATE TABLE wm_events (event_id BIGINT, ts TIMESTAMP, value DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '5' SECOND)"
+        f" WITH ('connector'='filesystem','path'='{d}','format'='parquet')"
+    )
+    assert tenv._watermarks["wm_events"] == ("ts", "5 SECONDS")
+    sdf = tenv.stream("wm_events")
+    assert sdf.isStreaming
+    plan = sdf._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan and "5 seconds" in plan
+    # batch view still works and has no watermark concept
+    assert tenv.sql_query("SELECT count(*) AS c FROM wm_events").collect()[0].c > 0
