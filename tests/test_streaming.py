@@ -172,3 +172,45 @@ def test_stream_union(spark, events_batch):
     got = sources.run_to_memory(a.union(b).select("event_id"), "t_union", "append")
     exp = events_batch.where(F.col("event_type").isin("click", "error")).count()
     assert got.count() == exp
+
+
+def test_update_mode_early_fire_trigger_analog(spark, events_batch, tmp_path):
+    """ContinuousEventTimeTrigger analog (table.exec.emit.early-fire):
+    update-mode window agg emits INTERMEDIATE per-window results each
+    micro-batch; the last emission per window equals the batch answer.
+    Firing granularity is the micro-batch, not a per-window interval —
+    the remaining delta is the documented gap."""
+    d = str(tmp_path / "ef_events")
+    events_batch.select("event_id", "ts", "event_type", "value").repartition(3).write.parquet(d)
+    sdf = (
+        spark.readStream.schema("event_id bigint, ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = windows.tumble_agg(
+        sdf.withWatermark("ts", "400 days"),  # > data span: no late drops, pure early-fire
+        "ts", "1 day", ["event_type"], F.count("*").alias("cnt"),
+    )
+    q = (
+        out.writeStream.format("memory").queryName("ef_tumble")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql("SELECT * FROM ef_tumble")
+    # intermediate emissions: at least one (window,type) emitted more than once
+    dupes = (
+        emitted.groupBy("window_start", "event_type").count().where(F.col("count") > 1)
+    )
+    assert dupes.count() > 0
+    # last (max-cnt) emission per key == batch truth
+    last = (
+        emitted.groupBy("window_start", "event_type").agg(F.max("cnt").alias("cnt"))
+    )
+    exp = (
+        events_batch.groupBy(
+            F.date_trunc("day", "ts").alias("window_start"), "event_type"
+        ).agg(F.count("*").alias("cnt"))
+    )
+    got = {(r.window_start, r.event_type): r.cnt for r in last.collect()}
+    want = {(r.window_start, r.event_type): r.cnt for r in exp.collect()}
+    assert got == want
