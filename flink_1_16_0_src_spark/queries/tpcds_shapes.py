@@ -486,3 +486,91 @@ ORDER BY p_type, mo
     "with a relative-deviation filter (moving frame + post-window "
     "predicate).",
 )
+
+
+_register(
+    "tpcds_q31_share_growth",
+    """
+WITH q AS (
+  SELECT c_nationkey, year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+         round(sum(o_totalprice), 2) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE year(o_orderdate) = 1995
+  GROUP BY c_nationkey, year(o_orderdate), quarter(o_orderdate)
+)
+SELECT q1.c_nationkey,
+       round(q2.rev / q1.rev, 4) AS g12,
+       round(q3.rev / q2.rev, 4) AS g23
+FROM q q1 JOIN q q2 ON q1.c_nationkey = q2.c_nationkey AND q1.qtr = 1 AND q2.qtr = 2
+          JOIN q q3 ON q2.c_nationkey = q3.c_nationkey AND q3.qtr = 3
+WHERE q1.rev > 0 AND q2.rev > 0
+  AND q2.rev / q1.rev > q3.rev / q2.rev
+ORDER BY q1.c_nationkey
+""",
+    "TPC-DS q31 shape: period-over-period growth ratios via triple "
+    "self-join of one aggregate CTE, with a ratio-comparison filter.",
+)
+
+_register(
+    "tpcds_q39_consecutive_cov",
+    """
+WITH stats AS (
+  SELECT l_suppkey, month(l_shipdate) AS mo,
+         round(avg(l_quantity), 4) AS mean_q,
+         round(stddev_samp(l_quantity), 4) AS std_q
+  FROM lineitem WHERE year(l_shipdate) = 1995 AND month(l_shipdate) IN (3, 4)
+  GROUP BY l_suppkey, month(l_shipdate)
+  HAVING count(*) >= 3 AND avg(l_quantity) > 0 AND stddev_samp(l_quantity) / avg(l_quantity) > 0.5
+)
+SELECT a.l_suppkey,
+       a.mean_q AS mean_m3, a.std_q AS std_m3,
+       b.mean_q AS mean_m4, b.std_q AS std_m4
+FROM stats a JOIN stats b ON a.l_suppkey = b.l_suppkey AND a.mo = 3 AND b.mo = 4
+ORDER BY a.l_suppkey
+""",
+    "TPC-DS q39 shape: coefficient-of-variation outliers that persist "
+    "across two consecutive periods (HAVING-filtered stats CTE "
+    "self-joined month-to-month).",
+)
+
+_register(
+    "tpcds_q44_best_worst",
+    """
+WITH perf AS (
+  SELECT l_partkey, round(avg(l_extendedprice * (1 - l_discount)), 2) AS net
+  FROM lineitem GROUP BY l_partkey HAVING count(*) >= 2
+), ranked AS (
+  SELECT l_partkey, net,
+         rank() OVER (ORDER BY net DESC, l_partkey) AS best_rnk,
+         rank() OVER (ORDER BY net ASC, l_partkey) AS worst_rnk
+  FROM perf
+)
+SELECT 'best' AS side, best_rnk AS rnk, l_partkey, net
+FROM ranked WHERE best_rnk <= 10
+UNION ALL
+SELECT 'worst' AS side, worst_rnk AS rnk, l_partkey, net
+FROM ranked WHERE worst_rnk <= 10
+""",
+    "TPC-DS q44 shape: best and worst performers from ONE aggregate via "
+    "two opposite-order ranks unioned (double ranking without a "
+    "second scan).",
+)
+
+_register(
+    "tpcds_q93_net_after_returns",
+    """
+SELECT l_suppkey,
+       round(sum(CASE WHEN l_returnflag = 'R'
+                      THEN l_extendedprice * (1 - l_discount) * 0.2
+                      ELSE l_extendedprice * (1 - l_discount) END), 2) AS net_sales
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus <> 'P'
+GROUP BY l_suppkey
+HAVING sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) > 0
+ORDER BY net_sales DESC, l_suppkey
+LIMIT 25
+""",
+    "TPC-DS q93 shape: per-line return adjustment inside the aggregate "
+    "(refund-rate CASE), return-presence HAVING, deterministic "
+    "ranked limit.",
+)
