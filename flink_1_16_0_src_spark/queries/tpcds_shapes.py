@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from flink_1_16_0_src_spark.registry import query
 from flink_1_16_0_src_spark.tables import register_views
 
-_BATCH = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+_BATCH = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events")
 
 
 def _sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
@@ -573,4 +573,53 @@ LIMIT 25
     "TPC-DS q93 shape: per-line return adjustment inside the aggregate "
     "(refund-rate CASE), return-presence HAVING, deterministic "
     "ranked limit.",
+)
+
+
+_register(
+    "tpcds_q64_repeat_purchases",
+    """
+WITH cp AS (
+  SELECT DISTINCT o_custkey, l_partkey, year(o_orderdate) AS yr
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT a.o_custkey, a.l_partkey, a.yr AS yr1, b.yr AS yr2
+FROM cp a JOIN cp b
+  ON a.o_custkey = b.o_custkey AND a.l_partkey = b.l_partkey AND b.yr = a.yr + 1
+ORDER BY a.o_custkey, a.l_partkey, a.yr
+""",
+    "TPC-DS q64 shape: repeat purchases across consecutive years — "
+    "DISTINCT fact derivation self-joined on (customer, part, "
+    "year+1).",
+)
+
+_register(
+    "tpcds_q41_attribute_exists",
+    """
+SELECT DISTINCT p1.p_brand
+FROM part p1
+WHERE p1.p_size BETWEEN 10 AND 20
+  AND EXISTS (
+    SELECT 1 FROM part p2
+    WHERE p2.p_brand = p1.p_brand
+      AND ((p2.p_type LIKE '%anodized%' AND p2.p_size BETWEEN 1 AND 15)
+        OR (p2.p_type LIKE '%polished%' AND p2.p_size BETWEEN 5 AND 25))
+  )
+ORDER BY p1.p_brand
+""",
+    "TPC-DS q41 shape: correlated EXISTS whose inner predicate is a "
+    "disjunction of attribute combinations (semi join with OR-chain "
+    "build side).",
+)
+
+_register(
+    "tpcds_q90_am_pm_ratio",
+    """
+SELECT round(CAST(am.cnt AS DOUBLE) / pm.cnt, 4) AS am_pm_ratio
+FROM (SELECT count(*) AS cnt FROM events WHERE hour(ts) BETWEEN 6 AND 11) am,
+     (SELECT count(*) AS cnt FROM events WHERE hour(ts) BETWEEN 18 AND 23) pm
+WHERE pm.cnt > 0
+""",
+    "TPC-DS q90 shape: ratio of two independent scalar aggregates "
+    "(cross join of single-row subqueries).",
 )
