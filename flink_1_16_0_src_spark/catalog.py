@@ -40,6 +40,10 @@ class TableAlreadyExistException(Exception):
     """Catalog.java createTable with ignoreIfExists=false."""
 
 
+class FunctionNotExistException(Exception):
+    """Catalog.java:532 dropFunction with ignoreIfNotExists=false."""
+
+
 class GenericInMemoryCatalog:
     """`GenericInMemoryCatalog` parity backed by the Spark session
     catalog. Method names/signatures follow Catalog.java (snake_cased);
@@ -116,14 +120,20 @@ class GenericInMemoryCatalog:
     ) -> None:
         """Catalog.java:276. Temp views have no ALTER ... RENAME in
         Spark; re-register the same logical plan under the new name —
-        metadata-only, identical to the reference's map-key move."""
+        metadata-only, identical to the reference's map-key move.
+        Permanent catalog tables go through ALTER TABLE ... RENAME so
+        the old name actually stops resolving (rename post-condition)."""
         if not self.table_exists(table):
             if ignore_if_not_exists:
                 return
             raise TableNotExistException(table)
         df = self.spark.table(table)
         df.createTempView(new_name)
-        self.spark.catalog.dropTempView(table)
+        if not self.spark.catalog.dropTempView(table):
+            # not a temp view: undo the view registration and rename the
+            # permanent table in the session catalog instead
+            self.spark.catalog.dropTempView(new_name)
+            self.spark.sql(f"ALTER TABLE {table} RENAME TO {new_name}")
 
     def describe_table(self, table: str) -> list[tuple[str, str]]:
         """DESCRIBE — (column, dataType) pairs like CatalogTable schema."""
@@ -147,7 +157,7 @@ class GenericInMemoryCatalog:
         if not self.function_exists(name):
             if ignore_if_not_exists:
                 return
-            raise TableNotExistException(name)
+            raise FunctionNotExistException(name)
         self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
 
 

@@ -6,10 +6,11 @@ Reference parity (SURVEY.md §2.8):
   AFTER MATCH SKIP { PAST LAST ROW | TO NEXT ROW | TO FIRST <var> |
   TO LAST <var> }.
 - CEP library NFA: flink-libraries/flink-cep/.../nfa/NFA.java:86 —
-  v1 scope is strict contiguity with greedy quantifiers
-  (SURVEY.md §7.3 risk 4), which covers PATTERN (A B* C), (A B+ C?),
-  {n,m} ranges; no ALTERNATION groups yet (A|B inside one variable can
-  be expressed in its DEFINE predicate instead).
+  strict contiguity with greedy quantifiers (SURVEY.md §7.3 risk 4):
+  PATTERN (A B* C), (A B+ C?), {n,m} ranges, and ALTERNATION groups
+  ((A|B), branches tried in declaration order like the NFA's ordered
+  epsilon transitions; each branch keeps its own variable name,
+  quantifier, and DEFINE predicate).
 
 Execution model: the NFA core is pure Python over one key's ordered
 rows; Spark distributes it per key via ``applyInPandas`` (batch) /
@@ -63,6 +64,7 @@ class Step:
     max: int | None = 1
     vec: Callable | None = None
     expr: str | None = None
+    alts: tuple = ()  # alternation group: branch Steps, tried in order
 
     @staticmethod
     def star(var: str, predicate: Predicate, vec: Callable | None = None,
@@ -78,6 +80,17 @@ class Step:
     def opt(var: str, predicate: Predicate, vec: Callable | None = None,
             expr: str | None = None) -> "Step":
         return Step(var, predicate, 0, 1, vec, expr)
+
+    @staticmethod
+    def alternation(*branches: "Step") -> "Step":
+        """(A|B) group (NFA.java:86 ordered transitions): the first
+        branch whose quantified match lets the REST of the pattern
+        complete wins — declaration-order priority, same as the NFA
+        trying its transitions in order. Branches keep their own
+        variable names; MEASURES address whichever branch matched
+        (the other branch's var is absent from the matched set)."""
+        assert branches, "alternation needs at least one branch"
+        return Step("|".join(b.var for b in branches), None, alts=tuple(branches))
 
 
 def _match_at(
@@ -96,14 +109,12 @@ def _match_at(
         ts_col, max_delta = within
         return rows[j][ts_col] - rows[start][ts_col] <= max_delta
 
-    def rec(i: int, si: int, matched: Matched) -> tuple[int, Matched] | None:
-        if si == len(steps):
-            return i, {k: list(v) for k, v in matched.items()}
-        step = steps[si]
+    def quant(i: int, step: Step, matched: Matched, cont) -> tuple[int, Matched] | None:
+        """Greedy consume of one quantified variable then ``cont(j)``;
+        backtracks from longest to ``step.min``."""
         taken = []
         matched.setdefault(step.var, [])
         base_len = len(matched[step.var])
-        # greedily consume as many as allowed
         j = i
         while (step.max is None or len(taken) < step.max) and j < len(rows):
             if in_window(j) and step.predicate(rows[j], matched):
@@ -112,10 +123,9 @@ def _match_at(
                 j += 1
             else:
                 break
-        # backtrack from longest to min
         while True:
             if len(taken) >= step.min:
-                res = rec(j, si + 1, matched)
+                res = cont(j)
                 if res is not None:
                     return res
             if not taken:
@@ -128,6 +138,18 @@ def _match_at(
             del matched[step.var]
         return None
 
+    def rec(i: int, si: int, matched: Matched) -> tuple[int, Matched] | None:
+        if si == len(steps):
+            return i, {k: list(v) for k, v in matched.items()}
+        step = steps[si]
+        if step.alts:
+            for branch in step.alts:
+                res = quant(i, branch, matched, lambda j: rec(j, si + 1, matched))
+                if res is not None:
+                    return res
+            return None
+        return quant(i, step, matched, lambda j: rec(j, si + 1, matched))
+
     return rec(start, 0, {})
 
 
@@ -136,12 +158,7 @@ def _partial_at(rows: list[Row], start: int, steps: list[Step]) -> bool:
     the pattern — i.e. a match could still complete with future rows.
     Drives streaming buffer retention."""
 
-    def rec(i: int, si: int, matched: Matched) -> bool:
-        if i == len(rows):
-            return True  # everything consumed; pattern still open (full matches are caught by _match_at first)
-        if si == len(steps):
-            return False  # pattern exhausted but rows remain
-        step = steps[si]
+    def one(i: int, si: int, step: Step, matched: Matched) -> bool:
         matched.setdefault(step.var, [])
         base_len = len(matched[step.var])
         taken = []
@@ -166,6 +183,16 @@ def _partial_at(rows: list[Row], start: int, steps: list[Step]) -> bool:
         del matched[step.var][base_len:]
         return False
 
+    def rec(i: int, si: int, matched: Matched) -> bool:
+        if i == len(rows):
+            return True  # everything consumed; pattern still open (full matches are caught by _match_at first)
+        if si == len(steps):
+            return False  # pattern exhausted but rows remain
+        step = steps[si]
+        if step.alts:
+            return any(one(i, si, b, matched) for b in step.alts)
+        return one(i, si, step, matched)
+
     return rec(start, 0, {})
 
 
@@ -186,11 +213,14 @@ def _resume_index(start: int, end: int, matched_lens: dict, steps: list[Step], a
             var = after_match[len(prefix):]
             off = start
             for s in steps:
-                ln = matched_lens.get(s.var, 0)
-                if s.var == var:
-                    target = off + (max(ln - 1, 0) if last else 0)
-                    return target if target > start else start + 1
-                off += ln
+                # an alternation occupies the slot of whichever branch
+                # matched; the others contribute zero rows
+                for v in ([b.var for b in s.alts] if s.alts else [s.var]):
+                    ln = matched_lens.get(v, 0)
+                    if v == var:
+                        target = off + (max(ln - 1, 0) if last else 0)
+                        return target if target > start else start + 1
+                    off += ln
             raise ValueError(f"unknown skip variable {var!r}")
     raise ValueError(f"unknown after_match {after_match!r}")
 
@@ -229,11 +259,7 @@ def _match_at_masks(
     def in_window(j: int) -> bool:
         return max_delta is None or ts[j] - ts[start] <= max_delta
 
-    def rec(i: int, si: int, matched: dict) -> tuple[int, dict] | None:
-        if si == len(steps):
-            return i, {k: list(v) for k, v in matched.items()}
-        step = steps[si]
-        mask = masks[si]
+    def quant(i: int, step: Step, mask, matched: dict, cont) -> tuple[int, dict] | None:
         taken = 0
         matched.setdefault(step.var, [])
         base_len = len(matched[step.var])
@@ -247,7 +273,7 @@ def _match_at_masks(
                 break
         while True:
             if taken >= step.min:
-                res = rec(j, si + 1, matched)
+                res = cont(j)
                 if res is not None:
                     return res
             if not taken:
@@ -259,6 +285,19 @@ def _match_at_masks(
         if not matched[step.var]:
             del matched[step.var]
         return None
+
+    def rec(i: int, si: int, matched: dict) -> tuple[int, dict] | None:
+        if si == len(steps):
+            return i, {k: list(v) for k, v in matched.items()}
+        step = steps[si]
+        if step.alts:
+            # masks[si] is a sequence aligned with step.alts
+            for branch, bmask in zip(step.alts, masks[si]):
+                res = quant(i, branch, bmask, matched, lambda j: rec(j, si + 1, matched))
+                if res is not None:
+                    return res
+            return None
+        return quant(i, step, masks[si], matched, lambda j: rec(j, si + 1, matched))
 
     return rec(start, 0, {})
 
@@ -274,7 +313,7 @@ def match_sequence_masks(
     alignment — the Python scan then visits only anchor positions
     (actual matches), not every row."""
     if after_match in ("past_last_row", "to_next_row") and all(
-        s.min == 1 and s.max == 1 for s in steps
+        s.min == 1 and s.max == 1 and not s.alts for s in steps
     ):
         import numpy as np
 
@@ -384,7 +423,10 @@ def match_recognize(
             .drop("__cep_ok")
         )
 
-    vectorized = all(s.vec is not None for s in steps)
+    vectorized = all(
+        s.vec is not None or (s.alts and all(b.vec is not None for b in s.alts))
+        for s in steps
+    )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_by, kind="stable")  # str or list both fine
@@ -393,7 +435,10 @@ def match_recognize(
         out = []
         if vectorized:
             n = len(pdf)
-            masks = [s.vec(pdf) for s in steps]
+            masks = [
+                tuple(b.vec(pdf) for b in s.alts) if s.alts else s.vec(pdf)
+                for s in steps
+            ]
             ts = pdf[within[0]].to_numpy() if within else None
             md = within[1] if within else None
             if md is not None and not isinstance(md, (int, float)):

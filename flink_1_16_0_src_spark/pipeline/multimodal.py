@@ -149,7 +149,6 @@ def chunk_media(df: DataFrame, chunk_bytes: int = 64) -> DataFrame:
     sort chunk_idx) reassembles losslessly. Pure JVM expressions:
     sequence + transform + substring-on-binary, exploded — no Python,
     no driver involvement."""
-    n_chunks = F.ceil(F.octet_length("payload") / F.lit(chunk_bytes)).cast("int")
     chunks = F.expr(
         f"transform(sequence(0, int(ceil(octet_length(payload) / {chunk_bytes})) - 1),"
         f" i -> struct(i AS chunk_idx, substring(payload, i * {chunk_bytes} + 1, {chunk_bytes}) AS chunk))"

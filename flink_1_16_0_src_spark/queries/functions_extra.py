@@ -152,7 +152,7 @@ def func_timestamp_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(exp(1.0), 6)                         AS e_const,
            round(pi(), 6)                             AS pi_const,
            floor(value * 100) / 100                   AS trunc2,
-           round(mod(floor(value)::BIGINT, 7), 4)            AS mod7
+           CAST(mod(floor(value)::BIGINT, 7) AS BIGINT)      AS mod7
     FROM events WHERE value > 0.1
     """,
     tags=("functions", "math"),
@@ -167,7 +167,7 @@ def func_math_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.lit(1.0)), 6).alias("e_const"),
         F.round(F.lit(3.14159265358979), 6).alias("pi_const"),
         (F.floor(F.col("value") * 100) / 100).alias("trunc2"),
-        F.round(F.floor("value").cast("bigint") % 7, 4).alias("mod7"),
+        (F.floor("value").cast("bigint") % 7).alias("mod7"),
     )
 
 
@@ -217,7 +217,7 @@ def func_math_hyperbolic_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
            ts - INTERVAL 5 HOUR AS ny_winter_time,
            CAST(props::JSON ->> 'k' AS BIGINT) AS k_val,
            props::JSON ->> 'k' IS NOT NULL AS k_exists,
-           NULL AS missing_path
+           CAST(NULL AS VARCHAR) AS missing_path
     FROM events
     WHERE event_id < 500
     """,
@@ -245,12 +245,12 @@ def func_tz_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     "func_decimal_precision",
     oracle="""
     SELECT l_returnflag,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS dec_sum,
-           CAST(avg(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS dec_avg,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                    CAST(1 - l_discount AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS dec_revenue,
-           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,10))
-                / count(*) AS DECIMAL(38,6)) AS dec_div
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS dec_sum,
+           CAST(CAST(avg(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS VARCHAR) AS dec_avg,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(1 - l_discount AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS VARCHAR) AS dec_revenue,
+           CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,10))
+                / count(*) AS DECIMAL(38,6)) AS VARCHAR) AS dec_div
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -268,10 +268,13 @@ def func_decimal_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     qty = F.col("l_quantity").cast("decimal(18,4)")
     disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,6)")
     return l.groupBy("l_returnflag").agg(
-        F.sum(price).cast("decimal(38,2)").alias("dec_sum"),
-        F.avg(qty).cast("decimal(38,8)").alias("dec_avg"),
-        F.sum(price * disc).cast("decimal(38,4)").alias("dec_revenue"),
-        (F.sum(price).cast("decimal(38,10)") / F.count("*")).cast("decimal(38,6)").alias("dec_div"),
+        F.sum(price).cast("decimal(38,2)").cast("string").alias("dec_sum"),
+        F.avg(qty).cast("decimal(38,8)").cast("string").alias("dec_avg"),
+        F.sum(price * disc).cast("decimal(38,4)").cast("string").alias("dec_revenue"),
+        (F.sum(price).cast("decimal(38,10)") / F.count("*"))
+        .cast("decimal(38,6)")
+        .cast("string")
+        .alias("dec_div"),
     )
 
 

@@ -104,7 +104,7 @@ def func_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey,
            CAST(p_size AS VARCHAR)                         AS size_str,
-           CAST(p_retailprice AS DECIMAL(12,2))            AS price_dec,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec,
            CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS dec_back,
            try_cast(p_brand AS INT)                        AS bad_int,
            try_cast(CAST(p_size AS VARCHAR) AS INT)        AS good_int,
@@ -122,9 +122,9 @@ def func_cast_try(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey",
         F.col("p_size").cast("string").alias("size_str"),
-        F.col("p_retailprice").cast("decimal(12,2)").alias("price_dec"),
+        F.col("p_retailprice").cast("decimal(12,2)").cast("string").alias("price_dec"),
         F.col("p_retailprice").cast("decimal(12,2)").cast("double").alias("dec_back"),
-        F.try_to_number(F.col("p_brand"), F.lit("999")).cast("int").alias("bad_int"),
+        F.expr("try_cast(p_brand AS INT)").alias("bad_int"),
         F.col("p_size").cast("string").cast("int").alias("good_int"),
         F.col("p_size").cast("double").alias("size_dbl"),
         F.expr("try_cast('2024-13-99' AS TIMESTAMP)").alias("bad_ts"),
@@ -136,38 +136,49 @@ def func_cast_try(spark: SparkSession, sf_dir: str) -> DataFrame:
     "func_collections",
     oracle="""
     SELECT p_partkey,
-           len(str_split(p_name, ' '))                        AS n_words,
+           CAST(len(str_split(p_name, ' ')) AS BIGINT)        AS n_words,
            list_contains(str_split(p_name, ' '), 'widget')   AS has_brushed,
            str_split(p_name, ' ')[2]                          AS second_el,
-           list_sort(str_split(p_name, ' '))                  AS sorted_words,
-           list_sort(list_distinct([p_size, p_size, p_size + 1])) AS distinct_sizes,
+           array_to_string(list_sort(str_split(p_name, ' ')), ',') AS sorted_words,
+           array_to_string(list_sort(list_distinct([p_size, p_size, p_size + 1])), ',') AS distinct_sizes,
            array_to_string(str_split(p_name, ' '), '+')       AS joined,
-           flatten([[p_size], [p_size + 1]])                  AS flat,
-           [p_size, p_size * 2]                               AS arr_ctor,
-           str_split(p_name, ' ')[1:2]                        AS sliced
+           array_to_string(flatten([[p_size], [p_size + 1]]), ',') AS flat,
+           array_to_string([p_size, p_size * 2], ',')         AS arr_ctor,
+           array_to_string(str_split(p_name, ' ')[1:2], ',')  AS sliced
     FROM part
     """,
     tags=("functions", "collections"),
 )
 def func_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ARRAY ctor/element_at/cardinality/contains/sort/distinct/flatten/
-    slice (BuiltInFunctionDefinitions.java:1560-1640). list_distinct in
-    DuckDB doesn't preserve order → wrap both sides in list_sort where
-    order matters; here input has distinct values so sort-free compare
-    works after canonicalization to tuples."""
+    slice (BuiltInFunctionDefinitions.java:1560-1640). Array-valued
+    outputs are emitted as ','-joined strings so the driver's
+    canonicalizer (which cannot sort/hash list cells) compares them;
+    list_distinct in DuckDB doesn't preserve order → both sides sort
+    before joining."""
     p = load(spark, sf_dir, "part")
     words = F.split("p_name", " ")
     return p.select(
         "p_partkey",
-        F.size(words).alias("n_words"),
+        F.size(words).cast("bigint").alias("n_words"),
         F.array_contains(words, "widget").alias("has_brushed"),
         F.try_element_at(words, F.lit(2)).alias("second_el"),
-        F.sort_array(words).alias("sorted_words"),
-        F.sort_array(
-            F.array_distinct(F.array(F.col("p_size"), F.col("p_size"), F.col("p_size") + 1))
+        F.array_join(F.sort_array(words), ",").alias("sorted_words"),
+        F.array_join(
+            F.sort_array(
+                F.array_distinct(F.array(F.col("p_size"), F.col("p_size"), F.col("p_size") + 1))
+            ).cast("array<string>"),
+            ",",
         ).alias("distinct_sizes"),
         F.array_join(words, "+").alias("joined"),
-        F.flatten(F.array(F.array(F.col("p_size")), F.array(F.col("p_size") + 1))).alias("flat"),
-        F.array(F.col("p_size"), F.col("p_size") * 2).alias("arr_ctor"),
-        F.slice(words, 1, 2).alias("sliced"),
+        F.array_join(
+            F.flatten(F.array(F.array(F.col("p_size")), F.array(F.col("p_size") + 1))).cast(
+                "array<string>"
+            ),
+            ",",
+        ).alias("flat"),
+        F.array_join(F.array(F.col("p_size"), F.col("p_size") * 2).cast("array<string>"), ",").alias(
+            "arr_ctor"
+        ),
+        F.array_join(F.slice(words, 1, 2), ",").alias("sliced"),
     )

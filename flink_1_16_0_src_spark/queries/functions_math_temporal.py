@@ -23,11 +23,11 @@ from flink_1_16_0_src_spark.tables import load
            round(power(l_quantity, 2), 4)              AS v_pow,
            round(sqrt(l_extendedprice), 6)             AS v_sqrt,
            CAST(mod(CAST(l_quantity AS BIGINT), 7) AS BIGINT) AS v_mod,
-           sign(l_discount - 0.05)                     AS v_sign,
+           CAST(sign(l_discount - 0.05) AS DOUBLE)     AS v_sign,
            round(l_extendedprice, 1)                   AS v_round1,
            round(l_extendedprice, -2)                  AS v_round_neg,
-           ceil(l_discount * 100)                      AS v_ceil,
-           floor(l_discount * 100)                     AS v_floor,
+           CAST(ceil(l_discount * 100) AS BIGINT)      AS v_ceil,
+           CAST(floor(l_discount * 100) AS BIGINT)     AS v_floor,
            trunc(l_extendedprice * 100) / 100.0        AS v_trunc2
     FROM lineitem WHERE l_linenumber = 1 AND l_extendedprice > 0
     """,
@@ -109,7 +109,7 @@ def func_math_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
            o_orderdate + INTERVAL '90 days'          AS plus_90d,
            o_orderdate - INTERVAL '1 month'          AS minus_1mo,
            date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since,
-           epoch(o_orderdate)                        AS epoch_s,
+           CAST(epoch(o_orderdate) AS BIGINT)        AS epoch_s,
            make_timestamp(CAST(epoch(o_orderdate) AS BIGINT) * 1000000) AS from_epoch
     FROM orders
     """,

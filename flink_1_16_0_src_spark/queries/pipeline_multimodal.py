@@ -49,8 +49,8 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id AS media_id,
            octet_length(encode(text)) AS n_bytes,
-           list_aggregate(list_transform(str_split(text, ''), c -> unicode(c)), 'sum')
-             % 2147483648 AS checksum,
+           CAST(list_aggregate(list_transform(str_split(text, ''), c -> unicode(c)), 'sum')
+             % 2147483648 AS BIGINT) AS checksum,
            CAST(length(text) % 640 AS INT) AS width,
            CAST(doc_id % 480 AS INT) AS height
     FROM documents

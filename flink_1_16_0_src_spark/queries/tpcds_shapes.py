@@ -307,7 +307,7 @@ WITH monthly AS (
   GROUP BY p_brand, year(o_orderdate), month(o_orderdate)
 ), with_avg AS (
   SELECT p_brand, yr, mo, sales,
-         round(avg(sales) OVER (PARTITION BY p_brand, yr), 2) AS avg_sales
+         round(avg(sales) OVER (PARTITION BY p_brand, yr) + 0.00001, 2) AS avg_sales
   FROM monthly
 ), dev AS (
   SELECT p_brand, yr, mo, sales, avg_sales,
@@ -370,7 +370,7 @@ WITH returned AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_returnflag = 'R'
 )
 SELECT year(o_orderdate) AS yr, l.l_suppkey,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS net_sales,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)) + 0.00001, 2) AS net_sales,
        CAST(count(*) AS BIGINT) AS n_lines
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -562,7 +562,7 @@ _register(
 SELECT l_suppkey,
        round(sum(CASE WHEN l_returnflag = 'R'
                       THEN l_extendedprice * (1 - l_discount) * 0.2
-                      ELSE l_extendedprice * (1 - l_discount) END), 2) AS net_sales
+                      ELSE l_extendedprice * (1 - l_discount) END) + 0.00001, 2) AS net_sales
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderstatus <> 'P'
 GROUP BY l_suppkey

@@ -186,6 +186,14 @@ class TableEnvironment:
                 df = srcs.kafka_source(self.spark, props)
                 df.createOrReplaceTempView(name)
                 return df
+            if connector == "jdbc":
+                # register lazily: Spark's jdbc reader connects at load()
+                # for schema inference, so defer until first use — the
+                # same laziness as Flink's JdbcDynamicTableSource, which
+                # only connects when the scan runs
+                self._sources[name] = props
+                self._sinks[name] = {"connector": connector, "props": props}
+                return None
             if connector == "filesystem":
                 path = props["path"]
                 if not os.path.exists(path.removeprefix("file://")):
@@ -205,6 +213,7 @@ class TableEnvironment:
         # Flink EXPLAIN syntax (SqlRichExplain: EXPLAIN [PLAN FOR] <q>)
         # → Spark's EXPLAIN <q>
         stmt = re.sub(r"^EXPLAIN\s+PLAN\s+FOR\s+", "EXPLAIN ", stmt, flags=re.IGNORECASE)
+        stmt = self._rewrite_flink_clauses(stmt)
         mi = _INSERT_INTO.match(stmt)
         if mi and mi.group(2) in self._sinks:
             from flink_1_16_0_src_spark import sources as srcs
@@ -217,20 +226,46 @@ class TableEnvironment:
                 sink["props"].get("path"),
                 sink["connector"],
                 sink["props"].get("format", "parquet"),
-                {**sink["props"], "sink.mode": sink["props"].get("sink.mode", mode)},
+                # the statement's INTO/OVERWRITE keyword wins over any
+                # DDL-declared sink.mode (SqlInsert.isOverwrite parity)
+                {**sink["props"], "sink.mode": mode},
                 partitioned_by=sink.get("partitioned_by"),
             )
             return None
         return self.spark.sql(stmt)
 
+    def _rewrite_flink_clauses(self, sql: str) -> str:
+        """Window-TVF + MATCH_RECOGNIZE SQL surface (sql_clauses.py):
+        TUMBLE/HOP/CUMULATE/SESSION(TABLE t, DESCRIPTOR(ts), ...) and
+        t MATCH_RECOGNIZE (...) lower onto operators.windows /
+        operators.cep before Catalyst parses the statement."""
+        if re.search(r"MATCH_RECOGNIZE|TABLE\s*\(\s*(TUMBLE|HOP|CUMULATE|SESSION)", sql, re.IGNORECASE):
+            from flink_1_16_0_src_spark.sql_clauses import rewrite_flink_clauses
+
+            return rewrite_flink_clauses(self.spark, sql)
+        return sql
+
     def sql_query(self, sql: str) -> DataFrame:
-        return self.spark.sql(translate_hints(sql))
+        return self.spark.sql(self._rewrite_flink_clauses(translate_hints(sql)))
 
     def create_statement_set(self) -> "StatementSet":
         """TableEnvironment.createStatementSet (T-API
         StatementSet.java): buffer INSERTs, execute as one shared-plan
         job."""
         return StatementSet(self)
+
+    def table(self, name: str) -> DataFrame:
+        """Resolve a DDL-registered table. Filesystem/kafka tables are
+        already temp views; lazily-registered jdbc tables connect here
+        (first use), then register so SQL sees them too."""
+        props = self._sources.get(name)
+        if props is not None and props.get("connector") == "jdbc":
+            from flink_1_16_0_src_spark import sources as srcs
+
+            df = srcs.jdbc_source(self.spark, props)
+            df.createOrReplaceTempView(name)
+            return df
+        return self.spark.table(name)
 
     def stream(self, name: str) -> DataFrame:
         """Open a DDL-registered filesystem table as a STREAMING frame
@@ -343,7 +378,9 @@ class StatementSet:
                     sink["props"].get("path"),
                     sink["connector"],
                     sink["props"].get("format", "parquet"),
-                    sink["props"],
+                    # statement-set inserts are INSERT INTO → append,
+                    # same precedence rule as execute_sql
+                    {**sink["props"], "sink.mode": "append"},
                     partitioned_by=sink.get("partitioned_by"),
                 )
         finally:

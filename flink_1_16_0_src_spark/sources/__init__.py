@@ -99,7 +99,21 @@ def kafka_options(props: dict) -> dict[str, str]:
     if start == "timestamp" and "scan.startup.timestamp-millis" in props:
         out["startingTimestamp"] = props["scan.startup.timestamp-millis"]
     elif start == "specific-offsets" and "scan.startup.specific-offsets" in props:
-        out["startingOffsets"] = props["scan.startup.specific-offsets"]
+        # Flink 'partition:0,offset:42;partition:1,offset:300'
+        # (KafkaConnectorOptionsUtil.parseSpecificOffsets) → Spark JSON
+        # {"topic":{"0":42,"1":300}} keyed by the declared topic.
+        import json
+
+        per_partition: dict[str, int] = {}
+        for chunk in props["scan.startup.specific-offsets"].split(";"):
+            chunk = chunk.strip()
+            if not chunk:
+                continue
+            fields = dict(
+                kv.split(":", 1) for kv in (p.strip() for p in chunk.split(",")) if ":" in kv
+            )
+            per_partition[fields["partition"].strip()] = int(fields["offset"])
+        out["startingOffsets"] = json.dumps({props.get("topic", ""): per_partition})
     else:
         out["startingOffsets"] = {
             "earliest-offset": "earliest",
@@ -108,6 +122,60 @@ def kafka_options(props: dict) -> dict[str, str]:
     if "properties.group.id" in props:
         out["kafka.group.id"] = props["properties.group.id"]
     return out
+
+
+def jdbc_options(props: dict) -> dict[str, str]:
+    """Pure Flink-DDL → Spark-jdbc option translation
+    (flink-connectors/flink-connector-jdbc/.../table/JdbcDynamicTableFactory.java
+    option set, JdbcConnectorOptions): url → url, table-name → dbtable,
+    driver → driver, username → user, password → password, and the
+    parallel-scan partitioning quartet scan.partition.column/num/
+    lower-bound/upper-bound → partitionColumn/numPartitions/lowerBound/
+    upperBound (Flink's JdbcParameterValuesProvider range split ≡
+    Spark's stride partitioning — both emit one WHERE-range query per
+    partition, which is what makes a 1000-executor scan of a big table
+    possible at all). scan.fetch-size → fetchsize. Split out from the
+    reader so the mapping is testable without a database."""
+    key_map = {
+        "url": "url",
+        "table-name": "dbtable",
+        "driver": "driver",
+        "username": "user",
+        "password": "password",
+        "scan.partition.column": "partitionColumn",
+        "scan.partition.num": "numPartitions",
+        "scan.partition.lower-bound": "lowerBound",
+        "scan.partition.upper-bound": "upperBound",
+        "scan.fetch-size": "fetchsize",
+    }
+    out = {sp: props[fl] for fl, sp in key_map.items() if fl in props}
+    missing = {"url", "table-name"} - props.keys()
+    if missing:
+        raise ValueError(f"jdbc connector requires options {sorted(missing)}")
+    return out
+
+
+def jdbc_source(spark: SparkSession, props: dict) -> DataFrame:
+    """JDBC source (JdbcDynamicTableSource.java): batch-only, like the
+    reference (JDBC is a bounded scan + lookup connector there too).
+    Connects on first action; Spark pushes projections and simple
+    filters into the remote query (JDBCScan PushedFilters)."""
+    r = spark.read.format("jdbc")
+    for k, v in jdbc_options(props).items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def jdbc_sink(df: DataFrame, props: dict, mode: str = "append") -> None:
+    """JDBC sink (JdbcDynamicTableSink.java): append/overwrite batch
+    write. Flink's sink.buffer-flush.* batching maps to Spark's
+    per-partition batched inserts (batchsize)."""
+    w = df.write.format("jdbc").mode(mode)
+    for k, v in jdbc_options(props).items():
+        w = w.option(k, v)
+    if "sink.buffer-flush.max-rows" in props:
+        w = w.option("batchsize", props["sink.buffer-flush.max-rows"])
+    w.save()
 
 
 def kafka_source(spark: SparkSession, props: dict, streaming: bool = True) -> DataFrame:
@@ -155,6 +223,9 @@ def write_table(
     if connector == "blackhole":
         df.write.format("noop").mode("overwrite").save()
         return
+    if connector == "jdbc":
+        jdbc_sink(df, options or {}, (options or {}).get("sink.mode", "append"))
+        return
     writer = df.write.mode(options.get("sink.mode", "overwrite") if options else "overwrite")
     if partitioned_by:
         writer = writer.partitionBy(*partitioned_by)
@@ -176,8 +247,11 @@ def compact_partitions(
     flink-connector-files .../table/stream/compact/). Flink compacts
     per-checkpoint files below `compaction.file-size` into bigger ones;
     here: read the table back, coalesce to ceil(bytes/target) files
-    (per partition directory when partitioned), and atomically replace
-    via overwrite. Returns the file count after compaction.
+    (per partition directory when partitioned), then swap directories
+    (old aside → tmp in → delete old) so a crash mid-swap leaves either
+    the old or the new table, never neither. Local-filesystem paths
+    only (os.rename/os.walk); object stores need a committer instead.
+    Returns the file count after compaction.
 
     Scale: streaming sinks at high parallelism produce
     O(executors × triggers) small files; unchecked, a 100 TB table
@@ -204,8 +278,12 @@ def compact_partitions(
     getattr(writer, fmt)(tmp)
     import shutil
 
-    shutil.rmtree(raw)
+    old = raw.rstrip("/") + ".compact_old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(raw, old)
     os.rename(tmp, raw)
+    shutil.rmtree(old)
     out = 0
     for root, _dirs, files in os.walk(raw):
         out += sum(1 for f in files if f.endswith("." + fmt) or (fmt == "text" and f.endswith(".txt")))

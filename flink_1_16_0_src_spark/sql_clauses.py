@@ -1,0 +1,450 @@
+"""Flink-only SQL clause surface: window TVFs + MATCH_RECOGNIZE.
+
+Reference parity:
+- ``TUMBLE/HOP/CUMULATE/SESSION(TABLE t, DESCRIPTOR(ts), ...)`` TVF
+  calls (SqlTumbleTableFunction.java:37, SqlHopTableFunction.java:38,
+  SqlCumulateTableFunction.java:37, SqlSessionTableFunction.java) —
+  Spark SQL has no polymorphic table functions, so occurrences are
+  rewritten: the windowed relation is materialized as a temp view via
+  ``operators.windows`` (which appends the TVF contract's
+  window_start/window_end columns) and the call text is replaced by
+  the view name. The surrounding query is untouched — GROUP BY
+  window_start, window_end then aggregates exactly like Flink's
+  WindowAggregate on TVF output.
+- ``MATCH_RECOGNIZE ( PARTITION BY .. ORDER BY .. MEASURES ..
+  [ONE ROW PER MATCH] [AFTER MATCH SKIP ..] PATTERN (..) [WITHIN ..]
+  DEFINE .. )`` (StreamExecMatch.java:59, SqlMatchRecognize in
+  Calcite) — parsed and lowered onto ``operators.cep.match_recognize``.
+
+Supported MATCH_RECOGNIZE subset (documented v1, mirrors the repo's
+CEP engine scope — strict contiguity, greedy quantifiers, alternation
+groups):
+- PATTERN: variables with ``* + ? {n,m} {n,}`` quantifiers and
+  ``(A|B)`` alternation groups.
+- DEFINE: boolean SQL over the CURRENT row's columns. ``V.col`` where
+  V is the variable being defined refers to the current row (Flink
+  semantics) and is stripped; ``PREV(V.col [, n])`` / ``NEXT(V.col
+  [, n])`` become lag/lead over the partition (physical offsets, the
+  Calcite semantics) — all hoisted to JVM-evaluated mask columns
+  before the NFA runs (the same condition hoisting
+  MatchCodeGenerator.scala performs). Cross-variable references
+  (LAST(A.x) inside DEFINE B) are NOT supported in SQL form — use the
+  Python API's matched-dict predicates for those.
+- MEASURES: ``FIRST(V.col)``, ``LAST(V.col)``, ``V.col`` (≡ LAST —
+  Calcite's implicit last-row semantics), ``COUNT(V.*)``,
+  ``SUM(V.col)``, ``AVG(V.col)``.
+- ONE ROW PER MATCH (the only Flink-supported mode; ALL ROWS PER
+  MATCH is rejected there too for streaming).
+- AFTER MATCH SKIP PAST LAST ROW (default) / TO NEXT ROW /
+  TO FIRST V / TO LAST V.
+- WITHIN INTERVAL 'n' UNIT (Flink's SqlMatchRecognize extension).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from flink_1_16_0_src_spark.operators import cep, windows
+
+_INTERVAL = re.compile(r"INTERVAL\s*'([\d.]+)'\s*(\w+)", re.IGNORECASE)
+
+_TVF_HEAD = re.compile(
+    r"TABLE\s*\(\s*(TUMBLE|HOP|CUMULATE|SESSION)\s*\(", re.IGNORECASE
+)
+
+_MR_HEAD = re.compile(r"(\w+)\s+MATCH_RECOGNIZE\s*\(", re.IGNORECASE)
+
+
+def _balanced(sql: str, open_idx: int) -> int:
+    """Index just past the ')' matching the '(' at ``open_idx``
+    (quote-aware)."""
+    depth, i, n = 0, open_idx, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            i += 1
+            while i < n and sql[i] != "'":
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError("unbalanced parentheses in SQL")
+
+
+def _split_top_commas(s: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            cur.append(c)
+            i += 1
+            while i < n and s[i] != "'":
+                cur.append(s[i])
+                i += 1
+            if i < n:
+                cur.append("'")
+        elif c == "(":
+            depth += 1
+            cur.append(c)
+        elif c == ")":
+            depth -= 1
+            cur.append(c)
+        elif c == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def _interval_str(arg: str) -> str:
+    m = _INTERVAL.search(arg)
+    if not m:
+        raise ValueError(f"expected INTERVAL literal in {arg!r}")
+    qty, unit = m.group(1), m.group(2).lower()
+    if not unit.endswith("s"):
+        unit += "s"
+    return f"{qty} {unit}"
+
+
+def rewrite_window_tvfs(spark: SparkSession, sql: str) -> str:
+    """Replace every ``TABLE(TUMBLE|HOP|CUMULATE|SESSION(...))``
+    occurrence with a temp view holding the windowed relation."""
+    counter = 0
+    while True:
+        m = _TVF_HEAD.search(sql)
+        if m is None:
+            return sql
+        fn = m.group(1).upper()
+        inner_open = sql.index("(", m.end() - 1)
+        end_inner = _balanced(sql, inner_open)
+        # past the wrapping TABLE( ... )
+        end_outer = sql.index(")", end_inner)
+        args = _split_top_commas(sql[inner_open + 1 : end_inner - 1])
+
+        def named(prefix: str, a: str) -> str:
+            # 'DATA => TABLE t' / 'TIMECOL => DESCRIPTOR(ts)' named-arg forms
+            return re.sub(rf"^{prefix}\s*=>\s*", "", a, flags=re.IGNORECASE).strip()
+
+        table_arg = named("DATA", args[0])
+        tm = re.match(
+            r"TABLE\s+(\w+)(?:\s+PARTITION\s+BY\s+(.+))?$",
+            table_arg,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if tm is None:
+            raise ValueError(f"unsupported TVF table argument {table_arg!r}")
+        tbl, part_by = tm.group(1), tm.group(2)
+        dm = re.match(
+            r"DESCRIPTOR\s*\(\s*(\w+)\s*\)", named("TIMECOL", args[1]), re.IGNORECASE
+        )
+        if dm is None:
+            raise ValueError(f"expected DESCRIPTOR(col), got {args[1]!r}")
+        ts = dm.group(1)
+        df = spark.table(tbl)
+        rest = args[2:]
+        if fn == "TUMBLE":
+            size = _interval_str(named("SIZE", rest[0]))
+            offset = _interval_str(rest[1]) if len(rest) > 1 else None
+            out = windows.tumble(df, ts, size, offset)
+        elif fn == "HOP":
+            slide = _interval_str(named("SLIDE", rest[0]))
+            size = _interval_str(named("SIZE", rest[1]))
+            offset = _interval_str(rest[2]) if len(rest) > 2 else None
+            out = windows.hop(df, ts, slide, size, offset)
+        elif fn == "CUMULATE":
+            step = _interval_str(named("STEP", rest[0]))
+            max_size = _interval_str(named("SIZE", rest[1]))
+            out = windows.cumulate(df, ts, step, max_size)
+        else:  # SESSION
+            gap = _interval_str(named("GAP", rest[0]))
+            keys = [k.strip() for k in (part_by or "").split(",") if k.strip()]
+            out = windows.session(df, ts, gap, *keys)
+        view = f"__tvf_{fn.lower()}_{tbl}_{counter}"
+        counter += 1
+        out.createOrReplaceTempView(view)
+        sql = sql[: m.start()] + view + sql[end_outer + 1 :]
+
+
+# ---- MATCH_RECOGNIZE ------------------------------------------------------
+
+_QUANT = re.compile(r"^(\w+)(\*|\+|\?|\{\s*(\d+)\s*(?:,\s*(\d*)\s*)?\})?$")
+
+
+def _parse_pattern(text: str) -> list[tuple]:
+    """'A B+ (C|D) E{2,3}' → [('A',1,1), ('B',1,None),
+    [('C',1,1),('D',1,1)], ('E',2,3)] — alternation groups nest one
+    level (the NFA.java group scope)."""
+    items: list = []
+    toks = re.findall(r"\([^)]*\)|\S+", text.strip())
+    for tok in toks:
+        if tok.startswith("("):
+            branches = [b.strip() for b in tok[1:-1].split("|")]
+            items.append([_parse_quant(b) for b in branches])
+        else:
+            items.append(_parse_quant(tok))
+    return items
+
+
+def _parse_quant(tok: str) -> tuple[str, int, int | None]:
+    m = _QUANT.match(tok)
+    if m is None:
+        raise ValueError(f"unsupported pattern token {tok!r}")
+    var, q = m.group(1), m.group(2)
+    if q is None:
+        return (var, 1, 1)
+    if q == "*":
+        return (var, 0, None)
+    if q == "+":
+        return (var, 1, None)
+    if q == "?":
+        return (var, 0, 1)
+    lo = int(m.group(3))
+    hi = m.group(4)
+    return (var, lo, lo if hi is None else (None if hi == "" else int(hi)))
+
+
+_PREV_NEXT = re.compile(r"\b(PREV|NEXT)\s*\(\s*(\w+)\.(\w+)\s*(?:,\s*(\d+)\s*)?\)", re.IGNORECASE)
+_MEASURE_FN = re.compile(r"^(FIRST|LAST|COUNT|SUM|AVG)\s*\(\s*(\w+)\.(\w+|\*)\s*\)$", re.IGNORECASE)
+_VAR_COL = re.compile(r"^(\w+)\.(\w+)$")
+
+
+def _clause_split(body: str) -> dict[str, str]:
+    """Split the MATCH_RECOGNIZE body into its clauses by keyword."""
+    keys = [
+        ("PARTITION BY", "partition"),
+        ("ORDER BY", "order"),
+        ("MEASURES", "measures"),
+        ("ONE ROW PER MATCH", "one_row"),
+        ("ALL ROWS PER MATCH", "all_rows"),
+        ("AFTER MATCH", "after"),
+        ("PATTERN", "pattern"),
+        ("WITHIN", "within"),
+        ("DEFINE", "define"),
+    ]
+    positions = []
+    for kw, name in keys:
+        for m in re.finditer(re.escape(kw).replace(r"\ ", r"\s+"), body, re.IGNORECASE):
+            positions.append((m.start(), m.end(), name))
+    positions.sort()
+    out: dict[str, str] = {}
+    for idx, (s, e, name) in enumerate(positions):
+        nxt = positions[idx + 1][0] if idx + 1 < len(positions) else len(body)
+        out[name] = body[e:nxt].strip().rstrip(",").strip()
+    return out
+
+
+def lower_match_recognize(
+    spark: SparkSession, table: str, body: str
+) -> DataFrame:
+    """Parse one MATCH_RECOGNIZE body and run it via the CEP engine."""
+    cl = _clause_split(body)
+    if "all_rows" in cl:
+        raise NotImplementedError(
+            "ALL ROWS PER MATCH (Flink streaming rejects it too — "
+            "StreamExecMatch checks OutputMode)"
+        )
+    if "pattern" not in cl or "define" not in cl:
+        raise ValueError("MATCH_RECOGNIZE requires PATTERN and DEFINE")
+    partition_by = [c.strip() for c in cl.get("partition", "").split(",") if c.strip()]
+    order_by = [c.strip() for c in cl.get("order", "").split(",") if c.strip()]
+    if not order_by:
+        raise ValueError("MATCH_RECOGNIZE requires ORDER BY")
+
+    # PATTERN ( ... ) — strip the mandatory parens
+    pat_text = cl["pattern"].strip()
+    if pat_text.startswith("("):
+        pat_text = pat_text[1 : _balanced(pat_text, 0) - 1]
+    items = _parse_pattern(pat_text)
+
+    # DEFINE var AS cond, ...
+    defines: dict[str, str] = {}
+    for part in _split_top_commas(cl["define"]):
+        dm = re.match(r"(\w+)\s+AS\s+(.+)$", part.strip(), re.IGNORECASE | re.DOTALL)
+        if dm is None:
+            raise ValueError(f"bad DEFINE entry {part!r}")
+        defines[dm.group(1).upper()] = dm.group(2).strip()
+
+    df = spark.table(table)
+    in_cols = {f.name: f.dataType for f in df.schema.fields}
+
+    # hoist every DEFINE to a JVM-evaluated boolean column
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*(partition_by or [F.lit(1)])).orderBy(*order_by)
+
+    all_vars: list[str] = []
+    for it in items:
+        for v, _, _ in (it if isinstance(it, list) else [it]):
+            all_vars.append(v.upper())
+
+    def hoist(var: str, cond: str) -> tuple[str, dict]:
+        # PREV/NEXT → lag/lead helper columns; self-var prefix stripped
+        helper_cols: dict[str, object] = {}
+
+        def sub_prevnext(m: re.Match) -> str:
+            fn, v, col, off = m.group(1).upper(), m.group(2).upper(), m.group(3), m.group(4)
+            off = int(off or 1)
+            name = f"__pn_{fn.lower()}_{col}_{off}"
+            helper_cols[name] = (
+                F.lag(col, off).over(w) if fn == "PREV" else F.lead(col, off).over(w)
+            )
+            return name
+
+        cond = _PREV_NEXT.sub(sub_prevnext, cond)
+        # self (or any) variable prefix on a plain column ref → bare col;
+        # cross-var refs without PREV/NEXT are row-local in this subset
+        for v in all_vars:
+            cond = re.sub(rf"\b{v}\.(\w+)", r"\1", cond, flags=re.IGNORECASE)
+        return cond, helper_cols
+
+    mask_cols: dict[str, tuple[str, dict]] = {}
+    for var in all_vars:
+        cond = defines.get(var, "TRUE")  # undefined var matches any row (Calcite)
+        mask_cols[var] = hoist(var, cond)
+
+    prepared = df
+    added_helpers: set[str] = set()
+    for var, (cond, helpers) in mask_cols.items():
+        for name, colexpr in helpers.items():
+            if name not in added_helpers:
+                prepared = prepared.withColumn(name, colexpr)
+                added_helpers.add(name)
+    for var, (cond, _h) in mask_cols.items():
+        prepared = prepared.withColumn(f"__def_{var}", F.expr(cond))
+
+    def mk_step(v: str, mn: int, mx: int | None) -> cep.Step:
+        vu = v.upper()
+        return cep.Step(
+            vu,
+            (lambda key: lambda r, m: bool(r[key]))(f"__def_{vu}"),
+            mn,
+            mx,
+            vec=(lambda key: lambda pdf: pdf[key].fillna(False).to_numpy(dtype=bool))(
+                f"__def_{vu}"
+            ),
+        )
+
+    steps: list[cep.Step] = []
+    for it in items:
+        if isinstance(it, list):
+            steps.append(cep.Step.alternation(*(mk_step(*b) for b in it)))
+        else:
+            steps.append(mk_step(*it))
+
+    # MEASURES
+    measures: dict[str, Callable] = {}
+    fields: list[StructField] = [
+        StructField(k, in_cols[k]) for k in partition_by
+    ]
+    for part in _split_top_commas(cl.get("measures", "")):
+        if not part:
+            continue
+        mm = re.match(r"(.+?)\s+AS\s+(\w+)\s*$", part.strip(), re.IGNORECASE | re.DOTALL)
+        if mm is None:
+            raise ValueError(f"bad MEASURES entry {part!r}")
+        expr_txt, out_name = mm.group(1).strip(), mm.group(2)
+        fm = _MEASURE_FN.match(expr_txt)
+        if fm:
+            fn, var, col = fm.group(1).upper(), fm.group(2).upper(), fm.group(3)
+            if fn == "FIRST":
+                measures[out_name] = (lambda v, c: lambda m: cep.first(m, v, c))(var, col)
+                fields.append(StructField(out_name, in_cols[col]))
+            elif fn == "LAST":
+                measures[out_name] = (lambda v, c: lambda m: cep.last(m, v, c))(var, col)
+                fields.append(StructField(out_name, in_cols[col]))
+            elif fn == "COUNT":
+                measures[out_name] = (lambda v: lambda m: cep.count_of(m, v))(var)
+                fields.append(StructField(out_name, LongType()))
+            elif fn == "SUM":
+                measures[out_name] = (lambda v, c: lambda m: cep.sum_of(m, v, c))(var, col)
+                fields.append(StructField(out_name, DoubleType()))
+            else:  # AVG
+                measures[out_name] = (
+                    lambda v, c: lambda m: (
+                        cep.sum_of(m, v, c) / cep.count_of(m, v) if cep.count_of(m, v) else None
+                    )
+                )(var, col)
+                fields.append(StructField(out_name, DoubleType()))
+            continue
+        vm = _VAR_COL.match(expr_txt)
+        if vm and vm.group(1).upper() in all_vars:
+            var, col = vm.group(1).upper(), vm.group(2)
+            # bare V.col ≡ LAST(V.col) (Calcite MATCH_RECOGNIZE semantics)
+            measures[out_name] = (lambda v, c: lambda m: cep.last(m, v, c))(var, col)
+            fields.append(StructField(out_name, in_cols[col]))
+            continue
+        raise ValueError(f"unsupported MEASURES expression {expr_txt!r}")
+
+    # AFTER MATCH SKIP ...
+    after_txt = re.sub(r"^SKIP\s+", "", cl.get("after", "SKIP PAST LAST ROW"), flags=re.IGNORECASE)
+    after_txt = after_txt.strip().upper()
+    if after_txt in ("PAST LAST ROW", ""):
+        after = "past_last_row"
+    elif after_txt == "TO NEXT ROW":
+        after = "to_next_row"
+    elif after_txt.startswith("TO FIRST"):
+        after = "skip_to_first_" + after_txt.split()[-1]
+    elif after_txt.startswith("TO LAST"):
+        after = "skip_to_last_" + after_txt.split()[-1]
+    else:
+        raise ValueError(f"unsupported AFTER MATCH SKIP {after_txt!r}")
+
+    within = None
+    if "within" in cl:
+        within = (order_by[0], _interval_str(cl["within"]))
+
+    return cep.match_recognize(
+        prepared,
+        partition_by,
+        order_by if len(order_by) > 1 else order_by[0],
+        steps,
+        measures,
+        StructType(fields),
+        after_match=after,
+        within=within,
+    )
+
+
+def rewrite_match_recognize(spark: SparkSession, sql: str) -> str:
+    """Replace every ``<table> MATCH_RECOGNIZE (...) [AS alias]`` with a
+    temp view of the lowered result."""
+    counter = 0
+    while True:
+        m = _MR_HEAD.search(sql)
+        if m is None:
+            return sql
+        table = m.group(1)
+        open_idx = sql.index("(", m.end() - 1)
+        end = _balanced(sql, open_idx)
+        body = sql[open_idx + 1 : end - 1]
+        out = lower_match_recognize(spark, table, body)
+        view = f"__mr_{table}_{counter}"
+        counter += 1
+        out.createOrReplaceTempView(view)
+        tail = sql[end:]
+        am = re.match(r"\s+AS\s+(\w+)", tail, re.IGNORECASE)
+        if am:
+            tail = f" AS {am.group(1)}" + tail[am.end():]
+        sql = sql[: m.start()] + view + tail
+
+
+def rewrite_flink_clauses(spark: SparkSession, sql: str) -> str:
+    if re.search(r"MATCH_RECOGNIZE", sql, re.IGNORECASE):
+        sql = rewrite_match_recognize(spark, sql)
+    if _TVF_HEAD.search(sql):
+        sql = rewrite_window_tvfs(spark, sql)
+    return sql

@@ -146,6 +146,153 @@ def test_mask_path_equivalent_quantifier_free(seq, after_match):
     assert got == as_idx
 
 
+# ---- alternation groups ((A|B), NFA.java:86 ordered transitions) ----
+# regex reduction stays valid: Python's regex alternation is also
+# ordered-priority with greedy backtracking, exactly the NFA semantics.
+
+alt_item = st.one_of(
+    # plain step: (ch, mn, mx)
+    st.tuples(
+        st.sampled_from(ALPHABET),
+        st.integers(min_value=0, max_value=2),
+        st.one_of(st.none(), st.integers(min_value=1, max_value=3)),
+    ).filter(lambda t: t[2] is None or t[2] >= t[1]),
+    # alternation group: 2-3 branches, each (ch, mn, mx) with mn>=1
+    st.lists(
+        st.tuples(
+            st.sampled_from(ALPHABET),
+            st.integers(min_value=1, max_value=2),
+            st.one_of(st.none(), st.integers(min_value=1, max_value=3)),
+        ).filter(lambda t: t[2] is None or t[2] >= t[1]),
+        min_size=2,
+        max_size=3,
+    ),
+)
+
+alt_spec = st.lists(alt_item, min_size=1, max_size=3).filter(
+    lambda spec: any(
+        (isinstance(it, list) or it[1] > 0) for it in spec
+    )
+)
+
+
+def _alt_steps(spec) -> list[cep.Step]:
+    steps = []
+    for i, it in enumerate(spec):
+        if isinstance(it, list):
+            steps.append(
+                cep.Step.alternation(
+                    *(
+                        cep.Step(f"V{i}_{bi}_{ch}", (lambda c: lambda r, m: r["ch"] == c)(ch), mn, mx)
+                        for bi, (ch, mn, mx) in enumerate(it)
+                    )
+                )
+            )
+        else:
+            ch, mn, mx = it
+            steps.append(cep.Step(f"V{i}_{ch}", (lambda c: lambda r, m: r["ch"] == c)(ch), mn, mx))
+    return steps
+
+
+def _alt_regex(spec) -> str:
+    parts = []
+    for it in spec:
+        if isinstance(it, list):
+            branches = "|".join(f"{ch}{{{mn},{'' if mx is None else mx}}}" for ch, mn, mx in it)
+            parts.append(f"(?:{branches})")
+        else:
+            ch, mn, mx = it
+            parts.append(f"{ch}{{{mn},{'' if mx is None else mx}}}")
+    return "".join(parts)
+
+
+@settings(max_examples=300, deadline=None)
+@given(spec=alt_spec, s=rows_strategy)
+def test_alternation_matches_regex_reduction(spec, s):
+    rows = [{"ch": c, "i": i} for i, c in enumerate(s)]
+    steps = _alt_steps(spec)
+    pattern = re.compile(_alt_regex(spec))
+
+    got = cep.match_sequence(rows, steps, after_match="past_last_row")
+
+    exp_spans = []
+    pos = 0
+    while pos <= len(s):
+        m = pattern.match(s, pos)
+        if m and m.end() > m.start():
+            exp_spans.append((m.start(), m.end()))
+            pos = m.end()
+        else:
+            pos += 1
+        if pos > len(s):
+            break
+
+    got_spans = []
+    for matched in got:
+        idxs = [r["i"] for rows_ in matched.values() for r in rows_]
+        if idxs:
+            got_spans.append((min(idxs), max(idxs) + 1))
+
+    assert got_spans == exp_spans
+
+
+def test_alternation_branch_priority_and_attribution():
+    # PATTERN (X (A|B) Y): 'a' rows satisfy BOTH branches -> branch A
+    # (declared first) must win and own the var name; rows matching
+    # only B fall through to B.
+    rows = [{"ch": c, "i": i} for i, c in enumerate("xayxbyxcy")]
+    both = cep.Step("A", lambda r, m: r["ch"] in ("a", "b"))
+    only_b = cep.Step("B", lambda r, m: r["ch"] == "b")
+    steps = [
+        cep.Step("X", lambda r, m: r["ch"] == "x"),
+        cep.Step.alternation(both, only_b),
+        cep.Step("Y", lambda r, m: r["ch"] == "y"),
+    ]
+    ms = cep.match_sequence(rows, steps)
+    assert len(ms) == 2
+    assert "A" in ms[0] and "B" not in ms[0]  # 'a' → first branch
+    assert "A" in ms[1] and "B" not in ms[1]  # 'b' satisfies A too → priority
+    # now make branch A reject 'b': B must claim it
+    only_a = cep.Step("A", lambda r, m: r["ch"] == "a")
+    steps2 = [
+        cep.Step("X", lambda r, m: r["ch"] == "x"),
+        cep.Step.alternation(only_a, only_b),
+        cep.Step("Y", lambda r, m: r["ch"] == "y"),
+    ]
+    ms2 = cep.match_sequence(rows, steps2)
+    assert len(ms2) == 2
+    assert "A" in ms2[0] and "B" not in ms2[0]
+    assert "B" in ms2[1] and "A" not in ms2[1]
+
+
+@given(
+    st.lists(st.sampled_from("abc"), min_size=0, max_size=40),
+    st.sampled_from(["past_last_row", "to_next_row"]),
+)
+@settings(max_examples=300, deadline=None)
+def test_mask_path_equivalent_alternation(seq, after_match):
+    import numpy as np
+
+    branch_a = cep.Step.plus("A", lambda r, m: r["c"] == "a")
+    branch_b = cep.Step("B", lambda r, m: r["c"] == "b")
+    steps = [
+        cep.Step.alternation(branch_a, branch_b),
+        cep.Step("C", lambda r, m: r["c"] == "c"),
+    ]
+    rows = [{"i": i, "c": c} for i, c in enumerate(seq)]
+    expected = cep.match_sequence(rows, steps, after_match)
+    masks = [
+        (
+            np.array([c == "a" for c in seq], dtype=bool),
+            np.array([c == "b" for c in seq], dtype=bool),
+        ),
+        np.array([c == "c" for c in seq], dtype=bool),
+    ]
+    got = cep.match_sequence_masks(masks, len(seq), steps, after_match)
+    as_idx = [{v: [r["i"] for r in rs] for v, rs in m.items()} for m in expected]
+    assert got == as_idx
+
+
 # ---- range-join bucket expansion ≡ brute force (pure logic twin of
 # operators.joins.range_join: bucket membership must be exact at
 # boundaries, negative values, and zero-width intervals) ----

@@ -308,17 +308,79 @@ def test_kafka_option_mapping_offline():
         )["startingTimestamp"]
         == "123"
     )
-    assert (
+    import json
+
+    assert json.loads(
         srcs.kafka_options(
             {
+                "topic": "orders",
                 "scan.startup.mode": "specific-offsets",
-                "scan.startup.specific-offsets": "partition:0,offset:42",
+                "scan.startup.specific-offsets": "partition:0,offset:42;partition:1,offset:300",
             }
         )["startingOffsets"]
-        == "partition:0,offset:42"
-    )
+    ) == {"orders": {"0": 42, "1": 300}}
     # default: group-offsets has no Spark analog -> latest
     assert srcs.kafka_options({})["startingOffsets"] == "latest"
+
+
+def test_jdbc_option_mapping_offline():
+    """JdbcDynamicTableFactory option translation (no database needed)."""
+    opts = srcs.jdbc_options(
+        {
+            "connector": "jdbc",
+            "url": "jdbc:postgresql://db:5432/mydb",
+            "table-name": "orders",
+            "driver": "org.postgresql.Driver",
+            "username": "u",
+            "password": "p",
+            "scan.partition.column": "o_orderkey",
+            "scan.partition.num": "32",
+            "scan.partition.lower-bound": "1",
+            "scan.partition.upper-bound": "600000",
+            "scan.fetch-size": "1000",
+        }
+    )
+    assert opts == {
+        "url": "jdbc:postgresql://db:5432/mydb",
+        "dbtable": "orders",
+        "driver": "org.postgresql.Driver",
+        "user": "u",
+        "password": "p",
+        "partitionColumn": "o_orderkey",
+        "numPartitions": "32",
+        "lowerBound": "1",
+        "upperBound": "600000",
+        "fetchsize": "1000",
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="table-name"):
+        srcs.jdbc_options({"url": "jdbc:h2:mem:x"})
+
+
+def test_jdbc_ddl_roundtrip(tenv):
+    """DDL with connector=jdbc registers a lazy source + sink spec —
+    no connection is made at DDL time (JdbcDynamicTableSource only
+    connects when the scan runs)."""
+    out = tenv.execute_sql(
+        """
+        CREATE TABLE jdbc_orders (o_orderkey BIGINT, o_totalprice DOUBLE) WITH (
+          'connector' = 'jdbc',
+          'url' = 'jdbc:postgresql://nonexistent:5432/nope',
+          'table-name' = 'orders',
+          'username' = 'u',
+          'password' = 'p'
+        )
+        """
+    )
+    assert out is None
+    assert tenv._sources["jdbc_orders"]["table-name"] == "orders"
+    assert tenv._sinks["jdbc_orders"]["connector"] == "jdbc"
+    # first use connects -> fails fast against the nonexistent host
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        tenv.table("jdbc_orders").collect()
 
 
 def test_explain_plan_for_translation(tenv, spark):
