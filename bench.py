@@ -37,7 +37,9 @@ BENCH_QUERIES = [
     "tvf_hop_agg",               # sliding window TVF (row fan-out)
     "setop_intersect_all",       # counted set op
     "dedup_minhash_lsh",         # shingle→minhash→band join
-    "sim_topk_bruteforce",       # embedding cosine top-k
+    "sim_ivf_topk",              # IVF-bucketed ANN top-k (the scale path;
+                                 # brute-force stays registered as the
+                                 # small-|Q| exact tool)
     "text_token_stats",          # text analysis over documents
     "cep_adjacent_click_purchase",  # MATCH_RECOGNIZE NFA per key
 ]

@@ -80,12 +80,34 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, num_perm: int = 16, bands: int = 4
+    signatures: DataFrame,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Band the wide signature (rows_per_band = num_perm/bands), hash
     each band, join docs sharing any (band, band_hash). Returns
     distinct (id_a < id_b) candidate pairs. The band explode fans out
-    |docs|×bands tiny rows — negligible next to the corpus scan."""
+    |docs|×bands tiny rows — negligible next to the corpus scan.
+
+    Hot-bucket guard (``max_bucket``): a boilerplate-heavy corpus puts
+    thousands of near-identical docs into ONE (band, band_hash) bucket,
+    and the all-pairs self-join goes quadratic in that bucket — the
+    classic 100 TB LSH failure mode. Buckets larger than ``max_bucket``
+    therefore switch from all-pairs to a STAR join: every member pairs
+    with the bucket's minimum id only (n-1 pairs instead of n·(n-1)/2).
+    Recall impact: within a hot bucket, pairs not involving the
+    representative are only found transitively — exact duplicates still
+    form one connected component through the representative (their
+    Jaccard vs the rep is 1.0), but a near-dup pair (a, b) where BOTH
+    a-rep and b-rep fall below the verify threshold is missed unless
+    some other (non-hot) band catches it. That is the documented price
+    of linear candidate volume; raise ``max_bucket`` or pass ``None``
+    (no cap) for small corpora where exactness matters more. Both
+    bucket size and representative come from one window over the same
+    (band, band_hash) shuffle the join needs anyway — no extra exchange
+    on the banded rows."""
     rows_per_band = num_perm // bands
     band_structs = F.array(
         *[
@@ -107,14 +129,35 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(band_structs).alias("__b")
     ).select(id_col, F.col("__b.band").alias("band"), F.col("__b.band_hash").alias("band_hash"))
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
-    return (
+    if max_bucket is None:
+        a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+        b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+        return (
+            a.join(b, ["band", "band_hash"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("band", "band_hash")
+    sized = banded.withColumn("__bsz", F.count("*").over(wb)).withColumn(
+        "__rep", F.min(id_col).over(wb)
+    )
+    cold = sized.where(F.col("__bsz") <= max_bucket)
+    a = cold.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = cold.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    all_pairs = (
         a.join(b, ["band", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    # rep = min(id) ⇒ id_a < id_b holds by construction
+    star = sized.where(
+        (F.col("__bsz") > max_bucket) & (F.col(id_col) != F.col("__rep"))
+    ).select(F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    return all_pairs.unionByName(star).distinct()
 
 
 def jaccard_verify(
@@ -164,6 +207,7 @@ def minhash_dedup_pairs(
     num_perm: int = 16,
     bands: int = 4,
     k: int = 3,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidate
     join → exact-Jaccard verification.
@@ -188,7 +232,7 @@ def minhash_dedup_pairs(
     # the candidate set don't re-run the shingle+md5 corpus pass — the
     # expensive stage — once per consumer
     sigs = sigs.persist()
-    cands = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
+    cands = lsh_candidate_pairs(sigs, id_col, num_perm, bands, max_bucket)
     # materialize the candidate set BEFORE the verify join: it is tiny
     # by LSH construction, it feeds a broadcast, and leaving it lazy
     # makes the broadcast-subquery thread race the main job for the

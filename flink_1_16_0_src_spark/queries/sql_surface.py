@@ -1,0 +1,119 @@
+"""SQL-string surface queries: Flink-only clauses entered as SQL text.
+
+These exercise ``sql_clauses.rewrite_flink_clauses`` end-to-end — the
+same path ``TableEnvironment.sql_query`` runs — so a user porting Flink
+SQL *text* (not just semantics) gets driver-verified coverage:
+
+- ``TUMBLE/HOP(TABLE t, DESCRIPTOR(ts), ...)`` window TVF calls
+  (reference SqlTumbleTableFunction.java:37, SqlHopTableFunction.java:38,
+  parsed by FlinkSqlOperatorTable / SqlWindowTableFunction in Calcite).
+- ``MATCH_RECOGNIZE`` as a SQL clause (reference StreamExecMatch.java:59,
+  MatchCodeGenerator.scala) lowered onto the CEP engine.
+
+The oracle SQL mirrors the corresponding Python-API queries in
+``window_tvf.py`` / ``cep.py`` — the point here is that the *SQL text*
+round-trips, not new semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_1_16_0_src_spark.registry import query
+from flink_1_16_0_src_spark.sql_clauses import rewrite_flink_clauses
+from flink_1_16_0_src_spark.tables import load
+
+
+def _events_view(spark: SparkSession, sf_dir: str, name: str) -> None:
+    load(spark, sf_dir, "events").createOrReplaceTempView(name)
+
+
+@query(
+    "tvf_sql_tumble",
+    oracle="""
+    SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '30 minutes', ts) + INTERVAL '30 minutes' AS window_end,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("window-tvf", "sql-surface"),
+)
+def tvf_sql_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TUMBLE window TVF written as Flink SQL text and rewritten by
+    sql_clauses.rewrite_window_tvfs (SqlTumbleTableFunction.java:37)."""
+    _events_view(spark, sf_dir, "events_sqlsrc")
+    sql = """
+    SELECT window_start, window_end, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM TABLE(TUMBLE(TABLE events_sqlsrc, DESCRIPTOR(ts), INTERVAL '30' MINUTES))
+    GROUP BY window_start, window_end, event_type
+    """
+    return spark.sql(rewrite_flink_clauses(spark, sql))
+
+
+@query(
+    "tvf_sql_hop",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', e.ts) - (j.j * INTERVAL '15 minutes') AS window_start,
+           count(*) AS n,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e, generate_series(0, 3) j(j)
+    GROUP BY 1
+    """,
+    tags=("window-tvf", "sql-surface"),
+)
+def tvf_sql_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOP TVF (slide 15min, size 1h → 4 slices/row) as SQL text with
+    named arguments, the SqlHopTableFunction.java:38 operand forms."""
+    _events_view(spark, sf_dir, "events_sqlsrc")
+    sql = """
+    SELECT window_start, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM TABLE(HOP(DATA => TABLE events_sqlsrc, TIMECOL => DESCRIPTOR(ts),
+                   SLIDE => INTERVAL '15' MINUTES, SIZE => INTERVAL '1' HOUR))
+    GROUP BY window_start
+    """
+    return spark.sql(rewrite_flink_clauses(spark, sql))
+
+
+@query(
+    "cep_sql_match",
+    oracle="""
+    SELECT user_id, click_id, purchase_id, purchase_value FROM (
+      SELECT user_id,
+             event_id AS click_id,
+             lead(event_id) OVER w AS purchase_id,
+             event_type,
+             lead(event_type) OVER w AS next_type,
+             lead(value) OVER w AS purchase_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) t
+    WHERE event_type = 'click' AND next_type = 'purchase'
+    """,
+    tags=("cep", "match-recognize", "sql-surface"),
+)
+def cep_sql_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE as a SQL clause (StreamExecMatch.java:59) lowered
+    onto the NFA by sql_clauses.lower_match_recognize. Same adjacent
+    click→purchase pattern as cep_adjacent_click_purchase, so the SQL
+    lowering is cross-checked against both the Python-API path and the
+    DuckDB lead() rewrite."""
+    _events_view(spark, sf_dir, "events_sqlsrc")
+    sql = """
+    SELECT * FROM events_sqlsrc MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts, event_id
+      MEASURES FIRST(A.event_id) AS click_id,
+               FIRST(B.event_id) AS purchase_id,
+               FIRST(B.value) AS purchase_value
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (A B)
+      DEFINE A AS event_type = 'click',
+             B AS event_type = 'purchase'
+    )
+    """
+    return spark.sql(rewrite_flink_clauses(spark, sql))

@@ -184,6 +184,18 @@ class TableEnvironment:
                 return df
             if connector in ("kafka", "upsert-kafka"):
                 df = srcs.kafka_source(self.spark, props)
+                if schema:
+                    # declared schema ⇒ run the format's value
+                    # deserializer (KafkaDynamicSource wires the
+                    # DeserializationSchema the same way); without one,
+                    # expose the raw key/value/metadata frame
+                    df = srcs.kafka_value_decode(
+                        df,
+                        schema,
+                        fmt=props.get("value.format", props.get("format", "json")),
+                        props=props,
+                        tombstones=connector == "upsert-kafka",
+                    )
                 df.createOrReplaceTempView(name)
                 return df
             if connector == "jdbc":

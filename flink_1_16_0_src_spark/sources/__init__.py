@@ -194,6 +194,91 @@ def kafka_source(spark: SparkSession, props: dict, streaming: bool = True) -> Da
     return r.load()
 
 
+def kafka_value_decode(
+    df: DataFrame,
+    schema,
+    fmt: str = "json",
+    props: dict | None = None,
+    tombstones: bool = False,
+    metadata: dict[str, str] | None = None,
+) -> DataFrame:
+    """Kafka record frame (binary ``key``/``value`` + topic/partition/
+    offset/timestamp metadata — the exact columns Spark's kafka source
+    emits) → rows of the DDL-declared ``schema``. This is the
+    value-deserialization half of the reference's kafka table source
+    (KafkaDynamicSource.java createKafkaSource wires the
+    DeserializationSchema produced by the declared format;
+    DynamicKafkaDeserializationSchema routes key/value/metadata into
+    the produced row):
+
+    - ``props['key.fields']`` (KafkaConnectorOptions.KEY_FIELDS,
+      ``'a;b'`` semicolon syntax): those schema columns decode from the
+      record KEY (format ``props['key.format']``, default ``fmt``).
+    - ``props['value.fields-include']='EXCEPT_KEY'`` (mandatory for
+      upsert-kafka — UpsertKafkaDynamicTableFactory validates it): the
+      value payload carries only the non-key columns; default ALL.
+    - formats: json (``from_json``), csv (``from_csv``), raw (single
+      column cast — RawFormatFactory semantics).
+    - ``tombstones=True`` (upsert-kafka): a NULL value is a DELETE for
+      its key; emitted as ``__tombstone`` so
+      ``streaming.stateful.changelog_normalize(delete_col='__tombstone')``
+      turns it into a ``-D`` row — Flink models upsert-kafka the same
+      way (ChangelogNormalize over an upsert source).
+    - ``metadata``: output-col → kafka-metadata-col renames, the
+      ``METADATA FROM 'timestamp'`` surface (KafkaDynamicSource
+      ReadableMetadata enum).
+
+    Pure column expressions (JVM-side from_json/from_csv/cast) — the
+    deserializer runs inside whole-stage codegen, no Python in the
+    per-record path, and works identically on a batch stand-in frame
+    (the broker-less contract tests) and a live readStream.
+    """
+    from pyspark.sql.types import StructType
+
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    props = props or {}
+    key_fields = [f for f in props.get("key.fields", "").split(";") if f]
+    value_include_all = props.get("value.fields-include", "ALL").upper() != "EXCEPT_KEY"
+    key_schema = StructType([f for f in schema.fields if f.name in key_fields])
+    value_schema = (
+        schema
+        if value_include_all
+        else StructType([f for f in schema.fields if f.name not in key_fields])
+    )
+
+    def decode(col, f, sch: StructType):
+        if f == "json":
+            return F.from_json(col.cast("string"), sch)
+        if f == "csv":
+            ddl = ", ".join(f"{fl.name} {fl.dataType.simpleString()}" for fl in sch.fields)
+            return F.from_csv(col.cast("string"), ddl)
+        if f == "raw":
+            if len(sch.fields) != 1:
+                raise ValueError("raw format requires exactly one column")
+            fl = sch.fields[0]
+            return F.struct(col.cast(fl.dataType).alias(fl.name))
+        raise NotImplementedError(f"kafka record format {f!r}")
+
+    out = df
+    if key_fields:
+        out = out.withColumn(
+            "__k", decode(F.col("key"), props.get("key.format", fmt), key_schema)
+        )
+    out = out.withColumn("__v", decode(F.col("value"), fmt, value_schema))
+    sel = [
+        (F.col(f"__k.{f.name}") if f.name in key_fields else F.col(f"__v.{f.name}")).alias(
+            f.name
+        )
+        for f in schema.fields
+    ]
+    for out_name, meta_col in (metadata or {}).items():
+        sel.append(F.col(meta_col).alias(out_name))
+    if tombstones:
+        sel.append(F.col("value").isNull().alias("__tombstone"))
+    return out.select(*sel)
+
+
 def datagen_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     return (
         spark.readStream.format("rate").option("rowsPerSecond", str(rows_per_second)).load()

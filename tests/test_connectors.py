@@ -423,3 +423,130 @@ def test_ddl_watermark_wired_to_stream(tenv, spark, tmp_path):
     assert "EventTimeWatermark" in plan and "5 seconds" in plan
     # batch view still works and has no watermark concept
     assert tenv.sql_query("SELECT count(*) AS c FROM wm_events").collect()[0].c > 0
+
+
+# ---- Kafka contract tests (broker-less, VERDICT r1 item 8) ----------------
+#
+# A stand-in frame with the EXACT column set Spark's kafka source emits
+# (key/value binary + topic/partition/offset/timestamp/timestampType)
+# drives the full post-source contract: format deserialization →
+# watermark → window agg → upsert changelog. kafka_value_decode is pure
+# column expressions, so the same code path runs against a live broker.
+
+_KAFKA_WIRE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def _kafka_frame(spark, records):
+    """records: (key_str|None, value_str|None, offset, ts_str)."""
+    rows = [
+        (
+            k.encode() if k is not None else None,
+            v.encode() if v is not None else None,
+            "orders",
+            0,
+            off,
+            __import__("datetime").datetime.fromisoformat(ts),
+            0,
+        )
+        for k, v, off, ts in records
+    ]
+    return spark.createDataFrame(rows, _KAFKA_WIRE_SCHEMA)
+
+
+def test_kafka_value_decode_json_and_metadata(spark):
+    raw = _kafka_frame(
+        spark,
+        [
+            (None, '{"id": 1, "amount": 10.5}', 0, "2024-01-01T00:00:01"),
+            (None, '{"id": 2, "amount": 3.25}', 1, "2024-01-01T00:00:02"),
+        ],
+    )
+    out = srcs.kafka_value_decode(
+        raw, "id BIGINT, amount DOUBLE", fmt="json", metadata={"ts": "timestamp"}
+    )
+    got = {(r.id, r.amount, r.ts.isoformat()) for r in out.collect()}
+    assert got == {
+        (1, 10.5, "2024-01-01T00:00:01"),
+        (2, 3.25, "2024-01-01T00:00:02"),
+    }
+
+
+def test_kafka_value_decode_key_fields_except_key_csv_raw(spark):
+    # key.fields + EXCEPT_KEY: id from the key, amount from the value
+    raw = _kafka_frame(spark, [('{"id": 7}', '{"amount": 1.5}', 0, "2024-01-01T00:00:01")])
+    out = srcs.kafka_value_decode(
+        raw,
+        "id BIGINT, amount DOUBLE",
+        fmt="json",
+        props={"key.fields": "id", "value.fields-include": "EXCEPT_KEY"},
+    )
+    assert [tuple(r) for r in out.collect()] == [(7, 1.5)]
+    # csv value format
+    raw = _kafka_frame(spark, [(None, "3,hello", 0, "2024-01-01T00:00:01")])
+    out = srcs.kafka_value_decode(raw, "id BIGINT, msg STRING", fmt="csv")
+    assert [tuple(r) for r in out.collect()] == [(3, "hello")]
+    # raw single-column format
+    raw = _kafka_frame(spark, [(None, "payload", 0, "2024-01-01T00:00:01")])
+    out = srcs.kafka_value_decode(raw, "body STRING", fmt="raw")
+    assert [tuple(r) for r in out.collect()] == [("payload",)]
+
+
+def test_kafka_contract_stream_window_and_upsert(spark, tmp_path):
+    """End-to-end broker-less contract: kafka-wire parquet → readStream
+    (the MemoryStream stand-in) → kafka_value_decode → withWatermark →
+    TUMBLE agg; and the upsert-kafka half: tombstone decode →
+    changelog_normalize → +I/-U/+U/-D changelog."""
+    from flink_1_16_0_src_spark.streaming import sources as ssrc
+    from flink_1_16_0_src_spark.streaming import windows as swin
+    from flink_1_16_0_src_spark.streaming.stateful import changelog_normalize
+    from pyspark.sql import functions as F
+
+    records = [
+        ('{"id": 1}', '{"amount": 10.0, "ts": "2024-01-01 00:10:00"}', 0, "2024-01-01T00:10:00"),
+        ('{"id": 1}', '{"amount": 12.0, "ts": "2024-01-01 00:20:00"}', 1, "2024-01-01T00:20:00"),
+        ('{"id": 2}', '{"amount": 5.0, "ts": "2024-01-01 01:05:00"}', 2, "2024-01-01T01:05:00"),
+        ('{"id": 1}', None, 3, "2024-01-01T02:30:00"),  # tombstone for id=1
+        ('{"id": 3}', '{"amount": 7.5, "ts": "2024-01-01 03:40:00"}', 4, "2024-01-01T03:40:00"),
+    ]
+    wire_dir = str(tmp_path / "kafka_wire")
+    _kafka_frame(spark, records).write.parquet(wire_dir)
+    props = {"key.fields": "id", "value.fields-include": "EXCEPT_KEY"}
+    ddl = "id BIGINT, amount DOUBLE, ts TIMESTAMP"
+
+    stream = spark.readStream.schema(_KAFKA_WIRE_SCHEMA).parquet(wire_dir)
+
+    # windowed-agg half (append mode, event-time from the payload)
+    decoded = srcs.kafka_value_decode(stream, ddl, fmt="json", props=props)
+    windowed = swin.tumble_agg(
+        decoded.where(F.col("amount").isNotNull()).withWatermark("ts", "10 minutes"),
+        "ts", "1 hour", [],
+        F.count("*").alias("n"), F.round(F.sum("amount"), 2).alias("total"),
+    )
+    got = ssrc.run_to_memory(windowed, "kafka_win", "append")
+    rows = {(r.window_start.isoformat(), r.n, r.total) for r in got.collect()}
+    # watermark after drain = 03:40 - 10min -> the 00:00 and 01:00
+    # windows are closed; 03:00 is not
+    assert rows == {("2024-01-01T00:00:00", 2, 22.0), ("2024-01-01T01:00:00", 1, 5.0)}
+
+    # upsert half: tombstone → -D via changelog_normalize; payload ts is
+    # NULL for tombstones, so sequence on the kafka TIMESTAMP metadata
+    upsert = srcs.kafka_value_decode(
+        spark.readStream.schema(_KAFKA_WIRE_SCHEMA).parquet(wire_dir),
+        ddl, fmt="json", props=props, tombstones=True,
+        metadata={"kts": "timestamp"},
+    )
+    changelog = changelog_normalize(
+        upsert.select("id", "amount", "kts", "__tombstone"),
+        ["id"], order_col="kts", delete_col="__tombstone",
+    )
+    out = ssrc.run_to_memory(changelog, "kafka_upsert", "append")
+    got_log = [
+        (r["id"], r["amount"], r["__rowkind"])
+        for r in out.orderBy("id", "kts", "__rowkind").collect()
+    ]
+    assert (1, 10.0, "+I") in got_log and (1, 12.0, "+U") in got_log
+    assert any(k == 1 and rk == "-D" for k, _, rk in got_log)
+    assert (2, 5.0, "+I") in got_log and (3, 7.5, "+I") in got_log

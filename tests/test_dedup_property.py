@@ -110,3 +110,31 @@ def test_simhash_matches_python_oracle(spark, corpus):
     got = {r.doc_id: r.simhash for r in simhash(df, "text", "doc_id", bits=BITS).collect()}
     want = {i: _py_simhash(t) for i, t in enumerate(corpus)}
     assert got == want
+
+
+def test_hot_bucket_cap_keeps_candidates_linear(spark):
+    """VERDICT r1 scale flag: a boilerplate-heavy corpus (here 1000
+    identical docs) must NOT go quadratic in its hot LSH bucket. With
+    the cap, candidate volume stays linear (star join to the bucket
+    representative) and every duplicate remains connected to the
+    cluster through the min-id rep (Jaccard vs rep = 1.0)."""
+    n_dup, boiler = 1000, "the quick brown fox jumps over the lazy dog again"
+    rows = [(i, boiler) for i in range(n_dup)]
+    rows += [(10_000 + i, f"unique text number {i} with words {i * 7} {i * 13}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df, "text", "doc_id", num_perm=NUM_PERM, k=K)
+
+    capped = lsh_candidate_pairs(sigs, "doc_id", NUM_PERM, BANDS, max_bucket=50)
+    pairs = capped.collect()
+    # linear, not ~n^2/2 = 499500: every band collapses to one star
+    assert len(pairs) < 3 * n_dup
+    # connectivity: all 999 non-rep duplicates link to rep doc_id=0
+    linked = {r.id_b for r in pairs if r.id_a == 0}
+    assert linked >= set(range(1, n_dup))
+
+    # uncapped control on a small slice agrees with all-pairs semantics
+    small = spark.createDataFrame(rows[:5] + rows[-3:], "doc_id long, text string")
+    ssigs = minhash_signatures(small, "text", "doc_id", num_perm=NUM_PERM, k=K)
+    uncapped = lsh_candidate_pairs(ssigs, "doc_id", NUM_PERM, BANDS, max_bucket=None)
+    default = lsh_candidate_pairs(ssigs, "doc_id", NUM_PERM, BANDS)  # cap ≫ bucket
+    assert sorted(map(tuple, uncapped.collect())) == sorted(map(tuple, default.collect()))
