@@ -196,3 +196,103 @@ def test_adapter_wiring_without_runtime():
     assert red.get() == 4.0
     red.clear()
     assert red.get() is None
+
+
+# ---- Non-gated adapter tests (VERDICT r1 item 9) --------------------------
+#
+# transformWithStateInPandas needs protobuf to EXECUTE, but the adapter
+# logic — descriptor wiring, the ReducingState facade's merge semantics,
+# handler dispatch — is plain Python. A fake StatefulProcessorHandle
+# with dict-backed state exercises it without the state server, so the
+# adapter is tested even where the two execution tests above skip.
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.calls = []
+
+    def getValueState(self, name, schema, ttl_ms=None):
+        self.calls.append(("value", name, schema, ttl_ms))
+        return _FakeValueState()
+
+    def getListState(self, name, schema, ttl_ms=None):
+        self.calls.append(("list", name, schema, ttl_ms))
+        return []
+
+    def getMapState(self, name, key_schema, schema, ttl_ms=None):
+        self.calls.append(("map", name, key_schema, schema, ttl_ms))
+        return {}
+
+
+def test_reducing_handle_merge_semantics():
+    from flink_1_16_0_src_spark.streaming.state_v2 import _ReducingHandle
+
+    h = _ReducingHandle(_FakeValueState(), lambda a, b: a + b)
+    assert h.get() is None
+    h.add(3.0)          # first add: stored as-is (ReduceFunction not called)
+    assert h.get() == 3.0
+    h.add(4.5)          # subsequent adds merge through reduce_fn
+    h.add(2.5)
+    assert h.get() == 10.0
+    h.clear()
+    assert h.get() is None
+    # non-commutative fn: argument order is (current, new) — Flink's
+    # ReduceFunction.reduce(value1=state, value2=input) contract
+    h2 = _ReducingHandle(_FakeValueState(), lambda a, b: f"{a}|{b}")
+    h2.add("x"); h2.add("y"); h2.add("z")
+    assert h2.get() == "x|y|z"
+
+
+def test_processor_descriptor_wiring_and_dispatch():
+    from flink_1_16_0_src_spark.streaming.state_v2 import (
+        StateSpec,
+        _FlinkStyleProcessor,
+        _ReducingHandle,
+    )
+
+    seen = []
+
+    def handler(key, rows, states, timer_values):
+        seen.append((key, sorted(states)))
+        states["total"].add(7.0)
+        yield pd.DataFrame({"k": [key[0]], "v": [states["total"].get()]})
+
+    specs = [
+        StateSpec("total", kind="reducing", schema="v double", reduce_fn=lambda a, b: a + b),
+        StateSpec("cnt", kind="value", schema="c bigint", ttl_ms=60000),
+        StateSpec("log", kind="list", schema="e bigint"),
+        StateSpec("m", kind="map", schema="v double", key_schema="k string"),
+    ]
+    proc = _FlinkStyleProcessor(specs, handler)
+    fh = _FakeHandle()
+    proc.init(fh)
+    # each descriptor kind resolves to the matching handle getter, TTL
+    # passed through (StateTtlConfig parity)
+    assert ("value", "cnt", "c bigint", 60000) in fh.calls
+    assert ("value", "total", "v double", None) in fh.calls  # reducing = value + fn
+    assert ("list", "log", "e bigint", None) in fh.calls
+    assert ("map", "m", "k string", "v double", None) in fh.calls
+    assert isinstance(proc._states["total"], _ReducingHandle)
+
+    out = list(proc.handleInputRows(("u1",), iter([pd.DataFrame({"value": [1.0]})]), None))
+    out += list(proc.handleInputRows(("u1",), iter([pd.DataFrame({"value": [2.0]})]), None))
+    assert seen == [(("u1",), ["cnt", "log", "m", "total"]), (("u1",), ["cnt", "log", "m", "total"])]
+    # reducing state accumulated across calls: 7 then 14
+    assert [df["v"].iloc[0] for df in out] == [7.0, 14.0]
+
+    with pytest.raises(ValueError):
+        _FlinkStyleProcessor([StateSpec("bad", kind="nope")], handler).init(_FakeHandle())
