@@ -6,11 +6,22 @@ Reference parity (SURVEY.md §2.8):
   AFTER MATCH SKIP { PAST LAST ROW | TO NEXT ROW | TO FIRST <var> |
   TO LAST <var> }.
 - CEP library NFA: flink-libraries/flink-cep/.../nfa/NFA.java:86 —
-  strict contiguity with greedy quantifiers (SURVEY.md §7.3 risk 4):
-  PATTERN (A B* C), (A B+ C?), {n,m} ranges, and ALTERNATION groups
-  ((A|B), branches tried in declaration order like the NFA's ordered
-  epsilon transitions; each branch keeps its own variable name,
-  quantifier, and DEFINE predicate).
+  greedy quantifiers (SURVEY.md §7.3 risk 4): PATTERN (A B* C),
+  (A B+ C?), {n,m} ranges, ALTERNATION groups ((A|B), branches tried
+  in declaration order like the NFA's ordered epsilon transitions;
+  each branch keeps its own variable name, quantifier, and DEFINE
+  predicate), CONTIGUITY modes (next = strict, followedBy = relaxed /
+  SKIP_TILL_NEXT — Pattern.java next()/followedBy()), and NEGATIVE
+  patterns (notNext / notFollowedBy — NFACompiler stop states).
+  Deliberate scope cuts vs the reference NFA: followedByAny
+  (SKIP_TILL_ANY — all alternative matches) and relaxed
+  quantifier-INTERNAL contiguity (oneOrMore defaults to
+  .consecutive() here) are not implemented; both multiply match
+  cardinality rather than add expressiveness.
+- Pattern API facade: Pattern.begin/where/next/followed_by/not_next/
+  not_followed_by/one_or_more/times/optional/within + CEP.pattern →
+  PatternStream.select (flink-cep Pattern.java / CEP.java /
+  PatternStream.java).
 
 Execution model: the NFA core is pure Python over one key's ordered
 rows; Spark distributes it per key via ``applyInPandas`` (batch) /
@@ -65,6 +76,21 @@ class Step:
     vec: Callable | None = None
     expr: str | None = None
     alts: tuple = ()  # alternation group: branch Steps, tried in order
+    # relation to the PREVIOUS pattern element (flink-cep Pattern.java):
+    # 'strict' = next() — immediately after; 'relaxed' = followedBy() —
+    # non-matching events in between are skipped (deterministic: the
+    # EARLIEST anchor that lets the rest of the pattern complete wins,
+    # the NFA's SKIP_TILL_NEXT semantics). Quantifier-internal
+    # contiguity stays strict (= Flink's .consecutive() mode).
+    contiguity: str = "strict"
+    # negative pattern (Pattern.notNext / notFollowedBy — NFAFactory
+    # compiles them to stop states): the predicate must NOT hold.
+    # negated+'strict' = notNext (the immediately-following row);
+    # negated+'relaxed' = notFollowedBy (no matching row anywhere
+    # between the previous element and the next element's anchor).
+    # Consumes nothing; cannot be the last element (Flink rejects a
+    # trailing notFollowedBy too).
+    negated: bool = False
 
     @staticmethod
     def star(var: str, predicate: Predicate, vec: Callable | None = None,
@@ -95,13 +121,17 @@ class Step:
 
 def _match_at(
     rows: list[Row], start: int, steps: list[Step], within: tuple[str, object] | None = None
-) -> tuple[int, Matched] | None:
+) -> tuple[Matched, dict[str, list[int]]] | None:
     """Greedy backtracking match anchored at ``start``; returns
-    (end_exclusive, matched-rows-per-var) for the longest match, else
-    None. Strict contiguity (every row must be consumed by some var).
-    ``within=(ts_col, max_delta)`` prunes matches spanning more than
-    max_delta from the first matched row (Pattern.within /
-    flink-cep Pattern.java windowTime)."""
+    (matched-rows-per-var, matched-INDICES-per-var) for the longest
+    match, else None. Step-to-step contiguity per ``Step.contiguity``
+    (strict = next, relaxed = followedBy — skipped rows are simply not
+    consumed); quantifier-internal contiguity is strict. Negative steps
+    (notNext/notFollowedBy) consume nothing and fail the match when
+    their predicate holds in the guarded gap. ``within=(ts_col,
+    max_delta)`` prunes matches spanning more than max_delta from the
+    first matched row (Pattern.within / flink-cep Pattern.java
+    windowTime)."""
 
     def in_window(j: int) -> bool:
         if within is None:
@@ -109,48 +139,75 @@ def _match_at(
         ts_col, max_delta = within
         return rows[j][ts_col] - rows[start][ts_col] <= max_delta
 
-    def quant(i: int, step: Step, matched: Matched, cont) -> tuple[int, Matched] | None:
+    def quant(i: int, step: Step, matched: Matched, idx: dict, cont):
         """Greedy consume of one quantified variable then ``cont(j)``;
         backtracks from longest to ``step.min``."""
-        taken = []
+        taken = 0
         matched.setdefault(step.var, [])
+        idx.setdefault(step.var, [])
         base_len = len(matched[step.var])
         j = i
-        while (step.max is None or len(taken) < step.max) and j < len(rows):
+        while (step.max is None or taken < step.max) and j < len(rows):
             if in_window(j) and step.predicate(rows[j], matched):
                 matched[step.var].append(rows[j])
-                taken.append(rows[j])
+                idx[step.var].append(j)
+                taken += 1
                 j += 1
             else:
                 break
         while True:
-            if len(taken) >= step.min:
+            if taken >= step.min:
                 res = cont(j)
                 if res is not None:
                     return res
             if not taken:
                 break
-            taken.pop()
+            taken -= 1
             matched[step.var].pop()
+            idx[step.var].pop()
             j -= 1
         del matched[step.var][base_len:]
+        del idx[step.var][base_len:]
         if not matched[step.var]:
             del matched[step.var]
+            del idx[step.var]
         return None
 
-    def rec(i: int, si: int, matched: Matched) -> tuple[int, Matched] | None:
+    def rec(i: int, si: int, matched: Matched, idx: dict, neg: Step | None):
         if si == len(steps):
-            return i, {k: list(v) for k, v in matched.items()}
+            return (
+                {k: list(v) for k, v in matched.items()},
+                {k: list(v) for k, v in idx.items()},
+            )
         step = steps[si]
-        if step.alts:
-            for branch in step.alts:
-                res = quant(i, branch, matched, lambda j: rec(j, si + 1, matched))
+        if step.negated:
+            if step.contiguity == "strict":
+                # notNext: the immediately-following row must not match
+                if i < len(rows) and step.predicate(rows[i], matched):
+                    return None
+                return rec(i, si + 1, matched, idx, neg)
+            # notFollowedBy: guards the gap before the NEXT element's anchor
+            return rec(i, si + 1, matched, idx, step)
+        branches = step.alts or (step,)
+        j = i
+        while True:
+            for branch in branches:
+                res = quant(
+                    j, branch, matched, idx,
+                    lambda jj: rec(jj, si + 1, matched, idx, None),
+                )
                 if res is not None:
                     return res
-            return None
-        return quant(i, step, matched, lambda j: rec(j, si + 1, matched))
+            # anchor j failed; the first element anchors exactly at start
+            if si == 0 or step.contiguity != "relaxed":
+                return None
+            if j >= len(rows) or not in_window(j):
+                return None
+            if neg is not None and neg.predicate(rows[j], matched):
+                return None  # a notFollowedBy event occurred in the gap
+            j += 1
 
-    return rec(start, 0, {})
+    return rec(start, 0, {}, {}, None)
 
 
 def _partial_at(rows: list[Row], start: int, steps: list[Step]) -> bool:
@@ -189,6 +246,15 @@ def _partial_at(rows: list[Row], start: int, steps: list[Step]) -> bool:
         if si == len(steps):
             return False  # pattern exhausted but rows remain
         step = steps[si]
+        if step.negated:
+            # negative steps consume nothing; over-retaining is safe
+            return rec(i, si + 1, matched)
+        if si > 0 and step.contiguity == "relaxed":
+            # followedBy: every remaining row is skippable while waiting
+            # for a future anchor — the prefix up to here matched, so
+            # the buffer must be retained (bound it with WITHIN / a
+            # time condition, as Flink does for SKIP_TILL_NEXT state)
+            return True
         if step.alts:
             return any(one(i, si, b, matched) for b in step.alts)
         return one(i, si, step, matched)
@@ -196,32 +262,33 @@ def _partial_at(rows: list[Row], start: int, steps: list[Step]) -> bool:
     return rec(start, 0, {})
 
 
-def _resume_index(start: int, end: int, matched_lens: dict, steps: list[Step], after_match: str) -> int:
+def _resume_index(start: int, idx: dict[str, list[int]], steps: list[Step], after_match: str) -> int:
     """Next scan position per AFTER MATCH strategy (NFA.java
     AfterMatchSkipStrategy): PAST LAST ROW, TO NEXT ROW, SKIP TO
-    FIRST <var>, SKIP TO LAST <var>. Strict contiguity means var
-    positions are consecutive from ``start``, so the skip target is
-    start + the lengths of the preceding vars. A target that makes no
-    progress falls back to start+1 (Flink raises instead; we document
-    the softer choice)."""
+    FIRST <var>, SKIP TO LAST <var>. Works off the ACTUAL matched row
+    indices (required since relaxed contiguity makes matches
+    non-contiguous). A target that makes no progress falls back to
+    start+1 (Flink raises instead; we document the softer choice)."""
     if after_match == "past_last_row":
+        end = max((js[-1] for js in idx.values() if js), default=start) + 1
         return end if end > start else start + 1
     if after_match == "to_next_row":
         return start + 1
     for prefix, last in (("skip_to_first_", False), ("skip_to_last_", True)):
         if after_match.startswith(prefix):
             var = after_match[len(prefix):]
-            off = start
-            for s in steps:
-                # an alternation occupies the slot of whichever branch
-                # matched; the others contribute zero rows
-                for v in ([b.var for b in s.alts] if s.alts else [s.var]):
-                    ln = matched_lens.get(v, 0)
-                    if v == var:
-                        target = off + (max(ln - 1, 0) if last else 0)
-                        return target if target > start else start + 1
-                    off += ln
-            raise ValueError(f"unknown skip variable {var!r}")
+            known = {
+                v
+                for s in steps
+                for v in ([b.var for b in s.alts] if s.alts else [s.var])
+            }
+            if var not in known:
+                raise ValueError(f"unknown skip variable {var!r}")
+            js = idx.get(var)
+            if not js:  # var matched zero rows (optional / losing alt branch)
+                return start + 1
+            target = js[-1] if last else js[0]
+            return target if target > start else start + 1
     raise ValueError(f"unknown after_match {after_match!r}")
 
 
@@ -241,9 +308,9 @@ def match_sequence(
     while i < len(rows):
         m = _match_at(rows, i, steps, within)
         if m is not None:
-            end, matched = m
+            matched, idx = m
             out.append(matched)
-            i = _resume_index(i, end, {k: len(v) for k, v in matched.items()}, steps, after_match)
+            i = _resume_index(i, idx, steps, after_match)
         else:
             i += 1
     return out
@@ -251,15 +318,16 @@ def match_sequence(
 
 def _match_at_masks(
     masks: list, n: int, start: int, steps: list[Step], ts=None, max_delta=None
-) -> tuple[int, dict[str, list[int]]] | None:
-    """Mask-based twin of ``_match_at``: identical greedy backtracking,
-    but each predicate test is an O(1) numpy index. ``matched`` holds
-    row INDICES; callers materialize rows for actual matches only."""
+) -> dict[str, list[int]] | None:
+    """Mask-based twin of ``_match_at``: identical greedy backtracking
+    (contiguity modes and negative steps included), but each predicate
+    test is an O(1) numpy index. ``matched`` holds row INDICES; callers
+    materialize rows for actual matches only."""
 
     def in_window(j: int) -> bool:
         return max_delta is None or ts[j] - ts[start] <= max_delta
 
-    def quant(i: int, step: Step, mask, matched: dict, cont) -> tuple[int, dict] | None:
+    def quant(i: int, step: Step, mask, matched: dict, cont):
         taken = 0
         matched.setdefault(step.var, [])
         base_len = len(matched[step.var])
@@ -286,20 +354,36 @@ def _match_at_masks(
             del matched[step.var]
         return None
 
-    def rec(i: int, si: int, matched: dict) -> tuple[int, dict] | None:
+    def rec(i: int, si: int, matched: dict, neg_mask) -> dict | None:
         if si == len(steps):
-            return i, {k: list(v) for k, v in matched.items()}
+            return {k: list(v) for k, v in matched.items()}
         step = steps[si]
-        if step.alts:
-            # masks[si] is a sequence aligned with step.alts
-            for branch, bmask in zip(step.alts, masks[si]):
-                res = quant(i, branch, bmask, matched, lambda j: rec(j, si + 1, matched))
+        if step.negated:
+            if step.contiguity == "strict":  # notNext
+                if i < n and masks[si][i]:
+                    return None
+                return rec(i, si + 1, matched, neg_mask)
+            return rec(i, si + 1, matched, masks[si])  # notFollowedBy
+        branches = step.alts or (step,)
+        bmasks = masks[si] if step.alts else (masks[si],)
+        j = i
+        while True:
+            for branch, bmask in zip(branches, bmasks):
+                res = quant(
+                    j, branch, bmask, matched,
+                    lambda jj: rec(jj, si + 1, matched, None),
+                )
                 if res is not None:
                     return res
-            return None
-        return quant(i, step, masks[si], matched, lambda j: rec(j, si + 1, matched))
+            if si == 0 or step.contiguity != "relaxed":
+                return None
+            if j >= n or not in_window(j):
+                return None
+            if neg_mask is not None and neg_mask[j]:
+                return None
+            j += 1
 
-    return rec(start, 0, {})
+    return rec(start, 0, {}, None)
 
 
 def match_sequence_masks(
@@ -313,7 +397,9 @@ def match_sequence_masks(
     alignment — the Python scan then visits only anchor positions
     (actual matches), not every row."""
     if after_match in ("past_last_row", "to_next_row") and all(
-        s.min == 1 and s.max == 1 and not s.alts for s in steps
+        s.min == 1 and s.max == 1 and not s.alts
+        and s.contiguity == "strict" and not s.negated
+        for s in steps
     ):
         import numpy as np
 
@@ -338,9 +424,8 @@ def match_sequence_masks(
     while i < n:
         m = _match_at_masks(masks, n, i, steps, ts, max_delta)
         if m is not None:
-            end, matched = m
-            out.append(matched)
-            i = _resume_index(i, end, {k: len(v) for k, v in matched.items()}, steps, after_match)
+            out.append(m)
+            i = _resume_index(i, m, steps, after_match)
         else:
             i += 1
     return out
@@ -389,7 +474,11 @@ def match_recognize(
 
     compilable = (
         measures_cols is not None
-        and all(s.min == 1 and s.max == 1 and s.expr is not None for s in steps)
+        and all(
+            s.min == 1 and s.max == 1 and s.expr is not None
+            and s.contiguity == "strict" and not s.negated
+            for s in steps
+        )
         and (after_match == "to_next_row" or len(steps) == 1)
         and (within is None or isinstance(within[1], str))
     )
@@ -502,14 +591,12 @@ def match_recognize_stream(
         while i < len(buf):
             m = _match_at(buf, i, steps)
             if m is not None:
-                end, matched = m
+                matched, idx = m
                 rec = dict(zip(partition_by, key))
                 for name, fmeas in measures.items():
                     rec[name] = fmeas(matched)
                 out.append(rec)
-                nxt = _resume_index(
-                    i, end, {k: len(v) for k, v in matched.items()}, steps, after_match
-                )
+                nxt = _resume_index(i, idx, steps, after_match)
                 consumed, i = nxt, nxt
             elif _partial_at(buf, i, steps):
                 break  # open partial match — retain buf[i:] for future rows
@@ -529,3 +616,153 @@ def match_recognize_stream(
     return sdf.groupBy(*partition_by).applyInPandasWithState(
         fn, output_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+# ---- Pattern API facade (flink-cep Pattern.java / CEP.java) ---------------
+
+
+class Pattern:
+    """Fluent pattern builder mirroring flink-cep's ``Pattern``:
+    ``Pattern.begin("a").where(...).followed_by("b").where(...)
+    .one_or_more().within("1 hour")``. Produces the ``Step`` list the
+    NFA consumes; ``CEP.pattern(...)`` attaches it to a DataFrame.
+
+    Contiguity mapping (Pattern.java): ``next`` = strict,
+    ``followed_by`` = relaxed (SKIP_TILL_NEXT), ``not_next`` /
+    ``not_followed_by`` = negative elements. ``where`` ANDs successive
+    conditions onto the current element (IterativeCondition chaining),
+    ``or_where`` ORs them (RichOrCondition)."""
+
+    def __init__(self) -> None:
+        self._steps: list[Step] = []
+        self._within: object | None = None
+
+    @classmethod
+    def begin(cls, name: str) -> "Pattern":
+        p = cls()
+        p._steps.append(Step(name, _always, vec=None))
+        return p
+
+    def _append(self, name: str, contiguity: str, negated: bool = False) -> "Pattern":
+        self._steps.append(
+            Step(name, _always, contiguity=contiguity, negated=negated)
+        )
+        return self
+
+    def next(self, name: str) -> "Pattern":
+        return self._append(name, "strict")
+
+    def followed_by(self, name: str) -> "Pattern":
+        return self._append(name, "relaxed")
+
+    def not_next(self, name: str) -> "Pattern":
+        return self._append(name, "strict", negated=True)
+
+    def not_followed_by(self, name: str) -> "Pattern":
+        return self._append(name, "relaxed", negated=True)
+
+    def _cur(self) -> Step:
+        return self._steps[-1]
+
+    def where(self, predicate: Predicate, vec: Callable | None = None) -> "Pattern":
+        s = self._cur()
+        if s.predicate is _always:
+            s.predicate, s.vec = predicate, vec
+        else:  # AND-chain like repeated Pattern.where()
+            old_p, old_v = s.predicate, s.vec
+            s.predicate = lambda r, m: old_p(r, m) and predicate(r, m)
+            s.vec = (lambda pdf: old_v(pdf) & vec(pdf)) if (old_v and vec) else None
+        return self
+
+    def or_where(self, predicate: Predicate, vec: Callable | None = None) -> "Pattern":
+        s = self._cur()
+        old_p, old_v = s.predicate, s.vec
+        s.predicate = lambda r, m: old_p(r, m) or predicate(r, m)
+        s.vec = (lambda pdf: old_v(pdf) | vec(pdf)) if (old_v and vec) else None
+        return self
+
+    def one_or_more(self) -> "Pattern":
+        self._cur().min, self._cur().max = 1, None
+        return self
+
+    def zero_or_more(self) -> "Pattern":  # oneOrMore().optional() spelling
+        self._cur().min, self._cur().max = 0, None
+        return self
+
+    def times(self, n: int, m: int | None = None) -> "Pattern":
+        self._cur().min, self._cur().max = n, (m if m is not None else n)
+        return self
+
+    def optional(self) -> "Pattern":
+        self._cur().min = 0
+        return self
+
+    def within(self, duration) -> "Pattern":
+        """Pattern.within(Time) — max span from first to last matched
+        row. ``duration``: pandas-parsable offset string or timedelta."""
+        self._within = duration
+        return self
+
+    def build(self) -> list[Step]:
+        if self._steps and self._steps[-1].negated and self._steps[-1].contiguity == "relaxed":
+            raise ValueError(
+                "pattern cannot end with notFollowedBy (Flink NFACompiler "
+                "rejects it too)"
+            )
+        return list(self._steps)
+
+
+def _always(r: Row, m: Matched) -> bool:
+    return True
+
+
+class CEP:
+    """``CEP.pattern(df, pattern, partition_by, order_by)`` →
+    ``PatternStream`` (flink-cep CEP.java:58 pattern())."""
+
+    @staticmethod
+    def pattern(
+        df: DataFrame,
+        pattern: Pattern,
+        partition_by: list[str],
+        order_by: str | list[str],
+    ) -> "PatternStream":
+        return PatternStream(df, pattern, partition_by, order_by)
+
+
+class PatternStream:
+    """PatternStream.select parity (PatternStream.java:131): one output
+    row per match via the MEASURES-style extractor dict."""
+
+    def __init__(self, df, pattern, partition_by, order_by):
+        self._df = df
+        self._pattern = pattern
+        self._partition_by = partition_by
+        self._order_by = order_by
+
+    def select(
+        self,
+        measures: dict[str, Callable[[Matched], object]],
+        output_schema: StructType,
+        after_match: str = "past_last_row",
+    ) -> DataFrame:
+        steps = self._pattern.build()
+        within = None
+        if self._pattern._within is not None:
+            order_col = (
+                self._order_by if isinstance(self._order_by, str) else self._order_by[0]
+            )
+            delta = self._pattern._within
+            if isinstance(delta, str):
+                delta = pd.Timedelta(delta)
+            within = (order_col, delta)
+        return match_recognize(
+            self._df,
+            self._partition_by,
+            self._order_by,
+            steps,
+            measures,
+            output_schema,
+            after_match=after_match,
+            within=within,
+        )

@@ -124,3 +124,54 @@ def cep_clicks_then_purchase(spark: SparkSession, sf_dir: str):
     return cep.match_recognize(
         ev, ["user_id"], ["ts", "event_id"], _SESSION_STEPS, _SESSION_MEASURES, _SESSION_SCHEMA
     )
+
+
+_FB_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("click_id", LongType()),
+        StructField("purchase_id", LongType()),
+    ]
+)
+
+
+@query(
+    "cep_followed_by",
+    oracle="""
+    SELECT user_id, event_id AS click_id, next_purchase_id AS purchase_id FROM (
+      SELECT user_id, event_id, event_type,
+             first_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_purchase_id
+      FROM events
+    ) t
+    WHERE event_type = 'click' AND next_purchase_id IS NOT NULL
+    """,
+    tags=("cep", "pattern-api"),
+)
+def cep_followed_by(spark: SparkSession, sf_dir: str):
+    """Pattern API relaxed contiguity (Pattern.followedBy,
+    flink-cep Pattern.java; NFA SKIP_TILL_NEXT): each click matched to
+    the EARLIEST later purchase in its user partition, intervening
+    events skipped. AFTER MATCH SKIP TO NEXT ROW makes every click an
+    anchor, which is exactly the ignore-nulls first_value window the
+    DuckDB oracle computes."""
+    ev = tables.load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    pat = (
+        cep.Pattern.begin("A")
+        .where(lambda r, m: r["event_type"] == "click",
+               vec=lambda pdf: (pdf["event_type"] == "click").to_numpy())
+        .followed_by("B")
+        .where(lambda r, m: r["event_type"] == "purchase",
+               vec=lambda pdf: (pdf["event_type"] == "purchase").to_numpy())
+    )
+    return cep.CEP.pattern(ev, pat, ["user_id"], ["ts", "event_id"]).select(
+        {
+            "click_id": lambda m: cep.first(m, "A", "event_id"),
+            "purchase_id": lambda m: cep.first(m, "B", "event_id"),
+        },
+        _FB_SCHEMA,
+        after_match="to_next_row",
+    )

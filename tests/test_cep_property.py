@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import re
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -321,3 +323,139 @@ def test_range_join_bucketing_exact(points, spans, width):
             if pb in buckets and lo <= p <= hi:
                 bucketed.add((i, j))
     assert bucketed == brute
+
+
+# ---- contiguity modes + negative patterns (Pattern.java next /
+# followedBy / notNext / notFollowedBy; NFA SKIP_TILL_NEXT) ----
+
+
+def _mk(seq):
+    return [{"i": i, "c": c} for i, c in enumerate(seq)]
+
+
+def _idx(matches):
+    return [{v: [r["i"] for r in rs] for v, rs in m.items()} for m in matches]
+
+
+def test_followed_by_skips_nonmatching_rows():
+    steps = [
+        cep.Step("A", lambda r, m: r["c"] == "a"),
+        cep.Step("B", lambda r, m: r["c"] == "b", contiguity="relaxed"),
+    ]
+    # strict would fail on the 'c' gap; relaxed skips it (Flink docs'
+    # canonical followedBy example)
+    assert _idx(cep.match_sequence(_mk("acb"), steps)) == [{"A": [0], "B": [2]}]
+    # deterministic SKIP_TILL_NEXT: earliest b wins, one match per anchor
+    assert _idx(cep.match_sequence(_mk("acbb"), steps)) == [{"A": [0], "B": [2]}]
+    # strict control
+    strict = [
+        cep.Step("A", lambda r, m: r["c"] == "a"),
+        cep.Step("B", lambda r, m: r["c"] == "b"),
+    ]
+    assert cep.match_sequence(_mk("acb"), strict) == []
+
+
+def test_followed_by_resume_uses_real_indices():
+    steps = [
+        cep.Step("A", lambda r, m: r["c"] == "a"),
+        cep.Step("B", lambda r, m: r["c"] == "b", contiguity="relaxed"),
+    ]
+    # a c b a c b -> two non-overlapping matches; past_last_row must
+    # resume AFTER index 2 (the real matched index), not at start+len
+    assert _idx(cep.match_sequence(_mk("acbacb"), steps)) == [
+        {"A": [0], "B": [2]},
+        {"A": [3], "B": [5]},
+    ]
+
+
+def test_not_followed_by_poisons_the_gap():
+    steps = [
+        cep.Step("A", lambda r, m: r["c"] == "a"),
+        cep.Step("X", lambda r, m: r["c"] == "x", contiguity="relaxed", negated=True),
+        cep.Step("B", lambda r, m: r["c"] == "b", contiguity="relaxed"),
+    ]
+    assert _idx(cep.match_sequence(_mk("acb"), steps)) == [{"A": [0], "B": [2]}]
+    # an x in the gap kills the match (NFACompiler stop state)
+    assert cep.match_sequence(_mk("axb"), steps) == []
+    # x AFTER b is irrelevant
+    assert _idx(cep.match_sequence(_mk("abx"), steps)) == [{"A": [0], "B": [1]}]
+
+
+def test_not_next_blocks_immediate_follower():
+    steps = [
+        cep.Step("A", lambda r, m: r["c"] == "a"),
+        cep.Step("X", lambda r, m: r["c"] == "x", negated=True),
+        cep.Step("B", lambda r, m: r["c"] == "b", contiguity="relaxed"),
+    ]
+    assert cep.match_sequence(_mk("axb"), steps) == []
+    # notNext only guards the IMMEDIATE next row — an x deeper in the
+    # gap is fine (that's notFollowedBy's job)
+    assert _idx(cep.match_sequence(_mk("acxb"), steps)) == [{"A": [0], "B": [3]}]
+
+
+@given(
+    st.lists(st.sampled_from("abcx"), min_size=0, max_size=30),
+    st.sampled_from(["past_last_row", "to_next_row"]),
+)
+@settings(max_examples=300, deadline=None)
+def test_mask_path_equivalent_relaxed_negated(seq, after_match):
+    """The numpy-mask NFA and the dict-row NFA must agree on patterns
+    mixing contiguity modes, quantifiers, and a notFollowedBy."""
+    import numpy as np
+
+    steps = [
+        cep.Step("A", lambda r, m: r["c"] == "a"),
+        cep.Step("X", lambda r, m: r["c"] == "x", contiguity="relaxed", negated=True),
+        cep.Step.plus("B", lambda r, m: r["c"] == "b"),
+        cep.Step("C", lambda r, m: r["c"] == "c", contiguity="relaxed"),
+    ]
+    steps[2].contiguity = "relaxed"
+    rows = _mk(seq)
+    expected = cep.match_sequence(rows, steps, after_match)
+    masks = [np.array([c == t for c in seq], dtype=bool) for t in "axbc"]
+    got = cep.match_sequence_masks(masks, len(seq), steps, after_match)
+    assert got == _idx(expected)
+
+
+def test_pattern_api_facade_roundtrip(spark):
+    """Pattern.begin().where().not_followed_by().followed_by() through
+    CEP.pattern().select() — the flink-cep user surface end-to-end."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    rows = [
+        ("u1", 1, "login"), ("u1", 2, "browse"), ("u1", 3, "buy"),
+        ("u2", 1, "login"), ("u2", 2, "logout"), ("u2", 3, "buy"),
+        ("u3", 1, "login"), ("u3", 2, "buy"),
+    ]
+    df = spark.createDataFrame(rows, "user string, seq long, action string")
+    pat = (
+        cep.Pattern.begin("start")
+        .where(lambda r, m: r["action"] == "login")
+        .not_followed_by("out")
+        .where(lambda r, m: r["action"] == "logout")
+        .followed_by("end")
+        .where(lambda r, m: r["action"] == "buy")
+    )
+    out = cep.CEP.pattern(df, pat, ["user"], "seq").select(
+        {
+            "start_seq": lambda m: cep.first(m, "start", "seq"),
+            "end_seq": lambda m: cep.first(m, "end", "seq"),
+        },
+        StructType(
+            [
+                StructField("user", StringType()),
+                StructField("start_seq", LongType()),
+                StructField("end_seq", LongType()),
+            ]
+        ),
+    )
+    got = {(r.user, r.start_seq, r.end_seq) for r in out.collect()}
+    # u2's logout poisons the gap; u1 skips browse; u3 is adjacent
+    assert got == {("u1", 1, 3), ("u3", 1, 2)}
+
+
+def test_pattern_trailing_not_followed_by_rejected():
+    with pytest.raises(ValueError):
+        cep.Pattern.begin("a").where(lambda r, m: True).not_followed_by("x").where(
+            lambda r, m: True
+        ).build()
