@@ -143,3 +143,107 @@ def streaming_count_window(
     return sdf.groupBy(*keys).applyInPandasWithState(
         fn, output_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_delta_trigger_window(
+    sdf: DataFrame,
+    keys: list[str],
+    delta_fn: Callable[[dict, dict], float],
+    threshold: float,
+    agg_fn: Callable[[pd.DataFrame], dict],
+    output_schema: StructType,
+    order_col: str | None = None,
+) -> DataFrame:
+    """DeltaTrigger analog (DS/api/windowing/triggers/DeltaTrigger.java:
+    onElement computes ``delta(lastTriggeringElement, current)`` and
+    FIREs when it exceeds ``threshold``) over a GlobalWindows-style
+    per-key buffer. Fire-and-purge: the fired window is the buffered
+    rows up to and including the triggering row; the triggering row
+    becomes the new delta anchor (DeltaTrigger keeps it in its
+    ValueState the same way). The anchor + open buffer are carried
+    across micro-batches; state is bounded by the rows accumulated
+    between fires — the same bound as the reference's window contents.
+
+    Row order inside a key follows arrival order (count/delta windows
+    are arrival-ordered in Flink too), but Spark gives no per-key FIFO
+    guarantee WITHIN a micro-batch (Flink's network stack does between
+    operator instances) — pass ``order_col`` to sort each micro-batch's
+    rows before the trigger loop when delta semantics depend on
+    sequence."""
+    import json
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import ArrayType, StringType, StructField
+
+    if isinstance(output_schema, str):
+        output_schema = StructType.fromDDL(output_schema)
+    # state: [0] = open-buffer rows (json), [1] = anchor row (json or None)
+    state_schema = StructType(
+        [
+            StructField("buf", ArrayType(StringType())),
+            StructField("anchor", StringType()),
+        ]
+    )
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            buf = [json.loads(s) for s in state.get[0]]
+            anchor = json.loads(state.get[1]) if state.get[1] else None
+        else:
+            buf, anchor = [], None
+        out = []
+        batch_rows = []
+        for pdf in pdfs:
+            if order_col is not None:
+                pdf = pdf.sort_values(order_col, kind="stable")
+            batch_rows.extend(pdf.to_dict("records"))
+        if order_col is not None:
+            batch_rows.sort(key=lambda r: r[order_col])
+        for d in batch_rows:
+            d = json.loads(json.dumps(d, default=str))
+            buf.append(d)
+            if anchor is None:
+                # first element seeds the delta anchor (DeltaTrigger
+                # fires nothing until a delta can be computed)
+                anchor = d
+            elif delta_fn(anchor, d) > threshold:
+                rec = dict(zip(keys, key))
+                rec.update(agg_fn(pd.DataFrame(buf)))
+                out.append(rec)
+                buf = []
+                anchor = d
+        state.update(
+            ([json.dumps(r) for r in buf], json.dumps(anchor) if anchor else None)
+        )
+        cols = [f.name for f in output_schema.fields]
+        res = pd.DataFrame(out, columns=cols)
+        for f in output_schema.fields:
+            if "timestamp" in f.dataType.simpleString():
+                res[f.name] = pd.to_datetime(res[f.name])
+        yield res
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        fn, output_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def continuous_event_time_fire(sdf: DataFrame, ts_col: str, size: str, interval: str, keys: list[str], *aggs):
+    """ContinuousEventTimeTrigger analog
+    (DS/api/windowing/triggers/ContinuousEventTimeTrigger.java: fire the
+    window every ``interval`` of event time until the window closes).
+    Micro-batch reformulation: a CUMULATE slicing with step=interval,
+    max=size — each slice [window_start, window_start + k·interval) is
+    exactly the window's contents as of the k-th continuous firing, and
+    the final slice equals the TUMBLE result. This is the same
+    TVF-based replacement Flink's docs recommend over early-fire
+    configs (SliceAssigners.java cumulate). Emits window_start /
+    window_end (the firing boundary) / is_final + the aggregates;
+    works identically on batch frames (test oracle) and streams."""
+    from pyspark.sql import functions as F
+
+    from flink_1_16_0_src_spark.operators.windows import cumulate
+
+    sliced = cumulate(sdf, ts_col, interval, size)
+    final_end = F.window(F.col(ts_col), size).getField("end")
+    sliced = sliced.withColumn("is_final", F.col("window_end") == final_end)
+    return sliced.groupBy("window_start", "window_end", "is_final", *keys).agg(*aggs)

@@ -158,3 +158,83 @@ def test_temporal_sort_watermark_ordered_emission(spark, tmp_path):
         "2024-01-01 10:20:00",
         "2024-01-01 10:30:00",
     ]
+
+
+def test_streaming_delta_trigger_window(spark, tmp_path):
+    """DeltaTrigger analog vs a plain-Python simulation of
+    DeltaTrigger.java semantics (fire when delta(anchor, cur) >
+    threshold, triggering row included, anchor replaced), with state
+    carried across multiple micro-batches (maxFilesPerTrigger=1)."""
+    from flink_1_16_0_src_spark.streaming.late import streaming_delta_trigger_window
+
+    rows = [
+        ("k1", i, float(v))
+        for i, v in enumerate([0, 1, 3, 9, 10, 11, 20, 21, 35, 36, 37])
+    ] + [("k2", i, float(v)) for i, v in enumerate([5, 100, 101, 300])]
+    d = str(tmp_path / "delta_src")
+    # three seq-ranged files written sequentially → three micro-batches
+    # in seq order; order_col handles intra-batch arrival order
+    df = spark.createDataFrame(rows, "k string, seq long, v double")
+    for lo, hi in ((0, 4), (4, 8), (8, 100)):
+        df.where((F.col("seq") >= lo) & (F.col("seq") < hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+    sdf = (
+        spark.readStream.schema("k string, seq long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = streaming_delta_trigger_window(
+        sdf,
+        ["k"],
+        lambda a, c: abs(c["v"] - a["v"]),
+        6.0,
+        lambda w: {"n": len(w), "last_v": float(w["v"].iloc[-1])},
+        "k string, n long, last_v double",
+        order_col="seq",
+    )
+    got = sources.run_to_memory(out, "t_delta", "append")
+    fired = sorted((r.k, r.n, r.last_v) for r in got.collect())
+
+    # plain-Python DeltaTrigger simulation per key over seq order —
+    # batch boundaries don't matter because anchor+buffer are state
+    def sim(vals):
+        res, buf, anchor = [], [], None
+        for v in vals:
+            buf.append(v)
+            if anchor is None:
+                anchor = v
+            elif abs(v - anchor) > 6.0:
+                res.append((len(buf), v))
+                buf, anchor = [], v
+        return res
+
+    exp = []
+    for k, vals in (("k1", [0, 1, 3, 9, 10, 11, 20, 21, 35, 36, 37]), ("k2", [5, 100, 101, 300])):
+        exp += [(k, n, v) for n, v in sim(vals)]
+    assert fired == sorted(exp)
+
+
+def test_continuous_event_time_fire_slices(spark):
+    """ContinuousEventTimeTrigger analog: the is_final slices equal the
+    TUMBLE result; every firing boundary is an interval multiple inside
+    its window; counts are non-decreasing across a window's firings."""
+    from flink_1_16_0_src_spark.streaming.late import continuous_event_time_fire
+
+    ev = tables.load(spark, SF_DIR, "events").select("ts", "event_type", "value")
+    fired = continuous_event_time_fire(
+        ev, "ts", "1 hour", "15 minutes", ["event_type"],
+        F.count("*").alias("n"),
+    ).collect()
+    finals = {(r.window_start, r.event_type): r.n for r in fired if r.is_final}
+    tumble = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    exp = {(r.w.start, r.event_type): r.n for r in tumble}
+    assert finals == exp
+    # non-final firings never exceed their window's final count
+    for r in fired:
+        if not r.is_final:
+            assert r.n <= finals[(r.window_start, r.event_type)]
