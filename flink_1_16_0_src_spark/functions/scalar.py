@@ -104,3 +104,24 @@ def current_watermark(ts: Column, delay_interval: str, arrival_order: Column) ->
 
     w = Window.orderBy(arrival_order).rowsBetween(Window.unboundedPreceding, -1)
     return F.max(ts).over(w) - F.expr(f"INTERVAL {delay_interval}")
+
+
+def is_alpha(col: Column | str) -> Column:
+    """Flink IS_ALPHA (flink-table-runtime SqlFunctionUtils.isAlpha:
+    true iff the string is non-empty and every char is a letter)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike(r"^\p{L}+$")
+
+
+def is_digit(col: Column | str) -> Column:
+    """Flink IS_DIGIT (SqlFunctionUtils.isDigit: non-empty, all digit
+    chars)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike(r"^[0-9]+$")
+
+
+def is_decimal(col: Column | str) -> Column:
+    """Flink IS_DECIMAL (SqlFunctionUtils.isDecimal: the string parses
+    as a decimal number — optional sign, digits, optional point)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike(r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)$")

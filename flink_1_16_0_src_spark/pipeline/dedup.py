@@ -142,8 +142,16 @@ def lsh_candidate_pairs(
     from pyspark.sql import Window
 
     wb = Window.partitionBy("band", "band_hash")
-    sized = banded.withColumn("__bsz", F.count("*").over(wb)).withColumn(
-        "__rep", F.min(id_col).over(wb)
+    # persist: three consumers read this frame (both self-join sides +
+    # the star branch); without the cache each re-runs the banded
+    # explode AND the window shuffle (plan-verified 3× Window/Exchange).
+    # The cached frame keeps its (band, band_hash) HashPartitioning, so
+    # the self-join needs no further exchange. |docs|×bands narrow
+    # rows — at 100 TB use StorageLevel.DISK_ONLY or accept recompute.
+    sized = (
+        banded.withColumn("__bsz", F.count("*").over(wb))
+        .withColumn("__rep", F.min(id_col).over(wb))
+        .persist()
     )
     cold = sized.where(F.col("__bsz") <= max_bucket)
     a = cold.select(F.col(id_col).alias("id_a"), "band", "band_hash")

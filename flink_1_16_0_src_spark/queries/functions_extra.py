@@ -315,3 +315,88 @@ def func_extract_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("ts").alias("epoch_s"),
         F.last_day("ts").cast("string").alias("month_end"),
     )
+
+
+@query(
+    "func_bit_ops",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS band,
+           o_orderkey | 7 AS bor,
+           xor(o_orderkey, 255) AS bxor,
+           ~o_orderkey AS bnot,
+           o_orderkey << 2 AS shl,
+           o_orderkey >> 2 AS shr
+    FROM orders WHERE o_orderkey < 400
+    """,
+    tags=("functions", "math"),
+)
+def func_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function parity (BuiltInFunctionDefinitions BITAND/BITOR/
+    BITXOR/BITNOT; Flink planner ScalarOperatorGens bit ops): &, |,
+    xor, ~, shifts — all JVM-codegen'd integer expressions."""
+    o = load(spark, sf_dir, "orders").where("o_orderkey < 400")
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderkey & 255").alias("band"),
+        F.expr("o_orderkey | 7").alias("bor"),
+        F.expr("o_orderkey ^ 255").alias("bxor"),
+        F.expr("~o_orderkey").alias("bnot"),
+        F.expr("o_orderkey << 2").alias("shl"),
+        F.expr("o_orderkey >> 2").alias("shr"),
+    )
+
+
+@query(
+    "func_flink_string_predicates",
+    oracle="""
+    SELECT p_partkey,
+           regexp_matches(replace(p_brand, '#', ''), '^[A-Za-z0-9]+$')
+             AND NOT regexp_matches(replace(p_brand, '#', ''), '[0-9]') AS alpha_brand,
+           regexp_matches(split_part(p_brand, '#', 2), '^[0-9]+$') AS digit_suffix,
+           regexp_matches(CAST(p_retailprice AS VARCHAR), '^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)$') AS dec_price,
+           regexp_matches(p_name, '^\p{L}+$') AS alpha_name
+    FROM part WHERE p_partkey < 300
+    """,
+    tags=("functions", "string"),
+)
+def func_flink_string_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink-only string predicates IS_ALPHA / IS_DIGIT / IS_DECIMAL
+    (flink-table-runtime SqlFunctionUtils.isAlpha/isDigit/isDecimal) —
+    no Spark builtin, implemented as codegen'd rlike in
+    functions/scalar.py. p_name contains spaces → alpha_name false;
+    split digits of p_brand → digit_suffix true; price renders as a
+    plain decimal string → dec_price true."""
+    from flink_1_16_0_src_spark.functions.scalar import is_alpha, is_decimal, is_digit
+
+    p = load(spark, sf_dir, "part").where("p_partkey < 300")
+    return p.select(
+        "p_partkey",
+        is_alpha(F.replace(F.col("p_brand"), F.lit("#"), F.lit(""))).alias("alpha_brand"),
+        is_digit(F.split_part("p_brand", F.lit("#"), F.lit(2))).alias("digit_suffix"),
+        is_decimal(F.col("p_retailprice").cast("string")).alias("dec_price"),
+        is_alpha("p_name").alias("alpha_name"),
+    )
+
+
+@query(
+    "func_from_unixtime",
+    oracle="""
+    SELECT event_id,
+           strftime(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS dt_str,
+           strftime(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)), '%Y-%m-%d') AS d_str
+    FROM events WHERE event_id < 1500
+    """,
+    tags=("functions", "temporal"),
+)
+def func_from_unixtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FROM_UNIXTIME parity (BuiltInFunctionDefinitions.java:1378
+    fromUnixtime, default + custom format). Session TZ is UTC on both
+    engines, so the rendered strings agree exactly."""
+    ev = load(spark, sf_dir, "events").where("event_id < 1500")
+    epoch = F.unix_timestamp("ts")
+    return ev.select(
+        "event_id",
+        F.from_unixtime(epoch).alias("dt_str"),
+        F.from_unixtime(epoch, "yyyy-MM-dd").alias("d_str"),
+    )
