@@ -292,3 +292,54 @@ def test_after_match_skip_overlapping_matches():
     # match A=[1] B=2 → resume at 1... no-progress guard bumps to 2;
     # then A=[3] B=4
     assert [(m["A"][-1]["i"], m["B"][0]["i"]) for m in last] == [(1, 2), (1, 2), (3, 4)]
+
+
+def test_match_recognize_stream_relaxed_crosses_batches(spark, tmp_path):
+    """followedBy (relaxed contiguity) in the STREAMING NFA: the open
+    prefix must be retained across micro-batches while skippable noise
+    arrives, and the match completes when the B row shows up two
+    batches later."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from flink_1_16_0_src_spark.streaming import sources
+
+    batches = [
+        [("k1", 1, "a"), ("k2", 1, "a")],          # anchors
+        [("k1", 2, "x"), ("k2", 2, "x")],          # skippable noise
+        [("k1", 3, "b"), ("k2", 3, "x"), ("k2", 4, "b")],  # completions
+    ]
+    d = str(tmp_path / "relaxed_src")
+    for b in batches:
+        spark.createDataFrame(b, "k string, seq long, c string").coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+    sdf = (
+        spark.readStream.schema("k string, seq long, c string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    steps = [
+        cep.Step("A", lambda r, m: r["c"] == "a"),
+        cep.Step("B", lambda r, m: r["c"] == "b", contiguity="relaxed"),
+    ]
+    out = cep.match_recognize_stream(
+        sdf,
+        ["k"],
+        "seq",
+        steps,
+        {
+            "a_seq": lambda m: cep.first(m, "A", "seq"),
+            "b_seq": lambda m: cep.first(m, "B", "seq"),
+        },
+        StructType(
+            [
+                StructField("k", StringType()),
+                StructField("a_seq", LongType()),
+                StructField("b_seq", LongType()),
+            ]
+        ),
+    )
+    got = sources.run_to_memory(out, "cep_relaxed_stream", "append")
+    rows = {(r.k, r.a_seq, r.b_seq) for r in got.collect()}
+    assert rows == {("k1", 1, 3), ("k2", 1, 4)}

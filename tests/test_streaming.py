@@ -214,3 +214,52 @@ def test_update_mode_early_fire_trigger_analog(spark, events_batch, tmp_path):
     got = {(r.window_start, r.event_type): r.cnt for r in last.collect()}
     want = {(r.window_start, r.event_type): r.cnt for r in exp.collect()}
     assert got == want
+
+
+def test_checkpoint_restart_recovers_keyed_state(spark, tmp_path):
+    """Exactly-once resume (SURVEY §2.9 checkpointing row — Flink's
+    checkpoint/restore is delegated to Structured Streaming's
+    checkpoint): a count-window query is stopped after consuming 3 rows
+    (1 fired window of 2, 1 row left in keyed state), new data arrives,
+    and a SECOND query started from the SAME checkpoint fires the
+    window that pairs the recovered leftover row with the new row.
+    Without state recovery the second window could not fire."""
+    from flink_1_16_0_src_spark.streaming.late import streaming_count_window
+
+    src = str(tmp_path / "ckpt_src")
+    ckpt = str(tmp_path / "ckpt_dir")
+
+    def write(rows):
+        spark.createDataFrame(rows, "k string, v long").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    sink = str(tmp_path / "ckpt_sink")
+
+    def run():
+        sdf = spark.readStream.schema("k string, v long").parquet(src)
+        out = streaming_count_window(
+            sdf, ["k"], 2,
+            lambda w: {"total": int(w["v"].sum())},
+            "k string, total long",
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        return {tuple(r) for r in spark.read.parquet(sink).collect()}
+
+    write([("k1", 1), ("k1", 2), ("k1", 10)])
+    first = run()
+    assert first == {("k1", 3)}  # one full window; v=10 held in state
+
+    write([("k1", 20)])
+    second = run()
+    # the recovered leftover (10) pairs with the new row (20); the
+    # first window is NOT re-emitted (offsets recovered too)
+    assert second == {("k1", 3), ("k1", 30)}
