@@ -42,6 +42,8 @@ BENCH_QUERIES = [
                                  # small-|Q| exact tool)
     "text_token_stats",          # text analysis over documents
     "cep_adjacent_click_purchase",  # MATCH_RECOGNIZE NFA per key
+    "stream_tumble_drain",       # streaming throughput: file-stream →
+                                 # watermark → windowed agg → sink (M7)
 ]
 
 
