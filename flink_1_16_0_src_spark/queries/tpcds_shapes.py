@@ -623,3 +623,174 @@ WHERE pm.cnt > 0
     "TPC-DS q90 shape: ratio of two independent scalar aggregates "
     "(cross join of single-row subqueries).",
 )
+
+
+_register(
+    "tpcds_q4_channel_ratio_growth",
+    """
+WITH spend AS (
+  SELECT c_custkey, c_name, year(o_orderdate) AS yr,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'prio' ELSE 'std' END AS chan,
+         sum(o_totalprice) AS total
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  WHERE year(o_orderdate) IN (1994, 1995)
+  GROUP BY 1, 2, 3, 4
+),
+p AS (SELECT c_custkey, c_name,
+             max(CASE WHEN yr = 1994 THEN total END) AS y1,
+             max(CASE WHEN yr = 1995 THEN total END) AS y2
+      FROM spend WHERE chan = 'prio' GROUP BY 1, 2),
+s AS (SELECT c_custkey,
+             max(CASE WHEN yr = 1994 THEN total END) AS y1,
+             max(CASE WHEN yr = 1995 THEN total END) AS y2
+      FROM spend WHERE chan = 'std' GROUP BY 1)
+SELECT p.c_custkey, p.c_name,
+       round(p.y2 / p.y1, 4) AS prio_growth,
+       round(s.y2 / s.y1, 4) AS std_growth
+FROM p JOIN s ON p.c_custkey = s.c_custkey
+WHERE p.y1 > 0 AND p.y2 > 0 AND s.y1 > 0 AND s.y2 > 0
+  AND p.y2 / p.y1 > s.y2 / s.y1
+""",
+    "q4/q11 family: multi-CTE per-channel year-over-year spend with a "
+    "cross-channel growth-ratio comparison (the channelized "
+    "CTE-pivot-join-compare shape; customers whose priority-channel "
+    "growth beats their standard-channel growth).",
+)
+
+
+_register(
+    "tpcds_q48_disjunctive_quantity",
+    """
+SELECT CAST(sum(l_quantity) AS BIGINT) AS qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE (c_mktsegment = 'BUILDING'  AND o_totalprice BETWEEN 50000 AND 150000 AND l_discount BETWEEN 0.01 AND 0.03)
+   OR (c_mktsegment = 'MACHINERY' AND o_totalprice BETWEEN 100000 AND 250000 AND l_discount BETWEEN 0.04 AND 0.06)
+   OR (c_mktsegment = 'HOUSEHOLD' AND o_totalprice BETWEEN 150000 AND 400000 AND l_discount BETWEEN 0.07 AND 0.09)
+""",
+    "q48: single wide scan with three disjunctive multi-column predicate "
+    "branches over the joined row (planner must not split the OR into "
+    "three scans; one pass, filter after join).",
+)
+
+
+_register(
+    "tpcds_q61_promo_ratio",
+    """
+WITH promo AS (
+  SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS promo_rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_discount >= 0.05
+  GROUP BY n_name
+),
+total AS (
+  SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT t.n_name, p.promo_rev, t.total_rev,
+       round(p.promo_rev * 100.0 / t.total_rev, 4) AS promo_pct
+FROM total t JOIN promo p ON t.n_name = p.n_name
+""",
+    "q61: promotional-vs-total revenue ratio — two near-identical "
+    "aggregate subplans over the same join tree glued by a ratio "
+    "(common-subplan planner stress; the reference runs it as two "
+    "scalar subqueries multiplied by 100).",
+)
+
+
+_register(
+    "tpcds_q66_time_band_pivot",
+    """
+SELECT s_name, n_name,
+       round(sum(CASE WHEN month(l_shipdate) BETWEEN 1 AND 3  THEN l_extendedprice ELSE 0 END), 2) AS q1_rev,
+       round(sum(CASE WHEN month(l_shipdate) BETWEEN 4 AND 6  THEN l_extendedprice ELSE 0 END), 2) AS q2_rev,
+       round(sum(CASE WHEN month(l_shipdate) BETWEEN 7 AND 9  THEN l_extendedprice ELSE 0 END), 2) AS q3_rev,
+       round(sum(CASE WHEN month(l_shipdate) BETWEEN 10 AND 12 THEN l_extendedprice ELSE 0 END), 2) AS q4_rev,
+       CAST(sum(CASE WHEN month(l_shipdate) BETWEEN 1 AND 3  THEN l_quantity ELSE 0 END) AS BIGINT) AS q1_qty,
+       CAST(sum(CASE WHEN month(l_shipdate) BETWEEN 10 AND 12 THEN l_quantity ELSE 0 END) AS BIGINT) AS q4_qty
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE year(l_shipdate) = 1995
+GROUP BY s_name, n_name
+""",
+    "q66: warehouse-style time-band CASE pivot — one scan fans into "
+    "per-quarter columns for two measures (map-side conditional "
+    "aggregation; no Expand, no re-scan).",
+)
+
+
+_register(
+    "tpcds_q72_date_offset_join",
+    """
+SELECT n_name, CAST(count(*) AS BIGINT) AS late_starts
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+  AND l_shipdate > o_orderdate + INTERVAL '60' DAY
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    "q72: equi-join with a date-offset inequality in the ON clause "
+    "(d1 vs d2 + offset — the shape that punishes planners that turn "
+    "it into a cross product; must stay a hash join with a residual "
+    "condition).",
+)
+
+
+_register(
+    "tpcds_q75_yoy_delta_union",
+    """
+WITH chan AS (
+  SELECT p_brand, year(l_shipdate) AS yr,
+         sum(l_quantity) AS qty, sum(l_extendedprice) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_returnflag = 'N'
+  GROUP BY 1, 2
+  UNION ALL
+  SELECT p_brand, year(l_shipdate) AS yr,
+         sum(l_quantity) AS qty, sum(l_extendedprice) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_returnflag <> 'N'
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT p_brand, yr, CAST(sum(qty) AS BIGINT) AS qty, round(sum(rev), 2) AS rev
+  FROM chan GROUP BY 1, 2
+)
+SELECT cur.p_brand, cur.yr,
+       prev.qty AS prev_qty, cur.qty AS cur_qty,
+       round(CAST(cur.qty AS DOUBLE) / prev.qty, 4) AS qty_ratio
+FROM tot cur JOIN tot prev
+  ON cur.p_brand = prev.p_brand AND cur.yr = prev.yr + 1
+WHERE prev.qty > 0 AND CAST(cur.qty AS DOUBLE) / prev.qty < 0.9
+""",
+    "q75: union of per-channel aggregates re-aggregated, then a "
+    "year-over-year self-join keeping brands whose quantity dropped "
+    ">10% (union + re-agg + offset self-join + ratio filter).",
+)
+
+
+_register(
+    "tpcds_q92_excess_discount",
+    """
+SELECT round(sum(l_extendedprice), 2) AS excess_revenue
+FROM lineitem l1
+WHERE year(l_shipdate) = 1995
+  AND l_extendedprice > 1.3 * (
+    SELECT avg(l_extendedprice) FROM lineitem l2
+    WHERE l2.l_partkey = l1.l_partkey
+  )
+""",
+    "q92: correlated scalar-average subquery scaled by a constant as a "
+    "row filter (decorrelates to an aggregate-join; the 1.3*avg "
+    "threshold shape).",
+)
