@@ -325,3 +325,76 @@ def _cosine(a, b):
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
     return dot / (na * nb)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(node, component) labeling of the near-dup pair graph: component
+    = the minimum node id reachable through the pairs. This is the step
+    that turns pairwise dedup output into droppable clusters (keep one
+    doc per component) — at 100 TB the pair list alone is useless
+    without it.
+
+    Algorithm: iterative min-label propagation (the simple variant of
+    the alternating-star map-reduce CC algorithms): each round every
+    node takes min(own label, neighbors' labels); converges in
+    O(diameter) rounds — near-dup graphs are star/clique-shaped, so
+    2-4 rounds in practice. Each round is two shuffles (edge-label
+    join + min groupBy) and the frame is localCheckpoint-ed so the
+    loop doesn't build an N-deep plan (same superstep pattern as
+    DataStream.iterate). The driver sees only the converged/not flag
+    (a count), never data.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+                (F.col("nbr_min") < F.col("component")).alias("__changed"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.where(F.col("__changed")).limit(1).count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def keep_canonical(
+    df: DataFrame, pairs: DataFrame, id_col: str, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Drop every near-duplicate except the minimum-id doc of its
+    connected component — the terminal dedup step of a training-data
+    pipeline (pairs → components → one canonical row per cluster).
+    Docs that appear in no pair survive untouched (left-anti on the
+    non-canonical node set, a broadcast-friendly small side)."""
+    cc = connected_components(pairs, id_a, id_b)
+    losers = cc.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

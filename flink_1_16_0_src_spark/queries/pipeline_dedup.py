@@ -196,3 +196,93 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.35).select(
         "id_a", "id_b", "cosine"
     )
+
+
+def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_16_0_src_spark.pipeline.dedup import shingles
+
+    corpus = _dup_corpus(spark, sf_dir)
+    sets_ = corpus.select("doc_id", "lang", shingles("text", 3).alias("s"))
+    a = sets_.select(F.col("doc_id").alias("id_a"), "lang", F.col("s").alias("sa"))
+    b = sets_.select(F.col("doc_id").alias("id_b"), "lang", F.col("s").alias("sb"))
+    joined = a.join(b, "lang").where(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    jac = F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 4)
+    return joined.select("id_a", "id_b").where(jac >= 0.5)
+
+
+_PAIRS_SQL = f"""
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sets_ a JOIN sets_ b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.s, b.s)) /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.5
+"""
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE corpus AS ({_DUP_CORPUS_SQL}),
+    sets_ AS (SELECT doc_id, lang, {_SHINGLES} AS s FROM corpus),
+    pairs AS ({_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS node, least(src, min(dst)) AS component
+    FROM reach GROUP BY src
+    """,
+    tags=("pipeline", "dedup"),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph (iterative
+    min-label propagation, O(diameter) superstep rounds, two shuffles
+    per round, localCheckpoint-truncated lineage). The DuckDB oracle
+    computes the same labeling by recursive transitive closure —
+    feasible only at oracle scale, which is exactly why the
+    distributed operator exists."""
+    from flink_1_16_0_src_spark.pipeline.dedup import connected_components
+
+    return connected_components(_ngram_pairs(spark, sf_dir)).select("node", "component")
+
+
+@query(
+    "dedup_keep_canonical",
+    oracle=f"""
+    WITH RECURSIVE corpus AS ({_DUP_CORPUS_SQL}),
+    sets_ AS (SELECT doc_id, lang, {_SHINGLES} AS s FROM corpus),
+    pairs AS ({_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    losers AS (
+      SELECT src AS doc_id FROM reach GROUP BY src
+      HAVING least(src, min(dst)) <> src
+    )
+    SELECT c.doc_id, c.lang FROM corpus c
+    WHERE c.doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+    tags=("pipeline", "dedup"),
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terminal dedup step: keep ONE doc (min id) per near-dup
+    component, pass through unpaired docs — pairs → components →
+    left-anti against the non-canonical set."""
+    corpus = _dup_corpus(spark, sf_dir)
+    from flink_1_16_0_src_spark.pipeline.dedup import keep_canonical
+
+    return keep_canonical(
+        corpus, _ngram_pairs(spark, sf_dir), "doc_id"
+    ).select("doc_id", "lang")

@@ -138,3 +138,26 @@ def test_hot_bucket_cap_keeps_candidates_linear(spark):
     uncapped = lsh_candidate_pairs(ssigs, "doc_id", NUM_PERM, BANDS, max_bucket=None)
     default = lsh_candidate_pairs(ssigs, "doc_id", NUM_PERM, BANDS)  # cap ≫ bucket
     assert sorted(map(tuple, uncapped.collect())) == sorted(map(tuple, default.collect()))
+
+
+def test_connected_components_shapes(spark):
+    """Chain, clique, and singleton-free graphs all converge to min-id
+    labels; a chain exercises multi-round propagation (diameter > 1)."""
+    from flink_1_16_0_src_spark.pipeline.dedup import connected_components, keep_canonical
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5 (diameter 4), clique {10,11,12}, pair {20,21}
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (10, 12), (11, 12),
+         (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {(r.node, r.component) for r in connected_components(pairs).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 12, 20, 21, 99]], "doc_id long")
+    kept = sorted(r.doc_id for r in keep_canonical(docs, pairs, "doc_id").collect())
+    assert kept == [1, 10, 20, 99]  # one per component + untouched 99
