@@ -166,3 +166,28 @@ def test_dynamic_partition_pruning(spark, tmp_path):
         .toString()
     )
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_q72_offset_inequality_stays_hash_join(spark):
+    """tpcds_q72 shape: the date-offset inequality in the JOIN ON
+    clause must ride the equi-join as a residual condition — never a
+    nested-loop/cartesian."""
+    plan = _plan(spark, "tpcds_q72_date_offset_join")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    joins = [l for l in plan.splitlines() if "HashJoin" in l or "SortMergeJoin" in l]
+    assert len(joins) >= 3  # all three joins hash/merge, incl. the residual one
+
+
+def test_lsh_capped_candidates_no_cartesian(spark):
+    """The hot-bucket-capped LSH path keeps the banded equi-join (no
+    cartesian) and the star branch adds no join at all."""
+    from flink_1_16_0_src_spark.pipeline.dedup import lsh_candidate_pairs, minhash_signatures
+    from flink_1_16_0_src_spark import tables
+
+    docs = tables.load(spark, SF_DIR, "documents").select("doc_id", "text")
+    sigs = minhash_signatures(docs, "text", "doc_id", num_perm=8, k=3)
+    plan = lsh_candidate_pairs(sigs, "doc_id", 8, 4)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "band" in plan  # equi-join keyed on (band, band_hash)
