@@ -117,3 +117,45 @@ def cep_sql_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """
     return spark.sql(rewrite_flink_clauses(spark, sql))
+
+
+@query(
+    "tvf_sql_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '1 hour' OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS window_start,
+           max(ts) + INTERVAL '1 hour' AS window_end,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("window-tvf", "session", "sql-surface"),
+)
+def tvf_sql_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION TVF as Flink SQL text, incl. the `TABLE t PARTITION BY
+    key` operand form (SqlSessionTableFunction; FLIP-234 session TVF) —
+    rewritten onto the session_window operator; oracle =
+    gaps-and-islands with a 1-hour gap."""
+    _events_view(spark, sf_dir, "events_sqlsrc")
+    sql = """
+    SELECT user_id, window_start, window_end,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM TABLE(SESSION(TABLE events_sqlsrc PARTITION BY user_id,
+                       DESCRIPTOR(ts), INTERVAL '1' HOUR))
+    GROUP BY user_id, window_start, window_end
+    """
+    return spark.sql(rewrite_flink_clauses(spark, sql))
