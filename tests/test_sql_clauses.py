@@ -1,0 +1,116 @@
+"""Unit tests for the Flink-only SQL clause surface (sql_clauses.py):
+window-TVF rewriting and MATCH_RECOGNIZE lowering — parser edge cases
+the registry queries don't reach (PREV/NEXT offsets, WITHIN, skip-to
+variants, quantified patterns in SQL text, alternation)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from flink_1_16_0_src_spark.sql_clauses import (
+    _clause_split,
+    _parse_pattern,
+    lower_match_recognize,
+    rewrite_flink_clauses,
+)
+
+
+def _events(spark, rows):
+    df = spark.createDataFrame(rows, "k string, seq long, c string, v double")
+    df.createOrReplaceTempView("sqlc_events")
+    return df
+
+
+def test_parse_pattern_quantifiers_and_alternation():
+    assert _parse_pattern("A B+ (C|D) E{2,3} F? G*") == [
+        ("A", 1, 1),
+        ("B", 1, None),
+        [("C", 1, 1), ("D", 1, 1)],
+        ("E", 2, 3),
+        ("F", 0, 1),
+        ("G", 0, None),
+    ]
+    assert _parse_pattern("A{2,}") == [("A", 2, None)]
+
+
+def test_clause_split_all_keywords():
+    cl = _clause_split(
+        "PARTITION BY k ORDER BY seq MEASURES FIRST(A.v) AS x "
+        "ONE ROW PER MATCH AFTER MATCH SKIP TO FIRST B "
+        "PATTERN (A B) WITHIN INTERVAL '5' SECOND DEFINE A AS c = 'a', B AS c = 'b'"
+    )
+    assert cl["partition"] == "k" and cl["order"] == "seq"
+    assert cl["after"] == "SKIP TO FIRST B"
+    assert cl["within"].startswith("INTERVAL")
+    assert "A AS c = 'a'" in cl["define"]
+
+
+def test_match_recognize_quantified_pattern_sql(spark):
+    """A+ B in SQL text — greedy run of a's ending in b, per key."""
+    _events(spark, [
+        ("k", 1, "a", 1.0), ("k", 2, "a", 2.0), ("k", 3, "b", 30.0),
+        ("k", 4, "x", 0.0), ("k", 5, "a", 4.0), ("k", 6, "b", 60.0),
+    ])
+    out = lower_match_recognize(
+        spark, "sqlc_events",
+        "PARTITION BY k ORDER BY seq "
+        "MEASURES FIRST(A.seq) AS first_a, COUNT(A.seq) AS n_a, LAST(B.v) AS b_v "
+        "PATTERN (A+ B) "
+        "DEFINE A AS c = 'a', B AS c = 'b'",
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [("k", 1, 2, 30.0), ("k", 5, 1, 60.0)]
+
+
+def test_match_recognize_prev_in_define(spark):
+    """PREV(V.col) becomes a lag over the partition — rising pairs."""
+    _events(spark, [
+        ("k", 1, "e", 1.0), ("k", 2, "e", 3.0), ("k", 3, "e", 2.0), ("k", 4, "e", 5.0),
+    ])
+    out = lower_match_recognize(
+        spark, "sqlc_events",
+        "PARTITION BY k ORDER BY seq "
+        "MEASURES LAST(U.seq) AS at_seq "
+        "AFTER MATCH SKIP TO NEXT ROW "
+        "PATTERN (U) "
+        "DEFINE U AS U.v > PREV(U.v)",
+    )
+    assert sorted(r.at_seq for r in out.collect()) == [2, 4]
+
+
+def test_match_recognize_within_prunes_long_spans(spark):
+    rows = [
+        ("k", 1, "a", 0.0), ("k", 2, "b", 0.0),   # within 5s (ts 1s apart)
+        ("k", 10, "a", 0.0), ("k", 40, "b", 0.0),  # 30s apart -> pruned
+    ]
+    df = spark.createDataFrame(
+        [(k, dt.datetime(2024, 1, 1, 0, 0, s), c, v) for k, s, c, v in rows],
+        "k string, ts timestamp, c string, v double",
+    )
+    df.createOrReplaceTempView("sqlc_events_ts")
+    out = lower_match_recognize(
+        spark, "sqlc_events_ts",
+        "PARTITION BY k ORDER BY ts "
+        "MEASURES FIRST(A.ts) AS a_ts "
+        "PATTERN (A B) WITHIN INTERVAL '5' SECOND "
+        "DEFINE A AS c = 'a', B AS c = 'b'",
+    )
+    got = [r.a_ts for r in out.collect()]
+    assert got == [dt.datetime(2024, 1, 1, 0, 0, 1)]
+
+
+def test_match_recognize_rejects_all_rows_per_match(spark):
+    _events(spark, [("k", 1, "a", 1.0)])
+    with pytest.raises(NotImplementedError):
+        lower_match_recognize(
+            spark, "sqlc_events",
+            "PARTITION BY k ORDER BY seq MEASURES FIRST(A.v) AS x "
+            "ALL ROWS PER MATCH PATTERN (A) DEFINE A AS c = 'a'",
+        )
+
+
+def test_tvf_rewrite_leaves_plain_sql_untouched(spark):
+    sql = "SELECT 1 AS one"
+    assert rewrite_flink_clauses(spark, sql) == sql
