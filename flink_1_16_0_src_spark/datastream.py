@@ -80,6 +80,45 @@ class DataStream:
 
         return DataStream(self.df.mapInPandas(gen, schema))
 
+    def async_io(
+        self,
+        fn: Callable,
+        schema,
+        capacity: int = 16,
+        ordered: bool = True,
+        timeout_s: float | None = None,
+    ) -> "DataStream":
+        """AsyncDataStream.[un]orderedWait parity (DS/api/datastream/
+        AsyncDataStream.java; AsyncWaitOperator.java:91): ``fn(row) ->
+        result row dict`` runs on a thread pool of ``capacity`` workers
+        per Arrow batch — the per-partition analog of the operator's
+        in-flight-request capacity. ``ordered=True`` preserves row
+        order within the batch (orderedWait); False yields completion
+        order (unorderedWait). ``timeout_s`` is per request; a timed-out
+        request raises like the reference's TimeoutException default.
+
+        This is the documented Spark mapping for Flink async I/O
+        (SURVEY.md: external calls are batched per partition, never one
+        event loop per record): the thread pool amortizes I/O latency
+        across the batch while the cluster-side parallelism story stays
+        partition-count × capacity."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def gen(it: Iterable[pd.DataFrame]):
+            with ThreadPoolExecutor(max_workers=capacity) as pool:
+                for pdf in it:
+                    rows = pdf.to_dict("records")
+                    if ordered:
+                        results = list(pool.map(fn, rows, timeout=timeout_s))
+                    else:
+                        from concurrent.futures import as_completed
+
+                        futs = [pool.submit(fn, r) for r in rows]
+                        results = [f.result(timeout_s) for f in as_completed(futs)]
+                    yield pd.DataFrame(results)
+
+        return DataStream(self.df.mapInPandas(gen, schema))
+
     def key_by(self, *keys: str) -> "KeyedStream":
         return KeyedStream(self.df, list(keys))
 
