@@ -14,6 +14,7 @@ import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -71,6 +72,25 @@ def _parse_props(props: str) -> dict[str, str]:
 _INSERT_INTO = re.compile(
     r"INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\s+(.*)$", re.IGNORECASE | re.DOTALL
 )
+
+_STATIC_PARTITION = re.compile(r"^\s*PARTITION\s*\(([^)]*)\)\s*", re.IGNORECASE)
+
+
+def _parse_static_partition(rest: str) -> tuple[dict[str, str], str]:
+    """``PARTITION (k1='v1', k2=3) SELECT ...`` → ({k1: v1, k2: 3},
+    remaining query). Flink SqlInsert static partition clause
+    (flink-table/flink-sql-parser SqlInsert; values land as constant
+    columns on every written row)."""
+    m = _STATIC_PARTITION.match(rest)
+    if not m:
+        return {}, rest
+    parts: dict[str, str] = {}
+    for kv in m.group(1).split(","):
+        if not kv.strip():
+            continue
+        k, v = kv.split("=", 1)
+        parts[k.strip()] = v.strip().strip("'")
+    return parts, rest[m.end():]
 
 # Flink join-strategy hints (T-PLANNER hint/JoinStrategy.java:29-47) →
 # Spark's equivalents. BROADCAST/SHUFFLE_HASH share names; SHUFFLE_MERGE
@@ -231,7 +251,13 @@ class TableEnvironment:
             from flink_1_16_0_src_spark import sources as srcs
 
             sink = self._sinks[mi.group(2)]
-            df = self.spark.sql(mi.group(3))
+            static_parts, body = _parse_static_partition(mi.group(3))
+            df = self.spark.sql(body)
+            for k, v in static_parts.items():
+                # Flink SqlInsert static partitions (SqlPartitionUtils
+                # .getPartitionKVs): constant columns appended to every
+                # row; the SELECT omits them
+                df = df.withColumn(k, F.lit(v))
             mode = "overwrite" if mi.group(1).upper() == "OVERWRITE" else "append"
             srcs.write_table(
                 df,
@@ -241,7 +267,8 @@ class TableEnvironment:
                 # the statement's INTO/OVERWRITE keyword wins over any
                 # DDL-declared sink.mode (SqlInsert.isOverwrite parity)
                 {**sink["props"], "sink.mode": mode},
-                partitioned_by=sink.get("partitioned_by"),
+                partitioned_by=sink.get("partitioned_by")
+                or (list(static_parts) or None),
             )
             return None
         return self.spark.sql(stmt)

@@ -550,3 +550,33 @@ def test_kafka_contract_stream_window_and_upsert(spark, tmp_path):
     assert (1, 10.0, "+I") in got_log and (1, 12.0, "+U") in got_log
     assert any(k == 1 and rk == "-D" for k, _, rk in got_log)
     assert (2, 5.0, "+I") in got_log and (3, 7.5, "+I") in got_log
+
+
+def test_insert_static_partition(tenv, spark, tmp_path):
+    """INSERT INTO sink PARTITION (dt='batchA') SELECT ... — the
+    static partition value lands as a constant column on every row and
+    the sink writes hive-style dt=... directories (Flink SqlInsert
+    static partitions)."""
+    sink_dir = str(tmp_path / "static_part_sink")
+    tables.load(spark, SF_DIR, "orders").createOrReplaceTempView("sp_src")
+    tenv.execute_sql(
+        f"CREATE TABLE sp_sink (k BIGINT, dt STRING) "
+        f"WITH ('connector'='filesystem', 'path'='{sink_dir}', 'format'='parquet')"
+    )
+    tenv.execute_sql(
+        "INSERT INTO sp_sink PARTITION (dt='batchA') "
+        "SELECT o_orderkey AS k FROM sp_src WHERE o_orderkey < 10"
+    )
+    got = spark.read.parquet(sink_dir)
+    rows = got.collect()
+    assert all(r.dt == "batchA" for r in rows) and len(rows) > 0
+    import os
+
+    assert any(d.startswith("dt=") for d in os.listdir(sink_dir))
+    # second static partition appends alongside the first
+    tenv.execute_sql(
+        "INSERT INTO sp_sink PARTITION (dt='batchB') "
+        "SELECT o_orderkey AS k FROM sp_src WHERE o_orderkey < 5"
+    )
+    dts = {r.dt for r in spark.read.parquet(sink_dir).collect()}
+    assert dts == {"batchA", "batchB"}
