@@ -38,6 +38,10 @@ PINNED = [
     "tpcds_q67_rollup_rank",     # rollup + rank over aggregate
     "tpcds_q57_monthly_deviation",  # window avg + rank over agg CTE
     "tpcds_q78_unreturned_ratio",   # distinct-derived anti join + agg
+    "tpcds_q72_date_offset_join",   # residual inequality on hash join
+    "tpcds_q92_excess_discount",    # decorrelated scalar-avg threshold
+    "tvf_sql_tumble",               # SQL-text TVF lowering == window() plan
+    "cep_followed_by",              # Pattern API NFA partition shape
 ]
 
 
