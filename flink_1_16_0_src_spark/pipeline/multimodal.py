@@ -1,11 +1,16 @@
 """Multimodal column handling: image/audio/video as opaque binary
 columns with typed metadata.
 
-The decode step is STUBBED (no image/audio libs in this container —
-``codec='fake'`` produces deterministic pseudo-features; any real codec
-raises NotImplementedError). The Spark-side plumbing is real and
-tested: binary schema, metadata struct, Arrow-batched mapInPandas with
-bounded batch sizes, partition-preserving transforms.
+Codecs: ``'ppm'`` is a REAL image codec (binary P6 netpbm — header +
+raw RGB; parsed/resampled with numpy, no imaging libraries needed), so
+decode → feature-extract → resize runs genuinely end-to-end for
+uncompressed images. ``'fake'`` produces deterministic pseudo-features
+from arbitrary bytes (exercises the same Arrow path for payloads that
+aren't images). Compressed codecs (jpeg/png/wav/mp4) raise
+NotImplementedError — their decoders aren't in this container; they
+would slot into the same per-batch loop. The Spark-side plumbing is
+real and tested: binary schema, metadata struct, Arrow-batched
+mapInPandas with bounded batch sizes, partition-preserving transforms.
 
 At 100 TB: binary payloads ride in parquet alongside metadata;
 decode/feature-extract runs as mapInPandas over row-group-sized Arrow
@@ -67,18 +72,73 @@ FEATURE_SCHEMA = (
 )
 
 
+def _parse_ppm(b: bytes):
+    """Binary P6 netpbm → (h, w, 3) uint8 array. Strict no-comment
+    subset: ``P6 <w> <h> <maxval≤255>`` then raw RGB."""
+    import re
+
+    import numpy as np
+
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", b)
+    if m is None:
+        raise ValueError("not a binary P6 ppm payload")
+    w, h, maxv = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if maxv > 255:
+        raise ValueError("16-bit ppm not supported")
+    px = np.frombuffer(b, dtype=np.uint8, offset=m.end(), count=w * h * 3)
+    return px.reshape(h, w, 3)
+
+
+def encode_ppm(px) -> bytes:
+    """(h, w, 3) uint8 array → binary P6 bytes."""
+    h, w = px.shape[0], px.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
 def decode_features(df: DataFrame, codec: str = "fake", feat_dim: int = 4) -> DataFrame:
     """Decode payloads and emit fixed-width features via mapInPandas.
 
+    ``codec='ppm'``: REAL decode of binary P6 images — width/height
+    from the actual header, features = per-channel means + grayscale
+    std (numpy over the pixel array, one parse per payload).
     ``codec='fake'``: deterministic features from the byte content
-    (length, checksum, byte-histogram moments) — exercises the real
-    Arrow batch path end-to-end. Real codecs (jpeg/png/wav/mp4) require
-    imaging/audio libs not present in this container.
+    (length, checksum, byte-histogram moments) — same Arrow batch path
+    for non-image payloads. Compressed codecs (jpeg/png/wav/mp4)
+    require libs not present in this container.
     """
+    if codec == "ppm":
+        import numpy as np
+
+        def run_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = []
+                for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                    px = _parse_ppm(bytes(b))
+                    gray = px.astype("float64").mean(axis=2)
+                    out.append(
+                        {
+                            "media_id": mid,
+                            "n_bytes": len(b),
+                            "checksum": int(px.sum()) % (1 << 31),
+                            "width": px.shape[1],
+                            "height": px.shape[0],
+                            "feat": [
+                                float(px[:, :, 0].mean()),
+                                float(px[:, :, 1].mean()),
+                                float(px[:, :, 2].mean()),
+                                float(gray.std()),
+                            ],
+                        }
+                    )
+                yield pd.DataFrame(out, columns=[
+                    "media_id", "n_bytes", "checksum", "width", "height", "feat"
+                ])
+
+        return df.mapInPandas(run_ppm, schema=FEATURE_SCHEMA)
     if codec != "fake":
         raise NotImplementedError(
-            f"codec {codec!r}: only the deterministic 'fake' codec is available "
-            "in this environment (no imaging/audio libraries baked in)"
+            f"codec {codec!r}: 'ppm' (real) and 'fake' (deterministic) are the "
+            "available codecs in this environment (no imaging/audio libraries baked in)"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -110,10 +170,37 @@ def decode_features(df: DataFrame, codec: str = "fake", feat_dim: int = 4) -> Da
 
 
 def resize(df: DataFrame, width: int, height: int, codec: str = "fake") -> DataFrame:
-    """Resize stub: rewrites the metadata struct to the target
-    dimensions; the pixel transform itself needs an imaging lib (raises
-    for real codecs). The metadata/schema plumbing — what a real
-    implementation would keep identical — is exercised end-to-end."""
+    """Resize. ``codec='ppm'``: REAL nearest-neighbor pixel resample
+    (numpy index arithmetic over the decoded array, payload re-encoded
+    as P6) with the metadata struct updated to the actual new
+    dimensions. ``codec='fake'``: metadata-only rewrite for non-image
+    payloads. Compressed codecs need an imaging library."""
+    if codec == "ppm":
+        import numpy as np
+
+        def run_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                payloads = []
+                for b in pdf["payload"]:
+                    px = _parse_ppm(bytes(b))
+                    in_h, in_w = px.shape[0], px.shape[1]
+                    rows = (np.arange(height) * in_h) // height
+                    cols = (np.arange(width) * in_w) // width
+                    payloads.append(encode_ppm(np.ascontiguousarray(px[rows][:, cols])))
+                out = pdf.copy()
+                out["payload"] = payloads
+                out["meta"] = [
+                    {
+                        "format": "ppm",
+                        "width": width,
+                        "height": height,
+                        "n_bytes": len(p),
+                    }
+                    for p in payloads
+                ]
+                yield out
+
+        return df.mapInPandas(run_ppm, schema=df.schema)
     if codec != "fake":
         raise NotImplementedError(
             f"codec {codec!r}: pixel-level resize needs an imaging library"

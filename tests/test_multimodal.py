@@ -4,6 +4,7 @@ oracle queries."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from flink_1_16_0_src_spark import tables
@@ -44,3 +45,68 @@ def test_chunking_reassembles_byte_exact(spark):
     orig = {r.media_id: bytes(r.payload) for r in media.collect()}
     back = {r.media_id: bytes(r.payload) for r in reassembled.collect()}
     assert back == orig and len(back) > 0
+
+
+def _make_ppm(w, h, seed):
+    """Deterministic test image: px[y,x,c] = (seed + 3x + 7y + 11c) % 256."""
+    import numpy as np
+
+    from flink_1_16_0_src_spark.pipeline.multimodal import encode_ppm
+
+    y, x, c = np.meshgrid(np.arange(h), np.arange(w), np.arange(3), indexing="ij")
+    px = ((seed + 3 * x + 7 * y + 11 * c) % 256).astype("uint8")
+    return encode_ppm(px), px
+
+
+def test_ppm_decode_real_pixels(spark):
+    """The 'ppm' codec is a REAL decoder: width/height come from the
+    P6 header and the features are exact numpy channel statistics."""
+    import numpy as np
+
+    from flink_1_16_0_src_spark.pipeline import multimodal as mm
+
+    imgs = {1: _make_ppm(8, 5, 0), 2: _make_ppm(16, 3, 100)}
+    df = spark.createDataFrame(
+        [(k, bytearray(b), ("ppm", None, None, len(b))) for k, (b, _) in imgs.items()],
+        mm.MEDIA_SCHEMA,
+    )
+    got = {r.media_id: r for r in mm.decode_features(df, codec="ppm").collect()}
+    for k, (b, px) in imgs.items():
+        r = got[k]
+        assert (r.width, r.height) == (px.shape[1], px.shape[0])
+        gray = px.astype("float64").mean(axis=2)
+        exp = [px[:, :, 0].mean(), px[:, :, 1].mean(), px[:, :, 2].mean(), gray.std()]
+        assert r.feat == pytest.approx(exp)
+        assert r.checksum == int(px.sum()) % (1 << 31)
+
+
+def test_ppm_resize_nearest_neighbor_exact(spark):
+    """Resize is a real pixel transform: output payload is byte-exact
+    nearest-neighbor downsampling, and a re-decode sees the new dims."""
+    import numpy as np
+
+    from flink_1_16_0_src_spark.pipeline import multimodal as mm
+
+    b, px = _make_ppm(10, 6, 42)
+    df = spark.createDataFrame(
+        [(1, bytearray(b), ("ppm", 10, 6, len(b)))], mm.MEDIA_SCHEMA
+    )
+    out = mm.resize(df, width=5, height=3, codec="ppm").collect()[0]
+    rows = (np.arange(3) * 6) // 3
+    cols = (np.arange(5) * 10) // 5
+    exp = mm.encode_ppm(np.ascontiguousarray(px[rows][:, cols]))
+    assert bytes(out.payload) == exp
+    assert (out.meta.width, out.meta.height) == (5, 3)
+    # decode of the resized frame reports the new dimensions
+    r2 = mm.decode_features(
+        mm.resize(df, 5, 3, codec="ppm"), codec="ppm"
+    ).collect()[0]
+    assert (r2.width, r2.height) == (5, 3)
+
+
+def test_unknown_codec_still_raises(spark):
+    from flink_1_16_0_src_spark.pipeline import multimodal as mm
+
+    df = spark.createDataFrame([(1, bytearray(b"x"), ("jpeg", 1, 1, 1))], mm.MEDIA_SCHEMA)
+    with pytest.raises(NotImplementedError):
+        mm.decode_features(df, codec="jpeg")
