@@ -95,17 +95,85 @@ def encode_ppm(px) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
 
 
+def _parse_wav(b: bytes):
+    """RIFF/WAVE PCM → (samples float64 in [-1,1] shape (n, channels),
+    sample_rate). Pure struct/numpy parse — 16-bit and 8-bit PCM."""
+    import struct
+
+    import numpy as np
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(b)
+    fmt = None
+    while pos + 8 <= n:
+        cid, size = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if audio_fmt != 1:
+                raise ValueError("only PCM (format 1) supported")
+            fmt = (channels, rate, bits)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("data chunk before fmt chunk")
+            channels, rate, bits = fmt
+            if bits == 16:
+                raw = np.frombuffer(body, dtype="<i2").astype("float64") / 32768.0
+            elif bits == 8:
+                raw = (np.frombuffer(body, dtype="u1").astype("float64") - 128.0) / 128.0
+            else:
+                raise ValueError(f"{bits}-bit PCM not supported")
+            return raw.reshape(-1, channels), rate
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("no data chunk")
+
+
 def decode_features(df: DataFrame, codec: str = "fake", feat_dim: int = 4) -> DataFrame:
     """Decode payloads and emit fixed-width features via mapInPandas.
 
     ``codec='ppm'``: REAL decode of binary P6 images — width/height
     from the actual header, features = per-channel means + grayscale
     std (numpy over the pixel array, one parse per payload).
+    ``codec='wav'``: REAL decode of RIFF PCM audio — features =
+    [duration_s, rms, zero-crossing rate, peak]; width = sample rate,
+    height = channels (the schema's generic dimension slots).
     ``codec='fake'``: deterministic features from the byte content
     (length, checksum, byte-histogram moments) — same Arrow batch path
-    for non-image payloads. Compressed codecs (jpeg/png/wav/mp4)
+    for non-media payloads. Compressed codecs (jpeg/png/mp3/mp4)
     require libs not present in this container.
     """
+    if codec == "wav":
+        import numpy as np
+
+        def run_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = []
+                for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                    samples, rate = _parse_wav(bytes(b))
+                    mono = samples.mean(axis=1)
+                    zc = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if len(mono) > 1 else 0.0
+                    out.append(
+                        {
+                            "media_id": mid,
+                            "n_bytes": len(b),
+                            "checksum": int(np.abs(samples).sum() * 1000) % (1 << 31),
+                            "width": rate,
+                            "height": samples.shape[1],
+                            "feat": [
+                                float(len(mono)) / rate,
+                                float(np.sqrt((mono ** 2).mean())) if len(mono) else 0.0,
+                                zc,
+                                float(np.abs(mono).max()) if len(mono) else 0.0,
+                            ],
+                        }
+                    )
+                yield pd.DataFrame(out, columns=[
+                    "media_id", "n_bytes", "checksum", "width", "height", "feat"
+                ])
+
+        return df.mapInPandas(run_wav, schema=FEATURE_SCHEMA)
     if codec == "ppm":
         import numpy as np
 

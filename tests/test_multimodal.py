@@ -110,3 +110,41 @@ def test_unknown_codec_still_raises(spark):
     df = spark.createDataFrame([(1, bytearray(b"x"), ("jpeg", 1, 1, 1))], mm.MEDIA_SCHEMA)
     with pytest.raises(NotImplementedError):
         mm.decode_features(df, codec="jpeg")
+
+
+def _make_wav(n, rate, channels, seed):
+    """Deterministic 16-bit PCM sine-ish test signal."""
+    import struct
+
+    import numpy as np
+
+    t = np.arange(n * channels, dtype="float64").reshape(n, channels)
+    samples = np.round(10000 * np.sin((seed + t) * 0.1)).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff, samples
+
+
+def test_wav_decode_real_samples(spark):
+    """The 'wav' codec really parses RIFF PCM: sample rate, channel
+    count, duration, RMS, and zero-crossing rate match numpy truth."""
+    import numpy as np
+
+    from flink_1_16_0_src_spark.pipeline import multimodal as mm
+
+    b, samples = _make_wav(n=480, rate=16000, channels=2, seed=5)
+    df = spark.createDataFrame([(1, bytearray(b), ("wav", None, None, len(b)))], mm.MEDIA_SCHEMA)
+    r = mm.decode_features(df, codec="wav").collect()[0]
+    assert (r.width, r.height) == (16000, 2)
+    mono = (samples.astype("float64") / 32768.0).mean(axis=1)
+    assert r.feat[0] == pytest.approx(480 / 16000)
+    assert r.feat[1] == pytest.approx(float(np.sqrt((mono ** 2).mean())))
+    assert r.feat[2] == pytest.approx(
+        float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+    )
+    assert r.feat[3] == pytest.approx(float(np.abs(mono).max()))
