@@ -295,6 +295,86 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     )
 
 
+def _parse_y4m(b: bytes):
+    """YUV4MPEG2 (uncompressed video) → (w, h, [frame Y-plane uint8
+    arrays]). Pure parse: stream header ``YUV4MPEG2 W<w> H<h> ...\\n``
+    then ``FRAME...\\n`` + raw 4:2:0 planes (Y w×h, U+V w/2×h/2)."""
+    import numpy as np
+
+    nl = b.index(b"\n")
+    header = b[:nl].decode("ascii", "replace")
+    if not header.startswith("YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    for tok in header.split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "C" and not tok[1:].startswith("420"):
+            raise ValueError(f"chroma {tok!r}: only 4:2:0 supported")
+    if not w or not h:
+        raise ValueError("missing W/H in stream header")
+    frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
+    frames, pos, n = [], nl + 1, len(b)
+    while pos < n:
+        fnl = b.index(b"\n", pos)
+        if b[pos : pos + 5] != b"FRAME":
+            raise ValueError("expected FRAME marker")
+        y = np.frombuffer(b, dtype=np.uint8, offset=fnl + 1, count=w * h).reshape(h, w)
+        frames.append(y)
+        pos = fnl + 1 + frame_bytes
+    return w, h, frames
+
+
+VIDEO_FRAME_SCHEMA = (
+    "media_id long, frame_no int, width int, height int, "
+    "y_mean double, y_std double, motion double"
+)
+
+
+def video_frame_sample(df: DataFrame, stride: int = 1, codec: str = "y4m") -> DataFrame:
+    """REAL video frame sampling for uncompressed YUV4MPEG2: every
+    ``stride``-th frame is decoded to its luma plane and summarized
+    (mean/std + mean absolute luma delta vs the PREVIOUS SAMPLED frame
+    — a cheap motion signal for shot-boundary-style filtering). One
+    payload parse per row, frames sliced as numpy views; compressed
+    containers (mp4/webm) would need a demuxer this container lacks."""
+    if codec != "y4m":
+        raise NotImplementedError(f"codec {codec!r}: only 'y4m' video is decodable here")
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                w, h, frames = _parse_y4m(bytes(b))
+                prev = None
+                for i in range(0, len(frames), stride):
+                    y = frames[i].astype("float64")
+                    motion = float(np.abs(y - prev).mean()) if prev is not None else 0.0
+                    out.append(
+                        {
+                            "media_id": mid,
+                            "frame_no": i,
+                            "width": w,
+                            "height": h,
+                            "y_mean": float(y.mean()),
+                            "y_std": float(y.std()),
+                            "motion": motion,
+                        }
+                    )
+                    prev = y
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "frame_no", "width", "height", "y_mean", "y_std", "motion"
+                ],
+            )
+
+    return df.mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)
+
+
 def chunk_media(df: DataFrame, chunk_bytes: int = 64) -> DataFrame:
     """Split each binary payload into fixed-size ordered chunks —
     (media_id, chunk_idx, chunk, chunk_len). The 100 TB pattern for

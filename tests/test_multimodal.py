@@ -148,3 +148,40 @@ def test_wav_decode_real_samples(spark):
         float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
     )
     assert r.feat[3] == pytest.approx(float(np.abs(mono).max()))
+
+
+def _make_y4m(w, h, n_frames, seed):
+    """Deterministic 4:2:0 test clip; luma ramps per frame."""
+    import numpy as np
+
+    parts = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (w, h)]
+    ys = []
+    for f in range(n_frames):
+        y = ((seed + 5 * f + np.arange(w * h)) % 256).astype("uint8").reshape(h, w)
+        uv = np.full((w // 2) * (h // 2) * 2, 128, dtype="uint8")
+        parts.append(b"FRAME\n" + y.tobytes() + uv.tobytes())
+        ys.append(y)
+    return b"".join(parts), ys
+
+
+def test_y4m_video_frame_sample_real_decode(spark):
+    """video_frame_sample really parses YUV4MPEG2: frame count honors
+    the stride, luma stats are exact, and the motion signal equals the
+    mean absolute delta between consecutive SAMPLED frames."""
+    import numpy as np
+
+    from flink_1_16_0_src_spark.pipeline import multimodal as mm
+
+    b, ys = _make_y4m(w=16, h=8, n_frames=6, seed=3)
+    df = spark.createDataFrame([(1, bytearray(b), ("y4m", 16, 8, len(b)))], mm.MEDIA_SCHEMA)
+    rows = {r.frame_no: r for r in mm.video_frame_sample(df, stride=2).collect()}
+    assert sorted(rows) == [0, 2, 4]
+    for i in (0, 2, 4):
+        y = ys[i].astype("float64")
+        assert rows[i].y_mean == pytest.approx(y.mean())
+        assert rows[i].y_std == pytest.approx(y.std())
+        assert (rows[i].width, rows[i].height) == (16, 8)
+    assert rows[0].motion == 0.0
+    assert rows[2].motion == pytest.approx(
+        float(np.abs(ys[2].astype("float64") - ys[0].astype("float64")).mean())
+    )
