@@ -60,3 +60,99 @@ def stream_tumble_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drained = ssrc.run_to_memory(out, f"drain_tumble_{next(_seq)}", "append")
     return drained.select("window_start", "window_end", "event_type", "n", "sum_value")
+
+
+@query(
+    "stream_hop_drain",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events),
+    agg AS (
+      SELECT time_bucket(INTERVAL '20 minutes', e.ts) - (j.j * INTERVAL '20 minutes') AS window_start,
+             time_bucket(INTERVAL '20 minutes', e.ts) - (j.j * INTERVAL '20 minutes')
+               + INTERVAL '1 hour' AS window_end,
+             count(*) AS n
+      FROM events e, generate_series(0, 2) j(j)
+      GROUP BY 1, 2
+    )
+    SELECT window_start, window_end, n
+    FROM agg, wm WHERE agg.window_end <= wm.w
+    """,
+    tags=("streaming", "window"),
+)
+def stream_hop_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HOP (slide 20min, size 1h → 3 windows/row) drained in
+    append mode; emitted = hop windows closed by the final watermark
+    (oracle generates the 3 per-row slide offsets explicitly)."""
+    sdf = ssrc.stream_table(spark, sf_dir, "events", watermark=("ts", "10 minutes"))
+    out = swin.hop_agg(sdf, "ts", "20 minutes", "1 hour", [], F.count("*").alias("n"))
+    drained = ssrc.run_to_memory(out, f"drain_hop_{next(_seq)}", "append")
+    return drained.select("window_start", "window_end", "n")
+
+
+@query(
+    "stream_session_drain",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events),
+    flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '2 hours' OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), agg AS (
+      SELECT user_id,
+             min(ts) AS window_start,
+             max(ts) + INTERVAL '2 hours' AS window_end,
+             count(*) AS n,
+             round(sum(value), 2) AS sum_value
+      FROM sessions
+      GROUP BY user_id, session_id
+    )
+    SELECT user_id, window_start, window_end, n, sum_value
+    FROM agg, wm WHERE agg.window_end <= wm.w
+    """,
+    tags=("streaming", "session"),
+)
+def stream_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION windows (2h gap per user, merging assigner)
+    drained in append mode: emitted = sessions whose end (last event +
+    gap) the final watermark passed — the reference's session-window
+    GC condition (SessionWindowAssigner + cleanup timer)."""
+    sdf = ssrc.stream_table(spark, sf_dir, "events", watermark=("ts", "10 minutes"))
+    out = swin.session_agg(
+        sdf, "ts", "2 hours", ["user_id"],
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    drained = ssrc.run_to_memory(out, f"drain_session_{next(_seq)}", "append")
+    return drained.select("user_id", "window_start", "window_end", "n", "sum_value")
+
+
+@query(
+    "stream_cumulate_drain",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', e.ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', e.ts) + (k.k * INTERVAL '20 minutes') AS window_end,
+           count(*) AS n
+    FROM events e, generate_series(1, 3) k(k)
+    WHERE time_bucket(INTERVAL '1 hour', e.ts) + (k.k * INTERVAL '20 minutes') > e.ts
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window-tvf", "custom-op"),
+)
+def stream_cumulate_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUMULATE (step 20min, max 1h — the custom slice-explode
+    operator) drained in UPDATE mode with a single availableNow batch:
+    the memory sink then holds exactly the final value of every slice,
+    which equals the batch CUMULATE (the oracle). Evidence that the
+    slice-explode operator runs under the micro-batch planner, not just
+    in batch mode."""
+    sdf = ssrc.stream_table(spark, sf_dir, "events")
+    out = swin.cumulate_agg(sdf, "ts", "20 minutes", "1 hour", [], F.count("*").alias("n"))
+    drained = ssrc.run_to_memory(out, f"drain_cumulate_{next(_seq)}", "update")
+    return drained.select("window_start", "window_end", "n")
