@@ -156,3 +156,55 @@ def stream_cumulate_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = swin.cumulate_agg(sdf, "ts", "20 minutes", "1 hour", [], F.count("*").alias("n"))
     drained = ssrc.run_to_memory(out, f"drain_cumulate_{next(_seq)}", "update")
     return drained.select("window_start", "window_end", "n")
+
+
+@query(
+    "stream_topn_drain",
+    oracle="""
+    SELECT user_id, event_id, value, CAST(rk AS INT) AS rank_num FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rk
+      FROM events
+    ) t WHERE rk <= 3
+    """,
+    tags=("streaming", "stateful", "topn"),
+)
+def stream_topn_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom continuous Top-N (stateful.streaming_topn, the
+    AppendOnlyTopNFunction analog) drained with one availableNow batch:
+    the update-mode sink then holds the FINAL top-3 per key, which a
+    row_number window reproduces. Ordered by event_id (unique) so the
+    ranking is deterministic."""
+    from flink_1_16_0_src_spark.streaming.stateful import streaming_topn
+
+    sdf = ssrc.stream_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    out = streaming_topn(sdf, ["user_id"], "event_id", 3, descending=True)
+    drained = ssrc.run_to_memory(out, f"drain_topn_{next(_seq)}", "update")
+    return drained.select("user_id", "event_id", "value", "rank_num")
+
+
+@query(
+    "stream_keep_last_drain",
+    oracle="""
+    SELECT user_id, event_type, ts, value FROM (
+      SELECT user_id, event_type, ts, value,
+             row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC) AS rk
+      FROM events
+    ) t WHERE rk = 1
+    """,
+    tags=("streaming", "stateful", "dedup"),
+)
+def stream_keep_last_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom keep-last deduplicate (stateful.keep_last_dedup — the
+    rowtime DeduplicateKeepLastRowFunction analog), order_col=ts:
+    after the availableNow drain the update-mode sink holds the
+    max-ts row per (user_id, event_type). The fixture has no
+    (user, type, ts) ties at any SF, so the result is deterministic."""
+    from flink_1_16_0_src_spark.streaming.stateful import keep_last_dedup
+
+    sdf = ssrc.stream_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    out = keep_last_dedup(sdf, ["user_id", "event_type"], order_col="ts")
+    drained = ssrc.run_to_memory(out, f"drain_keeplast_{next(_seq)}", "update")
+    return drained.select("user_id", "event_type", "ts", "value")
