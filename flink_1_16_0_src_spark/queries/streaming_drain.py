@@ -208,3 +208,44 @@ def stream_keep_last_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = keep_last_dedup(sdf, ["user_id", "event_type"], order_col="ts")
     drained = ssrc.run_to_memory(out, f"drain_keeplast_{next(_seq)}", "update")
     return drained.select("user_id", "event_type", "ts", "value")
+
+
+@query(
+    "stream_interval_join_drain",
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+           round(p.value, 2) AS purchase_value
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.ts >= c.ts - INTERVAL '5 minutes'
+     AND p.ts <= c.ts + INTERVAL '5 minutes'
+    """,
+    tags=("streaming", "join"),
+)
+def stream_interval_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming interval join (both sides watermarked, append mode —
+    IntervalJoinOperator parity): purchases joined to clicks of the
+    same user within ±5 minutes. After the availableNow drain every
+    in-window pair has been emitted, so the result equals the batch
+    range join the oracle computes."""
+    from flink_1_16_0_src_spark.streaming import joins as sjoins
+
+    l = ssrc.stream_table(spark, sf_dir, "events", watermark=("ts", "10 minutes"))
+    r = ssrc.stream_table(spark, sf_dir, "events", watermark=("ts", "10 minutes"))
+    lf = l.where(F.col("event_type") == "purchase").select(
+        "ts", "user_id", F.col("event_id").alias("purchase_id"), "value"
+    )
+    rf = r.where(F.col("event_type") == "click").select(
+        F.col("ts").alias("rts"),
+        F.col("user_id").alias("ruid"),
+        F.col("event_id").alias("click_id"),
+    )
+    out = sjoins.interval_join(
+        lf, rf, ("user_id", "ruid"), ("ts", "rts"), "5 minutes", "5 minutes"
+    ).select(
+        "user_id", "purchase_id", "click_id",
+        F.round("value", 2).alias("purchase_value"),
+    )
+    drained = ssrc.run_to_memory(out, f"drain_ijoin_{next(_seq)}", "append")
+    return drained
