@@ -117,3 +117,32 @@ def ds_co_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey long, n_orders long, n_cust long",
     )
     return out.df
+
+
+@query(
+    "ds_async_io_enrich",
+    oracle="""
+    SELECT event_id, round(value * 2, 4) AS doubled,
+           CAST(event_id % 16 AS BIGINT) AS shard
+    FROM events WHERE event_id < 3000
+    """,
+    tags=("datastream", "async-io"),
+)
+def ds_async_io_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AsyncDataStream.orderedWait analog (AsyncWaitOperator.java:91):
+    per-row 'requests' run on a 8-thread pool per Arrow batch. The
+    request function here is pure (so the oracle can replay it in SQL);
+    the threading/ordering machinery is identical for a real external
+    call."""
+    ev = load(spark, sf_dir, "events").where("event_id < 3000").select("event_id", "value")
+
+    def request(row):
+        return {
+            "event_id": row["event_id"],
+            "doubled": round(row["value"] * 2, 4),
+            "shard": row["event_id"] % 16,
+        }
+
+    return DataStream(ev).async_io(
+        request, "event_id long, doubled double, shard long", capacity=8
+    ).df
