@@ -50,6 +50,13 @@ def get_spark(app_name: str = "flink_1_16_0_src_spark", cpus: str | None = None)
     return spark
 
 
+_CREATE_TABLE_AS = re.compile(
+    r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
+    r"(?:WITH\s*\((?P<props>[^)]*)\)\s*)?"
+    r"AS\s+(?P<query>SELECT.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 _CREATE_TABLE_WITH = re.compile(
     r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
     r"(?:\((?P<schema>[^)]*)\))?\s*"
@@ -173,6 +180,28 @@ class TableEnvironment:
         from flink_1_16_0_src_spark import sources as srcs
 
         stmt = sql.strip()
+        mcta = _CREATE_TABLE_AS.match(stmt)
+        if mcta:
+            # CTAS (FLIP-218, Flink 1.16 SqlCreateTableAs): create the
+            # table AND populate it from the query atomically. With a
+            # filesystem connector the result is written to the path and
+            # the registered view reads it back (so later readers see
+            # durable data); with no connector it registers the query
+            # result as a view (Spark-native lazy table).
+            name = mcta.group(1)
+            props = _parse_props(mcta.group("props") or "")
+            body = self._rewrite_flink_clauses(translate_hints(mcta.group("query")))
+            df = self.spark.sql(body)
+            connector = props.get("connector")
+            if connector == "filesystem":
+                fmt = props.get("format", "parquet")
+                srcs.write_table(df, props["path"], connector, fmt, props)
+                df = srcs.read_table(self.spark, props["path"], fmt)
+                self._sources[name] = props
+            elif connector is not None:
+                raise NotImplementedError(f"CTAS into connector {connector!r}")
+            df.createOrReplaceTempView(name)
+            return df
         m = _CREATE_TABLE_WITH.match(stmt)
         if m:
             name = m.group(1)

@@ -580,3 +580,25 @@ def test_insert_static_partition(tenv, spark, tmp_path):
     )
     dts = {r.dt for r in spark.read.parquet(sink_dir).collect()}
     assert dts == {"batchA", "batchB"}
+
+
+def test_create_table_as_select(tenv, spark, tmp_path):
+    """CTAS (FLIP-218, Flink 1.16 SqlCreateTableAs): CREATE TABLE ...
+    WITH (filesystem) AS SELECT writes the query result to the path
+    and registers the table; the connector-less form registers a
+    lazy view."""
+    d = str(tmp_path / "ctas_out")
+    tables.load(spark, SF_DIR, "orders").createOrReplaceTempView("ctas_src")
+    df = tenv.execute_sql(
+        f"CREATE TABLE ctas_tbl WITH ('connector'='filesystem','path'='{d}',"
+        f"'format'='parquet') AS SELECT o_orderkey, o_totalprice FROM ctas_src "
+        f"WHERE o_orderkey < 100"
+    )
+    n = df.count()
+    assert n > 0
+    # durable: the path holds the rows, and SQL resolves the name
+    assert spark.read.parquet(d).count() == n
+    assert tenv.sql_query("SELECT count(*) AS c FROM ctas_tbl").collect()[0].c == n
+    # connector-less CTAS -> lazy view
+    tenv.execute_sql("CREATE TABLE ctas_view AS SELECT 1 AS one")
+    assert tenv.sql_query("SELECT * FROM ctas_view").collect()[0].one == 1
