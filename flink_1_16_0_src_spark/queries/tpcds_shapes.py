@@ -794,3 +794,114 @@ WHERE year(l_shipdate) = 1995
     "row filter (decorrelates to an aggregate-join; the 1.3*avg "
     "threshold shape).",
 )
+
+
+_register(
+    "tpcds_q10_multi_channel_exists",
+    """
+SELECT n_name, c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS rich
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey
+                AND o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+   OR EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey
+                AND o.o_totalprice > 250000)
+GROUP BY n_name, c_mktsegment
+""",
+    "q10/q35: disjunction of two correlated EXISTS over different "
+    "channel predicates, then demographic-style grouped counts — "
+    "the existence-join union shape (planner must not multiply rows "
+    "for customers matching both channels).",
+)
+
+
+_register(
+    "tpcds_q14_cross_channel_intersect",
+    """
+WITH both_chan AS (
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+  INTERSECT
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_extendedprice), 2) AS rev
+FROM lineitem
+JOIN both_chan b ON lineitem.l_partkey = b.l_partkey
+JOIN part ON lineitem.l_partkey = p_partkey
+WHERE year(l_shipdate) = 1995
+GROUP BY p_brand
+""",
+    "q14: cross-channel INTERSECT defines the qualifying item set, "
+    "which then filters a fact scan (intersect → semi-join against "
+    "the fact, the shared-CTE item-set shape).",
+)
+
+
+_register(
+    "tpcds_q21_before_after_ratio",
+    """
+SELECT s_name,
+       CAST(sum(CASE WHEN l_shipdate < DATE '1995-06-01' THEN l_quantity ELSE 0 END) AS BIGINT) AS qty_before,
+       CAST(sum(CASE WHEN l_shipdate >= DATE '1995-06-01' THEN l_quantity ELSE 0 END) AS BIGINT) AS qty_after
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+WHERE l_shipdate BETWEEN DATE '1995-05-01' AND DATE '1995-07-01'
+GROUP BY s_name
+HAVING sum(CASE WHEN l_shipdate < DATE '1995-06-01' THEN l_quantity ELSE 0 END) > 0
+   AND sum(CASE WHEN l_shipdate >= DATE '1995-06-01' THEN l_quantity ELSE 0 END)
+       / sum(CASE WHEN l_shipdate < DATE '1995-06-01' THEN l_quantity ELSE 0 END)
+       BETWEEN 0.5 AND 2.0
+""",
+    "q21: before/after pivot around an event date inside a bounded "
+    "window, with a HAVING ratio band over the two conditional sums "
+    "(the inventory before/after shape on the shipment fact).",
+)
+
+
+_register(
+    "tpcds_q29_quantity_chain",
+    """
+SELECT p_brand, n_name,
+       CAST(sum(l1.l_quantity) AS BIGINT) AS sold_qty,
+       CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem l1
+JOIN orders o1 ON l1.l_orderkey = o1.o_orderkey
+JOIN customer c ON o1.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN part p ON l1.l_partkey = p.p_partkey
+WHERE year(o1.o_orderdate) = 1994 AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2 JOIN orders o2 ON l2.l_orderkey = o2.o_orderkey
+    WHERE l2.l_partkey = l1.l_partkey AND o2.o_custkey = o1.o_custkey
+      AND year(o2.o_orderdate) = 1995
+  )
+GROUP BY p_brand, n_name
+""",
+    "q29/q25: returned items repurchased by the same customer the "
+    "following year — a five-table join chain with a correlated "
+    "two-table EXISTS on (part, customer), distinct-count per group.",
+)
+
+
+_register(
+    "tpcds_q58_equal_share",
+    """
+WITH chan AS (
+  SELECT p_brand,
+         sum(CASE WHEN l_returnflag = 'N' THEN l_extendedprice ELSE 0 END) AS c1,
+         sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END) AS c2,
+         sum(CASE WHEN l_returnflag = 'A' THEN l_extendedprice ELSE 0 END) AS c3
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE year(l_shipdate) = 1995
+  GROUP BY p_brand
+)
+SELECT p_brand, round(c1, 2) AS c1, round(c2, 2) AS c2, round(c3, 2) AS c3
+FROM chan
+WHERE c1 > 0 AND c2 > 0 AND c3 > 0
+  AND c1 BETWEEN 0.9 * (c1 + c2 + c3) / 3 AND 1.1 * (c1 + c2 + c3) / 3
+  AND c2 BETWEEN 0.9 * (c1 + c2 + c3) / 3 AND 1.1 * (c1 + c2 + c3) / 3
+  AND c3 BETWEEN 0.9 * (c1 + c2 + c3) / 3 AND 1.1 * (c1 + c2 + c3) / 3
+""",
+    "q58: brands whose revenue is within ±10% of the three-channel "
+    "average in EVERY channel — symmetric band predicates over "
+    "channel-pivot aggregates.",
+)
