@@ -13,11 +13,12 @@ Reference parity (SURVEY.md §2.8):
   predicate), CONTIGUITY modes (next = strict, followedBy = relaxed /
   SKIP_TILL_NEXT — Pattern.java next()/followedBy()), and NEGATIVE
   patterns (notNext / notFollowedBy — NFACompiler stop states).
-  Deliberate scope cuts vs the reference NFA: followedByAny
-  (SKIP_TILL_ANY — all alternative matches) and relaxed
+  followedByAny (SKIP_TILL_ANY) is supported in batch via the
+  all-anchors enumeration path (requires to_next_row, dict path).
+  Deliberate scope cuts vs the reference NFA: relaxed
   quantifier-INTERNAL contiguity (oneOrMore defaults to
-  .consecutive() here) are not implemented; both multiply match
-  cardinality rather than add expressiveness.
+  .consecutive() here) and streaming followedByAny are not
+  implemented.
 - Pattern API facade: Pattern.begin/where/next/followed_by/not_next/
   not_followed_by/one_or_more/times/optional/within + CEP.pattern →
   PatternStream.select (flink-cep Pattern.java / CEP.java /
@@ -249,7 +250,7 @@ def _partial_at(rows: list[Row], start: int, steps: list[Step]) -> bool:
         if step.negated:
             # negative steps consume nothing; over-retaining is safe
             return rec(i, si + 1, matched)
-        if si > 0 and step.contiguity == "relaxed":
+        if si > 0 and step.contiguity in ("relaxed", "relaxed_any"):
             # followedBy: every remaining row is skippable while waiting
             # for a future anchor — the prefix up to here matched, so
             # the buffer must be retained (bound it with WITHIN / a
@@ -292,6 +293,87 @@ def _resume_index(start: int, idx: dict[str, list[int]], steps: list[Step], afte
     raise ValueError(f"unknown after_match {after_match!r}")
 
 
+def _match_at_any(
+    rows: list[Row], start: int, steps: list[Step], within: tuple[str, object] | None = None
+) -> list[Matched]:
+    """All-matches twin of ``_match_at`` for patterns containing
+    ``relaxed_any`` (followedByAny / SKIP_TILL_ANY) steps: a
+    relaxed_any step yields ONE match per viable anchor (every later
+    anchor too, not just the earliest), while strict/relaxed steps keep
+    their deterministic single-anchor semantics and quantifiers stay
+    greedy-first (longest completing take per anchor). Alternation
+    branches keep ordered priority. Matches emit in ascending anchor
+    order."""
+    out: list[Matched] = []
+
+    def in_window(j: int) -> bool:
+        if within is None:
+            return True
+        ts_col, max_delta = within
+        return rows[j][ts_col] - rows[start][ts_col] <= max_delta
+
+    def quant(i: int, step: Step, matched: Matched, cont) -> bool:
+        taken = 0
+        matched.setdefault(step.var, [])
+        base_len = len(matched[step.var])
+        j = i
+        while (step.max is None or taken < step.max) and j < len(rows):
+            if in_window(j) and step.predicate(rows[j], matched):
+                matched[step.var].append(rows[j])
+                taken += 1
+                j += 1
+            else:
+                break
+        emitted = False
+        while True:
+            if taken >= step.min and cont(j):
+                emitted = True
+                break  # greedy: first completing take per anchor
+            if not taken:
+                break
+            taken -= 1
+            matched[step.var].pop()
+            j -= 1
+        del matched[step.var][base_len:]
+        if not matched[step.var]:
+            del matched[step.var]
+        return emitted
+
+    def rec(i: int, si: int, matched: Matched, neg: Step | None) -> bool:
+        if si == len(steps):
+            out.append({k: list(v) for k, v in matched.items()})
+            return True
+        step = steps[si]
+        if step.negated:
+            if step.contiguity == "strict":
+                if i < len(rows) and step.predicate(rows[i], matched):
+                    return False
+                return rec(i, si + 1, matched, neg)
+            return rec(i, si + 1, matched, step)
+        branches = step.alts or (step,)
+        any_mode = step.contiguity == "relaxed_any" and si > 0
+        emitted = False
+        j = i
+        while True:
+            for branch in branches:
+                ok = quant(j, branch, matched, lambda jj: rec(jj, si + 1, matched, None))
+                if ok:
+                    emitted = True
+                    break  # ordered branch priority: first matching branch per anchor
+            if emitted and not any_mode:
+                return True  # deterministic step: earliest completing anchor wins
+            if si == 0 or step.contiguity == "strict":
+                return emitted
+            if j >= len(rows) or not in_window(j):
+                return emitted
+            if neg is not None and neg.predicate(rows[j], matched):
+                return emitted  # notFollowedBy event poisons later anchors
+            j += 1
+
+    rec(start, 0, {}, None)
+    return out
+
+
 def match_sequence(
     rows: list[Row],
     steps: list[Step],
@@ -302,9 +384,29 @@ def match_sequence(
     'past_last_row' (non-overlapping, Flink's default), 'to_next_row'
     (resume at start+1), 'skip_to_first_<var>' / 'skip_to_last_<var>'
     (resume at that var's first/last matched row).
-    ``within=(ts_col, max_delta)`` bounds a match's time span."""
+    ``within=(ts_col, max_delta)`` bounds a match's time span.
+
+    Patterns containing a ``relaxed_any`` (followedByAny) step emit ALL
+    viable-anchor matches per start and therefore require
+    ``after_match='to_next_row'`` (NO_SKIP-style enumeration — the only
+    coherent skip mode when one start yields several matches; Flink
+    couples SKIP_TILL_ANY with NO_SKIP the same way)."""
+    has_any = any(
+        b.contiguity == "relaxed_any"
+        for s in steps
+        for b in (s.alts or (s,))
+    )
     out: list[Matched] = []
     i = 0
+    if has_any:
+        if after_match != "to_next_row":
+            raise ValueError(
+                "followedByAny patterns require after_match='to_next_row'"
+            )
+        while i < len(rows):
+            out.extend(_match_at_any(rows, i, steps, within))
+            i += 1
+        return out
     while i < len(rows):
         m = _match_at(rows, i, steps, within)
         if m is not None:
@@ -396,6 +498,10 @@ def match_sequence_masks(
     to pure numpy: anchors = AND of the steps' masks shifted into
     alignment — the Python scan then visits only anchor positions
     (actual matches), not every row."""
+    if any(b.contiguity == "relaxed_any" for s in steps for b in (s.alts or (s,))):
+        raise NotImplementedError(
+            "followedByAny runs on the dict-row path (match_sequence)"
+        )
     if after_match in ("past_last_row", "to_next_row") and all(
         s.min == 1 and s.max == 1 and not s.alts
         and s.contiguity == "strict" and not s.negated
@@ -515,7 +621,9 @@ def match_recognize(
     vectorized = all(
         s.vec is not None or (s.alts and all(b.vec is not None for b in s.alts))
         for s in steps
-    )
+    ) and not any(
+        b.contiguity == "relaxed_any" for s in steps for b in (s.alts or (s,))
+    )  # the all-matches enumeration runs on the dict path only
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_by, kind="stable")  # str or list both fine
@@ -572,6 +680,11 @@ def match_recognize_stream(
     discarded, the unmatched tail is retained (bounded by the longest
     open partial match — callers should bound patterns with a time
     condition in DEFINE for production, like Flink's WITHIN clause)."""
+    if any(b.contiguity == "relaxed_any" for s in steps for b in (s.alts or (s,))):
+        raise NotImplementedError(
+            "followedByAny is batch-only (its all-anchors emission model "
+            "does not fit the consume-prefix streaming buffer)"
+        )
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import ArrayType, StringType, StructField
 
@@ -654,6 +767,12 @@ class Pattern:
 
     def followed_by(self, name: str) -> "Pattern":
         return self._append(name, "relaxed")
+
+    def followed_by_any(self, name: str) -> "Pattern":
+        """Pattern.followedByAny (SKIP_TILL_ANY): every later anchor of
+        this element yields its own match, not just the earliest.
+        Requires select(after_match='to_next_row')."""
+        return self._append(name, "relaxed_any")
 
     def not_next(self, name: str) -> "Pattern":
         return self._append(name, "strict", negated=True)

@@ -459,3 +459,67 @@ def test_pattern_trailing_not_followed_by_rejected():
         cep.Pattern.begin("a").where(lambda r, m: True).not_followed_by("x").where(
             lambda r, m: True
         ).build()
+
+
+@given(st.lists(st.sampled_from("abx"), min_size=0, max_size=25))
+@settings(max_examples=300, deadline=None)
+def test_followed_by_any_enumerates_all_pairs(seq):
+    """followedByAny (SKIP_TILL_ANY): A followedByAny B with
+    to_next_row must emit EVERY (a_i, b_j) pair with j > i — the
+    brute-force set comprehension is the oracle."""
+    steps = [
+        cep.Step("A", lambda r, m: r["c"] == "a"),
+        cep.Step("B", lambda r, m: r["c"] == "b", contiguity="relaxed_any"),
+    ]
+    got = {
+        (m["A"][0]["i"], m["B"][0]["i"])
+        for m in cep.match_sequence(_mk(seq), steps, after_match="to_next_row")
+    }
+    exp = {
+        (i, j)
+        for i in range(len(seq)) if seq[i] == "a"
+        for j in range(i + 1, len(seq)) if seq[j] == "b"
+    }
+    assert got == exp
+
+
+def test_followed_by_any_vs_followed_by():
+    """followedBy stops at the earliest b; followedByAny emits one
+    match per later b too (the Flink docs' canonical contrast)."""
+    det = [
+        cep.Step("A", lambda r, m: r["c"] == "a"),
+        cep.Step("B", lambda r, m: r["c"] == "b", contiguity="relaxed"),
+    ]
+    any_ = [
+        cep.Step("A", lambda r, m: r["c"] == "a"),
+        cep.Step("B", lambda r, m: r["c"] == "b", contiguity="relaxed_any"),
+    ]
+    rows = _mk("acbxb")
+    assert _idx(cep.match_sequence(rows, det, "to_next_row")) == [{"A": [0], "B": [2]}]
+    assert _idx(cep.match_sequence(rows, any_, "to_next_row")) == [
+        {"A": [0], "B": [2]},
+        {"A": [0], "B": [4]},
+    ]
+    # invalid skip mode rejected
+    with pytest.raises(ValueError):
+        cep.match_sequence(rows, any_, "past_last_row")
+
+
+def test_pattern_api_followed_by_any(spark):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    rows = [("u", 1, "a"), ("u", 2, "x"), ("u", 3, "b"), ("u", 4, "b")]
+    df = spark.createDataFrame(rows, "k string, seq long, c string")
+    pat = (
+        cep.Pattern.begin("A").where(lambda r, m: r["c"] == "a")
+        .followed_by_any("B").where(lambda r, m: r["c"] == "b")
+    )
+    out = cep.CEP.pattern(df, pat, ["k"], "seq").select(
+        {"a_seq": lambda m: cep.first(m, "A", "seq"),
+         "b_seq": lambda m: cep.first(m, "B", "seq")},
+        StructType([StructField("k", StringType()),
+                    StructField("a_seq", LongType()),
+                    StructField("b_seq", LongType())]),
+        after_match="to_next_row",
+    )
+    assert {(r.a_seq, r.b_seq) for r in out.collect()} == {(1, 3), (1, 4)}
