@@ -15,10 +15,12 @@ Reference parity (SURVEY.md §2.8):
   patterns (notNext / notFollowedBy — NFACompiler stop states).
   followedByAny (SKIP_TILL_ANY) is supported in batch via the
   all-anchors enumeration path (requires to_next_row, dict path).
-  Deliberate scope cuts vs the reference NFA: relaxed
-  quantifier-INTERNAL contiguity (oneOrMore defaults to
-  .consecutive() here) and streaming followedByAny are not
-  implemented.
+  Quantifier-INTERNAL contiguity supports consecutive (default —
+  matching SQL MATCH_RECOGNIZE; Flink's oneOrMore defaults relaxed)
+  and relaxed (Pattern.allow_gaps: gap rows between takes skipped,
+  earliest-match takes). Deliberate scope cuts vs the reference NFA:
+  allowCombinations (combinatorial take enumeration) and streaming
+  followedByAny.
 - Pattern API facade: Pattern.begin/where/next/followed_by/not_next/
   not_followed_by/one_or_more/times/optional/within + CEP.pattern →
   PatternStream.select (flink-cep Pattern.java / CEP.java /
@@ -81,8 +83,9 @@ class Step:
     # 'strict' = next() — immediately after; 'relaxed' = followedBy() —
     # non-matching events in between are skipped (deterministic: the
     # EARLIEST anchor that lets the rest of the pattern complete wins,
-    # the NFA's SKIP_TILL_NEXT semantics). Quantifier-internal
-    # contiguity stays strict (= Flink's .consecutive() mode).
+    # the NFA's SKIP_TILL_NEXT semantics); 'relaxed_any' = followedByAny
+    # (SKIP_TILL_ANY — every viable anchor emits its own match; batch
+    # only, to_next_row only).
     contiguity: str = "strict"
     # negative pattern (Pattern.notNext / notFollowedBy — NFAFactory
     # compiles them to stop states): the predicate must NOT hold.
@@ -92,6 +95,14 @@ class Step:
     # Consumes nothing; cannot be the last element (Flink rejects a
     # trailing notFollowedBy too).
     negated: bool = False
+    # quantifier-INTERNAL contiguity (Pattern.oneOrMore: Flink defaults
+    # to relaxed between iterations, .consecutive() makes it strict):
+    # 'consecutive' = takes are adjacent rows; 'relaxed' = non-matching
+    # rows between takes are skipped (each take lands on the EARLIEST
+    # matching row after the previous take — deterministic; Flink's
+    # allowCombinations/SKIP_TILL_ANY-internal enumeration is a
+    # documented cut). The pattern resumes after the LAST take.
+    internal: str = "consecutive"
 
     @staticmethod
     def star(var: str, predicate: Predicate, vec: Callable | None = None,
@@ -141,32 +152,37 @@ def _match_at(
         return rows[j][ts_col] - rows[start][ts_col] <= max_delta
 
     def quant(i: int, step: Step, matched: Matched, idx: dict, cont):
-        """Greedy consume of one quantified variable then ``cont(j)``;
-        backtracks from longest to ``step.min``."""
-        taken = 0
+        """Greedy consume of one quantified variable then continue after
+        the LAST take; backtracks from longest to ``step.min``. With
+        ``internal='relaxed'`` non-matching rows BETWEEN takes are
+        skipped (each take lands on the earliest matching row)."""
         matched.setdefault(step.var, [])
         idx.setdefault(step.var, [])
         base_len = len(matched[step.var])
+        takes: list[int] = []
         j = i
-        while (step.max is None or taken < step.max) and j < len(rows):
-            if in_window(j) and step.predicate(rows[j], matched):
+        while (step.max is None or len(takes) < step.max) and j < len(rows):
+            if not in_window(j):
+                break
+            if step.predicate(rows[j], matched):
                 matched[step.var].append(rows[j])
                 idx[step.var].append(j)
-                taken += 1
+                takes.append(j)
                 j += 1
+            elif step.internal == "relaxed" and takes:
+                j += 1  # gap row between iterations
             else:
                 break
         while True:
-            if taken >= step.min:
-                res = cont(j)
+            if len(takes) >= step.min:
+                res = cont(takes[-1] + 1 if takes else i)
                 if res is not None:
                     return res
-            if not taken:
+            if not takes:
                 break
-            taken -= 1
+            takes.pop()
             matched[step.var].pop()
             idx[step.var].pop()
-            j -= 1
         del matched[step.var][base_len:]
         del idx[step.var][base_len:]
         if not matched[step.var]:
@@ -219,25 +235,27 @@ def _partial_at(rows: list[Row], start: int, steps: list[Step]) -> bool:
     def one(i: int, si: int, step: Step, matched: Matched) -> bool:
         matched.setdefault(step.var, [])
         base_len = len(matched[step.var])
-        taken = []
+        takes: list[int] = []
         j = i
-        while (step.max is None or len(taken) < step.max) and j < len(rows):
+        while (step.max is None or len(takes) < step.max) and j < len(rows):
             if step.predicate(rows[j], matched):
                 matched[step.var].append(rows[j])
-                taken.append(rows[j])
+                takes.append(j)
+                j += 1
+            elif step.internal == "relaxed" and takes:
                 j += 1
             else:
                 break
+        open_at_end = j == len(rows) and takes
         while True:
-            if len(taken) >= step.min and rec(j, si + 1, matched):
+            if len(takes) >= step.min and rec(takes[-1] + 1 if takes else i, si + 1, matched):
                 return True
-            if (step.max is None or len(taken) <= step.max) and j == len(rows) and taken:
+            if open_at_end:
                 return True  # quantifier still open at buffer end
-            if not taken:
+            if not takes:
                 break
-            taken.pop()
+            takes.pop()
             matched[step.var].pop()
-            j -= 1
         del matched[step.var][base_len:]
         return False
 
@@ -313,27 +331,30 @@ def _match_at_any(
         return rows[j][ts_col] - rows[start][ts_col] <= max_delta
 
     def quant(i: int, step: Step, matched: Matched, cont) -> bool:
-        taken = 0
         matched.setdefault(step.var, [])
         base_len = len(matched[step.var])
+        takes: list[int] = []
         j = i
-        while (step.max is None or taken < step.max) and j < len(rows):
-            if in_window(j) and step.predicate(rows[j], matched):
+        while (step.max is None or len(takes) < step.max) and j < len(rows):
+            if not in_window(j):
+                break
+            if step.predicate(rows[j], matched):
                 matched[step.var].append(rows[j])
-                taken += 1
+                takes.append(j)
+                j += 1
+            elif step.internal == "relaxed" and takes:
                 j += 1
             else:
                 break
         emitted = False
         while True:
-            if taken >= step.min and cont(j):
+            if len(takes) >= step.min and cont(takes[-1] + 1 if takes else i):
                 emitted = True
                 break  # greedy: first completing take per anchor
-            if not taken:
+            if not takes:
                 break
-            taken -= 1
+            takes.pop()
             matched[step.var].pop()
-            j -= 1
         del matched[step.var][base_len:]
         if not matched[step.var]:
             del matched[step.var]
@@ -430,27 +451,30 @@ def _match_at_masks(
         return max_delta is None or ts[j] - ts[start] <= max_delta
 
     def quant(i: int, step: Step, mask, matched: dict, cont):
-        taken = 0
         matched.setdefault(step.var, [])
         base_len = len(matched[step.var])
+        takes: list[int] = []
         j = i
-        while (step.max is None or taken < step.max) and j < n:
-            if in_window(j) and mask[j]:
+        while (step.max is None or len(takes) < step.max) and j < n:
+            if not in_window(j):
+                break
+            if mask[j]:
                 matched[step.var].append(j)
-                taken += 1
+                takes.append(j)
+                j += 1
+            elif step.internal == "relaxed" and takes:
                 j += 1
             else:
                 break
         while True:
-            if taken >= step.min:
-                res = cont(j)
+            if len(takes) >= step.min:
+                res = cont(takes[-1] + 1 if takes else i)
                 if res is not None:
                     return res
-            if not taken:
+            if not takes:
                 break
-            taken -= 1
+            takes.pop()
             matched[step.var].pop()
-            j -= 1
         del matched[step.var][base_len:]
         if not matched[step.var]:
             del matched[step.var]
@@ -802,6 +826,22 @@ class Pattern:
 
     def one_or_more(self) -> "Pattern":
         self._cur().min, self._cur().max = 1, None
+        return self
+
+    def allow_gaps(self) -> "Pattern":
+        """Relaxed quantifier-internal contiguity: non-matching rows
+        between iterations are skipped, each take landing on the
+        earliest matching row. NB: Flink's ``oneOrMore()`` defaults to
+        this; here the default is ``.consecutive()`` (matching SQL
+        MATCH_RECOGNIZE quantifier semantics) and gap-skipping is the
+        opt-in."""
+        self._cur().internal = "relaxed"
+        return self
+
+    def consecutive(self) -> "Pattern":
+        """Strict quantifier-internal contiguity (the default here;
+        Pattern.consecutive() in flink-cep)."""
+        self._cur().internal = "consecutive"
         return self
 
     def zero_or_more(self) -> "Pattern":  # oneOrMore().optional() spelling

@@ -523,3 +523,65 @@ def test_pattern_api_followed_by_any(spark):
         after_match="to_next_row",
     )
     assert {(r.a_seq, r.b_seq) for r in out.collect()} == {(1, 3), (1, 4)}
+
+
+def test_relaxed_internal_quantifier_skips_gaps():
+    """Pattern.oneOrMore without .consecutive() (internal='relaxed'):
+    takes land on successive matching rows with gaps skipped, pattern
+    resumes after the LAST take."""
+    steps = [
+        cep.Step("A", lambda r, m: r["c"] == "a", 1, None, internal="relaxed"),
+        cep.Step("B", lambda r, m: r["c"] == "b"),
+    ]
+    # a x a b: A takes rows 0 and 2 (gap x skipped), B must be NEXT
+    # after the last take -> row 3
+    assert _idx(cep.match_sequence(_mk("axab"), steps)) == [{"A": [0, 2], "B": [3]}]
+    # greedy backtrack: a a x b -> maximal takes [0,1] leave j=2 ('x'),
+    # B strict fails; drop to takes [0,1]... gap-scan already passed x,
+    # so backtracking yields A=[0,1] impossible, then A=[0] with B at 1?
+    # 'a a x b': A greedy takes [0,1], scan stops at x (strict B next
+    # fails at 2); pop -> A=[0], B next at 1 fails ('a'); no match at 0;
+    # start 1: A=[1], B at 2 fails; no matches
+    assert cep.match_sequence(_mk("aaxb"), steps) == []
+    # consecutive control: a x a b has no consecutive-A+ B match ending
+    # at b preceded directly by a run of a's? row2 'a', row3 'b' -> yes
+    cons = [
+        cep.Step.plus("A", lambda r, m: r["c"] == "a"),
+        cep.Step("B", lambda r, m: r["c"] == "b"),
+    ]
+    assert _idx(cep.match_sequence(_mk("axab"), cons)) == [{"A": [2], "B": [3]}]
+
+
+def test_relaxed_internal_mask_path_agrees():
+    import numpy as np
+
+    steps = [
+        cep.Step("A", lambda r, m: r["c"] == "a", 1, None, internal="relaxed"),
+        cep.Step("B", lambda r, m: r["c"] == "b", contiguity="relaxed"),
+    ]
+    for seq in ("axabxb", "aaxb", "xaxaxbb", "ab", "ba", ""):
+        rows = _mk(seq)
+        expected = _idx(cep.match_sequence(rows, steps, "past_last_row"))
+        masks = [np.array([c == t for c in seq], dtype=bool) for t in "ab"]
+        got = cep.match_sequence_masks(masks, len(seq), steps, "past_last_row")
+        assert got == expected, seq
+
+
+def test_pattern_allow_gaps_facade(spark):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    rows = [("u", 1, "a"), ("u", 2, "x"), ("u", 3, "a"), ("u", 4, "b")]
+    df = spark.createDataFrame(rows, "k string, seq long, c string")
+    pat = (
+        cep.Pattern.begin("A").where(lambda r, m: r["c"] == "a")
+        .one_or_more().allow_gaps()
+        .next("B").where(lambda r, m: r["c"] == "b")
+    )
+    out = cep.CEP.pattern(df, pat, ["k"], "seq").select(
+        {"n_a": lambda m: cep.count_of(m, "A"),
+         "b_seq": lambda m: cep.first(m, "B", "seq")},
+        StructType([StructField("k", StringType()),
+                    StructField("n_a", LongType()),
+                    StructField("b_seq", LongType())]),
+    )
+    assert [(r.n_a, r.b_seq) for r in out.collect()] == [(2, 4)]
