@@ -400,3 +400,86 @@ def func_from_unixtime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_unixtime(epoch).alias("dt_str"),
         F.from_unixtime(epoch, "yyyy-MM-dd").alias("d_str"),
     )
+
+
+@query(
+    "func_array_extras",
+    oracle="""
+    SELECT p_partkey,
+           array_to_string(list_sort(list_distinct(
+             list_concat(str_split(p_name, ' '), str_split(p_type, ' ')))), ',') AS uni,
+           array_to_string(list_sort(list_filter(list_distinct(str_split(p_name, ' ')),
+             x -> NOT list_contains(str_split(p_type, ' '), x))), ',') AS exc,
+           array_to_string(list_filter(str_split(p_name, ' '), x -> x <> 'red'), ',') AS removed,
+           coalesce(list_position(str_split(p_name, ' '), 'red'), 0) AS pos_red,
+           array_to_string(list_transform(generate_series(1, 2), i -> p_brand), ',') AS rep,
+           array_to_string(list_sort(str_split(p_name, ' '), 'DESC'), ',') AS sorted_desc,
+           array_to_string(list_concat(str_split(p_name, ' '), str_split(p_type, ' ')), ',') AS flat
+    FROM part WHERE p_partkey < 300
+    """,
+    tags=("functions", "collections"),
+)
+def func_array_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function family beyond the basics (BuiltInFunctionDefinitions
+    ARRAY_UNION/ARRAY_EXCEPT/ARRAY_REMOVE/ARRAY_POSITION/ARRAY_REPEAT/
+    ARRAY_SORT/ARRAY_CONCAT — Flink 1.16+ collection functions): union
+    and except compared as SORTED joined strings (Spark preserves
+    first-occurrence order, DuckDB's list_distinct does not — the
+    driver-comparable canonical form is order-free), the rest
+    order-exact."""
+    p = load(spark, sf_dir, "part").where("p_partkey < 300")
+    name, typ = F.split("p_name", " "), F.split("p_type", " ")
+    return p.select(
+        "p_partkey",
+        F.array_join(F.array_sort(F.array_union(name, typ)), ",").alias("uni"),
+        F.array_join(F.array_sort(F.array_except(name, typ)), ",").alias("exc"),
+        F.array_join(F.array_remove(name, "red"), ",").alias("removed"),
+        F.array_position(name, "red").alias("pos_red"),
+        F.array_join(F.array_repeat(F.col("p_brand"), 2), ",").alias("rep"),
+        F.array_join(F.sort_array(name, False), ",").alias("sorted_desc"),
+        F.array_join(F.concat(name, typ), ",").alias("flat"),
+    )
+
+
+@query(
+    "func_map_extras",
+    oracle="""
+    WITH m AS (
+      SELECT p_partkey,
+             map(['brand', 'ptype'], [p_brand, p_type]) AS m1,
+             map(['size'], [CAST(p_size AS VARCHAR)]) AS m2
+      FROM part WHERE p_partkey < 300
+    )
+    SELECT p_partkey,
+           array_to_string(list_sort(map_keys(m1)), ',') AS ks,
+           array_to_string(list_sort(map_values(m1)), ',') AS vs,
+           CAST(cardinality(m1) AS INT) AS n1,
+           m1['brand'][1] AS brand_val,
+           array_to_string(list_sort(map_keys(map_concat(m1, m2))), ',') AS all_keys,
+           list_contains(map_keys(m1), 'brand') AS has_brand
+    FROM m
+    """,
+    tags=("functions", "collections"),
+)
+def func_map_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map function family (BuiltInFunctionDefinitions MAP_KEYS/
+    MAP_VALUES/CARDINALITY/element access/MAP_UNION — Flink collection
+    functions over MAP<K,V>): maps built from literal key arrays,
+    compared via sorted key/value join strings + point lookups."""
+    p = load(spark, sf_dir, "part").where("p_partkey < 300")
+    m1 = F.map_from_arrays(
+        F.array(F.lit("brand"), F.lit("ptype")),
+        F.array(F.col("p_brand"), F.col("p_type")),
+    )
+    m2 = F.map_from_arrays(
+        F.array(F.lit("size")), F.array(F.col("p_size").cast("string"))
+    )
+    return p.select(
+        "p_partkey",
+        F.array_join(F.array_sort(F.map_keys(m1)), ",").alias("ks"),
+        F.array_join(F.array_sort(F.map_values(m1)), ",").alias("vs"),
+        F.size(m1).alias("n1"),
+        F.element_at(m1, "brand").alias("brand_val"),
+        F.array_join(F.array_sort(F.map_keys(F.map_concat(m1, m2))), ",").alias("all_keys"),
+        F.array_contains(F.map_keys(m1), "brand").alias("has_brand"),
+    )
