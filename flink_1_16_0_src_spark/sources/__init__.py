@@ -279,6 +279,67 @@ def kafka_value_decode(
     return out.select(*sel)
 
 
+def kafka_value_encode(
+    df: DataFrame,
+    schema,
+    fmt: str = "json",
+    props: dict | None = None,
+    rowkind_col: str | None = None,
+) -> DataFrame:
+    """The SINK half of the kafka table connector (KafkaDynamicSink /
+    UpsertKafkaDynamicTableFactory sink path): rows of the declared
+    ``schema`` → the (key binary, value binary) frame Spark's kafka
+    sink writes. Inverse of ``kafka_value_decode``:
+
+    - ``props['key.fields']``: those columns serialize into the record
+      KEY (``key.format``, default ``fmt``); with
+      ``'value.fields-include'='EXCEPT_KEY'`` the value carries only
+      the remaining columns.
+    - ``rowkind_col``: changelog input (``__rowkind`` from
+      changelog_normalize) — ``-D`` rows emit a NULL value (the
+      upsert-kafka tombstone; DynamicKafkaRecordSerializationSchema
+      does exactly this for DELETE), ``-U`` rows are dropped (upsert
+      sinks keep only the AFTER image, like Flink's upsert-kafka which
+      requires an upsert changelog without UPDATE_BEFORE).
+    - formats: json (``to_json``), csv (comma ``concat_ws`` of
+      canonical string casts).
+
+    Pure column expressions; round-trips through ``kafka_value_decode``
+    byte-exactly for json (contract-tested offline)."""
+    from pyspark.sql.types import StructType
+
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    props = props or {}
+    key_fields = [f for f in props.get("key.fields", "").split(";") if f]
+    value_include_all = props.get("value.fields-include", "ALL").upper() != "EXCEPT_KEY"
+    value_fields = [
+        f.name
+        for f in schema.fields
+        if value_include_all or f.name not in key_fields
+    ]
+
+    def enc(cols: list[str], f: str):
+        if f == "json":
+            return F.to_json(F.struct(*[F.col(c) for c in cols])).cast("binary")
+        if f == "csv":
+            return F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).cast("binary")
+        raise NotImplementedError(f"kafka sink format {f!r}")
+
+    out = df
+    if rowkind_col is not None:
+        out = out.where(F.col(rowkind_col) != "-U")
+    key_col = (
+        enc(key_fields, props.get("key.format", fmt)) if key_fields else F.lit(None).cast("binary")
+    )
+    value_col = enc(value_fields, fmt)
+    if rowkind_col is not None:
+        value_col = F.when(F.col(rowkind_col) == "-D", F.lit(None).cast("binary")).otherwise(
+            value_col
+        )
+    return out.select(key_col.alias("key"), value_col.alias("value"))
+
+
 def datagen_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     return (
         spark.readStream.format("rate").option("rowsPerSecond", str(rows_per_second)).load()

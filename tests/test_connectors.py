@@ -602,3 +602,39 @@ def test_create_table_as_select(tenv, spark, tmp_path):
     # connector-less CTAS -> lazy view
     tenv.execute_sql("CREATE TABLE ctas_view AS SELECT 1 AS one")
     assert tenv.sql_query("SELECT * FROM ctas_view").collect()[0].one == 1
+
+
+def test_kafka_value_encode_roundtrip_and_tombstones(spark):
+    """Sink-side serialization: encode → decode round-trips, EXCEPT_KEY
+    splits columns between key and value, and changelog input emits a
+    NULL-value tombstone for -D while dropping -U (upsert-kafka sink
+    semantics)."""
+    from pyspark.sql import functions as F
+
+    ddl = "id BIGINT, amount DOUBLE"
+    props = {"key.fields": "id", "value.fields-include": "EXCEPT_KEY"}
+    rows = spark.createDataFrame(
+        [(1, 10.0, "+I"), (1, 11.0, "-U"), (1, 12.0, "+U"), (2, 5.0, "-D")],
+        "id long, amount double, __rowkind string",
+    )
+    wire = srcs.kafka_value_encode(rows, ddl, fmt="json", props=props, rowkind_col="__rowkind")
+    got = wire.collect()
+    # -U dropped -> 3 records; -D has NULL value but a real key
+    assert len(got) == 3
+    tomb = [r for r in got if r.value is None]
+    assert len(tomb) == 1 and bytes(tomb[0].key) == b'{"id":2}'
+    # round-trip the non-tombstone records through the decoder
+    frame = wire.select(
+        "key", "value", F.lit("t").alias("topic"), F.lit(0).alias("partition"),
+        F.lit(0).cast("long").alias("offset"),
+        F.lit(None).cast("timestamp").alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    back = srcs.kafka_value_decode(frame, ddl, fmt="json", props=props, tombstones=True)
+    vals = {(r["id"], r["amount"], r["__tombstone"]) for r in back.collect()}
+    assert vals == {(1, 10.0, False), (1, 12.0, False), (2, None, True)}
+    # csv value format encodes the value columns positionally
+    csv_wire = srcs.kafka_value_encode(
+        spark.createDataFrame([(7, 1.5)], "id long, amount double"), ddl, fmt="csv"
+    ).collect()[0]
+    assert bytes(csv_wire.value) == b"7,1.5"
