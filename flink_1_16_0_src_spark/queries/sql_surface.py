@@ -18,6 +18,7 @@ round-trips, not new semantics.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from flink_1_16_0_src_spark.registry import query
 from flink_1_16_0_src_spark.sql_clauses import rewrite_flink_clauses
@@ -159,3 +160,49 @@ def tvf_sql_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id, window_start, window_end
     """
     return spark.sql(rewrite_flink_clauses(spark, sql))
+
+
+@query(
+    "join_sql_temporal",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey, round(o.o_totalprice, 2) AS last_order_price
+    FROM events e
+    ASOF JOIN (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM orders
+        QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                   ORDER BY o_orderkey DESC) = 1
+    ) o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    tags=("join", "temporal", "sql-surface"),
+)
+def join_sql_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal join written as Flink SQL text — ``JOIN v FOR
+    SYSTEM_TIME AS OF l.ts`` (SqlSnapshot / StreamExecTemporalJoin.java:77)
+    lowered by sql_clauses.rewrite_temporal_join onto the as-of
+    operator. The versioned side is deduplicated to one version per
+    (key, date) like the Python-API query, and the DuckDB oracle is
+    DuckDB's native ASOF JOIN."""
+    from pyspark.sql import Window as W
+
+    load(spark, sf_dir, "events").select("event_id", "user_id", "ts").createOrReplaceTempView(
+        "tj_events"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    w = W.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
+    o.withColumn("__rn", F.row_number().over(w)).where("__rn = 1").drop(
+        "__rn"
+    ).createOrReplaceTempView("tj_orders")
+    sql = """
+    SELECT event_id, user_id, ts, o_orderkey,
+           round(o_totalprice, 2) AS last_order_price
+    FROM tj_events AS e JOIN tj_orders FOR SYSTEM_TIME AS OF e.ts AS o
+      ON e.user_id = o.o_custkey
+    """
+    out = spark.sql(
+        rewrite_flink_clauses(spark, sql, time_attrs={"tj_orders": "o_orderdate"})
+    )
+    return out

@@ -307,10 +307,19 @@ class TableEnvironment:
         TUMBLE/HOP/CUMULATE/SESSION(TABLE t, DESCRIPTOR(ts), ...) and
         t MATCH_RECOGNIZE (...) lower onto operators.windows /
         operators.cep before Catalyst parses the statement."""
-        if re.search(r"MATCH_RECOGNIZE|TABLE\s*\(\s*(TUMBLE|HOP|CUMULATE|SESSION)", sql, re.IGNORECASE):
+        if re.search(
+            r"MATCH_RECOGNIZE|TABLE\s*\(\s*(TUMBLE|HOP|CUMULATE|SESSION)|FOR\s+SYSTEM_TIME\s+AS\s+OF",
+            sql,
+            re.IGNORECASE,
+        ):
             from flink_1_16_0_src_spark.sql_clauses import rewrite_flink_clauses
 
-            return rewrite_flink_clauses(self.spark, sql)
+            # temporal joins resolve the versioned table's time
+            # attribute from its DDL WATERMARK declaration
+            return rewrite_flink_clauses(
+                self.spark, sql,
+                time_attrs={t: col for t, (col, _d) in self._watermarks.items()},
+            )
         return sql
 
     def sql_query(self, sql: str) -> DataFrame:

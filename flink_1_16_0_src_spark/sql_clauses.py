@@ -442,9 +442,84 @@ def rewrite_match_recognize(spark: SparkSession, sql: str) -> str:
         sql = sql[: m.start()] + view + tail
 
 
-def rewrite_flink_clauses(spark: SparkSession, sql: str) -> str:
+def rewrite_flink_clauses(
+    spark: SparkSession, sql: str, time_attrs: dict[str, str] | None = None
+) -> str:
     if re.search(r"MATCH_RECOGNIZE", sql, re.IGNORECASE):
         sql = rewrite_match_recognize(spark, sql)
     if _TVF_HEAD.search(sql):
         sql = rewrite_window_tvfs(spark, sql)
+    if re.search(r"FOR\s+SYSTEM_TIME\s+AS\s+OF", sql, re.IGNORECASE):
+        sql = rewrite_temporal_join(spark, sql, time_attrs or {})
     return sql
+
+
+# ---- FOR SYSTEM_TIME AS OF (temporal join) --------------------------------
+
+_TEMPORAL_JOIN = re.compile(
+    r"SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<lt>\w+)(?:\s+AS\s+(?P<la>\w+))?\s+"
+    r"(?P<how>LEFT\s+)?JOIN\s+(?P<rt>\w+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+"
+    r"(?P<asof>[\w.]+)(?:\s+AS\s+(?P<ra>\w+))?\s+ON\s+(?P<cond>.+?)"
+    r"(?P<tail>\s+(?:WHERE|GROUP|ORDER|LIMIT)\s+.*)?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def rewrite_temporal_join(
+    spark: SparkSession, sql: str, time_attrs: dict[str, str]
+) -> str:
+    """Lower ``SELECT ... FROM L [AS l] [LEFT] JOIN R FOR SYSTEM_TIME
+    AS OF l.ts [AS r] ON <equi-cond> [WHERE ...]`` onto the as-of join
+    operator (reference SqlSnapshot / StreamExecTemporalJoin.java:77 —
+    the versioned-table temporal join). ``time_attrs[R]`` is R's time
+    attribute (its DDL WATERMARK column — the version timestamp).
+    Supported scope: one temporal join per statement, AND-ed equi
+    conditions; alias-qualified column refs in SELECT/WHERE are
+    rewritten to bare names of the joined relation (left wins key
+    names). Plain JOIN = inner (row must have a version), LEFT JOIN
+    keeps unmatched left rows."""
+    m = _TEMPORAL_JOIN.match(sql.strip())
+    if m is None:
+        return sql
+    from flink_1_16_0_src_spark.operators.joins import asof_join
+
+    lt, rt = m.group("lt"), m.group("rt")
+    la = m.group("la") or lt
+    ra = m.group("ra") or rt
+    if rt not in time_attrs:
+        raise ValueError(
+            f"temporal join target {rt!r} has no declared time attribute "
+            "(WATERMARK column) — pass time_attrs"
+        )
+    right_time = time_attrs[rt]
+    left_time = m.group("asof").split(".")[-1]
+
+    left_df, right_df = spark.table(lt), spark.table(rt)
+    on_keys: list[str] = []
+    for part in re.split(r"\bAND\b", m.group("cond"), flags=re.IGNORECASE):
+        em = re.match(r"\s*([\w.]+)\s*=\s*([\w.]+)\s*$", part)
+        if em is None:
+            raise ValueError(f"unsupported temporal-join condition {part!r}")
+        a, b = em.group(1), em.group(2)
+        # normalize to (left key, right key) by alias prefix
+        def side(x: str) -> tuple[str, str]:
+            if "." in x:
+                pre, col = x.split(".", 1)
+                return ("l" if pre in (la, lt) else "r"), col
+            return "?", x
+        (sa, ca), (sb, cb) = side(a), side(b)
+        lk, rk = (ca, cb) if sa == "l" or sb == "r" else (cb, ca)
+        if rk != lk:
+            right_df = right_df.withColumnRenamed(rk, lk)
+        on_keys.append(lk)
+
+    how = "left" if m.group("how") else "inner"
+    joined = asof_join(left_df, right_df, on_keys, left_time, right_time, how=how)
+    view = f"__tj_{lt}_{rt}"
+    joined.createOrReplaceTempView(view)
+
+    def strip_alias(text: str) -> str:
+        return re.sub(rf"\b({la}|{ra}|{lt}|{rt})\.", "", text)
+
+    tail = strip_alias(m.group("tail") or "")
+    return f"SELECT {strip_alias(m.group('select'))} FROM {view}{tail}"

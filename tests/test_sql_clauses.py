@@ -114,3 +114,48 @@ def test_match_recognize_rejects_all_rows_per_match(spark):
 def test_tvf_rewrite_leaves_plain_sql_untouched(spark):
     sql = "SELECT 1 AS one"
     assert rewrite_flink_clauses(spark, sql) == sql
+
+
+def test_temporal_join_rewrite(spark):
+    """FOR SYSTEM_TIME AS OF lowering: inner keeps only versioned
+    matches, LEFT JOIN keeps unmatched left rows, alias-qualified refs
+    are stripped, and an undeclared time attribute raises."""
+    import datetime as dt
+
+    from flink_1_16_0_src_spark.sql_clauses import rewrite_temporal_join
+
+    ts = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    spark.createDataFrame(
+        [(1, "u1", ts(5)), (2, "u2", ts(5)), (3, "u1", ts(1))],
+        "id long, k string, t timestamp",
+    ).createOrReplaceTempView("tj_left")
+    spark.createDataFrame(
+        [("u1", ts(2), 100.0), ("u1", ts(4), 200.0), ("u2", ts(6), 300.0)],
+        "k string, vt timestamp, rate double",
+    ).createOrReplaceTempView("tj_rates")
+
+    inner = spark.sql(rewrite_temporal_join(
+        spark,
+        "SELECT l.id, l.k, r.rate FROM tj_left AS l JOIN tj_rates "
+        "FOR SYSTEM_TIME AS OF l.t AS r ON l.k = r.k",
+        {"tj_rates": "vt"},
+    ))
+    assert {(r.id, r.rate) for r in inner.collect()} == {(1, 200.0)}
+    # u2@Jan5 has no version yet (rate starts Jan6); u1@Jan1 predates all
+
+    left = spark.sql(rewrite_temporal_join(
+        spark,
+        "SELECT l.id, r.rate FROM tj_left AS l LEFT JOIN tj_rates "
+        "FOR SYSTEM_TIME AS OF l.t AS r ON l.k = r.k "
+        "WHERE l.id < 10",
+        {"tj_rates": "vt"},
+    ))
+    assert {(r.id, r.rate) for r in left.collect()} == {(1, 200.0), (2, None), (3, None)}
+
+    with pytest.raises(ValueError):
+        rewrite_temporal_join(
+            spark,
+            "SELECT l.id FROM tj_left AS l JOIN tj_rates "
+            "FOR SYSTEM_TIME AS OF l.t AS r ON l.k = r.k",
+            {},
+        )
