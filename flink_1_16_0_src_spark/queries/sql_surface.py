@@ -206,3 +206,38 @@ def join_sql_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         rewrite_flink_clauses(spark, sql, time_attrs={"tj_orders": "o_orderdate"})
     )
     return out
+
+
+@query(
+    "lateral_sql_table_udtf",
+    oracle="""
+    SELECT d.doc_id, t.word, CAST(t.pos AS INT) AS pos
+    FROM (SELECT doc_id, text FROM documents WHERE doc_id < 40) d,
+         (SELECT doc_id, unnest(str_split_regex(trim(text), '\\s+')) AS word,
+                 CAST(generate_subscripts(str_split_regex(trim(text), '\\s+'), 1) - 1 AS INT) AS pos
+          FROM documents WHERE doc_id < 40) t
+    WHERE d.doc_id = t.doc_id
+    """,
+    tags=("correlate", "udtf", "sql-surface"),
+)
+def lateral_sql_table_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink's ``LATERAL TABLE(udtf(...)) AS T(...)`` SQL text
+    (Correlate / StreamExecCorrelate.java:53) rewritten onto Spark's
+    native lateral Python-UDTF join; tokens + ordinals cross-checked
+    against DuckDB unnest WITH ORDINALITY."""
+    from flink_1_16_0_src_spark.functions.udf import register, udtf
+
+    @udtf("word string, pos int")
+    def sql_tokenize(text: str):
+        for i, w in enumerate(str(text).strip().split()):
+            yield w, i
+
+    register(spark, "sql_tokenize", sql_tokenize)
+    load(spark, sf_dir, "documents").select("doc_id", "text").where(
+        "doc_id < 40"
+    ).createOrReplaceTempView("lat_docs")
+    sql = """
+    SELECT doc_id, word, pos
+    FROM lat_docs, LATERAL TABLE(sql_tokenize(text)) AS T(word, pos)
+    """
+    return spark.sql(rewrite_flink_clauses(spark, sql))

@@ -308,7 +308,7 @@ class TableEnvironment:
         t MATCH_RECOGNIZE (...) lower onto operators.windows /
         operators.cep before Catalyst parses the statement."""
         if re.search(
-            r"MATCH_RECOGNIZE|TABLE\s*\(\s*(TUMBLE|HOP|CUMULATE|SESSION)|FOR\s+SYSTEM_TIME\s+AS\s+OF",
+            r"MATCH_RECOGNIZE|TABLE\s*\(\s*(TUMBLE|HOP|CUMULATE|SESSION)|FOR\s+SYSTEM_TIME\s+AS\s+OF|LATERAL\s+TABLE",
             sql,
             re.IGNORECASE,
         ):

@@ -451,6 +451,8 @@ def rewrite_flink_clauses(
         sql = rewrite_window_tvfs(spark, sql)
     if re.search(r"FOR\s+SYSTEM_TIME\s+AS\s+OF", sql, re.IGNORECASE):
         sql = rewrite_temporal_join(spark, sql, time_attrs or {})
+    if re.search(r"LATERAL\s+TABLE", sql, re.IGNORECASE):
+        sql = rewrite_lateral_table(sql)
     return sql
 
 
@@ -523,3 +525,22 @@ def rewrite_temporal_join(
 
     tail = strip_alias(m.group("tail") or "")
     return f"SELECT {strip_alias(m.group('select'))} FROM {view}{tail}"
+
+
+# ---- LATERAL TABLE(udtf(...)) ---------------------------------------------
+
+_LATERAL_TABLE = re.compile(
+    r"LATERAL\s+TABLE\s*\(\s*(\w+\s*\([^)]*\))\s*\)", re.IGNORECASE
+)
+
+
+def rewrite_lateral_table(sql: str) -> str:
+    """Flink's UDTF correlate syntax ``[LEFT JOIN | ,] LATERAL
+    TABLE(f(args)) [AS T(c1,…)] [ON TRUE]`` (SqlBasicCall over the
+    Calcite LATERAL operator; planner Correlate /
+    StreamExecCorrelate.java:53) → Spark's native lateral table-function
+    join, which is the same text minus the ``TABLE(`` wrapper. Join
+    type, alias list, and ON TRUE all pass through — Spark accepts
+    them directly for Python UDTFs registered via
+    ``functions.udf.register``."""
+    return _LATERAL_TABLE.sub(r"LATERAL \1", sql)

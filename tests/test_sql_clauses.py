@@ -159,3 +159,16 @@ def test_temporal_join_rewrite(spark):
             "FOR SYSTEM_TIME AS OF l.t AS r ON l.k = r.k",
             {},
         )
+
+
+def test_lateral_table_rewrite_text():
+    from flink_1_16_0_src_spark.sql_clauses import rewrite_lateral_table
+
+    assert rewrite_lateral_table(
+        "SELECT a, w FROM t, LATERAL TABLE(split_fn(a)) AS T(w)"
+    ) == "SELECT a, w FROM t, LATERAL split_fn(a) AS T(w)"
+    assert rewrite_lateral_table(
+        "SELECT a, w FROM t LEFT JOIN LATERAL TABLE(f(a, 3)) AS T(w, p) ON TRUE"
+    ) == "SELECT a, w FROM t LEFT JOIN LATERAL f(a, 3) AS T(w, p) ON TRUE"
+    # no-op on plain SQL
+    assert rewrite_lateral_table("SELECT 1") == "SELECT 1"
