@@ -224,3 +224,41 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_bigram_frac"
         ),
     )
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(str_split_regex(lower(text), '')) AS ch
+      FROM documents WHERE doc_id < 200
+    ),
+    freq AS (
+      SELECT doc_id, ch, count(*) AS c FROM chars WHERE ch <> '' GROUP BY 1, 2
+    ),
+    tot AS (SELECT doc_id, sum(c) AS n FROM freq GROUP BY 1)
+    SELECT f.doc_id,
+           round(-sum((c / n) * log2(c / n)), 4) AS entropy
+    FROM freq f JOIN tot t ON f.doc_id = t.doc_id
+    GROUP BY f.doc_id
+    """,
+    tags=("pipeline", "text"),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic
+    cheap quality/perplexity proxy for corpus filtering (low entropy =
+    repetitive boilerplate, high = noise/binary-ish). Pure Catalyst:
+    explode chars → frequency groupBy → -Σ p·log2 p; two shuffles both
+    keyed by doc_id."""
+    d = load(spark, sf_dir, "documents").where("doc_id < 200")
+    chars = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "")).alias("ch")
+    ).where(F.col("ch") != "")
+    freq = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    tot = freq.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum(p * F.log2(p)), 4).alias("entropy"))
+    )

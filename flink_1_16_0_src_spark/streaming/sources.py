@@ -103,3 +103,13 @@ def write_stream(
     if path:
         writer = writer.option("path", path)
     return writer
+
+
+def with_proctime(df: DataFrame, col: str = "proctime") -> DataFrame:
+    """PROCTIME() attribute (flink-table-api ProcTimedAttribute /
+    SqlProcTimeFunction): a processing-time column stamped at
+    evaluation. Inherently non-deterministic — results depending on it
+    are wall-clock-dependent in BOTH engines, so it carries no oracle;
+    use event time for reproducible pipelines (the same guidance the
+    reference docs give)."""
+    return df.withColumn(col, F.current_timestamp())
