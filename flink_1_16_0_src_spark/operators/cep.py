@@ -698,12 +698,22 @@ def match_recognize_stream(
     measures: dict[str, Callable[[Matched], object]],
     output_schema: StructType,
     after_match: str = "past_last_row",
+    within: str | None = None,
 ) -> DataFrame:
     """Streaming MATCH_RECOGNIZE: per-key row buffer carried in state
     (JSON rows), matched greedily each batch; matched prefixes are
     discarded, the unmatched tail is retained (bounded by the longest
-    open partial match — callers should bound patterns with a time
-    condition in DEFINE for production, like Flink's WITHIN clause)."""
+    open partial match).
+
+    ``within`` (Flink's WITHIN clause / Pattern.within, e.g.
+    ``'10 minutes'`` — requires a TIMESTAMP ``order_by``): bounds both
+    the match span AND the state: an open partial whose span already
+    exceeds the bound is pruned instead of retained. Without it a
+    never-completing relaxed partial (followedBy waiting forever)
+    would pin the buffer AND block the scan from ever reaching later
+    matches — the same unbounded-state failure Flink documents for
+    patterns without windowTime; production relaxed patterns should
+    always pass it."""
     if any(b.contiguity == "relaxed_any" for s in steps for b in (s.alts or (s,))):
         raise NotImplementedError(
             "followedByAny is batch-only (its all-anchors emission model "
@@ -713,20 +723,32 @@ def match_recognize_stream(
     from pyspark.sql.types import ArrayType, StringType, StructField
 
     state_schema = StructType([StructField("buf", ArrayType(StringType()))])
+    delta = pd.Timedelta(within) if within is not None else None
 
     def fn(key, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
-        buf = [json.loads(s) for s in state.get[0]] if state.exists else []
+        use_ts = delta is not None
+        buf = []
+        if state.exists:
+            for s in state.get[0]:
+                d = json.loads(s)
+                if use_ts:
+                    d[order_by] = pd.Timestamp(d[order_by])
+                buf.append(d)
         for pdf in pdfs:
             for d in pdf.sort_values(order_by, kind="stable").to_dict("records"):
-                d[order_by] = (
-                    d[order_by].isoformat() if hasattr(d[order_by], "isoformat") else d[order_by]
-                )
+                if not use_ts:
+                    d[order_by] = (
+                        d[order_by].isoformat()
+                        if hasattr(d[order_by], "isoformat")
+                        else d[order_by]
+                    )
                 buf.append(d)
         buf.sort(key=lambda r: r[order_by])
+        wt = (order_by, delta) if use_ts else None
         out, consumed = [], 0
         i = 0
         while i < len(buf):
-            m = _match_at(buf, i, steps)
+            m = _match_at(buf, i, steps, wt)
             if m is not None:
                 matched, idx = m
                 rec = dict(zip(partition_by, key))
@@ -736,7 +758,14 @@ def match_recognize_stream(
                 nxt = _resume_index(i, idx, steps, after_match)
                 consumed, i = nxt, nxt
             elif _partial_at(buf, i, steps):
-                break  # open partial match — retain buf[i:] for future rows
+                if use_ts and buf[-1][order_by] - buf[i][order_by] > delta:
+                    # WITHIN expired: this partial can only complete via
+                    # rows later than everything seen, which would bust
+                    # the span bound — prune the start, keep scanning
+                    i += 1
+                    consumed = i
+                else:
+                    break  # live open partial — retain buf[i:]
             else:
                 i += 1
                 consumed = i  # row i can never start a match; drop it

@@ -343,3 +343,52 @@ def test_match_recognize_stream_relaxed_crosses_batches(spark, tmp_path):
     got = sources.run_to_memory(out, "cep_relaxed_stream", "append")
     rows = {(r.k, r.a_seq, r.b_seq) for r in got.collect()}
     assert rows == {("k1", 1, 3), ("k2", 1, 4)}
+
+
+def test_match_recognize_stream_within_prunes_stale_partials(spark, tmp_path):
+    """WITHIN in streaming CEP: an expired open partial (relaxed B
+    never arrives inside the span) is pruned instead of retained, so
+    later matches still emit and state stays bounded. Without the
+    bound, the stale a@00:00 partial would block the scan forever."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F  # noqa: F401
+    from pyspark.sql.types import LongType, StringType, StructField, StructType, TimestampType
+
+    from flink_1_16_0_src_spark.streaming import sources
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    batches = [
+        [("k", t(0), "a")],                 # anchor that will expire
+        [("k", t(10), "x")],                # span now > 5 min — stale
+        [("k", t(20), "a"), ("k", t(22), "b")],  # fresh pair: must match
+    ]
+    d = str(tmp_path / "within_src")
+    for b in batches:
+        spark.createDataFrame(b, "k string, ts timestamp, c string").coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+    sdf = (
+        spark.readStream.schema("k string, ts timestamp, c string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    steps = [
+        cep.Step("A", lambda r, m: r["c"] == "a"),
+        cep.Step("B", lambda r, m: r["c"] == "b", contiguity="relaxed"),
+    ]
+    out = cep.match_recognize_stream(
+        sdf, ["k"], "ts", steps,
+        {"a_ts": lambda m: cep.first(m, "A", "ts"),
+         "b_ts": lambda m: cep.first(m, "B", "ts")},
+        StructType([
+            StructField("k", StringType()),
+            StructField("a_ts", TimestampType()),
+            StructField("b_ts", TimestampType()),
+        ]),
+        within="5 minutes",
+    )
+    got = sources.run_to_memory(out, "cep_within_stream", "append")
+    rows = {(r.a_ts, r.b_ts) for r in got.collect()}
+    # only the fresh pair; the expired a@00:00 never matches b@00:22
+    assert rows == {(t(20), t(22))}
