@@ -212,6 +212,7 @@ class TableEnvironment:
                 c.strip() for c in (m.group("partcols") or "").split(",") if c.strip()
             ]
             schema = None
+            metadata_cols: dict[str, str] = {}
             if m.group("schema"):
                 wm = _WATERMARK_SPEC.search(m.group("schema"))
                 if wm:
@@ -219,9 +220,24 @@ class TableEnvironment:
                         "S" if float(wm.group(2)) != 1 else ""
                     )
                     self._watermarks[name] = (wm.group(1), f"{wm.group(2)} {unit}")
-                schema = ", ".join(
-                    c.strip() for c in m.group("schema").split(",") if "WATERMARK" not in c.upper()
-                )
+                cols = []
+                for c in m.group("schema").split(","):
+                    c = c.strip()
+                    if "WATERMARK" in c.upper():
+                        continue
+                    # `name TYPE METADATA [FROM 'key'] [VIRTUAL]` —
+                    # SqlTableColumn.SqlMetadataColumn: routed from the
+                    # connector's metadata, not the payload
+                    md = re.match(
+                        r"(\w+)\s+\w+(?:\(\d+(?:,\d+)?\))?\s+METADATA(?:\s+FROM\s+'(\w+)')?",
+                        c,
+                        re.IGNORECASE,
+                    )
+                    if md:
+                        metadata_cols[md.group(1)] = md.group(2) or md.group(1)
+                        continue
+                    cols.append(c)
+                schema = ", ".join(cols)
             if connector in ("print", "blackhole"):
                 self._sinks[name] = {"connector": connector, "props": props}
                 return None
@@ -244,6 +260,7 @@ class TableEnvironment:
                         fmt=props.get("value.format", props.get("format", "json")),
                         props=props,
                         tombstones=connector == "upsert-kafka",
+                        metadata=metadata_cols or None,
                     )
                 df.createOrReplaceTempView(name)
                 return df
