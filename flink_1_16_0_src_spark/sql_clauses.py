@@ -357,6 +357,9 @@ def lower_match_recognize(
         if mm is None:
             raise ValueError(f"bad MEASURES entry {part!r}")
         expr_txt, out_name = mm.group(1).strip(), mm.group(2)
+        # FINAL/RUNNING semantics coincide under ONE ROW PER MATCH (the
+        # only supported mode — Calcite SqlMatchRecognize FINAL default)
+        expr_txt = re.sub(r"^(FINAL|RUNNING)\s+", "", expr_txt, flags=re.IGNORECASE)
         fm = _MEASURE_FN.match(expr_txt)
         if fm:
             fn, var, col = fm.group(1).upper(), fm.group(2).upper(), fm.group(3)

@@ -172,3 +172,16 @@ def test_lateral_table_rewrite_text():
     ) == "SELECT a, w FROM t LEFT JOIN LATERAL f(a, 3) AS T(w, p) ON TRUE"
     # no-op on plain SQL
     assert rewrite_lateral_table("SELECT 1") == "SELECT 1"
+
+
+def test_measures_final_running_modifiers(spark):
+    """FINAL/RUNNING measure modifiers parse (equivalent under ONE ROW
+    PER MATCH — the only supported output mode)."""
+    _events(spark, [("k", 1, "a", 2.0), ("k", 2, "b", 3.0)])
+    out = lower_match_recognize(
+        spark, "sqlc_events",
+        "PARTITION BY k ORDER BY seq "
+        "MEASURES FINAL SUM(A.v) AS sa, RUNNING LAST(B.v) AS lb "
+        "PATTERN (A B) DEFINE A AS c = 'a', B AS c = 'b'",
+    )
+    assert [tuple(r) for r in out.collect()] == [("k", 5.0, 3.0)]
