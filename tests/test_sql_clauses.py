@@ -184,4 +184,4 @@ def test_measures_final_running_modifiers(spark):
         "MEASURES FINAL SUM(A.v) AS sa, RUNNING LAST(B.v) AS lb "
         "PATTERN (A B) DEFINE A AS c = 'a', B AS c = 'b'",
     )
-    assert [tuple(r) for r in out.collect()] == [("k", 5.0, 3.0)]
+    assert [tuple(r) for r in out.collect()] == [("k", 2.0, 3.0)]
