@@ -905,3 +905,124 @@ WHERE c1 > 0 AND c2 > 0 AND c3 > 0
     "average in EVERY channel — symmetric band predicates over "
     "channel-pivot aggregates.",
 )
+
+
+_register(
+    "tpcds_q9_case_band_subqueries",
+    """
+SELECT CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 1 AND 20) > 25000
+            THEN (SELECT round(avg(l_extendedprice), 4) FROM lineitem WHERE l_quantity BETWEEN 1 AND 20)
+            ELSE (SELECT round(avg(l_discount), 4) FROM lineitem WHERE l_quantity BETWEEN 1 AND 20)
+       END AS bucket1,
+       CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 21 AND 35) > 25000
+            THEN (SELECT round(avg(l_extendedprice), 4) FROM lineitem WHERE l_quantity BETWEEN 21 AND 35)
+            ELSE (SELECT round(avg(l_discount), 4) FROM lineitem WHERE l_quantity BETWEEN 21 AND 35)
+       END AS bucket2,
+       CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 36 AND 50) > 25000
+            THEN (SELECT round(avg(l_extendedprice), 4) FROM lineitem WHERE l_quantity BETWEEN 36 AND 50)
+            ELSE (SELECT round(avg(l_discount), 4) FROM lineitem WHERE l_quantity BETWEEN 36 AND 50)
+       END AS bucket3
+""",
+    "q9: CASE selecting between pairs of scalar subqueries per quantity "
+    "band — nine scalar subqueries over one fact, the multi-scalar "
+    "fusion stress (a good planner shares the per-band scans).",
+)
+
+
+_register(
+    "tpcds_q13_demographic_band_averages",
+    """
+SELECT round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(o_totalprice), 4) AS avg_price,
+       round(sum(l_extendedprice), 2) AS rev
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE (c_mktsegment = 'BUILDING' AND o_totalprice BETWEEN 50000 AND 200000 AND l_quantity BETWEEN 1 AND 25)
+   OR (c_mktsegment = 'AUTOMOBILE' AND o_totalprice BETWEEN 100000 AND 300000 AND l_quantity BETWEEN 26 AND 50)
+""",
+    "q13: single aggregate row over disjunctive demographic/band "
+    "predicate pairs — the OR-of-conjunctions filter feeding three "
+    "different aggregates at once.",
+)
+
+
+_register(
+    "tpcds_q16_distinct_count_not_exists",
+    """
+SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) AS order_cnt,
+       round(sum(o_totalprice), 2) AS total
+FROM orders o1
+JOIN customer ON o1.o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE n_name IN ('FRANCE', 'GERMANY', 'EGYPT')
+  AND o1.o_orderpriority = '1-URGENT'
+  AND EXISTS (SELECT 1 FROM lineitem l1
+              WHERE l1.l_orderkey = o1.o_orderkey AND l1.l_discount > 0.05)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = o1.o_orderkey AND l2.l_returnflag = 'R')
+""",
+    "q16: distinct-count + EXISTS + NOT EXISTS pair on the same fact "
+    "with an IN-list dimension filter — semi and anti join against "
+    "the identical child relation.",
+)
+
+
+def _register_pair(name: str, spark_sql: str, oracle_sql: str, doc: str):
+    def _q(spark: SparkSession, sf_dir: str, _s=spark_sql) -> DataFrame:
+        return _sql(spark, sf_dir, _s)
+
+    _q.__doc__ = doc
+    _q.__name__ = name
+    return query(name, oracle=oracle_sql, tags=("tpcds-shape",))(_q)
+
+
+_Q43_SPARK = """
+SELECT n_name,
+       round(sum(CASE WHEN dayofweek(o_orderdate) = 1 THEN o_totalprice ELSE 0 END), 2) AS sun_sales,
+       round(sum(CASE WHEN dayofweek(o_orderdate) = 2 THEN o_totalprice ELSE 0 END), 2) AS mon_sales,
+       round(sum(CASE WHEN dayofweek(o_orderdate) = 3 THEN o_totalprice ELSE 0 END), 2) AS tue_sales,
+       round(sum(CASE WHEN dayofweek(o_orderdate) = 7 THEN o_totalprice ELSE 0 END), 2) AS sat_sales
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE year(o_orderdate) = 1995
+GROUP BY n_name
+"""
+
+_register_pair(
+    "tpcds_q43_weekday_pivot",
+    _Q43_SPARK,
+    # DuckDB numbers Sunday=0 — shift to Spark's Sunday=1 scheme
+    _Q43_SPARK.replace("dayofweek(o_orderdate)", "(dayofweek(o_orderdate) + 1)"),
+    "q43: day-of-week CASE pivot per dimension group — engines number "
+    "weekdays differently (Spark dayofweek Sunday=1, DuckDB Sunday=0; "
+    "the oracle shifts), one scan, map-side conditional sums.",
+)
+
+
+_register(
+    "tpcds_q59_week_over_week_ratio",
+    """
+WITH weekly AS (
+  SELECT n_name, year(o_orderdate) AS yr, weekofyear(o_orderdate) AS wk,
+         sum(o_totalprice) AS sales
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE year(o_orderdate) IN (1994, 1995)
+  GROUP BY 1, 2, 3
+)
+SELECT cur.n_name, cur.wk,
+       round(cur.sales, 2) AS sales_1995,
+       round(prev.sales, 2) AS sales_1994,
+       round(cur.sales / prev.sales, 4) AS wow_ratio
+FROM weekly cur JOIN weekly prev
+  ON cur.n_name = prev.n_name AND cur.wk = prev.wk
+ AND cur.yr = 1995 AND prev.yr = 1994
+WHERE prev.sales > 0
+""",
+    "q59: week-over-week self-join of a weekly aggregate CTE across "
+    "two years keyed on (dimension, week number) with a ratio output "
+    "— the calendar-aligned year comparison shape.",
+)
