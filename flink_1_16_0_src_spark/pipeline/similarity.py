@@ -280,7 +280,12 @@ def pq_adc_topk(
             dist.alias("__adc"),
         )
         .withColumn("rank_num", F.row_number().over(
-            Window.orderBy(F.col("__adc"), F.col("neighbor_id"))
+            # rank on the ROUNDED distance: near-equal raw sums differ in
+            # the last ulp across engines (and across DuckDB's parallel
+            # sum orders), so raw-float ordering at the k boundary is
+            # nondeterministic — rounding collapses those into id-broken
+            # ties identically everywhere
+            Window.orderBy(F.round(F.col("__adc"), 4), F.col("neighbor_id"))
         ))
         .where(F.col("rank_num") <= k)
         .select(

@@ -226,7 +226,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(42 AS BIGINT) AS query_id, neighbor_id,
            round(dist, 4) AS adc_dist,
-           CAST(row_number() OVER (ORDER BY dist, neighbor_id) AS INT) AS rank_num
+           CAST(row_number() OVER (ORDER BY round(dist, 4), neighbor_id) AS INT) AS rank_num
     FROM adc QUALIFY rank_num <= 5
     """,
     tags=("pipeline", "similarity", "custom-op"),
