@@ -233,6 +233,7 @@ def kafka_value_decode(
     per-record path, and works identically on a batch stand-in frame
     (the broker-less contract tests) and a live readStream.
     """
+    from pyspark.sql import types as T
     from pyspark.sql.types import StructType
 
     if isinstance(schema, str):
@@ -259,6 +260,52 @@ def kafka_value_decode(
             fl = sch.fields[0]
             return F.struct(col.cast(fl.dataType).alias(fl.name))
         raise NotImplementedError(f"kafka record format {f!r}")
+
+    if fmt in ("debezium-json", "canal-json"):
+        # CDC envelope formats (flink-formats/flink-json
+        # DebeziumJsonDeserializationSchema / CanalJsonDeserializationSchema):
+        # the payload wraps row images + an op code; emitted rows carry
+        # the declared schema + __rowkind, feeding changelog consumers
+        # exactly like the reference's RowKind-stamped output.
+        if fmt == "debezium-json":
+            env = T.StructType(
+                [
+                    T.StructField("before", schema),
+                    T.StructField("after", schema),
+                    T.StructField("op", T.StringType()),
+                ]
+            )
+            parsed = df.withColumn("__env", F.from_json(F.col("value").cast("string"), env))
+            op = F.col("__env.op")
+            rowkind = (
+                F.when(op.isin("c", "r"), "+I")
+                .when(op == "u", "+U")
+                .when(op == "d", "-D")
+            )
+            img = F.when(op == "d", F.col("__env.before")).otherwise(F.col("__env.after"))
+            out = parsed.withColumn("__img", img).withColumn("__rk", rowkind)
+            sel = [F.col(f"__img.{f.name}").alias(f.name) for f in schema.fields]
+        else:  # canal-json: {"data": [rows], "type": INSERT|UPDATE|DELETE}
+            env = T.StructType(
+                [
+                    T.StructField("data", T.ArrayType(schema)),
+                    T.StructField("type", T.StringType()),
+                ]
+            )
+            parsed = df.withColumn("__env", F.from_json(F.col("value").cast("string"), env))
+            out = parsed.select(
+                "*", F.explode(F.col("__env.data")).alias("__img")
+            ).withColumn(
+                "__rk",
+                F.when(F.col("__env.type") == "INSERT", "+I")
+                .when(F.col("__env.type") == "UPDATE", "+U")
+                .when(F.col("__env.type") == "DELETE", "-D"),
+            )
+            sel = [F.col(f"__img.{f.name}").alias(f.name) for f in schema.fields]
+        for out_name, meta_col in (metadata or {}).items():
+            sel.append(F.col(meta_col).alias(out_name))
+        sel.append(F.col("__rk").alias("__rowkind"))
+        return out.select(*sel)
 
     out = df
     if key_fields:
@@ -306,6 +353,7 @@ def kafka_value_encode(
 
     Pure column expressions; round-trips through ``kafka_value_decode``
     byte-exactly for json (contract-tested offline)."""
+    from pyspark.sql import types as T
     from pyspark.sql.types import StructType
 
     if isinstance(schema, str):

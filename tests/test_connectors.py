@@ -659,3 +659,29 @@ def test_ddl_metadata_column_parsing(tenv):
     )
     assert df.count() == 25
     assert "ingest_ts" not in df.columns  # filesystem has no kafka metadata
+
+
+def test_kafka_cdc_formats_debezium_and_canal(spark):
+    """CDC envelope decoding (DebeziumJson/CanalJson deserialization
+    schemas): op codes map to __rowkind, deletes surface the BEFORE
+    image, canal's data array explodes to one row each — ready for
+    changelog consumers."""
+    ddl = "id BIGINT, v DOUBLE"
+    dbz = _kafka_frame(spark, [
+        (None, '{"before": null, "after": {"id": 1, "v": 1.0}, "op": "c"}', 0, "2024-01-01T00:00:00"),
+        (None, '{"before": {"id": 1, "v": 1.0}, "after": {"id": 1, "v": 2.0}, "op": "u"}', 1, "2024-01-01T00:00:01"),
+        (None, '{"before": {"id": 1, "v": 2.0}, "after": null, "op": "d"}', 2, "2024-01-01T00:00:02"),
+        (None, '{"before": null, "after": {"id": 2, "v": 9.0}, "op": "r"}', 3, "2024-01-01T00:00:03"),
+    ])
+    got = {(r["id"], r["v"], r["__rowkind"])
+           for r in srcs.kafka_value_decode(dbz, ddl, fmt="debezium-json").collect()}
+    assert got == {(1, 1.0, "+I"), (1, 2.0, "+U"), (1, 2.0, "-D"), (2, 9.0, "+I")}
+
+    canal = _kafka_frame(spark, [
+        (None, '{"data": [{"id": 3, "v": 5.0}, {"id": 4, "v": 6.0}], "type": "INSERT"}', 0, "2024-01-01T00:00:00"),
+        (None, '{"data": [{"id": 3, "v": 7.0}], "type": "UPDATE"}', 1, "2024-01-01T00:00:01"),
+        (None, '{"data": [{"id": 4, "v": 6.0}], "type": "DELETE"}', 2, "2024-01-01T00:00:02"),
+    ])
+    got = {(r["id"], r["v"], r["__rowkind"])
+           for r in srcs.kafka_value_decode(canal, ddl, fmt="canal-json").collect()}
+    assert got == {(3, 5.0, "+I"), (4, 6.0, "+I"), (3, 7.0, "+U"), (4, 6.0, "-D")}
