@@ -443,14 +443,19 @@ def streaming_asof_join(
     )
 
 
-def foreach_batch_upsert(target_path: str, keys: list[str], order_col: str):
+def foreach_batch_upsert(
+    target_path: str, keys: list[str], order_col: str, delete_col: str | None = None
+):
     """SinkUpsertMaterializer parity: returns a foreachBatch function
     that MERGEs each micro-batch into a keyed parquet table — last write
-    (by ``order_col``) per key wins. On a transactional table format
-    this is a real MERGE INTO; plain parquet does read-union-rewrite,
-    which is correct but O(table) per batch — fine for sinks that are
-    periodically compacted dimension tables, documented limitation
-    otherwise."""
+    (by ``order_col``) per key wins. ``delete_col`` (a boolean column,
+    e.g. ``__rowkind = '-D'`` from a CDC decode) makes this a full
+    changelog materializer: a key whose LATEST image is a delete is
+    removed from the table (the MERGE ... WHEN MATCHED AND op='d' THEN
+    DELETE branch). On a transactional table format this is a real
+    MERGE INTO; plain parquet does read-union-rewrite, which is correct
+    but O(table) per batch — fine for sinks that are periodically
+    compacted dimension tables, documented limitation otherwise."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         import shutil
@@ -465,6 +470,8 @@ def foreach_batch_upsert(target_path: str, keys: list[str], order_col: str):
         else:
             merged = batch_df
         result = merged.withColumn("__rn", w).where(F.col("__rn") == 1).drop("__rn")
+        if delete_col is not None:
+            result = result.where(~F.coalesce(F.col(delete_col), F.lit(False)))
         tmp = target_path + ".tmp"
         result.write.mode("overwrite").parquet(tmp)
         if os.path.exists(target_path):

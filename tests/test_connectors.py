@@ -685,3 +685,38 @@ def test_kafka_cdc_formats_debezium_and_canal(spark):
     got = {(r["id"], r["v"], r["__rowkind"])
            for r in srcs.kafka_value_decode(canal, ddl, fmt="canal-json").collect()}
     assert got == {(3, 5.0, "+I"), (4, 6.0, "+I"), (3, 7.0, "+U"), (4, 6.0, "-D")}
+
+
+def test_cdc_end_to_end_upsert_materialization(spark, tmp_path):
+    """Full CDC path: debezium-json kafka frames → decode (__rowkind) →
+    foreachBatch upsert materializer with delete handling. Final table
+    = last image per key minus deleted keys."""
+    from pyspark.sql import functions as F
+
+    from flink_1_16_0_src_spark.streaming.stateful import foreach_batch_upsert
+
+    records = [
+        (None, '{"before": null, "after": {"id": 1, "v": 1.0}, "op": "c"}', 0, "2024-01-01T00:00:00"),
+        (None, '{"before": null, "after": {"id": 2, "v": 2.0}, "op": "c"}', 1, "2024-01-01T00:00:01"),
+        (None, '{"before": {"id": 1, "v": 1.0}, "after": {"id": 1, "v": 10.0}, "op": "u"}', 2, "2024-01-01T00:00:02"),
+        (None, '{"before": {"id": 2, "v": 2.0}, "after": null, "op": "d"}', 3, "2024-01-01T00:00:03"),
+        (None, '{"before": null, "after": {"id": 3, "v": 3.0}, "op": "c"}', 4, "2024-01-01T00:00:04"),
+    ]
+    wire_dir = str(tmp_path / "cdc_wire")
+    _kafka_frame(spark, records).write.parquet(wire_dir)
+    stream = spark.readStream.schema(_KAFKA_WIRE_SCHEMA).parquet(wire_dir)
+    decoded = srcs.kafka_value_decode(
+        stream, "id BIGINT, v DOUBLE", fmt="debezium-json", metadata={"off": "offset"}
+    ).withColumn("is_delete", F.col("__rowkind") == "-D")
+    target = str(tmp_path / "cdc_table")
+    q = (
+        decoded.writeStream.foreachBatch(
+            foreach_batch_upsert(target, ["id"], "off", delete_col="is_delete")
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "cdc_ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, 10.0), (3, 3.0)}  # id=2 deleted, id=1 updated
