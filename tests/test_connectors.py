@@ -720,3 +720,45 @@ def test_cdc_end_to_end_upsert_materialization(spark, tmp_path):
     q.awaitTermination()
     got = {(r["id"], r["v"]) for r in spark.read.parquet(target).collect()}
     assert got == {(1, 10.0), (3, 3.0)}  # id=2 deleted, id=1 updated
+
+
+def test_kafka_encode_decode_property_roundtrip(spark):
+    """Property: for arbitrary rows, json encode → decode is the
+    identity, in both ALL and EXCEPT_KEY column routings."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    ddl = "id BIGINT, name STRING, score DOUBLE"
+
+    @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=-10**9, max_value=10**9),
+                st.text(alphabet="abcXYZ 09_", min_size=0, max_size=12),
+                st.floats(allow_nan=False, allow_infinity=False, width=32),
+            ),
+            min_size=1,
+            max_size=6,
+            unique_by=lambda t: t[0],
+        ),
+        routing=st.sampled_from([{}, {"key.fields": "id", "value.fields-include": "EXCEPT_KEY"}]),
+    )
+    def check(rows, routing):
+        df = spark.createDataFrame(rows, ddl)
+        wire = srcs.kafka_value_encode(df, ddl, fmt="json", props=routing)
+        frame = wire.select(
+            "key", "value", F.lit("t").alias("topic"), F.lit(0).alias("partition"),
+            F.lit(0).cast("long").alias("offset"),
+            F.lit(None).cast("timestamp").alias("timestamp"), F.lit(0).alias("timestampType"),
+        )
+        back = srcs.kafka_value_decode(frame, ddl, fmt="json", props=routing)
+        got = sorted(tuple(r) for r in back.collect())
+        exp = sorted((i, n, float(s)) for i, n, s in rows)
+        assert len(got) == len(exp)
+        for (gi, gn, gs), (ei, en, es) in zip(got, exp):
+            assert gi == ei and gn == en
+            assert gs == pytest.approx(es, rel=1e-6, abs=1e-6)
+
+    check()
