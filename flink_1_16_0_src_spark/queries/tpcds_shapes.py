@@ -1026,3 +1026,95 @@ WHERE prev.sales > 0
     "two years keyed on (dimension, week number) with a ratio output "
     "— the calendar-aligned year comparison shape.",
 )
+
+
+_register(
+    "tpcds_q22_rollup_averages",
+    """
+SELECT p_type, p_brand, p_size,
+       round(avg(l_quantity), 4) AS qoh
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE year(l_shipdate) BETWEEN 1994 AND 1995
+GROUP BY ROLLUP (p_type, p_brand, p_size)
+""",
+    "q22: three-level ROLLUP of an average (inventory quantity-on-hand "
+    "hierarchy) — Expand with four grouping sets over one scan.",
+)
+
+
+_register(
+    "tpcds_q37_price_band_window",
+    """
+SELECT p_brand, round(min(p_retailprice), 2) AS min_price,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_retailprice BETWEEN 900 AND 1100
+  AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-01'
+GROUP BY p_brand
+HAVING count(DISTINCT l_orderkey) > 0
+""",
+    "q37/q82: price-band dimension filter joined to a date-windowed "
+    "fact, distinct-count per brand (selective band + window pushdown "
+    "on both sides of the join).",
+)
+
+
+_register(
+    "tpcds_q45_disjunctive_subquery",
+    """
+SELECT n_name, round(sum(o_totalprice), 2) AS total
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE n_name IN ('JAPAN', 'CHINA', 'INDIA')
+   OR c_custkey IN (SELECT o_custkey FROM orders
+                    WHERE o_totalprice > 400000)
+GROUP BY n_name
+""",
+    "q45: disjunction of a local IN-list and an IN-subquery — the "
+    "shape that forces existence-join handling inside an OR (no naive "
+    "semi-join rewrite applies).",
+)
+
+
+_Q50_SPARK = """
+SELECT n_name, o_orderpriority,
+       CAST(sum(CASE WHEN datediff(l_shipdate, o_orderdate) <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+       CAST(sum(CASE WHEN datediff(l_shipdate, o_orderdate) BETWEEN 31 AND 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+       CAST(sum(CASE WHEN datediff(l_shipdate, o_orderdate) BETWEEN 61 AND 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+       CAST(sum(CASE WHEN datediff(l_shipdate, o_orderdate) > 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90plus
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE year(o_orderdate) = 1994
+GROUP BY n_name, o_orderpriority
+"""
+
+_register_pair(
+    "tpcds_q50_latency_matrix",
+    _Q50_SPARK,
+    # Spark datediff(end, start) vs DuckDB date_diff('day', start, end)
+    _Q50_SPARK.replace("datediff(l_shipdate, o_orderdate)",
+                       "date_diff('day', o_orderdate, l_shipdate)"),
+    "q50: order-to-ship latency bucket matrix across two dimensions - "
+    "CASE bucket pivot over a date difference (engines differ on "
+    "datediff argument conventions; the oracle adapts).",
+)
+
+
+_register(
+    "tpcds_q98_class_share_window",
+    """
+SELECT p_type, p_brand,
+       round(sum(l_extendedprice), 2) AS rev,
+       round(sum(l_extendedprice) * 100.0 /
+             sum(sum(l_extendedprice)) OVER (PARTITION BY p_type), 4) AS revratio
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE year(l_shipdate) = 1995
+GROUP BY p_type, p_brand
+""",
+    "q98/q89 family: per-group revenue share of its class via a window "
+    "SUM over the aggregate output (agg feeding a partition-total "
+    "window, the percent-of-parent shape).",
+)
