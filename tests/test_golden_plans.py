@@ -42,6 +42,8 @@ PINNED = [
     "tpcds_q92_excess_discount",    # decorrelated scalar-avg threshold
     "tvf_sql_tumble",               # SQL-text TVF lowering == window() plan
     "cep_followed_by",              # Pattern API NFA partition shape
+    "tpcds_q45_disjunctive_subquery",  # IN-subquery inside OR (existence join)
+    "tpcds_q98_class_share_window",    # window sum over aggregate output
 ]
 
 
