@@ -58,8 +58,10 @@ _CREATE_TABLE_AS = re.compile(
 )
 
 _CREATE_TABLE_WITH = re.compile(
+    # schema group allows ONE level of nested parens — DECIMAL(10,2),
+    # PROCTIME(), computed-column expressions
     r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
-    r"(?:\((?P<schema>[^)]*)\))?\s*"
+    r"(?:\((?P<schema>(?:[^()]|\([^()]*\))*)\)\s*)?"
     r"(?:PARTITIONED\s+BY\s*\((?P<partcols>[^)]*)\)\s*)?"
     r"WITH\s*\((?P<props>.*)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -213,6 +215,7 @@ class TableEnvironment:
             ]
             schema = None
             metadata_cols: dict[str, str] = {}
+            computed_cols: dict[str, str] = {}
             if m.group("schema"):
                 wm = _WATERMARK_SPEC.search(m.group("schema"))
                 if wm:
@@ -220,8 +223,10 @@ class TableEnvironment:
                         "S" if float(wm.group(2)) != 1 else ""
                     )
                     self._watermarks[name] = (wm.group(1), f"{wm.group(2)} {unit}")
+                from flink_1_16_0_src_spark.sql_clauses import _split_top_commas
+
                 cols = []
-                for c in m.group("schema").split(","):
+                for c in _split_top_commas(m.group("schema")):
                     c = c.strip()
                     if "WATERMARK" in c.upper():
                         continue
@@ -235,6 +240,16 @@ class TableEnvironment:
                     )
                     if md:
                         metadata_cols[md.group(1)] = md.group(2) or md.group(1)
+                        continue
+                    # computed column (SqlTableColumn.SqlComputedColumn):
+                    # `name AS expr` — evaluated on read, PROCTIME() maps
+                    # to current_timestamp()
+                    cc = re.match(r"(\w+)\s+AS\s+(.+)$", c, re.IGNORECASE | re.DOTALL)
+                    if cc:
+                        computed_cols[cc.group(1)] = re.sub(
+                            r"PROCTIME\s*\(\s*\)", "current_timestamp()",
+                            cc.group(2).strip(), flags=re.IGNORECASE,
+                        )
                         continue
                     cols.append(c)
                 schema = ", ".join(cols)
@@ -262,6 +277,8 @@ class TableEnvironment:
                         tombstones=connector == "upsert-kafka",
                         metadata=metadata_cols or None,
                     )
+                for cname, cexpr in computed_cols.items():
+                    df = df.withColumn(cname, F.expr(cexpr))
                 df.createOrReplaceTempView(name)
                 return df
             if connector == "jdbc":
@@ -283,6 +300,8 @@ class TableEnvironment:
                     }
                     return None
                 df = srcs.read_table(self.spark, path, fmt, schema, props)
+                for cname, cexpr in computed_cols.items():
+                    df = df.withColumn(cname, F.expr(cexpr))
                 df.createOrReplaceTempView(name)
                 self._sources[name] = props
                 return df

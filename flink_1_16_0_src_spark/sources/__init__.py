@@ -119,6 +119,13 @@ def kafka_options(props: dict) -> dict[str, str]:
             "earliest-offset": "earliest",
             "latest-offset": "latest",
         }.get(start, "latest")
+    # Flink 1.16 bounded kafka (KafkaConnectorOptions scan.bounded.mode):
+    # the batch-read/bounded-stream end condition -> Spark endingOffsets
+    bounded = props.get("scan.bounded.mode")
+    if bounded == "latest-offset":
+        out["endingOffsets"] = "latest"
+    elif bounded == "timestamp" and "scan.bounded.timestamp-millis" in props:
+        out["endingTimestamp"] = props["scan.bounded.timestamp-millis"]
     if "properties.group.id" in props:
         out["kafka.group.id"] = props["properties.group.id"]
     return out
@@ -261,7 +268,7 @@ def kafka_value_decode(
             return F.struct(col.cast(fl.dataType).alias(fl.name))
         raise NotImplementedError(f"kafka record format {f!r}")
 
-    if fmt in ("debezium-json", "canal-json"):
+    if fmt in ("debezium-json", "canal-json", "maxwell-json"):
         # CDC envelope formats (flink-formats/flink-json
         # DebeziumJsonDeserializationSchema / CanalJsonDeserializationSchema):
         # the payload wraps row images + an op code; emitted rows carry
@@ -284,6 +291,22 @@ def kafka_value_decode(
             )
             img = F.when(op == "d", F.col("__env.before")).otherwise(F.col("__env.after"))
             out = parsed.withColumn("__img", img).withColumn("__rk", rowkind)
+            sel = [F.col(f"__img.{f.name}").alias(f.name) for f in schema.fields]
+        elif fmt == "maxwell-json":
+            # maxwell: {"data": {row}, "type": "insert"|"update"|"delete"}
+            env = T.StructType(
+                [
+                    T.StructField("data", schema),
+                    T.StructField("type", T.StringType()),
+                ]
+            )
+            parsed = df.withColumn("__env", F.from_json(F.col("value").cast("string"), env))
+            out = parsed.withColumn("__img", F.col("__env.data")).withColumn(
+                "__rk",
+                F.when(F.col("__env.type") == "insert", "+I")
+                .when(F.col("__env.type") == "update", "+U")
+                .when(F.col("__env.type") == "delete", "-D"),
+            )
             sel = [F.col(f"__img.{f.name}").alias(f.name) for f in schema.fields]
         else:  # canal-json: {"data": [rows], "type": INSERT|UPDATE|DELETE}
             env = T.StructType(

@@ -762,3 +762,52 @@ def test_kafka_encode_decode_property_roundtrip(spark):
             assert gs == pytest.approx(es, rel=1e-6, abs=1e-6)
 
     check()
+
+
+def test_ddl_computed_column(tenv, spark):
+    """Computed columns (`c AS expr`, SqlComputedColumn): evaluated on
+    read; PROCTIME() maps to current_timestamp()."""
+    df = tenv.execute_sql(
+        f"CREATE TABLE cc_nation (n_nationkey BIGINT, n_name STRING, "
+        f"n_regionkey BIGINT, n_comment STRING, "
+        f"key_sq AS n_nationkey * n_nationkey, "
+        f"ptime AS PROCTIME()) WITH ("
+        f"'connector'='filesystem','path'='{SF_DIR}/nation.parquet','format'='parquet')"
+    )
+    rows = df.collect()
+    assert all(r.key_sq == r.n_nationkey ** 2 for r in rows)
+    assert all(r.ptime is not None for r in rows)
+    assert tenv.sql_query(
+        "SELECT max(key_sq) AS m FROM cc_nation"
+    ).collect()[0].m == max(r.n_nationkey for r in rows) ** 2
+
+
+def test_kafka_maxwell_and_bounded_mode(spark):
+    ddl = "id BIGINT, v DOUBLE"
+    mx = _kafka_frame(spark, [
+        (None, '{"data": {"id": 1, "v": 1.5}, "type": "insert"}', 0, "2024-01-01T00:00:00"),
+        (None, '{"data": {"id": 1, "v": 2.5}, "type": "update"}', 1, "2024-01-01T00:00:01"),
+        (None, '{"data": {"id": 1, "v": 2.5}, "type": "delete"}', 2, "2024-01-01T00:00:02"),
+    ])
+    got = [(r["id"], r["v"], r["__rowkind"])
+           for r in srcs.kafka_value_decode(mx, ddl, fmt="maxwell-json").collect()]
+    assert sorted(got) == [(1, 1.5, "+I"), (1, 2.5, "+U"), (1, 2.5, "-D")]
+    # bounded scan mode -> endingOffsets/endingTimestamp
+    assert srcs.kafka_options({"scan.bounded.mode": "latest-offset"})["endingOffsets"] == "latest"
+    assert srcs.kafka_options(
+        {"scan.bounded.mode": "timestamp", "scan.bounded.timestamp-millis": "99"}
+    )["endingTimestamp"] == "99"
+
+
+def test_ddl_decimal_and_comma_expr_columns(tenv, spark, tmp_path):
+    """Paren-aware schema splitting: DECIMAL(p,s) types and computed
+    expressions containing commas survive DDL parsing."""
+    d = str(tmp_path / "dec_src")
+    spark.createDataFrame([(1, "7.25")], "id long, amt string").write.json(d)
+    df = tenv.execute_sql(
+        f"CREATE TABLE dec_tbl (id BIGINT, amt DECIMAL(10,2), "
+        f"amt2 AS round(amt * 2, 1)) WITH ("
+        f"'connector'='filesystem','path'='{d}','format'='json')"
+    )
+    r = df.collect()[0]
+    assert str(r.amt) == "7.25" and float(r.amt2) == 14.5
