@@ -249,3 +249,40 @@ def stream_interval_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drained = ssrc.run_to_memory(out, f"drain_ijoin_{next(_seq)}", "append")
     return drained
+
+
+@query(
+    "stream_window_join_drain",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND time_bucket(INTERVAL '30 minutes', p.ts) = time_bucket(INTERVAL '30 minutes', c.ts)
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    tags=("streaming", "join", "window"),
+)
+def stream_window_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming WINDOW join (StreamExecWindowJoin: rows co-located in
+    the same tumbling window AND key), both sides watermarked, append
+    mode: after the drain every same-window pair has been emitted, so
+    the result equals the batch window-bucket equi-join the oracle
+    computes."""
+    from flink_1_16_0_src_spark.streaming import joins as sjoins
+
+    l = ssrc.stream_table(spark, sf_dir, "events", watermark=("ts", "10 minutes"))
+    r = ssrc.stream_table(spark, sf_dir, "events", watermark=("ts", "10 minutes"))
+    lf = l.where(F.col("event_type") == "purchase").select(
+        "ts", "user_id", F.col("event_id").alias("purchase_id")
+    )
+    rf = r.where(F.col("event_type") == "click").select(
+        F.col("ts").alias("rts"),
+        F.col("user_id").alias("ruid"),
+        F.col("event_id").alias("click_id"),
+    )
+    out = sjoins.window_join(
+        lf, rf, ("ts", "rts"), "30 minutes", ("user_id", "ruid")
+    ).select(lf["user_id"], "purchase_id", "click_id")
+    return ssrc.run_to_memory(out, f"drain_wjoin_{next(_seq)}", "append")
