@@ -286,3 +286,45 @@ def stream_window_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         lf, rf, ("ts", "rts"), "30 minutes", ("user_id", "ruid")
     ).select(lf["user_id"], "purchase_id", "click_id")
     return ssrc.run_to_memory(out, f"drain_wjoin_{next(_seq)}", "append")
+
+
+@query(
+    "stream_over_drain",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(cnt AS BIGINT) AS running_cnt,
+           round(s, 2) AS running_sum,
+           round(mn, 2) AS running_min,
+           round(mx, 2) AS running_max
+    FROM (
+      SELECT user_id, event_id,
+             count(*) OVER w AS cnt,
+             sum(value) OVER w AS s,
+             min(value) OVER w AS mn,
+             max(value) OVER w AS mx
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ) t
+    """,
+    tags=("streaming", "stateful", "over"),
+)
+def stream_over_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom streaming OVER aggregate (stateful.streaming_over_unbounded
+    — the reference's unbounded-preceding proctime OVER function)
+    drained in one availableNow batch: rows process in order_col order,
+    so every emitted row carries exactly the SQL running-window values.
+    Ordered by the unique event_id for determinism."""
+    from flink_1_16_0_src_spark.streaming.stateful import streaming_over_unbounded
+
+    sdf = ssrc.stream_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    )
+    out = streaming_over_unbounded(sdf, ["user_id"], "event_id", "value")
+    drained = ssrc.run_to_memory(out, f"drain_over_{next(_seq)}", "append")
+    return drained.select(
+        "user_id", "event_id", "running_cnt",
+        F.round("running_sum", 2).alias("running_sum"),
+        F.round("running_min", 2).alias("running_min"),
+        F.round("running_max", 2).alias("running_max"),
+    )
