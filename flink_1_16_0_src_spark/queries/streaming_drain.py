@@ -328,3 +328,42 @@ def stream_over_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("running_min", 2).alias("running_min"),
         F.round("running_max", 2).alias("running_max"),
     )
+
+
+@query(
+    "stream_changelog_drain",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, value,
+             lag(ts) OVER w AS pts,
+             lag(value) OVER w AS pv,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts)
+    )
+    SELECT user_id, event_type, ts, value, '+I' AS rowkind FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT user_id, event_type, pts, pv, '-U' FROM seq WHERE rn > 1 AND value <> pv
+    UNION ALL
+    SELECT user_id, event_type, ts, value, '+U' FROM seq WHERE rn > 1 AND value <> pv
+    """,
+    tags=("streaming", "stateful", "changelog"),
+)
+def stream_changelog_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog normalize (stateful.changelog_normalize — the
+    reference's ChangelogNormalize + RowKind stamping) drained in one
+    availableNow batch: the full +I / -U / +U transition stream per
+    (user, event_type) keyed by ts order, which a lag() reconstruction
+    reproduces exactly in SQL (the -U rows carry the PREVIOUS image,
+    RowKind.UPDATE_BEFORE semantics)."""
+    from flink_1_16_0_src_spark.streaming.stateful import changelog_normalize
+
+    sdf = ssrc.stream_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    out = changelog_normalize(sdf, ["user_id", "event_type"], order_col="ts")
+    drained = ssrc.run_to_memory(out, f"drain_changelog_{next(_seq)}", "append")
+    return drained.select(
+        "user_id", "event_type", "ts", "value",
+        F.col("__rowkind").alias("rowkind"),
+    )
