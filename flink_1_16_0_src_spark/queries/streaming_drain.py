@@ -367,3 +367,74 @@ def stream_changelog_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "ts", "value",
         F.col("__rowkind").alias("rowkind"),
     )
+
+
+@query(
+    "stream_asof_drain",
+    oracle="""
+    SELECT e.user_id AS custkey, e.event_id,
+           epoch_us(e.ts) AS ts_us,
+           o.o_orderkey, round(o.o_totalprice, 2) AS last_order_price
+    FROM events e
+    ASOF LEFT JOIN (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM orders
+        QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                   ORDER BY o_orderkey DESC) = 1
+    ) o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    tags=("streaming", "stateful", "temporal"),
+)
+def stream_asof_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING temporal/as-of join (stateful.streaming_asof_join —
+    TemporalRowTimeJoinOperator parity: right-side version list in
+    keyed state, bisect per left row) drained in one batch: every
+    event joined to the user's latest order version at event time,
+    equal to DuckDB's native ASOF LEFT JOIN. The version stream is
+    deduplicated to one row per (customer, date) so version-timestamp
+    ties cannot make the kept payload order-dependent."""
+    from pyspark.sql import Window as W
+
+    from flink_1_16_0_src_spark.streaming.stateful import streaming_asof_join
+    from flink_1_16_0_src_spark.tables import load
+
+    # event time rides the payload as unix micros — the JSON state
+    # round-trip keeps only millisecond precision for raw timestamps
+    ev = ssrc.stream_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("custkey"), "ts", "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    w = W.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
+    o = (
+        o.withColumn("__rn", F.row_number().over(w)).where("__rn = 1").drop("__rn")
+        .withColumnRenamed("o_custkey", "custkey")
+        .withColumn("rts", F.col("o_orderdate").cast("timestamp"))
+    )
+    # version side as a stream too: re-read through a temp parquet is
+    # unnecessary — the operator only needs both sides tagged; feed the
+    # bounded version table as a one-batch stream via the same fixture
+    r = ssrc.stream_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").cast("timestamp").alias("rts"),
+        "o_orderkey", "o_totalprice",
+    )
+    rw = W.partitionBy("custkey", "rts").orderBy(F.col("o_orderkey").desc())
+    # dedupe must happen streaming-side: keep max orderkey per version ts
+    # is not expressible pre-shuffle here, so filter AFTER via the known
+    # deterministic rule inside the oracle instead — both sides keep all
+    # versions and ties resolve identically by the bisect picking the
+    # LAST-sorted (insertion after sort by ts is stable, so equal-ts
+    # versions keep arrival order)... to stay deterministic, pre-dedupe
+    # with a batch-computed key set is required; simplest: restrict to
+    # orders that are the per-(cust, date) max orderkey.
+    keep = o.select("custkey", "rts", "o_orderkey")
+    r = r.join(F.broadcast(keep), ["custkey", "rts", "o_orderkey"], "left_semi")
+    out = streaming_asof_join(ev, r, "custkey", "ts", "rts", ["o_orderkey", "o_totalprice"])
+    drained = ssrc.run_to_memory(out, f"drain_asof_{next(_seq)}", "append")
+    return drained.select(
+        "custkey", "event_id", "ts_us", "o_orderkey",
+        F.round("o_totalprice", 2).alias("last_order_price"),
+    )
