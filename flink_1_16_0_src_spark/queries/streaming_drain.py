@@ -438,3 +438,32 @@ def stream_asof_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey", "event_id", "ts_us", "o_orderkey",
         F.round("o_totalprice", 2).alias("last_order_price"),
     )
+
+
+@query(
+    "stream_unbounded_join_drain",
+    oracle="""
+    SELECT p.user_id AS uid, p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    tags=("streaming", "join", "changelog"),
+)
+def stream_unbounded_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNBOUNDED stream-stream inner join (the custom dual-keyed-buffer
+    StreamingJoinOperator analog, no time bound) drained in one batch:
+    the inner changelog is append-only (+I per pairing), so the drained
+    set equals the batch equi-join — the hardest stateful join gets a
+    driver-checkable value row."""
+    from flink_1_16_0_src_spark.streaming.joins import unbounded_join
+
+    l = ssrc.stream_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    ).select(F.col("user_id").alias("uid"), F.col("event_id").alias("purchase_id"))
+    r = ssrc.stream_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "click"
+    ).select(F.col("user_id").alias("ruid"), F.col("event_id").alias("click_id"))
+    out = unbounded_join(l, r, ("uid", "ruid"), how="inner")
+    drained = ssrc.run_to_memory(out, f"drain_ujoin_{next(_seq)}", "append")
+    return drained.select("uid", "purchase_id", "click_id")
