@@ -146,3 +146,40 @@ def ds_async_io_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DataStream(ev).async_io(
         request, "event_id long, doubled double, shard long", capacity=8
     ).df
+
+
+@query(
+    "ds_iterate_halving",
+    oracle="""
+    WITH RECURSIVE halve AS (
+      SELECT o_orderkey AS id, o_totalprice AS v
+      FROM orders WHERE o_orderkey < 500
+      UNION ALL
+      SELECT id, v / 2 FROM halve WHERE v >= 1000
+    )
+    SELECT id, round(min(v), 6) AS final_v
+    FROM halve GROUP BY id
+    """,
+    tags=("datastream", "iterate"),
+)
+def ds_iterate_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataStream.iterate (DataStream.java:553 + closeWith): the
+    driver-coordinated superstep loop halves each value until it drops
+    below the threshold; rows still above re-enter as feedback.
+    Deterministic and float-exact (binary halving), so a recursive CTE
+    replays it — the iterative-computation surface gets a value-checked
+    driver row."""
+    o = load(spark, sf_dir, "orders").where("o_orderkey < 500").select(
+        F.col("o_orderkey").alias("id"), F.col("o_totalprice").alias("v")
+    )
+
+    def step(ds: DataStream):
+        # rows below the threshold exit with their CURRENT value; only
+        # rows still above it are halved and fed back (the CTE recurses
+        # under the same condition)
+        done = ds.df.where(F.col("v") < 1000)
+        fb = ds.df.where(F.col("v") >= 1000).withColumn("v", F.col("v") / 2)
+        return DataStream(fb), DataStream(done)
+
+    out = DataStream(o).iterate(step, max_iterations=64)
+    return out.df.select("id", F.round("v", 6).alias("final_v"))
