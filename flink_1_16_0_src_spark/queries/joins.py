@@ -333,3 +333,48 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_in_band"),
         F.round(F.sum("l_quantity"), 2).alias("qty_in_band"),
     )
+
+
+@query(
+    "join_lookup_batched_probe",
+    oracle="""
+    SELECT c_custkey, c_name, n.n_name, n.n_regionkey
+    FROM customer
+    LEFT JOIN nation n ON c_nationkey = n_nationkey
+    """,
+    tags=("join", "lookup"),
+)
+def join_lookup_batched_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lookup join via the EXTERNAL-PROBE path (LookupJoinRunner.java:34
+    — per-Arrow-batch distinct-key probe + worker cache), not the
+    broadcast shortcut: the 'external system' here is a deterministic
+    dict snapshot of the nation table shipped in the probe closure, so
+    the mapInPandas probe/caching machinery is what's actually under
+    test; a plain left join is the oracle."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from flink_1_16_0_src_spark.operators.lookup import lookup_join
+
+    dim = {
+        int(r.n_nationkey): {"n_name": r.n_name, "n_regionkey": int(r.n_regionkey)}
+        for r in load(spark, sf_dir, "nation").collect()
+    }
+
+    def probe(keys):
+        return {k: dim.get(k, {"n_name": None, "n_regionkey": None}) for k in keys}
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    out_schema = StructType(
+        [
+            StructField("c_custkey", LongType()),
+            StructField("c_name", StringType()),
+            StructField("c_nationkey", LongType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", LongType()),
+        ]
+    )
+    out = lookup_join(
+        cust, probe, "c_nationkey", ["n_name", "n_regionkey"], out_schema,
+        batch_size=64, cache=True, concurrency=2,
+    )
+    return out.select("c_custkey", "c_name", "n_name", "n_regionkey")
