@@ -17,10 +17,18 @@ from flink_1_16_0_src_spark.pipeline.similarity import ivf_assign
 
 
 def _centroid_means(assigned: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    # Decimal-exact means: sum each dimension in DECIMAL(25,10) (decimal
+    # addition is order-independent, unlike double — Spark's partition
+    # summation order flipped a round(avg(double),4) hash at a …x.00005
+    # boundary in driver r2), then ONE double divide per cell.
     v = F.col(vec_col).cast("array<double>")
+
+    def _mean(d: int):
+        e = F.element_at(v, d + 1).cast("decimal(25,10)")
+        return (F.sum(e).cast("double") / F.count(F.lit(1))).alias(f"m{d}")
+
     return assigned.groupBy("cell").agg(
-        F.count("*").alias("n"),
-        *[F.avg(F.element_at(v, d + 1)).alias(f"m{d}") for d in range(dim)],
+        F.count("*").alias("n"), *[_mean(d) for d in range(dim)]
     )
 
 

@@ -38,7 +38,13 @@ def brute_force_topk(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("__cos", _cosine(F.col("__qv"), F.col("__cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id"))
+    # rank on the ROUNDED cosine: near-ties at the k boundary differ by
+    # one ulp across engines (Spark fold vs DuckDB list_cosine_similarity),
+    # so raw-float ordering is nondeterministic — rounding collapses those
+    # into id-broken ties identically everywhere (same pattern as pq_adc_topk)
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("__cos"), 4).desc(), F.col("neighbor_id")
+    )
     return (
         scored.withColumn("rank_num", F.row_number().over(w))
         .where(F.col("rank_num") <= k)
@@ -185,7 +191,11 @@ def ivf_topk(
     )
     joined = probes.join(corpus, "cell").where(F.col("neighbor_id") != F.col("query_id"))
     cos = _cosine(F.col("__vq"), F.col("__vc"))
-    w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), "neighbor_id")
+    # rounded-cosine ranking — same ulp-tie determinism rule as
+    # brute_force_topk / pq_adc_topk
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("__cos"), 4).desc(), "neighbor_id"
+    )
     return (
         joined.select("query_id", "neighbor_id", cos.alias("__cos"))
         .withColumn("rank_num", F.row_number().over(w))

@@ -33,10 +33,10 @@ from flink_1_16_0_src_spark.tables import load
       ) WHERE rn = 1
     )
     SELECT a.cell, CAST(count(*) AS BIGINT) AS n,
-           round(avg(CAST(e.embedding[1] AS DOUBLE)), 4) AS m0,
-           round(avg(CAST(e.embedding[2] AS DOUBLE)), 4) AS m1,
-           round(avg(CAST(e.embedding[3] AS DOUBLE)), 4) AS m2,
-           round(avg(CAST(e.embedding[4] AS DOUBLE)), 4) AS m3
+           round(CAST(sum(CAST(CAST(e.embedding[1] AS DOUBLE) AS DECIMAL(25,10))) AS DOUBLE) / count(*), 4) AS m0,
+           round(CAST(sum(CAST(CAST(e.embedding[2] AS DOUBLE) AS DECIMAL(25,10))) AS DOUBLE) / count(*), 4) AS m1,
+           round(CAST(sum(CAST(CAST(e.embedding[3] AS DOUBLE) AS DECIMAL(25,10))) AS DOUBLE) / count(*), 4) AS m2,
+           round(CAST(sum(CAST(CAST(e.embedding[4] AS DOUBLE) AS DECIMAL(25,10))) AS DOUBLE) / count(*), 4) AS m3
     FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
     GROUP BY a.cell
     """,

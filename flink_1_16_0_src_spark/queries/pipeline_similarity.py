@@ -23,8 +23,8 @@ from flink_1_16_0_src_spark.tables import load
              list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                     CAST(b.embedding AS DOUBLE[])) AS cos,
              row_number() OVER (PARTITION BY a.vec_id
-                                ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                                                CAST(b.embedding AS DOUBLE[])) DESC,
+                                ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                                      CAST(b.embedding AS DOUBLE[])), 4) DESC,
                                          b.vec_id) AS rank_num
       FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
       WHERE a.vec_id < 10
@@ -164,8 +164,8 @@ def sim_bucket_join_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
                                     CAST(c.embedding AS DOUBLE[])) AS cos,
              row_number() OVER (PARTITION BY p.vec_id
-               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                               CAST(c.embedding AS DOUBLE[])) DESC,
+               ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                     CAST(c.embedding AS DOUBLE[])), 4) DESC,
                         a.vec_id) AS rank_num
       FROM probes p
       JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
