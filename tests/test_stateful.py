@@ -315,3 +315,93 @@ def test_keyed_inactivity_timer_fires_on_watermark(spark, tmp_path):
     got = sources.run_to_memory(out, "s_timer", "append")
     rows = [(r.k, r.last_seen.isoformat(), r.n_events) for r in got.collect()]
     assert rows == [("A", "2024-01-01T00:00:10", 2)]
+
+
+def _drain_once(out_sdf, ckpt: str, qname: str) -> list:
+    """availableNow drain through a checkpoint-recoverable foreachBatch
+    sink (memory sink refuses checkpoint recovery); returns this drain's
+    emitted rows."""
+    rows: list = []
+
+    def sink(batch_df, batch_id):
+        rows.extend(batch_df.collect())
+
+    q = (
+        out_sdf.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return rows
+
+
+def test_streaming_topn_ttl_expiry(spark, tmp_path):
+    """StateTtlConfig parity (flink-core/.../state/StateTtlConfig.java,
+    OnReadAndWrite visibility): a key idle past ttl_ms DROPS its state on
+    next access — batch 2 after the idle gap sees an empty top-k, so a
+    small value ranks 1 instead of being shadowed by batch 1's rows."""
+    d = os.path.join(str(tmp_path), "in")
+    os.makedirs(d)
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    schema = "user_id bigint, value double"
+    b1 = spark.createDataFrame([(1, 30.0), (1, 20.0), (1, 10.0)], schema)
+    b1.coalesce(1).write.mode("append").parquet(d)
+
+    def topn():
+        sdf = spark.readStream.schema(b1.schema).parquet(d)
+        return stateful.streaming_topn(sdf, ["user_id"], "value", 2, ttl_ms=500)
+
+    got1 = {(r.rank_num, r.value) for r in _drain_once(topn(), ckpt, "ttl_b1")}
+    assert got1 == {(1, 30.0), (2, 20.0)}
+
+    time.sleep(1.3)  # idle past ttl_ms
+    spark.createDataFrame([(1, 5.0)], schema).coalesce(1).write.mode("append").parquet(d)
+    # same checkpoint → only the new file
+    got2 = {(r.rank_num, r.value) for r in _drain_once(topn(), ckpt, "ttl_b2")}
+    # expired: 5.0 is rank 1; without expiry it would not crack {30, 20}
+    assert got2 == {(1, 5.0)}
+
+
+def test_streaming_topn_no_ttl_keeps_state(spark, tmp_path):
+    """Control for the expiry test: same two-batch drive WITHOUT ttl —
+    batch 1's rows must still shadow the small batch-2 value."""
+    d = os.path.join(str(tmp_path), "in")
+    os.makedirs(d)
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    schema = "user_id bigint, value double"
+    b1 = spark.createDataFrame([(1, 30.0), (1, 20.0)], schema)
+    b1.coalesce(1).write.mode("append").parquet(d)
+
+    def topn():
+        sdf = spark.readStream.schema(b1.schema).parquet(d)
+        return stateful.streaming_topn(sdf, ["user_id"], "value", 2)
+
+    _drain_once(topn(), ckpt, "nottl_b1")
+    time.sleep(1.3)
+    spark.createDataFrame([(1, 5.0)], schema).coalesce(1).write.mode("append").parquet(d)
+    got2 = {(r.rank_num, r.value) for r in _drain_once(topn(), ckpt, "nottl_b2")}
+    assert got2 == {(1, 30.0), (2, 20.0)}
+
+
+def test_keep_last_dedup_ttl_expiry(spark, tmp_path):
+    """keep_last_dedup with ttl_ms: after the idle gap an OLDER-rowtime
+    row is accepted as fresh state (the expired last-row no longer
+    rejects it); without ttl it would be dropped as out of order."""
+    d = os.path.join(str(tmp_path), "in")
+    os.makedirs(d)
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    schema = "user_id bigint, seq bigint, value double"
+    b1 = spark.createDataFrame([(1, 100, 1.0)], schema)
+    b1.coalesce(1).write.mode("append").parquet(d)
+
+    def dedup(ttl):
+        sdf = spark.readStream.schema(b1.schema).parquet(d)
+        return stateful.keep_last_dedup(sdf, ["user_id"], order_col="seq", ttl_ms=ttl)
+
+    _drain_once(dedup(500), ckpt, "klttl_b1")
+    time.sleep(1.3)
+    spark.createDataFrame([(1, 50, 2.0)], schema).coalesce(1).write.mode("append").parquet(d)
+    got = {(r.seq, r.value) for r in _drain_once(dedup(500), ckpt, "klttl_b2")}
+    assert got == {(50, 2.0)}  # expired: the older-seq row re-seeds the key
