@@ -121,6 +121,58 @@ def cep_sql_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cep_sql_match_crossvar",
+    oracle="""
+    SELECT user_id, click_id, round(click_value, 2) AS click_value,
+           purchase_id, round(purchase_value, 2) AS purchase_value
+    FROM (
+      SELECT user_id,
+             event_id AS click_id,
+             value AS click_value,
+             lead(event_id) OVER w AS purchase_id,
+             lead(value) OVER w AS purchase_value,
+             event_type,
+             lead(event_type) OVER w AS next_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) t
+    WHERE event_type = 'click' AND next_type = 'purchase'
+      AND purchase_value > click_value * 1.1
+    """,
+    tags=("cep", "match-recognize", "sql-surface"),
+)
+def cep_sql_match_crossvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-variable DEFINE in SQL MATCH_RECOGNIZE
+    (MatchCodeGenerator.scala running-aggregate surface): B's DEFINE
+    references LAST(A.value) — the NFA evaluates it from match state
+    per row (the dict path; mask hoisting can't express it). Pattern:
+    a purchase immediately after a click whose value beats the click's
+    by >10%; oracle = the adjacent-pair lead() rewrite with the same
+    cross-row comparison."""
+    _events_view(spark, sf_dir, "events_sqlsrc")
+    sql = """
+    SELECT * FROM events_sqlsrc MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts, event_id
+      MEASURES FIRST(A.event_id) AS click_id,
+               FIRST(A.value) AS click_value,
+               FIRST(B.event_id) AS purchase_id,
+               FIRST(B.value) AS purchase_value
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (A B)
+      DEFINE A AS event_type = 'click',
+             B AS event_type = 'purchase' AND B.value > LAST(A.value) * 1.1
+    )
+    """
+    out = spark.sql(rewrite_flink_clauses(spark, sql))
+    return out.select(
+        "user_id", "click_id", F.round("click_value", 2).alias("click_value"),
+        "purchase_id", F.round("purchase_value", 2).alias("purchase_value"),
+    )
+
+
+@query(
     "tvf_sql_session",
     oracle="""
     WITH flagged AS (

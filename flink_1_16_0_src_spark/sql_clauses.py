@@ -27,9 +27,14 @@ groups):
   [, n])`` become lag/lead over the partition (physical offsets, the
   Calcite semantics) — all hoisted to JVM-evaluated mask columns
   before the NFA runs (the same condition hoisting
-  MatchCodeGenerator.scala performs). Cross-variable references
-  (LAST(A.x) inside DEFINE B) are NOT supported in SQL form — use the
-  Python API's matched-dict predicates for those.
+  MatchCodeGenerator.scala performs). CROSS-VARIABLE references —
+  ``FIRST/LAST/SUM/AVG(A.col)`` and ``COUNT(A.*)`` inside DEFINE B,
+  the MatchCodeGenerator.scala running-aggregate surface — are
+  supported: they compile to a per-row NFA predicate fed from the
+  match state (the whole pattern then runs the dict path instead of
+  the vectorized masks; restricted expression grammar — comparisons,
+  arithmetic, AND/OR/NOT, literals, column refs). Aggregates over the
+  variable BEING defined remain unsupported (use PREV).
 - MEASURES: ``FIRST(V.col)``, ``LAST(V.col)``, ``V.col`` (≡ LAST —
   Calcite's implicit last-row semantics), ``COUNT(V.*)``,
   ``SUM(V.col)``, ``AVG(V.col)``.
@@ -220,6 +225,83 @@ def _parse_quant(tok: str) -> tuple[str, int, int | None]:
 _PREV_NEXT = re.compile(r"\b(PREV|NEXT)\s*\(\s*(\w+)\.(\w+)\s*(?:,\s*(\d+)\s*)?\)", re.IGNORECASE)
 _MEASURE_FN = re.compile(r"^(FIRST|LAST|COUNT|SUM|AVG)\s*\(\s*(\w+)\.(\w+|\*)\s*\)$", re.IGNORECASE)
 _VAR_COL = re.compile(r"^(\w+)\.(\w+)$")
+# cross-variable running aggregate inside DEFINE (MatchCodeGenerator.scala
+# compiles these over the already-matched prefix): FIRST/LAST/SUM/AVG(V.col),
+# COUNT(V.*) where V is NOT the variable being defined
+_CROSSVAR = re.compile(
+    r"\b(FIRST|LAST|COUNT|SUM|AVG)\s*\(\s*(\w+)\s*\.\s*(\*|\w+)\s*\)", re.IGNORECASE
+)
+
+_PY_KEYWORDS = {"AND": "and", "OR": "or", "NOT": "not", "TRUE": "True", "FALSE": "False", "NULL": "None"}
+
+
+def _sql_bool_to_py(cond: str) -> str:
+    """Translate a (restricted) SQL boolean expression to Python for
+    per-row NFA evaluation — comparisons, arithmetic, AND/OR/NOT,
+    literals, column refs (→ ``r['col']``), and ``__cv{i}`` cross-var
+    placeholders. This is the interpretive stand-in for the codegen
+    MatchCodeGenerator.scala performs on DEFINE clauses that reference
+    other variables' matched rows (those can't hoist to Catalyst
+    columns — they depend on NFA match state)."""
+    cond = cond.replace("<>", "!=")
+    cond = re.sub(r"(?<![<>!=])=(?!=)", "==", cond)
+    out, pos = [], 0
+    for m in re.finditer(r"'[^']*'|[A-Za-z_]\w*", cond):
+        out.append(cond[pos : m.start()])
+        tok = m.group(0)
+        if tok.startswith("'"):
+            out.append('"' + tok[1:-1] + '"')
+        elif tok.upper() in _PY_KEYWORDS:
+            out.append(_PY_KEYWORDS[tok.upper()])
+        elif re.fullmatch(r"__cv\d+", tok):
+            out.append(tok)
+        else:
+            out.append(f"r[{tok!r}]")
+        pos = m.end()
+    out.append(cond[pos:])
+    return "".join(out)
+
+
+def _crossvar_value(fn: str, m: dict, var: str, col: str | None):
+    if fn == "COUNT":
+        return cep.count_of(m, var)
+    if not m.get(var):
+        return None  # SQL NULL: aggregate over an unmatched variable
+    if fn == "FIRST":
+        return cep.first(m, var, col)
+    if fn == "LAST":
+        return cep.last(m, var, col)
+    if fn == "SUM":
+        return cep.sum_of(m, var, col)
+    n = cep.count_of(m, var)  # AVG
+    return cep.sum_of(m, var, col) / n if n else None
+
+
+def _crossvar_predicate(cond: str, cv_map: dict):
+    """Build an ``(r, m) -> bool`` NFA predicate from a DEFINE with
+    cross-variable aggregate refs. NULL comparisons (unmatched optional
+    variable, null column) evaluate to false, the SQL three-valued
+    collapse a WHERE applies."""
+    py = _sql_bool_to_py(cond)
+    try:
+        code = compile(py, "<define>", "eval")
+    except SyntaxError as e:
+        raise ValueError(
+            f"unsupported DEFINE expression {cond!r} (cross-variable DEFINEs "
+            "support comparisons, arithmetic, AND/OR/NOT, literals, column "
+            f"refs, and FIRST/LAST/SUM/AVG/COUNT(V.col)): {e}"
+        ) from None
+
+    def pred(r, m) -> bool:
+        env = {"r": r}
+        for name, (fn, var, col) in cv_map.items():
+            env[name] = _crossvar_value(fn, m, var, col)
+        try:
+            return bool(eval(code, {"__builtins__": {}}, env))
+        except TypeError:
+            return False  # comparison against NULL
+
+    return pred
 
 
 def _clause_split(body: str) -> dict[str, str]:
@@ -291,9 +373,12 @@ def lower_match_recognize(
         for v, _, _ in (it if isinstance(it, list) else [it]):
             all_vars.append(v.upper())
 
-    def hoist(var: str, cond: str) -> tuple[str, dict]:
-        # PREV/NEXT → lag/lead helper columns; self-var prefix stripped
+    def hoist(var: str, cond: str) -> tuple[str, dict, dict]:
+        # PREV/NEXT → lag/lead helper columns; self-var prefix stripped;
+        # cross-var FIRST/LAST/SUM/AVG/COUNT → __cv{i} placeholders fed
+        # from NFA match state (MatchCodeGenerator.scala parity)
         helper_cols: dict[str, object] = {}
+        cv_map: dict[str, tuple] = {}
 
         def sub_prevnext(m: re.Match) -> str:
             fn, v, col, off = m.group(1).upper(), m.group(2).upper(), m.group(3), m.group(4)
@@ -304,30 +389,49 @@ def lower_match_recognize(
             )
             return name
 
+        def sub_crossvar(m: re.Match) -> str:
+            fn, v, col = m.group(1).upper(), m.group(2).upper(), m.group(3)
+            if v == var:
+                raise NotImplementedError(
+                    f"{fn}({v}.{col}) inside DEFINE {var}: aggregates over the "
+                    "variable being defined are not supported — only refs to "
+                    "OTHER variables' matched rows (use PREV for the prior row)"
+                )
+            name = f"__cv{len(cv_map)}"
+            cv_map[name] = (fn, v, None if col == "*" else col)
+            return name
+
         cond = _PREV_NEXT.sub(sub_prevnext, cond)
+        cond = _CROSSVAR.sub(sub_crossvar, cond)
         # self (or any) variable prefix on a plain column ref → bare col;
-        # cross-var refs without PREV/NEXT are row-local in this subset
+        # cross-var refs without an aggregate wrapper are row-local
         for v in all_vars:
             cond = re.sub(rf"\b{v}\.(\w+)", r"\1", cond, flags=re.IGNORECASE)
-        return cond, helper_cols
+        return cond, helper_cols, cv_map
 
-    mask_cols: dict[str, tuple[str, dict]] = {}
+    mask_cols: dict[str, tuple[str, dict, dict]] = {}
     for var in all_vars:
         cond = defines.get(var, "TRUE")  # undefined var matches any row (Calcite)
         mask_cols[var] = hoist(var, cond)
 
     prepared = df
     added_helpers: set[str] = set()
-    for var, (cond, helpers) in mask_cols.items():
+    for var, (cond, helpers, _cv) in mask_cols.items():
         for name, colexpr in helpers.items():
             if name not in added_helpers:
                 prepared = prepared.withColumn(name, colexpr)
                 added_helpers.add(name)
-    for var, (cond, _h) in mask_cols.items():
-        prepared = prepared.withColumn(f"__def_{var}", F.expr(cond))
+    for var, (cond, _h, cv) in mask_cols.items():
+        if not cv:  # cross-var DEFINEs evaluate in the NFA, not as a column
+            prepared = prepared.withColumn(f"__def_{var}", F.expr(cond))
 
     def mk_step(v: str, mn: int, mx: int | None) -> cep.Step:
         vu = v.upper()
+        cond, _h, cv = mask_cols[vu]
+        if cv:
+            # match-state-dependent predicate: per-row Python in the NFA
+            # (no vec — the whole pattern falls back to the dict path)
+            return cep.Step(vu, _crossvar_predicate(cond, cv), mn, mx)
         return cep.Step(
             vu,
             (lambda key: lambda r, m: bool(r[key]))(f"__def_{vu}"),
