@@ -268,66 +268,99 @@ def kafka_value_decode(
             return F.struct(col.cast(fl.dataType).alias(fl.name))
         raise NotImplementedError(f"kafka record format {f!r}")
 
-    if fmt in ("debezium-json", "canal-json", "maxwell-json"):
+    if fmt in ("debezium-json", "canal-json", "maxwell-json", "ogg-json"):
         # CDC envelope formats (flink-formats/flink-json
-        # DebeziumJsonDeserializationSchema / CanalJsonDeserializationSchema):
-        # the payload wraps row images + an op code; emitted rows carry
-        # the declared schema + __rowkind, feeding changelog consumers
-        # exactly like the reference's RowKind-stamped output.
-        if fmt == "debezium-json":
+        # DebeziumJsonDeserializationSchema / CanalJsonDeserializationSchema /
+        # MaxwellJsonDeserializationSchema / ogg/OggJsonDeserializationSchema):
+        # the payload wraps row images + an op code; emitted rows carry the
+        # declared schema + __rowkind. Updates emit BOTH the -U before image
+        # and the +U after image (the reference's RowKind pair), so
+        # retract-style consumers (aggregates over the changelog) see the
+        # full retraction stream; keyed upsert consumers filter -U like
+        # kafka_value_encode does. A record explodes to its (image, kind)
+        # pairs via one array literal — still pure Catalyst expressions.
+        def pair(img, rk: str):
+            return F.struct(img.alias("img"), F.lit(rk).alias("rk"))
+
+        if fmt in ("debezium-json", "ogg-json"):
+            # debezium: {"before", "after", "op": c|r|u|d}
+            # ogg (GoldenGate): {"before", "after", "op_type": I|U|D}
+            op_field = "op" if fmt == "debezium-json" else "op_type"
             env = T.StructType(
                 [
                     T.StructField("before", schema),
                     T.StructField("after", schema),
-                    T.StructField("op", T.StringType()),
+                    T.StructField(op_field, T.StringType()),
                 ]
             )
             parsed = df.withColumn("__env", F.from_json(F.col("value").cast("string"), env))
-            op = F.col("__env.op")
-            rowkind = (
-                F.when(op.isin("c", "r"), "+I")
-                .when(op == "u", "+U")
-                .when(op == "d", "-D")
+            op = F.col(f"__env.{op_field}")
+            is_ins = op.isin("c", "r") if fmt == "debezium-json" else (op == "I")
+            is_upd = op == ("u" if fmt == "debezium-json" else "U")
+            before, after = F.col("__env.before"), F.col("__env.after")
+            pairs = (
+                F.when(is_ins, F.array(pair(after, "+I")))
+                .when(is_upd, F.array(pair(before, "-U"), pair(after, "+U")))
+                .otherwise(F.array(pair(before, "-D")))
             )
-            img = F.when(op == "d", F.col("__env.before")).otherwise(F.col("__env.after"))
-            out = parsed.withColumn("__img", img).withColumn("__rk", rowkind)
-            sel = [F.col(f"__img.{f.name}").alias(f.name) for f in schema.fields]
+            out = parsed.select("*", F.explode(pairs).alias("__e"))
         elif fmt == "maxwell-json":
-            # maxwell: {"data": {row}, "type": "insert"|"update"|"delete"}
+            # maxwell: {"data": {row}, "old": {changed cols' OLD values},
+            # "type": insert|update|delete} — the -U image is data patched
+            # with old (a field changed FROM null is indistinguishable from
+            # an absent field under from_json; documented cut vs the
+            # reference's JSON-node presence check)
             env = T.StructType(
                 [
                     T.StructField("data", schema),
+                    T.StructField("old", schema),
                     T.StructField("type", T.StringType()),
                 ]
             )
             parsed = df.withColumn("__env", F.from_json(F.col("value").cast("string"), env))
-            out = parsed.withColumn("__img", F.col("__env.data")).withColumn(
-                "__rk",
-                F.when(F.col("__env.type") == "insert", "+I")
-                .when(F.col("__env.type") == "update", "+U")
-                .when(F.col("__env.type") == "delete", "-D"),
+            data = F.col("__env.data")
+            before = F.struct(
+                *[
+                    F.coalesce(F.col(f"__env.old.{f.name}"), F.col(f"__env.data.{f.name}")).alias(f.name)
+                    for f in schema.fields
+                ]
             )
-            sel = [F.col(f"__img.{f.name}").alias(f.name) for f in schema.fields]
-        else:  # canal-json: {"data": [rows], "type": INSERT|UPDATE|DELETE}
+            typ = F.col("__env.type")
+            pairs = (
+                F.when(typ == "insert", F.array(pair(data, "+I")))
+                .when(typ == "update", F.array(pair(before, "-U"), pair(data, "+U")))
+                .when(typ == "delete", F.array(pair(data, "-D")))
+            )
+            out = parsed.select("*", F.explode(pairs).alias("__e"))
+        else:  # canal-json: {"data": [rows], "old": [sparse rows], "type": ...}
             env = T.StructType(
                 [
                     T.StructField("data", T.ArrayType(schema)),
+                    T.StructField("old", T.ArrayType(schema)),
                     T.StructField("type", T.StringType()),
                 ]
             )
             parsed = df.withColumn("__env", F.from_json(F.col("value").cast("string"), env))
-            out = parsed.select(
-                "*", F.explode(F.col("__env.data")).alias("__img")
-            ).withColumn(
-                "__rk",
-                F.when(F.col("__env.type") == "INSERT", "+I")
-                .when(F.col("__env.type") == "UPDATE", "+U")
-                .when(F.col("__env.type") == "DELETE", "-D"),
+            pe = parsed.select("*", F.posexplode(F.col("__env.data")).alias("__pos", "__data"))
+            old_i = F.col("__env.old").getItem(F.col("__pos"))
+            before = F.struct(
+                *[
+                    F.coalesce(old_i[f.name], F.col(f"__data.{f.name}")).alias(f.name)
+                    for f in schema.fields
+                ]
             )
-            sel = [F.col(f"__img.{f.name}").alias(f.name) for f in schema.fields]
+            data = F.col("__data")
+            typ = F.col("__env.type")
+            pairs = (
+                F.when(typ == "INSERT", F.array(pair(data, "+I")))
+                .when(typ == "UPDATE", F.array(pair(before, "-U"), pair(data, "+U")))
+                .when(typ == "DELETE", F.array(pair(data, "-D")))
+            )
+            out = pe.select("*", F.explode(pairs).alias("__e"))
+        sel = [F.col(f"__e.img.{f.name}").alias(f.name) for f in schema.fields]
         for out_name, meta_col in (metadata or {}).items():
             sel.append(F.col(meta_col).alias(out_name))
-        sel.append(F.col("__rk").alias("__rowkind"))
+        sel.append(F.col("__e.rk").alias("__rowkind"))
         return out.select(*sel)
 
     out = df

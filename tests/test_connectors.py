@@ -675,16 +675,55 @@ def test_kafka_cdc_formats_debezium_and_canal(spark):
     ])
     got = {(r["id"], r["v"], r["__rowkind"])
            for r in srcs.kafka_value_decode(dbz, ddl, fmt="debezium-json").collect()}
-    assert got == {(1, 1.0, "+I"), (1, 2.0, "+U"), (1, 2.0, "-D"), (2, 9.0, "+I")}
+    # op='u' emits BOTH the -U before image and the +U after image
+    # (DebeziumJsonDeserializationSchema's UPDATE_BEFORE/UPDATE_AFTER pair)
+    assert got == {(1, 1.0, "+I"), (1, 1.0, "-U"), (1, 2.0, "+U"), (1, 2.0, "-D"), (2, 9.0, "+I")}
 
     canal = _kafka_frame(spark, [
         (None, '{"data": [{"id": 3, "v": 5.0}, {"id": 4, "v": 6.0}], "type": "INSERT"}', 0, "2024-01-01T00:00:00"),
-        (None, '{"data": [{"id": 3, "v": 7.0}], "type": "UPDATE"}', 1, "2024-01-01T00:00:01"),
+        (None, '{"data": [{"id": 3, "v": 7.0}], "old": [{"v": 5.0}], "type": "UPDATE"}', 1, "2024-01-01T00:00:01"),
         (None, '{"data": [{"id": 4, "v": 6.0}], "type": "DELETE"}', 2, "2024-01-01T00:00:02"),
     ])
     got = {(r["id"], r["v"], r["__rowkind"])
            for r in srcs.kafka_value_decode(canal, ddl, fmt="canal-json").collect()}
-    assert got == {(3, 5.0, "+I"), (4, 6.0, "+I"), (3, 7.0, "+U"), (4, 6.0, "-D")}
+    # the -U image is data patched with canal's sparse "old" field
+    assert got == {(3, 5.0, "+I"), (4, 6.0, "+I"), (3, 5.0, "-U"), (3, 7.0, "+U"), (4, 6.0, "-D")}
+
+
+def test_kafka_cdc_format_ogg(spark):
+    """ogg-json (flink-formats/flink-json/.../ogg/
+    OggJsonDeserializationSchema.java): GoldenGate's before/after/op_type
+    envelope, op_type I/U/D; U emits the -U/+U pair."""
+    ddl = "id BIGINT, v DOUBLE"
+    ogg = _kafka_frame(spark, [
+        (None, '{"before": null, "after": {"id": 1, "v": 1.0}, "op_type": "I"}', 0, "2024-01-01T00:00:00"),
+        (None, '{"before": {"id": 1, "v": 1.0}, "after": {"id": 1, "v": 2.0}, "op_type": "U"}', 1, "2024-01-01T00:00:01"),
+        (None, '{"before": {"id": 1, "v": 2.0}, "after": null, "op_type": "D"}', 2, "2024-01-01T00:00:02"),
+        (None, '{"before": null, "after": {"id": 2, "v": 9.0}, "op_type": "I"}', 3, "2024-01-01T00:00:03"),
+    ])
+    got = {(r["id"], r["v"], r["__rowkind"])
+           for r in srcs.kafka_value_decode(ogg, ddl, fmt="ogg-json").collect()}
+    assert got == {(1, 1.0, "+I"), (1, 1.0, "-U"), (1, 2.0, "+U"), (1, 2.0, "-D"), (2, 9.0, "+I")}
+
+
+def test_cdc_changelog_retraction_sum(spark):
+    """The reason updates carry -U: a SUM over the changelog with the
+    before image retracted equals the table's true final sum — without
+    -U an updated key double-counts (ADVICE r2)."""
+    from pyspark.sql import functions as F
+
+    ddl = "id BIGINT, v DOUBLE"
+    dbz = _kafka_frame(spark, [
+        (None, '{"before": null, "after": {"id": 1, "v": 10.0}, "op": "c"}', 0, "2024-01-01T00:00:00"),
+        (None, '{"before": null, "after": {"id": 2, "v": 5.0}, "op": "c"}', 1, "2024-01-01T00:00:01"),
+        (None, '{"before": {"id": 1, "v": 10.0}, "after": {"id": 1, "v": 7.0}, "op": "u"}', 2, "2024-01-01T00:00:02"),
+    ])
+    decoded = srcs.kafka_value_decode(dbz, ddl, fmt="debezium-json")
+    signed = decoded.withColumn(
+        "sv",
+        F.when(F.col("__rowkind").isin("-U", "-D"), -F.col("v")).otherwise(F.col("v")),
+    )
+    assert signed.agg(F.sum("sv")).collect()[0][0] == 12.0  # 7 + 5, not 22
 
 
 def test_cdc_end_to_end_upsert_materialization(spark, tmp_path):
@@ -705,9 +744,15 @@ def test_cdc_end_to_end_upsert_materialization(spark, tmp_path):
     wire_dir = str(tmp_path / "cdc_wire")
     _kafka_frame(spark, records).write.parquet(wire_dir)
     stream = spark.readStream.schema(_KAFKA_WIRE_SCHEMA).parquet(wire_dir)
-    decoded = srcs.kafka_value_decode(
-        stream, "id BIGINT, v DOUBLE", fmt="debezium-json", metadata={"off": "offset"}
-    ).withColumn("is_delete", F.col("__rowkind") == "-D")
+    decoded = (
+        srcs.kafka_value_decode(
+            stream, "id BIGINT, v DOUBLE", fmt="debezium-json", metadata={"off": "offset"}
+        )
+        # upsert consumers drop UPDATE_BEFORE (same UB suppression as
+        # kafka_value_encode and Flink's upsert sinks)
+        .where(F.col("__rowkind") != "-U")
+        .withColumn("is_delete", F.col("__rowkind") == "-D")
+    )
     target = str(tmp_path / "cdc_table")
     q = (
         decoded.writeStream.foreachBatch(
@@ -786,12 +831,13 @@ def test_kafka_maxwell_and_bounded_mode(spark):
     ddl = "id BIGINT, v DOUBLE"
     mx = _kafka_frame(spark, [
         (None, '{"data": {"id": 1, "v": 1.5}, "type": "insert"}', 0, "2024-01-01T00:00:00"),
-        (None, '{"data": {"id": 1, "v": 2.5}, "type": "update"}', 1, "2024-01-01T00:00:01"),
+        (None, '{"data": {"id": 1, "v": 2.5}, "old": {"v": 1.5}, "type": "update"}', 1, "2024-01-01T00:00:01"),
         (None, '{"data": {"id": 1, "v": 2.5}, "type": "delete"}', 2, "2024-01-01T00:00:02"),
     ])
     got = [(r["id"], r["v"], r["__rowkind"])
            for r in srcs.kafka_value_decode(mx, ddl, fmt="maxwell-json").collect()]
-    assert sorted(got) == [(1, 1.5, "+I"), (1, 2.5, "+U"), (1, 2.5, "-D")]
+    # update = -U (data patched with maxwell's sparse "old") then +U
+    assert sorted(got) == [(1, 1.5, "+I"), (1, 1.5, "-U"), (1, 2.5, "+U"), (1, 2.5, "-D")]
     # bounded scan mode -> endingOffsets/endingTimestamp
     assert srcs.kafka_options({"scan.bounded.mode": "latest-offset"})["endingOffsets"] == "latest"
     assert srcs.kafka_options(
@@ -811,3 +857,41 @@ def test_ddl_decimal_and_comma_expr_columns(tenv, spark, tmp_path):
     )
     r = df.collect()[0]
     assert str(r.amt) == "7.25" and float(r.amt2) == 14.5
+
+
+def test_cdc_end_to_end_upsert_materialization_ogg(spark, tmp_path):
+    """ogg-json e2e: decode → UB suppression → foreachBatch upsert
+    materializer with delete handling (mirror of the debezium e2e)."""
+    from pyspark.sql import functions as F
+
+    from flink_1_16_0_src_spark.streaming.stateful import foreach_batch_upsert
+
+    records = [
+        (None, '{"before": null, "after": {"id": 1, "v": 1.0}, "op_type": "I"}', 0, "2024-01-01T00:00:00"),
+        (None, '{"before": null, "after": {"id": 2, "v": 2.0}, "op_type": "I"}', 1, "2024-01-01T00:00:01"),
+        (None, '{"before": {"id": 1, "v": 1.0}, "after": {"id": 1, "v": 10.0}, "op_type": "U"}', 2, "2024-01-01T00:00:02"),
+        (None, '{"before": {"id": 2, "v": 2.0}, "after": null, "op_type": "D"}', 3, "2024-01-01T00:00:03"),
+        (None, '{"before": null, "after": {"id": 3, "v": 3.0}, "op_type": "I"}', 4, "2024-01-01T00:00:04"),
+    ]
+    wire_dir = str(tmp_path / "ogg_wire")
+    _kafka_frame(spark, records).write.parquet(wire_dir)
+    stream = spark.readStream.schema(_KAFKA_WIRE_SCHEMA).parquet(wire_dir)
+    decoded = (
+        srcs.kafka_value_decode(
+            stream, "id BIGINT, v DOUBLE", fmt="ogg-json", metadata={"off": "offset"}
+        )
+        .where(F.col("__rowkind") != "-U")
+        .withColumn("is_delete", F.col("__rowkind") == "-D")
+    )
+    target = str(tmp_path / "ogg_table")
+    q = (
+        decoded.writeStream.foreachBatch(
+            foreach_batch_upsert(target, ["id"], "off", delete_col="is_delete")
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ogg_ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, 10.0), (3, 3.0)}
