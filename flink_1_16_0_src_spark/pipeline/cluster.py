@@ -32,6 +32,28 @@ def _centroid_means(assigned: DataFrame, vec_col: str, dim: int) -> DataFrame:
     )
 
 
+def refine_seeds(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    seeds: list[list[float]],
+    iters: int = 1,
+) -> list[list[float]]:
+    """``iters`` Lloyd refinement passes over given seed centroids —
+    deterministic (no RNG; decimal-exact means are bitwise reproducible
+    across engines and partitionings). Empty clusters keep their
+    previous centroid. Used to de-degenerate the sampled lowest-id
+    seeds of the IVF/PQ quantizers on clustered corpora."""
+    cents = [list(map(float, s)) for s in seeds]
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = ivf_assign(df, vec_col, id_col, cents)
+        stats = _centroid_means(assigned, vec_col, dim).collect()
+        new = {int(r["cell"]): [float(r[f"m{d}"]) for d in range(dim)] for r in stats}
+        cents = [new.get(c, cents[c]) for c in range(len(cents))]
+    return cents
+
+
 def kmeans(
     df: DataFrame,
     vec_col: str,
@@ -46,12 +68,7 @@ def kmeans(
     fallback)."""
     seed_rows = df.where(F.col(id_col) < k).select(id_col, vec_col).collect()
     cents = [list(map(float, r[1])) for r in sorted(seed_rows, key=lambda r: r[0])]
-    dim = len(cents[0])
-    for _ in range(iters):
-        assigned = ivf_assign(df, vec_col, id_col, cents)
-        stats = _centroid_means(assigned, vec_col, dim).collect()
-        new = {int(r["cell"]): [float(r[f"m{d}"]) for d in range(dim)] for r in stats}
-        cents = [new.get(c, cents[c]) for c in range(k)]
+    cents = refine_seeds(df, vec_col, id_col, cents, iters)
     return ivf_assign(df, vec_col, id_col, cents).drop("__dists"), cents
 
 

@@ -151,6 +151,7 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 8,
     nprobe: int = 2,
+    refine: int = 0,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into ``n_cells``
     inverted lists, probe each query's ``nprobe`` nearest cells, exact
@@ -158,14 +159,19 @@ def ivf_topk(
     |Q|·|corpus|/n_cells·nprobe instead of |Q|·|corpus|.
 
     Seeds are the ``n_cells`` lowest-id vectors (deterministic, no
-    training RNG); the centroid table is collected driver-side — k×dim
-    floats, the classic bounded coordination state of an IVF/k-means
-    quantizer, never O(corpus). At 100 TB: assignment is a map-only
-    pass over the corpus; the probe join shuffles on the cell id, whose
-    cardinality (n_cells) caps skew; raise n_cells so cells fit a
-    partition."""
+    training RNG); ``refine`` Lloyd passes (decimal-exact means —
+    bitwise reproducible) de-degenerate them on clustered corpora. The
+    centroid table is collected driver-side — k×dim floats, the classic
+    bounded coordination state of an IVF/k-means quantizer, never
+    O(corpus). At 100 TB: assignment is a map-only pass over the
+    corpus; the probe join shuffles on the cell id, whose cardinality
+    (n_cells) caps skew; raise n_cells so cells fit a partition."""
     seeds_rows = df.where(F.col(id_col) < n_cells).select(id_col, vec_col).collect()
     seeds = [list(map(float, r[1])) for r in sorted(seeds_rows, key=lambda r: r[0])]
+    if refine:
+        from flink_1_16_0_src_spark.pipeline.cluster import refine_seeds
+
+        seeds = refine_seeds(df, vec_col, id_col, seeds, refine)
     assigned = ivf_assign(df, vec_col, id_col, seeds)
     corpus = assigned.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vc"), "cell"
@@ -210,20 +216,32 @@ def ivf_topk(
 
 
 def pq_codebooks(
-    df: DataFrame, vec_col: str, id_col: str, m: int = 8, ncent: int = 4
+    df: DataFrame, vec_col: str, id_col: str, m: int = 8, ncent: int = 4,
+    refine: int = 0,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks: the vector space splits into
     ``m`` contiguous subspaces; each subspace's ``ncent`` centroids are
     the sub-vectors of the ``ncent`` lowest-id corpus vectors —
     deterministic sampled codebooks, the same no-RNG seeding policy as
-    ``ivf_topk`` (swap in per-subspace Lloyd refinement for production
-    recall; correctness of encode/ADC is independent of codebook
-    quality). Driver state = m × ncent × (dim/m) floats — bounded."""
+    ``ivf_topk``. ``refine`` runs that many per-subspace Lloyd passes
+    (decimal-exact means, deterministic) for production recall;
+    correctness of encode/ADC is independent of codebook quality.
+    Driver state = m × ncent × (dim/m) floats — bounded."""
     rows = df.where(F.col(id_col) < ncent).select(id_col, vec_col).collect()
     seeds = [list(map(float, r[1])) for r in sorted(rows, key=lambda r: r[0])]
     dim = len(seeds[0])
     sub = dim // m
-    return [[s[j * sub : (j + 1) * sub] for s in seeds] for j in range(m)]
+    books = [[s[j * sub : (j + 1) * sub] for s in seeds] for j in range(m)]
+    if refine:
+        from flink_1_16_0_src_spark.pipeline.cluster import refine_seeds
+
+        v = F.col(vec_col).cast("array<double>")
+        for j in range(m):
+            sliced = df.select(
+                F.col(id_col), F.slice(v, j * sub + 1, sub).alias("__sub")
+            )
+            books[j] = refine_seeds(sliced, "__sub", id_col, books[j], refine)
+    return books
 
 
 def pq_encode(

@@ -141,9 +141,43 @@ def sim_bucket_join_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_ivf_topk",
     oracle="""
-    WITH seeds AS (
+    WITH seeds0 AS (
       SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec
       FROM embeddings WHERE vec_id < 8
+    ),
+    d0 AS (
+      SELECT e.vec_id, s.cell,
+             list_sum(list_transform(generate_series(1, len(e.embedding)),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - s.cvec[i])
+                  * (CAST(e.embedding[i] AS DOUBLE) - s.cvec[i]))) AS d
+      FROM embeddings e, seeds0 s
+    ),
+    a0 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM d0
+      ) WHERE rn = 1
+    ),
+    -- one Lloyd refinement pass: decimal-exact per-dimension means
+    -- (order-independent sums, ONE double divide — mirrors Spark's
+    -- _centroid_means), empty cells keep their seed
+    dims AS (
+      SELECT a.cell, i.i,
+             CAST(CAST(e.embedding[i.i] AS DOUBLE) AS DECIMAL(25,10)) AS dv
+      FROM a0 a
+      JOIN embeddings e ON e.vec_id = a.vec_id
+      CROSS JOIN generate_series(1, 64) i(i)
+    ),
+    refined AS (
+      SELECT cell, list(m ORDER BY i) AS cvec FROM (
+        SELECT cell, i, CAST(sum(dv) AS DOUBLE) / count(*) AS m
+        FROM dims GROUP BY cell, i
+      ) GROUP BY cell
+    ),
+    seeds AS (
+      SELECT s0.cell, COALESCE(r.cvec, s0.cvec) AS cvec
+      FROM seeds0 s0 LEFT JOIN refined r ON r.cell = s0.cell
     ),
     dists AS (
       SELECT e.vec_id, s.cell,
@@ -177,15 +211,19 @@ def sim_bucket_join_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (the scale path next to LSH): 8 inverted cells seeded by
-    the lowest-id vectors, queries probe their 2 nearest cells, exact
-    cosine top-5 rerank inside probed cells — |Q|x|C|/4 work vs brute
-    force. Centroids are driver-held k x dim state, assignment is a
-    map-only pass."""
+    the lowest-id vectors + ONE Lloyd refinement pass (deterministic
+    decimal-exact means — de-degenerates sampled seeds on clustered
+    corpora), queries probe their 2 nearest cells, exact cosine top-5
+    rerank inside probed cells — |Q|x|C|/4 work vs brute force.
+    Centroids are driver-held k x dim state, assignment is a map-only
+    pass. The oracle replays the full pipeline including the Lloyd
+    pass."""
     from flink_1_16_0_src_spark.pipeline.similarity import ivf_topk
 
     emb = load(spark, sf_dir, "embeddings")
     return ivf_topk(
-        emb, "embedding", "vec_id", F.col("vec_id") % 50 == 0, k=5, n_cells=8, nprobe=2
+        emb, "embedding", "vec_id", F.col("vec_id") % 50 == 0, k=5, n_cells=8,
+        nprobe=2, refine=1,
     )
 
 
