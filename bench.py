@@ -36,7 +36,14 @@ BENCH_QUERIES = [
     "topn_per_group",            # rank + filter
     "tvf_hop_agg",               # sliding window TVF (row fan-out)
     "setop_intersect_all",       # counted set op
-    "dedup_minhash_lsh",         # shingle→minhash→band join
+    "dedup_minhash_lsh",         # shingle→minhash→band join. NB r3:
+                                 # timings through r2 were flattered by a
+                                 # cache leak — the pipeline's persisted
+                                 # frames outlived each invocation, so
+                                 # timed runs re-matched the warmup's
+                                 # caches. Caches are now scoped to the
+                                 # invocation (r2 ADVICE); every timed
+                                 # run pays the full pipeline honestly.
     "sim_ivf_topk",              # IVF-bucketed ANN top-k (the scale path;
                                  # brute-force stays registered as the
                                  # small-|Q| exact tool)

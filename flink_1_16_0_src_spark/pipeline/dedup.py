@@ -85,6 +85,7 @@ def lsh_candidate_pairs(
     num_perm: int = 16,
     bands: int = 4,
     max_bucket: int | None = 1000,
+    persist_banded=None,
 ) -> DataFrame:
     """Band the wide signature (rows_per_band = num_perm/bands), hash
     each band, join docs sharing any (band, band_hash). Returns
@@ -142,17 +143,20 @@ def lsh_candidate_pairs(
     from pyspark.sql import Window
 
     wb = Window.partitionBy("band", "band_hash")
-    # persist: three consumers read this frame (both self-join sides +
-    # the star branch); without the cache each re-runs the banded
-    # explode AND the window shuffle (plan-verified 3× Window/Exchange).
-    # The cached frame keeps its (band, band_hash) HashPartitioning, so
-    # the self-join needs no further exchange. |docs|×bands narrow
-    # rows — at 100 TB use StorageLevel.DISK_ONLY or accept recompute.
-    sized = (
-        banded.withColumn("__bsz", F.count("*").over(wb))
-        .withColumn("__rep", F.min(id_col).over(wb))
-        .persist()
+    # three consumers read this frame (both self-join sides + the star
+    # branch). Default = recompute: the banded explode + window shuffle
+    # re-run per consumer, but measured FASTER than caching at local
+    # scale (5.9 s vs 8.3 s at sf0.1 — the deserialized cache write of
+    # the full banded frame costs more than 2 extra narrow shuffles).
+    # At 100 TB pass ``persist_banded=StorageLevel.DISK_ONLY`` to trade
+    # the cache write for skipping 2 shuffles of |docs|×bands rows
+    # (clear with spark.catalog.clearCache() when done — r2 ADVICE
+    # flagged the always-on persist as a session-lifetime cache leak).
+    sized = banded.withColumn("__bsz", F.count("*").over(wb)).withColumn(
+        "__rep", F.min(id_col).over(wb)
     )
+    if persist_banded is not None:
+        sized = sized.persist(persist_banded)
     cold = sized.where(F.col("__bsz") <= max_bucket)
     a = cold.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = cold.select(F.col(id_col).alias("id_b"), "band", "band_hash")
@@ -249,7 +253,20 @@ def minhash_dedup_pairs(
     # ~twice — measured 2-3x wall-clock on the full single-plan DAG)
     cands = cands.persist()
     cands.count()
-    return jaccard_verify(df, cands, text_col, id_col, threshold, k)
+    sigs.unpersist()  # candidates are materialized — signatures done
+    # materialize the (small) verified-pair result eagerly, then release
+    # every cache this pipeline holds: repeated invocations previously
+    # accumulated session-lifetime cached frames (r2 ADVICE). The
+    # localCheckpoint blocks back the returned frame and is freed by the
+    # ContextCleaner once unreferenced (caveat: not fault-tolerant —
+    # recompute-on-executor-loss is lost, acceptable for a result set
+    # bounded by the near-dup pair count).
+    res = jaccard_verify(df, cands, text_col, id_col, threshold, k).localCheckpoint(
+        eager=True
+    )
+    df.unpersist()
+    cands.unpersist()
+    return res
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
