@@ -715,9 +715,19 @@ def match_recognize_stream(
     patterns without windowTime; production relaxed patterns should
     always pass it."""
     if any(b.contiguity == "relaxed_any" for s in steps for b in (s.alts or (s,))):
-        raise NotImplementedError(
-            "followedByAny is batch-only (its all-anchors emission model "
-            "does not fit the consume-prefix streaming buffer)"
+        # followedByAny (SKIP_TILL_ANY) streams through a different
+        # state shape: anchors stay live after matching (one anchor
+        # emits a match per viable continuation), so the consume-prefix
+        # buffer of the deterministic path cannot express it
+        if within is None or after_match != "to_next_row":
+            raise NotImplementedError(
+                "streaming followedByAny requires within= (bounds the "
+                "re-match window / state) and after_match='to_next_row' "
+                "(the only coherent skip mode for all-anchors emission — "
+                "Flink couples SKIP_TILL_ANY with NO_SKIP the same way)"
+            )
+        return _match_recognize_stream_any(
+            sdf, partition_by, order_by, steps, measures, output_schema, within
         )
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import ArrayType, StringType, StructField
@@ -774,6 +784,97 @@ def match_recognize_stream(
         cols = [f.name for f in output_schema.fields]
         res = pd.DataFrame(out, columns=cols)
         # JSON round-trip stringifies timestamps — restore declared dtypes
+        for f in output_schema.fields:
+            if "timestamp" in f.dataType.simpleString():
+                res[f.name] = pd.to_datetime(res[f.name])
+        yield res
+
+    return sdf.groupBy(*partition_by).applyInPandasWithState(
+        fn, output_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def _match_recognize_stream_any(
+    sdf: DataFrame,
+    partition_by: list[str],
+    order_by: str,
+    steps: list[Step],
+    measures: dict[str, Callable[[Matched], object]],
+    output_schema: StructType,
+    within: str,
+) -> DataFrame:
+    """Streaming followedByAny (SKIP_TILL_ANY — NFA.java:86's
+    skip-till-any transition): every batch re-enumerates ALL anchors in
+    the retained window with the batch all-anchors matcher and emits
+    only matches not already emitted (md5 fingerprint set in state).
+    Anchors stay live after a match — an A already paired with B1 still
+    pairs with a later-arriving B2 — which is exactly why the
+    deterministic path's consume-prefix buffer can't express it.
+
+    State = rows within ``within`` of the newest timestamp + emitted
+    fingerprints anchored inside that window; both prune together, so
+    state is bounded by the window's row count (the same windowTime
+    bound Flink requires for SKIP_TILL_ANY state cleanup). Caveat: a
+    match arriving entirely BELOW the prune cutoff (very late data) is
+    dropped where batch would emit it — standard watermark semantics."""
+    import hashlib
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import ArrayType, StringType, StructField
+
+    state_schema = StructType(
+        [
+            StructField("buf", ArrayType(StringType())),
+            StructField("emitted", ArrayType(StringType())),
+        ]
+    )
+    delta = pd.Timedelta(within)
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
+        buf: list = []
+        emitted: set = set()
+        if state.exists:
+            for s in state.get[0]:
+                d = json.loads(s)
+                d[order_by] = pd.Timestamp(d[order_by])
+                buf.append(d)
+            emitted = set(state.get[1])
+        for pdf in pdfs:
+            buf.extend(pdf.sort_values(order_by, kind="stable").to_dict("records"))
+        buf.sort(key=lambda r: r[order_by])
+        wt = (order_by, delta)
+        out = []
+        for i in range(len(buf)):
+            for matched in _match_at_any(buf, i, steps, wt):
+                body = hashlib.md5(
+                    json.dumps(
+                        {
+                            v: [json.dumps(r, default=str, sort_keys=True) for r in rs]
+                            for v, rs in matched.items()
+                        },
+                        sort_keys=True,
+                    ).encode()
+                ).hexdigest()
+                anchor_ts = min(r[order_by] for rs in matched.values() for r in rs)
+                fp = f"{pd.Timestamp(anchor_ts).isoformat()}|{body}"
+                if fp in emitted:
+                    continue
+                emitted.add(fp)
+                rec = dict(zip(partition_by, key))
+                for name, fmeas in measures.items():
+                    rec[name] = fmeas(matched)
+                out.append(rec)
+        if buf:
+            cutoff = max(r[order_by] for r in buf) - delta
+            buf = [r for r in buf if r[order_by] >= cutoff]
+            emitted = {
+                fp for fp in emitted if pd.Timestamp(fp.split("|", 1)[0]) >= cutoff
+            }
+        state.update(
+            ([json.dumps(r, default=str) for r in buf], sorted(emitted))
+        )
+        cols = [f.name for f in output_schema.fields]
+        res = pd.DataFrame(out, columns=cols)
         for f in output_schema.fields:
             if "timestamp" in f.dataType.simpleString():
                 res[f.name] = pd.to_datetime(res[f.name])
