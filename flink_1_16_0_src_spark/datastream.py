@@ -94,8 +94,14 @@ class DataStream:
         per Arrow batch — the per-partition analog of the operator's
         in-flight-request capacity. ``ordered=True`` preserves row
         order within the batch (orderedWait); False yields completion
-        order (unorderedWait). ``timeout_s`` is per request; a timed-out
-        request raises like the reference's TimeoutException default.
+        order (unorderedWait). ``timeout_s`` times out each request
+        relative to its submission; all of a batch's requests submit
+        together, so this is a shared deadline ``timeout_s`` after batch
+        submission — a request still pending then raises TimeoutError
+        like the reference's TimeoutException default (AsyncWaitOperator
+        arms its timer per element the same way; a hung ``fn`` thread
+        cannot be killed and will still pin pool shutdown — CPython
+        thread semantics).
 
         This is the documented Spark mapping for Flink async I/O
         (SURVEY.md: external calls are batched per partition, never one
@@ -114,7 +120,14 @@ class DataStream:
                         from concurrent.futures import as_completed
 
                         futs = [pool.submit(fn, r) for r in rows]
-                        results = [f.result(timeout_s) for f in as_completed(futs)]
+                        # timeout on as_completed itself: futures it has
+                        # already yielded are complete, so a per-future
+                        # f.result(timeout) can never fire — the r2
+                        # ADVICE hang was a pending future blocking
+                        # as_completed with no deadline
+                        results = [
+                            f.result() for f in as_completed(futs, timeout=timeout_s)
+                        ]
                     yield pd.DataFrame(results)
 
         return DataStream(self.df.mapInPandas(gen, schema))

@@ -197,6 +197,11 @@ class TableEnvironment:
             connector = props.get("connector")
             if connector == "filesystem":
                 fmt = props.get("format", "parquet")
+                if "path" not in props:
+                    raise ValueError(
+                        f"CTAS {name!r}: connector 'filesystem' requires a "
+                        "'path' property (WITH ('path'='...'))"
+                    )
                 srcs.write_table(df, props["path"], connector, fmt, props)
                 df = srcs.read_table(self.spark, props["path"], fmt)
                 self._sources[name] = props
@@ -290,6 +295,11 @@ class TableEnvironment:
                 self._sinks[name] = {"connector": connector, "props": props}
                 return None
             if connector == "filesystem":
+                if "path" not in props:
+                    raise ValueError(
+                        f"table {name!r}: connector 'filesystem' requires a "
+                        "'path' property (WITH ('path'='...'))"
+                    )
                 path = props["path"]
                 if not os.path.exists(path.removeprefix("file://")):
                     # path doesn't exist yet → it's a sink table
@@ -297,6 +307,7 @@ class TableEnvironment:
                         "connector": connector,
                         "props": props,
                         "partitioned_by": partcols,
+                        "schema": schema,
                     }
                     return None
                 df = srcs.read_table(self.spark, path, fmt, schema, props)
@@ -318,11 +329,24 @@ class TableEnvironment:
             sink = self._sinks[mi.group(2)]
             static_parts, body = _parse_static_partition(mi.group(3))
             df = self.spark.sql(body)
+            declared = {}
+            if sink.get("schema"):
+                from pyspark.sql.types import StructType
+
+                declared = {
+                    f.name: f.dataType for f in StructType.fromDDL(sink["schema"]).fields
+                }
             for k, v in static_parts.items():
                 # Flink SqlInsert static partitions (SqlPartitionUtils
                 # .getPartitionKVs): constant columns appended to every
-                # row; the SELECT omits them
-                df = df.withColumn(k, F.lit(v))
+                # row; the SELECT omits them. Values are typed to the
+                # DDL-declared column type (Flink's static partitions are
+                # typed literals — an INT partition column must not land
+                # as a string; r2 ADVICE)
+                lit = F.lit(v)
+                if k in declared:
+                    lit = lit.cast(declared[k])
+                df = df.withColumn(k, lit)
             mode = "overwrite" if mi.group(1).upper() == "OVERWRITE" else "append"
             srcs.write_table(
                 df,

@@ -895,3 +895,30 @@ def test_cdc_end_to_end_upsert_materialization_ogg(spark, tmp_path):
     q.awaitTermination()
     got = {(r["id"], r["v"]) for r in spark.read.parquet(target).collect()}
     assert got == {(1, 10.0), (3, 3.0)}
+
+
+def test_ctas_filesystem_requires_path(tenv):
+    with pytest.raises(ValueError, match="path"):
+        tenv.execute_sql(
+            "CREATE TABLE ctas_nopath WITH ('connector'='filesystem') "
+            "AS SELECT 1 AS x"
+        )
+    with pytest.raises(ValueError, match="path"):
+        tenv.execute_sql("CREATE TABLE t_nopath WITH ('connector'='filesystem')")
+
+
+def test_insert_static_partition_typed(tenv, spark, tmp_path):
+    """Static partition values are typed to the DDL-declared column
+    type (r2 ADVICE): an INT partition column written via
+    PARTITION (p=3) must read back as INT, not string."""
+    d = str(tmp_path / "typed_part")
+    tenv.execute_sql(
+        f"CREATE TABLE typed_part (v DOUBLE, p INT) PARTITIONED BY (p) WITH ("
+        f"'connector'='filesystem','path'='{d}','format'='parquet')"
+    )
+    tenv.execute_sql("INSERT INTO typed_part PARTITION (p=3) SELECT 1.5 AS v")
+    back = spark.read.parquet(d)
+    row = back.collect()[0]
+    # partition-discovery may widen, but it must be NUMERIC, not string
+    assert dict(back.dtypes)["p"] in ("int", "bigint")
+    assert (row.v, row.p) == (1.5, 3)

@@ -340,3 +340,28 @@ def test_async_io_ordered_and_unordered(spark):
         slow_lookup, "x long, y long, tid long", capacity=16, ordered=False
     ).df.collect()
     assert {(r.x, r.y) for r in unordered} == {(i, 2 * i) for i in range(32)}
+
+
+def test_async_io_unordered_timeout_fires(spark):
+    """r2 ADVICE: the unordered path's timeout must actually fire — a
+    request still pending timeout_s after batch submission raises
+    (previously as_completed had no deadline and a hung request blocked
+    forever)."""
+    import pytest
+
+    from flink_1_16_0_src_spark.datastream import DataStream
+
+    df = spark.createDataFrame([(i,) for i in range(4)], "x long").coalesce(1)
+
+    def hang_one(row):
+        import time
+
+        if row["x"] == 2:
+            time.sleep(5)
+        return {"x": row["x"]}
+
+    out = DataStream(df).async_io(
+        hang_one, "x long", capacity=4, ordered=False, timeout_s=0.5
+    )
+    with pytest.raises(Exception, match="(?i)timeout"):
+        out.df.collect()
