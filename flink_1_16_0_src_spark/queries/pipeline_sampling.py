@@ -1,0 +1,152 @@
+"""Sampling / balancing / sequence-packing pipeline queries (training-
+data curation extras next to dedup/similarity/text) — every decision is
+md5-derived, so the DuckDB oracles replay the exact arithmetic."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_1_16_0_src_spark.registry import query
+from flink_1_16_0_src_spark.tables import load
+
+# DuckDB twin of pipeline.sampling._hash_unit (no salt)
+_UNIT = (
+    "((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000)"
+    " / 1000000.0)"
+)
+_TOKS = "str_split_regex(lower(trim(text)), '\\s+')"
+
+
+@query(
+    "sample_hash_bernoulli",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_UNIT} < 0.25
+    """,
+    tags=("pipeline", "sampling", "custom-op"),
+)
+def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% Bernoulli sample — md5(id) decides, so the
+    same subset survives reruns, repartitions, and engine swaps (a
+    rand() sample would not). Map-only: no shuffle."""
+    from flink_1_16_0_src_spark.pipeline.sampling import hash_sample
+
+    d = load(spark, sf_dir, "documents")
+    return hash_sample(d, "doc_id", 0.25).select("doc_id", "lang")
+
+
+@query(
+    "sample_stratified_cap",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY {_UNIT}, doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 40
+    """,
+    tags=("pipeline", "sampling", "custom-op"),
+)
+def sample_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language balancing: at most 40 docs per lang, chosen by
+    deterministic hash order — one shuffle on the stratum key."""
+    from flink_1_16_0_src_spark.pipeline.sampling import stratified_cap
+
+    d = load(spark, sf_dir, "documents")
+    return stratified_cap(d, "lang", "doc_id", cap=40).select("doc_id", "lang")
+
+
+@query(
+    "sample_train_holdout_split",
+    oracle=f"""
+    SELECT CAST(count(*) FILTER (WHERE u >= 0.1) AS BIGINT) AS n_train,
+           CAST(count(*) FILTER (WHERE u < 0.1) AS BIGINT) AS n_holdout,
+           CAST(count(*) AS BIGINT) AS n_total
+    FROM (
+      SELECT ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15))::BIGINT
+               % 1000000) / 1000000.0) AS u
+      FROM documents
+    )
+    """,
+    tags=("pipeline", "sampling", "custom-op"),
+)
+def sample_train_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/holdout split — the same doc lands on
+    the same side everywhere (decontamination depends on it); the query
+    checks the two sides partition the corpus exactly."""
+    from flink_1_16_0_src_spark.pipeline.sampling import split_train_holdout
+
+    d = load(spark, sf_dir, "documents")
+    train, hold = split_train_holdout(d, "doc_id", 0.1)
+    return (
+        train.select(F.lit(1).alias("__o")).groupBy().count()
+        .select(F.col("count").alias("n_train"))
+        .crossJoin(hold.groupBy().count().select(F.col("count").alias("n_holdout")))
+        .crossJoin(d.groupBy().count().select(F.col("count").alias("n_total")))
+    )
+
+
+@query(
+    "pack_sequences_bins",
+    oracle=f"""
+    WITH staged AS (
+      SELECT doc_id, len({_TOKS}) AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8
+                  AS INT) AS bucket
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens, bucket,
+             COALESCE(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM staged
+    )
+    SELECT doc_id, n_tokens, bucket,
+           CAST(floor(cb / 2048) AS BIGINT) AS bin_id,
+           CAST(cb - floor(cb / 2048) * 2048 AS BIGINT) AS bin_offset
+    FROM cum
+    """,
+    tags=("pipeline", "packing", "custom-op"),
+)
+def pack_sequences_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: docs → 2048-token context-window bins via
+    prefix-sum packing inside 8 hash buckets (bins never cross buckets,
+    so parallelism is bucket count at any corpus size). The oracle
+    replays the bucket hash, the running sum, and the bin math."""
+    from flink_1_16_0_src_spark.pipeline.packing import pack_sequences
+
+    d = load(spark, sf_dir, "documents")
+    return pack_sequences(d, "text", "doc_id", budget=2048, n_buckets=8)
+
+
+@query(
+    "pack_bin_fill_stats",
+    oracle=f"""
+    WITH staged AS (
+      SELECT doc_id, len({_TOKS}) AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8
+                  AS INT) AS bucket
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens, bucket,
+             COALESCE(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM staged
+    )
+    SELECT bucket, CAST(floor(cb / 2048) AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           round(sum(n_tokens) / 2048, 4) AS fill_ratio
+    FROM cum GROUP BY bucket, CAST(floor(cb / 2048) AS BIGINT)
+    """,
+    tags=("pipeline", "packing", "custom-op"),
+)
+def pack_bin_fill_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin padding-waste report over the packed corpus — the fill
+    ratio a training pipeline monitors."""
+    from flink_1_16_0_src_spark.pipeline.packing import pack_sequences, packing_stats
+
+    d = load(spark, sf_dir, "documents")
+    packed = pack_sequences(d, "text", "doc_id", budget=2048, n_buckets=8)
+    return packing_stats(packed, budget=2048)

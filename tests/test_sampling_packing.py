@@ -1,0 +1,81 @@
+"""Sampling / packing pipeline operator tests (training-data curation
+extras). The core contract everywhere: decisions are md5-derived, so
+results are identical under any partitioning and across reruns."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_1_16_0_src_spark import tables
+from flink_1_16_0_src_spark.pipeline.packing import pack_sequences, packing_stats
+from flink_1_16_0_src_spark.pipeline.sampling import (
+    hash_sample,
+    split_train_holdout,
+    stratified_cap,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_hash_sample_deterministic_and_partition_independent(spark):
+    d = tables.load(spark, SF_DIR, "documents")
+    a = {r.doc_id for r in hash_sample(d, "doc_id", 0.3).select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in hash_sample(d.repartition(13), "doc_id", 0.3).select("doc_id").collect()
+    }
+    assert a == b and 0 < len(a) < d.count()
+    # fraction is roughly honored (md5 uniformity)
+    assert abs(len(a) / d.count() - 0.3) < 0.15
+    # different salts give decorrelated (not identical) subsets
+    c = {r.doc_id for r in hash_sample(d, "doc_id", 0.3, salt="x").select("doc_id").collect()}
+    assert c != a
+
+
+def test_split_train_holdout_partitions_exactly(spark):
+    d = tables.load(spark, SF_DIR, "documents")
+    train, hold = split_train_holdout(d, "doc_id", 0.2)
+    t = {r.doc_id for r in train.select("doc_id").collect()}
+    h = {r.doc_id for r in hold.select("doc_id").collect()}
+    assert t.isdisjoint(h)
+    assert len(t) + len(h) == d.count()
+
+
+def test_stratified_cap_respects_cap_per_stratum(spark):
+    d = tables.load(spark, SF_DIR, "documents")
+    capped = stratified_cap(d, "lang", "doc_id", cap=5)
+    per = capped.groupBy("lang").count().collect()
+    assert all(r["count"] <= 5 for r in per)
+    # deterministic under repartition
+    a = {r.doc_id for r in capped.select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in stratified_cap(d.repartition(7), "lang", "doc_id", cap=5)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b
+
+
+def test_pack_sequences_bin_invariants(spark):
+    d = tables.load(spark, SF_DIR, "documents")
+    budget = 512
+    packed = pack_sequences(d, "text", "doc_id", budget=budget, n_buckets=4)
+    stats = packing_stats(packed, budget=budget).collect()
+    # every doc assigned exactly once; offsets stay inside the window
+    assert packed.count() == d.count()
+    assert packed.where(F.col("bin_offset") >= budget).count() == 0
+    # replay the prefix-sum packing in pandas and compare exactly
+    pdf = packed.orderBy("bucket", "doc_id").toPandas()
+    for b, grp in pdf.groupby("bucket"):
+        cb = 0
+        for row in grp.itertuples():
+            assert row.bin_id == cb // budget
+            assert row.bin_offset == cb - (cb // budget) * budget
+            cb += row.n_tokens
+    # bucket totals reconcile: per-bin sums add up to the bucket total
+    agg = {}
+    for r in stats:
+        agg[r.bucket] = agg.get(r.bucket, 0) + r.bin_tokens
+    exp = {r.bucket: r.t for r in packed.groupBy("bucket").agg(F.sum("n_tokens").alias("t")).collect()}
+    assert agg == exp
