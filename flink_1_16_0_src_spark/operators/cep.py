@@ -13,14 +13,16 @@ Reference parity (SURVEY.md §2.8):
   predicate), CONTIGUITY modes (next = strict, followedBy = relaxed /
   SKIP_TILL_NEXT — Pattern.java next()/followedBy()), and NEGATIVE
   patterns (notNext / notFollowedBy — NFACompiler stop states).
-  followedByAny (SKIP_TILL_ANY) is supported in batch via the
-  all-anchors enumeration path (requires to_next_row, dict path).
+  followedByAny (SKIP_TILL_ANY) is supported via the all-anchors
+  enumeration path (requires to_next_row, dict path) in batch AND
+  streaming (windowed re-enumeration + emitted-fingerprint dedup).
   Quantifier-INTERNAL contiguity supports consecutive (default —
-  matching SQL MATCH_RECOGNIZE; Flink's oneOrMore defaults relaxed)
-  and relaxed (Pattern.allow_gaps: gap rows between takes skipped,
-  earliest-match takes). Deliberate scope cuts vs the reference NFA:
-  allowCombinations (combinatorial take enumeration) and streaming
-  followedByAny.
+  matching SQL MATCH_RECOGNIZE; Flink's oneOrMore defaults relaxed),
+  relaxed (Pattern.allow_gaps: gap rows between takes skipped,
+  earliest-match takes), and combinations
+  (Pattern.allow_combinations — SKIP_TILL_ANY between iterations:
+  every increasing subset of takes emits its own match, exponential
+  like the reference warns).
 - Pattern API facade: Pattern.begin/where/next/followed_by/not_next/
   not_followed_by/one_or_more/times/optional/within + CEP.pattern →
   PatternStream.select (flink-cep Pattern.java / CEP.java /
@@ -99,9 +101,13 @@ class Step:
     # to relaxed between iterations, .consecutive() makes it strict):
     # 'consecutive' = takes are adjacent rows; 'relaxed' = non-matching
     # rows between takes are skipped (each take lands on the EARLIEST
-    # matching row after the previous take — deterministic; Flink's
-    # allowCombinations/SKIP_TILL_ANY-internal enumeration is a
-    # documented cut). The pattern resumes after the LAST take.
+    # matching row after the previous take — deterministic);
+    # 'combinations' = Pattern.allowCombinations (SKIP_TILL_ANY between
+    # iterations, NFA.java:86): EVERY increasing subset of matching
+    # positions is its own take-set, each emitting its own match —
+    # exponential like the reference warns; requires the all-anchors
+    # enumeration path (to_next_row; within strongly advised). The
+    # pattern resumes after the LAST take.
     internal: str = "consecutive"
 
     @staticmethod
@@ -129,6 +135,19 @@ class Step:
         (the other branch's var is absent from the matched set)."""
         assert branches, "alternation needs at least one branch"
         return Step("|".join(b.var for b in branches), None, alts=tuple(branches))
+
+
+def _needs_any_path(steps: list["Step"]) -> bool:
+    """True when the pattern needs the all-anchors/all-subsets
+    enumeration (followedByAny SKIP_TILL_ANY contiguity, or
+    allowCombinations SKIP_TILL_ANY quantifier internals) — one start
+    can yield several matches, so the deterministic single-match scan
+    and the vectorized mask path cannot run it."""
+    return any(
+        b.contiguity == "relaxed_any" or b.internal == "combinations"
+        for s in steps
+        for b in (s.alts or (s,))
+    )
 
 
 def _match_at(
@@ -331,6 +350,8 @@ def _match_at_any(
         return rows[j][ts_col] - rows[start][ts_col] <= max_delta
 
     def quant(i: int, step: Step, matched: Matched, cont) -> bool:
+        if step.internal == "combinations":
+            return quant_combinations(i, step, matched, cont)
         matched.setdefault(step.var, [])
         base_len = len(matched[step.var])
         takes: list[int] = []
@@ -354,6 +375,42 @@ def _match_at_any(
             if not takes:
                 break
             takes.pop()
+            matched[step.var].pop()
+        del matched[step.var][base_len:]
+        if not matched[step.var]:
+            del matched[step.var]
+        return emitted
+
+    def quant_combinations(i: int, step: Step, matched: Matched, cont) -> bool:
+        """allowCombinations (SKIP_TILL_ANY between iterations): the
+        first take anchors at ``i`` (the step's own contiguity decided
+        the anchor), every later take may land on ANY later matching
+        row — each increasing subset of size ≥ min (≤ max) emits its
+        own continuation. Exponential by design (NFA.java warns the
+        same); the within-window bound caps the candidate span."""
+        matched.setdefault(step.var, [])
+        base_len = len(matched[step.var])
+        emitted = False
+
+        def dfs(last: int, count: int) -> None:
+            nonlocal emitted
+            if count >= step.min and cont(last + 1):
+                emitted = True
+            if step.max is not None and count >= step.max:
+                return
+            k = last + 1
+            while k < len(rows) and in_window(k):
+                if step.predicate(rows[k], matched):
+                    matched[step.var].append(rows[k])
+                    dfs(k, count + 1)
+                    matched[step.var].pop()
+                k += 1
+
+        if step.min == 0 and cont(i):
+            emitted = True
+        if i < len(rows) and in_window(i) and step.predicate(rows[i], matched):
+            matched[step.var].append(rows[i])
+            dfs(i, 1)
             matched[step.var].pop()
         del matched[step.var][base_len:]
         if not matched[step.var]:
@@ -412,17 +469,14 @@ def match_sequence(
     ``after_match='to_next_row'`` (NO_SKIP-style enumeration — the only
     coherent skip mode when one start yields several matches; Flink
     couples SKIP_TILL_ANY with NO_SKIP the same way)."""
-    has_any = any(
-        b.contiguity == "relaxed_any"
-        for s in steps
-        for b in (s.alts or (s,))
-    )
+    has_any = _needs_any_path(steps)
     out: list[Matched] = []
     i = 0
     if has_any:
         if after_match != "to_next_row":
             raise ValueError(
-                "followedByAny patterns require after_match='to_next_row'"
+                "followedByAny/allowCombinations patterns require "
+                "after_match='to_next_row'"
             )
         while i < len(rows):
             out.extend(_match_at_any(rows, i, steps, within))
@@ -522,9 +576,9 @@ def match_sequence_masks(
     to pure numpy: anchors = AND of the steps' masks shifted into
     alignment — the Python scan then visits only anchor positions
     (actual matches), not every row."""
-    if any(b.contiguity == "relaxed_any" for s in steps for b in (s.alts or (s,))):
+    if _needs_any_path(steps):
         raise NotImplementedError(
-            "followedByAny runs on the dict-row path (match_sequence)"
+            "followedByAny/allowCombinations run on the dict-row path (match_sequence)"
         )
     if after_match in ("past_last_row", "to_next_row") and all(
         s.min == 1 and s.max == 1 and not s.alts
@@ -645,9 +699,7 @@ def match_recognize(
     vectorized = all(
         s.vec is not None or (s.alts and all(b.vec is not None for b in s.alts))
         for s in steps
-    ) and not any(
-        b.contiguity == "relaxed_any" for s in steps for b in (s.alts or (s,))
-    )  # the all-matches enumeration runs on the dict path only
+    ) and not _needs_any_path(steps)  # all-matches enumeration: dict path only
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_by, kind="stable")  # str or list both fine
@@ -714,8 +766,8 @@ def match_recognize_stream(
     matches — the same unbounded-state failure Flink documents for
     patterns without windowTime; production relaxed patterns should
     always pass it."""
-    if any(b.contiguity == "relaxed_any" for s in steps for b in (s.alts or (s,))):
-        # followedByAny (SKIP_TILL_ANY) streams through a different
+    if _needs_any_path(steps):
+        # followedByAny/allowCombinations (SKIP_TILL_ANY) stream through a different
         # state shape: anchors stay live after matching (one anchor
         # emits a match per viable continuation), so the consume-prefix
         # buffer of the deterministic path cannot express it
@@ -966,6 +1018,17 @@ class Pattern:
         MATCH_RECOGNIZE quantifier semantics) and gap-skipping is the
         opt-in."""
         self._cur().internal = "relaxed"
+        return self
+
+    def allow_combinations(self) -> "Pattern":
+        """Pattern.allowCombinations() (flink-cep Quantifier
+        ConsumingStrategy.SKIP_TILL_ANY between iterations): the
+        quantified variable matches EVERY increasing subset of viable
+        take positions, each subset continuing the pattern as its own
+        match. Requires after_match='to_next_row' (all-anchors path);
+        pair with within() — enumeration is exponential in the window's
+        matching rows, exactly as the reference documents."""
+        self._cur().internal = "combinations"
         return self
 
     def consecutive(self) -> "Pattern":

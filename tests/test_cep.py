@@ -504,3 +504,97 @@ def test_match_recognize_stream_followed_by_any_requires_within(spark):
             sdf, ["value"], "timestamp", _any_steps(), _any_measures(), _ANY_SCHEMA,
             after_match="to_next_row",
         )
+
+
+def test_allow_combinations_enumerates_subsets():
+    """allowCombinations (Quantifier SKIP_TILL_ANY internals): A{2}
+    with combinations may SKIP a matching row between takes — rows
+    a0 a1 a2 b yield {a0,a1}, {a0,a2}, {a1,a2}, while the
+    deterministic relaxed internal yields only the earliest take-sets
+    {a0,a1} and {a1,a2}."""
+    rows = [
+        {"c": "a", "i": 0}, {"c": "a", "i": 1}, {"c": "a", "i": 2}, {"c": "b", "i": 3},
+    ]
+
+    def steps(internal):
+        return [
+            cep.Step("A", lambda r, m: r["c"] == "a", 2, 2, internal=internal),
+            cep.Step("B", lambda r, m: r["c"] == "b", contiguity="relaxed"),
+        ]
+
+    comb = cep.match_sequence(rows, steps("combinations"), "to_next_row")
+    got = sorted(tuple(r["i"] for r in m["A"]) for m in comb)
+    assert got == [(0, 1), (0, 2), (1, 2)]
+
+    det = cep.match_sequence(rows, steps("relaxed"), "to_next_row")
+    got_det = sorted(tuple(r["i"] for r in m["A"]) for m in det)
+    assert got_det == [(0, 1), (1, 2)]
+
+
+def test_allow_combinations_pattern_api_and_skip_mode():
+    import pytest
+
+    p = (
+        cep.Pattern.begin("A")
+        .where(lambda r, m: r["c"] == "a")
+        .one_or_more()
+        .allow_combinations()
+        .followed_by("B")
+        .where(lambda r, m: r["c"] == "b")
+    )
+    rows = [{"c": "a", "i": 0}, {"c": "a", "i": 1}, {"c": "b", "i": 2}]
+    out = cep.match_sequence(rows, p._steps, "to_next_row")
+    # subsets of the a-run: {0}, {0,1}, {1} — each completing with b
+    assert sorted(tuple(r["i"] for r in m["A"]) for m in out) == [(0,), (0, 1), (1,)]
+    with pytest.raises(ValueError, match="to_next_row"):
+        cep.match_sequence(rows, p._steps, "past_last_row")
+
+
+def test_allow_combinations_streaming_matches_batch(spark, tmp_path):
+    """Streaming allowCombinations rides the all-anchors streaming path
+    (windowed re-enumeration + fingerprint dedup): equals batch on a
+    drained two-batch stream."""
+    import datetime as dt
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from flink_1_16_0_src_spark.streaming import sources
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("k", base + dt.timedelta(minutes=i), i, c) for i, c in enumerate("aaab")
+    ]
+    d = str(tmp_path / "comb_src")
+    for b in (rows[:2], rows[2:]):
+        spark.createDataFrame(b, "k string, ts timestamp, seq long, c string").coalesce(
+            1
+        ).write.mode("append").parquet(d)
+    sdf = (
+        spark.readStream.schema("k string, ts timestamp, seq long, c string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    steps = [
+        cep.Step("A", lambda r, m: r["c"] == "a", 2, 2, internal="combinations"),
+        cep.Step("B", lambda r, m: r["c"] == "b", contiguity="relaxed"),
+    ]
+    measures = {
+        "a0": lambda m: cep.first(m, "A", "seq"),
+        "a1": lambda m: cep.last(m, "A", "seq"),
+    }
+    schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("a0", LongType()),
+            StructField("a1", LongType()),
+        ]
+    )
+    out = cep.match_recognize_stream(
+        sdf, ["k"], "ts", steps, measures, schema,
+        after_match="to_next_row", within="1 hour",
+    )
+    got = sorted(
+        (r.a0, r.a1)
+        for r in sources.run_to_memory(out, "cep_comb_stream", "append").collect()
+    )
+    assert got == [(0, 1), (0, 2), (1, 2)]
