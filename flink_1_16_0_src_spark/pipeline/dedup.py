@@ -236,8 +236,9 @@ def minhash_dedup_pairs(
     # persist the repartitioned corpus: the signature pass and the two
     # verify-side text joins each re-scan it; at 100 TB swap this for
     # DISK_ONLY or drop it and pay the re-scan — the pipeline is
-    # correct either way
-    df = df.repartition(n, F.col(id_col)).persist()
+    # correct either way. Only (id, text) is carried — caching the
+    # full row width just inflates the cache and the shuffle.
+    df = df.select(id_col, text_col).repartition(n, F.col(id_col)).persist()
     sigs = minhash_signatures(df, text_col, id_col, num_perm, k)
     # signatures are one narrow row per doc (|corpus| ≫ |sigs| bytes):
     # persist so the banded self-join's two sides and the broadcast of

@@ -191,3 +191,45 @@ def test_lsh_capped_candidates_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "band" in plan  # equi-join keyed on (band, band_hash)
+
+
+def test_hash_sample_is_map_only(spark):
+    """Deterministic sampling must be a pure filter: zero Exchange, no
+    Python, and the filter applied at/after the scan — at 100 TB a
+    sample that shuffles first is broken by construction."""
+    plan = _plan(spark, "sample_hash_bernoulli")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert "Filter" in plan
+
+
+def _n_exchanges(plan: str) -> int:
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Sequence packing = ONE hash-partition exchange on the bucket key
+    (+ the in-partition window sort); bins never cross buckets so
+    nothing else moves."""
+    plan = _plan(spark, "pack_sequences_bins")
+    assert _n_exchanges(plan) == 1 and "hashpartitioning(bucket" in plan
+    assert "EvalPython" not in plan
+
+
+def test_stratified_cap_single_shuffle_with_group_limit(spark):
+    plan = _plan(spark, "sample_stratified_cap")
+    assert _n_exchanges(plan) == 1 and "hashpartitioning(lang" in plan
+    # rank<=cap pushes into WindowGroupLimit (pre-sort pruning)
+    assert "WindowGroupLimit" in plan
+    assert "EvalPython" not in plan
+
+
+def test_cdc_decode_stays_jvm_side(spark):
+    """CDC envelope decode is from_json + explode — whole-stage
+    codegen'd column work, no Python, no shuffle."""
+    for name in ("cdc_debezium_decode", "cdc_canal_decode"):
+        plan = _plan(spark, name)
+        assert "EvalPython" not in plan, name
+        assert _n_exchanges(plan) == 0, name
