@@ -1,0 +1,54 @@
+"""Benchmark decontamination: flag training documents that contain any
+word n-gram from an evaluation/benchmark set (the standard 13-gram
+overlap rule from the GPT-3/PaLM data papers — n is a parameter here
+because fixture docs are short).
+
+Scale shape: the benchmark side is SMALL by construction (eval suites,
+not corpora) — its distinct n-grams broadcast; the corpus side explodes
+to (id, gram) rows and the contamination check is a broadcast semi-join
+inside the scan stage, so a 100 TB corpus is decontaminated in ONE
+map-side pass plus a per-doc count aggregation. No shuffle touches the
+corpus text itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_1_16_0_src_spark.pipeline.dedup import shingles
+
+
+def contamination_hits(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+) -> DataFrame:
+    """Per-document count of DISTINCT benchmark n-grams found in the
+    document. Output: (id, n_contaminated_ngrams) for contaminated
+    docs only."""
+    grams_b = bench.select(F.explode(shingles(text_col, n)).alias("__g")).distinct()
+    doc_grams = docs.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("__g"))
+    return (
+        doc_grams.join(F.broadcast(grams_b), "__g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_ngrams"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+    max_hits: int = 0,
+) -> DataFrame:
+    """Drop documents with more than ``max_hits`` contaminated n-grams
+    (default: any overlap removes the doc). Anti-join against the
+    hit table — the corpus rows never shuffle."""
+    hits = contamination_hits(docs, bench, text_col, id_col, n)
+    flagged = hits.where(F.col("n_contaminated_ngrams") > max_hits).select(id_col)
+    return docs.join(F.broadcast(flagged), id_col, "left_anti")

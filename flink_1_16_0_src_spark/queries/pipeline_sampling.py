@@ -150,3 +150,70 @@ def pack_bin_fill_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     packed = pack_sequences(d, "text", "doc_id", budget=2048, n_buckets=8)
     return packing_stats(packed, budget=2048)
+
+
+_GRAMS8 = (
+    f"list_distinct(list_transform(generate_series(1, greatest(len({_TOKS}) - 7, 0)),"
+    f" i -> array_to_string(({_TOKS})[i:i+7], ' ')))"
+)
+
+
+@query(
+    "decontam_ngram_overlap",
+    oracle=f"""
+    WITH bench AS (
+      SELECT DISTINCT unnest({_GRAMS8}) AS g FROM documents WHERE doc_id % 97 = 0
+    ),
+    doc_grams AS (
+      SELECT doc_id, unnest({_GRAMS8}) AS g FROM documents
+    )
+    SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_ngrams
+    FROM doc_grams d JOIN bench b ON d.g = b.g
+    GROUP BY d.doc_id
+    """,
+    tags=("pipeline", "decontam", "custom-op"),
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/PaLM n-gram overlap rule, n=8
+    for the short fixture docs): every doc sharing any 8-gram with the
+    'benchmark' subset (doc_id % 97 = 0 stands in for an eval suite) is
+    flagged with its distinct-hit count. Benchmark grams broadcast; the
+    corpus-side check is one map-side pass."""
+    from flink_1_16_0_src_spark.pipeline.decontam import contamination_hits
+
+    d = load(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    return contamination_hits(d, bench, "text", "doc_id", n=8)
+
+
+@query(
+    "decontam_filtered_count",
+    oracle=f"""
+    WITH bench AS (
+      SELECT DISTINCT unnest({_GRAMS8}) AS g FROM documents WHERE doc_id % 97 = 0
+    ),
+    doc_grams AS (
+      SELECT doc_id, unnest({_GRAMS8}) AS g FROM documents
+    ),
+    hits AS (
+      SELECT DISTINCT d.doc_id FROM doc_grams d JOIN bench b ON d.g = b.g
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_clean,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_total
+    FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+    """,
+    tags=("pipeline", "decontam", "custom-op"),
+)
+def decontam_filtered_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filtering form: corpus size after dropping every doc with
+    any benchmark 8-gram overlap (anti-join against the broadcast flag
+    table — corpus text never shuffles)."""
+    from flink_1_16_0_src_spark.pipeline.decontam import decontaminate
+
+    d = load(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    clean = decontaminate(d, bench, "text", "doc_id", n=8)
+    return (
+        clean.groupBy().count().select(F.col("count").alias("n_clean"))
+        .crossJoin(d.groupBy().count().select(F.col("count").alias("n_total")))
+    )

@@ -79,3 +79,27 @@ def test_pack_sequences_bin_invariants(spark):
         agg[r.bucket] = agg.get(r.bucket, 0) + r.bin_tokens
     exp = {r.bucket: r.t for r in packed.groupBy("bucket").agg(F.sum("n_tokens").alias("t")).collect()}
     assert agg == exp
+
+
+def test_decontaminate_removes_benchmark_members(spark):
+    """Every benchmark doc with >= n tokens contains its own n-grams, so
+    decontamination must remove it from the corpus; clean docs keep no
+    benchmark n-gram."""
+    from flink_1_16_0_src_spark.pipeline.decontam import contamination_hits, decontaminate
+
+    d = tables.load(spark, SF_DIR, "documents")
+    bench = d.where(F.col("doc_id") % 53 == 0)
+    long_bench_ids = {
+        r.doc_id
+        for r in bench.where(F.size(F.split(F.trim("text"), r"\s+")) >= 8)
+        .select("doc_id")
+        .collect()
+    }
+    clean = decontaminate(d, bench, "text", "doc_id", n=8)
+    clean_ids = {r.doc_id for r in clean.select("doc_id").collect()}
+    assert long_bench_ids.isdisjoint(clean_ids)
+    hits = contamination_hits(d, bench, "text", "doc_id", n=8)
+    hit_ids = {r.doc_id for r in hits.collect()}
+    assert long_bench_ids <= hit_ids
+    assert clean_ids.isdisjoint(hit_ids)
+    assert clean_ids | hit_ids >= {r.doc_id for r in d.select("doc_id").collect()} - hit_ids
