@@ -467,3 +467,54 @@ def stream_unbounded_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = unbounded_join(l, r, ("uid", "ruid"), how="inner")
     drained = ssrc.run_to_memory(out, f"drain_ujoin_{next(_seq)}", "append")
     return drained.select("uid", "purchase_id", "click_id")
+
+
+@query(
+    "stream_cep_any_drain",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS click_id,
+           b.event_id AS purchase_id,
+           round(b.value, 2) AS purchase_value
+    FROM events a JOIN events b ON a.user_id = b.user_id
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+      AND b.ts > a.ts AND b.ts - a.ts <= INTERVAL '2 hours'
+    """,
+    tags=("streaming", "cep", "followed-by-any"),
+)
+def stream_cep_any_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING followedByAny (SKIP_TILL_ANY) drained end-to-end: every
+    (click, any later purchase within 2h) pair per user emits its own
+    match — all-pairs semantics, which is exactly a self-join in SQL,
+    so the oracle is the interval self-join. Exercises the windowed
+    all-anchors re-enumeration + emitted-fingerprint state path
+    (operators/cep._match_recognize_stream_any)."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from flink_1_16_0_src_spark.operators import cep
+
+    sdf = ssrc.stream_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    steps = [
+        cep.Step("A", lambda r, m: r["event_type"] == "click"),
+        cep.Step("B", lambda r, m: r["event_type"] == "purchase", contiguity="relaxed_any"),
+    ]
+    measures = {
+        "click_id": lambda m: cep.first(m, "A", "event_id"),
+        "purchase_id": lambda m: cep.first(m, "B", "event_id"),
+        "purchase_value": lambda m: round(float(cep.first(m, "B", "value")), 2),
+    }
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("click_id", LongType()),
+            StructField("purchase_id", LongType()),
+            StructField("purchase_value", DoubleType()),
+        ]
+    )
+    out = cep.match_recognize_stream(
+        sdf, ["user_id"], "ts", steps, measures, schema,
+        after_match="to_next_row", within="2 hours",
+    )
+    return ssrc.run_to_memory(out, f"drain_cepany_{next(_seq)}", "append")
