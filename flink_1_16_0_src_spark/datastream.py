@@ -399,6 +399,28 @@ class KeyedStream(DataStream):
     def max_by(self, col: str) -> "DataStream":
         return self._by(col, asc=False)
 
+    def flat_aggregate(
+        self, create_acc: Callable, accumulate: Callable, emit_value: Callable, schema
+    ) -> "DataStream":
+        """TableAggregateFunction / flatAggregate parity
+        (flink-table/flink-table-common/.../functions/
+        TableAggregateFunction.java — accumulator-based aggregate that
+        EMITS MULTIPLE ROWS per group, e.g. the canonical Top2):
+        ``create_acc() -> acc``, ``accumulate(acc, row)``,
+        ``emit_value(acc) -> iterable[row_dict]`` (without the key
+        columns — they are prepended). One shuffle on the key,
+        Arrow-batched per-key fold."""
+        keys = self.keys
+
+        def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+            acc = create_acc()
+            for r in pdf.to_dict("records"):
+                accumulate(acc, r)
+            head = {k: pdf.iloc[0][k] for k in keys}
+            return pd.DataFrame([{**head, **o} for o in emit_value(acc)])
+
+        return DataStream(self.df.groupBy(*keys).applyInPandas(apply, schema))
+
     def window(self, ts: str, size: str, slide: str | None = None) -> "WindowedKeyedStream":
         return WindowedKeyedStream(self.df, self.keys, F.window(ts, size, slide))
 

@@ -183,3 +183,50 @@ def ds_iterate_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = DataStream(o).iterate(step, max_iterations=64)
     return out.df.select("id", F.round("v", 6).alias("final_v"))
+
+
+@query(
+    "ds_table_agg_top2",
+    oracle="""
+    SELECT user_id, rank_num, round(value, 2) AS value FROM (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value DESC) AS rank_num
+      FROM events
+    ) WHERE rank_num <= 2
+    """,
+    tags=("datastream", "udtaf"),
+)
+def ds_table_agg_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TableAggregateFunction (flatAggregate) — Flink's canonical Top2
+    example (TableAggregateFunction.java javadoc): the accumulator
+    keeps the two largest values per key; emit_value yields one row per
+    held value with its rank."""
+    from flink_1_16_0_src_spark.datastream import DataStream
+
+    ev = load(spark, sf_dir, "events").select("user_id", "value")
+
+    def create_acc():
+        return {"first": None, "second": None}
+
+    def accumulate(acc, row):
+        v = float(row["value"])
+        if acc["first"] is None or v > acc["first"]:
+            acc["second"], acc["first"] = acc["first"], v
+        elif acc["second"] is None or v > acc["second"]:
+            acc["second"] = v
+
+    def emit_value(acc):
+        if acc["first"] is not None:
+            yield {"rank_num": 1, "value": round(acc["first"], 2)}
+        if acc["second"] is not None:
+            yield {"rank_num": 2, "value": round(acc["second"], 2)}
+
+    return (
+        DataStream(ev)
+        .key_by("user_id")
+        .flat_aggregate(
+            create_acc, accumulate, emit_value,
+            "user_id bigint, rank_num int, value double",
+        )
+        .df
+    )

@@ -518,3 +518,33 @@ def stream_cep_any_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         after_match="to_next_row", within="2 hours",
     )
     return ssrc.run_to_memory(out, f"drain_cepany_{next(_seq)}", "append")
+
+
+@query(
+    "stream_temporal_sort_drain",
+    oracle="""
+    SELECT user_id, event_id, ts, round(value, 2) AS value FROM (
+      SELECT user_id, event_id, ts, value,
+             max(ts) OVER (PARTITION BY user_id) - INTERVAL '30 minutes' AS wm
+      FROM events
+    ) WHERE ts <= wm
+    """,
+    tags=("streaming", "sort"),
+)
+def stream_temporal_sort_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream temporal sort (StreamExecTemporalSort.java:64 /
+    RowTimeSortOperator) drained end-to-end: rows buffer per key and
+    release in event-time order once the carried watermark (per-key
+    max ts − 30 min) passes them; the availableNow drain's emitted set
+    = rows at-or-below the final watermark — the oracle's window
+    filter."""
+    from flink_1_16_0_src_spark.streaming.dedup import temporal_sort
+
+    sdf = ssrc.stream_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = temporal_sort(sdf, "ts", "30 minutes", ["user_id"])
+    drained = ssrc.run_to_memory(out, f"drain_tsort_{next(_seq)}", "append")
+    return drained.select(
+        "user_id", "event_id", "ts", F.round("value", 2).alias("value")
+    )
