@@ -548,3 +548,91 @@ def stream_temporal_sort_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drained.select(
         "user_id", "event_id", "ts", F.round("value", 2).alias("value")
     )
+
+
+@query(
+    "stream_late_side_output_drain",
+    oracle="""
+    WITH wm AS (
+      SELECT max(ts) - INTERVAL '30 minutes' AS w FROM events WHERE event_id % 2 = 0
+    )
+    SELECT event_id, user_id, ts FROM events, wm
+    WHERE event_id % 2 = 1 AND ts < wm.w
+    """,
+    tags=("streaming", "late-data"),
+)
+def stream_late_side_output_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data side output (WindowedStream.sideOutputLateData parity,
+    streaming/late.LateRowRouter): events staged as two deterministic
+    micro-batches (even event_ids then odd); the carried
+    bounded-out-of-orderness watermark after batch 1 is max(even ts) −
+    30 min, so batch 2's side output = odd rows behind it — exactly the
+    oracle's filter. Batch 1 has no late rows (watermark unset)."""
+    import os
+    import tempfile
+
+    from flink_1_16_0_src_spark.streaming.late import route_late_rows
+    from flink_1_16_0_src_spark.tables import load as _load
+
+    ev = _load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    d = tempfile.mkdtemp(prefix="late_drain_")
+    src_dir = os.path.join(d, "src")
+    os.makedirs(src_dir)
+    for i, pred in enumerate((F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1)):
+        stage = os.path.join(d, f"stage{i}")
+        ev.where(pred).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        dst = os.path.join(src_dir, f"{i:04d}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    late_rows: list = []
+
+    def on_time(batch_df, batch_id):
+        batch_df.count()  # drain the on-time side
+
+    def on_late(batch_df, batch_id):
+        late_rows.extend(batch_df.collect())
+
+    q = (
+        route_late_rows(sdf, "ts", "30 minutes", on_time, on_late)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(late_rows, ev.schema)
+
+
+@query(
+    "stream_semi_join_drain",
+    oracle="""
+    SELECT p.user_id AS uid, p.event_id AS purchase_id
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND EXISTS (SELECT 1 FROM events c
+                  WHERE c.user_id = p.user_id AND c.event_type = 'click')
+    """,
+    tags=("streaming", "join", "semi"),
+)
+def stream_semi_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SEMI join (StreamingSemiAntiJoinOperator.java:34)
+    drained: a left (purchase) row emits +I exactly once, when EXISTS
+    over the click side first becomes true — append-only changelog, so
+    the drained set equals the batch EXISTS semi-join."""
+    from flink_1_16_0_src_spark.streaming.joins import unbounded_join
+
+    l = ssrc.stream_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    ).select(F.col("user_id").alias("uid"), F.col("event_id").alias("purchase_id"))
+    r = ssrc.stream_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "click"
+    ).select(F.col("user_id").alias("ruid"), F.col("event_id").alias("click_id"))
+    out = unbounded_join(l, r, ("uid", "ruid"), how="left_semi")
+    drained = ssrc.run_to_memory(out, f"drain_semijoin_{next(_seq)}", "append")
+    return drained.where(F.col("__rowkind") == "+I").select("uid", "purchase_id")
