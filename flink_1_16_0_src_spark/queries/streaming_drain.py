@@ -636,3 +636,52 @@ def stream_semi_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = unbounded_join(l, r, ("uid", "ruid"), how="left_semi")
     drained = ssrc.run_to_memory(out, f"drain_semijoin_{next(_seq)}", "append")
     return drained.where(F.col("__rowkind") == "+I").select("uid", "purchase_id")
+
+
+@query(
+    "stream_count_window_evictor_drain",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pos,
+             count(*) OVER (PARTITION BY user_id) AS total
+      FROM events
+    )
+    SELECT user_id,
+           CAST(min(event_id) FILTER (WHERE pos % 5 = 0) AS BIGINT) AS win_start_event,
+           CAST(count(*) FILTER (WHERE pos % 5 >= 2) AS BIGINT) AS n_kept,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) FILTER (WHERE pos % 5 >= 2) AS BIGINT) AS sum_cents
+    FROM ordered
+    WHERE (pos // 5 + 1) * 5 <= total
+    GROUP BY user_id, pos // 5
+    """,
+    tags=("streaming", "count-window", "evictor"),
+)
+def stream_count_window_evictor_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count windows + CountEvictor drained (CountTumblingWindowAssigner
+    + CountEvictor.of(3), streaming/late.py): per user, every 5 rows in
+    (ts, event_id) order form a window; the evictor keeps the LAST 3
+    before the window function runs. Only FULL windows fire (the tail
+    stays in state). Sums are exact integer cents so both engines hash
+    identically regardless of fold order."""
+    from flink_1_16_0_src_spark.streaming.late import streaming_count_window
+
+    sdf = ssrc.stream_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+
+    def agg(wpdf):
+        return {
+            "win_start_event": int(wpdf["event_id"].iloc[0]),
+            "n_kept": len(wpdf) - 2,  # evictor keeps last 3 of 5
+            "sum_cents": int(
+                sum(int(round(float(v) * 100)) for v in wpdf["value"].iloc[2:])
+            ),
+        }
+
+    out = streaming_count_window(
+        sdf, ["user_id"], size=5, agg_fn=agg,
+        output_schema="user_id bigint, win_start_event bigint, n_kept bigint, sum_cents bigint",
+        order_col=["ts", "event_id"],
+    )
+    return ssrc.run_to_memory(out, f"drain_cntwin_{next(_seq)}", "append")

@@ -101,13 +101,17 @@ def streaming_count_window(
     output_schema: StructType,
     evictor: tuple | None = None,
     ts_col: str | None = None,
+    order_col: str | list[str] | None = None,
 ) -> DataFrame:
     """CountTumblingWindowAssigner + optional evictor: per key, every
     ``size`` rows form a window; ``agg_fn(window_pdf) -> dict`` emits
     one output row per fired window (the window function). The
     under-full tail is carried in state — bounded by ``size`` rows per
     key. Row order inside a key follows arrival order (same caveat as
-    Flink's count windows, which are arrival-ordered too)."""
+    Flink's count windows, which are arrival-ordered too); Spark gives
+    no per-key FIFO inside a micro-batch, so pass ``order_col`` to sort
+    each batch's rows before buffering when window membership must be
+    deterministic."""
     import json
 
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -120,6 +124,8 @@ def streaming_count_window(
     def fn(key, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
         buf = [json.loads(s) for s in state.get[0]] if state.exists else []
         for pdf in pdfs:
+            if order_col is not None:
+                pdf = pdf.sort_values(order_col, kind="stable")
             for d in pdf.to_dict("records"):
                 buf.append(json.loads(json.dumps(d, default=str)))
         out = []
@@ -152,7 +158,7 @@ def streaming_delta_trigger_window(
     threshold: float,
     agg_fn: Callable[[pd.DataFrame], dict],
     output_schema: StructType,
-    order_col: str | None = None,
+    order_col: str | list[str] | None = None,
 ) -> DataFrame:
     """DeltaTrigger analog (DS/api/windowing/triggers/DeltaTrigger.java:
     onElement computes ``delta(lastTriggeringElement, current)`` and
