@@ -648,7 +648,7 @@ def stream_semi_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id,
-           CAST(min(event_id) FILTER (WHERE pos % 5 = 0) AS BIGINT) AS win_start_event,
+           CAST(min(event_id) FILTER (WHERE pos % 5 = 2) AS BIGINT) AS win_start_event,
            CAST(count(*) FILTER (WHERE pos % 5 >= 2) AS BIGINT) AS n_kept,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) FILTER (WHERE pos % 5 >= 2) AS BIGINT) AS sum_cents
     FROM ordered
@@ -660,10 +660,12 @@ def stream_semi_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_count_window_evictor_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count windows + CountEvictor drained (CountTumblingWindowAssigner
     + CountEvictor.of(3), streaming/late.py): per user, every 5 rows in
-    (ts, event_id) order form a window; the evictor keeps the LAST 3
-    before the window function runs. Only FULL windows fire (the tail
-    stays in state). Sums are exact integer cents so both engines hash
-    identically regardless of fold order."""
+    (ts, event_id) order form a window; CountEvictor(3) trims each
+    fired window to its LAST 3 rows before the window function runs
+    (the real evictor path, not an agg-side emulation). Only FULL
+    windows fire (the tail stays in state). Sums are exact integer
+    cents so both engines hash identically regardless of fold
+    order."""
     from flink_1_16_0_src_spark.streaming.late import streaming_count_window
 
     sdf = ssrc.stream_table(spark, sf_dir, "events").select(
@@ -671,17 +673,20 @@ def stream_count_window_evictor_drain(spark: SparkSession, sf_dir: str) -> DataF
     )
 
     def agg(wpdf):
+        # wpdf is the POST-EVICTION window: CountEvictor(3) already
+        # trimmed the 5-row window to its last 3 rows
         return {
             "win_start_event": int(wpdf["event_id"].iloc[0]),
-            "n_kept": len(wpdf) - 2,  # evictor keeps last 3 of 5
+            "n_kept": len(wpdf),
             "sum_cents": int(
-                sum(int(round(float(v) * 100)) for v in wpdf["value"].iloc[2:])
+                sum(int(round(float(v) * 100)) for v in wpdf["value"])
             ),
         }
 
     out = streaming_count_window(
         sdf, ["user_id"], size=5, agg_fn=agg,
         output_schema="user_id bigint, win_start_event bigint, n_kept bigint, sum_cents bigint",
+        evictor=("count", 3),
         order_col=["ts", "event_id"],
     )
     return ssrc.run_to_memory(out, f"drain_cntwin_{next(_seq)}", "append")
