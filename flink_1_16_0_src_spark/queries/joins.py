@@ -378,3 +378,39 @@ def join_lookup_batched_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_size=64, cache=True, concurrency=2,
     )
     return out.select("c_custkey", "c_name", "n_name", "n_regionkey")
+
+
+@query(
+    "join_bucketed_exchange_free",
+    oracle="""
+    SELECT o.o_custkey,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(l.l_orderkey) AS BIGINT) AS n_lineitems
+    FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey
+    """,
+    tags=("join", "bucketing", "exchange-elimination"),
+)
+def join_bucketed_exchange_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (BatchExecExchange.java:65 FORWARD-
+    instead-of-HASH when distributions already match): orders and
+    lineitem are written bucketed+sorted on the join key once, then
+    joined exchange-free — values must equal the plain join (the
+    oracle); `tests/test_plans.py` separately asserts the zero-Exchange
+    plan for this layout. NB counts count PAIRINGS (left join), so the
+    oracle is layout-independent."""
+    from flink_1_16_0_src_spark.operators.bucketing import bucketed_join, write_bucketed
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+        .withColumn("__lm", F.lit(1))
+    )
+    write_bucketed(o, "bq_orders", "o_orderkey", buckets=8)
+    write_bucketed(l, "bq_lineitem", "o_orderkey", buckets=8)
+    joined = bucketed_join(spark, "bq_orders", "bq_lineitem", "o_orderkey", "left_outer")
+    return joined.groupBy("o_custkey").agg(
+        F.count("*").alias("n_pairs"),
+        F.count("__lm").alias("n_lineitems"),
+    )
