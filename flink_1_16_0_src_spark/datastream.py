@@ -227,6 +227,14 @@ class DataStream:
 
     # ---- joins ----
 
+    def window_all(self, ts: str, size: str, slide: str | None = None) -> "WindowedKeyedStream":
+        """windowAll (DataStream.java:871): non-keyed time windows —
+        every row lands in the global per-window group. Flink warns
+        this forces parallelism 1; the Spark plan has the same shape (a
+        single group per window) but the partial aggregation still
+        folds map-side, so only window-grain partials move."""
+        return WindowedKeyedStream(self.df, [], F.window(ts, size, slide))
+
     def join(self, other: "DataStream", on, how: str = "inner") -> "DataStream":
         return DataStream(self.df.join(other.df, on, how))
 

@@ -365,3 +365,32 @@ def test_async_io_unordered_timeout_fires(spark):
     )
     with pytest.raises(Exception, match="(?i)timeout"):
         out.df.collect()
+
+
+def test_window_all_matches_keyed_window_union(spark):
+    """windowAll = non-keyed time windows (DataStream.java:871): per
+    window, the count equals the sum of the keyed windows' counts."""
+    from pyspark.sql import functions as F
+
+    from flink_1_16_0_src_spark import tables
+    from flink_1_16_0_src_spark.datastream import DataStream
+
+    ev = tables.load(spark, "/root/testdata/sf0.001", "events")
+    all_win = (
+        DataStream(ev)
+        .window_all("ts", "1 hour")
+        .aggregate(F.count("*").alias("n"))
+        .df.collect()
+    )
+    keyed = (
+        DataStream(ev)
+        .key_by("user_id")
+        .window("ts", "1 hour")
+        .aggregate(F.count("*").alias("n"))
+        .df.groupBy("window")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    a = {(r.window.start, r.window.end): r.n for r in all_win}
+    b = {(r.window.start, r.window.end): r.n for r in keyed}
+    assert a == b and len(a) > 0
