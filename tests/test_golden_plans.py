@@ -44,6 +44,10 @@ PINNED = [
     "cep_followed_by",              # Pattern API NFA partition shape
     "tpcds_q45_disjunctive_subquery",  # IN-subquery inside OR (existence join)
     "tpcds_q98_class_share_window",    # window sum over aggregate output
+    "sample_stratified_cap",        # hash-order window + group limit (r3)
+    "pack_sequences_bins",          # single-shuffle prefix-sum packing (r3)
+    "decontam_ngram_overlap",       # broadcast bench grams + map-side check (r3)
+    "join_bucketed_exchange_free",  # zero-exchange bucketed join (r3)
 ]
 
 
