@@ -690,3 +690,43 @@ def stream_count_window_evictor_drain(spark: SparkSession, sf_dir: str) -> DataF
         order_col=["ts", "event_id"],
     )
     return ssrc.run_to_memory(out, f"drain_cntwin_{next(_seq)}", "append")
+
+
+@query(
+    "stream_anti_join_drain",
+    oracle="""
+    SELECT p.user_id AS uid, p.event_id AS purchase_id
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND NOT EXISTS (SELECT 1 FROM events c
+                      WHERE c.user_id = p.user_id AND c.event_type = 'click')
+    """,
+    tags=("streaming", "join", "anti", "changelog"),
+)
+def stream_anti_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANTI join drained and COLLAPSED: a left row emits +I
+    while NOT EXISTS holds and retracts with -D when the first match
+    arrives (StreamingSemiAntiJoinOperator's NOT-EXISTS flip), so the
+    net changelog per row (+I count − -D count > 0) equals the batch
+    NOT EXISTS — order-independent even though intra-batch arrival
+    order is not deterministic."""
+    from flink_1_16_0_src_spark.streaming.joins import unbounded_join
+
+    l = ssrc.stream_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    ).select(F.col("user_id").alias("uid"), F.col("event_id").alias("purchase_id"))
+    r = ssrc.stream_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "click"
+    ).select(F.col("user_id").alias("ruid"), F.col("event_id").alias("click_id"))
+    out = unbounded_join(l, r, ("uid", "ruid"), how="left_anti")
+    drained = ssrc.run_to_memory(out, f"drain_antijoin_{next(_seq)}", "append")
+    net = (
+        F.sum(F.when(F.col("__rowkind") == "+I", 1).otherwise(0))
+        - F.sum(F.when(F.col("__rowkind") == "-D", 1).otherwise(0))
+    )
+    return (
+        drained.groupBy("uid", "purchase_id")
+        .agg(net.alias("__net"))
+        .where(F.col("__net") > 0)
+        .select("uid", "purchase_id")
+    )
