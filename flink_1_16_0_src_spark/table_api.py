@@ -261,6 +261,21 @@ class GroupedTable:
     def agg(self, *exprs) -> Table:
         return Table(self._df.groupBy(*self._keys).agg(*_cols(exprs)))
 
+    def flat_aggregate(self, create_acc, accumulate, emit_value, schema) -> Table:
+        """Table API flatAggregate (pyflink GroupedTable.flat_aggregate
+        over a TableAggregateFunction): multi-row emission per group —
+        delegates to the DataStream surface's accumulator contract
+        (``datastream.KeyedStream.flat_aggregate``)."""
+        from flink_1_16_0_src_spark.datastream import DataStream
+
+        key_names = [self._df.select(k).columns[0] for k in self._keys]
+        return Table(
+            DataStream(self._df)
+            .key_by(*key_names)
+            .flat_aggregate(create_acc, accumulate, emit_value, schema)
+            .df
+        )
+
 
 # ---- group windows (Tumble/Slide/Session descriptors, pyflink/table/window.py;
 # reference GroupWindowedTable / WindowGroupedTable in T-API table.py twins) ----

@@ -180,3 +180,42 @@ def test_offset_fetch_pagination(spark, sf_dir):
     t = Table(tables.load(spark, sf_dir, "nation")).order_by(col("n_nationkey"))
     page2 = t.offset(5).fetch(5).to_data_frame().collect()
     assert [r.n_nationkey for r in page2] == [5, 6, 7, 8, 9]
+
+
+def test_grouped_table_flat_aggregate_top2(spark):
+    """Table API flatAggregate == the SQL top-2 window (the reference's
+    canonical Top2 TableAggregateFunction example)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_1_16_0_src_spark import table_api as T
+    from flink_1_16_0_src_spark import tables
+
+    ev = tables.load(spark, "/root/testdata/sf0.001", "events").select("user_id", "value")
+
+    def create_acc():
+        return []
+
+    def accumulate(acc, row):
+        acc.append(float(row["value"]))
+        acc.sort(reverse=True)
+        del acc[2:]
+
+    def emit_value(acc):
+        for i, v in enumerate(acc):
+            yield {"rank_num": i + 1, "value": v}
+
+    got = (
+        T.Table(ev)
+        .group_by(T.col("user_id"))
+        .flat_aggregate(create_acc, accumulate, emit_value,
+                        "user_id bigint, rank_num int, value double")
+        .to_data_frame()
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc())
+    exp = (
+        ev.withColumn("rank_num", F.row_number().over(w))
+        .where(F.col("rank_num") <= 2)
+        .select("user_id", "rank_num", "value")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
