@@ -25,14 +25,24 @@ def contamination_hits(
     text_col: str,
     id_col: str,
     n: int = 13,
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Per-document count of DISTINCT benchmark n-grams found in the
     document. Output: (id, n_contaminated_ngrams) for contaminated
-    docs only."""
+    docs only.
+
+    ``broadcast_bench=True`` (default) pins the map-side plan — right
+    for eval suites (thousands of benchmark docs, grams fit every
+    executor). For an oversized 'benchmark' side (e.g. decontaminating
+    against another CORPUS), pass False: the check becomes a shuffle
+    join on the gram hash, whose key cardinality spreads evenly by
+    construction (n-grams of text) — no hot keys."""
     grams_b = bench.select(F.explode(shingles(text_col, n)).alias("__g")).distinct()
+    if broadcast_bench:
+        grams_b = F.broadcast(grams_b)
     doc_grams = docs.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("__g"))
     return (
-        doc_grams.join(F.broadcast(grams_b), "__g")
+        doc_grams.join(grams_b, "__g")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_contaminated_ngrams"))
     )
