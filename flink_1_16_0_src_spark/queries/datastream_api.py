@@ -230,3 +230,42 @@ def ds_table_agg_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .df
     )
+
+
+@query(
+    "bridge_to_changelog_stream",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_type, ts, round(value, 2) AS value,
+             lag(round(value, 2)) OVER w AS prev_value,
+             lag(ts) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts)
+    )
+    SELECT user_id, event_type, ts, value, '+I' AS rowkind
+    FROM v WHERE prev_ts IS NULL
+    UNION ALL
+    SELECT user_id, event_type, prev_ts, prev_value, '-U'
+    FROM v WHERE prev_ts IS NOT NULL
+    UNION ALL
+    SELECT user_id, event_type, ts, value, '+U'
+    FROM v WHERE prev_ts IS NOT NULL
+    """,
+    tags=("bridge", "changelog"),
+)
+def bridge_to_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StreamTableEnvironment.toChangelogStream (SURVEY §3.3 bridge):
+    the per-(user, event_type) version history of events replays as
+    +I / -U(prev image) / +U(cur image) — pure lag()-window Catalyst
+    expressions; the oracle reconstructs the same changelog with
+    UNIONed lag projections."""
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", F.round("value", 2).alias("value")
+    )
+    out = tenv.to_changelog_stream(ev, keys=["user_id", "event_type"], order_col="ts")
+    return out.select(
+        "user_id", "event_type", "ts", "value", F.col("__rowkind").alias("rowkind")
+    )

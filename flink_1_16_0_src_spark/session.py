@@ -391,6 +391,79 @@ class TableEnvironment:
         job."""
         return StatementSet(self)
 
+    # ---- DataStream <-> Table bridges (SURVEY §3.3;
+    # flink-table-api-java-bridge StreamTableEnvironment) --------------
+
+    def from_data_stream(self, ds, watermark: tuple[str, str] | None = None) -> DataFrame:
+        """StreamTableEnvironment.fromDataStream: a DataStream becomes a
+        Table; an optional ``(ts_col, delay)`` declares the event-time
+        attribute (Schema.watermark parity) via withWatermark."""
+        df = ds.df if hasattr(ds, "df") else ds
+        return df.withWatermark(*watermark) if watermark else df
+
+    def to_data_stream(self, table: DataFrame):
+        """StreamTableEnvironment.toDataStream (insert-only)."""
+        from flink_1_16_0_src_spark.datastream import DataStream
+
+        return DataStream(table)
+
+    def to_changelog_stream(
+        self, table: DataFrame, keys: list[str] | None = None, order_col: str | None = None
+    ) -> DataFrame:
+        """StreamTableEnvironment.toChangelogStream: expose a table's
+        changelog as ``__rowkind``-stamped rows. Insert-only (no keys):
+        every row is ``+I``. With ``keys`` + ``order_col``: the per-key
+        version history replays as +I for the first version, then a
+        -U(previous image)/+U(current image) pair per later version —
+        pure lag()-window Catalyst expressions, no Python (the batch
+        twin of ``streaming.stateful.changelog_normalize``)."""
+        if not keys:
+            return table.withColumn("__rowkind", F.lit("+I"))
+        assert order_col, "keys require an order_col to sequence versions"
+        from pyspark.sql import Window as W
+
+        vals = [c for c in table.columns if c not in keys]
+        w = W.partitionBy(*keys).orderBy(order_col)
+        # window exprs can't live under explode — materialize lags first
+        staged = table.select(
+            *keys,
+            *vals,
+            *[F.lag(c).over(w).alias(f"__prev_{c}") for c in vals],
+            F.row_number().over(w).alias("__vn"),
+        )
+        cur = F.struct(*[F.col(c).alias(c) for c in vals])
+        prev = F.struct(*[F.col(f"__prev_{c}").alias(c) for c in vals])
+
+        def pair(img, rk: str):
+            return F.struct(img.alias("img"), F.lit(rk).alias("rk"))
+
+        pairs = F.when(F.col("__vn") == 1, F.array(pair(cur, "+I"))).otherwise(
+            F.array(pair(prev, "-U"), pair(cur, "+U"))
+        )
+        out = staged.select(*keys, F.explode(pairs).alias("__e"))
+        return out.select(
+            *keys,
+            *[F.col(f"__e.img.{c}").alias(c) for c in vals],
+            F.col("__e.rk").alias("__rowkind"),
+        )
+
+    def from_changelog_stream(
+        self, df: DataFrame, keys: list[str], order_col: str
+    ) -> DataFrame:
+        """StreamTableEnvironment.fromChangelogStream: materialize a
+        ``__rowkind``-stamped changelog back into a table — last
+        add-image (+I/+U) per key wins; a key whose latest change is
+        ``-D`` disappears (the ChangelogNormalize-then-upsert path)."""
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(*keys).orderBy(F.col(order_col).desc())
+        latest = (
+            df.where(F.col("__rowkind") != "-U")
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+        )
+        return latest.where(F.col("__rowkind") != "-D").drop("__rn", "__rowkind")
+
     def table(self, name: str) -> DataFrame:
         """Resolve a DDL-registered table. Filesystem/kafka tables are
         already temp views; lazily-registered jdbc tables connect here

@@ -219,3 +219,29 @@ def test_grouped_table_flat_aggregate_top2(spark):
         .select("user_id", "rank_num", "value")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_changelog_bridge_roundtrip(spark):
+    """toChangelogStream → fromChangelogStream is the keyed last-image
+    identity (the two §3.3 bridges invert each other)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_1_16_0_src_spark import tables
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    ev = tables.load(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    log = tenv.to_changelog_stream(ev, keys=["user_id", "event_type"], order_col="ts")
+    back = tenv.from_changelog_stream(log, ["user_id", "event_type"], "ts")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("ts").desc())
+    exp = ev.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+    cols = ["user_id", "event_type", "ts", "value"]
+    assert sorted(map(tuple, back.select(*cols).collect())) == sorted(
+        map(tuple, exp.select(*cols).collect())
+    )
+    # insert-only bridge stamps +I everywhere
+    ins = tenv.to_changelog_stream(ev)
+    assert ins.where(F.col("__rowkind") != "+I").count() == 0
