@@ -153,6 +153,7 @@ class TableEnvironment:
         self._sinks: dict[str, dict] = {}
         self._sources: dict[str, dict] = {}
         self._watermarks: dict[str, tuple[str, str]] = {}
+        self._set_overrides: dict[str, str] = {}
         from flink_1_16_0_src_spark.catalog import CatalogManager
 
         self.catalog_manager = CatalogManager(self.spark)
@@ -182,6 +183,35 @@ class TableEnvironment:
         from flink_1_16_0_src_spark import sources as srcs
 
         stmt = sql.strip()
+        # Flink SET / RESET statements (SqlSet/SqlReset,
+        # flink-sql-parser/.../dql/SqlSet.java): session config knobs.
+        # `SET 'k' = 'v'` → spark.conf.set; bare SET lists the session
+        # confs; RESET 'k' / RESET unsets. `table.*` keys without a
+        # Spark twin still store/round-trip (TableConfig parity).
+        mset = re.match(r"^SET(?:\s+'([^']+)'\s*=\s*'([^']*)')?\s*;?$", stmt, re.IGNORECASE)
+        if mset:
+            if mset.group(1) is None:
+                rows = [(k, v) for k, v in sorted(self._set_overrides.items())]
+                return self.spark.createDataFrame(rows or [("", "")], "key string, value string").where(
+                    "key <> ''"
+                )
+            k, v = mset.group(1), mset.group(2)
+            self._set_overrides[k] = v
+            try:
+                self.spark.conf.set(k, v)
+            except Exception:
+                pass  # Flink-only key (table.exec.*) — stored for parity
+            return None
+        mreset = re.match(r"^RESET(?:\s+'([^']+)')?\s*;?$", stmt, re.IGNORECASE)
+        if mreset:
+            keys = [mreset.group(1)] if mreset.group(1) else list(self._set_overrides)
+            for k in keys:
+                self._set_overrides.pop(k, None)
+                try:
+                    self.spark.conf.unset(k)
+                except Exception:
+                    pass
+            return None
         mcta = _CREATE_TABLE_AS.match(stmt)
         if mcta:
             # CTAS (FLIP-218, Flink 1.16 SqlCreateTableAs): create the

@@ -922,3 +922,20 @@ def test_insert_static_partition_typed(tenv, spark, tmp_path):
     # partition-discovery may widen, but it must be NUMERIC, not string
     assert dict(back.dtypes)["p"] in ("int", "bigint")
     assert (row.v, row.p) == (1.5, 3)
+
+
+def test_set_reset_statements(spark):
+    """Flink SET / RESET statement parity (SqlSet/SqlReset): quoted
+    key-value pairs reach spark.conf; Flink-only table.* keys still
+    store and list; RESET unsets."""
+    tenv = TableEnvironment(spark)
+    tenv.execute_sql("SET 'spark.sql.shuffle.partitions' = '7'")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    tenv.execute_sql("SET 'table.exec.state.ttl' = '1 h'")
+    listed = {(r.key, r.value) for r in tenv.execute_sql("SET").collect()}
+    assert ("spark.sql.shuffle.partitions", "7") in listed
+    assert ("table.exec.state.ttl", "1 h") in listed
+    tenv.execute_sql("RESET 'spark.sql.shuffle.partitions'")
+    assert spark.conf.get("spark.sql.shuffle.partitions") != "7"
+    tenv.execute_sql("RESET")
+    assert tenv.execute_sql("SET").count() == 0
