@@ -67,6 +67,37 @@ def udaf(result_type: str) -> Callable:
     return deco
 
 
+def udtaf(result_type: str) -> Callable:
+    """Table AGGREGATE function decorator (pyflink ``udtaf``,
+    TableAggregateFunction.java): decorate a class with
+    ``create_accumulator() -> acc``, ``accumulate(acc, row)`` and
+    ``emit_value(acc) -> iterable[dict]`` methods; the result is a
+    callable ``(df, keys) -> DataFrame`` that runs the accumulator per
+    key via the DataStream ``flat_aggregate`` contract (multi-row
+    emission per group)."""
+
+    def deco(cls):
+        def apply(df, keys: list[str]):
+            from flink_1_16_0_src_spark.datastream import DataStream
+
+            inst = cls()
+            return (
+                DataStream(df)
+                .key_by(*keys)
+                .flat_aggregate(
+                    inst.create_accumulator, inst.accumulate, inst.emit_value,
+                    result_type,
+                )
+                .df
+            )
+
+        apply.__name__ = cls.__name__
+        apply._udtaf_class = cls
+        return apply
+
+    return deco
+
+
 def register(spark: SparkSession, name: str, fn) -> None:
     """CREATE FUNCTION parity: makes the UDF callable from SQL."""
     try:

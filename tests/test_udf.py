@@ -118,3 +118,37 @@ def test_raw_codec_roundtrip(spark, sf_dir):
     )
     exp = {r.event_id: round(r.value, 6) for r in exp_rows}
     assert got == exp and len(got) > 0
+
+
+def test_udtaf_decorator_top2(spark):
+    """pyflink-style @udtaf class (TableAggregateFunction contract) ==
+    the SQL top-2 window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_1_16_0_src_spark import tables
+    from flink_1_16_0_src_spark.functions.udf import udtaf
+
+    @udtaf("user_id bigint, rank_num int, value double")
+    class Top2:
+        def create_accumulator(self):
+            return []
+
+        def accumulate(self, acc, row):
+            acc.append(float(row["value"]))
+            acc.sort(reverse=True)
+            del acc[2:]
+
+        def emit_value(self, acc):
+            for i, v in enumerate(acc):
+                yield {"rank_num": i + 1, "value": v}
+
+    ev = tables.load(spark, "/root/testdata/sf0.001", "events").select("user_id", "value")
+    got = Top2(ev, ["user_id"])
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc())
+    exp = (
+        ev.withColumn("rank_num", F.row_number().over(w))
+        .where(F.col("rank_num") <= 2)
+        .select("user_id", "rank_num", "value")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
