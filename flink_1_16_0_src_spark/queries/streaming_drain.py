@@ -730,3 +730,53 @@ def stream_anti_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__net") > 0)
         .select("uid", "purchase_id")
     )
+
+
+@query(
+    "stream_retract_agg_drain",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS alive_cnt,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM latest GROUP BY user_id
+    """,
+    tags=("streaming", "aggregate", "retract"),
+)
+def stream_retract_agg_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRACT-MODE aggregation end-to-end: the events table becomes a
+    +I/-U/+U changelog per (user, event_type) entity (the
+    toChangelogStream bridge), streams through the retract aggregate
+    keyed by user — -U cancels the superseded version exactly (integer
+    cents) — and the drained state equals aggregating only each
+    entity's LATEST version: the oracle's row_number()=1 projection.
+    This is the update-stream semantics Flink's
+    AggregateFunction.retract() exists for."""
+    import os
+    import tempfile
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+    from flink_1_16_0_src_spark.streaming.stateful import changelog_group_aggregate
+    from flink_1_16_0_src_spark.tables import load as _load
+
+    tenv = TableEnvironment(spark)
+    ev = _load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    log = tenv.to_changelog_stream(ev, keys=["user_id", "event_type"], order_col="ts")
+    d = tempfile.mkdtemp(prefix="retract_agg_")
+    src = os.path.join(d, "log")
+    # one file → one micro-batch → exactly one emission per key
+    log.coalesce(1).write.parquet(src)
+    sdf = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = changelog_group_aggregate(sdf, ["user_id"], "cents")
+    drained = ssrc.run_to_memory(out, f"drain_retract_{next(_seq)}", "update")
+    return drained.select("user_id", "alive_cnt", "sum_cents")

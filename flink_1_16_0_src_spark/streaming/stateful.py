@@ -558,3 +558,51 @@ def keyed_inactivity_timer(
     return sdf.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
     )
+
+
+def changelog_group_aggregate(
+    sdf: DataFrame,
+    keys: list[str],
+    cents_col: str,
+    rowkind_col: str = "__rowkind",
+) -> DataFrame:
+    """RETRACT-MODE group aggregate — the reference's update-stream
+    aggregation (AggregateFunction.retract(),
+    flink-table/flink-table-common/.../functions/AggregateFunction.java;
+    StreamExecGroupAggregate wires retract() when the input produces
+    UPDATE_BEFORE): consumes a ``__rowkind``-stamped changelog; +I/+U
+    ACCUMULATE the row, -U/-D RETRACT it, so an updated entity never
+    double-counts (the r2-ADVICE motivation for emitting -U from CDC
+    decodes). State per key = (row_count, sum) — O(1); emits the
+    refreshed aggregate per touched key each batch (update mode).
+
+    ``cents_col`` must be an integer-scaled measure (e.g. value*100 as
+    BIGINT): retraction arithmetic must cancel EXACTLY, and float
+    add/subtract orders don't — the same determinism rule as the
+    decimal k-means means."""
+    key_fields = [f for f in sdf.schema.fields if f.name in keys]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("alive_cnt", LongType()),
+            StructField("sum_cents", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("cnt", LongType()), StructField("s", LongType())]
+    )
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
+        cnt, s = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            for d in pdf.to_dict("records"):
+                sign = -1 if d[rowkind_col] in ("-U", "-D") else 1
+                cnt += sign
+                s += sign * int(d[cents_col])
+        state.update((int(cnt), int(s)))
+        out = pd.DataFrame([tuple(key) + (cnt, s)], columns=[f.name for f in out_schema.fields])
+        yield out
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -405,3 +405,41 @@ def test_keep_last_dedup_ttl_expiry(spark, tmp_path):
     spark.createDataFrame([(1, 50, 2.0)], schema).coalesce(1).write.mode("append").parquet(d)
     got = {(r.seq, r.value) for r in _drain_once(dedup(500), ckpt, "klttl_b2")}
     assert got == {(50, 2.0)}  # expired: the older-seq row re-seeds the key
+
+
+def test_changelog_group_aggregate_retracts_across_batches(spark, tmp_path):
+    """Retract-mode agg (AggregateFunction.retract parity): an entity
+    inserted in batch 1 and updated in batch 2 contributes exactly its
+    latest value — the -U retraction cancels across the batch
+    boundary."""
+    d = os.path.join(str(tmp_path), "log")
+    os.makedirs(d)
+    schema = "k bigint, cents bigint, __rowkind string"
+    b1 = [(1, 100, "+I"), (1, 50, "+I")]           # two entities for key 1
+    b2 = [(1, 100, "-U"), (1, 70, "+U"),            # first entity 100 -> 70
+          (1, 50, "-D")]                            # second entity deleted
+    for i, b in enumerate((b1, b2)):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(
+            os.path.join(d, f"{i}")
+        )
+        # separate subdirs won't stream; write as files in one dir
+    import shutil
+
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    n = 0
+    for i in (0, 1):
+        for f in sorted(os.listdir(os.path.join(d, str(i)))):
+            if f.endswith(".parquet"):
+                dst = os.path.join(src, f"{n:04d}.parquet")
+                shutil.copy(os.path.join(d, str(i), f), dst)
+                os.utime(dst, (1_000_000 + n * 1000,) * 2)
+                n += 1
+    sdf = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = stateful.changelog_group_aggregate(sdf, ["k"], "cents")
+    got = sources.run_to_memory(out, "retract_mb", "update")
+    rows = [(r.alive_cnt, r.sum_cents) for r in got.collect()]
+    # batch1 emission: 2 entities, 150 cents; batch2: 1 entity, 70 cents
+    assert rows == [(2, 150), (1, 70)]
