@@ -121,3 +121,23 @@ def repetition_signals(col: Column | str) -> dict[str, Column]:
             1.0 - F.size(F.array_distinct(w)).cast("double") / F.size(w), 4
         ),
     }
+
+
+def boilerplate_ngrams(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5, min_docs: int = 3
+) -> DataFrame:
+    """Cross-document boilerplate detection: word n-grams appearing in
+    at least ``min_docs`` DISTINCT documents (headers, footers, nav
+    text, license blurbs — the repeated substrings Lee et al.'s
+    dedup paper targets at the corpus level). One explode + one
+    groupBy on the gram — count(distinct doc) folds map-side; at
+    100 TB the gram key space is huge but uniform (no hot keys by
+    construction). Output: (ngram, doc_freq)."""
+    from flink_1_16_0_src_spark.pipeline.dedup import shingles
+
+    grams = df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("ngram"))
+    return (
+        grams.groupBy("ngram")
+        .agg(F.countDistinct(id_col).alias("doc_freq"))
+        .where(F.col("doc_freq") >= min_docs)
+    )

@@ -262,3 +262,28 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(-F.sum(p * F.log2(p)), 4).alias("entropy"))
     )
+
+
+_GRAMS4 = (
+    f"list_distinct(list_transform(generate_series(1, greatest(len({_TOKS}) - 3, 0)),"
+    f" i -> array_to_string(({_TOKS})[i:i+3], ' ')))"
+)
+
+
+@query(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+    SELECT ngram, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM (SELECT doc_id, unnest({_GRAMS4}) AS ngram FROM documents)
+    GROUP BY ngram HAVING count(DISTINCT doc_id) >= 3
+    """,
+    tags=("pipeline", "text", "custom-op"),
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate detection: 4-grams shared by >= 3
+    distinct documents (headers/footers/license blurbs) — one explode,
+    one gram-keyed groupBy with map-side distinct folding."""
+    from flink_1_16_0_src_spark.pipeline.text import boilerplate_ngrams
+
+    d = load(spark, sf_dir, "documents")
+    return boilerplate_ngrams(d, "text", "doc_id", n=4, min_docs=3)
