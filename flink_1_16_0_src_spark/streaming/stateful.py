@@ -598,7 +598,12 @@ def changelog_group_aggregate(
             for d in pdf.to_dict("records"):
                 sign = -1 if d[rowkind_col] in ("-U", "-D") else 1
                 cnt += sign
-                s += sign * int(d[cents_col])
+                v = d[cents_col]
+                # NULL measure: row counts as alive, contributes 0 to the
+                # sum (SQL aggregate null semantics) — and its retraction
+                # symmetrically contributes 0
+                if v is not None and not (isinstance(v, float) and v != v):
+                    s += sign * int(v)
         state.update((int(cnt), int(s)))
         out = pd.DataFrame([tuple(key) + (cnt, s)], columns=[f.name for f in out_schema.fields])
         yield out

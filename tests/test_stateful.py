@@ -443,3 +443,17 @@ def test_changelog_group_aggregate_retracts_across_batches(spark, tmp_path):
     rows = [(r.alive_cnt, r.sum_cents) for r in got.collect()]
     # batch1 emission: 2 entities, 150 cents; batch2: 1 entity, 70 cents
     assert rows == [(2, 150), (1, 70)]
+
+
+def test_changelog_group_aggregate_null_measure(spark, tmp_path):
+    """NULL measures count as alive rows but contribute 0 to the sum
+    (SQL aggregate null semantics), symmetrically on retraction."""
+    d = os.path.join(str(tmp_path), "src")
+    os.makedirs(d)
+    schema = "k bigint, cents bigint, __rowkind string"
+    rows = [(1, 100, "+I"), (1, None, "+I"), (1, None, "-D"), (1, None, "+I")]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(d)
+    sdf = spark.readStream.schema(schema).parquet(d)
+    out = stateful.changelog_group_aggregate(sdf, ["k"], "cents")
+    got = [(r.alive_cnt, r.sum_cents) for r in sources.run_to_memory(out, "retract_null", "update").collect()]
+    assert got == [(2, 100)]

@@ -245,3 +245,43 @@ def test_changelog_bridge_roundtrip(spark):
     # insert-only bridge stamps +I everywhere
     ins = tenv.to_changelog_stream(ev)
     assert ins.where(F.col("__rowkind") != "+I").count() == 0
+
+
+def test_changelog_bridge_roundtrip_property(spark):
+    """Property (hypothesis): toChangelogStream → fromChangelogStream is
+    the keyed last-image identity on arbitrary version histories,
+    including null values and delete-free multi-version keys."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+
+    rows_strategy = st.lists(
+        st.tuples(
+            st.integers(0, 3),                      # key
+            st.integers(0, 50),                     # version order
+            st.one_of(st.none(), st.integers(-5, 5)),  # value (nullable)
+        ),
+        min_size=1, max_size=25,
+        unique_by=lambda t: (t[0], t[1]),           # one row per (key, version)
+    )
+
+    @given(rows_strategy)
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def check(rows):
+        df = spark.createDataFrame(rows, "k bigint, ver bigint, v bigint")
+        log = tenv.to_changelog_stream(df, keys=["k"], order_col="ver")
+        # changelog accounting: one +I per key, one -U/+U pair per extra version
+        n_keys = len({r[0] for r in rows})
+        assert log.count() == n_keys + 2 * (len(rows) - n_keys)
+        back = tenv.from_changelog_stream(log, ["k"], "ver")
+        w = Window.partitionBy("k").orderBy(F.col("ver").desc())
+        exp = df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, exp.collect()))
+
+    check()
