@@ -69,3 +69,36 @@ def split_train_holdout(
     this stability). Returns (train, holdout)."""
     u = _hash_unit(id_col, salt)
     return df.where(u >= holdout_fraction), df.where(u < holdout_fraction)
+
+
+def mix_corpus(
+    df: DataFrame, source_col: str, id_col: str, weights: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Static mixture sampling (the Pile/DoReMi-style domain weighting,
+    downsample-only): choose per-source acceptance fractions so the
+    kept corpus matches the target ``weights`` proportions as closely
+    as possible WITHOUT upsampling. The binding source is the one with
+    the least data relative to its weight: C = min_s(n_s / w_s); then
+    fraction_s = C·w_s / n_s (the binding source keeps everything).
+
+    Decisions are hash-derived per row (``hash_sample`` semantics) —
+    deterministic across engines/partitionings; the per-source counts
+    are the only driver-side state (|sources| numbers). One count
+    aggregation + one map-only filter; sources absent from ``weights``
+    drop."""
+    counts = {
+        r[source_col]: r["n"]
+        for r in df.groupBy(source_col).agg(F.count("*").alias("n")).collect()
+    }
+    c = min(
+        counts[s] / w for s, w in weights.items() if w > 0 and counts.get(s)
+    )
+    pred = None
+    for s, w in weights.items():
+        if w <= 0 or not counts.get(s):
+            continue
+        frac = c * w / counts[s]
+        term = (F.col(source_col) == s) & (_hash_unit(id_col, salt) < frac)
+        pred = term if pred is None else pred | term
+    return df.where(pred if pred is not None else F.lit(False))

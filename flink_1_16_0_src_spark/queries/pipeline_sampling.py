@@ -217,3 +217,32 @@ def decontam_filtered_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean.groupBy().count().select(F.col("count").alias("n_clean"))
         .crossJoin(d.groupBy().count().select(F.col("count").alias("n_total")))
     )
+
+
+@query(
+    "sample_mixture_weights",
+    oracle="""
+    WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+    n AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_s FROM documents GROUP BY source),
+    c AS (SELECT min(n_s / wt) AS c FROM n JOIN w USING (source) WHERE wt > 0),
+    frac AS (
+      SELECT n.source, (SELECT c FROM c) * w.wt / n.n_s AS f
+      FROM n JOIN w USING (source)
+    )
+    SELECT d.doc_id, d.source FROM documents d
+    JOIN frac ON frac.source = d.source
+    WHERE ((('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 15))::BIGINT
+            % 1000000) / 1000000.0) < frac.f
+    """,
+    tags=("pipeline", "sampling", "custom-op"),
+)
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: downsample three sources to a 50/30/20
+    target (the binding source keeps everything); every keep-decision
+    is md5-derived so the oracle replays the exact fraction arithmetic
+    and membership."""
+    from flink_1_16_0_src_spark.pipeline.sampling import mix_corpus
+
+    d = load(spark, sf_dir, "documents")
+    out = mix_corpus(d, "source", "doc_id", {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+    return out.select("doc_id", "source")

@@ -103,3 +103,28 @@ def test_decontaminate_removes_benchmark_members(spark):
     assert long_bench_ids <= hit_ids
     assert clean_ids.isdisjoint(hit_ids)
     assert clean_ids | hit_ids >= {r.doc_id for r in d.select("doc_id").collect()} - hit_ids
+
+
+def test_mix_corpus_proportions_and_determinism(spark):
+    """Mixture sampling: kept proportions approach the target weights
+    (binding source keeps all), deterministic under repartition, and
+    unlisted sources drop."""
+    from flink_1_16_0_src_spark.pipeline.sampling import mix_corpus
+
+    d = tables.load(spark, SF_DIR, "documents")
+    weights = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    out = mix_corpus(d, "source", "doc_id", weights)
+    kept = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    assert set(kept) <= set(weights)
+    # binding source (largest weight here, equal sizes) keeps everything
+    n0 = d.where(F.col("source") == "src0").count()
+    assert kept.get("src0") == n0
+    # monotone with weight
+    assert kept["src0"] >= kept["src1"] >= kept["src2"] > 0
+    a = {r.doc_id for r in out.select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in mix_corpus(d.repartition(9), "source", "doc_id", weights)
+        .select("doc_id").collect()
+    }
+    assert a == b
