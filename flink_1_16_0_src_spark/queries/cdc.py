@@ -149,3 +149,125 @@ def cdc_canal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select(
         "event_id", "user_id", "value", F.col("__rowkind").alias("rowkind")
     )
+
+
+@query(
+    "cdc_maxwell_decode",
+    oracle="""
+    WITH src AS (
+      SELECT event_id, user_id, round(value, 2) AS value,
+             CASE WHEN event_type = 'click' THEN 'insert'
+                  WHEN event_type = 'purchase' THEN 'update'
+                  ELSE 'delete' END AS op
+      FROM events WHERE event_id < 2000
+    )
+    SELECT event_id, user_id, value, '+I' AS rowkind FROM src WHERE op = 'insert'
+    UNION ALL
+    SELECT event_id, user_id, round(value - 1, 2), '-U' FROM src WHERE op = 'update'
+    UNION ALL
+    SELECT event_id, user_id, value, '+U' FROM src WHERE op = 'update'
+    UNION ALL
+    SELECT event_id, user_id, value, '-D' FROM src WHERE op = 'delete'
+    """,
+    tags=("connector", "cdc", "format"),
+)
+def cdc_maxwell_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maxwell-json decode e2e (flink-formats/flink-json
+    MaxwellJsonDeserializationSchema): single-object ``data`` envelope,
+    ``old`` holds only the changed columns' OLD values, deletes carry
+    the row in ``data``. The -U image = data patched with old
+    (per-field coalesce), exercised here with a sparse old containing
+    only ``value``."""
+    from flink_1_16_0_src_spark import sources as srcs
+
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    op = (
+        F.when(F.col("event_type") == "click", "insert")
+        .when(F.col("event_type") == "purchase", "update")
+        .otherwise("delete")
+    )
+    data_row = F.struct(
+        F.col("event_id"),
+        F.col("user_id"),
+        F.round("value", 2).alias("value"),
+    )
+    old_row = F.struct(
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        F.round(F.col("value") - 1, 2).alias("value"),
+    )
+    wire = ev.select(
+        F.to_json(
+            F.struct(
+                data_row.alias("data"),
+                F.when(op == "update", old_row).alias("old"),
+                op.alias("type"),
+            )
+        ).alias("value")
+    )
+    decoded = srcs.kafka_value_decode(
+        wire, "event_id BIGINT, user_id BIGINT, value DOUBLE", fmt="maxwell-json"
+    )
+    return decoded.select(
+        "event_id", "user_id", "value", F.col("__rowkind").alias("rowkind")
+    )
+
+
+@query(
+    "cdc_ogg_decode",
+    oracle="""
+    WITH src AS (
+      SELECT event_id, user_id, round(value, 2) AS value,
+             CASE WHEN event_type = 'click' THEN 'I'
+                  WHEN event_type = 'purchase' THEN 'U'
+                  ELSE 'D' END AS op
+      FROM events WHERE event_id < 2000
+    )
+    SELECT event_id, user_id, value, '+I' AS rowkind FROM src WHERE op = 'I'
+    UNION ALL
+    SELECT event_id, user_id, round(value - 1, 2), '-U' FROM src WHERE op = 'U'
+    UNION ALL
+    SELECT event_id, user_id, value, '+U' FROM src WHERE op = 'U'
+    UNION ALL
+    SELECT event_id, user_id, round(value - 1, 2), '-D' FROM src WHERE op = 'D'
+    """,
+    tags=("connector", "cdc", "format"),
+)
+def cdc_ogg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogg-json (GoldenGate) decode e2e (flink-formats/flink-json
+    ogg/OggJsonDeserializationSchema): debezium-shaped before/after
+    envelope with ``op_type`` I|U|D; deletes emit -D from the before
+    image, updates the -U(before)/+U(after) pair."""
+    from flink_1_16_0_src_spark import sources as srcs
+
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    after = F.struct(
+        F.col("event_id"),
+        F.col("user_id"),
+        F.round("value", 2).alias("value"),
+    )
+    before = F.struct(
+        F.col("event_id"),
+        F.col("user_id"),
+        F.round(F.col("value") - 1, 2).alias("value"),
+    )
+    op = (
+        F.when(F.col("event_type") == "click", "I")
+        .when(F.col("event_type") == "purchase", "U")
+        .otherwise("D")
+    )
+    wire = ev.select(
+        F.to_json(
+            F.struct(
+                F.when(op != "I", before).alias("before"),
+                F.when(op != "D", after).alias("after"),
+                op.alias("op_type"),
+            )
+        ).alias("value")
+    )
+    decoded = srcs.kafka_value_decode(
+        wire, "event_id BIGINT, user_id BIGINT, value DOUBLE", fmt="ogg-json"
+    )
+    return decoded.select(
+        "event_id", "user_id", "value", F.col("__rowkind").alias("rowkind")
+    )
