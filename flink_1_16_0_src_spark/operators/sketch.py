@@ -79,3 +79,106 @@ def approx_top_k(df: DataFrame, col: str, k: int = 10, capacity: int = 256) -> D
         exact.withColumn("rank_num", F.row_number().over(w))
         .where(F.col("rank_num") <= k)
     )
+
+
+# -- HyperLogLog distinct-count sketch ---------------------------------
+#
+# Parameters are fixed so the estimator is reproducible across engines:
+# m = 64 registers (p = 6), a 32-bit xor-shift-multiply mix hash
+# (lowbias32-family finalizer — needed because the corpus keys are
+# sequential integers, where a bare multiplicative hash has terrible
+# high-bit avalanche), alpha_64 = 709/1000 kept RATIONAL, and the
+# standard small-range linear-counting correction with the ln() values
+# precomputed as integer literals. The register sum is an INTEGER
+# scaled by 2^27 (max rank 27 = 32-6+1) and the estimate is integer
+# division truncated to 2 decimals — zero float ops that could differ
+# by an ulp across engines (the repo's float-determinism rule).
+
+import math
+
+_HLL_M = 64  # registers (p = 6 bits)
+_HLL_MAXRANK = 27  # 32 - 6 + 1
+# 709 * m^2 * 2^27: alpha_64 numerator, scaled so the whole estimate is
+# bigint arithmetic (integer division, /100.0 only at the very end).
+_HLL_NUM_SCALED = 709 * _HLL_M * _HLL_M * (1 << _HLL_MAXRANK)  # 389776872046592
+
+
+def hll_hash_sql(key: str, dialect: str) -> str:
+    """32-bit mix hash of ``key`` as a SQL string for ``dialect``
+    ('spark' or 'duckdb') — identical integer results in both engines.
+    x ^= x>>16; x *= 0x45d9f3b (mod 2^32); twice; x ^= x>>16.
+    All intermediates < 2^63 so neither engine overflows (DuckDB raises
+    on bigint overflow; Spark would wrap silently — both avoided)."""
+    xor = (lambda a, b: f"({a} ^ {b})") if dialect == "spark" else (
+        lambda a, b: f"xor({a}, {b})"
+    )
+    x = f"({key} % 4294967296)"
+    for _ in range(2):
+        x = f"(({xor(f'({x} >> 16)', x)} * 73244475) % 4294967296)"
+    return xor(f"({x} >> 16)", x)
+
+
+def hll_lc_case_sql() -> str:
+    """Linear-counting values m*ln(m/zeros), precomputed to x100
+    integer literals (truncated) so both engines branch on the same
+    CASE table — no runtime ln(). Keyed by n_regs (zeros = m - n_regs);
+    identical syntax in Spark SQL and DuckDB."""
+    arms = " ".join(
+        f"WHEN {_HLL_M - z} THEN {int(_HLL_M * math.log(_HLL_M / z) * 100)}"
+        for z in range(1, _HLL_M)
+    )
+    return f"CASE n_regs {arms} ELSE NULL END"
+
+
+def hll_estimate_x100_sql(div: str = "div") -> str:
+    """The estimate (x100, bigint) from (n_regs, __z_present): raw HLL
+    harmonic formula, switched to linear counting when zero registers
+    exist and the raw estimate ≤ 2.5m (Flajolet's small-range rule).
+    ``div`` = 'div' (Spark) or '//' (DuckDB)."""
+    raw = (
+        f"({_HLL_NUM_SCALED} {div} "
+        f"(10 * (__z_present + ({_HLL_M} - n_regs) * {1 << _HLL_MAXRANK})))"
+    )
+    return (
+        f"CASE WHEN n_regs < {_HLL_M} AND {raw} <= {int(2.5 * _HLL_M * 100)} "
+        f"THEN ({hll_lc_case_sql()}) ELSE {raw} END"
+    )
+
+
+def hll_distinct(df: DataFrame, key_col: str, group_cols: list[str]) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate of ``key_col`` as
+    pure Catalyst expressions — the mergeable-cardinality primitive
+    (reference users reach it via Flink's built-in
+    APPROX_COUNT_DISTINCT, T-RUNTIME/functions/aggregate/hyperloglog/
+    HllBuffer.java; Spark's own approx_count_distinct is HyperLogLog++
+    whose estimate isn't reproducible in other engines, so this
+    fixed-parameter variant exists to be oracle-checkable AND to
+    document the register layout).
+
+    h = mix32(key); register = h mod 64; rank = leading-zero count of
+    the remaining 26 bits + 1 (via length(bin(x)) — no floats).
+    groupBy(group, register) → max(rank) is ONE partial-aggregated
+    shuffle of ≤ 64·|groups| rows no matter how many input rows — the
+    reason this shape survives 100 TB where exact count(distinct)
+    shuffles every key. Estimate = alpha·m²·2^27 / sum(2^(27-M_j)) with
+    linear-counting small-range correction, all in scaled bigint
+    arithmetic. Output: group_cols + (n_regs, hll_estimate)."""
+    h = hll_hash_sql(key_col, "spark")
+    reg = F.expr(f"({h}) % {_HLL_M}").alias("__reg")
+    rest = F.expr(f"({h}) div {_HLL_M}")
+    bitlen = F.when(rest == 0, F.lit(0)).otherwise(F.length(F.bin(rest)))
+    rank = (F.lit(_HLL_MAXRANK) - bitlen).alias("__rank")
+    regs = (
+        df.select(*group_cols, reg, rank)
+        .groupBy(*group_cols, "__reg")
+        .agg(F.max("__rank").alias("__m"))
+    )
+    zs = regs.groupBy(*group_cols).agg(
+        F.count("*").alias("n_regs"),
+        F.sum(F.expr(f"shiftleft(1L, {_HLL_MAXRANK} - __m)")).alias("__z_present"),
+    )
+    return zs.select(
+        *group_cols,
+        F.col("n_regs").cast("int").alias("n_regs"),
+        (F.expr(hll_estimate_x100_sql("div")) / F.lit(100.0)).alias("hll_estimate"),
+    )

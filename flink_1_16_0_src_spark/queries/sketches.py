@@ -30,3 +30,48 @@ def sketch_heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return approx_top_k(ev, "user_id", k=10, capacity=512)
+
+
+def _hll_oracle() -> str:
+    from flink_1_16_0_src_spark.operators.sketch import (
+        hll_estimate_x100_sql,
+        hll_hash_sql,
+    )
+
+    h = hll_hash_sql("user_id", "duckdb")
+    return f"""
+    WITH r AS (
+      SELECT event_type, ({h}) % 64 AS reg, ({h}) // 64 AS rest
+      FROM events
+    ), ranked AS (
+      SELECT event_type, reg,
+             27 - CASE WHEN rest = 0 THEN 0 ELSE length(bin(rest)) END AS rnk
+      FROM r
+    ), regs AS (
+      SELECT event_type, reg, max(rnk) AS m FROM ranked GROUP BY 1, 2
+    ), z AS (
+      SELECT event_type, count(*) AS n_regs,
+             sum((1::BIGINT << (27 - m))) AS __z_present
+      FROM regs GROUP BY 1
+    )
+    SELECT event_type, CAST(n_regs AS INT) AS n_regs,
+           ({hll_estimate_x100_sql("//")}) / 100.0 AS hll_estimate
+    FROM z
+    """
+
+
+@query(
+    "sketch_hll_distinct_users",
+    oracle=_hll_oracle(),
+    tags=("sketch", "hll", "custom-op"),
+)
+def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-parameter HyperLogLog (m=64, Knuth 32-bit hash) distinct
+    users per event_type — the oracle implements the identical register
+    computation in SQL, so the whole estimator (hashing, register max,
+    integer-scaled harmonic sum, one double divide) is value-checked.
+    One ≤64·|groups|-row shuffle regardless of input size."""
+    from flink_1_16_0_src_spark.operators.sketch import hll_distinct
+
+    ev = load(spark, sf_dir, "events")
+    return hll_distinct(ev, "user_id", ["event_type"])

@@ -27,3 +27,37 @@ def test_heavy_hitters_exact_under_skew(spark):
     df = heavy.unionAll(tail).repartition(16)
     got = [(r.k, r.cnt) for r in approx_top_k(df, "k", k=3, capacity=64).orderBy("rank_num").collect()]
     assert got == [(0, 3000), (1, 3000), (2, 3000)]
+
+
+def test_hll_distinct_within_error_bounds(spark):
+    """m=64 HLL standard error is 1.04/sqrt(64) = 13%; assert the
+    estimate lands within 4 sigma of the exact cardinality on two
+    group sizes, and that the register count is bounded by m."""
+    from flink_1_16_0_src_spark.operators.sketch import hll_distinct
+
+    df = spark.range(0, 12_000).select(
+        F.when(F.col("id") < 10_000, "big").otherwise("small").alias("g"),
+        # big: 2000 distinct keys; small: 150 distinct keys
+        F.when(F.col("id") < 10_000, F.col("id") % 2000)
+        .otherwise(F.col("id") % 150)
+        .alias("k"),
+    )
+    rows = {r.g: r for r in hll_distinct(df, "k", ["g"]).collect()}
+    for g, exact in (("big", 2000), ("small", 150)):
+        r = rows[g]
+        assert r.n_regs <= 64
+        assert abs(r.hll_estimate - exact) / exact < 0.52, (g, r.hll_estimate)
+
+
+def test_hll_merge_invariance(spark):
+    """The estimate is a pure function of the register maxima, so it is
+    invariant to partitioning and to row duplication (max is
+    idempotent) — the mergeability property that makes the sketch
+    usable as a distributed partial aggregate."""
+    from flink_1_16_0_src_spark.operators.sketch import hll_distinct
+
+    base = spark.range(0, 5_000).select(F.lit("g").alias("g"), (F.col("id") % 777).alias("k"))
+    dup = base.unionAll(base).repartition(32)
+    a = hll_distinct(base.repartition(2), "k", ["g"]).collect()[0]
+    b = hll_distinct(dup, "k", ["g"]).collect()[0]
+    assert (a.n_regs, a.hll_estimate) == (b.n_regs, b.hll_estimate)
