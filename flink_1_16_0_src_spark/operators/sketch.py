@@ -182,3 +182,53 @@ def hll_distinct(df: DataFrame, key_col: str, group_cols: list[str]) -> DataFram
         F.col("n_regs").cast("int").alias("n_regs"),
         (F.expr(hll_estimate_x100_sql("div")) / F.lit(100.0)).alias("hll_estimate"),
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    width: float = 1.0,
+    quantiles: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group distributed quantile estimate from a fixed-width
+    histogram — the third sketch in the family (heavy hitters =
+    frequency, HLL = cardinality, this = quantiles). The reference's
+    users reach percentiles through Flink's batch sort-agg; at 100 TB
+    the histogram shape replaces a full sort with ONE partial-agg
+    shuffle of ≤ |groups|·n_buckets rows: bucket = floor(value/width),
+    count per (group, bucket), cumulative-sum window over the tiny
+    histogram, then the first bucket whose cumulative count reaches
+    ceil(q·n) estimates quantile q as the bucket midpoint.
+
+    Estimate error is bounded by ``width`` (the bucket size) — a fixed
+    additive bound chosen by the caller, unlike rank-error sketches.
+    All arithmetic below the final midpoint multiply is integer, so the
+    result is engine-reproducible (oracled bit-level vs DuckDB).
+    Output: group_cols + (q, est_value)."""
+    bucket = F.floor(F.col(value_col) / F.lit(width)).cast("bigint").alias("__b")
+    hist = df.select(*group_cols, bucket).groupBy(*group_cols, "__b").agg(
+        F.count("*").alias("__c")
+    )
+    wcum = Window.partitionBy(*group_cols).orderBy("__b")
+    wtot = Window.partitionBy(*group_cols)
+    cum = hist.select(
+        *group_cols,
+        "__b",
+        F.sum("__c").over(wcum).alias("__cum"),
+        F.sum("__c").over(wtot).alias("__n"),
+    )
+    spark = df.sparkSession
+    qs = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    hit = cum.join(F.broadcast(qs)).where(
+        F.col("__cum") >= F.ceil(F.col("q") * F.col("__n"))
+    )
+    return (
+        hit.groupBy(*group_cols, "q")
+        .agg(F.min("__b").alias("__qb"))
+        .select(
+            *group_cols,
+            "q",
+            ((F.col("__qb") + F.lit(0.5)) * F.lit(width)).alias("est_value"),
+        )
+    )

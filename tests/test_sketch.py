@@ -61,3 +61,17 @@ def test_hll_merge_invariance(spark):
     a = hll_distinct(base.repartition(2), "k", ["g"]).collect()[0]
     b = hll_distinct(dup, "k", ["g"]).collect()[0]
     assert (a.n_regs, a.hll_estimate) == (b.n_regs, b.hll_estimate)
+
+
+def test_histogram_quantiles_error_bound(spark):
+    """Estimates are within one bucket width of the exact quantiles
+    (uniform 0..999 values, width 10 → max error 10)."""
+    from flink_1_16_0_src_spark.operators.sketch import histogram_quantiles
+
+    df = spark.range(0, 10_000).select(
+        F.lit("g").alias("g"), (F.col("id") % 1000).cast("double").alias("v")
+    )
+    rows = {r.q: r.est_value for r in histogram_quantiles(df, "v", ["g"], width=10.0).collect()}
+    for q in (0.5, 0.9, 0.99):
+        exact = q * 999  # uniform
+        assert abs(rows[q] - exact) <= 10.0, (q, rows[q], exact)
