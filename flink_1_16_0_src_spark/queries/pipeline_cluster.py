@@ -60,3 +60,51 @@ def cluster_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         *[F.round(F.col(f"m{d}"), 4).alias(f"m{d}") for d in range(4)],
     )
+
+
+@query(
+    "cluster_inertia_per_cell",
+    oracle="""
+    WITH seeds AS (
+      SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < 8
+    ),
+    dists AS (
+      SELECT e.vec_id, s.cell,
+             list_sum(list_transform(generate_series(1, len(e.embedding)),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - s.cvec[i])
+                  * (CAST(e.embedding[i] AS DOUBLE) - s.cvec[i]))) AS d
+      FROM embeddings e, seeds s
+    ),
+    assign AS (
+      SELECT vec_id, cell, d FROM (
+        SELECT vec_id, cell, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    )
+    SELECT cell, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(d AS DECIMAL(25,10))) AS DOUBLE), 4) AS inertia
+    FROM assign GROUP BY cell
+    """,
+    tags=("pipeline", "cluster", "custom-op"),
+)
+def cluster_inertia_per_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster Lloyd objective (sum of squared distances to the
+    assigned centroid) after the deterministic-seed assignment step —
+    the convergence metric a training pipeline monitors per iteration.
+    The per-row distance is the identical ascending-dimension left-fold
+    on both engines; the cross-row sum is DECIMAL(25,10) (order-
+    independent), so the rounded value hashes identically. One map-only
+    assignment pass + one k-row shuffle."""
+    from flink_1_16_0_src_spark.pipeline.similarity import ivf_assign
+
+    emb = load(spark, sf_dir, "embeddings")
+    seed_rows = emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    seeds = [list(map(float, r[1])) for r in sorted(seed_rows, key=lambda r: r[0])]
+    assigned = ivf_assign(emb, "embedding", "vec_id", seeds)
+    d = F.element_at(F.col("__dists"), F.col("cell") + 1)
+    return assigned.groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum(d.cast("decimal(25,10)")).cast("double"), 4).alias("inertia"),
+    )
