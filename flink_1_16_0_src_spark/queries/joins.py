@@ -414,3 +414,37 @@ def join_bucketed_exchange_free(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.count("__lm").alias("n_lineitems"),
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+    tags=("join", "skew", "custom-op"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (operators/skew.py `salted_join`,
+    reference fallback: HashJoinOperator.java:260-267 hash→sort-merge
+    spill): events salted 8 ways against the replicated customer dim,
+    hot keys (user_id < 50) replicated per-salt and the cold remainder
+    joined unsalted. The oracle is the PLAIN join aggregate — salting
+    must be result-invariant; value sum in DECIMAL for hash parity."""
+    from flink_1_16_0_src_spark.operators.skew import salted_join
+
+    ev = load(spark, sf_dir, "events").select("user_id", "value")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    hot = ev.sparkSession.range(0, 50).select(F.col("id").alias("user_id"))
+    joined = salted_join(ev, cust, "user_id", n_salts=8, hot_keys=hot)
+    return joined.groupBy("c_nationkey").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+            "total_value"
+        ),
+    )
