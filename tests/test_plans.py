@@ -233,3 +233,23 @@ def test_cdc_decode_stays_jvm_side(spark):
         plan = _plan(spark, name)
         assert "EvalPython" not in plan, name
         assert _n_exchanges(plan) == 0, name
+
+
+def test_hll_distinct_bounded_shuffles_no_python(spark):
+    """The HLL sketch must stay pure-Catalyst (no Python anywhere) and
+    shuffle at most twice: (group, register) partial agg + the per-group
+    register fold — both over ≤ 64·|groups| rows."""
+    plan = _plan(spark, "sketch_hll_distinct_users")
+    assert "EvalPython" not in plan
+    assert _n_exchanges(plan) <= 2
+
+
+def test_histogram_quantiles_histogram_sized_shuffles(spark):
+    """Quantile estimation must never global-sort the input: histogram
+    partial agg + window over the tiny histogram, no Sort over the raw
+    scan partition-wide, no Python."""
+    plan = _plan(spark, "sketch_histogram_quantiles")
+    assert "EvalPython" not in plan
+    # all exchanges are hash-partitioned (histogram/group keyed) — a
+    # rangepartitioning exchange would mean a global sort of raw rows
+    assert "rangepartitioning" not in plan
