@@ -48,6 +48,8 @@ BENCH_QUERIES = [
                                  # brute-force stays registered as the
                                  # small-|Q| exact tool)
     "text_token_stats",          # text analysis over documents
+    "sketch_hll_distinct_users", # HLL cardinality sketch (pure-Catalyst
+                                 # register fold, 64-row shuffle)
     "decontam_ngram_overlap",    # benchmark n-gram decontamination
                                  # (broadcast grams, map-side check)
     "cep_adjacent_click_purchase",  # MATCH_RECOGNIZE NFA per key
