@@ -30,7 +30,10 @@ def _order_by_spans(src: str):
 # __-prefixed internal columns that are NOT computed floats (event-time
 # copies, side tags, epoch longs) — exempt from the rounding rule. Any NEW
 # __column in an orderBy must either round or be classified here.
-NON_FLOAT_INTERNAL = {"__t", "__side", "__rt", "__epoch", "__rowtime", "__ts", "__ord"}
+NON_FLOAT_INTERNAL = {
+    "__t", "__side", "__rt", "__epoch", "__rowtime", "__ts", "__ord",
+    "__b",  # histogram_quantiles bucket index — floor()ed bigint
+}
 
 
 def test_no_rank_on_unrounded_float_column():
