@@ -253,3 +253,11 @@ def test_histogram_quantiles_histogram_sized_shuffles(spark):
     # all exchanges are hash-partitioned (histogram/group keyed) — a
     # rangepartitioning exchange would mean a global sort of raw rows
     assert "rangepartitioning" not in plan
+
+
+def test_embed_normalize_map_only(spark):
+    """L2 normalization must stay a per-row array fold: zero Exchange,
+    no Python — a normalize that shuffles 100 TB of vectors is wrong."""
+    plan = _plan(spark, "embed_l2_normalize")
+    assert _n_exchanges(plan) == 0
+    assert "EvalPython" not in plan
