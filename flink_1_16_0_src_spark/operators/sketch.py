@@ -232,3 +232,75 @@ def histogram_quantiles(
             ((F.col("__qb") + F.lit(0.5)) * F.lit(width)).alias("est_value"),
         )
     )
+
+
+# -- Bloom-filter membership sketch ------------------------------------
+#
+# m = 960 bits packed as 16 bigint words of 60 bits (bit 63 never set —
+# DuckDB raises on bigint overflow and a sign-bit shift is UB-adjacent
+# in SQL), k = 3 probes via double hashing pos_i = (h1 + i*h2) mod 960
+# with the same mix32 used by the HLL sketch. The whole filter is ONE
+# 16-column bit_or aggregate row; the probe is a broadcast cross join —
+# the classic build-small/probe-huge join-pruning shape.
+
+_BLOOM_BITS = 960
+_BLOOM_WORD = 60
+_BLOOM_WORDS = _BLOOM_BITS // _BLOOM_WORD
+_BLOOM_K = 3
+_BLOOM_H2_OFFSET = 7919  # decorrelates h2 from h1 (prime shift)
+
+
+def _bloom_positions(key: str, dialect: str) -> list[str]:
+    h1 = hll_hash_sql(key, dialect)
+    h2 = hll_hash_sql(f"({key} + {_BLOOM_H2_OFFSET})", dialect)
+    return [f"(({h1} + {i} * {h2}) % {_BLOOM_BITS})" for i in range(_BLOOM_K)]
+
+
+def bloom_build_sql(key: str, dialect: str) -> list[str]:
+    """One aggregate expression per filter word: bit_or over rows of the
+    OR of this row's probe bits that land in the word. Returns
+    ``_BLOOM_WORDS`` strings aliased w0..w15 — identical results in
+    Spark SQL and DuckDB."""
+    div = "div" if dialect == "spark" else "//"
+    poss = _bloom_positions(key, dialect)
+    out = []
+    for w in range(_BLOOM_WORDS):
+        arms = " | ".join(
+            f"(CASE WHEN ({p} {div} {_BLOOM_WORD}) = {w} "
+            f"THEN (CAST(1 AS BIGINT) << ({p} % {_BLOOM_WORD})) ELSE 0 END)"
+            for p in poss
+        )
+        out.append(f"bit_or({arms}) AS w{w}")
+    return out
+
+
+def bloom_member_sql(key: str, dialect: str) -> str:
+    """Boolean membership test against the w0..w15 filter columns (in
+    scope via the cross-joined 1-row filter): every probe bit set."""
+    div = "div" if dialect == "spark" else "//"
+    tests = []
+    for p in _bloom_positions(key, dialect):
+        word_case = " ".join(
+            f"WHEN {w} THEN w{w}" for w in range(_BLOOM_WORDS)
+        )
+        tests.append(
+            f"((CASE ({p} {div} {_BLOOM_WORD}) {word_case} END"
+            f" & (CAST(1 AS BIGINT) << ({p} % {_BLOOM_WORD}))) != 0)"
+        )
+    return " AND ".join(tests)
+
+
+def bloom_semi_filter(
+    probe: DataFrame, build: DataFrame, probe_key: str, build_key: str
+) -> DataFrame:
+    """Bloom-filter pre-join pruning (what Spark's runtime bloom
+    injection / the reference's runtime filter push does, made explicit
+    and engine-reproducible): fold ``build``'s keys into a 16-word
+    filter (one aggregate row), broadcast-cross-join it, and keep probe
+    rows whose ``probe_key`` MAY be present. No false negatives; false
+    positives bounded by the (m=960, k=3) sizing — callers re-join for
+    exactness, having shuffled only the surviving rows."""
+    f = build.selectExpr(*bloom_build_sql(build_key, "spark"))
+    return probe.crossJoin(F.broadcast(f)).where(
+        F.expr(bloom_member_sql(probe_key, "spark"))
+    ).drop(*[f"w{w}" for w in range(_BLOOM_WORDS)])

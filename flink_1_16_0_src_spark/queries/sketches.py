@@ -1,8 +1,10 @@
-"""Frequency-sketch queries (heavy hitters) — operators/sketch.py."""
+"""Sketch queries (heavy hitters, HLL cardinality, histogram quantiles,
+bloom membership) — operators/sketch.py."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from flink_1_16_0_src_spark.registry import query
 from flink_1_16_0_src_spark.tables import load
@@ -109,3 +111,46 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return histogram_quantiles(ev, "value", ["event_type"], width=1.0)
+
+
+def _bloom_oracle() -> str:
+    from flink_1_16_0_src_spark.operators.sketch import (
+        bloom_build_sql,
+        bloom_member_sql,
+    )
+
+    words = ",\n             ".join(bloom_build_sql("c_custkey", "duckdb"))
+    member = bloom_member_sql("user_id", "duckdb")
+    return f"""
+    WITH f AS (
+      SELECT {words}
+      FROM customer
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_maybe
+    FROM events CROSS JOIN f
+    WHERE {member}
+    GROUP BY event_type
+    """
+
+
+@query(
+    "sketch_bloom_prejoin_filter",
+    oracle=_bloom_oracle(),
+    tags=("sketch", "bloom", "custom-op"),
+)
+def sketch_bloom_prejoin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning: fold customer keys into a 960-bit /
+    3-hash filter (ONE 16-column bit_or aggregate row), broadcast it,
+    and count events per type whose user_id may match — the rows a real
+    join would go on to shuffle. The oracle replays the identical
+    filter build + probe in SQL, so word packing, double hashing and
+    the membership test are all value-checked (no false negatives by
+    construction; false positives identical on both engines)."""
+    from flink_1_16_0_src_spark.operators.sketch import bloom_semi_filter
+
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer")
+    kept = bloom_semi_filter(ev, cust, "user_id", "c_custkey")
+    return kept.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_maybe")
+    )

@@ -75,3 +75,17 @@ def test_histogram_quantiles_error_bound(spark):
     for q in (0.5, 0.9, 0.99):
         exact = q * 999  # uniform
         assert abs(rows[q] - exact) <= 10.0, (q, rows[q], exact)
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    """Every true member survives the bloom pre-filter (no false
+    negatives); non-members are mostly pruned (m=960,k=3 on 100 build
+    keys → low FP rate)."""
+    from flink_1_16_0_src_spark.operators.sketch import bloom_semi_filter
+
+    build = spark.range(0, 100).select(F.col("id").alias("k"))
+    probe = spark.range(0, 10_000).select(F.col("id").alias("p"))
+    kept = set(r.p for r in bloom_semi_filter(probe, build, "p", "k").collect())
+    assert set(range(100)) <= kept  # no false negatives
+    fp = len(kept) - 100
+    assert fp < 2_000, fp  # prunes the overwhelming majority
