@@ -742,6 +742,16 @@ def match_recognize(
     return df.groupBy(*partition_by).applyInPandas(fn, output_schema)
 
 
+def _canon_row(d: dict) -> dict:
+    """Canonicalize a buffered row through the SAME json.dumps/loads
+    round-trip the state restore applies, so a row's column types never
+    depend on which micro-batch it arrived in (a fresh-batch row kept
+    pd.Timestamp/bytes where a state-restored one carried their str()
+    forms — a user predicate or measure reading such a column saw
+    different types for the same logical row; ADVICE r3)."""
+    return json.loads(json.dumps(d, default=str))
+
+
 def match_recognize_stream(
     sdf: DataFrame,
     partition_by: list[str],
@@ -751,6 +761,7 @@ def match_recognize_stream(
     output_schema: StructType,
     after_match: str = "past_last_row",
     within: str | None = None,
+    secondary_order: str | None = None,
 ) -> DataFrame:
     """Streaming MATCH_RECOGNIZE: per-key row buffer carried in state
     (JSON rows), matched greedily each batch; matched prefixes are
@@ -779,7 +790,8 @@ def match_recognize_stream(
                 "Flink couples SKIP_TILL_ANY with NO_SKIP the same way)"
             )
         return _match_recognize_stream_any(
-            sdf, partition_by, order_by, steps, measures, output_schema, within
+            sdf, partition_by, order_by, steps, measures, output_schema, within,
+            secondary_order=secondary_order,
         )
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import ArrayType, StringType, StructField
@@ -798,14 +810,15 @@ def match_recognize_stream(
                 buf.append(d)
         for pdf in pdfs:
             for d in pdf.sort_values(order_by, kind="stable").to_dict("records"):
-                if not use_ts:
-                    d[order_by] = (
-                        d[order_by].isoformat()
-                        if hasattr(d[order_by], "isoformat")
-                        else d[order_by]
-                    )
+                d = _canon_row(d)
+                if use_ts:
+                    d[order_by] = pd.Timestamp(d[order_by])
                 buf.append(d)
-        buf.sort(key=lambda r: r[order_by])
+        buf.sort(
+            key=(lambda r: (r[order_by], r[secondary_order]))
+            if secondary_order
+            else (lambda r: r[order_by])
+        )
         wt = (order_by, delta) if use_ts else None
         out, consumed = [], 0
         i = 0
@@ -854,6 +867,7 @@ def _match_recognize_stream_any(
     measures: dict[str, Callable[[Matched], object]],
     output_schema: StructType,
     within: str,
+    secondary_order: str | None = None,
 ) -> DataFrame:
     """Streaming followedByAny (SKIP_TILL_ANY — NFA.java:86's
     skip-till-any transition): every batch re-enumerates ALL anchors in
@@ -892,8 +906,19 @@ def _match_recognize_stream_any(
                 buf.append(d)
             emitted = set(state.get[1])
         for pdf in pdfs:
-            buf.extend(pdf.sort_values(order_by, kind="stable").to_dict("records"))
-        buf.sort(key=lambda r: r[order_by])
+            for d in pdf.sort_values(order_by, kind="stable").to_dict("records"):
+                d = _canon_row(d)
+                d[order_by] = pd.Timestamp(d[order_by])
+                buf.append(d)
+        # secondary_order makes same-timestamp ordering (and therefore
+        # which rows count as "later" for relaxed_any matching)
+        # arrival-independent — pass a unique column (e.g. event id) so
+        # a regenerated fixture with ts ties cannot flake (ADVICE r3)
+        buf.sort(
+            key=(lambda r: (r[order_by], r[secondary_order]))
+            if secondary_order
+            else (lambda r: r[order_by])
+        )
         wt = (order_by, delta)
         out = []
         for i in range(len(buf)):

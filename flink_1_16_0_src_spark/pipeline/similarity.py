@@ -127,19 +127,34 @@ def _l2sq_to_seed(vec: Column, seed: list[float]) -> Column:
     )
 
 
+def _argmin_rounded(dists: Column) -> Column:
+    """First-minimum index (0-based) over distances ROUNDED to 6 dp.
+    Raw-double argmin is the same cross-engine hazard as raw-float
+    ranking (repo float rule): two near-equal distances can differ in
+    the last ulp between Spark's fold and DuckDB's list_sum, flipping
+    the chosen cell near a tie (the driver r2/r3 kmeans hash-fail
+    class). Rounding collapses near-ties into exact ties broken by the
+    lowest index identically on both engines; oracles mirror with
+    ``ORDER BY round(d, 6), cell``."""
+    rd = F.transform(dists, lambda x: F.round(x, 6))
+    return (F.array_position(rd, F.array_min(rd)) - 1).cast("int")
+
+
 def ivf_assign(df: DataFrame, vec_col: str, id_col: str, seeds: list[list[float]]) -> DataFrame:
     """IVF coarse quantizer: each vector joins the cell of its nearest
     seed centroid. Ties break to the lowest cell id (array_position
-    returns the FIRST minimum). Map-only — no explode, no shuffle: the
-    n_cells distances are sibling expressions in one projection, the
-    same shape as the minhash permutation fold."""
+    returns the FIRST minimum) over 6-dp-rounded distances (see
+    ``_argmin_rounded``); ``__dists`` stays raw for objective sums.
+    Map-only — no explode, no shuffle: the n_cells distances are
+    sibling expressions in one projection, the same shape as the
+    minhash permutation fold."""
     v = F.col(vec_col).cast("array<double>")
     dists = F.array(*[_l2sq_to_seed(v, s) for s in seeds])
     return df.select(
         F.col(id_col),
         F.col(vec_col),
         dists.alias("__dists"),
-        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cell"),
+        _argmin_rounded(dists).alias("cell"),
     )
 
 
@@ -180,9 +195,12 @@ def ivf_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__vq"), "__dists"
     )
     # nprobe nearest cells: repeated first-minimum with the taken cell
-    # masked out — identical tie behavior to sorting by (distance, cell)
+    # masked out — identical tie behavior to sorting by (round(d,6), cell);
+    # round ONCE up front (inf masking preserves roundedness), same
+    # cross-engine argmin rule as ivf_assign/_argmin_rounded
     probe_cols = []
-    cur = F.col("__dists")
+    q = q.withColumn("__rdists", F.transform(F.col("__dists"), lambda x: F.round(x, 6)))
+    cur = F.col("__rdists")
     for i in range(nprobe):
         q = q.withColumn(f"__p{i}", (F.array_position(cur, F.array_min(cur)) - 1).cast("int"))
         taken = F.col(f"__p{i}")
@@ -261,7 +279,7 @@ def pq_encode(
     for j, cents in enumerate(codebooks):
         svec = F.slice(v, j * sub + 1, sub)
         dists = F.array(*[_l2sq_to_seed(svec, c) for c in cents])
-        cols.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias(f"code{j}"))
+        cols.append(_argmin_rounded(dists).alias(f"code{j}"))
     return df.select(*cols)
 
 

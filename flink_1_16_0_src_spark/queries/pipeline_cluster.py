@@ -28,15 +28,15 @@ from flink_1_16_0_src_spark.tables import load
     assign AS (
       SELECT vec_id, cell FROM (
         SELECT vec_id, cell,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+               row_number() OVER (PARTITION BY vec_id ORDER BY round(d, 6), cell) AS rn
         FROM dists
       ) WHERE rn = 1
     )
     SELECT a.cell, CAST(count(*) AS BIGINT) AS n,
-           round(CAST(sum(CAST(CAST(e.embedding[1] AS DOUBLE) AS DECIMAL(25,10))) AS DOUBLE) / count(*), 4) AS m0,
-           round(CAST(sum(CAST(CAST(e.embedding[2] AS DOUBLE) AS DECIMAL(25,10))) AS DOUBLE) / count(*), 4) AS m1,
-           round(CAST(sum(CAST(CAST(e.embedding[3] AS DOUBLE) AS DECIMAL(25,10))) AS DOUBLE) / count(*), 4) AS m2,
-           round(CAST(sum(CAST(CAST(e.embedding[4] AS DOUBLE) AS DECIMAL(25,10))) AS DOUBLE) / count(*), 4) AS m3
+           CAST(CAST(sum(CAST(CAST(e.embedding[1] AS DOUBLE) AS DECIMAL(25,10))) AS DECIMAL(25,10)) AS VARCHAR) AS s0,
+           CAST(CAST(sum(CAST(CAST(e.embedding[2] AS DOUBLE) AS DECIMAL(25,10))) AS DECIMAL(25,10)) AS VARCHAR) AS s1,
+           CAST(CAST(sum(CAST(CAST(e.embedding[3] AS DOUBLE) AS DECIMAL(25,10))) AS DECIMAL(25,10)) AS VARCHAR) AS s2,
+           CAST(CAST(sum(CAST(CAST(e.embedding[4] AS DOUBLE) AS DECIMAL(25,10))) AS DECIMAL(25,10)) AS VARCHAR) AS s3
     FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
     GROUP BY a.cell
     """,
@@ -44,21 +44,34 @@ from flink_1_16_0_src_spark.tables import load
 )
 def cluster_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One exact Lloyd iteration: nearest-seed assignment (8 cells,
-    deterministic lowest-id seeds) then per-cluster sizes + dimension
-    means (first 4 dims, rounded) — the centroid-update shuffle is k
-    rows x dim sibling avg() columns, never a per-dimension explode."""
-    from flink_1_16_0_src_spark.pipeline.cluster import _centroid_means
+    deterministic lowest-id seeds, 6-dp-rounded argmin) then the
+    per-cluster centroid-update sufficient statistics ``(n, Σx_d)``
+    for the first 4 dims — exactly what a distributed Lloyd pass
+    shuffles (k rows × dim sibling sums, map-side partials, never a
+    per-dimension explode); the mean is the consumer's one division.
+
+    The hashed surface is engine-exact BY CONSTRUCTION: DECIMAL(25,10)
+    sums (order-independent addition) emitted as strings — no double
+    divide and no round(double) anywhere, the two ops whose cross-engine
+    boundary behavior hash-failed this query under the driver in r2/r3
+    while passing every local bit-level run (VERDICT r3 §What's wrong
+    #1). String emission follows the func_decimal_precision precedent:
+    DuckDB's pandas bridge degrades DECIMAL to float64, so decimals
+    compare as strings."""
     from flink_1_16_0_src_spark.pipeline.similarity import ivf_assign
 
     emb = load(spark, sf_dir, "embeddings")
     seed_rows = emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
     seeds = [list(map(float, r[1])) for r in sorted(seed_rows, key=lambda r: r[0])]
     assigned = ivf_assign(emb, "embedding", "vec_id", seeds)
-    stats = _centroid_means(assigned, "embedding", dim=4)
-    return stats.select(
-        "cell",
-        F.col("n").cast("bigint").alias("n"),
-        *[F.round(F.col(f"m{d}"), 4).alias(f"m{d}") for d in range(4)],
+    v = F.col("embedding").cast("array<double>")
+
+    def _s(d: int):
+        e = F.element_at(v, d + 1).cast("decimal(25,10)")
+        return F.sum(e).cast("decimal(25,10)").cast("string").alias(f"s{d}")
+
+    return assigned.groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("n"), *[_s(d) for d in range(4)]
     )
 
 
@@ -79,7 +92,7 @@ def cluster_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign AS (
       SELECT vec_id, cell, d FROM (
         SELECT vec_id, cell, d,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+               row_number() OVER (PARTITION BY vec_id ORDER BY round(d, 6), cell) AS rn
         FROM dists
       ) WHERE rn = 1
     )

@@ -55,36 +55,35 @@ def embed_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embed_dim_stats",
     oracle="""
     SELECT label, CAST(count(*) AS BIGINT) AS n,
-           round(CAST(sum(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(25,10))) AS DOUBLE) / count(*), 4) AS mean0,
-           round(CAST(sum(CAST(CAST(embedding[1] AS DOUBLE) * CAST(embedding[1] AS DOUBLE) AS DECIMAL(25,10))) AS DOUBLE) / count(*)
-                 - (CAST(sum(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(25,10))) AS DOUBLE) / count(*))
-                 * (CAST(sum(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(25,10))) AS DOUBLE) / count(*)), 4) AS var0,
-           round(CAST(sum(CAST(CAST(embedding[2] AS DOUBLE) AS DECIMAL(25,10))) AS DOUBLE) / count(*), 4) AS mean1,
-           round(CAST(sum(CAST(CAST(embedding[2] AS DOUBLE) * CAST(embedding[2] AS DOUBLE) AS DECIMAL(25,10))) AS DOUBLE) / count(*)
-                 - (CAST(sum(CAST(CAST(embedding[2] AS DOUBLE) AS DECIMAL(25,10))) AS DOUBLE) / count(*))
-                 * (CAST(sum(CAST(CAST(embedding[2] AS DOUBLE) AS DECIMAL(25,10))) AS DOUBLE) / count(*)), 4) AS var1
+           CAST(CAST(sum(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(25,10))) AS DECIMAL(25,10)) AS VARCHAR) AS s0,
+           CAST(CAST(sum(CAST(CAST(embedding[1] AS DOUBLE) * CAST(embedding[1] AS DOUBLE) AS DECIMAL(25,10))) AS DECIMAL(25,10)) AS VARCHAR) AS ss0,
+           CAST(CAST(sum(CAST(CAST(embedding[2] AS DOUBLE) AS DECIMAL(25,10))) AS DECIMAL(25,10)) AS VARCHAR) AS s1,
+           CAST(CAST(sum(CAST(CAST(embedding[2] AS DOUBLE) * CAST(embedding[2] AS DOUBLE) AS DECIMAL(25,10))) AS DECIMAL(25,10)) AS VARCHAR) AS ss1
     FROM embeddings GROUP BY label
     """,
     tags=("pipeline", "embedding", "custom-op"),
 )
 def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label mean/variance of the first 2 dimensions — the
-    per-dimension moments a whitening/PCA pre-pass collects. Cross-row
-    first and second moments accumulate in DECIMAL(25,10) (order-
-    independent) with ONE double divide each; variance = E[x²]−E[x]²
-    on those identical doubles. One k-row shuffle (map-side partials);
-    at 100 TB this is the same bounded-stats shape as the kmeans
-    update."""
+    """Per-label first/second moments of the first 2 dimensions in
+    sufficient-statistic form ``(n, Σx, Σx²)`` — exactly what a
+    distributed whitening/PCA pre-pass shuffles and merges (mean and
+    variance are the consumer's one division each). Accumulation is
+    DECIMAL(25,10) (order-independent) emitted as strings, so the
+    hashed surface has no double divide / round(double) — the same
+    engine-exact-by-construction contract as cluster_kmeans_update
+    (the round(decimal→double / count) shape is a cross-engine
+    boundary lottery; see VERDICT r3 §What's wrong #1). One k-row
+    shuffle (map-side partials)."""
     emb = load(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
 
     def moments(d: int):
         e = F.element_at(v, d + 1)
-        s1 = F.sum(e.cast("decimal(25,10)")).cast("double") / F.count(F.lit(1))
-        s2 = F.sum((e * e).cast("decimal(25,10)")).cast("double") / F.count(F.lit(1))
         return [
-            F.round(s1, 4).alias(f"mean{d}"),
-            F.round(s2 - s1 * s1, 4).alias(f"var{d}"),
+            F.sum(e.cast("decimal(25,10)")).cast("decimal(25,10)")
+            .cast("string").alias(f"s{d}"),
+            F.sum((e * e).cast("decimal(25,10)")).cast("decimal(25,10)")
+            .cast("string").alias(f"ss{d}"),
         ]
 
     return emb.groupBy("label").agg(

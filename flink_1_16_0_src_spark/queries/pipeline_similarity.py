@@ -155,7 +155,7 @@ def sim_bucket_join_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     a0 AS (
       SELECT vec_id, cell FROM (
         SELECT vec_id, cell,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+               row_number() OVER (PARTITION BY vec_id ORDER BY round(d, 6), cell) AS rn
         FROM d0
       ) WHERE rn = 1
     ),
@@ -188,7 +188,7 @@ def sim_bucket_join_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
       SELECT vec_id, cell,
-             row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+             row_number() OVER (PARTITION BY vec_id ORDER BY round(d, 6), cell) AS rn
       FROM dists
     ),
     assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
@@ -246,7 +246,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes AS (
       SELECT vec_id, j, c AS code FROM (
         SELECT vec_id, j, c,
-               row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY round(d, 6), c) AS rn
         FROM dists) t WHERE rn = 1
     ),
     q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 42),

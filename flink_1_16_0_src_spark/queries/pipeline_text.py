@@ -174,7 +174,8 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 13 = 0
     ), base AS (
       SELECT doc_id, len(w) AS n_words,
-             round(1.0 - len(list_distinct(w))::DOUBLE / len(w), 4) AS dup_word_frac, w
+             (20000 * (len(w) - len(list_distinct(w))) + len(w)) // (2 * len(w))
+               AS dup_word_frac_e4, w
       FROM words WHERE len(w) >= 2
     ), big AS (
       SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
@@ -185,8 +186,10 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_bigrams
       FROM cnt GROUP BY doc_id
     )
-    SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words, b.dup_word_frac,
-           round(t.top_c::DOUBLE / t.n_bigrams, 4) AS top_bigram_frac
+    SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
+           CAST(b.dup_word_frac_e4 AS BIGINT) AS dup_word_frac_e4,
+           CAST((20000 * t.top_c + t.n_bigrams) // (2 * t.n_bigrams) AS BIGINT)
+             AS top_bigram_frac_e4
     FROM base b JOIN top t ON b.doc_id = t.doc_id
     """,
     tags=("pipeline", "text"),
@@ -194,16 +197,24 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition quality signals (Gopher-style): duplicate-word
     fraction (array built-ins) + top-bigram fraction (explode + count —
-    relational, shuffles on doc_id only)."""
+    relational, shuffles on doc_id only). Fractions are emitted in
+    exact 1e-4 units via half-up INTEGER division — round(p/q, 4) on a
+    double ratio is a cross-engine boundary lottery when q divides
+    20000 (the cluster_kmeans_update driver-fail class); the integer
+    form (20000·p + q) div (2·q) is engine-exact by construction."""
     from flink_1_16_0_src_spark.pipeline.text import repetition_signals
 
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 0)
     w = F.split(F.col("text"), " ")
     sig = repetition_signals("text")
+    dup_e4 = F.expr(
+        "(20000 * (size(split(text, ' ')) - size(array_distinct(split(text, ' '))))"
+        " + size(split(text, ' '))) div (2 * size(split(text, ' ')))"
+    )
     base = d.select(
         "doc_id",
         sig["n_words"].alias("n_words"),
-        sig["dup_word_frac"].alias("dup_word_frac"),
+        dup_e4.cast("bigint").alias("dup_word_frac_e4"),
         w.alias("w"),
     ).where(F.col("n_words") >= 2)
     bigrams = base.select(
@@ -219,10 +230,10 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.drop("w").join(top, "doc_id").select(
         "doc_id",
         "n_words",
-        "dup_word_frac",
-        F.round(F.col("top_c").cast("double") / F.col("n_bigrams"), 4).alias(
-            "top_bigram_frac"
-        ),
+        "dup_word_frac_e4",
+        F.expr("(20000 * top_c + n_bigrams) div (2 * n_bigrams)")
+        .cast("bigint")
+        .alias("top_bigram_frac_e4"),
     )
 
 

@@ -478,7 +478,8 @@ def stream_unbounded_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(b.value, 2) AS purchase_value
     FROM events a JOIN events b ON a.user_id = b.user_id
     WHERE a.event_type = 'click' AND b.event_type = 'purchase'
-      AND b.ts > a.ts AND b.ts - a.ts <= INTERVAL '2 hours'
+      AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+      AND b.ts - a.ts <= INTERVAL '2 hours'
     """,
     tags=("streaming", "cep", "followed-by-any"),
 )
@@ -488,7 +489,12 @@ def stream_cep_any_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     match — all-pairs semantics, which is exactly a self-join in SQL,
     so the oracle is the interval self-join. Exercises the windowed
     all-anchors re-enumeration + emitted-fingerprint state path
-    (operators/cep._match_recognize_stream_any)."""
+    (operators/cep._match_recognize_stream_any). "Later" is the
+    deterministic buffer order (ts, event_id) — secondary_order makes
+    same-timestamp pairs arrival-independent, and the oracle's
+    inequality mirrors that exact tie rule (ADVICE r3; current
+    fixtures have 0 per-user ts ties, so this pins semantics rather
+    than changing values)."""
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     from flink_1_16_0_src_spark.operators import cep
@@ -515,7 +521,7 @@ def stream_cep_any_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = cep.match_recognize_stream(
         sdf, ["user_id"], "ts", steps, measures, schema,
-        after_match="to_next_row", within="2 hours",
+        after_match="to_next_row", within="2 hours", secondary_order="event_id",
     )
     return ssrc.run_to_memory(out, f"drain_cepany_{next(_seq)}", "append")
 
