@@ -493,6 +493,73 @@ def match_sequence(
     return out
 
 
+def _longest_partial_at(
+    rows: list[Row], start: int, steps: list[Step],
+    within: tuple[str, object] | None = None,
+) -> Matched | None:
+    """Longest proper-prefix match anchored at ``start`` — the
+    matched-so-far map a timed-out partial carries (what Flink hands to
+    ``TimedOutPartialMatchHandler.processTimedOutMatch``,
+    flink-libraries/flink-cep/src/main/java/org/apache/flink/cep/
+    functions/TimedOutPartialMatchHandler.java:75). Tries the longest
+    step prefix first; returns None when not even the first element
+    matches at ``start`` (no partial existed, nothing to time out)."""
+    for k in range(len(steps) - 1, 0, -1):
+        prefix = steps[:k]
+        if all(s.negated for s in prefix):
+            continue
+        m = _match_at(rows, start, prefix, within)
+        if m is not None and m[0]:
+            return m[0]
+    return None
+
+
+def match_sequence_with_timeouts(
+    rows: list[Row],
+    steps: list[Step],
+    after_match: str = "past_last_row",
+    within: tuple[str, object] | None = None,
+) -> tuple[list[Matched], list[tuple[Matched, object]]]:
+    """``match_sequence`` plus Flink's timed-out-partial second output
+    (TimedOutPartialMatchHandler.java:75, fired from CepOperator's
+    advanceTime when the NFA prunes a computation state on within()
+    expiry): partials that start but cannot complete inside the window
+    surface as ``(partial_matched, timeout_ts)`` pairs instead of being
+    silently dropped — payment-timeout / abandoned-cart patterns read
+    this stream as their primary output.
+
+    Bounded input behaves like Flink's end-of-job +inf watermark: every
+    anchor that begins a partial and never completes times out, with
+    ``timeout_ts = anchor_ts + within`` (when the match would stop
+    being completable). Complete matches consume rows per
+    ``after_match`` exactly as in ``match_sequence``; timed-out anchors
+    consume nothing (the NFA just drops the computation state)."""
+    if within is None:
+        raise ValueError("timeout enumeration requires within= (Pattern.within)")
+    if _needs_any_path(steps):
+        raise NotImplementedError(
+            "timed-out partials are defined for the deterministic NFA "
+            "path; followedByAny/allowCombinations keep anchors live "
+            "until window expiry by design"
+        )
+    ts_col, delta = within
+    matches: list[Matched] = []
+    timeouts: list[tuple[Matched, object]] = []
+    i = 0
+    while i < len(rows):
+        m = _match_at(rows, i, steps, within)
+        if m is not None:
+            matched, idx = m
+            matches.append(matched)
+            i = _resume_index(i, idx, steps, after_match)
+            continue
+        partial = _longest_partial_at(rows, i, steps, within)
+        if partial is not None:
+            timeouts.append((partial, rows[i][ts_col] + delta))
+        i += 1
+    return matches, timeouts
+
+
 def _match_at_masks(
     masks: list, n: int, start: int, steps: list[Step], ts=None, max_delta=None
 ) -> dict[str, list[int]] | None:
@@ -742,6 +809,80 @@ def match_recognize(
     return df.groupBy(*partition_by).applyInPandas(fn, output_schema)
 
 
+def _combined_schema(output_schema: StructType, timeout_schema: StructType) -> StructType:
+    """Union schema for the match+timeout multiplexed output: main
+    fields, then timeout-only fields, then the ``__side`` tag — the
+    Spark analog of Flink's OutputTag side output (one stream, split by
+    a filter; same convention as the late-data side output)."""
+    from pyspark.sql.types import StringType, StructField
+
+    fields = list(output_schema.fields)
+    have = {f.name for f in fields}
+    for f in timeout_schema.fields:
+        if f.name not in have:
+            fields.append(StructField(f.name, f.dataType, True))
+    fields.append(StructField("__side", StringType(), False))
+    return StructType(fields)
+
+
+def match_recognize_with_timeouts(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: str | list[str],
+    steps: list[Step],
+    measures: dict[str, Callable[[Matched], object]],
+    output_schema: StructType,
+    timeout_measures: dict[str, Callable[[Matched, object], object]],
+    timeout_schema: StructType,
+    after_match: str = "past_last_row",
+    within: tuple[str, object] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Batch ``PatternStream.select(selectFn, timeoutFn)`` parity
+    (PatternStream.java select with PatternTimeoutFunction + OutputTag;
+    timed-out partials per TimedOutPartialMatchHandler.java:75):
+    returns ``(matches_df, timeouts_df)``. ONE applyInPandas pass
+    computes both sides into a ``__side``-tagged union frame, so the
+    shuffle/NFA scan is not duplicated; the returned frames are filters
+    of it. ``timeout_measures`` callables receive
+    ``(partial_matched, timeout_ts)`` — Flink's PatternTimeoutFunction
+    signature."""
+    combined = _combined_schema(output_schema, timeout_schema)
+    cols = [f.name for f in combined.fields]
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_by, kind="stable")
+        keys = {k: pdf.iloc[0][k] for k in partition_by}
+        rows = pdf.to_dict("records")
+        hits, touts = match_sequence_with_timeouts(rows, steps, after_match, within)
+        out = []
+        for matched in hits:
+            rec = dict.fromkeys(cols)  # None-fill the other side's columns
+            rec.update(keys)
+            for name, fmeas in measures.items():
+                rec[name] = fmeas(matched)
+            rec["__side"] = "match"
+            out.append(rec)
+        for partial, tts in touts:
+            rec = dict.fromkeys(cols)
+            rec.update(keys)
+            for name, fmeas in timeout_measures.items():
+                rec[name] = fmeas(partial, tts)
+            rec["__side"] = "timeout"
+            out.append(rec)
+        return pd.DataFrame(out, columns=cols).astype(object).where(
+            lambda x: x.notna(), None
+        )
+
+    tagged = df.groupBy(*partition_by).applyInPandas(fn, combined)
+    main = tagged.where(tagged["__side"] == "match").select(
+        *[f.name for f in output_schema.fields]
+    )
+    touts = tagged.where(tagged["__side"] == "timeout").select(
+        *[f.name for f in timeout_schema.fields]
+    )
+    return main, touts
+
+
 def _canon_row(d: dict) -> dict:
     """Canonicalize a buffered row through the SAME json.dumps/loads
     round-trip the state restore applies, so a row's column types never
@@ -762,6 +903,8 @@ def match_recognize_stream(
     after_match: str = "past_last_row",
     within: str | None = None,
     secondary_order: str | None = None,
+    timeout_measures: dict[str, Callable[[Matched, object], object]] | None = None,
+    timeout_schema: StructType | None = None,
 ) -> DataFrame:
     """Streaming MATCH_RECOGNIZE: per-key row buffer carried in state
     (JSON rows), matched greedily each batch; matched prefixes are
@@ -776,7 +919,25 @@ def match_recognize_stream(
     would pin the buffer AND block the scan from ever reaching later
     matches — the same unbounded-state failure Flink documents for
     patterns without windowTime; production relaxed patterns should
-    always pass it."""
+    always pass it.
+
+    ``timeout_measures``/``timeout_schema`` (requires ``within``):
+    Flink's timed-out-partial side output
+    (TimedOutPartialMatchHandler.java:75, fired from CepOperator's
+    advanceTime prune) — partials pruned on within() expiry emit a row
+    instead of vanishing. The returned stream is then the ``__side``-
+    tagged union of matches and timeouts (ONE stateful query — the
+    Spark analog of an OutputTag side output; split with a filter).
+    Open partials at drain end stay in state, NOT timed out — the
+    stream has not ended, standard watermark semantics."""
+    if timeout_measures is not None:
+        if within is None or timeout_schema is None:
+            raise ValueError("timeout_measures requires within= and timeout_schema=")
+        if _needs_any_path(steps):
+            raise NotImplementedError(
+                "timed-out partials are defined for the deterministic NFA "
+                "path; followedByAny keeps anchors live until window expiry"
+            )
     if _needs_any_path(steps):
         # followedByAny/allowCombinations (SKIP_TILL_ANY) stream through a different
         # state shape: anchors stay live after matching (one anchor
@@ -798,6 +959,13 @@ def match_recognize_stream(
 
     state_schema = StructType([StructField("buf", ArrayType(StringType()))])
     delta = pd.Timedelta(within) if within is not None else None
+    emit_schema = (
+        _combined_schema(output_schema, timeout_schema)
+        if timeout_measures is not None
+        else output_schema
+    )
+
+    emit_cols = [f.name for f in emit_schema.fields]
 
     def fn(key, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
         use_ts = delta is not None
@@ -826,9 +994,12 @@ def match_recognize_stream(
             m = _match_at(buf, i, steps, wt)
             if m is not None:
                 matched, idx = m
-                rec = dict(zip(partition_by, key))
+                rec = dict.fromkeys(emit_cols)
+                rec.update(zip(partition_by, key))
                 for name, fmeas in measures.items():
                     rec[name] = fmeas(matched)
+                if timeout_measures is not None:
+                    rec["__side"] = "match"
                 out.append(rec)
                 nxt = _resume_index(i, idx, steps, after_match)
                 consumed, i = nxt, nxt
@@ -836,7 +1007,20 @@ def match_recognize_stream(
                 if use_ts and buf[-1][order_by] - buf[i][order_by] > delta:
                     # WITHIN expired: this partial can only complete via
                     # rows later than everything seen, which would bust
-                    # the span bound — prune the start, keep scanning
+                    # the span bound — prune the start, keep scanning.
+                    # With a timeout handler installed this prune IS the
+                    # processTimedOutMatch call site (CepOperator
+                    # advanceTime): surface the partial before dropping it
+                    if timeout_measures is not None:
+                        partial = _longest_partial_at(buf, i, steps, wt)
+                        if partial is not None:
+                            rec = dict.fromkeys(emit_cols)
+                            rec.update(zip(partition_by, key))
+                            tts = buf[i][order_by] + delta
+                            for name, fmeas in timeout_measures.items():
+                                rec[name] = fmeas(partial, tts)
+                            rec["__side"] = "timeout"
+                            out.append(rec)
                     i += 1
                     consumed = i
                 else:
@@ -846,16 +1030,18 @@ def match_recognize_stream(
                 consumed = i  # row i can never start a match; drop it
         buf = buf[consumed:]
         state.update(([json.dumps(r, default=str) for r in buf],))
-        cols = [f.name for f in output_schema.fields]
-        res = pd.DataFrame(out, columns=cols)
+        res = pd.DataFrame(out, columns=emit_cols)
+        if timeout_measures is not None:
+            # union frame: keep None (not NaN) in the other side's columns
+            res = res.astype(object).where(res.notna(), None)
         # JSON round-trip stringifies timestamps — restore declared dtypes
-        for f in output_schema.fields:
+        for f in emit_schema.fields:
             if "timestamp" in f.dataType.simpleString():
                 res[f.name] = pd.to_datetime(res[f.name])
         yield res
 
     return sdf.groupBy(*partition_by).applyInPandasWithState(
-        fn, output_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        fn, emit_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
 
 
@@ -1117,22 +1303,49 @@ class PatternStream:
         self._partition_by = partition_by
         self._order_by = order_by
 
+    def _within_tuple(self):
+        if self._pattern._within is None:
+            return None
+        order_col = (
+            self._order_by if isinstance(self._order_by, str) else self._order_by[0]
+        )
+        delta = self._pattern._within
+        if isinstance(delta, str):
+            delta = pd.Timedelta(delta)
+        return (order_col, delta)
+
     def select(
         self,
         measures: dict[str, Callable[[Matched], object]],
         output_schema: StructType,
         after_match: str = "past_last_row",
-    ) -> DataFrame:
+        timeout_measures: dict[str, Callable[[Matched, object], object]] | None = None,
+        timeout_schema: StructType | None = None,
+    ):
+        """One row per match. With ``timeout_measures``/``timeout_schema``
+        this is PatternStream.select(PatternTimeoutFunction, OutputTag,
+        PatternSelectFunction) parity (PatternStream.java:153): returns
+        ``(matches_df, timeouts_df)`` where the second frame carries the
+        partials that expired on within() — requires the pattern to
+        declare ``.within(...)``, exactly as Flink requires windowTime
+        for timed-out matches to exist."""
         steps = self._pattern.build()
-        within = None
-        if self._pattern._within is not None:
-            order_col = (
-                self._order_by if isinstance(self._order_by, str) else self._order_by[0]
+        within = self._within_tuple()
+        if timeout_measures is not None:
+            if timeout_schema is None:
+                raise ValueError("timeout_measures requires timeout_schema")
+            return match_recognize_with_timeouts(
+                self._df,
+                self._partition_by,
+                self._order_by,
+                steps,
+                measures,
+                output_schema,
+                timeout_measures,
+                timeout_schema,
+                after_match=after_match,
+                within=within,
             )
-            delta = self._pattern._within
-            if isinstance(delta, str):
-                delta = pd.Timedelta(delta)
-            within = (order_col, delta)
         return match_recognize(
             self._df,
             self._partition_by,

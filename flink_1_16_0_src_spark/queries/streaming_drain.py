@@ -527,6 +527,104 @@ def stream_cep_any_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_cep_timeout_drain",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ),
+    matched AS (
+      SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+      FROM clicks c JOIN events p
+        ON p.user_id = c.user_id AND p.event_type = 'purchase'
+       AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+       AND p.ts - c.ts <= INTERVAL '30 minutes'
+      QUALIFY row_number() OVER (PARTITION BY c.event_id
+                                 ORDER BY p.ts, p.event_id) = 1
+    ),
+    expired AS (
+      SELECT c.user_id, c.event_id AS click_id,
+             c.ts + INTERVAL '30 minutes' AS timeout_ts
+      FROM clicks c
+      WHERE NOT EXISTS (SELECT 1 FROM events p
+                        WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+                          AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+                          AND p.ts - c.ts <= INTERVAL '30 minutes')
+        AND EXISTS (SELECT 1 FROM events e
+                    WHERE e.user_id = c.user_id
+                      AND e.ts - c.ts > INTERVAL '30 minutes')
+    )
+    SELECT 'match' AS side, user_id, click_id, purchase_id,
+           CAST(NULL AS TIMESTAMP) AS timeout_ts FROM matched
+    UNION ALL
+    SELECT 'timeout' AS side, user_id, click_id, CAST(NULL AS BIGINT) AS purchase_id,
+           timeout_ts FROM expired
+    """,
+    tags=("streaming", "cep", "timeout-side-output"),
+)
+def stream_cep_timeout_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING timed-out-partial side output drained end-to-end
+    (TimedOutPartialMatchHandler.java:75 via CepOperator's advanceTime
+    prune): pattern = click followedBy purchase WITHIN 30 min per user,
+    after_match TO NEXT ROW. The drained union stream partitions the
+    clicks: 'match' rows carry the (ts, event_id)-earliest qualifying
+    purchase; 'timeout' rows are clicks whose window expired — i.e. the
+    user has SOME event more than 30 min later (the stream's watermark
+    passed click_ts + 30 min) and no qualifying purchase. Clicks whose
+    window never expires stay open in state and emit nothing — standard
+    watermark semantics, mirrored by the oracle's EXISTS guard."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from flink_1_16_0_src_spark.operators import cep
+
+    sdf = ssrc.stream_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    steps = [
+        cep.Step("A", lambda r, m: r["event_type"] == "click"),
+        cep.Step("B", lambda r, m: r["event_type"] == "purchase", contiguity="relaxed"),
+    ]
+    measures = {
+        "click_id": lambda m: cep.first(m, "A", "event_id"),
+        "purchase_id": lambda m: cep.first(m, "B", "event_id"),
+    }
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("click_id", LongType()),
+            StructField("purchase_id", LongType()),
+        ]
+    )
+    timeout_measures = {
+        "click_id": lambda p, tts: cep.first(p, "A", "event_id"),
+        "timeout_ts": lambda p, tts: tts,
+    }
+    timeout_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("click_id", LongType()),
+            StructField("timeout_ts", TimestampType()),
+        ]
+    )
+    out = cep.match_recognize_stream(
+        sdf, ["user_id"], "ts", steps, measures, schema,
+        after_match="to_next_row", within="30 minutes",
+        secondary_order="event_id",
+        timeout_measures=timeout_measures, timeout_schema=timeout_schema,
+    )
+    drained = ssrc.run_to_memory(out, f"drain_cepto_{next(_seq)}", "append")
+    return drained.select(
+        F.col("__side").alias("side"), "user_id", "click_id", "purchase_id",
+        "timeout_ts",
+    )
+
+
+@query(
     "stream_temporal_sort_drain",
     oracle="""
     SELECT user_id, event_id, ts, round(value, 2) AS value FROM (

@@ -598,3 +598,175 @@ def test_allow_combinations_streaming_matches_batch(spark, tmp_path):
         for r in sources.run_to_memory(out, "cep_comb_stream", "append").collect()
     )
     assert got == [(0, 1), (0, 2), (1, 2)]
+
+
+class TestTimedOutPartials:
+    """TimedOutPartialMatchHandler parity (flink-libraries/flink-cep/
+    .../functions/TimedOutPartialMatchHandler.java:75, wired in
+    cep/operator/CepOperator.java): partials that expire on within()
+    surface as a second output; the match stream and the timeout
+    stream PARTITION the pattern's anchors."""
+
+    STEPS = [
+        cep.Step("A", lambda r, m: r["c"] == "order"),
+        cep.Step("B", lambda r, m: r["c"] == "pay", contiguity="relaxed"),
+    ]
+
+    def test_kernel_partitions_anchors(self):
+        rows = [
+            {"ts": 0, "c": "order", "i": 0},   # pays at 5 -> match
+            {"ts": 5, "c": "pay", "i": 1},
+            {"ts": 10, "c": "order", "i": 2},  # no pay within 10 -> timeout at 20
+            {"ts": 15, "c": "view", "i": 3},
+            {"ts": 25, "c": "pay", "i": 4},    # too late for order@10
+            {"ts": 28, "c": "order", "i": 5},  # end of input -> timeout at 38
+            {"ts": 30, "c": "view", "i": 6},
+        ]
+        matches, touts = cep.match_sequence_with_timeouts(
+            rows, self.STEPS, within=("ts", 10)
+        )
+        assert [cep.first(m, "A", "i") for m in matches] == [0]
+        assert [(cep.first(p, "A", "i"), tts) for p, tts in touts] == [(2, 20), (5, 38)]
+        # every order anchors exactly one of the two outputs
+        anchors = {cep.first(m, "A", "i") for m in matches} | {
+            cep.first(p, "A", "i") for p, _ in touts
+        }
+        assert anchors == {0, 2, 5}
+
+    def test_kernel_requires_within(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            cep.match_sequence_with_timeouts([], self.STEPS)
+
+    def test_longest_prefix_in_timeout(self):
+        # partial carries the matched-so-far rows of the LONGEST prefix
+        steps = [
+            cep.Step("A", lambda r, m: r["c"] == "a"),
+            cep.Step("B", lambda r, m: r["c"] == "b", contiguity="relaxed"),
+            cep.Step("C", lambda r, m: r["c"] == "c", contiguity="relaxed"),
+        ]
+        rows = [
+            {"ts": 0, "c": "a", "i": 0},
+            {"ts": 1, "c": "b", "i": 1},
+            {"ts": 50, "c": "x", "i": 2},
+        ]
+        _, touts = cep.match_sequence_with_timeouts(rows, steps, within=("ts", 10))
+        assert len(touts) == 1
+        partial, tts = touts[0]
+        assert set(partial) == {"A", "B"}
+        assert cep.first(partial, "B", "i") == 1 and tts == 10
+
+    def test_pattern_stream_select_with_timeout_fn(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            ("u1", base, "order", 0),
+            ("u1", base + dt.timedelta(minutes=5), "pay", 1),
+            ("u1", base + dt.timedelta(minutes=20), "order", 2),
+            ("u1", base + dt.timedelta(hours=2), "view", 3),
+            ("u2", base, "order", 4),
+            ("u2", base + dt.timedelta(hours=3), "pay", 5),  # outside window
+        ]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, c string, seq long")
+        pat = (
+            cep.Pattern.begin("A").where(lambda r, m: r["c"] == "order")
+            .followed_by("B").where(lambda r, m: r["c"] == "pay")
+            .within("30 minutes")
+        )
+        out_schema = StructType(
+            [
+                StructField("k", StringType()),
+                StructField("order_seq", LongType()),
+                StructField("pay_seq", LongType()),
+            ]
+        )
+        to_schema = StructType(
+            [
+                StructField("k", StringType()),
+                StructField("order_seq", LongType()),
+                StructField("timeout_ts", TimestampType()),
+            ]
+        )
+        main, touts = cep.CEP.pattern(df, pat, ["k"], "ts").select(
+            {
+                "order_seq": lambda m: cep.first(m, "A", "seq"),
+                "pay_seq": lambda m: cep.first(m, "B", "seq"),
+            },
+            out_schema,
+            timeout_measures={
+                "order_seq": lambda p, tts: cep.first(p, "A", "seq"),
+                "timeout_ts": lambda p, tts: tts,
+            },
+            timeout_schema=to_schema,
+        )
+        got_main = {(r.k, r.order_seq, r.pay_seq) for r in main.collect()}
+        got_touts = {(r.k, r.order_seq, r.timeout_ts) for r in touts.collect()}
+        assert got_main == {("u1", 0, 1)}
+        assert got_touts == {
+            ("u1", 2, base + dt.timedelta(minutes=50)),
+            ("u2", 4, base + dt.timedelta(minutes=30)),
+        }
+
+    def test_streaming_drain_matches_batch(self, spark):
+        """Streaming multiplexed side output == batch kernel over the
+        same rows, except anchors whose window never expires (still
+        open in state at drain end)."""
+        import datetime as dt
+        import tempfile
+
+        from flink_1_16_0_src_spark.streaming import sources
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            ("u1", base, "order", 0),
+            ("u1", base + dt.timedelta(minutes=5), "pay", 1),
+            ("u1", base + dt.timedelta(minutes=20), "order", 2),
+            ("u1", base + dt.timedelta(hours=2), "view", 3),
+            ("u2", base, "order", 4),          # no later u2 event beyond 30m+...
+            ("u2", base + dt.timedelta(minutes=10), "view", 5),  # stays open
+        ]
+        d = tempfile.mkdtemp()
+        # two sequential single-file writes = two deterministic arrival
+        # batches (the file source orders by mtime; parallel part files
+        # from one write land in random order)
+        for group in (rows[:3], rows[3:]):
+            spark.createDataFrame(
+                group, "k string, ts timestamp, c string, seq long"
+            ).coalesce(1).write.mode("append").parquet(d)
+        sdf = (
+            spark.readStream.schema("k string, ts timestamp, c string, seq long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        steps = [
+            cep.Step("A", lambda r, m: r["c"] == "order"),
+            cep.Step("B", lambda r, m: r["c"] == "pay", contiguity="relaxed"),
+        ]
+        schema = StructType(
+            [StructField("k", StringType()), StructField("order_seq", LongType()),
+             StructField("pay_seq", LongType())]
+        )
+        to_schema = StructType(
+            [StructField("k", StringType()), StructField("order_seq", LongType()),
+             StructField("timeout_ts", TimestampType())]
+        )
+        out = cep.match_recognize_stream(
+            sdf, ["k"], "ts", steps,
+            {"order_seq": lambda m: cep.first(m, "A", "seq"),
+             "pay_seq": lambda m: cep.first(m, "B", "seq")},
+            schema,
+            after_match="to_next_row", within="30 minutes",
+            timeout_measures={
+                "order_seq": lambda p, tts: cep.first(p, "A", "seq"),
+                "timeout_ts": lambda p, tts: tts,
+            },
+            timeout_schema=to_schema,
+        )
+        got = sources.run_to_memory(out, "cep_timeout_stream", "append").collect()
+        main = {(r.k, r.order_seq, r.pay_seq) for r in got if r["__side"] == "match"}
+        touts = {(r.k, r.order_seq, r.timeout_ts) for r in got if r["__side"] == "timeout"}
+        assert main == {("u1", 0, 1)}
+        # u1/order@20m expired (view at 2h); u2/order never expired -> open
+        assert touts == {("u1", 2, base + dt.timedelta(minutes=50))}
