@@ -58,6 +58,29 @@ BENCH_QUERIES = [
 ]
 
 
+def _canary_sec() -> float:
+    """Fixed-cost single-core CPU reference task (VERDICT r3 #7): a
+    deterministic pure-Python integer loop, timed min-of-3. Cross-round
+    bench totals drown in shared-host contention (±30% uniform drift in
+    r2→r3); per-query wall/canary RATIOS cancel the host factor, so a
+    real regression is visible through the noise. The task is
+    allocation-free arithmetic — no NumPy/JVM — so it measures raw CPU
+    timeslice, not library versions."""
+    def task() -> int:
+        acc = 7
+        for i in range(2_000_000):
+            acc = (acc * 1_103_515_245 + 12_345 + i) % 2_147_483_648
+        return acc
+
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        task()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 4)
+
+
 def _reclaim(spark) -> None:
     """Drop state left behind by the previous query so 36 back-to-back
     executions don't contaminate each other's timings: persisted frames
@@ -95,6 +118,7 @@ def main() -> None:
         # isolate queries from each other's leftovers
         _reclaim(spark)
 
+    canary = _canary_sec()
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     out = {
@@ -103,6 +127,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # contention canary: compare rounds via queries[q]/canary_sec
+        # ratios, not raw seconds (shared-host CPU swings several-fold)
+        "canary_sec": canary,
+        "query_canary_ratios": {
+            n: round(t / canary, 2) for n, t in timings.items()
+        },
     }
     print(json.dumps(out))
     spark.stop()

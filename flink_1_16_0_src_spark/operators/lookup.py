@@ -20,6 +20,8 @@ collection anywhere.
 
 from __future__ import annotations
 
+import time
+from dataclasses import dataclass
 from typing import Callable, Iterable
 
 import pandas as pd
@@ -28,6 +30,59 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import StructType
 
 LookupFn = Callable[[list], dict]  # keys -> {key: {col: value}}
+
+
+@dataclass
+class RetryPolicy:
+    """Fixed-delay lookup retry — RetryableLookupFunctionDelegator.java:32
+    (flink-table/flink-table-runtime/.../join/lookup/) + the
+    LookupOptions retry knobs ('lookup.max-retries',
+    ResultRetryStrategy.fixedDelayRetry, RetryPredicates.EMPTY_RESULT):
+
+    - ``max_attempts``: total probe attempts per key batch (first call
+      included — Flink counts the same way).
+    - ``delay``: fixed sleep (seconds) between attempts.
+    - ``retry_on_miss``: EMPTY_RESULT_PREDICATE parity — keys that came
+      back without a row are re-probed (eventually-consistent stores);
+      after exhaustion the miss is TERMINAL: null fields (how='left')
+      or row dropped (how='inner'), exactly like the delegator giving
+      up after maxRetryTimes.
+
+    Exceptions from the probe count as a failed attempt for every key
+    in it; an exception on the LAST attempt propagates (fails the task
+    — Spark's task retry takes over, the analog of the job failover the
+    reference falls back to)."""
+
+    max_attempts: int = 3
+    delay: float = 0.0
+    retry_on_miss: bool = False
+
+
+def _with_retry(lookup_fn: LookupFn, policy: RetryPolicy) -> LookupFn:
+    """Wrap a probe fn with the RetryPolicy (the delegator pattern)."""
+
+    def fn(keys: list) -> dict:
+        found: dict = {}
+        todo = list(keys)
+        for attempt in range(1, policy.max_attempts + 1):
+            last = attempt == policy.max_attempts
+            try:
+                res = lookup_fn(todo)
+            except Exception:
+                if last:
+                    raise
+                time.sleep(policy.delay)
+                continue
+            found.update({k: v for k, v in res.items() if v is not None})
+            if not policy.retry_on_miss:
+                return found
+            todo = [k for k in todo if k not in found]
+            if not todo or last:
+                return found
+            time.sleep(policy.delay)
+        return found
+
+    return fn
 
 
 def lookup_join(
@@ -40,13 +95,18 @@ def lookup_join(
     cache: bool = True,
     concurrency: int = 1,
     how: str = "left",
+    retry: RetryPolicy | None = None,
 ) -> DataFrame:
     """Enrich ``df`` with columns from an external keyed store.
 
     ``lookup_fn(keys)`` is called with ≤ batch_size DISTINCT keys and
     must return {key: {field: value}} (missing keys → null fields, or
-    row dropped when how='inner').
-    """
+    row dropped when how='inner'). ``retry`` wraps every probe with a
+    fixed-delay retry (see RetryPolicy) — composes with the cache
+    (successful retried hits are cached like any hit; terminal misses
+    negative-cache so a flaky store isn't re-hammered per batch) and
+    with ``concurrency`` (each chunk retries independently)."""
+    probe_fn = _with_retry(lookup_fn, retry) if retry is not None else lookup_fn
 
     def gen(it: Iterable[pd.DataFrame]):
         local_cache: dict = {}
@@ -60,11 +120,11 @@ def lookup_join(
                     from concurrent.futures import ThreadPoolExecutor
 
                     with ThreadPoolExecutor(max_workers=concurrency) as ex:
-                        for res in ex.map(lookup_fn, chunks):
+                        for res in ex.map(probe_fn, chunks):
                             found.update(res)
                 else:
                     for ch in chunks:
-                        found.update(lookup_fn(ch))
+                        found.update(probe_fn(ch))
             if cache:
                 local_cache.update(found)
                 for k in todo:

@@ -35,24 +35,30 @@ def _misra_gries_partials(df: DataFrame, col: str, capacity: int) -> DataFrame:
     lower-bound-count) rows per partition."""
 
     def gen(it: Iterable[pd.DataFrame]):
-        counters: dict = {}
+        # VECTORIZED pass 1: value_counts + index-aligned Series.add per
+        # Arrow batch — the mergeable-summaries form of Misra-Gries
+        # (Agarwal et al., Mergeable Summaries, PODS'12): add the
+        # batch's counts, then on overflow subtract the (capacity+1)-th
+        # largest count from every counter and drop the non-positive
+        # ones (decrement only on overflow). Everything is C-speed
+        # pandas; the previous per-row dict loop (O(rows) Python, with
+        # an O(capacity) decrement sweep per overflowing row) was the
+        # full-corpus throughput bottleneck at scale (VERDICT r3). Same
+        # 1/(capacity+1) error guarantee, so pass 2's exact-recount
+        # contract is unchanged.
+        counters = pd.Series(dtype="int64")
         for pdf in it:
-            for v in pdf[col]:
-                if v in counters:
-                    counters[v] += 1
-                elif len(counters) < capacity:
-                    counters[v] = 1
-                else:
-                    # decrement-all step; drop zeros
-                    dead = []
-                    for kk in counters:
-                        counters[kk] -= 1
-                        if counters[kk] == 0:
-                            dead.append(kk)
-                    for kk in dead:
-                        del counters[kk]
-        if counters:
-            yield pd.DataFrame({col: list(counters), "__mg": list(counters.values())})
+            vc = pdf[col].value_counts(sort=False)
+            counters = (
+                counters.add(vc, fill_value=0).astype("int64")
+                if len(counters)
+                else vc.astype("int64")
+            )
+            if len(counters) > capacity:
+                t = counters.nlargest(capacity + 1).iloc[-1]
+                counters = counters[counters > t] - t
+        if len(counters):
+            yield pd.DataFrame({col: counters.index, "__mg": counters.to_numpy()})
 
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -203,8 +209,10 @@ def histogram_quantiles(
 
     Estimate error is bounded by ``width`` (the bucket size) — a fixed
     additive bound chosen by the caller, unlike rank-error sketches.
-    All arithmetic below the final midpoint multiply is integer, so the
-    result is engine-reproducible (oracled bit-level vs DuckDB).
+    Quantiles are internally rationals qn/qd and the rank threshold
+    ceil(q*n) = (qn*n + qd - 1) div qd, so ALL arithmetic below the
+    final midpoint multiply is integer and the result is
+    engine-reproducible (oracled bit-level vs DuckDB).
     Output: group_cols + (q, est_value)."""
     bucket = F.floor(F.col(value_col) / F.lit(width)).cast("bigint").alias("__b")
     hist = df.select(*group_cols, bucket).groupBy(*group_cols, "__b").agg(
@@ -218,10 +226,24 @@ def histogram_quantiles(
         F.sum("__c").over(wcum).alias("__cum"),
         F.sum("__c").over(wtot).alias("__n"),
     )
+    from fractions import Fraction
+
     spark = df.sparkSession
-    qs = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    # rank threshold ceil(q*n) computed EXACTLY in integer arithmetic:
+    # q as a rational qn/qd, threshold = (qn*n + qd - 1) div qd. The
+    # float form ceil(q * n) is wrong at exact multiples (0.9*10 ->
+    # 9.000000000000002 -> ceil 10, selecting the 10th value instead of
+    # the exact-rank 9th; ADVICE r3).
+    qs = spark.createDataFrame(
+        [
+            (float(q), Fraction(q).limit_denominator(10**6).numerator,
+             Fraction(q).limit_denominator(10**6).denominator)
+            for q in quantiles
+        ],
+        "q double, qn long, qd long",
+    )
     hit = cum.join(F.broadcast(qs)).where(
-        F.col("__cum") >= F.ceil(F.col("q") * F.col("__n"))
+        F.col("__cum") >= F.expr("(qn * __n + qd - 1) div qd")
     )
     return (
         hit.groupBy(*group_cols, "q")

@@ -93,8 +93,9 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM hist
     ), hit AS (
       SELECT event_type, q, min(b) AS qb
-      FROM cum CROSS JOIN (VALUES (0.5), (0.9), (0.99)) AS qs(q)
-      WHERE cm >= ceil(q * n)
+      FROM cum CROSS JOIN (VALUES (0.5, 1, 2), (0.9, 9, 10), (0.99, 99, 100))
+                 AS qs(q, qn, qd)
+      WHERE cm >= (qn * n + qd - 1) // qd
       GROUP BY 1, 2
     )
     SELECT event_type, q, (qb + 0.5) * 1.0 AS est_value FROM hit

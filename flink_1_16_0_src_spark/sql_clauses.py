@@ -243,14 +243,19 @@ def _sql_bool_to_py(cond: str) -> str:
     MatchCodeGenerator.scala performs on DEFINE clauses that reference
     other variables' matched rows (those can't hoist to Catalyst
     columns — they depend on NFA match state)."""
-    cond = cond.replace("<>", "!=")
-    cond = re.sub(r"(?<![<>!=])=(?!=)", "==", cond)
+    def _ops_outside_literals(seg: str) -> str:
+        # operator rewrites apply only OUTSIDE string literals — a
+        # literal containing '=' or '<>' (col = 'a<>b') must survive
+        # verbatim (ADVICE r3)
+        seg = seg.replace("<>", "!=")
+        return re.sub(r"(?<![<>!=])=(?!=)", "==", seg)
+
     out, pos = [], 0
     for m in re.finditer(r"'[^']*'|[A-Za-z_]\w*", cond):
-        out.append(cond[pos : m.start()])
+        out.append(_ops_outside_literals(cond[pos : m.start()]))
         tok = m.group(0)
         if tok.startswith("'"):
-            out.append('"' + tok[1:-1] + '"')
+            out.append('"' + tok[1:-1].replace("\\", "\\\\").replace('"', '\\"') + '"')
         elif tok.upper() in _PY_KEYWORDS:
             out.append(_PY_KEYWORDS[tok.upper()])
         elif re.fullmatch(r"__cv\d+", tok):
@@ -258,7 +263,7 @@ def _sql_bool_to_py(cond: str) -> str:
         else:
             out.append(f"r[{tok!r}]")
         pos = m.end()
-    out.append(cond[pos:])
+    out.append(_ops_outside_literals(cond[pos:]))
     return "".join(out)
 
 
@@ -298,8 +303,13 @@ def _crossvar_predicate(cond: str, cv_map: dict):
             env[name] = _crossvar_value(fn, m, var, col)
         try:
             return bool(eval(code, {"__builtins__": {}}, env))
-        except TypeError:
-            return False  # comparison against NULL
+        except TypeError as e:
+            # SQL three-valued collapse: only NULL-involved comparisons
+            # (NoneType operands) are false; any other TypeError is a
+            # genuine bug in the DEFINE and must surface (ADVICE r3)
+            if "NoneType" in str(e):
+                return False
+            raise
 
     return pred
 

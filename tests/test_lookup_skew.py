@@ -132,3 +132,89 @@ def test_salted_join_left_outer(spark):
     exp = li.join(sup, "l_suppkey", "left")
     assert got.count() == exp.count()
     assert got.where("s_name IS NULL").count() == exp.where("s_name IS NULL").count()
+
+
+class TestRetryPolicy:
+    """RetryableLookupFunctionDelegator.java:32 parity: fixed-delay
+    retry wrapping the batched probe, composing with cache/concurrency,
+    with a terminal-miss policy after exhaustion."""
+
+    SCHEMA = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("nm", StringType()),
+            StructField("attempt", LongType()),
+        ]
+    )
+
+    def test_transient_exception_retried_then_enriched(self, spark):
+        from flink_1_16_0_src_spark.operators.lookup import RetryPolicy
+
+        def flaky(keys):
+            # per-worker closure state: fails the first 2 calls
+            st = flaky.__dict__.setdefault("calls", {"n": 0})
+            st["n"] += 1
+            if st["n"] <= 2:
+                raise RuntimeError("transient store hiccup")
+            return {k: {"nm": f"v{k}", "attempt": st["n"]} for k in keys}
+
+        df = spark.range(4).select(F.col("id").alias("k")).repartition(1)
+        got = lookup_join(
+            df, flaky, "k", ["nm", "attempt"], self.SCHEMA,
+            retry=RetryPolicy(max_attempts=3, delay=0.01),
+        )
+        rows = {r.k: (r.nm, r.attempt) for r in got.collect()}
+        assert rows == {k: (f"v{k}", 3) for k in range(4)}
+
+    def test_retry_on_miss_per_key_attempts_and_terminal_miss(self, spark):
+        from flink_1_16_0_src_spark.operators.lookup import RetryPolicy
+
+        def eventually(keys):
+            # key k becomes visible on its (k % 3 + 1)-th probe —
+            # eventually-consistent store; records per-key attempts
+            att = eventually.__dict__.setdefault("att", {})
+            out = {}
+            for k in keys:
+                att[k] = att.get(k, 0) + 1
+                if att[k] >= (k % 3) + 1:
+                    out[k] = {"nm": f"v{k}", "attempt": att[k]}
+            return out
+
+        df = spark.range(6).select(F.col("id").alias("k")).repartition(1)
+        got = lookup_join(
+            df, eventually, "k", ["nm", "attempt"], self.SCHEMA,
+            retry=RetryPolicy(max_attempts=2, delay=0.0, retry_on_miss=True),
+        )
+        rows = {r.k: (r.nm, r.attempt) for r in got.collect()}
+        # keys needing 1 or 2 attempts enrich with their attempt count;
+        # keys needing 3 exhaust max_attempts=2 -> TERMINAL miss (nulls)
+        for k in range(6):
+            need = (k % 3) + 1
+            assert rows[k] == ((f"v{k}", need) if need <= 2 else (None, None))
+
+    def test_terminal_miss_dropped_when_inner(self, spark):
+        from flink_1_16_0_src_spark.operators.lookup import RetryPolicy
+
+        def never(keys):
+            return {}
+
+        df = spark.range(5).select(F.col("id").alias("k")).repartition(1)
+        got = lookup_join(
+            df, never, "k", ["nm", "attempt"], self.SCHEMA, how="inner",
+            retry=RetryPolicy(max_attempts=2, retry_on_miss=True),
+        )
+        assert got.count() == 0
+
+    def test_exception_on_last_attempt_propagates(self, spark):
+        from flink_1_16_0_src_spark.operators.lookup import RetryPolicy
+
+        def always_down(keys):
+            raise RuntimeError("store down")
+
+        df = spark.range(3).select(F.col("id").alias("k")).repartition(1)
+        got = lookup_join(
+            df, always_down, "k", ["nm", "attempt"], self.SCHEMA,
+            retry=RetryPolicy(max_attempts=2, delay=0.0),
+        )
+        with pytest.raises(Exception, match="store down"):
+            got.collect()

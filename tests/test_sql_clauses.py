@@ -273,3 +273,29 @@ def test_match_recognize_selfvar_aggregate_rejected(spark):
             "PARTITION BY k ORDER BY seq MEASURES FIRST(A.seq) AS s "
             "PATTERN (A+) DEFINE A AS A.v > LAST(A.v)",
         )
+
+
+def test_sql_bool_to_py_literal_with_operators():
+    """String literals containing '=' / '<>' survive the operator
+    rewrite verbatim (ADVICE r3): tokenization extracts literals FIRST,
+    rewrites apply only outside them."""
+    from flink_1_16_0_src_spark.sql_clauses import _sql_bool_to_py
+
+    py = _sql_bool_to_py("c = 'a<>b' AND d <> 'x=y'")
+    assert py == 'r[\'c\'] == "a<>b" and r[\'d\'] != "x=y"'
+    assert eval(py, {"__builtins__": {}}, {"r": {"c": "a<>b", "d": "q"}}) is True
+    assert eval(py, {"__builtins__": {}}, {"r": {"c": "a<>b", "d": "x=y"}}) is False
+
+
+def test_crossvar_predicate_null_vs_real_type_error():
+    """NULL comparisons collapse to false; a genuine type bug (str vs
+    int arithmetic) raises instead of silently not-matching."""
+    import pytest
+
+    from flink_1_16_0_src_spark.sql_clauses import _crossvar_predicate
+
+    pred = _crossvar_predicate("__cv0 > 5", {"__cv0": ("LAST", "A", "v")})
+    assert pred({"v": 1}, {}) is False  # unmatched A -> NULL -> false
+    bad = _crossvar_predicate("v + 1 > 'x'", {})
+    with pytest.raises(TypeError):
+        bad({"v": 1}, {})
