@@ -246,3 +246,77 @@ def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     out = mix_corpus(d, "source", "doc_id", {"src0": 0.5, "src1": 0.3, "src2": 0.2})
     return out.select("doc_id", "source")
+
+
+@query(
+    "sample_source_share",
+    oracle="""
+    SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST((20000 * count(*) + sum(count(*)) OVER (PARTITION BY source))
+                // (2 * sum(count(*)) OVER (PARTITION BY source)) AS BIGINT)
+             AS share_e4
+    FROM documents GROUP BY source, lang
+    """,
+    tags=("pipeline", "sampling", "custom-op"),
+)
+def sample_source_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture reporting: docs per (source, lang) with each cell's share
+    of its source in exact 1e-4 integer units (half-up integer division
+    — no float ratio on the hashed surface). The groupBy + window-over-
+    aggregate shape is one shuffle on (source, lang) plus a |groups|-row
+    window; at 100 TB it is the dashboard a mixture-weighting pass
+    (DoReMi-style) reads before reweighting."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    agg = d.groupBy("source", "lang").agg(F.count("*").alias("n_docs"))
+    staged = agg.withColumn(
+        "__tot", F.sum("n_docs").over(W.partitionBy("source"))
+    )
+    return staged.select(
+        "source", "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.expr("(20000 * n_docs + __tot) div (2 * __tot)")
+        .cast("bigint").alias("share_e4"),
+    )
+
+
+@query(
+    "shard_assignment",
+    oracle=f"""
+    WITH staged AS (
+      SELECT doc_id, len({_TOKS}) AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 15))::BIGINT
+                  % 16 AS INT) AS shard
+      FROM documents
+    )
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM staged GROUP BY shard
+    """,
+    tags=("pipeline", "sampling", "custom-op"),
+)
+def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-output sharding: every doc lands in one of 16 shards by
+    md5(id:'shard') — deterministic across reruns/engines (a
+    rand()-based shard would re-deal on every retry, breaking resumable
+    writes), and independent of the sampling/split hashes (different
+    salt). The query reports per-shard doc and token counts — the
+    balance check run before the sharded write; the write itself is
+    repartition(shard).write.partitionBy(shard). One |shards|-row
+    shuffle."""
+    from flink_1_16_0_src_spark.pipeline.text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shard"))), 1, 15),
+        16, 10,
+    ).cast("bigint")
+    staged = d.select(
+        (h % 16).cast("int").alias("shard"),
+        F.size(tokens("text")).alias("n_tokens"),
+    )
+    return staged.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )

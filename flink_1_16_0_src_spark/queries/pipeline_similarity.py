@@ -281,3 +281,86 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return pq_adc_topk(emb, "embedding", "vec_id", query_id=42, k=5, m=8, ncent=4)
+
+
+@query(
+    "sim_ann_recall_eval",
+    oracle="""
+    WITH comps AS (
+      SELECT e.vec_id, e.embedding, p.plane,
+             list_sum(list_transform(generate_series(1, len(e.embedding)),
+               d -> CAST(e.embedding[d] AS DOUBLE) *
+                    (((('0x' || substr(md5(p.plane || ':' || (d - 1)), 1, 15))::BIGINT % 2) * 2) - 1)
+             )) AS dot
+      FROM embeddings e, generate_series(0, 7) p(plane)
+    ),
+    buckets AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN dot >= 0 THEN (1 << plane) ELSE 0 END) AS INT) AS bucket
+      FROM comps GROUP BY vec_id
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                       CAST(b.embedding AS DOUBLE[])), 4) DESC,
+                          b.vec_id) AS rank_num
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 10
+      ) WHERE rank_num <= 5
+    ),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM buckets q JOIN buckets c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT e.query_id,
+           CAST(COALESCE(n.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(count(c.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(c.neighbor_id) * 2000 AS BIGINT) AS recall_e4
+    FROM exact e
+    LEFT JOIN cand c ON c.query_id = e.query_id AND c.neighbor_id = e.neighbor_id
+    LEFT JOIN (SELECT query_id, count(*) AS n_candidates FROM cand GROUP BY query_id) n
+           ON n.query_id = e.query_id
+    GROUP BY e.query_id, n.n_candidates
+    """,
+    tags=("pipeline", "similarity", "custom-op"),
+)
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@5 of the LSH bucket candidates
+    against the exact brute-force top-5 for 10 query vectors — the
+    harness a pipeline runs before trusting an approximate index.
+    recall_e4 = hits·2000 (hits/5 in exact 1e-4 integer units — no
+    float divide on the hashed surface). Both sides reuse the
+    production operators; the candidate count shows the |candidates| vs
+    recall trade the bucket width buys."""
+    from flink_1_16_0_src_spark.pipeline.similarity import lsh_bucket
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(
+        emb.where(F.col("vec_id") < 10), emb, "embedding", "vec_id", k=5
+    ).select("query_id", "neighbor_id")
+    b = lsh_bucket(emb, "embedding", "vec_id", n_planes=8)
+    cand = (
+        b.where(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), "bucket")
+        .join(b.select(F.col("vec_id").alias("neighbor_id"), "bucket"), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    ncand = cand.groupBy("query_id").agg(F.count("*").alias("n_candidates"))
+    hits = exact.join(cand, ["query_id", "neighbor_id"], "left_semi")
+    per_q = (
+        exact.select("query_id").distinct()
+        .join(hits.groupBy("query_id").agg(F.count("*").alias("n_hits")),
+              "query_id", "left")
+        .join(ncand, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_candidates"), F.lit(0)).cast("bigint").alias("n_candidates"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) * 2000).cast("bigint").alias("recall_e4"),
+        )
+    )
+    return per_q

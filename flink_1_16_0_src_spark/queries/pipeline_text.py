@@ -298,3 +298,93 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return boilerplate_ngrams(d, "text", "doc_id", n=4, min_docs=3)
+
+
+@query(
+    "vocab_top_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(str_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    )
+    SELECT tok, CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, tok) AS INT) AS rank_num
+    FROM toks GROUP BY tok
+    QUALIFY rank_num <= 50
+    """,
+    tags=("pipeline", "text", "vocab"),
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: exact top-50 tokens by occurrence count
+    (+ document frequency) — the first pass of tokenizer/vocab
+    construction. One explode + one groupBy(token) with map-side
+    partials; at 100 TB swap the exact groupBy for
+    operators.sketch.approx_top_k (same output contract) — this exact
+    form is the oracle-checkable baseline. Integer counts only, so the
+    rank is engine-exact (ties break on the token string)."""
+    from flink_1_16_0_src_spark.pipeline.text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    from pyspark.sql import Window as W
+
+    agg = toks.groupBy("tok").agg(
+        F.count("*").alias("n_occ"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    w = W.orderBy(F.col("n_occ").desc(), "tok")
+    return (
+        agg.withColumn("rank_num", F.row_number().over(w).cast("int"))
+        .where(F.col("rank_num") <= 50)
+        .select("tok", F.col("n_occ").cast("bigint"), F.col("n_docs").cast("bigint"),
+                "rank_num")
+    )
+
+
+@query(
+    "text_chunk_windows",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, str_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents WHERE doc_id % 11 = 0
+    )
+    SELECT doc_id,
+           CAST(s.i AS BIGINT) AS chunk_id,
+           CAST(s.i * 24 + 1 AS BIGINT) AS tok_start,
+           CAST(least(s.i * 24 + 32, len(w)) AS BIGINT) AS tok_end,
+           array_to_string(w[s.i * 24 + 1 : least(s.i * 24 + 32, len(w))], ' ') AS chunk
+    FROM toks, generate_series(0, 1000000) s(i)
+    WHERE s.i * 24 < len(w)
+    """,
+    tags=("pipeline", "text", "custom-op"),
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking with overlap: each doc explodes into
+    32-token windows at stride 24 (8-token overlap) — how long
+    documents become training sequences without losing cross-boundary
+    context. Map-side explode only (no shuffle; fan-out bounded by
+    doc_len/stride); window starts are sequence() positions so the
+    chunking is position-exact on both engines: one window per stride
+    while any token remains past the start (final windows are partial —
+    the padding-aware consumer is sequence packing)."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") % 11 == 0)
+    from flink_1_16_0_src_spark.pipeline.text import tokens
+
+    size, stride = 32, 24
+    w = tokens("text")
+    staged = d.select("doc_id", w.alias("w"), F.size(w).alias("__n"))
+    # one window start per stride while tokens remain: i = 0 .. (n-1) div stride
+    idx = F.expr(f"sequence(0, (__n - 1) div {stride})")
+    chunks = staged.where(F.col("__n") > 0).select(
+        "doc_id", "w", "__n", F.explode(idx).alias("i")
+    )
+    start = F.col("i") * stride + 1
+    end = F.least(F.col("i") * stride + size, F.col("__n"))
+    return chunks.select(
+        "doc_id",
+        F.col("i").cast("bigint").alias("chunk_id"),
+        start.cast("bigint").alias("tok_start"),
+        end.cast("bigint").alias("tok_end"),
+        F.concat_ws(" ", F.slice(F.col("w"), start, end - start + 1)).alias("chunk"),
+    )
