@@ -884,3 +884,50 @@ def stream_retract_agg_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = changelog_group_aggregate(sdf, ["user_id"], "cents")
     drained = ssrc.run_to_memory(out, f"drain_retract_{next(_seq)}", "update")
     return drained.select("user_id", "alive_cnt", "sum_cents")
+
+
+@query(
+    "stream_trigger_window_drain",
+    oracle="""
+    WITH wm AS (
+      SELECT user_id, max(ts) - INTERVAL '10 minutes' AS w
+      FROM events GROUP BY user_id
+    ),
+    agg AS (
+      SELECT user_id,
+             time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT a.user_id, a.window_start, a.window_end, a.n, a.sum_value
+    FROM agg a JOIN wm ON wm.user_id = a.user_id
+    WHERE a.window_end <= wm.w
+    """,
+    tags=("streaming", "trigger", "custom-op"),
+)
+def stream_trigger_window_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic Trigger runner (WindowOperator.java + Trigger.java
+    parity, streaming/triggers.py) drained end-to-end with
+    EventTimeTrigger: per-user 1h tumbling windows fire exactly once
+    when the carried per-key watermark (max ts − 10 min) passes the
+    window end — emission = windows closed by the final watermark,
+    the oracle's per-user wm filter. The same runner executes ARBITRARY
+    user Trigger subclasses (count / purging / custom value-threshold —
+    pytest-pinned in test_triggers.py); this drain is the
+    driver-checkable representative."""
+    from flink_1_16_0_src_spark.streaming.triggers import (
+        EventTimeTrigger,
+        triggered_tumble_window,
+    )
+
+    sdf = ssrc.stream_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = triggered_tumble_window(
+        sdf, ["user_id"], "ts", "1 hour", "10 minutes", EventTimeTrigger(),
+        lambda w: {"n": len(w), "sum_value": round(float(w["value"].astype(float).sum()), 2)},
+        "user_id bigint, window_start timestamp, window_end timestamp, n bigint, sum_value double",
+        order_col="ts",
+    )
+    drained = ssrc.run_to_memory(out, f"drain_trigwin_{next(_seq)}", "append")
+    return drained.select("user_id", "window_start", "window_end", "n", "sum_value")
