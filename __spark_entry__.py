@@ -35,14 +35,20 @@ _DRIVER_GREEN_R1 = {
     "agg_grouping_funcs", "agg_grouping_sets", "agg_having_filter",
     "agg_json_arrayagg", "agg_json_objectagg", "agg_listagg",
     "agg_multiset_collect", "agg_rollup", "agg_single_value", "agg_stats",
-    "agg_sum0_empty_input", "ds_co_group", "func_cast_try", "func_collections",
-    "func_conditional", "func_current_watermark", "func_decimal_precision",
+    "agg_sum0_empty_input", "ds_co_group",
+    "func_conditional", "func_current_watermark",
     "func_extract_fields", "func_interval_types", "func_json",
-    "func_json_construct", "func_math_basic", "func_math_hyperbolic_conv",
-    "func_math_misc", "func_math_trig", "func_split_index_pad",
+    "func_json_construct", "func_math_hyperbolic_conv",
+    "func_math_trig", "func_split_index_pad",
     "func_string_basic", "func_string_codec", "func_string_initcap_overlay",
-    "func_string_search", "func_temporal", "func_temporal_overlaps",
+    "func_string_search", "func_temporal_overlaps",
     "func_time_type", "func_timestamp_arith", "func_tz_json_path",
+    # NOTE: func_math_basic / func_math_misc / func_temporal /
+    # func_collections / func_cast_try / func_decimal_precision were
+    # hash-RED in the r1 driver sample (fixed r2, judge strict-green
+    # ever since) — VERDICT r4 flags the driver's last word on them as
+    # red, so they are forced into tier 0 (_TIER0_RECHECK) for r5
+    # instead of sitting in this green set.
 }
 _DRIVER_GREEN_R2 = {
     "agg_distinct", "agg_q1_pricing_summary", "agg_q6_forecast_revenue",
@@ -89,9 +95,39 @@ _DRIVER_GREEN_R3 = {
 }
 
 
+# Green rows from CORRECTNESS_r04.json — the first fully-green driver
+# sample (50/50): all 17 custom streaming drains, the 13-join family,
+# the twice-red cluster_kmeans_update (now green), 12 TPC-DS shapes.
+_DRIVER_GREEN_R4 = {
+    "cdc_ogg_decode", "cluster_kmeans_update", "dedup_embedding_cosine",
+    "ds_table_agg_top2", "format_orc_roundtrip", "func_from_unixtime",
+    "join_anti", "join_asof_temporal", "join_bucketed_exchange_free",
+    "join_full_outer", "join_interval", "join_lookup_batched_probe",
+    "join_lookup_broadcast", "join_multiway_q5", "join_range_bucketed",
+    "join_salted_skew", "join_semi", "join_sql_temporal",
+    "join_theta_nonequi", "multimodal_chunking", "over_rows_sliding",
+    "stream_anti_join_drain", "stream_asof_drain", "stream_cep_any_drain",
+    "stream_cep_timeout_drain", "stream_changelog_drain",
+    "stream_count_window_evictor_drain", "stream_interval_join_drain",
+    "stream_keep_last_drain", "stream_late_side_output_drain",
+    "stream_over_drain", "stream_retract_agg_drain", "stream_semi_join_drain",
+    "stream_temporal_sort_drain", "stream_topn_drain",
+    "stream_trigger_window_drain", "stream_unbounded_join_drain",
+    "stream_window_join_drain", "tpcds_q1_returns_above_avg",
+    "tpcds_q33_union_agg", "tpcds_q36_lochierarchy_rank",
+    "tpcds_q38_intersect_count", "tpcds_q49_union_ranked_channels",
+    "tpcds_q57_monthly_deviation", "tpcds_q5_channel_rollup",
+    "tpcds_q62_delay_buckets", "tpcds_q73_order_count_band",
+    "tpcds_q78_unreturned_ratio", "tpcds_q87_except_count",
+    "tpcds_q95_exists_chain",
+}
+
+
 def _rotation_rank(name: str) -> int:
     """0 = never driver-checked (or failed — re-check), then greens
     oldest-first (re-verify stalest evidence before fresher greens)."""
+    if name in _DRIVER_GREEN_R4:
+        return 4
     if name in _DRIVER_GREEN_R3:
         return 3
     if name in _DRIVER_GREEN_R2:
@@ -101,17 +137,23 @@ def _rotation_rank(name: str) -> int:
     return 0
 
 
-# VERDICT r3 next-round #2/#8: the never-checked set is skewed exactly
-# wrong — all 15 custom streaming drains and the temporal/lookup/
-# interval/theta joins (the hand-built operators where a from-scratch
-# engine can actually be wrong) plus 46/50 TPC-DS shapes have no driver
-# row. Within tier 0 the 50-query prefix therefore leads with those
-# families outright instead of a flat round-robin: every stream_*, every
-# join_*, the cluster_kmeans_update re-check, then 12 tpcds_* slots,
-# then the usual family round-robin over whatever tier 0 still holds.
-_TIER0_PRIORITY_FAMILIES = ("stream", "join")
-_TIER0_RECHECK = ("cluster_kmeans_update",)
-_TIER0_QUOTAS = (("tpcds", 12),)
+# VERDICT r4 next-round #1 — r5 tier 0 is the driver-evidence backlog:
+# first the 6 scalar-function rows whose LAST driver word is the r1
+# hash-red (fixed r2, strict-green since — one green row each retires
+# the stale red), then ALL 34 never-checked tpcds_* shapes (the
+# reference's own e2e gate is TPC-DS, TpcdsTestProgram.java:76-84),
+# the 6 tvf_*_agg, setop_except[_all] and the upsert-sink e2e; the
+# family round-robin then fills the remainder (tpch_* leads rank-0
+# tier 1 for r6).
+_TIER0_RECHECK = (
+    "func_math_basic", "func_math_misc", "func_temporal",
+    "func_collections", "func_cast_try", "func_decimal_precision",
+)
+_TIER0_PRIORITY_FAMILIES = ("tpcds", "tvf")
+_TIER0_PRIORITY_NAMES = (
+    "setop_except", "setop_except_all", "format_upsert_sink_materialized",
+)
+_TIER0_QUOTAS = ()
 
 
 def _family_round_robin(names: list[str]) -> list[str]:
@@ -123,21 +165,21 @@ def _family_round_robin(names: list[str]) -> list[str]:
     from collections import OrderedDict
 
     out: list[str] = []
-    for rank in (0, 1, 2, 3):
+    for rank in (0, 1, 2, 3, 4):
         buckets: "OrderedDict[str, list[str]]" = OrderedDict()
         for n in names:
             if _rotation_rank(n) == rank:
                 buckets.setdefault(_family(n), []).append(n)
         if rank == 0:
-            # priority blocks: whole stream/join families, the re-check,
-            # then a tpcds quota — see the VERDICT note above
-            for fam in _TIER0_PRIORITY_FAMILIES:
-                out.extend(buckets.pop(fam, []))
-            for n in _TIER0_RECHECK:
+            # priority blocks: stale-red re-checks, whole tpcds/tvf
+            # families, then named singletons — see the VERDICT note
+            for n in _TIER0_RECHECK + _TIER0_PRIORITY_NAMES:
                 fam = _family(n)
                 if fam in buckets and n in buckets[fam]:
                     buckets[fam].remove(n)
                     out.append(n)
+            for fam in _TIER0_PRIORITY_FAMILIES:
+                out.extend(buckets.pop(fam, []))
             for fam, quota in _TIER0_QUOTAS:
                 take, buckets[fam] = (
                     buckets.get(fam, [])[:quota],

@@ -318,25 +318,34 @@ def pq_adc_topk(
             F.array(*[F.lit(float(d)) for d in lut[j]]), F.col(f"code{j}") + 1
         )
         dist = term if dist is None else dist + term
-    return (
+    # Global top-k as orderBy().limit(k): Spark plans this as
+    # TakeOrderedAndProject — a size-k heap per partition, then a
+    # driver-side merge of k·partitions rows — never a corpus-sized
+    # single-partition sort (the unpartitioned row_number() it
+    # replaces shipped EVERY row's distance through one task).
+    # Ranking happens on the ROUNDED distance: near-equal raw sums
+    # differ in the last ulp across engines (and across DuckDB's
+    # parallel sum orders), so raw-float ordering at the k boundary
+    # is nondeterministic — rounding collapses those into id-broken
+    # ties identically everywhere. The row_number() window after the
+    # limit runs over exactly k rows, so its single partition is
+    # bounded by k, not by the corpus.
+    topk = (
         encoded.where(F.col(id_col) != query_id)
         .select(
             F.lit(query_id).cast("bigint").alias("query_id"),
             F.col(id_col).alias("neighbor_id"),
-            dist.alias("__adc"),
+            F.round(dist, 4).alias("adc_dist"),
         )
-        .withColumn("rank_num", F.row_number().over(
-            # rank on the ROUNDED distance: near-equal raw sums differ in
-            # the last ulp across engines (and across DuckDB's parallel
-            # sum orders), so raw-float ordering at the k boundary is
-            # nondeterministic — rounding collapses those into id-broken
-            # ties identically everywhere
-            Window.orderBy(F.round(F.col("__adc"), 4), F.col("neighbor_id"))
-        ))
-        .where(F.col("rank_num") <= k)
-        .select(
-            "query_id", "neighbor_id",
-            F.round(F.col("__adc"), 4).alias("adc_dist"),
-            F.col("rank_num").cast("int").alias("rank_num"),
+        .orderBy("adc_dist", "neighbor_id")
+        .limit(k)
+    )
+    return (
+        topk.withColumn(
+            "rank_num",
+            F.row_number()
+            .over(Window.orderBy("adc_dist", "neighbor_id"))
+            .cast("int"),
         )
+        .select("query_id", "neighbor_id", "adc_dist", "rank_num")
     )

@@ -333,12 +333,22 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_occ"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+    # Top-50 via orderBy().limit() = TakeOrderedAndProject (per-partition
+    # size-50 heap + driver merge), NOT an unpartitioned row_number()
+    # window — the vocabulary is all distinct tokens of the corpus
+    # (10^7-10^8 at real scale) and a global window would sort it in one
+    # task. The rank window after the limit covers exactly 50 rows.
+    top = (
+        agg.select(
+            "tok", F.col("n_occ").cast("bigint").alias("n_occ"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occ").desc(), "tok")
+        .limit(50)
+    )
     w = W.orderBy(F.col("n_occ").desc(), "tok")
-    return (
-        agg.withColumn("rank_num", F.row_number().over(w).cast("int"))
-        .where(F.col("rank_num") <= 50)
-        .select("tok", F.col("n_occ").cast("bigint"), F.col("n_docs").cast("bigint"),
-                "rank_num")
+    return top.withColumn("rank_num", F.row_number().over(w).cast("int")).select(
+        "tok", "n_occ", "n_docs", "rank_num"
     )
 
 
