@@ -110,7 +110,11 @@ def lsh_bucket(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        term = F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        # sign test on the ROUNDED dot (6 dp, the _argmin_rounded
+        # convention): a one-ulp cross-engine difference at dot≈0 flips
+        # a bucket bit; rounding collapses ±1-ulp-of-zero to ±0.0 (≥ 0
+        # in both engines). Oracles mirror round(dot, 6).
+        term = F.when(F.round(dot, 6) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = term if bucket is None else bucket + term
     return df.select(F.col(id_col), bucket.cast("int").alias("bucket"))
 

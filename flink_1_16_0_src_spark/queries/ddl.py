@@ -1,0 +1,171 @@
+"""DDL-surface queries: CREATE TABLE ... LIKE, EXECUTE STATEMENT SET,
+ALTER TABLE — driver-checkable end-to-end through TableEnvironment.
+
+Reference parity: SqlCreateTableLike.java:71 + SqlTableLike.java merge
+options, SqlExecute.java + SqlStatementSet.java:41 (the SQL-text twin
+of the StatementSet API), SqlAlterTableOptions.java /
+SqlAlterTableAdd.java / SqlAlterTableModify.java. The semantics under
+each query are plain scans/aggregates — the point is that the DDL TEXT
+round-trips into the same results the oracle computes directly, the
+way a Flink SQL user would drive the engine.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_1_16_0_src_spark.registry import query
+
+_seq = itertools.count()
+
+
+def _tenv(spark: SparkSession):
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    return TableEnvironment(spark)
+
+
+@query(
+    "ddl_create_table_like",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+           'derived' AS src_tag
+    FROM events
+    WHERE user_id % 7 = 0
+    GROUP BY user_id
+    """,
+    tags=("ddl", "sql-surface"),
+)
+def ddl_create_table_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE ... LIKE (SqlCreateTableLike.java:71): the base
+    registration carries schema + options + watermark; the derived
+    table inherits all of it (default INCLUDING ALL OVERWRITING
+    OPTIONS), appends a computed GENERATED column, and overrides one
+    option — then the query reads THROUGH the derived table."""
+    t = _tenv(spark)
+    n = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE like_base_{n} (ts TIMESTAMP(3), user_id BIGINT, "
+        f"event_type STRING, value DOUBLE, session_id STRING, "
+        f"properties STRING, "
+        f"WATERMARK FOR ts AS ts - INTERVAL '10' SECOND) "
+        f"WITH ('connector'='filesystem',"
+        f"'path'='{os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet','tag'='base')"
+    )
+    t.execute_sql(
+        f"CREATE TABLE like_derived_{n} (src_tag AS 'derived') "
+        f"WITH ('tag'='override') LIKE like_base_{n}"
+    )
+    assert t._watermarks[f"like_derived_{n}"] == ("ts", "10 SECONDS")
+    assert t._registrations[f"like_derived_{n}"]["props"]["tag"] == "override"
+    return t.sql_query(
+        f"""
+        SELECT user_id,
+               count(*) AS n,
+               sum(CAST(round(value * 100, 0) AS BIGINT)) AS sum_cents,
+               src_tag
+        FROM like_derived_{n}
+        WHERE user_id % 7 = 0
+        GROUP BY user_id, src_tag
+        """
+    ).select("user_id", "n", "sum_cents", "src_tag")
+
+
+@query(
+    "ddl_statement_set_sql",
+    oracle="""
+    WITH agg AS (
+      SELECT n_regionkey,
+             CAST(count(*) AS BIGINT) AS n_nations,
+             min(n_name) AS first_name
+      FROM nation GROUP BY n_regionkey
+    )
+    SELECT n_regionkey, n_nations, first_name, 'hi' AS bucket
+    FROM agg WHERE n_nations >= 5
+    UNION ALL
+    SELECT n_regionkey, n_nations, first_name, 'lo' AS bucket
+    FROM agg WHERE n_nations < 5
+    """,
+    tags=("ddl", "sql-surface", "statement-set"),
+)
+def ddl_statement_set_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE STATEMENT SET BEGIN ... END (SqlStatementSet.java:41):
+    two INSERTs sharing an aggregate subtree run as one set through the
+    common-subgraph machinery (the shared agg persists once), each
+    landing in a filesystem sink; the result reads both sinks back.
+    The shared-subplan count is asserted — the SQL text must reach the
+    same optimizer path as the StatementSet API."""
+    from flink_1_16_0_src_spark.tables import load
+
+    t = _tenv(spark)
+    n = next(_seq)
+    load(spark, sf_dir, "nation").createOrReplaceTempView(f"ss_nation_{n}")
+    d = tempfile.mkdtemp()
+    hi, lo = os.path.join(d, "hi"), os.path.join(d, "lo")
+    for tag, path in (("hi", hi), ("lo", lo)):
+        t.execute_sql(
+            f"CREATE TABLE ss_sink_{tag}_{n} WITH ('connector'='filesystem',"
+            f"'path'='{path}','format'='parquet')"
+        )
+    shared = (
+        f"SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name "
+        f"FROM ss_nation_{n} GROUP BY n_regionkey"
+    )
+    res = t.execute_sql(
+        f"EXECUTE STATEMENT SET BEGIN "
+        f"INSERT INTO ss_sink_hi_{n} SELECT * FROM ({shared}) WHERE n_nations >= 5; "
+        f"INSERT INTO ss_sink_lo_{n} SELECT * FROM ({shared}) WHERE n_nations < 5; "
+        f"END"
+    ).collect()[0]
+    assert res.statements == 2 and res.shared_subplans >= 1
+    from pyspark.sql import functions as F
+
+    out_hi = spark.read.parquet(hi).withColumn("bucket", F.lit("hi"))
+    out_lo = spark.read.parquet(lo).withColumn("bucket", F.lit("lo"))
+    return out_hi.unionByName(out_lo).select(
+        "n_regionkey", "n_nations", "first_name", "bucket"
+    )
+
+
+@query(
+    "ddl_alter_table_read",
+    oracle="""
+    SELECT CAST(n_nationkey AS VARCHAR) AS nation_key,
+           n_name,
+           CAST(NULL AS INT) AS flag,
+           CAST(count(*) AS BIGINT) AS n
+    FROM nation
+    GROUP BY 1, 2, 3
+    """,
+    tags=("ddl", "sql-surface"),
+)
+def ddl_alter_table_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE SET / ADD / MODIFY (SqlAlterTableOptions.java,
+    SqlAlterTableAdd.java, SqlAlterTableModify.java): options update +
+    re-registration, a schema-evolution ADD (null-filled on read), and
+    a MODIFY retype (cast-on-read), all visible to the next query."""
+    t = _tenv(spark)
+    n = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE alt_nation_{n} WITH ('connector'='filesystem',"
+        f"'path'='{os.path.join(sf_dir, 'nation.parquet')}',"
+        f"'format'='parquet','tag'='v1')"
+    )
+    t.execute_sql(f"ALTER TABLE alt_nation_{n} SET ('tag'='v2')")
+    assert t._registrations[f"alt_nation_{n}"]["props"]["tag"] == "v2"
+    t.execute_sql(f"ALTER TABLE alt_nation_{n} ADD (flag INT)")
+    t.execute_sql(f"ALTER TABLE alt_nation_{n} MODIFY (n_nationkey STRING)")
+    return t.sql_query(
+        f"""
+        SELECT n_nationkey AS nation_key, n_name, flag, count(*) AS n
+        FROM alt_nation_{n}
+        GROUP BY n_nationkey, n_name, flag
+        """
+    ).select("nation_key", "n_name", "flag", "n")

@@ -75,7 +75,7 @@ def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings e, generate_series(0, 7) p(plane)
     )
     SELECT vec_id,
-           CAST(sum(CASE WHEN dot >= 0 THEN (1 << plane) ELSE 0 END) AS INT) AS bucket
+           CAST(sum(CASE WHEN round(dot, 6) >= 0 THEN (1 << plane) ELSE 0 END) AS INT) AS bucket
     FROM comps GROUP BY vec_id
     """,
     tags=("pipeline", "similarity", "custom-op"),
@@ -101,7 +101,7 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     buckets AS (
       SELECT vec_id, any_value(embedding) AS embedding,
-             CAST(sum(CASE WHEN dot >= 0 THEN (1 << plane) ELSE 0 END) AS INT) AS bucket
+             CAST(sum(CASE WHEN round(dot, 6) >= 0 THEN (1 << plane) ELSE 0 END) AS INT) AS bucket
       FROM comps GROUP BY vec_id
     )
     SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.bucket,
@@ -296,7 +296,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     buckets AS (
       SELECT vec_id,
-             CAST(sum(CASE WHEN dot >= 0 THEN (1 << plane) ELSE 0 END) AS INT) AS bucket
+             CAST(sum(CASE WHEN round(dot, 6) >= 0 THEN (1 << plane) ELSE 0 END) AS INT) AS bucket
       FROM comps GROUP BY vec_id
     ),
     exact AS (

@@ -898,10 +898,10 @@ def stream_retract_agg_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
              time_bucket(INTERVAL '1 hour', ts) AS window_start,
              time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
              CAST(count(*) AS BIGINT) AS n,
-             round(sum(value), 2) AS sum_value
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
       FROM events GROUP BY 1, 2, 3
     )
-    SELECT a.user_id, a.window_start, a.window_end, a.n, a.sum_value
+    SELECT a.user_id, a.window_start, a.window_end, a.n, a.sum_cents
     FROM agg a JOIN wm ON wm.user_id = a.user_id
     WHERE a.window_end <= wm.w
     """,
@@ -923,11 +923,16 @@ def stream_trigger_window_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sdf = ssrc.stream_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    # hashed surface sums INTEGER CENTS (per-row round(value*100), the
+    # repo's cents convention): a round(double-sum, 2) here would pit
+    # Python's half-even against DuckDB's half-away rounding on an
+    # order-dependent float sum — ADVICE r4
     out = triggered_tumble_window(
         sdf, ["user_id"], "ts", "1 hour", "10 minutes", EventTimeTrigger(),
-        lambda w: {"n": len(w), "sum_value": round(float(w["value"].astype(float).sum()), 2)},
-        "user_id bigint, window_start timestamp, window_end timestamp, n bigint, sum_value double",
+        lambda w: {"n": len(w),
+                   "sum_cents": int(w["value"].astype(float).mul(100).round().sum())},
+        "user_id bigint, window_start timestamp, window_end timestamp, n bigint, sum_cents bigint",
         order_col="ts",
     )
     drained = ssrc.run_to_memory(out, f"drain_trigwin_{next(_seq)}", "append")
-    return drained.select("user_id", "window_start", "window_end", "n", "sum_value")
+    return drained.select("user_id", "window_start", "window_end", "n", "sum_cents")

@@ -68,6 +68,63 @@ _CREATE_TABLE_WITH = re.compile(
 )
 
 
+_CREATE_TABLE_LIKE = re.compile(
+    # SqlCreateTableLike.java:71 — derive a table from an existing
+    # registration; optional extra schema, WITH overrides, and a
+    # (INCLUDING/EXCLUDING/OVERWRITING <feature>) merge-option list
+    r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
+    r"(?:\((?P<schema>(?:[^()]|\([^()]*\))*)\)\s*)?"
+    r"(?:PARTITIONED\s+BY\s*\((?P<partcols>[^)]*)\)\s*)?"
+    r"(?:WITH\s*\((?P<props>(?:[^()]|\([^()]*\))*)\)\s*)?"
+    r"LIKE\s+(?P<base>\w+)\s*(?:\((?P<opts>[^)]*)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_ALTER_TABLE = re.compile(
+    # SqlAlterTableOptions / SqlAlterTableAdd / SqlAlterTableModify /
+    # SqlAlterTableRename — op payload parsed in _alter_table
+    r"ALTER\s+TABLE\s+(\w+)\s+(.*)$", re.IGNORECASE | re.DOTALL
+)
+
+_EXECUTE_STATEMENT_SET = re.compile(
+    # SqlExecute.java + SqlStatementSet.java:41 — inline form
+    r"EXECUTE\s+STATEMENT\s+SET\s+BEGIN\s+(?P<body>.*?)\s*END\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_statements(body: str) -> list[str]:
+    """Split a statement-set body on top-level ';' (quote-aware)."""
+    out, cur, in_q = [], [], False
+    for ch in body:
+        if ch == "'":
+            in_q = not in_q
+        if ch == ";" and not in_q:
+            s = "".join(cur).strip()
+            if s:
+                out.append(s)
+            cur = []
+        else:
+            cur.append(ch)
+    s = "".join(cur).strip()
+    if s:
+        out.append(s)
+    return out
+
+
+def _normalize_flink_type(coldef: str) -> str:
+    """Flink logical types Spark's DDL parser doesn't spell the same
+    way (LogicalTypeParser.java): precisioned TIMESTAMP[_LTZ](p) →
+    TIMESTAMP (Spark timestamps are micros; (3) millis fit), BYTES →
+    BINARY. Everything else (STRING/BIGINT/DECIMAL(p,s)/VARCHAR(n)/
+    ARRAY<..>/MAP<..>/ROW→struct spelled by the user) parses as-is."""
+    s = re.sub(r"\bTIMESTAMP_LTZ\s*\(\s*\d+\s*\)", "TIMESTAMP", coldef,
+               flags=re.IGNORECASE)
+    s = re.sub(r"\bTIMESTAMP\s*\(\s*\d+\s*\)", "TIMESTAMP", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bBYTES\b", "BINARY", s, flags=re.IGNORECASE)
+    return s
+
+
 def _parse_props(props: str) -> dict[str, str]:
     out = {}
     for m in re.finditer(r"'([^']+)'\s*=\s*'([^']*)'", props):
@@ -154,6 +211,11 @@ class TableEnvironment:
         self._sources: dict[str, dict] = {}
         self._watermarks: dict[str, tuple[str, str]] = {}
         self._set_overrides: dict[str, str] = {}
+        # parsed DDL per table — the CatalogTable the reference keeps;
+        # CREATE TABLE ... LIKE and ALTER TABLE derive from these
+        self._registrations: dict[str, dict] = {}
+        # CLI split form: BEGIN STATEMENT SET; ... END; buffers here
+        self._pending_statement_set: "StatementSet | None" = None
         from flink_1_16_0_src_spark.catalog import CatalogManager
 
         self.catalog_manager = CatalogManager(self.spark)
@@ -183,6 +245,35 @@ class TableEnvironment:
         from flink_1_16_0_src_spark import sources as srcs
 
         stmt = sql.strip()
+        # EXECUTE STATEMENT SET BEGIN ... END (SqlExecute.java +
+        # SqlStatementSet.java:41): the SQL-text form routes to the
+        # same StatementSet machinery as the API — each INSERT's plan
+        # joins the common-subgraph analysis, shared subtrees persist
+        # once. The CLI split form (SqlBeginStatementSet.java:
+        # `BEGIN STATEMENT SET;` ... `END;`) buffers across calls.
+        mexec = _EXECUTE_STATEMENT_SET.match(stmt)
+        if mexec:
+            ss = self.create_statement_set()
+            for ins in _split_statements(mexec.group("body")):
+                ss.add_insert_sql(ins)
+            summary = ss.execute()
+            return self.spark.createDataFrame(
+                [(summary["statements"], summary["shared_subplans"])],
+                "statements int, shared_subplans int",
+            )
+        if re.match(r"^BEGIN\s+STATEMENT\s+SET\s*;?\s*$", stmt, re.IGNORECASE):
+            self._pending_statement_set = self.create_statement_set()
+            return None
+        if self._pending_statement_set is not None:
+            if re.match(r"^END\s*;?\s*$", stmt, re.IGNORECASE):
+                ss, self._pending_statement_set = self._pending_statement_set, None
+                summary = ss.execute()
+                return self.spark.createDataFrame(
+                    [(summary["statements"], summary["shared_subplans"])],
+                    "statements int, shared_subplans int",
+                )
+            self._pending_statement_set.add_insert_sql(stmt)
+            return None
         # Flink SET / RESET statements (SqlSet/SqlReset,
         # flink-sql-parser/.../dql/SqlSet.java): session config knobs.
         # `SET 'k' = 'v'` → spark.conf.set; bare SET lists the session
@@ -239,114 +330,19 @@ class TableEnvironment:
                 raise NotImplementedError(f"CTAS into connector {connector!r}")
             df.createOrReplaceTempView(name)
             return df
+        mlike = _CREATE_TABLE_LIKE.match(stmt)
+        if mlike:
+            return self._create_table_like(mlike)
         m = _CREATE_TABLE_WITH.match(stmt)
         if m:
             name = m.group(1)
-            props = _parse_props(m.group("props"))
-            connector = props.get("connector", "filesystem")
-            fmt = props.get("format", "parquet")
-            partcols = [
-                c.strip() for c in (m.group("partcols") or "").split(",") if c.strip()
-            ]
-            schema = None
-            metadata_cols: dict[str, str] = {}
-            computed_cols: dict[str, str] = {}
-            if m.group("schema"):
-                wm = _WATERMARK_SPEC.search(m.group("schema"))
-                if wm:
-                    unit = wm.group(3).upper().rstrip("S") + (
-                        "S" if float(wm.group(2)) != 1 else ""
-                    )
-                    self._watermarks[name] = (wm.group(1), f"{wm.group(2)} {unit}")
-                from flink_1_16_0_src_spark.sql_clauses import _split_top_commas
-
-                cols = []
-                for c in _split_top_commas(m.group("schema")):
-                    c = c.strip()
-                    if "WATERMARK" in c.upper():
-                        continue
-                    # `name TYPE METADATA [FROM 'key'] [VIRTUAL]` —
-                    # SqlTableColumn.SqlMetadataColumn: routed from the
-                    # connector's metadata, not the payload
-                    md = re.match(
-                        r"(\w+)\s+\w+(?:\(\d+(?:,\d+)?\))?\s+METADATA(?:\s+FROM\s+'(\w+)')?",
-                        c,
-                        re.IGNORECASE,
-                    )
-                    if md:
-                        metadata_cols[md.group(1)] = md.group(2) or md.group(1)
-                        continue
-                    # computed column (SqlTableColumn.SqlComputedColumn):
-                    # `name AS expr` — evaluated on read, PROCTIME() maps
-                    # to current_timestamp()
-                    cc = re.match(r"(\w+)\s+AS\s+(.+)$", c, re.IGNORECASE | re.DOTALL)
-                    if cc:
-                        computed_cols[cc.group(1)] = re.sub(
-                            r"PROCTIME\s*\(\s*\)", "current_timestamp()",
-                            cc.group(2).strip(), flags=re.IGNORECASE,
-                        )
-                        continue
-                    cols.append(c)
-                schema = ", ".join(cols)
-            if connector in ("print", "blackhole"):
-                self._sinks[name] = {"connector": connector, "props": props}
-                return None
-            if connector == "datagen":
-                df = srcs.datagen_source(
-                    self.spark, int(props.get("rows-per-second", "100"))
-                )
-                df.createOrReplaceTempView(name)
-                return df
-            if connector in ("kafka", "upsert-kafka"):
-                df = srcs.kafka_source(self.spark, props)
-                if schema:
-                    # declared schema ⇒ run the format's value
-                    # deserializer (KafkaDynamicSource wires the
-                    # DeserializationSchema the same way); without one,
-                    # expose the raw key/value/metadata frame
-                    df = srcs.kafka_value_decode(
-                        df,
-                        schema,
-                        fmt=props.get("value.format", props.get("format", "json")),
-                        props=props,
-                        tombstones=connector == "upsert-kafka",
-                        metadata=metadata_cols or None,
-                    )
-                for cname, cexpr in computed_cols.items():
-                    df = df.withColumn(cname, F.expr(cexpr))
-                df.createOrReplaceTempView(name)
-                return df
-            if connector == "jdbc":
-                # register lazily: Spark's jdbc reader connects at load()
-                # for schema inference, so defer until first use — the
-                # same laziness as Flink's JdbcDynamicTableSource, which
-                # only connects when the scan runs
-                self._sources[name] = props
-                self._sinks[name] = {"connector": connector, "props": props}
-                return None
-            if connector == "filesystem":
-                if "path" not in props:
-                    raise ValueError(
-                        f"table {name!r}: connector 'filesystem' requires a "
-                        "'path' property (WITH ('path'='...'))"
-                    )
-                path = props["path"]
-                if not os.path.exists(path.removeprefix("file://")):
-                    # path doesn't exist yet → it's a sink table
-                    self._sinks[name] = {
-                        "connector": connector,
-                        "props": props,
-                        "partitioned_by": partcols,
-                        "schema": schema,
-                    }
-                    return None
-                df = srcs.read_table(self.spark, path, fmt, schema, props)
-                for cname, cexpr in computed_cols.items():
-                    df = df.withColumn(cname, F.expr(cexpr))
-                df.createOrReplaceTempView(name)
-                self._sources[name] = props
-                return df
-            raise NotImplementedError(f"connector {connector!r}")
+            reg = self._parse_create_table(
+                name, m.group("schema"), m.group("partcols"), m.group("props")
+            )
+            return self._register_parsed(name, reg)
+        malter = _ALTER_TABLE.match(stmt)
+        if malter:
+            return self._alter_table(malter.group(1), malter.group(2))
         stmt = translate_hints(stmt)
         # Flink EXPLAIN syntax (SqlRichExplain: EXPLAIN [PLAN FOR] <q>)
         # → Spark's EXPLAIN <q>
@@ -391,6 +387,321 @@ class TableEnvironment:
             )
             return None
         return self.spark.sql(stmt)
+
+    def _parse_create_table(
+        self, name: str, schema_txt: str | None, partcols_txt: str | None,
+        props_txt: str | None,
+    ) -> dict:
+        """Parse the schema/partition/WITH pieces of a CREATE TABLE into
+        the registration dict _register_parsed consumes (the CatalogTable
+        the reference's SqlCreateTableConverter builds)."""
+        props = _parse_props(props_txt or "")
+        partcols = [
+            c.strip() for c in (partcols_txt or "").split(",") if c.strip()
+        ]
+        cols: list[str] = []
+        metadata_cols: dict[str, str] = {}
+        computed_cols: dict[str, str] = {}
+        watermark: tuple[str, str] | None = None
+        if schema_txt:
+            wm = _WATERMARK_SPEC.search(schema_txt)
+            if wm:
+                unit = wm.group(3).upper().rstrip("S") + (
+                    "S" if float(wm.group(2)) != 1 else ""
+                )
+                watermark = (wm.group(1), f"{wm.group(2)} {unit}")
+            from flink_1_16_0_src_spark.sql_clauses import _split_top_commas
+
+            for c in _split_top_commas(schema_txt):
+                c = c.strip()
+                if "WATERMARK" in c.upper():
+                    continue
+                # `name TYPE METADATA [FROM 'key'] [VIRTUAL]` —
+                # SqlTableColumn.SqlMetadataColumn: routed from the
+                # connector's metadata, not the payload
+                md = re.match(
+                    r"(\w+)\s+\w+(?:\(\d+(?:,\d+)?\))?\s+METADATA(?:\s+FROM\s+'(\w+)')?",
+                    c,
+                    re.IGNORECASE,
+                )
+                if md:
+                    metadata_cols[md.group(1)] = md.group(2) or md.group(1)
+                    continue
+                # computed column (SqlTableColumn.SqlComputedColumn):
+                # `name AS expr` — evaluated on read, PROCTIME() maps
+                # to current_timestamp()
+                cc = re.match(r"(\w+)\s+AS\s+(.+)$", c, re.IGNORECASE | re.DOTALL)
+                if cc:
+                    computed_cols[cc.group(1)] = re.sub(
+                        r"PROCTIME\s*\(\s*\)", "current_timestamp()",
+                        cc.group(2).strip(), flags=re.IGNORECASE,
+                    )
+                    continue
+                cols.append(_normalize_flink_type(c))
+        return {
+            "cols": cols,
+            "props": props,
+            "partcols": partcols,
+            "metadata_cols": metadata_cols,
+            "computed_cols": computed_cols,
+            "watermark": watermark,
+        }
+
+    def _register_parsed(self, name: str, reg: dict) -> DataFrame | None:
+        """Register a parsed CREATE TABLE: connector dispatch (the old
+        _CREATE_TABLE_WITH branch body), now shared by plain CREATE,
+        CREATE ... LIKE, and ALTER re-registration."""
+        from flink_1_16_0_src_spark import sources as srcs
+
+        props = reg["props"]
+        connector = props.get("connector", "filesystem")
+        fmt = props.get("format", "parquet")
+        schema = ", ".join(reg["cols"]) or None
+        self._registrations[name] = reg
+        if reg["watermark"] is not None:
+            self._watermarks[name] = reg["watermark"]
+        if connector in ("print", "blackhole"):
+            self._sinks[name] = {"connector": connector, "props": props}
+            return None
+        if connector == "datagen":
+            df = srcs.datagen_source(
+                self.spark, int(props.get("rows-per-second", "100"))
+            )
+            df.createOrReplaceTempView(name)
+            return df
+        if connector in ("kafka", "upsert-kafka"):
+            df = srcs.kafka_source(self.spark, props)
+            if schema:
+                # declared schema ⇒ run the format's value
+                # deserializer (KafkaDynamicSource wires the
+                # DeserializationSchema the same way); without one,
+                # expose the raw key/value/metadata frame
+                df = srcs.kafka_value_decode(
+                    df,
+                    schema,
+                    fmt=props.get("value.format", props.get("format", "json")),
+                    props=props,
+                    tombstones=connector == "upsert-kafka",
+                    metadata=reg["metadata_cols"] or None,
+                )
+            for cname, cexpr in reg["computed_cols"].items():
+                df = df.withColumn(cname, F.expr(cexpr))
+            df = self._apply_overlay(df, reg)
+            df.createOrReplaceTempView(name)
+            return df
+        if connector == "jdbc":
+            # register lazily: Spark's jdbc reader connects at load()
+            # for schema inference, so defer until first use — the
+            # same laziness as Flink's JdbcDynamicTableSource, which
+            # only connects when the scan runs
+            self._sources[name] = props
+            self._sinks[name] = {"connector": connector, "props": props}
+            return None
+        if connector == "filesystem":
+            if "path" not in props:
+                raise ValueError(
+                    f"table {name!r}: connector 'filesystem' requires a "
+                    "'path' property (WITH ('path'='...'))"
+                )
+            path = props["path"]
+            if not os.path.exists(path.removeprefix("file://")):
+                # path doesn't exist yet → it's a sink table
+                self._sinks[name] = {
+                    "connector": connector,
+                    "props": props,
+                    "partitioned_by": reg["partcols"],
+                    "schema": schema,
+                }
+                return None
+            df = srcs.read_table(self.spark, path, fmt, schema, props)
+            for cname, cexpr in reg["computed_cols"].items():
+                df = df.withColumn(cname, F.expr(cexpr))
+            df = self._apply_overlay(df, reg)
+            df.createOrReplaceTempView(name)
+            self._sources[name] = props
+            return df
+        raise NotImplementedError(f"connector {connector!r}")
+
+    @staticmethod
+    def _apply_overlay(df: DataFrame, reg: dict) -> DataFrame:
+        """Re-apply ALTER TABLE ADD/MODIFY schema evolution recorded on
+        the registration (see _alter_table) after a re-registration."""
+        for op, cname, ctype in reg.get("alter_overlay", ()):
+            if op == "add":
+                df = df.withColumn(cname, F.lit(None).cast(ctype))
+            else:
+                df = df.withColumn(cname, F.col(cname).cast(ctype))
+        return df
+
+    def _create_table_like(self, m: "re.Match") -> DataFrame | None:
+        """CREATE TABLE ... LIKE (SqlCreateTableLike.java:71 +
+        SqlTableLike.java merge options). Physical columns are always
+        inherited (new declarations append); OPTIONS / WATERMARKS /
+        GENERATED / METADATA / PARTITIONS merge per the
+        INCLUDING / EXCLUDING / OVERWRITING strategy list — default
+        ``INCLUDING ALL OVERWRITING OPTIONS`` as in the reference."""
+        name, base = m.group(1), m.group("base")
+        braw = self._registrations.get(base)
+        if braw is None:
+            raise ValueError(
+                f"CREATE TABLE ... LIKE: base table {base!r} has no DDL "
+                "registration in this session"
+            )
+        new = self._parse_create_table(
+            name, m.group("schema"), m.group("partcols"), m.group("props")
+        )
+        # merge strategies: feature -> including|excluding|overwriting
+        strat = {
+            "options": "overwriting", "watermarks": "including",
+            "generated": "including", "metadata": "including",
+            "partitions": "including", "constraints": "including",
+        }
+        for mm in re.finditer(
+            r"(INCLUDING|EXCLUDING|OVERWRITING)\s+"
+            r"(ALL|OPTIONS|WATERMARKS|GENERATED|METADATA|PARTITIONS|CONSTRAINTS)",
+            m.group("opts") or "",
+            re.IGNORECASE,
+        ):
+            mode, feat = mm.group(1).lower(), mm.group(2).lower()
+            if feat == "all":
+                for k in strat:
+                    strat[k] = mode
+            else:
+                strat[feat] = mode
+
+        base_names = {c.split()[0].lower() for c in braw["cols"]}
+        dup = [c.split()[0] for c in new["cols"] if c.split()[0].lower() in base_names]
+        if dup:
+            raise ValueError(f"LIKE: duplicate physical column(s) {dup}")
+
+        def _merge_dict(feat: str, bval: dict, nval: dict) -> dict:
+            mode = strat[feat]
+            if mode == "excluding":
+                return dict(nval)
+            if mode == "including":
+                conflict = {k for k in set(bval) & set(nval) if bval[k] != nval[k]}
+                if conflict:
+                    raise ValueError(
+                        f"LIKE INCLUDING {feat.upper()}: conflicting entries "
+                        f"{sorted(conflict)} (use OVERWRITING {feat.upper()})"
+                    )
+            return {**bval, **nval}
+
+        def _pick(feat: str, bval, nval):
+            mode = strat[feat]
+            if mode == "excluding":
+                return nval
+            if mode == "including" and nval and bval and nval != bval:
+                raise ValueError(
+                    f"LIKE INCLUDING {feat.upper()}: the derived table "
+                    f"re-declares {feat} (use OVERWRITING {feat.upper()})"
+                )
+            return nval or bval
+
+        reg = {
+            "cols": braw["cols"] + new["cols"],
+            "props": _merge_dict("options", braw["props"], new["props"]),
+            "partcols": _pick("partitions", braw["partcols"], new["partcols"]),
+            "metadata_cols": _merge_dict(
+                "metadata", braw["metadata_cols"], new["metadata_cols"]
+            ),
+            "computed_cols": _merge_dict(
+                "generated", braw["computed_cols"], new["computed_cols"]
+            ),
+            "watermark": _pick("watermarks", braw["watermark"], new["watermark"]),
+            # an ALTERed base hands its evolved schema down
+            "alter_overlay": list(braw.get("alter_overlay", ())),
+        }
+        return self._register_parsed(name, reg)
+
+    def _alter_table(self, name: str, rest: str) -> DataFrame | None:
+        """ALTER TABLE RENAME TO / SET (...) / ADD ... / MODIFY ...
+        (SqlAlterTableRename / SqlAlterTableOptions.java /
+        SqlAlterTableAdd.java / SqlAlterTableModify.java). DDL-registered
+        tables re-register; everything else passes to Spark's own ALTER."""
+        from flink_1_16_0_src_spark.sql_clauses import _split_top_commas
+
+        rest = rest.strip().rstrip(";").strip()
+        mren = re.match(r"^RENAME\s+TO\s+(\w+)\s*$", rest, re.IGNORECASE)
+        if mren:
+            new_name = mren.group(1)
+            self.catalog_manager.get_catalog().rename_table(name, new_name)
+            for d in (self._registrations, self._sources, self._sinks,
+                      self._watermarks):
+                if name in d:
+                    d[new_name] = d.pop(name)
+            return None
+        mset = re.match(r"^SET\s*\((.*)\)\s*$", rest, re.IGNORECASE | re.DOTALL)
+        if mset:
+            reg = self._registrations.get(name)
+            if reg is None:
+                raise ValueError(
+                    f"ALTER TABLE {name!r} SET: not a DDL-registered table"
+                )
+            reg["props"].update(_parse_props(mset.group(1)))
+            # re-register so a source table re-reads with the new
+            # options (format/path/csv knobs take effect immediately)
+            self._register_parsed(name, reg)
+            return None
+        # normalize Spark's `ADD COLUMNS (...)` spelling onto Flink's
+        # `ADD (...)` so both route identically
+        rest_n = re.sub(
+            r"^(ADD|MODIFY)\s+COLUMNS?\s*", r"\1 ", rest, flags=re.IGNORECASE
+        )
+        madd = re.match(
+            r"^(ADD|MODIFY)\s*(?:\((?P<multi>.*)\)|(?P<single>\w+\s+.+))\s*$",
+            rest_n, re.IGNORECASE | re.DOTALL,
+        )
+        if madd:
+            op = madd.group(1).upper()
+            coldefs = [
+                _normalize_flink_type(c.strip())
+                for c in _split_top_commas(madd.group("multi") or madd.group("single"))
+                if c.strip()
+            ]
+            reg = self._registrations.get(name)
+            if reg is None:
+                # permanent Spark table: delegate (ADD COLUMNS supported)
+                if op == "ADD":
+                    return self.spark.sql(
+                        f"ALTER TABLE {name} ADD COLUMNS ({', '.join(coldefs)})"
+                    )
+                raise ValueError(
+                    f"ALTER TABLE {name!r} MODIFY: not a DDL-registered table"
+                )
+            # schema evolution lands as an OVERLAY (applied on the live
+            # view now AND re-applied by _register_parsed on any future
+            # re-registration) rather than editing reg["cols"]: tables
+            # whose schema was inferred from files have empty cols, and
+            # a partial declared schema would PRUNE the other columns on
+            # the next read
+            df = self.spark.table(name)
+            live = {c.lower() for c in df.columns}
+            overlay: list = reg.setdefault("alter_overlay", [])
+            for cd in coldefs:
+                parts = cd.split(None, 1)
+                if len(parts) != 2:
+                    raise ValueError(f"ALTER TABLE {op}: bad column def {cd!r}")
+                cname, ctype = parts[0], parts[1].strip()
+                if op == "ADD":
+                    if cname.lower() in live:
+                        raise ValueError(f"ALTER TABLE ADD: column {cname!r} exists")
+                    # files lack the new column → null of the declared
+                    # type on the live view (schema evolution on read)
+                    df = df.withColumn(cname, F.lit(None).cast(ctype))
+                    live.add(cname.lower())
+                else:  # MODIFY: retype in place via cast-on-read
+                    if cname.lower() not in live:
+                        raise ValueError(
+                            f"ALTER TABLE MODIFY: no column {cname!r}"
+                        )
+                    df = df.withColumn(cname, F.col(cname).cast(ctype))
+                overlay.append((op.lower(), cname, ctype))
+            df.createOrReplaceTempView(name)
+            return None
+        # anything else (DROP COLUMNS, table properties Spark-style, …)
+        # keeps the old passthrough behavior
+        return self.spark.sql(f"ALTER TABLE {name} {rest}")
 
     def _rewrite_flink_clauses(self, sql: str) -> str:
         """Window-TVF + MATCH_RECOGNIZE SQL surface (sql_clauses.py):
@@ -555,7 +866,10 @@ class StatementSet:
         mi = _INSERT_INTO.match(sql.strip())
         if not mi:
             raise ValueError("statement must be INSERT INTO <sink> <query>")
-        return self.add_insert(mi.group(2), self._tenv.spark.sql(mi.group(3)))
+        # same hint/clause rewriting as execute_sql's INSERT path, so the
+        # SQL-text statement set (EXECUTE STATEMENT SET BEGIN..END) and
+        # the API agree on window-TVF / MATCH_RECOGNIZE / hints
+        return self.add_insert(mi.group(2), self._tenv.sql_query(mi.group(3)))
 
     def _maximal_shared(self) -> list:
         """Maximal analyzed subtrees occurring in >= 2 statements

@@ -297,17 +297,30 @@ def _crossvar_predicate(cond: str, cv_map: dict):
             f"refs, and FIRST/LAST/SUM/AVG/COUNT(V.col)): {e}"
         ) from None
 
+    # the expression's possible operands: referenced row columns (the
+    # translator emits r['col']) and cross-var placeholder names
+    ref_cols = re.findall(r"\br\['([^']*)'\]", py)
+
     def pred(r, m) -> bool:
         env = {"r": r}
         for name, (fn, var, col) in cv_map.items():
             env[name] = _crossvar_value(fn, m, var, col)
         try:
             return bool(eval(code, {"__builtins__": {}}, env))
-        except TypeError as e:
-            # SQL three-valued collapse: only NULL-involved comparisons
-            # (NoneType operands) are false; any other TypeError is a
-            # genuine bug in the DEFINE and must surface (ADVICE r3)
-            if "NoneType" in str(e):
+        except TypeError:
+            # SQL three-valued collapse: false only when a NULL operand
+            # was actually involved — decided by inspecting the
+            # expression's operand VALUES (cross-var aggregates and
+            # referenced row columns), not the CPython message text
+            # ("NoneType" in str(e) was brittle both ways — ADVICE r4.
+            # Any TypeError with no NULL operand is a genuine DEFINE
+            # bug and must surface.
+            null_involved = any(
+                env[n] is None
+                for n in code.co_names
+                if n != "r" and n in env
+            ) or any(r[c] is None for c in ref_cols if c in r)
+            if null_involved:
                 return False
             raise
 

@@ -72,7 +72,26 @@ class Trigger:
     ``state`` is a JSON-serializable per-(key, window) dict persisted
     across micro-batches (the analog of the trigger's partitioned
     state). Default: never fires on elements, fires exactly once when
-    the watermark passes the window end (EventTimeTrigger behavior)."""
+    the watermark passes the window end (EventTimeTrigger behavior).
+
+    Intermediate event-time firings (TriggerContext.
+    registerEventTimeTimer, Trigger.java:141) are supported via
+    ``register_event_time_timer``: the runner invokes ``on_event_time``
+    once per due timer — with the TIMER's timestamp, matching Flink's
+    ``onEventTime(time, ...)`` — as the watermark passes it, in
+    timestamp order, before the final window-close call (which passes
+    the watermark itself). ContinuousEventTimeTrigger below is the
+    built-in exercising this path."""
+
+    @staticmethod
+    def register_event_time_timer(state: dict, ts: pd.Timestamp) -> None:
+        """TriggerContext.registerEventTimeTimer analog: ask the runner
+        to call ``on_event_time(ts, ...)`` once the watermark ≥ ts.
+        Idempotent per timestamp (Flink timers coalesce identically)."""
+        timers = state.setdefault("__timers", [])
+        iso = pd.Timestamp(ts).isoformat()
+        if iso not in timers:
+            timers.append(iso)
 
     def on_element(self, row: dict, window: Window, state: dict) -> TriggerResult:
         return TriggerResult.CONTINUE
@@ -127,6 +146,45 @@ class PurgingTrigger(Trigger):
         return self._wrap(self.inner.on_event_time(watermark, window, state))
 
 
+class ContinuousEventTimeTrigger(Trigger):
+    """ContinuousEventTimeTrigger.java: FIRE at every ``interval``
+    boundary of event time while the window is open (speculative
+    partial panes), plus the final on-time pane at window close.
+    ``ts_col`` names the event-time field in the row dict (Flink gets
+    the timestamp as an onElement argument; rows here carry it).
+    Exercises the runner's timer-registration path: the first element
+    registers a timer at the next interval boundary after its
+    timestamp; each firing re-registers interval later — exactly the
+    nextFireTimestamp state of the reference."""
+
+    def __init__(self, interval: str, ts_col: str = "ts") -> None:
+        self.interval = pd.Timedelta(interval)
+        self.ts_col = ts_col
+
+    def on_element(self, row, window, state) -> TriggerResult:
+        if state.get("fire_ts") is None:
+            ts = pd.Timestamp(row[self.ts_col])
+            start = pd.Timestamp(
+                (ts.value // self.interval.value) * self.interval.value
+            )
+            nxt = start + self.interval
+            state["fire_ts"] = nxt.isoformat()
+            self.register_event_time_timer(state, nxt)
+        return TriggerResult.CONTINUE
+
+    def on_event_time(self, time, window, state) -> TriggerResult:
+        ft = state.get("fire_ts")
+        if ft is not None and time == pd.Timestamp(ft) and time < window.end:
+            nxt = pd.Timestamp(ft) + self.interval
+            state["fire_ts"] = nxt.isoformat()
+            self.register_event_time_timer(state, nxt)
+            return TriggerResult.FIRE
+        if time >= window.end and not state.get("fired_on_time"):
+            state["fired_on_time"] = True
+            return TriggerResult.FIRE
+        return TriggerResult.CONTINUE
+
+
 def triggered_tumble_window(
     sdf: DataFrame,
     keys: list[str],
@@ -145,8 +203,10 @@ def triggered_tumble_window(
     several times (early fires) — the final on-time pane is the one the
     watermark closes.
 
-    Late rows (ts ≤ carried per-key watermark at arrival) drop, the
-    Flink default without allowedLateness. ``order_col`` sorts each
+    Late rows drop only when their WINDOW is late — window end ≤ the
+    carried per-key watermark at arrival (WindowOperator.java:590
+    isWindowLate with allowedLateness=0); a behind-watermark row whose
+    window is still open is kept, as in Flink. ``order_col`` sorts each
     batch before processing so on_element order (and therefore count /
     delta trigger firings) is arrival-independent within a batch."""
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -189,10 +249,15 @@ def triggered_tumble_window(
             for d in pdf.to_dict("records"):
                 d = json.loads(json.dumps(d, default=str))
                 ts = pd.Timestamp(d[ts_col])
-                if wm is not None and ts <= wm:
-                    continue  # late: behind the carried watermark
                 start = pd.Timestamp((ts.value // size_td.value) * size_td.value)
                 window = Window(start, start + size_td)
+                # WindowOperator.java:590 isWindowLate — drop only when
+                # the element's WINDOW is closed (end ≤ watermark,
+                # allowedLateness=0), not whenever the element itself is
+                # behind the watermark: a behind-watermark row whose
+                # window is still open joins the pane, as in Flink.
+                if wm is not None and window.end <= wm:
+                    continue  # late: window already closed
                 slot = windows.setdefault(
                     start.isoformat(), {"rows": [], "ts": {}}
                 )
@@ -206,8 +271,32 @@ def triggered_tumble_window(
             for siso in sorted(windows):
                 start = pd.Timestamp(siso)
                 window = Window(start, start + size_td)
+                slot = windows[siso]
+                # user-registered event-time timers due at/before the
+                # watermark fire first, in timestamp order, each passing
+                # the TIMER's time (Flink onEventTime(time, ...)); a
+                # handler may re-register, so loop until no new timer is
+                # due — the fired set stops same-timestamp livelock.
+                fired: set[str] = set()
+                while True:
+                    timers = slot["ts"].get("__timers", [])
+                    due = sorted(
+                        t for t in timers
+                        if pd.Timestamp(t) <= wm and t not in fired
+                    )
+                    if not due:
+                        break
+                    slot["ts"]["__timers"] = [t for t in timers if t not in due]
+                    for t in due:
+                        fired.add(t)
+                        apply(
+                            trigger.on_event_time(
+                                pd.Timestamp(t), window, slot["ts"]
+                            ),
+                            slot, window,
+                        )
                 if window.end <= wm:
-                    slot = windows.pop(siso)
+                    windows.pop(siso)
                     apply(trigger.on_event_time(wm, window, slot["ts"]), slot, window)
         state.update((json.dumps({"wm": wm.isoformat() if wm is not None else None,
                                   "w": windows}),))

@@ -1,0 +1,172 @@
+"""CREATE TABLE ... LIKE, EXECUTE STATEMENT SET (SQL text), and
+ALTER TABLE SET/ADD/MODIFY (SURVEY.md §2 DDL surface; VERDICT r4 #4-6).
+
+Reference parity: SqlCreateTableLike.java:71 + SqlTableLike.java
+(INCLUDING/EXCLUDING/OVERWRITING merge options), SqlStatementSet.java:41
++ SqlExecute.java / SqlBeginStatementSet.java, SqlAlterTableOptions /
+SqlAlterTableAdd / SqlAlterTableModify.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from flink_1_16_0_src_spark.session import TableEnvironment
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def tenv(spark):
+    return TableEnvironment(spark)
+
+
+def _create_base(tenv, name="like_base"):
+    tenv.execute_sql(
+        f"CREATE TABLE {name} (ts TIMESTAMP(3), user_id BIGINT, value DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '10' SECOND)"
+        f" WITH ('connector'='filesystem','path'='{SF_DIR}/events.parquet',"
+        f"'format'='parquet','myopt'='base')"
+    )
+
+
+def test_like_inherits_schema_options_watermark(tenv):
+    _create_base(tenv)
+    df = tenv.execute_sql("CREATE TABLE like_all LIKE like_base")
+    assert df is not None and df.count() > 0
+    # default INCLUDING ALL OVERWRITING OPTIONS: options + watermark inherit
+    assert tenv._registrations["like_all"]["props"]["myopt"] == "base"
+    assert tenv._watermarks["like_all"] == ("ts", "10 SECONDS")
+    # same rows through SQL as the base
+    n_base = tenv.sql_query("SELECT count(*) c FROM like_base").collect()[0].c
+    n_like = tenv.sql_query("SELECT count(*) c FROM like_all").collect()[0].c
+    assert n_base == n_like
+
+
+def test_like_overwriting_options_new_wins(tenv):
+    _create_base(tenv)
+    tenv.execute_sql(
+        "CREATE TABLE like_ovr WITH ('myopt'='derived') LIKE like_base"
+    )
+    # default merge strategy is OVERWRITING OPTIONS -> new value wins
+    p = tenv._registrations["like_ovr"]["props"]
+    assert p["myopt"] == "derived" and p["format"] == "parquet"
+
+
+def test_like_including_options_conflict_raises(tenv):
+    _create_base(tenv)
+    with pytest.raises(ValueError, match="INCLUDING OPTIONS"):
+        tenv.execute_sql(
+            "CREATE TABLE like_conf WITH ('myopt'='derived') "
+            "LIKE like_base (INCLUDING OPTIONS)"
+        )
+
+
+def test_like_excluding_watermarks(tenv):
+    _create_base(tenv)
+    tenv.execute_sql(
+        "CREATE TABLE like_nowm LIKE like_base (INCLUDING ALL EXCLUDING WATERMARKS)"
+    )
+    assert "like_nowm" not in tenv._watermarks
+
+
+def test_like_extra_columns_append(tenv):
+    _create_base(tenv)
+    # a physical column and a computed (GENERATED) column both append
+    tenv.execute_sql(
+        "CREATE TABLE like_extra (flag INT, source AS 'derived') LIKE like_base"
+    )
+    df = tenv.table("like_extra")
+    assert "source" in df.columns and df.select("source").first()[0] == "derived"
+    assert "flag" in df.columns
+
+
+def test_like_unknown_base_raises(tenv):
+    with pytest.raises(ValueError, match="no DDL registration"):
+        tenv.execute_sql("CREATE TABLE like_orphan LIKE no_such_table")
+
+
+def test_execute_statement_set_sql_text_matches_api(tenv, spark, tmp_path):
+    """Parity: the SQL-text statement set and the API produce identical
+    sink contents AND the same shared-subplan count on a two-sink plan
+    with a common subtree."""
+    _create_base(tenv, "ss_src")
+    p_sql = {k: str(tmp_path / f"sql_{k}") for k in ("hi", "lo")}
+    p_api = {k: str(tmp_path / f"api_{k}") for k in ("hi", "lo")}
+    for tag, paths in (("sql", p_sql), ("api", p_api)):
+        for k in ("hi", "lo"):
+            tenv.execute_sql(
+                f"CREATE TABLE snk_{tag}_{k} WITH ('connector'='filesystem',"
+                f"'path'='{paths[k]}','format'='parquet')"
+            )
+    shared = ("SELECT user_id, count(*) AS n, sum(value) AS s FROM ss_src "
+              "GROUP BY user_id")
+    # SQL text form
+    res = tenv.execute_sql(
+        "EXECUTE STATEMENT SET BEGIN "
+        f"INSERT INTO snk_sql_hi SELECT * FROM ({shared}) WHERE n > 5; "
+        f"INSERT INTO snk_sql_lo SELECT * FROM ({shared}) WHERE n <= 5; "
+        "END"
+    ).collect()[0]
+    # API form
+    ss = tenv.create_statement_set()
+    ss.add_insert_sql(f"INSERT INTO snk_api_hi SELECT * FROM ({shared}) WHERE n > 5")
+    ss.add_insert_sql(f"INSERT INTO snk_api_lo SELECT * FROM ({shared}) WHERE n <= 5")
+    api = ss.execute()
+    assert res.statements == 2 == api["statements"]
+    assert res.shared_subplans == api["shared_subplans"] >= 1
+    for k in ("hi", "lo"):
+        a = sorted(map(tuple, spark.read.parquet(p_sql[k]).collect()))
+        b = sorted(map(tuple, spark.read.parquet(p_api[k]).collect()))
+        assert a == b and len(a) > 0 or (len(a) == len(b) == 0)
+
+
+def test_begin_statement_set_cli_split_form(tenv, spark, tmp_path):
+    _create_base(tenv, "ss_src2")
+    p = str(tmp_path / "cli_sink")
+    tenv.execute_sql(
+        f"CREATE TABLE snk_cli WITH ('connector'='filesystem',"
+        f"'path'='{p}','format'='parquet')"
+    )
+    assert tenv.execute_sql("BEGIN STATEMENT SET;") is None
+    assert tenv.execute_sql(
+        "INSERT INTO snk_cli SELECT user_id FROM ss_src2 LIMIT 10"
+    ) is None
+    assert not os.path.exists(p)  # nothing runs until END
+    res = tenv.execute_sql("END;").collect()[0]
+    assert res.statements == 1
+    assert spark.read.parquet(p).count() == 10
+
+
+def test_alter_table_set_options(tenv):
+    _create_base(tenv, "alt_set")
+    tenv.execute_sql("ALTER TABLE alt_set SET ('myopt'='changed','new.key'='v')")
+    p = tenv._registrations["alt_set"]["props"]
+    assert p["myopt"] == "changed" and p["new.key"] == "v"
+    # table still reads after re-registration
+    assert tenv.sql_query("SELECT count(*) c FROM alt_set").collect()[0].c > 0
+
+
+def test_alter_table_add_and_modify_columns(tenv):
+    _create_base(tenv, "alt_cols")
+    tenv.execute_sql("ALTER TABLE alt_cols ADD (flag INT, note STRING)")
+    df = tenv.table("alt_cols")
+    assert "flag" in df.columns and "note" in df.columns
+    row = df.select("flag", "note").first()
+    assert row.flag is None and row.note is None
+    # MODIFY retypes in place (cast-on-read)
+    tenv.execute_sql("ALTER TABLE alt_cols MODIFY (user_id STRING)")
+    assert dict(tenv.table("alt_cols").dtypes)["user_id"] == "string"
+    with pytest.raises(ValueError, match="exists"):
+        tenv.execute_sql("ALTER TABLE alt_cols ADD (flag INT)")
+    with pytest.raises(ValueError, match="no column"):
+        tenv.execute_sql("ALTER TABLE alt_cols MODIFY (ghost INT)")
+
+
+def test_alter_table_rename_moves_registration(tenv):
+    _create_base(tenv, "alt_ren")
+    tenv.execute_sql("ALTER TABLE alt_ren RENAME TO alt_ren2")
+    assert "alt_ren2" in tenv._registrations and "alt_ren" not in tenv._registrations
+    assert tenv.sql_query("SELECT count(*) c FROM alt_ren2").collect()[0].c > 0

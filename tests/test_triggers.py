@@ -120,3 +120,59 @@ def test_state_carries_across_batches_and_late_rows_drop(spark):
     )
     panes = {(r.window_start.minute + 60 * r.window_start.hour, r.n, r.sum_v) for r in got}
     assert panes == {(0, 1, 1.0)}
+
+
+def test_behind_watermark_row_in_open_window_is_kept(spark):
+    """ADVICE r4 (medium): Flink drops an element only when its WINDOW
+    is late (WindowOperator.java:590 isWindowLate), not whenever the
+    element is behind the watermark. batch1: rows at 185min and 200min
+    -> wm = 190min; window [180,240) has end 240 > 190, so it is open.
+    batch2's 186min row is BEHIND wm=190 but belongs to that open
+    window -> it must be KEPT (the old element-level rule dropped it)."""
+    rows = _rows_one_key([(185, 1), (200, 2)]) + _rows_one_key([(186, 99), (260, 4)])
+    got = _run(
+        spark, _write_stream(spark, rows, [2, 2]), EventTimeTrigger(), "trig_openlate"
+    )
+    # batch2 wm = 250: [180,240) closes containing 185, 200 AND the
+    # behind-watermark-but-window-open 186 row
+    panes = {(r.window_start.minute + 60 * r.window_start.hour, r.n, r.sum_v) for r in got}
+    assert panes == {(180, 3, 102.0)}
+
+
+def test_closed_window_row_still_drops(spark):
+    # the window-level rule still drops rows whose window closed
+    rows = _rows_one_key([(0, 1), (200, 2)]) + _rows_one_key([(30, 99), (210, 4)])
+    got = _run(
+        spark, _write_stream(spark, rows, [2, 2]), EventTimeTrigger(), "trig_closed"
+    )
+    panes = {(r.window_start.minute + 60 * r.window_start.hour, r.n, r.sum_v) for r in got}
+    assert panes == {(0, 1, 1.0)}
+
+
+def test_continuous_event_time_trigger_interval_panes(spark):
+    """Timer-registration path (TriggerContext.registerEventTimeTimer):
+    ContinuousEventTimeTrigger('20 minutes') fires speculative panes at
+    each 20-min event-time boundary the watermark passes, then the
+    on-time pane at window close."""
+    from flink_1_16_0_src_spark.streaming.triggers import (
+        ContinuousEventTimeTrigger,
+    )
+
+    # all in window [0,60); watermark advances across batches:
+    # batch1: rows 0,5 -> wm=-5 (none due); batch2: row 35 -> wm=25min
+    #   -> timer 20min due: pane(n=2? rows 0,5,35 all buffered before
+    #      wm advance -> pane has 3 rows)
+    # batch3: row 75 -> wm=65 -> timer 40min fires (4 rows), 60min timer
+    #   is >= window end -> close fires final pane (4 rows)
+    rows = _rows_one_key([(0, 1), (5, 2), (35, 4), (75, 0)])
+    got = _run(
+        spark,
+        _write_stream(spark, rows, [2, 1, 1]),
+        ContinuousEventTimeTrigger("20 minutes"),
+        "trig_cont",
+    )
+    w0 = sorted((r.n, r.sum_v) for r in got if r.window_start.minute == 0
+                and r.window_start.hour == 0)
+    # speculative pane at the 20-min boundary (3 rows so far), the
+    # 40-min boundary pane (same 3 rows), then the close pane (3 rows)
+    assert (3, 7.0) in w0 and len(w0) >= 2
