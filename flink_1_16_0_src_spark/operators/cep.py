@@ -560,18 +560,51 @@ def match_sequence_with_timeouts(
     return matches, timeouts
 
 
+def _next_true_tables(masks: list, n: int) -> list:
+    """Per-step next-true jump tables: for step ``si``,
+    ``nt[si] = (branch_tables, union_table)`` where ``table[j]`` is the
+    smallest ``k ≥ j`` with the mask true (``n`` = none; tables have
+    ``n+1`` entries so ``table[n]`` is a valid sentinel read). Built in
+    O(n) numpy (reverse cumulative min) and converted to plain lists —
+    the NFA's relaxed-contiguity scans then JUMP over non-matching gaps
+    in O(1) instead of stepping row by row, which is the hot loop when
+    matches are sparse (most events sit between pattern elements)."""
+    import numpy as np
+
+    def table(m) -> list[int]:
+        arr = np.where(np.asarray(m, dtype=bool), np.arange(n), n)
+        nt = np.minimum.accumulate(arr[::-1])[::-1] if n else arr
+        return np.append(nt, n).tolist()
+
+    out = []
+    for m in masks:
+        if isinstance(m, tuple):
+            bts = tuple(table(b) for b in m)
+            union = [min(v) for v in zip(*bts)]
+            out.append((bts, union))
+        else:
+            t = table(m)
+            out.append(((t,), t))
+    return out
+
+
 def _match_at_masks(
-    masks: list, n: int, start: int, steps: list[Step], ts=None, max_delta=None
+    masks: list, n: int, start: int, steps: list[Step], ts=None, max_delta=None,
+    nt: list | None = None,
 ) -> dict[str, list[int]] | None:
     """Mask-based twin of ``_match_at``: identical greedy backtracking
     (contiguity modes and negative steps included), but each predicate
-    test is an O(1) numpy index. ``matched`` holds row INDICES; callers
+    test is an O(1) array index and — given ``nt`` jump tables from
+    ``_next_true_tables`` — relaxed-contiguity gaps are skipped in O(1)
+    instead of scanned. ``matched`` holds row INDICES; callers
     materialize rows for actual matches only."""
+    if nt is None:
+        nt = _next_true_tables(masks, n)
 
     def in_window(j: int) -> bool:
         return max_delta is None or ts[j] - ts[start] <= max_delta
 
-    def quant(i: int, step: Step, mask, matched: dict, cont):
+    def quant(i: int, step: Step, mask, table, matched: dict, cont):
         matched.setdefault(step.var, [])
         base_len = len(matched[step.var])
         takes: list[int] = []
@@ -584,7 +617,10 @@ def _match_at_masks(
                 takes.append(j)
                 j += 1
             elif step.internal == "relaxed" and takes:
-                j += 1
+                # jump to the next take candidate (window re-checked at
+                # the loop head; skipped rows are non-matching, so the
+                # relaxed semantics are identical)
+                j = table[j]
             else:
                 break
         while True:
@@ -613,11 +649,12 @@ def _match_at_masks(
             return rec(i, si + 1, matched, masks[si])  # notFollowedBy
         branches = step.alts or (step,)
         bmasks = masks[si] if step.alts else (masks[si],)
+        btables, union = nt[si]
         j = i
         while True:
-            for branch, bmask in zip(branches, bmasks):
+            for branch, bmask, btable in zip(branches, bmasks, btables):
                 res = quant(
-                    j, branch, bmask, matched,
+                    j, branch, bmask, btable, matched,
                     lambda jj: rec(jj, si + 1, matched, None),
                 )
                 if res is not None:
@@ -626,7 +663,14 @@ def _match_at_masks(
                 return None
             if j >= n or not in_window(j):
                 return None
-            if neg_mask is not None and neg_mask[j]:
+            if neg_mask is None:
+                # no notFollowedBy guard in flight: only positions where
+                # some branch can take are viable anchors — jump there
+                # (the loop head's failure checks re-validate bounds and
+                # window at the new position)
+                j = union[j + 1]
+                continue
+            if neg_mask[j]:
                 return None
             j += 1
 
@@ -670,16 +714,167 @@ def match_sequence_masks(
             out.append({s.var: [i + si] for si, s in enumerate(steps)})
             prev_end = i + L
         return out
+    lmasks, nt, anchor = _prepare_masks(masks, n, steps)
     out = []
     i = 0
     while i < n:
-        m = _match_at_masks(masks, n, i, steps, ts, max_delta)
+        if anchor is not None:
+            i = anchor[i]
+            if i >= n:
+                break
+        m = _match_at_masks(lmasks, n, i, steps, ts, max_delta, nt)
         if m is not None:
             out.append(m)
             i = _resume_index(i, m, steps, after_match)
         else:
             i += 1
     return out
+
+
+def _prepare_masks(masks: list, n: int, steps: list[Step]):
+    """(list-form masks, jump tables, anchor table) for the generic
+    mask scans.
+
+    Masks convert numpy→list (the NFA walk does per-element scalar
+    reads, where Python list indexing beats numpy scalar indexing ~3×);
+    jump tables come from ``_next_true_tables``. When the pattern's
+    FIRST element must consume a row (min ≥ 1, not negated), a match —
+    and equally a proper-prefix partial — can only anchor where that
+    element's mask is true, so the top-level scan jumps straight
+    between anchor candidates via ``anchor[i]`` (None = no skipping:
+    a later step could consume row 0)."""
+    import numpy as np
+
+    lmasks = [
+        tuple(np.asarray(b).tolist() for b in m) if isinstance(m, tuple)
+        else np.asarray(m).tolist()
+        for m in masks
+    ]
+    nt = _next_true_tables(lmasks, n)
+    s0 = steps[0]
+    skip_ok = not s0.negated and (
+        all(b.min >= 1 for b in s0.alts) if s0.alts else s0.min >= 1
+    )
+    return lmasks, nt, (nt[0][1] if skip_ok else None)
+
+
+def _partial_at_masks(masks: list, n: int, start: int, steps: list[Step]) -> bool:
+    """Mask-based twin of ``_partial_at`` (streaming buffer retention):
+    True if rows[start:] can all be consumed by a proper prefix of the
+    pattern. Valid under the ``vec`` contract (predicates ignore match
+    state), which is exactly when masks exist."""
+
+    def one(i: int, si: int, step: Step, mask) -> bool:
+        takes: list[int] = []
+        j = i
+        while (step.max is None or len(takes) < step.max) and j < n:
+            if mask[j]:
+                takes.append(j)
+                j += 1
+            elif step.internal == "relaxed" and takes:
+                j += 1
+            else:
+                break
+        open_at_end = j == n and bool(takes)
+        while True:
+            if len(takes) >= step.min and rec(takes[-1] + 1 if takes else i, si + 1):
+                return True
+            if open_at_end:
+                return True  # quantifier still open at buffer end
+            if not takes:
+                return False
+            takes.pop()
+
+    def rec(i: int, si: int) -> bool:
+        if i == n:
+            return True  # everything consumed; pattern still open
+        if si == len(steps):
+            return False  # pattern exhausted but rows remain
+        step = steps[si]
+        if step.negated:
+            return rec(i, si + 1)
+        if si > 0 and step.contiguity in ("relaxed", "relaxed_any"):
+            return True  # followedBy: remaining rows are skippable
+        if step.alts:
+            return any(
+                one(i, si, b, bm) for b, bm in zip(step.alts, masks[si])
+            )
+        return one(i, si, step, masks[si])
+
+    return rec(start, 0)
+
+
+def _longest_partial_at_masks(
+    masks: list, n: int, start: int, steps: list[Step], ts=None, max_delta=None,
+    nt: list | None = None,
+) -> dict[str, list[int]] | None:
+    """Mask twin of ``_longest_partial_at`` — longest proper-prefix
+    match (as row indices) anchored at ``start`` for the timed-out
+    side output."""
+    for k in range(len(steps) - 1, 0, -1):
+        prefix = steps[:k]
+        if all(s.negated for s in prefix):
+            continue
+        m = _match_at_masks(
+            masks[:k], n, start, prefix, ts, max_delta,
+            nt[:k] if nt is not None else None,
+        )
+        if m:
+            return m
+    return None
+
+
+def match_sequence_masks_with_timeouts(
+    masks: list, n: int, steps: list[Step], after_match: str = "past_last_row",
+    ts=None, max_delta=None,
+) -> tuple[list[dict[str, list[int]]], list[tuple[dict[str, list[int]], int]]]:
+    """Mask twin of ``match_sequence_with_timeouts``: returns
+    (match index-dicts, [(partial index-dict, anchor row index)]) —
+    the caller derives ``timeout_ts`` from the anchor row."""
+    if max_delta is None:
+        raise ValueError("timeout enumeration requires the within bound")
+    # a partial anchors under the same first-element condition as a
+    # match (prefixes share steps[0]), so anchor skipping is valid for
+    # the timeout enumeration too
+    lmasks, nt, anchor = _prepare_masks(masks, n, steps)
+    matches: list[dict[str, list[int]]] = []
+    timeouts: list[tuple[dict[str, list[int]], int]] = []
+    i = 0
+    while i < n:
+        if anchor is not None:
+            i = anchor[i]
+            if i >= n:
+                break
+        m = _match_at_masks(lmasks, n, i, steps, ts, max_delta, nt)
+        if m is not None:
+            matches.append(m)
+            i = _resume_index(i, m, steps, after_match)
+            continue
+        partial = _longest_partial_at_masks(lmasks, n, i, steps, ts, max_delta, nt)
+        if partial is not None:
+            timeouts.append((partial, i))
+        i += 1
+    return matches, timeouts
+
+
+def compute_step_masks(pdf: pd.DataFrame, steps: list[Step]) -> list:
+    """Evaluate every step's vectorized predicate ONCE over the batch
+    (alternation branches each get their own mask) — the
+    condition-hoisting MatchCodeGenerator.scala performs when compiling
+    DEFINE clauses; the NFA walk then tests O(1) array entries."""
+    return [
+        tuple(b.vec(pdf) for b in s.alts) if s.alts else s.vec(pdf)
+        for s in steps
+    ]
+
+
+def steps_vectorizable(steps: list[Step]) -> bool:
+    """True when every step (or all its alternation branches) carries a
+    ``vec`` and the pattern runs on the deterministic NFA path."""
+    return all(
+        s.vec is not None or (s.alts and all(b.vec is not None for b in s.alts))
+        for s in steps
+    ) and not _needs_any_path(steps)
 
 
 # ---- MEASURES helpers (reference: MatchCodeGenerator.scala measures) ----
@@ -763,10 +958,7 @@ def match_recognize(
             .drop("__cep_ok")
         )
 
-    vectorized = all(
-        s.vec is not None or (s.alts and all(b.vec is not None for b in s.alts))
-        for s in steps
-    ) and not _needs_any_path(steps)  # all-matches enumeration: dict path only
+    vectorized = steps_vectorizable(steps)  # any-path: dict path only
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_by, kind="stable")  # str or list both fine
@@ -775,10 +967,7 @@ def match_recognize(
         out = []
         if vectorized:
             n = len(pdf)
-            masks = [
-                tuple(b.vec(pdf) for b in s.alts) if s.alts else s.vec(pdf)
-                for s in steps
-            ]
+            masks = compute_step_masks(pdf, steps)
             ts = pdf[within[0]].to_numpy() if within else None
             md = within[1] if within else None
             if md is not None and not isinstance(md, (int, float)):
@@ -848,12 +1037,45 @@ def match_recognize_with_timeouts(
     signature."""
     combined = _combined_schema(output_schema, timeout_schema)
     cols = [f.name for f in combined.fields]
+    vectorized = steps_vectorizable(steps)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_by, kind="stable")
         keys = {k: pdf.iloc[0][k] for k in partition_by}
-        rows = pdf.to_dict("records")
-        hits, touts = match_sequence_with_timeouts(rows, steps, after_match, within)
+        if vectorized:
+            # hoisted-mask NFA: each DEFINE evaluates once per batch,
+            # match/partial scans test numpy entries; rows materialize
+            # for matched indices only
+            n = len(pdf)
+            masks = compute_step_masks(pdf, steps)
+            ts_col, delta = within
+            md = delta
+            if md is not None and not isinstance(md, (int, float)):
+                md = pd.Timedelta(md).to_timedelta64()
+            ts_arr = pdf[ts_col].to_numpy()
+            hit_idx, tout_idx = match_sequence_masks_with_timeouts(
+                masks, n, steps, after_match, ts_arr, md
+            )
+            need = sorted(
+                {j for m in hit_idx for v in m.values() for j in v}
+                | {j for m, _a in tout_idx for v in m.values() for j in v}
+                | {a for _m, a in tout_idx}
+            )
+            recs = dict(zip(need, pdf.iloc[need].to_dict("records"))) if need else {}
+            hits = [
+                {v: [recs[j] for j in js] for v, js in m.items()} for m in hit_idx
+            ]
+            touts = [
+                (
+                    {v: [recs[j] for j in js] for v, js in m.items()},
+                    recs[a][ts_col] + (delta if not isinstance(delta, str)
+                                       else pd.Timedelta(delta)),
+                )
+                for m, a in tout_idx
+            ]
+        else:
+            rows = pdf.to_dict("records")
+            hits, touts = match_sequence_with_timeouts(rows, steps, after_match, within)
         out = []
         for matched in hits:
             rec = dict.fromkeys(cols)  # None-fill the other side's columns
@@ -958,6 +1180,7 @@ def match_recognize_stream(
     from pyspark.sql.types import ArrayType, StringType, StructField
 
     state_schema = StructType([StructField("buf", ArrayType(StringType()))])
+    vectorized = steps_vectorizable(steps)
     delta = pd.Timedelta(within) if within is not None else None
     emit_schema = (
         _combined_schema(output_schema, timeout_schema)
@@ -988,10 +1211,65 @@ def match_recognize_stream(
             else (lambda r: r[order_by])
         )
         wt = (order_by, delta) if use_ts else None
+        if vectorized and buf:
+            # hoisted-mask NFA over the buffered rows: every DEFINE
+            # evaluates once per micro-batch as a numpy mask (the
+            # MatchCodeGenerator.scala hoisting, applied to the stream
+            # buffer); the scan below then tests O(1) array entries and
+            # materializes rows only for emitted matches
+            bdf = pd.DataFrame(buf)
+            nbuf = len(buf)
+            bmasks, bnt, anchor = _prepare_masks(
+                compute_step_masks(bdf, steps), nbuf, steps
+            )
+            ts_arr = bdf[order_by].to_numpy() if use_ts else None
+            md = delta.to_timedelta64() if use_ts else None
+
+            def skip_to_anchor(i):
+                # rows that cannot satisfy the pattern's first element
+                # can neither start a match nor a partial — jump over
+                # them (and let the caller drop them from the buffer)
+                return anchor[i] if anchor is not None and i < nbuf else i
+
+            def try_match(i):
+                m = _match_at_masks(bmasks, nbuf, i, steps, ts_arr, md, bnt)
+                if m is None:
+                    return None
+                return {v: [buf[j] for j in js] for v, js in m.items()}, m
+
+            def has_partial(i):
+                return _partial_at_masks(bmasks, nbuf, i, steps)
+
+            def longest_partial(i):
+                m = _longest_partial_at_masks(
+                    bmasks, nbuf, i, steps, ts_arr, md, bnt
+                )
+                if not m:
+                    return None
+                return {v: [buf[j] for j in js] for v, js in m.items()}
+        else:
+
+            def skip_to_anchor(i):
+                return i
+
+            def try_match(i):
+                return _match_at(buf, i, steps, wt)
+
+            def has_partial(i):
+                return _partial_at(buf, i, steps)
+
+            def longest_partial(i):
+                return _longest_partial_at(buf, i, steps, wt)
+
         out, consumed = [], 0
         i = 0
         while i < len(buf):
-            m = _match_at(buf, i, steps, wt)
+            j = skip_to_anchor(i)
+            if j > i:
+                consumed = i = j
+                if i >= len(buf):
+                    break
+            m = try_match(i)
             if m is not None:
                 matched, idx = m
                 rec = dict.fromkeys(emit_cols)
@@ -1003,7 +1281,7 @@ def match_recognize_stream(
                 out.append(rec)
                 nxt = _resume_index(i, idx, steps, after_match)
                 consumed, i = nxt, nxt
-            elif _partial_at(buf, i, steps):
+            elif has_partial(i):
                 if use_ts and buf[-1][order_by] - buf[i][order_by] > delta:
                     # WITHIN expired: this partial can only complete via
                     # rows later than everything seen, which would bust
@@ -1012,7 +1290,7 @@ def match_recognize_stream(
                     # processTimedOutMatch call site (CepOperator
                     # advanceTime): surface the partial before dropping it
                     if timeout_measures is not None:
-                        partial = _longest_partial_at(buf, i, steps, wt)
+                        partial = longest_partial(i)
                         if partial is not None:
                             rec = dict.fromkeys(emit_cols)
                             rec.update(zip(partition_by, key))

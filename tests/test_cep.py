@@ -770,3 +770,100 @@ class TestTimedOutPartials:
         assert main == {("u1", 0, 1)}
         # u1/order@20m expired (view at 2h); u2/order never expired -> open
         assert touts == {("u1", 2, base + dt.timedelta(minutes=50))}
+
+
+def test_nfa_mask_path_equals_dict_path_with_timeouts():
+    """The mask-based timeout scan (match_sequence_masks_with_timeouts)
+    must reproduce the dict-row scan's matches AND timeouts exactly on
+    a mixed stream (quantified middle step, relaxed contiguity)."""
+    import numpy as np
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    rng = np.random.default_rng(11)
+    for i in range(400):
+        c = rng.choice(["order", "view", "pay", "noise"], p=[0.2, 0.3, 0.2, 0.3])
+        rows.append({"c": str(c), "ts": base + pd.Timedelta(minutes=i), "seq": i})
+    steps = [
+        cep.Step("A", lambda r, m: r["c"] == "order",
+                 vec=lambda pdf: (pdf["c"] == "order").to_numpy()),
+        cep.Step.plus("B", lambda r, m: r["c"] == "view",
+                      vec=lambda pdf: (pdf["c"] == "view").to_numpy()),
+        cep.Step("C", lambda r, m: r["c"] == "pay",
+                 vec=lambda pdf: (pdf["c"] == "pay").to_numpy(),
+                 contiguity="relaxed"),
+    ]
+    within = ("ts", pd.Timedelta("15 minutes"))
+    hits, touts = cep.match_sequence_with_timeouts(rows, steps, "past_last_row", within)
+    pdf = pd.DataFrame(rows)
+    masks = cep.compute_step_masks(pdf, steps)
+    ts = pdf["ts"].to_numpy()
+    md = pd.Timedelta("15 minutes").to_timedelta64()
+    mhits, mtouts = cep.match_sequence_masks_with_timeouts(
+        masks, len(rows), steps, "past_last_row", ts, md
+    )
+    as_idx = lambda m: {v: [r["seq"] for r in rs] for v, rs in m.items()}
+    assert [as_idx(m) for m in hits] == [
+        {v: [rows[j]["seq"] for j in js] for v, js in m.items()} for m in mhits
+    ]
+    assert [(as_idx(p), t) for p, t in touts] == [
+        ({v: [rows[j]["seq"] for j in js] for v, js in p.items()},
+         rows[a]["ts"] + pd.Timedelta("15 minutes"))
+        for p, a in mtouts
+    ]
+    assert len(hits) > 0 and len(touts) > 0  # the fixture exercises both
+
+
+def test_nfa_mask_speedup_over_dict_path():
+    """VERDICT r4 #7 'done' criterion: the hoisted-mask NFA walk
+    (vectorized DEFINE masks + next-true jump tables + anchor skipping)
+    is >=3x the per-row-Python-predicate walk on a 60k-row stream,
+    including the masks' own evaluation cost. Event mix: 5% anchors /
+    2% terminals — the sparse-match regime real clickstream patterns
+    live in, where gap skipping pays (at a dense 30% anchor mix the
+    measured gain is ~1.6x, still never slower). min-of-3 per kernel —
+    the minimum approximates unloaded time under host contention, the
+    bench.py canary philosophy."""
+    import time
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    n = 60_000
+    cats = rng.choice(["click", "view", "purchase", "noise"], size=n,
+                      p=[0.05, 0.2, 0.02, 0.73])
+    pdf = pd.DataFrame({"c": cats, "seq": np.arange(n)})
+    rows = pdf.to_dict("records")
+    steps = [
+        cep.Step("A", lambda r, m: r["c"] == "click",
+                 vec=lambda p: (p["c"] == "click").to_numpy()),
+        cep.Step.plus("B", lambda r, m: r["c"] == "view",
+                      vec=lambda p: (p["c"] == "view").to_numpy()),
+        cep.Step("C", lambda r, m: r["c"] == "purchase",
+                 vec=lambda p: (p["c"] == "purchase").to_numpy(),
+                 contiguity="relaxed"),
+    ]
+
+    def dict_path():
+        return cep.match_sequence(rows, steps)
+
+    def mask_path():
+        masks = cep.compute_step_masks(pdf, steps)  # include hoisting cost
+        return cep.match_sequence_masks(masks, n, steps)
+
+    def best_of(fn, k=3):
+        b = None
+        for _ in range(k):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            b = dt if b is None else min(b, dt)
+        return b
+
+    # same match count first (correctness before speed)
+    got = mask_path()
+    want = dict_path()
+    assert len(got) == len(want) > 0
+    t_dict = best_of(dict_path)
+    t_mask = best_of(mask_path)
+    assert t_dict / t_mask >= 3.0, (t_dict, t_mask)

@@ -137,8 +137,23 @@ def test_misra_gries_vectorized_throughput():
                 counters = counters[counters > t] - t
         return counters
 
-    t0 = time.perf_counter(); per_row(); t_row = time.perf_counter() - t0
-    t0 = time.perf_counter(); fast = vectorized(); t_vec = time.perf_counter() - t0
+    # min-of-3 per kernel (VERDICT r4 #8): a single timing pair goes red
+    # when a host-contention stall lands inside exactly one run — the
+    # minimum of three approximates each kernel's unloaded time, the
+    # same philosophy as bench.py's canary, so the ratio survives a
+    # concurrently loaded host
+    def best_of(fn, n=3):
+        b = None
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            b = dt if b is None else min(b, dt)
+        return b
+
+    t_row = best_of(per_row)
+    t_vec = best_of(vectorized)
+    fast = vectorized()
     assert len(fast) <= capacity
     assert t_row / t_vec >= 5.0, (t_row, t_vec)
 
