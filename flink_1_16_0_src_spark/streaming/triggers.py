@@ -107,7 +107,18 @@ class Trigger:
 
 class EventTimeTrigger(Trigger):
     """EventTimeTrigger.java: FIRE once when the watermark passes the
-    window's max timestamp (the base-class default, named for parity)."""
+    window's max timestamp (the base-class default), and — the late
+    branch of ``onElement`` (EventTimeTrigger.java:59) — FIRE
+    immediately for an element arriving AFTER the window closed but
+    within allowed lateness, emitting an updated pane per late element.
+    The runner exposes the current watermark to ``on_element`` as
+    ``state['__watermark']``."""
+
+    def on_element(self, row: dict, window: Window, state: dict) -> TriggerResult:
+        wm = state.get("__watermark")
+        if wm is not None and pd.Timestamp(wm) >= window.end:
+            return TriggerResult.FIRE  # late element in a closed window
+        return TriggerResult.CONTINUE
 
 
 class CountTrigger(Trigger):
@@ -195,6 +206,7 @@ def triggered_tumble_window(
     agg_fn: Callable[[pd.DataFrame], dict],
     output_schema: StructType | str,
     order_col: str | list[str] | None = None,
+    allowed_lateness: str = "0 seconds",
 ) -> DataFrame:
     """WindowOperator.java analog: tumbling ``size`` windows per key,
     firing policy = ``trigger`` (any Trigger subclass), window function
@@ -203,10 +215,15 @@ def triggered_tumble_window(
     several times (early fires) — the final on-time pane is the one the
     watermark closes.
 
-    Late rows drop only when their WINDOW is late — window end ≤ the
-    carried per-key watermark at arrival (WindowOperator.java:590
-    isWindowLate with allowedLateness=0); a behind-watermark row whose
-    window is still open is kept, as in Flink. ``order_col`` sorts each
+    Late rows drop only when their WINDOW is late — window end +
+    ``allowed_lateness`` ≤ the carried per-key watermark at arrival
+    (WindowOperator.java:590 isWindowLate); a behind-watermark row
+    whose window is still open is kept, as in Flink. With a non-zero
+    ``allowed_lateness`` (WindowedStream.allowedLateness) the window's
+    state is retained past the on-time fire until end + lateness, and
+    a late element re-consults the trigger — EventTimeTrigger fires an
+    updated pane per late element, WindowOperator's late-firing path.
+    ``order_col`` sorts each
     batch before processing so on_element order (and therefore count /
     delta trigger firings) is arrival-independent within a batch."""
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -217,6 +234,7 @@ def triggered_tumble_window(
     state_schema = StructType([StructField("st", StringType())])
     size_td = pd.Timedelta(size)
     delay_td = pd.Timedelta(delay)
+    late_td = pd.Timedelta(allowed_lateness)
     cols = [f.name for f in output_schema.fields]
 
     def fn(key, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
@@ -252,16 +270,21 @@ def triggered_tumble_window(
                 start = pd.Timestamp((ts.value // size_td.value) * size_td.value)
                 window = Window(start, start + size_td)
                 # WindowOperator.java:590 isWindowLate — drop only when
-                # the element's WINDOW is closed (end ≤ watermark,
-                # allowedLateness=0), not whenever the element itself is
+                # the element's WINDOW is expired (end + allowedLateness
+                # ≤ watermark), not whenever the element itself is
                 # behind the watermark: a behind-watermark row whose
-                # window is still open joins the pane, as in Flink.
-                if wm is not None and window.end <= wm:
-                    continue  # late: window already closed
+                # window is still open (or within lateness) joins the
+                # pane, as in Flink.
+                if wm is not None and window.end + late_td <= wm:
+                    continue  # late: window already expired
                 slot = windows.setdefault(
                     start.isoformat(), {"rows": [], "ts": {}}
                 )
                 slot["rows"].append(d)
+                # expose the current watermark to on_element (the
+                # TriggerContext.getCurrentWatermark analog) so
+                # EventTimeTrigger's late-firing branch can fire
+                slot["ts"]["__watermark"] = wm.isoformat() if wm is not None else None
                 apply(trigger.on_element(d, window, slot["ts"]), slot, window)
                 max_ts = ts if max_ts is None or ts > max_ts else max_ts
         if max_ts is not None:
@@ -295,9 +318,16 @@ def triggered_tumble_window(
                             ),
                             slot, window,
                         )
-                if window.end <= wm:
-                    windows.pop(siso)
+                if window.end <= wm and not slot["ts"].get("__closed"):
+                    # on-time close fire (once); with allowed lateness
+                    # the window's state is RETAINED for late re-fires
+                    slot["ts"]["__closed"] = True
                     apply(trigger.on_event_time(wm, window, slot["ts"]), slot, window)
+                if window.end + late_td <= wm:
+                    # cleanup timer (end + allowedLateness): drop state;
+                    # the trigger already fired at close, Flink's
+                    # clearAllState fires nothing further here
+                    windows.pop(siso)
         state.update((json.dumps({"wm": wm.isoformat() if wm is not None else None,
                                   "w": windows}),))
         res = pd.DataFrame(out, columns=cols)

@@ -176,3 +176,32 @@ def test_continuous_event_time_trigger_interval_panes(spark):
     # speculative pane at the 20-min boundary (3 rows so far), the
     # 40-min boundary pane (same 3 rows), then the close pane (3 rows)
     assert (3, 7.0) in w0 and len(w0) >= 2
+
+
+def test_allowed_lateness_late_pane_refire_and_expiry(spark):
+    """WindowedStream.allowedLateness parity: a late element within
+    end+lateness RE-FIRES an updated pane (EventTimeTrigger.onElement's
+    late branch); an element past end+lateness drops; state is cleaned
+    at end+lateness."""
+    def agg(w: pd.DataFrame) -> dict:
+        return {"n": len(w), "sum_v": round(float(w["v"].sum()), 2)}
+
+    from flink_1_16_0_src_spark.streaming import sources as ssrc
+    # batch1: rows 0min,200min -> wm=190: [0,60) fires on time (1 row).
+    # batch2: row 30min — late, window closed, but end(60)+150min
+    #   lateness=210 > 190 -> kept, re-fires updated pane (2 rows).
+    # batch3: row 420min -> wm=410 >= 210: window expired; row 40min
+    #   then DROPS (batch4) and no further pane appears.
+    rows = (_rows_one_key([(0, 1), (200, 2)]) + _rows_one_key([(30, 4)])
+            + _rows_one_key([(420, 8)]) + _rows_one_key([(40, 16)]))
+    sdf = _write_stream(spark, rows, [2, 1, 1, 1])
+    out = triggered_tumble_window(
+        sdf, ["k"], "ts", "1 hour", "10 minutes", EventTimeTrigger(), agg,
+        SCHEMA, order_col="ts", allowed_lateness="150 minutes",
+    )
+    got = sources.run_to_memory(out, "trig_lateness", "append").collect()
+    w0 = sorted((r.n, r.sum_v) for r in got
+                if r.window_start.minute == 0 and r.window_start.hour == 0)
+    assert (1, 1.0) in w0          # on-time pane
+    assert (2, 5.0) in w0          # late re-fired updated pane
+    assert (3, 21.0) not in w0     # post-expiry row dropped
