@@ -149,9 +149,29 @@ _TIER0_RECHECK = (
     "func_math_basic", "func_math_misc", "func_temporal",
     "func_collections", "func_cast_try", "func_decimal_precision",
 )
-_TIER0_PRIORITY_FAMILIES = ("tpcds", "tvf")
+_TIER0_PRIORITY_FAMILIES = ("tvf",)
+# the 34 tpcds shapes that were never driver-checked as of r4 — pinned
+# BY NAME so the r5-new tpcds shapes (q3/q6/q7/... batch) don't crowd
+# them out of the 50-slot prefix; the new ones wait for the r6 rotation
 _TIER0_PRIORITY_NAMES = (
     "setop_except", "setop_except_all", "format_upsert_sink_materialized",
+    "tpcds_q54_revenue_segments", "tpcds_q17_quantity_stats",
+    "tpcds_q23_frequent_buyers", "tpcds_q65_min_revenue_brand",
+    "tpcds_q89_rolling_deviation", "tpcds_q31_share_growth",
+    "tpcds_q39_consecutive_cov", "tpcds_q44_best_worst",
+    "tpcds_q93_net_after_returns", "tpcds_q64_repeat_purchases",
+    "tpcds_q41_attribute_exists", "tpcds_q90_am_pm_ratio",
+    "tpcds_q4_channel_ratio_growth", "tpcds_q48_disjunctive_quantity",
+    "tpcds_q61_promo_ratio", "tpcds_q66_time_band_pivot",
+    "tpcds_q72_date_offset_join", "tpcds_q75_yoy_delta_union",
+    "tpcds_q92_excess_discount", "tpcds_q10_multi_channel_exists",
+    "tpcds_q14_cross_channel_intersect", "tpcds_q21_before_after_ratio",
+    "tpcds_q29_quantity_chain", "tpcds_q58_equal_share",
+    "tpcds_q9_case_band_subqueries", "tpcds_q13_demographic_band_averages",
+    "tpcds_q16_distinct_count_not_exists", "tpcds_q43_weekday_pivot",
+    "tpcds_q59_week_over_week_ratio", "tpcds_q22_rollup_averages",
+    "tpcds_q37_price_band_window", "tpcds_q45_disjunctive_subquery",
+    "tpcds_q50_latency_matrix", "tpcds_q98_class_share_window",
 )
 _TIER0_QUOTAS = ()
 

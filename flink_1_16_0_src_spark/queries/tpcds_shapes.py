@@ -1118,3 +1118,400 @@ GROUP BY p_type, p_brand
     "SUM over the aggregate output (agg feeding a partition-total "
     "window, the percent-of-parent shape).",
 )
+
+
+# ---- r5 batch: 20 further TPC-DS query families (toward the reference's
+# 99/99 e2e gate, TpcdsTestProgram.java:76-84). All measures are exact
+# integers (cents; e4 share units; floor-half-up avg_cents via
+# (2s+n)/(2n)) so the value hash is engine-exact by construction — the
+# repo float-determinism rule. ------------------------------------------
+
+_register(
+    "tpcds_q3_year_brand_rank",
+    """
+WITH s AS (
+  SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS yr, p_brand,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type IN ('ECONOMY', 'PROMO')
+  GROUP BY 1, 2
+)
+SELECT yr, p_brand, rev_cents,
+       CAST(rk AS INT) AS rk
+FROM (
+  SELECT yr, p_brand, rev_cents,
+         rank() OVER (PARTITION BY yr ORDER BY rev_cents DESC, p_brand) AS rk
+  FROM s
+) t WHERE rk <= 5
+""",
+    "TPC-DS q3 shape: date-dim star agg with per-year brand revenue "
+    "ranking (partitioned window over a filtered star join).",
+)
+
+_register(
+    "tpcds_q6_above_nation_avg_count",
+    """
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > 1.2 * (
+  SELECT avg(c2.c_acctbal) FROM customer c2
+  WHERE c2.c_nationkey = c_nationkey
+)
+GROUP BY n_name
+""",
+    "TPC-DS q6 shape: correlated scalar AVG subquery as a filter "
+    "threshold (customers 20% above their nation's average balance).",
+)
+
+_register(
+    "tpcds_q7_segment_profile_avgs",
+    """
+WITH s AS (
+  SELECT c_mktsegment,
+         CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sq,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sp,
+         CAST(sum(CAST(round(l_discount * 10000, 0) AS BIGINT)) AS BIGINT) AS sd,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment
+)
+SELECT c_mktsegment,
+       CAST(floor((2 * sq + n) / (2.0 * n)) AS BIGINT) AS avg_qty_cents,
+       CAST(floor((2 * sp + n) / (2.0 * n)) AS BIGINT) AS avg_price_cents,
+       CAST(floor((2 * sd + n) / (2.0 * n)) AS BIGINT) AS avg_disc_e4,
+       n
+FROM s
+""",
+    "TPC-DS q7 shape: multi-measure demographic profile averages over a "
+    "3-way star join (avgs in exact floor-half-up integer units).",
+)
+
+_register(
+    "tpcds_q8_name_prefix_revenue",
+    """
+SELECT substring(c_name, 1, 10) AS name_prefix,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE substring(c_name, 1, 10) IN ('Customer#1', 'Customer#2', 'Customer#3')
+GROUP BY 1
+""",
+    "TPC-DS q8 shape: substring-prefix dimension filter + aggregation "
+    "(the zip-prefix store filter).",
+)
+
+_register(
+    "tpcds_q12_type_revenue_share",
+    """
+WITH s AS (
+  SELECT p_type, p_brand,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_type, p_brand
+)
+SELECT p_type, p_brand, rev_cents,
+       CAST(floor((20000 * rev_cents + sum(rev_cents) OVER (PARTITION BY p_type))
+            / (2.0 * sum(rev_cents) OVER (PARTITION BY p_type))) AS BIGINT) AS share_e4
+FROM s
+""",
+    "TPC-DS q12/q98 family: per-class revenue share via a windowed "
+    "total over the aggregate (ratio_to_report), exact e4 units.",
+)
+
+_register(
+    "tpcds_q15_disjunctive_exists_agg",
+    """
+SELECT n_name, CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_cust,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE n_name IN ('CHINA', 'FRANCE', 'KENYA')
+   OR o_totalprice > 400000
+GROUP BY n_name
+""",
+    "TPC-DS q15 shape: disjunctive geography-or-value predicate over a "
+    "star join (catalog sales zip/amount OR filter).",
+)
+
+_register(
+    "tpcds_q18_rollup_channel_avgs",
+    """
+WITH s AS (
+  SELECT n_name, c_mktsegment,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sp,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY ROLLUP (n_name, c_mktsegment)
+)
+SELECT n_name, c_mktsegment,
+       CAST(floor((2 * sp + n) / (2.0 * n)) AS BIGINT) AS avg_order_cents, n
+FROM s
+""",
+    "TPC-DS q18 shape: ROLLUP over two demographic dimensions with "
+    "average measures computed from exact integer sufficient stats.",
+)
+
+_register(
+    "tpcds_q19_cross_nation_brand_revenue",
+    """
+SELECT p_brand,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_nationkey <> s_nationkey
+GROUP BY p_brand
+""",
+    "TPC-DS q19 shape: brand revenue where the buyer and seller sit in "
+    "different geographies (the customer-zip <> store-zip clause).",
+)
+
+_register(
+    "tpcds_q28_quantity_band_panel",
+    """
+SELECT b1.avg_cents AS band1_avg_cents, b1.nd AS band1_brands,
+       b2.avg_cents AS band2_avg_cents, b2.nd AS band2_brands,
+       b3.avg_cents AS band3_avg_cents, b3.nd AS band3_brands
+FROM
+ (SELECT CAST(floor((2 * sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) + count(*))
+         / (2.0 * count(*))) AS BIGINT) AS avg_cents,
+         CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd
+  FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) b1,
+ (SELECT CAST(floor((2 * sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) + count(*))
+         / (2.0 * count(*))) AS BIGINT) AS avg_cents,
+         CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd
+  FROM lineitem WHERE l_quantity BETWEEN 11 AND 25) b2,
+ (SELECT CAST(floor((2 * sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) + count(*))
+         / (2.0 * count(*))) AS BIGINT) AS avg_cents,
+         CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd
+  FROM lineitem WHERE l_quantity BETWEEN 26 AND 50) b3
+""",
+    "TPC-DS q28 shape: one output row glued from independent "
+    "quantity-band scans, each with an average AND a DISTINCT count "
+    "(distinct-aggregate multi-scan fusion).",
+)
+
+_register(
+    "tpcds_q30_returns_above_nation_avg",
+    """
+WITH ret AS (
+  SELECT o_custkey, c_nationkey,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS ret_cents
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE l_returnflag = 'R'
+  GROUP BY o_custkey, c_nationkey
+)
+SELECT r.o_custkey AS custkey, r.ret_cents
+FROM ret r
+WHERE r.ret_cents > 1.2 * (
+  SELECT avg(r2.ret_cents) FROM ret r2 WHERE r2.c_nationkey = r.c_nationkey
+)
+""",
+    "TPC-DS q30 shape: per-customer return total filtered against 1.2x "
+    "the geography's average return total (correlated agg over a CTE).",
+)
+
+_register(
+    "tpcds_q35_exists_profile_stats",
+    """
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(min(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS min_bal_cents,
+       CAST(max(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS max_bal_cents,
+       CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS sum_bal_cents
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+GROUP BY n_name
+""",
+    "TPC-DS q35 shape: EXISTS + NOT EXISTS channel-membership filters "
+    "feeding a multi-statistic demographic profile.",
+)
+
+_register(
+    "tpcds_q47_monthly_lag_lead",
+    """
+WITH m AS (
+  SELECT p_brand, CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS yr,
+         CAST(EXTRACT(MONTH FROM l_shipdate) AS INT) AS mo,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand IN ('Brand#1', 'Brand#7', 'Brand#13')
+  GROUP BY 1, 2, 3
+)
+SELECT p_brand, yr, mo, rev_cents,
+       lag(rev_cents) OVER w AS prev_cents,
+       lead(rev_cents) OVER w AS next_cents
+FROM m
+WINDOW w AS (PARTITION BY p_brand ORDER BY yr, mo)
+""",
+    "TPC-DS q47 shape: monthly series with BOTH lag and lead neighbor "
+    "columns over the same window (v1/v2 deviation companion cols).",
+)
+
+_register(
+    "tpcds_q53_quarter_vs_year_share",
+    """
+WITH q AS (
+  SELECT p_brand, CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS yr,
+         CAST(EXTRACT(QUARTER FROM l_shipdate) AS INT) AS qtr,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2, 3
+)
+SELECT p_brand, yr, qtr, rev_cents,
+       CAST(floor((20000 * rev_cents + sum(rev_cents) OVER (PARTITION BY p_brand, yr))
+            / (2.0 * sum(rev_cents) OVER (PARTITION BY p_brand, yr))) AS BIGINT) AS share_of_year_e4
+FROM q
+""",
+    "TPC-DS q53/q63 family: quarterly revenue as an exact e4 share of "
+    "the brand's yearly total (window sum over a grouped series).",
+)
+
+_register(
+    "tpcds_q69_active_never_returned",
+    """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem JOIN orders o2 ON l_orderkey = o2.o_orderkey
+    WHERE o2.o_custkey = c_custkey AND l_returnflag = 'R'
+  )
+GROUP BY c_mktsegment
+""",
+    "TPC-DS q69 shape: purchased-but-never-returned cohort via EXISTS "
+    "against one fact and NOT EXISTS against a joined second fact.",
+)
+
+_register(
+    "tpcds_q70_rank_within_rollup",
+    """
+WITH s AS (
+  SELECT r_name, n_name,
+         CAST(grouping(r_name) AS INT) AS g_region,
+         CAST(grouping(n_name) AS INT) AS g_nation,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY ROLLUP (r_name, n_name)
+)
+SELECT r_name, n_name, g_region, g_nation, rev_cents,
+       CAST(CASE WHEN g_nation = 0 AND g_region = 0 THEN
+         rank() OVER (PARTITION BY g_region, g_nation, r_name
+                      ORDER BY rev_cents DESC, n_name)
+       ELSE 0 END AS INT) AS rk_in_region
+FROM s
+""",
+    "TPC-DS q70 shape: rank computed INSIDE rollup leaf groups "
+    "(grouping() columns scope the window partitions — lochierarchy "
+    "ranking with in-group ordering).",
+)
+
+_register(
+    "tpcds_q77_sales_vs_returns_rollup",
+    """
+WITH sales AS (
+  SELECT s_nationkey AS nk,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sales_cents
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE l_returnflag <> 'R' GROUP BY s_nationkey
+),
+rets AS (
+  SELECT s_nationkey AS nk,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS ret_cents
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE l_returnflag = 'R' GROUP BY s_nationkey
+)
+SELECT n_name,
+       CAST(sum(coalesce(s.sales_cents, 0)) AS BIGINT) AS sales_cents,
+       CAST(sum(coalesce(r.ret_cents, 0)) AS BIGINT) AS ret_cents,
+       CAST(sum(coalesce(s.sales_cents, 0)) - sum(coalesce(r.ret_cents, 0)) AS BIGINT) AS net_cents
+FROM sales s
+FULL OUTER JOIN rets r ON s.nk = r.nk
+JOIN nation ON n_nationkey = coalesce(s.nk, r.nk)
+GROUP BY ROLLUP (n_name)
+""",
+    "TPC-DS q77/q80 family: per-channel sales vs returns netted through "
+    "a FULL OUTER join of two aggregates, totaled with ROLLUP.",
+)
+
+_register(
+    "tpcds_q94_multi_supplier_clean_orders",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(total_cents) AS BIGINT) AS total_cents
+FROM (
+  SELECT o_orderkey,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY o_orderkey
+  HAVING count(DISTINCT l_suppkey) >= 2
+     AND sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) = 0
+) t
+""",
+    "TPC-DS q94 shape: orders shipped by 2+ distinct warehouses with "
+    "zero returned items (distinct-count + conditional-sum HAVING).",
+)
+
+_register(
+    "tpcds_q96_hour_band_traffic",
+    """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n
+FROM events
+WHERE CAST(EXTRACT(HOUR FROM ts) AS INT) BETWEEN 8 AND 11
+GROUP BY event_type
+""",
+    "TPC-DS q96 shape: time-of-day band traffic count (hour extraction "
+    "as the dimension filter).",
+)
+
+_register(
+    "tpcds_q97_channel_overlap_matrix",
+    """
+WITH open_c AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+     filled_c AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+SELECT
+  CAST(sum(CASE WHEN o.k IS NOT NULL AND f.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS open_only,
+  CAST(sum(CASE WHEN o.k IS NULL AND f.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS filled_only,
+  CAST(sum(CASE WHEN o.k IS NOT NULL AND f.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS both_channels
+FROM open_c o FULL OUTER JOIN filled_c f ON o.k = f.k
+""",
+    "TPC-DS q97 shape: channel-overlap matrix — FULL OUTER join of two "
+    "DISTINCT customer sets folded into only/only/both counts.",
+)
+
+_register(
+    "tpcds_q99_latency_matrix_two_dims",
+    """
+SELECT yr, o_orderpriority,
+  CAST(sum(CASE WHEN mdelay <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS within_1mo,
+  CAST(sum(CASE WHEN mdelay = 2 THEN 1 ELSE 0 END) AS BIGINT) AS mo_2,
+  CAST(sum(CASE WHEN mdelay > 2 THEN 1 ELSE 0 END) AS BIGINT) AS over_2mo,
+  CAST(count(*) AS BIGINT) AS total
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS yr,
+         o_orderpriority,
+         (year(l_shipdate) * 12 + month(l_shipdate))
+         - (year(o_orderdate) * 12 + month(o_orderdate)) AS mdelay
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+) t
+GROUP BY yr, o_orderpriority
+""",
+    "TPC-DS q99 shape: the latency histogram as a TWO-dimensional "
+    "matrix (ship year x priority — q62's single-dim histogram keyed "
+    "on a second dimension, the month x ship-mode x call-center pivot).",
+)

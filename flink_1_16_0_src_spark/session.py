@@ -343,6 +343,11 @@ class TableEnvironment:
         malter = _ALTER_TABLE.match(stmt)
         if malter:
             return self._alter_table(malter.group(1), malter.group(2))
+        mshow = re.match(
+            r"^SHOW\s+CREATE\s+TABLE\s+(\w+)\s*;?\s*$", stmt, re.IGNORECASE
+        )
+        if mshow:
+            return self._show_create_table(mshow.group(1))
         stmt = translate_hints(stmt)
         # Flink EXPLAIN syntax (SqlRichExplain: EXPLAIN [PLAN FOR] <q>)
         # → Spark's EXPLAIN <q>
@@ -702,6 +707,55 @@ class TableEnvironment:
         # anything else (DROP COLUMNS, table properties Spark-style, …)
         # keeps the old passthrough behavior
         return self.spark.sql(f"ALTER TABLE {name} {rest}")
+
+    def _show_create_table(self, name: str) -> DataFrame:
+        """SHOW CREATE TABLE (SqlShowCreateTable.java → ShowCreateUtil):
+        reconstruct the Flink DDL from the registration — declared or
+        inferred schema, watermark, ALTER overlays, PARTITIONED BY, and
+        the WITH options. Non-DDL tables delegate to Spark's own
+        SHOW CREATE TABLE."""
+        reg = self._registrations.get(name)
+        if reg is None:
+            return self.spark.sql(f"SHOW CREATE TABLE {name}")
+        cols = list(reg["cols"])
+        if not cols:
+            # schema was inferred from the files — reconstruct from the
+            # live view (ShowCreateUtil prints the resolved schema too)
+            try:
+                cols = [f"{c} {t.upper()}" for c, t in self.spark.table(name).dtypes]
+            except Exception:
+                cols = []
+        for cname, key in reg["metadata_cols"].items():
+            cols.append(
+                f"{cname} METADATA" + (f" FROM '{key}'" if key != cname else "")
+            )
+        for cname, cexpr in reg["computed_cols"].items():
+            cols.append(f"{cname} AS {cexpr}")
+        for op, cname, ctype in reg.get("alter_overlay", ()):
+            if op == "add":
+                cols.append(f"{cname} {ctype}")
+            else:
+                cols = [
+                    f"{cname} {ctype}" if c.split()[0].lower() == cname.lower() else c
+                    for c in cols
+                ]
+        if reg["watermark"] is not None:
+            wcol, dl = reg["watermark"]
+            amount, unit = dl.split(" ", 1)
+            cols.append(
+                f"WATERMARK FOR {wcol} AS {wcol} - INTERVAL '{amount}' {unit}"
+            )
+        lines = [f"CREATE TABLE {name} ("]
+        lines.append(",\n".join(f"  {c}" for c in cols))
+        lines.append(")")
+        if reg["partcols"]:
+            lines.append(f"PARTITIONED BY ({', '.join(reg['partcols'])})")
+        props = ",\n".join(
+            f"  '{k}' = '{v}'" for k, v in sorted(reg["props"].items())
+        )
+        lines.append(f"WITH (\n{props}\n)")
+        ddl = "\n".join(lines)
+        return self.spark.createDataFrame([(ddl,)], "result string")
 
     def _rewrite_flink_clauses(self, sql: str) -> str:
         """Window-TVF + MATCH_RECOGNIZE SQL surface (sql_clauses.py):

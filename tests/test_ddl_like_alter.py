@@ -170,3 +170,19 @@ def test_alter_table_rename_moves_registration(tenv):
     tenv.execute_sql("ALTER TABLE alt_ren RENAME TO alt_ren2")
     assert "alt_ren2" in tenv._registrations and "alt_ren" not in tenv._registrations
     assert tenv.sql_query("SELECT count(*) c FROM alt_ren2").collect()[0].c > 0
+
+
+def test_show_create_table_roundtrip(tenv):
+    """SHOW CREATE TABLE (SqlShowCreateTable.java): the printed DDL
+    re-executes into an equivalent registration (rename-free
+    round-trip), carrying watermark, options, and ALTER overlays."""
+    _create_base(tenv, "sct_base")
+    tenv.execute_sql("ALTER TABLE sct_base ADD (flag INT)")
+    ddl = tenv.execute_sql("SHOW CREATE TABLE sct_base").collect()[0].result
+    assert "WATERMARK FOR ts AS ts - INTERVAL '10' SECONDS" in ddl
+    assert "'myopt' = 'base'" in ddl and "flag INT" in ddl
+    # round-trip: the emitted DDL parses and registers an equivalent table
+    tenv.execute_sql(ddl.replace("CREATE TABLE sct_base", "CREATE TABLE sct_copy"))
+    a = tenv.sql_query("SELECT count(*) c FROM sct_base").collect()[0].c
+    b = tenv.sql_query("SELECT count(*) c FROM sct_copy").collect()[0].c
+    assert a == b and "sct_copy" in tenv._watermarks
