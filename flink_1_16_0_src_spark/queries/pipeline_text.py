@@ -398,3 +398,91 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         end.cast("bigint").alias("tok_end"),
         F.concat_ws(" ", F.slice(F.col("w"), start, end - start + 1)).alias("chunk"),
     )
+
+
+@query(
+    "vocab_bpe_pair_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, str_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    pairs AS (
+      SELECT w[s.i] || ' ' || w[s.i + 1] AS pair
+      FROM toks, generate_series(1, 1000000) s(i)
+      WHERE s.i < len(w)
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, pair) AS INT) AS rank_num
+    FROM pairs GROUP BY pair
+    QUALIFY rank_num <= 40
+    """,
+    tags=("pipeline", "text", "vocab"),
+)
+def vocab_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate counting — the second pass of tokenizer
+    construction after the vocab head (``vocab_top_tokens``): corpus
+    frequencies of ADJACENT token pairs; each merge round takes the
+    most frequent pair (Sennrich et al., Neural Machine Translation of
+    Rare Words with Subword Units). Map-side pair explode (fan-out =
+    tokens-1 per doc, no shuffle before the pair groupBy) + one
+    pair-keyed count; exact top-40 via orderBy().limit() =
+    TakeOrderedAndProject, never a vocabulary-sized single-partition
+    window sort. At 100 TB swap the exact count for
+    operators.sketch heavy hitters — this exact form is the
+    oracle-checkable baseline."""
+    from flink_1_16_0_src_spark.pipeline.text import tokens
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(tokens("text").alias("w"))
+    pairs = toks.where(F.size("w") > 1).select(
+        F.explode(
+            F.expr("transform(sequence(1, size(w) - 1), i -> concat(w[i - 1], ' ', w[i]))")
+        ).alias("pair")
+    )
+    agg = pairs.groupBy("pair").agg(F.count("*").cast("bigint").alias("n_occ"))
+    top = agg.orderBy(F.col("n_occ").desc(), "pair").limit(40)
+    w = W.orderBy(F.col("n_occ").desc(), "pair")
+    return top.withColumn("rank_num", F.row_number().over(w).cast("int")).select(
+        "pair", "n_occ", "rank_num"
+    )
+
+
+@query(
+    "text_length_percentiles",
+    oracle="""
+    WITH r AS (
+      SELECT lang, doc_id, n_chars,
+             rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(floor((20000 * rk + n) / (2.0 * n)) AS BIGINT) AS pctile_e4
+    FROM r WHERE doc_id % 17 = 0
+    """,
+    tags=("pipeline", "text", "custom-op"),
+)
+def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length percentile ranks — the length
+    distribution curriculum ordering and packing-bin sizing read.
+    One partitioned (per-lang) window over integer n_chars with a
+    (n_chars, doc_id) total order, percentile emitted in exact e4
+    units (floor-half-up) — engine-exact, no float rank. Scale: the
+    window partitions by lang (bounded cardinality, each partition
+    sorts in parallel); at 100 TB swap exact rank for the histogram
+    quantile sketch."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    r = d.select(
+        "lang", "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.rank().over(w).alias("rk"),
+        F.count("*").over(W.partitionBy("lang")).alias("n"),
+    )
+    pct = F.floor((20000 * F.col("rk") + F.col("n")) / (2.0 * F.col("n")))
+    return r.where(F.col("doc_id") % 17 == 0).select(
+        "lang", "doc_id", "n_chars", pct.cast("bigint").alias("pctile_e4")
+    )
