@@ -1515,3 +1515,20 @@ GROUP BY yr, o_orderpriority
     "matrix (ship year x priority — q62's single-dim histogram keyed "
     "on a second dimension, the month x ship-mode x call-center pivot).",
 )
+
+_register(
+    "tpcds_q34_band_cohort_details",
+    """
+WITH cnt AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+  HAVING count(*) BETWEEN 15 AND 20
+)
+SELECT c_custkey, c_name, c_mktsegment, n_orders
+FROM cnt JOIN customer ON c_custkey = o_custkey
+""",
+    "TPC-DS q34/q46/q68/q79 family: a trip-count band cohort computed "
+    "on the fact table, then JOINED BACK to the dimension for detail "
+    "rows (q73 stops at the counts; the join-back is the family's "
+    "second half).",
+)

@@ -329,6 +329,13 @@ class TableEnvironment:
             elif connector is not None:
                 raise NotImplementedError(f"CTAS into connector {connector!r}")
             df.createOrReplaceTempView(name)
+            # record the registration (schema inferred from the query)
+            # so CREATE TABLE ... LIKE and ALTER TABLE work on CTAS
+            # tables too
+            self._registrations[name] = {
+                "cols": [], "props": props, "partcols": [],
+                "metadata_cols": {}, "computed_cols": {}, "watermark": None,
+            }
             return df
         mlike = _CREATE_TABLE_LIKE.match(stmt)
         if mlike:

@@ -186,3 +186,18 @@ def test_show_create_table_roundtrip(tenv):
     a = tenv.sql_query("SELECT count(*) c FROM sct_base").collect()[0].c
     b = tenv.sql_query("SELECT count(*) c FROM sct_copy").collect()[0].c
     assert a == b and "sct_copy" in tenv._watermarks
+
+
+def test_like_of_ctas_table(tenv, tmp_path):
+    """CTAS tables record a registration too, so LIKE can derive from
+    them (schema inferred; options inherit/override as usual)."""
+    p = str(tmp_path / "ctas_base")
+    tenv.execute_sql(
+        f"CREATE TABLE ctas_base WITH ('connector'='filesystem',"
+        f"'path'='{p}','format'='parquet','k'='v') AS "
+        f"SELECT 1 AS a, 'x' AS b"
+    )
+    tenv.execute_sql("CREATE TABLE ctas_like WITH ('k'='w') LIKE ctas_base")
+    assert tenv._registrations["ctas_like"]["props"]["k"] == "w"
+    got = tenv.sql_query("SELECT a, b FROM ctas_like").collect()
+    assert [(r.a, r.b) for r in got] == [(1, "x")]

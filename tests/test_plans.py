@@ -286,3 +286,23 @@ def test_vocab_top_tokens_heap_merge_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Exchange SinglePartition") <= 1
     assert "rangepartitioning" not in plan
+
+
+def test_tpcds_suite_no_python_no_unbounded_cartesian(spark):
+    """Planner sweep over EVERY tpcds_* shape: no Python evaluation
+    anywhere (all shapes are pure Catalyst SQL), and no CartesianProduct
+    except in the scalar-panel shapes that glue a handful of ONE-ROW
+    aggregates together (q9/q28/q88 families — a 1-row cross join is a
+    broadcast nested loop over constants, not a scale risk)."""
+    one_row_panels = {
+        "tpcds_q9_case_band_subqueries",
+        "tpcds_q28_quantity_band_panel",
+        "tpcds_q88_multi_scalar_row",
+    }
+    for name in sorted(all_queries()):
+        if not name.startswith("tpcds_"):
+            continue
+        plan = _plan(spark, name)
+        assert "EvalPython" not in plan, f"{name} runs Python"
+        if name not in one_row_panels:
+            assert "CartesianProduct" not in plan, f"{name} cross-joins"
