@@ -650,6 +650,11 @@ def _match_at_masks(
         branches = step.alts or (step,)
         bmasks = masks[si] if step.alts else (masks[si],)
         btables, union = nt[si]
+        # gap-jumping is sound only when every branch must CONSUME a row
+        # at the anchor (min ≥ 1): a min-0 branch's continuation runs at
+        # each scanned position, and a strict successor is
+        # position-sensitive — those anchors cannot be skipped
+        can_jump = all(b.min >= 1 for b in branches)
         j = i
         while True:
             for branch, bmask, btable in zip(branches, bmasks, btables):
@@ -663,14 +668,14 @@ def _match_at_masks(
                 return None
             if j >= n or not in_window(j):
                 return None
-            if neg_mask is None:
+            if neg_mask is None and can_jump:
                 # no notFollowedBy guard in flight: only positions where
                 # some branch can take are viable anchors — jump there
                 # (the loop head's failure checks re-validate bounds and
                 # window at the new position)
                 j = union[j + 1]
                 continue
-            if neg_mask[j]:
+            if neg_mask is not None and neg_mask[j]:
                 return None
             j += 1
 
@@ -857,6 +862,151 @@ def match_sequence_masks_with_timeouts(
     return matches, timeouts
 
 
+def _match_at_any_masks(
+    masks: list, n: int, start: int, steps: list[Step], ts=None, max_delta=None,
+    nt: list | None = None,
+) -> list[dict[str, list[int]]]:
+    """Mask twin of ``_match_at_any`` (followedByAny / SKIP_TILL_ANY /
+    allowCombinations all-matches enumeration): identical anchor and
+    emission semantics, index output, hoisted masks + jump tables.
+    Valid under the ``vec`` contract (predicates ignore match state)."""
+    if nt is None:
+        nt = _next_true_tables(masks, n)
+    out: list[dict[str, list[int]]] = []
+
+    def in_window(j: int) -> bool:
+        return max_delta is None or ts[j] - ts[start] <= max_delta
+
+    def quant(i: int, step: Step, mask, table, matched: dict, cont) -> bool:
+        if step.internal == "combinations":
+            return quant_combinations(i, step, mask, table, matched, cont)
+        matched.setdefault(step.var, [])
+        base_len = len(matched[step.var])
+        takes: list[int] = []
+        j = i
+        while (step.max is None or len(takes) < step.max) and j < n:
+            if not in_window(j):
+                break
+            if mask[j]:
+                matched[step.var].append(j)
+                takes.append(j)
+                j += 1
+            elif step.internal == "relaxed" and takes:
+                j = table[j]  # jump to the next take candidate
+            else:
+                break
+        emitted = False
+        while True:
+            if len(takes) >= step.min and cont(takes[-1] + 1 if takes else i):
+                emitted = True
+                break  # greedy: first completing take per anchor
+            if not takes:
+                break
+            takes.pop()
+            matched[step.var].pop()
+        del matched[step.var][base_len:]
+        if not matched[step.var]:
+            del matched[step.var]
+        return emitted
+
+    def quant_combinations(i: int, step: Step, mask, table, matched: dict, cont) -> bool:
+        matched.setdefault(step.var, [])
+        base_len = len(matched[step.var])
+        emitted = False
+
+        def dfs(last: int, count: int) -> None:
+            nonlocal emitted
+            if count >= step.min and cont(last + 1):
+                emitted = True
+            if step.max is not None and count >= step.max:
+                return
+            k = table[last + 1]  # next matching row — non-matching rows
+            while k < n and in_window(k):  # can't be takes, jump them
+                matched[step.var].append(k)
+                dfs(k, count + 1)
+                matched[step.var].pop()
+                k = table[k + 1]
+
+        if step.min == 0 and cont(i):
+            emitted = True
+        if i < n and in_window(i) and mask[i]:
+            matched[step.var].append(i)
+            dfs(i, 1)
+            matched[step.var].pop()
+        del matched[step.var][base_len:]
+        if not matched[step.var]:
+            del matched[step.var]
+        return emitted
+
+    def rec(i: int, si: int, matched: dict, neg_mask) -> bool:
+        if si == len(steps):
+            out.append({k: list(v) for k, v in matched.items()})
+            return True
+        step = steps[si]
+        if step.negated:
+            if step.contiguity == "strict":
+                if i < n and masks[si][i]:
+                    return False
+                return rec(i, si + 1, matched, neg_mask)
+            return rec(i, si + 1, matched, masks[si])
+        branches = step.alts or (step,)
+        bmasks = masks[si] if step.alts else (masks[si],)
+        btables, union = nt[si]
+        any_mode = step.contiguity == "relaxed_any" and si > 0
+        can_jump = all(b.min >= 1 for b in branches)  # see _match_at_masks
+        emitted = False
+        j = i
+        while True:
+            for branch, bmask, btable in zip(branches, bmasks, btables):
+                ok = quant(
+                    j, branch, bmask, btable, matched,
+                    lambda jj: rec(jj, si + 1, matched, None),
+                )
+                if ok:
+                    emitted = True
+                    break  # ordered branch priority
+            if emitted and not any_mode:
+                return True  # deterministic step: earliest anchor wins
+            if si == 0 or step.contiguity == "strict":
+                return emitted
+            if j >= n or not in_window(j):
+                return emitted
+            if neg_mask is None and can_jump:
+                j = union[j + 1]
+                continue
+            if neg_mask is not None and neg_mask[j]:
+                return emitted  # notFollowedBy poisons later anchors
+            j += 1
+
+    rec(start, 0, {}, None)
+    return out
+
+
+def match_sequence_any_masks(
+    masks: list, n: int, steps: list[Step], after_match: str = "to_next_row",
+    ts=None, max_delta=None,
+) -> list[dict[str, list[int]]]:
+    """Mask twin of the ``match_sequence`` any-path: one
+    ``_match_at_any_masks`` enumeration per start position (the
+    to_next_row semantics SKIP_TILL_ANY couples with)."""
+    if after_match != "to_next_row":
+        raise ValueError(
+            "followedByAny/allowCombinations patterns require "
+            "after_match='to_next_row'"
+        )
+    lmasks, nt, anchor = _prepare_masks(masks, n, steps)
+    out: list[dict[str, list[int]]] = []
+    i = 0
+    while i < n:
+        if anchor is not None:
+            i = anchor[i]
+            if i >= n:
+                break
+        out.extend(_match_at_any_masks(lmasks, n, i, steps, ts, max_delta, nt))
+        i += 1
+    return out
+
+
 def compute_step_masks(pdf: pd.DataFrame, steps: list[Step]) -> list:
     """Evaluate every step's vectorized predicate ONCE over the batch
     (alternation branches each get their own mask) — the
@@ -868,13 +1018,20 @@ def compute_step_masks(pdf: pd.DataFrame, steps: list[Step]) -> list:
     ]
 
 
-def steps_vectorizable(steps: list[Step]) -> bool:
+def steps_all_vec(steps: list[Step]) -> bool:
     """True when every step (or all its alternation branches) carries a
-    ``vec`` and the pattern runs on the deterministic NFA path."""
+    vectorized predicate form."""
     return all(
         s.vec is not None or (s.alts and all(b.vec is not None for b in s.alts))
         for s in steps
-    ) and not _needs_any_path(steps)
+    )
+
+
+def steps_vectorizable(steps: list[Step]) -> bool:
+    """True when every step carries a ``vec`` and the pattern runs on
+    the deterministic NFA path (the any-path has its own mask twin,
+    ``_match_at_any_masks``)."""
+    return steps_all_vec(steps) and not _needs_any_path(steps)
 
 
 # ---- MEASURES helpers (reference: MatchCodeGenerator.scala measures) ----
@@ -958,7 +1115,8 @@ def match_recognize(
             .drop("__cep_ok")
         )
 
-    vectorized = steps_vectorizable(steps)  # any-path: dict path only
+    vectorized = steps_all_vec(steps)
+    any_path = _needs_any_path(steps)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_by, kind="stable")  # str or list both fine
@@ -974,8 +1132,10 @@ def match_recognize(
                 # numpy 2 rejects timedelta64 <= datetime.timedelta —
                 # normalize any str/timedelta bound to timedelta64
                 md = pd.Timedelta(md).to_timedelta64()
-            idx_matches = match_sequence_masks(
-                masks, n, steps, after_match, ts, md
+            idx_matches = (
+                match_sequence_any_masks(masks, n, steps, after_match, ts, md)
+                if any_path
+                else match_sequence_masks(masks, n, steps, after_match, ts, md)
             )
             # materialize dict rows only for rows inside some match
             hit = sorted({j for m in idx_matches for v in m.values() for j in v})
@@ -1359,6 +1519,7 @@ def _match_recognize_stream_any(
         ]
     )
     delta = pd.Timedelta(within)
+    vec_ready = steps_all_vec(steps)
 
     def fn(key, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
         buf: list = []
@@ -1384,9 +1545,31 @@ def _match_recognize_stream_any(
             else (lambda r: r[order_by])
         )
         wt = (order_by, delta)
+        if vec_ready and buf:
+            # hoisted-mask any-path: DEFINE masks + jump tables computed
+            # once per batch over the retained window, then the
+            # all-anchors enumeration walks indices
+            bdf = pd.DataFrame(buf)
+            nbuf = len(buf)
+            lmasks, bnt, _anchor = _prepare_masks(
+                compute_step_masks(bdf, steps), nbuf, steps
+            )
+            ts_arr = bdf[order_by].to_numpy()
+            md = delta.to_timedelta64()
+
+            def matches_at(i):
+                for im in _match_at_any_masks(
+                    lmasks, nbuf, i, steps, ts_arr, md, bnt
+                ):
+                    yield {v: [buf[j] for j in js] for v, js in im.items()}
+        else:
+
+            def matches_at(i):
+                yield from _match_at_any(buf, i, steps, wt)
+
         out = []
         for i in range(len(buf)):
-            for matched in _match_at_any(buf, i, steps, wt):
+            for matched in matches_at(i):
                 body = hashlib.md5(
                     json.dumps(
                         {

@@ -867,3 +867,52 @@ def test_nfa_mask_speedup_over_dict_path():
     t_dict = best_of(dict_path)
     t_mask = best_of(mask_path)
     assert t_dict / t_mask >= 3.0, (t_dict, t_mask)
+
+
+def test_any_path_mask_equals_dict_path():
+    """followedByAny / allowCombinations all-anchors enumeration: the
+    mask twin must reproduce the dict path's matches exactly (same
+    order, same take-sets) on a mixed stream, including within-window
+    pruning."""
+    import numpy as np
+
+    base = pd.Timestamp("2024-01-01")
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(250):
+        c = rng.choice(["a", "b", "c", "x"], p=[0.2, 0.25, 0.15, 0.4])
+        rows.append({"c": str(c), "ts": base + pd.Timedelta(minutes=i), "seq": i})
+    for steps in (
+        [  # followedByAny
+            cep.Step("A", lambda r, m: r["c"] == "a",
+                     vec=lambda p: (p["c"] == "a").to_numpy()),
+            cep.Step("B", lambda r, m: r["c"] == "b",
+                     vec=lambda p: (p["c"] == "b").to_numpy(),
+                     contiguity="relaxed_any"),
+        ],
+        [  # allowCombinations on a quantified middle step
+            cep.Step("A", lambda r, m: r["c"] == "a",
+                     vec=lambda p: (p["c"] == "a").to_numpy()),
+            cep.Step("B", lambda r, m: r["c"] == "b", min=1, max=2,
+                     vec=lambda p: (p["c"] == "b").to_numpy(),
+                     internal="combinations", contiguity="relaxed_any"),
+            cep.Step("C", lambda r, m: r["c"] == "c",
+                     vec=lambda p: (p["c"] == "c").to_numpy(),
+                     contiguity="relaxed"),
+        ],
+    ):
+        within = ("ts", pd.Timedelta("25 minutes"))
+        want = cep.match_sequence(rows, steps, "to_next_row", within)
+        pdf = pd.DataFrame(rows)
+        masks = cep.compute_step_masks(pdf, steps)
+        got = cep.match_sequence_any_masks(
+            masks, len(rows), steps, "to_next_row",
+            pdf["ts"].to_numpy(), pd.Timedelta("25 minutes").to_timedelta64(),
+        )
+        want_idx = [
+            {v: [r["seq"] for r in rs] for v, rs in m.items()} for m in want
+        ]
+        got_idx = [
+            {v: [rows[j]["seq"] for j in js] for v, js in m.items()} for m in got
+        ]
+        assert want_idx == got_idx and len(want_idx) > 0
