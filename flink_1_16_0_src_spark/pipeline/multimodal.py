@@ -130,6 +130,35 @@ def _parse_wav(b: bytes):
     raise ValueError("no data chunk")
 
 
+def encode_wav(samples_u8: bytes, rate: int = 8000, channels: int = 1) -> bytes:
+    """RIFF/WAVE 8-bit PCM container around raw unsigned samples — the
+    encode twin of ``_parse_wav`` (synthesis side of the audio
+    plumbing; also how deterministic fixtures are built)."""
+    import struct
+
+    data = bytes(samples_u8)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels, channels, 8)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def encode_y4m(frames, w: int, h: int) -> bytes:
+    """YUV4MPEG2 stream around Y-plane frames (flat U/V) — the encode
+    twin of ``_parse_y4m``."""
+    import numpy as np
+
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()]
+    for y in frames:
+        out.append(b"FRAME\n")
+        out.append(np.asarray(y, dtype=np.uint8).tobytes())
+        out.append(bytes((w // 2) * (h // 2) * 2))
+    return b"".join(out)
+
+
 def decode_features(df: DataFrame, codec: str = "fake", feat_dim: int = 4) -> DataFrame:
     """Decode payloads and emit fixed-width features via mapInPandas.
 

@@ -154,3 +154,130 @@ def multimodal_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = attach_media_columns(d, "text", "doc_id")
     return chunk_media(media, 64).select("media_id", "chunk_idx", "chunk_len")
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id AS media_id, i.i AS idx,
+             (doc_id * 31 + i.i * 17) % 256 AS b
+      FROM documents, generate_series(0, 127) i(i)
+      WHERE doc_id % 23 = 0 AND i.i < 64 + doc_id % 64
+    )
+    SELECT media_id,
+           CAST(idx // 16 AS INT) AS window_no,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum((b - 128) * (b - 128)) AS BIGINT) AS energy_ssq
+    FROM s GROUP BY media_id, idx // 16
+    """,
+    tags=("pipeline", "multimodal", "custom-op"),
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio energy through the REAL RIFF/WAVE codec
+    round-trip: deterministic 8-bit PCM samples (doc_id-derived) are
+    containerized with ``encode_wav``, decoded back by ``_parse_wav``
+    (the same parser the wav feature path runs), then windowed into
+    16-sample panes emitting EXACT integer sum-of-squares energy —
+    8-bit PCM decodes to dyadic rationals, so the int round-trip is
+    bit-exact and the DuckDB oracle reproduces it from the sample
+    formula alone. Map-only Arrow-batched synth+decode (no shuffle
+    before the per-window rows); at 100 TB the payload column stays
+    where it is and only the tiny energy rows move."""
+    import numpy as np
+
+    from flink_1_16_0_src_spark.pipeline.multimodal import _parse_wav, encode_wav
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") % 23 == 0)
+    base = d.select(F.col("doc_id").alias("media_id"))
+
+    def synth_and_energy(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 64 + mid % 64
+                raw = bytes((mid * 31 + i * 17) % 256 for i in range(n))
+                samples, _rate = _parse_wav(encode_wav(raw, rate=8000))
+                ints = np.rint(samples[:, 0] * 128.0).astype("int64")
+                for w in range(0, len(ints), 16):
+                    seg = ints[w : w + 16]
+                    out.append(
+                        {
+                            "media_id": mid,
+                            "window_no": w // 16,
+                            "n_samples": len(seg),
+                            "energy_ssq": int((seg * seg).sum()),
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_id", "window_no", "n_samples", "energy_ssq"]
+            )
+
+    return base.mapInPandas(
+        synth_and_energy,
+        "media_id bigint, window_no int, n_samples bigint, energy_ssq bigint",
+    )
+
+
+@query(
+    "multimodal_video_motion",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id AS media_id, f.f AS frame_no, p.p AS px_idx,
+             (doc_id + f.f * 7 + p.p * 13) % 256 AS y
+      FROM documents, generate_series(0, 2) f(f), generate_series(0, 63) p(p)
+      WHERE doc_id % 29 = 0
+    )
+    SELECT cur.media_id, CAST(cur.frame_no AS INT) AS frame_no,
+           CAST(sum(abs(cur.y - prv.y)) AS BIGINT) AS motion_sad
+    FROM px cur JOIN px prv
+      ON prv.media_id = cur.media_id AND prv.px_idx = cur.px_idx
+     AND prv.frame_no = cur.frame_no - 1
+    GROUP BY cur.media_id, cur.frame_no
+    """,
+    tags=("pipeline", "multimodal", "custom-op"),
+)
+def multimodal_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-to-frame motion (sum of absolute Y-plane differences —
+    the scene-change / keyframe-selection signal) through the REAL
+    YUV4MPEG2 codec round-trip: three deterministic 8x8 frames per doc
+    are containerized with ``encode_y4m``, decoded by ``_parse_y4m``,
+    and consecutive frames differenced into an exact integer SAD.
+    Map-only per payload; output is |frames|-1 tiny rows per video."""
+    import numpy as np
+
+    from flink_1_16_0_src_spark.pipeline.multimodal import _parse_y4m, encode_y4m
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") % 29 == 0)
+    base = d.select(F.col("doc_id").alias("media_id"))
+
+    def synth_and_motion(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                frames = [
+                    np.array(
+                        [(mid + f * 7 + p * 13) % 256 for p in range(64)],
+                        dtype=np.uint8,
+                    ).reshape(8, 8)
+                    for f in range(3)
+                ]
+                w, h, decoded = _parse_y4m(encode_y4m(frames, 8, 8))
+                for f in range(1, len(decoded)):
+                    sad = int(
+                        np.abs(
+                            decoded[f].astype("int64") - decoded[f - 1].astype("int64")
+                        ).sum()
+                    )
+                    out.append({"media_id": mid, "frame_no": f, "motion_sad": sad})
+            yield pd.DataFrame(out, columns=["media_id", "frame_no", "motion_sad"])
+
+    return base.mapInPandas(
+        synth_and_motion, "media_id bigint, frame_no int, motion_sad bigint"
+    )
