@@ -55,6 +55,11 @@ BENCH_QUERIES = [
     "cep_adjacent_click_purchase",  # MATCH_RECOGNIZE NFA per key
     "stream_tumble_drain",       # streaming throughput: file-stream →
                                  # watermark → windowed agg → sink (M7)
+    # r5 additions (NB: the headline TOTAL is not comparable to r4's —
+    # compare per-query seconds / canary ratios instead):
+    "sim_pq_adc_topk",           # PQ ADC scan + heap top-k (r5 fix:
+                                 # TakeOrderedAndProject, no global sort)
+    "vocab_top_tokens",          # tokenizer vocab head (same r5 fix)
 ]
 
 
