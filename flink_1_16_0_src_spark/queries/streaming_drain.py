@@ -936,3 +936,137 @@ def stream_trigger_window_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drained = ssrc.run_to_memory(out, f"drain_trigwin_{next(_seq)}", "append")
     return drained.select("user_id", "window_start", "window_end", "n", "sum_cents")
+
+
+@query(
+    "stream_late_refire_drain",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             time_bucket(INTERVAL '1 hour', ts) AS ws
+      FROM events
+    ),
+    tagged AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, ws
+                                   ORDER BY ts, event_id) AS rn
+      FROM ev
+    ),
+    split AS (SELECT *, (rn > 1 AND event_id % 3 = 0) AS late FROM tagged),
+    wm AS (
+      SELECT user_id,
+             max(CASE WHEN NOT late THEN ts END) - INTERVAL '10 minutes' AS wm1,
+             max(ts) - INTERVAL '10 minutes' AS wm2
+      FROM split GROUP BY user_id
+    ),
+    b1 AS (
+      SELECT user_id, ws, count(*) AS n1, sum(cents) AS s1
+      FROM split WHERE NOT late GROUP BY user_id, ws
+    ),
+    paneA AS (
+      SELECT b.user_id, b.ws, b.n1 AS n, b.s1 AS sum_cents
+      FROM b1 b JOIN wm ON wm.user_id = b.user_id
+      WHERE b.ws + INTERVAL '1 hour' <= wm.wm1
+    ),
+    lateB AS (
+      SELECT s.user_id, s.ws,
+             row_number() OVER (PARTITION BY s.user_id, s.ws
+                                ORDER BY s.ts, s.event_id) AS lrn,
+             sum(s.cents) OVER (PARTITION BY s.user_id, s.ws
+                                ORDER BY s.ts, s.event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS lcum
+      FROM split s JOIN wm ON wm.user_id = s.user_id
+      WHERE s.late
+        AND s.ws + INTERVAL '1 hour' <= wm.wm1
+        AND s.ws + INTERVAL '1 hour' + INTERVAL '90 minutes' > wm.wm1
+    ),
+    paneB AS (
+      SELECT l.user_id, l.ws, b.n1 + l.lrn AS n, b.s1 + l.lcum AS sum_cents
+      FROM lateB l JOIN b1 b ON b.user_id = l.user_id AND b.ws = l.ws
+    ),
+    paneC AS (
+      SELECT s.user_id, s.ws, count(*) AS n, sum(s.cents) AS sum_cents
+      FROM split s JOIN wm ON wm.user_id = s.user_id
+      WHERE s.ws + INTERVAL '1 hour' > wm.wm1
+        AND s.ws + INTERVAL '1 hour' <= wm.wm2
+      GROUP BY s.user_id, s.ws
+    )
+    SELECT user_id, ws AS window_start,
+           ws + INTERVAL '1 hour' AS window_end,
+           CAST(n AS BIGINT) AS n, CAST(sum_cents AS BIGINT) AS sum_cents
+    FROM (SELECT * FROM paneA UNION ALL SELECT * FROM paneB
+          UNION ALL SELECT * FROM paneC)
+    """,
+    tags=("streaming", "trigger", "lateness", "custom-op"),
+)
+def stream_late_refire_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """allowedLateness late-firing end-to-end (WindowedStream.
+    allowedLateness + EventTimeTrigger.onElement's late branch,
+    EventTimeTrigger.java:59): events split into two DETERMINISTIC
+    arrival batches — batch 2 = every non-first window row with
+    event_id % 3 == 0, arriving after the per-key watermark advanced to
+    max(batch-1 ts) − 10 min. Emission algebra the oracle reproduces
+    exactly:
+
+    - paneA: windows closed by wm1 fire once with batch-1 contents;
+    - paneB: each within-lateness late element (end ≤ wm1 < end+90min)
+      RE-FIRES an updated pane (cumulative n / cents in arrival order);
+      beyond-lateness rows drop silently;
+    - paneC: windows still open at wm1 absorb their "late" rows
+      silently and fire once when wm2 closes them.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from flink_1_16_0_src_spark.streaming.triggers import (
+        EventTimeTrigger,
+        triggered_tumble_window,
+    )
+    from flink_1_16_0_src_spark.tables import load as _load
+
+    ev = _load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value",
+        F.window("ts", "1 hour").start.alias("__ws"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("user_id", "__ws").orderBy("ts", "event_id")
+    )
+    tagged = ev.withColumn("__rn", rn).withColumn(
+        "__late", (F.col("__rn") > 1) & (F.col("event_id") % 3 == 0)
+    )
+    d = tempfile.mkdtemp(prefix="late_refire_")
+    src = os.path.join(d, "src")
+    cols = ["user_id", "ts", "event_id", "value"]
+    tagged.where(~F.col("__late")).select(*cols).coalesce(1).write.parquet(src)
+    tagged.where(F.col("__late")).select(*cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    # pin arrival order: FileStreamSource orders by mtime (ties by
+    # path hash) — force strictly increasing mtimes so batch 1 is
+    # always the on-time file
+    parts = sorted(
+        (os.path.getmtime(os.path.join(src, f)), f)
+        for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    base = parts[0][0]
+    for k, (_m, f) in enumerate(parts):
+        os.utime(os.path.join(src, f), (base + 10 * k, base + 10 * k))
+    sdf = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = triggered_tumble_window(
+        sdf, ["user_id"], "ts", "1 hour", "10 minutes", EventTimeTrigger(),
+        lambda w: {"n": len(w),
+                   "sum_cents": int(w["value"].astype(float).mul(100).round().sum())},
+        "user_id bigint, window_start timestamp, window_end timestamp, "
+        "n bigint, sum_cents bigint",
+        order_col=["ts", "event_id"],
+        allowed_lateness="90 minutes",
+    )
+    drained = ssrc.run_to_memory(out, f"drain_late_refire_{next(_seq)}", "append")
+    return drained.select("user_id", "window_start", "window_end", "n", "sum_cents")
