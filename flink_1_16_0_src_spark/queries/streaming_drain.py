@@ -1070,3 +1070,132 @@ def stream_late_refire_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drained = ssrc.run_to_memory(out, f"drain_late_refire_{next(_seq)}", "append")
     return drained.select("user_id", "window_start", "window_end", "n", "sum_cents")
+
+
+@query(
+    "stream_continuous_trigger_drain",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             time_bucket(INTERVAL '1 hour', ts) AS ws
+      FROM events
+    ),
+    tagged AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, ws
+                                   ORDER BY ts, event_id) AS rn
+      FROM ev
+    ),
+    split AS (SELECT *, (rn > 1 AND event_id % 3 = 0) AS late FROM tagged),
+    wm AS (
+      SELECT user_id,
+             max(CASE WHEN NOT late THEN ts END) - INTERVAL '10 minutes' AS wm1,
+             max(ts) - INTERVAL '10 minutes' AS wm2
+      FROM split GROUP BY user_id
+    ),
+    w AS (
+      SELECT user_id, ws, ws + INTERVAL '1 hour' AS wend,
+             time_bucket(INTERVAL '20 minutes', min(ts)) AS align0,
+             count(*) AS nall, sum(cents) AS sall,
+             count(*) FILTER (WHERE NOT late) AS n1,
+             sum(cents) FILTER (WHERE NOT late) AS s1
+      FROM split GROUP BY user_id, ws
+    ),
+    bounds AS (
+      SELECT w.*, wm.wm1, wm.wm2,
+             w.align0 + (k.k * INTERVAL '20 minutes') AS b
+      FROM w JOIN wm ON wm.user_id = w.user_id, generate_series(1, 3) k(k)
+    ),
+    -- interval panes fired while only batch-1 rows were buffered
+    paneA AS (
+      SELECT user_id, ws, n1 AS n, s1 AS sum_cents FROM bounds
+      WHERE b <= wm1 AND b < wend
+    ),
+    -- close pane of windows the batch-1 watermark already passed
+    close1 AS (
+      SELECT user_id, ws, n1 AS n, s1 AS sum_cents
+      FROM (SELECT DISTINCT user_id, ws, wend, wm1, n1, s1 FROM bounds)
+      WHERE wend <= wm1
+    ),
+    -- interval panes fired after batch 2 landed (full contents)
+    paneB AS (
+      SELECT user_id, ws, nall AS n, sall AS sum_cents FROM bounds
+      WHERE b > wm1 AND b <= wm2 AND b < wend AND wend > wm1
+    ),
+    -- close pane of windows the batch-2 watermark closed
+    close2 AS (
+      SELECT user_id, ws, nall AS n, sall AS sum_cents
+      FROM (SELECT DISTINCT user_id, ws, wend, wm1, wm2, nall, sall FROM bounds)
+      WHERE wend > wm1 AND wend <= wm2
+    )
+    SELECT user_id, ws AS window_start, ws + INTERVAL '1 hour' AS window_end,
+           CAST(n AS BIGINT) AS n, CAST(sum_cents AS BIGINT) AS sum_cents
+    FROM (SELECT * FROM paneA UNION ALL SELECT * FROM close1
+          UNION ALL SELECT * FROM paneB UNION ALL SELECT * FROM close2)
+    """,
+    tags=("streaming", "trigger", "timers", "custom-op"),
+)
+def stream_continuous_trigger_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ContinuousEventTimeTrigger end-to-end — the timer-registration
+    path (TriggerContext.registerEventTimeTimer /
+    ContinuousEventTimeTrigger.java): 20-minute speculative panes per
+    1-hour window as the per-key watermark advances across two
+    DETERMINISTIC arrival batches (same split as
+    stream_late_refire_drain: non-first window rows with
+    event_id % 3 == 0 arrive second). The oracle replays the timer
+    algebra: boundaries (aligned from the window's first element)
+    ≤ wm1 fire with batch-1 contents, boundaries in (wm1, wm2] fire
+    with full contents, and each window's close pane fires exactly
+    once with whatever had arrived; batch-2 rows for already-closed
+    windows drop (allowedLateness 0)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from flink_1_16_0_src_spark.streaming.triggers import (
+        ContinuousEventTimeTrigger,
+        triggered_tumble_window,
+    )
+    from flink_1_16_0_src_spark.tables import load as _load
+
+    ev = _load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value",
+        F.window("ts", "1 hour").start.alias("__ws"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("user_id", "__ws").orderBy("ts", "event_id")
+    )
+    tagged = ev.withColumn("__rn", rn).withColumn(
+        "__late", (F.col("__rn") > 1) & (F.col("event_id") % 3 == 0)
+    )
+    d = tempfile.mkdtemp(prefix="cont_trig_")
+    src = os.path.join(d, "src")
+    cols = ["user_id", "ts", "event_id", "value"]
+    tagged.where(~F.col("__late")).select(*cols).coalesce(1).write.parquet(src)
+    tagged.where(F.col("__late")).select(*cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    parts = sorted(
+        (os.path.getmtime(os.path.join(src, f)), f)
+        for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    base = parts[0][0]
+    for k, (_m, f) in enumerate(parts):
+        os.utime(os.path.join(src, f), (base + 10 * k, base + 10 * k))
+    sdf = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = triggered_tumble_window(
+        sdf, ["user_id"], "ts", "1 hour", "10 minutes",
+        ContinuousEventTimeTrigger("20 minutes", ts_col="ts"),
+        lambda w: {"n": len(w),
+                   "sum_cents": int(w["value"].astype(float).mul(100).round().sum())},
+        "user_id bigint, window_start timestamp, window_end timestamp, "
+        "n bigint, sum_cents bigint",
+        order_col=["ts", "event_id"],
+    )
+    drained = ssrc.run_to_memory(out, f"drain_cont_trig_{next(_seq)}", "append")
+    return drained.select("user_id", "window_start", "window_end", "n", "sum_cents")
