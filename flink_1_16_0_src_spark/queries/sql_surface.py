@@ -293,3 +293,52 @@ def lateral_sql_table_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lat_docs, LATERAL TABLE(sql_tokenize(text)) AS T(word, pos)
     """
     return spark.sql(rewrite_flink_clauses(spark, sql))
+
+
+@query(
+    "join_temporal_table_fn",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           r.o_orderkey, round(r.o_totalprice, 2) AS rate_price
+    FROM events e
+    ASOF JOIN (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM orders
+        QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                   ORDER BY o_orderkey DESC) = 1
+    ) r
+      ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+    tags=("join", "temporal", "sql-surface"),
+)
+def join_temporal_table_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LEGACY TemporalTableFunction surface (TableImpl.
+    createTemporalTableFunction + ``LATERAL TABLE (rates(o.ts))`` —
+    TemporalTableFunctionImpl.java, planner rule
+    LogicalCorrelateToJoinFromTemporalTableFunctionRule): the same
+    as-of semantics as ``FOR SYSTEM_TIME AS OF`` entered through the
+    function-call API+SQL pair, with the key predicate in WHERE as the
+    reference requires. Oracle: DuckDB's native ASOF JOIN."""
+    from pyspark.sql import Window as W
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    ).createOrReplaceTempView("ttf_events")
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    w = W.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
+    versions = o.withColumn("__rn", F.row_number().over(w)).where("__rn = 1").drop("__rn")
+    tenv.create_temporal_table_function(
+        "order_rates", versions, time_attr="o_orderdate", primary_key="o_custkey"
+    )
+    return tenv.sql_query(
+        """
+        SELECT e.event_id, e.user_id, e.ts, r.o_orderkey,
+               round(r.o_totalprice, 2) AS rate_price
+        FROM ttf_events AS e, LATERAL TABLE (order_rates(e.ts)) AS r
+        WHERE r.o_custkey = e.user_id
+        """
+    ).select("event_id", "user_id", "ts", "o_orderkey", "rate_price")

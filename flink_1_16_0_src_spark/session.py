@@ -214,6 +214,9 @@ class TableEnvironment:
         # parsed DDL per table — the CatalogTable the reference keeps;
         # CREATE TABLE ... LIKE and ALTER TABLE derive from these
         self._registrations: dict[str, dict] = {}
+        # TemporalTableFunction registry: name -> (history df, time
+        # attribute, primary key) — TableImpl.createTemporalTableFunction
+        self._temporal_fns: dict[str, tuple] = {}
         # CLI split form: BEGIN STATEMENT SET; ... END; buffers here
         self._pending_statement_set: "StatementSet | None" = None
         from flink_1_16_0_src_spark.catalog import CatalogManager
@@ -781,8 +784,21 @@ class TableEnvironment:
             return rewrite_flink_clauses(
                 self.spark, sql,
                 time_attrs={t: col for t, (col, _d) in self._watermarks.items()},
+                temporal_fns=self._temporal_fns,
             )
         return sql
+
+    def create_temporal_table_function(
+        self, name: str, history, time_attr: str, primary_key: str
+    ) -> None:
+        """Table.createTemporalTableFunction parity (TableImpl.java →
+        TemporalTableFunctionImpl.java): register ``history`` (a
+        DataFrame or a registered table name) as a temporal table
+        function; SQL can then write ``LATERAL TABLE (name(probe.ts))``
+        and the clause rewriter lowers it onto the as-of join
+        operator."""
+        df = history if isinstance(history, DataFrame) else self.spark.table(history)
+        self._temporal_fns[name] = (df, time_attr, primary_key)
 
     def sql_query(self, sql: str) -> DataFrame:
         return self.spark.sql(self._rewrite_flink_clauses(translate_hints(sql)))

@@ -573,7 +573,8 @@ def rewrite_match_recognize(spark: SparkSession, sql: str) -> str:
 
 
 def rewrite_flink_clauses(
-    spark: SparkSession, sql: str, time_attrs: dict[str, str] | None = None
+    spark: SparkSession, sql: str, time_attrs: dict[str, str] | None = None,
+    temporal_fns: dict | None = None,
 ) -> str:
     if re.search(r"MATCH_RECOGNIZE", sql, re.IGNORECASE):
         sql = rewrite_match_recognize(spark, sql)
@@ -581,6 +582,8 @@ def rewrite_flink_clauses(
         sql = rewrite_window_tvfs(spark, sql)
     if re.search(r"FOR\s+SYSTEM_TIME\s+AS\s+OF", sql, re.IGNORECASE):
         sql = rewrite_temporal_join(spark, sql, time_attrs or {})
+    if temporal_fns and re.search(r"LATERAL\s+TABLE", sql, re.IGNORECASE):
+        sql = rewrite_temporal_table_fn(spark, sql, temporal_fns)
     if re.search(r"LATERAL\s+TABLE", sql, re.IGNORECASE):
         sql = rewrite_lateral_table(sql)
     return sql
@@ -655,6 +658,82 @@ def rewrite_temporal_join(
 
     tail = strip_alias(m.group("tail") or "")
     return f"SELECT {strip_alias(m.group('select'))} FROM {view}{tail}"
+
+
+# ---- LATERAL TABLE(temporal_fn(ts)) — TemporalTableFunction ---------------
+
+_TEMPORAL_FN_JOIN = re.compile(
+    r"SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<lt>\w+)(?:\s+AS\s+(?P<la>\w+))?\s*,\s*"
+    r"LATERAL\s+TABLE\s*\(\s*(?P<fn>\w+)\s*\(\s*(?P<arg>[\w.]+)\s*\)\s*\)"
+    r"(?:\s+AS\s+(?P<ra>\w+))?"
+    r"(?:\s+WHERE\s+(?P<cond>.+?))?"
+    r"(?P<tail>\s+(?:GROUP|ORDER|LIMIT)\s+.*)?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def rewrite_temporal_table_fn(spark: SparkSession, sql: str, temporal_fns: dict) -> str:
+    """The LEGACY temporal table function join (TableImpl.
+    createTemporalTableFunction → TemporalTableFunctionImpl.java;
+    planner rule LogicalCorrelateToJoinFromTemporalTableFunctionRule):
+    ``FROM probe, LATERAL TABLE (rates(probe.ts)) AS r WHERE r.key =
+    probe.key`` joins each probe row to the version of the registered
+    history table valid AS OF the argument timestamp — lowered onto the
+    same as-of operator the `FOR SYSTEM_TIME AS OF` form uses.
+    ``temporal_fns[name] = (history_df, time_attr, primary_key)``.
+    Key predicates = WHERE equality conjuncts touching the function
+    alias; other conjuncts stay as WHERE. Inner semantics (a probe row
+    with no valid version drops), as in the reference."""
+    m = _TEMPORAL_FN_JOIN.match(sql.strip())
+    if m is None or m.group("fn") not in temporal_fns:
+        return sql
+    from flink_1_16_0_src_spark.operators.joins import asof_join
+
+    right_df, right_time, _pk = temporal_fns[m.group("fn")]
+    lt = m.group("lt")
+    la = m.group("la") or lt
+    ra = m.group("ra") or m.group("fn")
+    left_df = spark.table(lt)
+    left_time = m.group("arg").split(".")[-1]
+    on_keys: list[str] = []
+    residual: list[str] = []
+    for part in re.split(r"\bAND\b", m.group("cond") or "", flags=re.IGNORECASE):
+        if not part.strip():
+            continue
+        em = re.match(r"\s*([\w.]+)\s*=\s*([\w.]+)\s*$", part)
+        took = False
+        if em:
+            a, b = em.group(1), em.group(2)
+
+            def pref(x: str) -> tuple[str | None, str]:
+                return tuple(x.split(".", 1)) if "." in x else (None, x)  # type: ignore[return-value]
+
+            (pa, ca), (pb, cb) = pref(a), pref(b)
+            if pa == ra or pb == ra:
+                rk, lk = (ca, cb) if pa == ra else (cb, ca)
+                if rk != lk:
+                    right_df = right_df.withColumnRenamed(rk, lk)
+                on_keys.append(lk)
+                took = True
+        if not took:
+            residual.append(part.strip())
+    if not on_keys:
+        raise ValueError(
+            "temporal table function join needs an equality predicate on "
+            "the function's key in WHERE (e.g. WHERE r.currency = o.currency)"
+        )
+    joined = asof_join(left_df, right_df, on_keys, left_time, right_time, how="inner")
+    view = f"__ttf_{lt}_{m.group('fn')}"
+    joined.createOrReplaceTempView(view)
+
+    def strip_alias(text: str) -> str:
+        return re.sub(rf"\b({la}|{ra}|{lt})\.", "", text)
+
+    where = (
+        f" WHERE {' AND '.join(strip_alias(r) for r in residual)}" if residual else ""
+    )
+    tail = strip_alias(m.group("tail") or "")
+    return f"SELECT {strip_alias(m.group('select'))} FROM {view}{where}{tail}"
 
 
 # ---- LATERAL TABLE(udtf(...)) ---------------------------------------------

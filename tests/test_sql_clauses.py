@@ -299,3 +299,35 @@ def test_crossvar_predicate_null_vs_real_type_error():
     bad = _crossvar_predicate("v + 1 > 'x'", {})
     with pytest.raises(TypeError):
         bad({"v": 1}, {})
+
+
+def test_temporal_table_fn_residual_where_and_inner_semantics(spark):
+    """TemporalTableFunction rewrite: key conjunct becomes the as-of
+    key, other WHERE conjuncts survive; probe rows with no valid
+    version drop (inner)."""
+    import datetime as dt
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    t0 = dt.datetime(2024, 1, 1)
+    probe = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(hours=5), 10), (1, t0 - dt.timedelta(hours=1), 20),
+         (2, t0 + dt.timedelta(hours=2), 30)],
+        "k int, ts timestamp, v int",
+    )
+    probe.createOrReplaceTempView("ttfu_probe")
+    hist = spark.createDataFrame(
+        [(1, t0, 100), (1, t0 + dt.timedelta(hours=4), 140), (2, t0, 200)],
+        "k int, rate_ts timestamp, rate int",
+    )
+    tenv.create_temporal_table_function("u_rates", hist, "rate_ts", "k")
+    got = tenv.sql_query(
+        "SELECT p.k, p.v, r.rate FROM ttfu_probe AS p, "
+        "LATERAL TABLE (u_rates(p.ts)) AS r "
+        "WHERE r.k = p.k AND p.v < 25"
+    ).collect()
+    rows = sorted((r.k, r.v, r.rate) for r in got)
+    # (1, t0+5h) -> rate 140; (1, t0-1h) has no version -> dropped by
+    # inner semantics; (2, ...) filtered by the residual v < 25
+    assert rows == [(1, 10, 140)]
