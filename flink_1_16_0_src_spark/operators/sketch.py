@@ -326,3 +326,70 @@ def bloom_semi_filter(
     return probe.crossJoin(F.broadcast(f)).where(
         F.expr(bloom_member_sql(probe_key, "spark"))
     ).drop(*[f"w{w}" for w in range(_BLOOM_WORDS)])
+
+
+# ---- Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) -------
+
+_CM_DEPTH, _CM_WIDTH = 4, 64
+
+
+def _cm_bucket(col, r: int, w: int):
+    """Row-r bucket of a key: md5('r:key') first 15 hex digits mod w —
+    the same md5-derived universal-hash convention as the HLL and
+    MinHash sketches, so DuckDB reproduces the sketch bit-for-bit."""
+    s = F.concat(F.lit(f"{r}:"), F.col(col).cast("string"))
+    return (F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint") % w)
+
+
+def _cm_bucket_sql(key: str, r: int, w: int, dialect: str) -> str:
+    if dialect == "spark":
+        return f"(CAST(conv(substring(md5(concat('{r}:', CAST({key} AS STRING))), 1, 15), 16, 10) AS BIGINT) % {w})"
+    return f"(('0x' || substr(md5('{r}:' || CAST({key} AS VARCHAR)), 1, 15))::BIGINT % {w})"
+
+
+def count_min_counters(
+    df: DataFrame, key_col: str, d: int = _CM_DEPTH, w: int = _CM_WIDTH
+) -> DataFrame:
+    """The d×w counter table: counter(r, b) = number of input rows
+    whose row-r hash lands in bucket b. One explode to d tiny
+    (r, b) rows per input row, folded by a (r, b)-keyed count whose
+    map-side partials reduce the shuffle to ≤ d·w cells per task —
+    the mergeable-summary property that makes CM the streaming
+    frequency sketch (add counter tables cell-wise to merge)."""
+    structs = F.array(
+        *[
+            F.struct(F.lit(r).alias("r"), _cm_bucket(key_col, r, w).alias("b"))
+            for r in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(structs).alias("__c"))
+        .groupBy(F.col("__c.r").alias("r"), F.col("__c.b").alias("b"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def count_min_estimates(
+    df: DataFrame, key_col: str, d: int = _CM_DEPTH, w: int = _CM_WIDTH
+) -> DataFrame:
+    """(key, true_count, cm_estimate): every distinct key probed
+    against the sketch built from the same input — estimate = min over
+    the d row counters, always ≥ the true count (one-sided error
+    ≤ e/w · N with probability 1−e^−d). The d·w counter table
+    broadcasts; the probe join never shuffles the keys by bucket."""
+    counters = count_min_counters(df, key_col, d, w)
+    keys = df.groupBy(key_col).agg(F.count("*").cast("bigint").alias("true_count"))
+    structs = F.array(
+        *[
+            F.struct(F.lit(r).alias("r"), _cm_bucket(key_col, r, w).alias("b"))
+            for r in range(d)
+        ]
+    )
+    probes = keys.select(
+        key_col, "true_count", F.explode(structs).alias("__c")
+    ).select(key_col, "true_count", F.col("__c.r").alias("r"), F.col("__c.b").alias("b"))
+    return (
+        probes.join(F.broadcast(counters), ["r", "b"])
+        .groupBy(key_col, "true_count")
+        .agg(F.min("cnt").cast("bigint").alias("cm_estimate"))
+    )

@@ -155,3 +155,44 @@ def sketch_bloom_prejoin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n_maybe")
     )
+
+
+@query(
+    "sketch_count_min_users",
+    oracle="""
+    WITH keys AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS true_count
+      FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT r.r,
+             (('0x' || substr(md5(r.r || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 64) AS b,
+             count(*) AS cnt
+      FROM events, generate_series(0, 3) r(r)
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT k.user_id, k.true_count, r.r,
+             (('0x' || substr(md5(r.r || ':' || CAST(k.user_id AS VARCHAR)), 1, 15))::BIGINT % 64) AS b
+      FROM keys k, generate_series(0, 3) r(r)
+    )
+    SELECT p.user_id, p.true_count,
+           CAST(min(c.cnt) AS BIGINT) AS cm_estimate
+    FROM probes p JOIN cells c ON c.r = p.r AND c.b = p.b
+    GROUP BY p.user_id, p.true_count
+    """,
+    tags=("sketch", "pipeline", "custom-op"),
+)
+def sketch_count_min_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (Cormode & Muthukrishnan 2005) over
+    event user_ids: 4×64 md5-derived counter table + per-key min-probe
+    estimates, engine-exact by construction (the oracle rebuilds the
+    identical sketch). Mergeable summaries: at 100 TB each partition
+    folds to ≤ d·w cells map-side and tables merge cell-wise — the
+    same scale story as the HLL/Misra-Gries rows of this family."""
+    from flink_1_16_0_src_spark.operators.sketch import count_min_estimates
+
+    ev = load(spark, sf_dir, "events")
+    return count_min_estimates(ev, "user_id").select(
+        "user_id", "true_count", "cm_estimate"
+    )

@@ -170,3 +170,17 @@ def test_misra_gries_merge_guarantee(spark):
     parts = _misra_gries_partials(df, "k", capacity=64).collect()
     assert len(parts) <= 64
     assert any(r.k == -1 for r in parts)
+
+
+def test_count_min_one_sided_error_and_exact_under_load(spark):
+    """CM guarantees: estimate >= true count for EVERY key (one-sided),
+    and with |keys| << d*w collisions are rare enough that most
+    estimates are exact."""
+    from flink_1_16_0_src_spark.operators.sketch import count_min_estimates
+
+    df = spark.range(0, 5_000).select((F.col("id") % 37).alias("k"))
+    rows = count_min_estimates(df, "k").collect()
+    assert len(rows) == 37
+    assert all(r.cm_estimate >= r.true_count for r in rows)
+    exact = sum(1 for r in rows if r.cm_estimate == r.true_count)
+    assert exact >= 30  # 37 keys in 4x64 cells: collisions are rare
