@@ -306,3 +306,12 @@ def test_tpcds_suite_no_python_no_unbounded_cartesian(spark):
         assert "EvalPython" not in plan, f"{name} runs Python"
         if name not in one_row_panels:
             assert "CartesianProduct" not in plan, f"{name} cross-joins"
+
+
+def test_length_percentiles_histogram_sized_no_corpus_window(spark):
+    """text_length_percentiles must rank via the (lang, n_chars)
+    histogram + broadcast join back — never a per-lang window over the
+    raw corpus (one task per language at 100 TB)."""
+    plan = _plan(spark, "text_length_percentiles")
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
