@@ -136,8 +136,34 @@ def _parse_props(props: str) -> dict[str, str]:
 # the filesystem sink's two write modes (FileSystemTableSink overwrite
 # flag from SqlInsert.isOverwrite)
 _INSERT_INTO = re.compile(
-    r"INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\s+(.*)$", re.IGNORECASE | re.DOTALL
+    # optional column list (SqlInsert column list, Flink 1.16 FLIP-219
+    # partial-insert): strictly identifiers+commas so a parenthesized
+    # subquery body is never mistaken for one
+    r"INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\s*"
+    r"(?:\(\s*(?P<collist>\w+(?:\s*,\s*\w+)*)\s*\)\s*)?(?P<body>.*)$",
+    re.IGNORECASE | re.DOTALL,
 )
+
+
+def _apply_insert_column_list(df, collist: str | None, declared: dict):
+    """INSERT INTO t (a, b) SELECT ...: the query's columns map to the
+    listed target columns positionally; declared-but-unlisted columns
+    land as typed NULLs (Flink's partial-insert null-fill)."""
+    if not collist:
+        return df
+    names = [c.strip() for c in collist.split(",")]
+    if len(names) != len(df.columns):
+        raise ValueError(
+            f"INSERT column list {names} arity {len(names)} != query "
+            f"column count {len(df.columns)}"
+        )
+    df = df.toDF(*names)
+    for cname, ctype in declared.items():
+        if cname not in names:
+            df = df.withColumn(cname, F.lit(None).cast(ctype))
+    if declared:
+        df = df.select(*[c for c in declared], *[c for c in names if c not in declared])
+    return df
 
 _STATIC_PARTITION = re.compile(r"^\s*PARTITION\s*\(([^)]*)\)\s*", re.IGNORECASE)
 
@@ -368,7 +394,7 @@ class TableEnvironment:
             from flink_1_16_0_src_spark import sources as srcs
 
             sink = self._sinks[mi.group(2)]
-            static_parts, body = _parse_static_partition(mi.group(3))
+            static_parts, body = _parse_static_partition(mi.group("body"))
             df = self.spark.sql(body)
             declared = {}
             if sink.get("schema"):
@@ -377,6 +403,7 @@ class TableEnvironment:
                 declared = {
                     f.name: f.dataType for f in StructType.fromDDL(sink["schema"]).fields
                 }
+            df = _apply_insert_column_list(df, mi.group("collist"), declared)
             for k, v in static_parts.items():
                 # Flink SqlInsert static partitions (SqlPartitionUtils
                 # .getPartitionKVs): constant columns appended to every
@@ -946,7 +973,19 @@ class StatementSet:
         # same hint/clause rewriting as execute_sql's INSERT path, so the
         # SQL-text statement set (EXECUTE STATEMENT SET BEGIN..END) and
         # the API agree on window-TVF / MATCH_RECOGNIZE / hints
-        return self.add_insert(mi.group(2), self._tenv.sql_query(mi.group(3)))
+        df = self._tenv.sql_query(mi.group("body"))
+        if mi.group("collist"):
+            sink = self._tenv._sinks.get(mi.group(2), {})
+            declared = {}
+            if sink.get("schema"):
+                from pyspark.sql.types import StructType
+
+                declared = {
+                    f.name: f.dataType
+                    for f in StructType.fromDDL(sink["schema"]).fields
+                }
+            df = _apply_insert_column_list(df, mi.group("collist"), declared)
+        return self.add_insert(mi.group(2), df)
 
     def _maximal_shared(self) -> list:
         """Maximal analyzed subtrees occurring in >= 2 statements

@@ -201,3 +201,19 @@ def test_like_of_ctas_table(tenv, tmp_path):
     assert tenv._registrations["ctas_like"]["props"]["k"] == "w"
     got = tenv.sql_query("SELECT a, b FROM ctas_like").collect()
     assert [(r.a, r.b) for r in got] == [(1, "x")]
+
+
+def test_insert_with_column_list_null_fills(tenv, spark, tmp_path):
+    """INSERT INTO t (a, c) SELECT ...: positional mapping to the
+    listed columns, declared-but-unlisted columns land as typed NULLs
+    (SqlInsert column list / FLIP-219 partial insert)."""
+    p = str(tmp_path / "collist_sink")
+    tenv.execute_sql(
+        f"CREATE TABLE snk_collist (a INT, b STRING, c DOUBLE) WITH ("
+        f"'connector'='filesystem','path'='{p}','format'='parquet')"
+    )
+    tenv.execute_sql("INSERT INTO snk_collist (c, a) SELECT 1.5, 7")
+    got = spark.read.parquet(p).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.a, r.b, r.c) == (7, None, 1.5)
