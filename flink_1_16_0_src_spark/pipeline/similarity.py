@@ -287,6 +287,102 @@ def pq_encode(
     return df.select(*cols)
 
 
+def ivfpq_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id: int,
+    k: int = 5,
+    n_cells: int = 4,
+    nprobe: int = 2,
+    m: int = 8,
+    ncent: int = 4,
+) -> DataFrame:
+    """IVF-PQ composed index (Jégou et al. §V / FAISS IndexIVFPQ): the
+    coarse quantizer routes each vector to a cell, PQ encodes the
+    RESIDUAL (vector − cell centroid), and a query scans only its
+    ``nprobe`` nearest cells with a per-cell asymmetric-distance table
+    built from the query's residual against that cell.
+
+    Scale: residual + encode are one map-only projection (codes = m
+    bytes/vector); the probe phase is ``nprobe`` map-only filtered
+    scans (cell is a stored column — partition/cluster by it at 100 TB
+    and the scans touch only their lists); LUTs are
+    nprobe × m × ncent driver floats; the global top-k is a
+    TakeOrderedAndProject heap merge. Determinism: every argmin runs
+    over 6-dp-rounded distances (``_argmin_rounded``), cell probe
+    order ties on the cell id, final ranking on the 4-dp ADC — the
+    engine-exact conventions of the sibling IVF/PQ operators."""
+    seeds_rows = df.where(F.col(id_col) < n_cells).select(id_col, vec_col).collect()
+    seeds = [list(map(float, r[1])) for r in sorted(seeds_rows, key=lambda r: r[0])]
+    assigned = ivf_assign(df, vec_col, id_col, seeds)
+    cents_lit = F.array(*[F.array(*[F.lit(float(x)) for x in s]) for s in seeds])
+    v = F.col(vec_col).cast("array<double>")
+    res_df = assigned.select(
+        F.col(id_col),
+        F.col("cell"),
+        F.zip_with(
+            v, F.element_at(cents_lit, F.col("cell") + 1), lambda x, y: x - y
+        ).alias("__res"),
+    )
+    books = pq_codebooks(res_df, "__res", id_col, m, ncent)
+    sub = len(books[0][0])
+    enc_cols = [F.col(id_col), F.col("cell")]
+    for j, cents in enumerate(books):
+        svec = F.slice(F.col("__res"), j * sub + 1, sub)
+        dists = F.array(*[_l2sq_to_seed(svec, c) for c in cents])
+        enc_cols.append(_argmin_rounded(dists).alias(f"code{j}"))
+    encoded = res_df.select(*enc_cols)
+
+    qrow = df.where(F.col(id_col) == query_id).select(vec_col).collect()
+    qv = list(map(float, qrow[0][0]))
+    # nprobe nearest cells: 6-dp-rounded coarse distances, ties to the
+    # lowest cell id — the _argmin_rounded convention, driver-side
+    coarse = sorted(
+        (round(sum((qv[i] - s[i]) ** 2 for i in range(len(qv))), 6), c)
+        for c, s in enumerate(seeds)
+    )[:nprobe]
+    scans = []
+    for _d, cell in coarse:
+        qres = [qv[i] - seeds[cell][i] for i in range(len(qv))]
+        lut = [
+            [
+                sum((qres[j * sub + i] - c[i]) ** 2 for i in range(sub))
+                for c in books[j]
+            ]
+            for j in range(m)
+        ]
+        dist = None
+        for j in range(m):
+            term = F.element_at(
+                F.array(*[F.lit(float(d)) for d in lut[j]]),
+                F.col(f"code{j}") + 1,
+            )
+            dist = term if dist is None else dist + term
+        scans.append(
+            encoded.where(
+                (F.col("cell") == cell) & (F.col(id_col) != query_id)
+            ).select(
+                F.lit(query_id).cast("bigint").alias("query_id"),
+                F.col(id_col).alias("neighbor_id"),
+                F.round(dist, 4).alias("adc_dist"),
+            )
+        )
+    allscans = scans[0]
+    for s in scans[1:]:
+        allscans = allscans.unionByName(s)
+    topk = allscans.orderBy("adc_dist", "neighbor_id").limit(k)
+    return (
+        topk.withColumn(
+            "rank_num",
+            F.row_number()
+            .over(Window.orderBy("adc_dist", "neighbor_id"))
+            .cast("int"),
+        )
+        .select("query_id", "neighbor_id", "adc_dist", "rank_num")
+    )
+
+
 def pq_adc_topk(
     df: DataFrame,
     vec_col: str,

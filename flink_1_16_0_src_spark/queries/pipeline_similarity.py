@@ -364,3 +364,98 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_q
+
+
+@query(
+    "sim_ivfpq_topk",
+    oracle="""
+    WITH seeds AS (
+      SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 4
+    ),
+    cd AS (
+      SELECT e.vec_id, s.cell,
+             (SELECT sum(((e.embedding::DOUBLE[])[g.i] - s.cv[g.i]) ^ 2)
+              FROM generate_series(1, 64) g(i)) AS d
+      FROM embeddings e CROSS JOIN seeds s
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY round(d, 6), cell) AS rn
+        FROM cd) t WHERE rn = 1
+    ),
+    resid AS (
+      SELECT e.vec_id, a.cell,
+             list_transform(generate_series(1, 64),
+                i -> (e.embedding::DOUBLE[])[i] - s.cv[i]) AS r
+      FROM embeddings e
+      JOIN assign a ON a.vec_id = e.vec_id
+      JOIN seeds s ON s.cell = a.cell
+    ),
+    cb AS (
+      SELECT j.j, c.c, list_slice(r.r, j.j*8 + 1, j.j*8 + 8) AS cent
+      FROM generate_series(0, 7) j(j)
+      CROSS JOIN generate_series(0, 3) c(c)
+      JOIN resid r ON r.vec_id = c.c
+    ),
+    cdists AS (
+      SELECT r.vec_id, cb.j, cb.c,
+             (SELECT sum((r.r[cb.j*8 + s.i] - cb.cent[s.i]) ^ 2)
+              FROM generate_series(1, 8) s(i)) AS d
+      FROM resid r CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, j, c AS code FROM (
+        SELECT vec_id, j, c,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY round(d, 6), c) AS rn
+        FROM cdists) t WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT cell FROM (
+        SELECT cd.cell, row_number() OVER (ORDER BY round(cd.d, 6), cd.cell) AS rn
+        FROM cd WHERE cd.vec_id = 42) t WHERE rn <= 2
+    ),
+    qres AS (
+      SELECT p.cell,
+             list_transform(generate_series(1, 64),
+                i -> (q.embedding::DOUBLE[])[i] - s.cv[i]) AS r
+      FROM qprobe p
+      JOIN seeds s ON s.cell = p.cell
+      CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 42) q
+    ),
+    lut AS (
+      SELECT qr.cell, cb.j, cb.c,
+             (SELECT sum((qr.r[cb.j*8 + s.i] - cb.cent[s.i]) ^ 2)
+              FROM generate_series(1, 8) s(i)) AS d
+      FROM qres qr CROSS JOIN cb
+    ),
+    adc AS (
+      SELECT a.vec_id AS neighbor_id, round(sum(l.d), 4) AS adc_dist
+      FROM assign a
+      JOIN qprobe p ON p.cell = a.cell
+      JOIN codes k2 ON k2.vec_id = a.vec_id
+      JOIN lut l ON l.cell = a.cell AND l.j = k2.j AND l.c = k2.code
+      WHERE a.vec_id <> 42
+      GROUP BY a.vec_id
+    )
+    SELECT CAST(42 AS BIGINT) AS query_id, neighbor_id, adc_dist,
+           CAST(row_number() OVER (ORDER BY adc_dist, neighbor_id) AS INT) AS rank_num
+    FROM adc QUALIFY rank_num <= 5
+    """,
+    tags=("pipeline", "similarity", "custom-op"),
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN index (Jégou et al. §V, the FAISS IndexIVFPQ
+    shape): coarse quantizer (4 cells) routes vectors, PQ (8×4) encodes
+    RESIDUALS, the query scans its 2 nearest cells with per-cell ADC
+    tables built from the query's residual. The DuckDB oracle replays
+    the whole pipeline — assignment, residuals, residual codebooks,
+    encoding, probe ordering, per-cell LUTs, and the heap top-5."""
+    from flink_1_16_0_src_spark.pipeline.similarity import ivfpq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, "embedding", "vec_id", query_id=42, k=5, n_cells=4, nprobe=2,
+        m=8, ncent=4,
+    )

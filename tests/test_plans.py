@@ -315,3 +315,13 @@ def test_length_percentiles_histogram_sized_no_corpus_window(spark):
     plan = _plan(spark, "text_length_percentiles")
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivfpq_heap_topk_no_python_no_cartesian(spark):
+    """IVF-PQ: probe scans are map-only filters over the encoded
+    corpus, the global top-k is a heap merge — no Python, no cartesian,
+    TakeOrderedAndProject present."""
+    plan = _plan(spark, "sim_ivfpq_topk")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
