@@ -384,6 +384,42 @@ class TableEnvironment:
         )
         if mshow:
             return self._show_create_table(mshow.group(1))
+        # catalog statements (SqlCreateCatalog.java / SqlUseCatalog.java /
+        # SqlShowCatalogs.java / SqlDropCatalog) — resolved by the
+        # CatalogManager; only the in-memory type exists in this env
+        mcc = re.match(
+            r"^CREATE\s+CATALOG\s+(\w+)(?:\s+WITH\s*\((?P<props>[^)]*)\))?\s*;?\s*$",
+            stmt, re.IGNORECASE,
+        )
+        if mcc:
+            from flink_1_16_0_src_spark.catalog import GenericInMemoryCatalog
+
+            props = _parse_props(mcc.group("props") or "")
+            ctype = props.get("type", "generic_in_memory")
+            if ctype != "generic_in_memory":
+                raise NotImplementedError(
+                    f"catalog type {ctype!r}: only generic_in_memory exists "
+                    "in this environment (hive/jdbc catalogs need external "
+                    "services)"
+                )
+            self.catalog_manager.register_catalog(
+                mcc.group(1), GenericInMemoryCatalog(self.spark, mcc.group(1))
+            )
+            return None
+        muc = re.match(r"^USE\s+CATALOG\s+(\w+)\s*;?\s*$", stmt, re.IGNORECASE)
+        if muc:
+            self.catalog_manager.use_catalog(muc.group(1))
+            return None
+        if re.match(r"^SHOW\s+CATALOGS\s*;?\s*$", stmt, re.IGNORECASE):
+            rows = [(n,) for n in sorted(self.catalog_manager._catalogs)]
+            return self.spark.createDataFrame(rows, "catalog_name string")
+        mdc = re.match(r"^DROP\s+CATALOG\s+(\w+)\s*;?\s*$", stmt, re.IGNORECASE)
+        if mdc:
+            name = mdc.group(1)
+            if name == self.catalog_manager.current_catalog:
+                raise ValueError(f"cannot drop the current catalog {name!r}")
+            self.catalog_manager._catalogs.pop(name, None)
+            return None
         stmt = translate_hints(stmt)
         # Flink EXPLAIN syntax (SqlRichExplain: EXPLAIN [PLAN FOR] <q>)
         # → Spark's EXPLAIN <q>

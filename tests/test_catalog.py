@@ -126,3 +126,26 @@ def test_analyze_table_feeds_cbo(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", prev)
     spark.sql("DROP TABLE IF EXISTS cat_stats_nation")
+
+
+def test_catalog_sql_statements(spark):
+    """CREATE/USE/SHOW/DROP CATALOG SQL (SqlCreateCatalog /
+    SqlUseCatalog / SqlShowCatalogs): resolved by the CatalogManager."""
+    import pytest
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    tenv.execute_sql("CREATE CATALOG extra WITH ('type'='generic_in_memory')")
+    names = [r.catalog_name for r in tenv.execute_sql("SHOW CATALOGS").collect()]
+    assert "default_catalog" in names and "extra" in names
+    tenv.execute_sql("USE CATALOG extra")
+    assert tenv.catalog_manager.current_catalog == "extra"
+    with pytest.raises(ValueError, match="current catalog"):
+        tenv.execute_sql("DROP CATALOG extra")
+    tenv.execute_sql("USE CATALOG default_catalog")
+    tenv.execute_sql("DROP CATALOG extra")
+    names2 = [r.catalog_name for r in tenv.execute_sql("SHOW CATALOGS").collect()]
+    assert "extra" not in names2
+    with pytest.raises(NotImplementedError, match="hive"):
+        tenv.execute_sql("CREATE CATALOG h WITH ('type'='hive')")
