@@ -430,27 +430,9 @@ class TableEnvironment:
             from flink_1_16_0_src_spark import sources as srcs
 
             sink = self._sinks[mi.group(2)]
-            static_parts, body = _parse_static_partition(mi.group("body"))
-            df = self.spark.sql(body)
-            declared = {}
-            if sink.get("schema"):
-                from pyspark.sql.types import StructType
-
-                declared = {
-                    f.name: f.dataType for f in StructType.fromDDL(sink["schema"]).fields
-                }
-            df = _apply_insert_column_list(df, mi.group("collist"), declared)
-            for k, v in static_parts.items():
-                # Flink SqlInsert static partitions (SqlPartitionUtils
-                # .getPartitionKVs): constant columns appended to every
-                # row; the SELECT omits them. Values are typed to the
-                # DDL-declared column type (Flink's static partitions are
-                # typed literals — an INT partition column must not land
-                # as a string; r2 ADVICE)
-                lit = F.lit(v)
-                if k in declared:
-                    lit = lit.cast(declared[k])
-                df = df.withColumn(k, lit)
+            df, static_parts = self._build_insert_df(
+                sink, mi.group("collist"), mi.group("body")
+            )
             mode = "overwrite" if mi.group(1).upper() == "OVERWRITE" else "append"
             srcs.write_table(
                 df,
@@ -465,6 +447,32 @@ class TableEnvironment:
             )
             return None
         return self.spark.sql(stmt)
+
+    def _build_insert_df(
+        self, sink: dict, collist: str | None, rest: str
+    ) -> "tuple[DataFrame, dict]":
+        """Shared INSERT body preparation for execute_sql and
+        StatementSet.add_insert_sql: static ``PARTITION (...)`` clause
+        (typed constant columns — SqlPartitionUtils.getPartitionKVs),
+        column-list mapping with typed NULL fill, Flink clause/hint
+        rewriting of the query body."""
+        static_parts, body = _parse_static_partition(rest)
+        df = self.spark.sql(self._rewrite_flink_clauses(translate_hints(body)))
+        declared = {}
+        if sink.get("schema"):
+            from pyspark.sql.types import StructType
+
+            declared = {
+                f.name: f.dataType
+                for f in StructType.fromDDL(sink["schema"]).fields
+            }
+        df = _apply_insert_column_list(df, collist, declared)
+        for k, v in static_parts.items():
+            lit = F.lit(v)
+            if k in declared:
+                lit = lit.cast(declared[k])
+            df = df.withColumn(k, lit)
+        return df, static_parts
 
     def _parse_create_table(
         self, name: str, schema_txt: str | None, partcols_txt: str | None,
@@ -996,37 +1004,32 @@ class StatementSet:
 
     def __init__(self, tenv: "TableEnvironment"):
         self._tenv = tenv
-        self._inserts: list[tuple[str, DataFrame]] = []
+        # (sink_name, df, static_partition_cols | None)
+        self._inserts: list[tuple[str, DataFrame, list[str] | None]] = []
 
     def add_insert(self, sink_name: str, df: DataFrame) -> "StatementSet":
-        self._inserts.append((sink_name, df))
+        self._inserts.append((sink_name, df, None))
         return self
 
     def add_insert_sql(self, sql: str) -> "StatementSet":
         mi = _INSERT_INTO.match(sql.strip())
         if not mi:
             raise ValueError("statement must be INSERT INTO <sink> <query>")
-        # same hint/clause rewriting as execute_sql's INSERT path, so the
-        # SQL-text statement set (EXECUTE STATEMENT SET BEGIN..END) and
-        # the API agree on window-TVF / MATCH_RECOGNIZE / hints
-        df = self._tenv.sql_query(mi.group("body"))
-        if mi.group("collist"):
-            sink = self._tenv._sinks.get(mi.group(2), {})
-            declared = {}
-            if sink.get("schema"):
-                from pyspark.sql.types import StructType
-
-                declared = {
-                    f.name: f.dataType
-                    for f in StructType.fromDDL(sink["schema"]).fields
-                }
-            df = _apply_insert_column_list(df, mi.group("collist"), declared)
-        return self.add_insert(mi.group(2), df)
+        # the SAME body preparation as execute_sql's INSERT path
+        # (_build_insert_df): hint/clause rewriting, column lists,
+        # typed static partitions — SQL-text statement sets and single
+        # INSERTs agree by construction
+        sink = self._tenv._sinks.get(mi.group(2), {})
+        df, static_parts = self._tenv._build_insert_df(
+            sink, mi.group("collist"), mi.group("body")
+        )
+        self._inserts.append((mi.group(2), df, list(static_parts) or None))
+        return self
 
     def _maximal_shared(self) -> list:
         """Maximal analyzed subtrees occurring in >= 2 statements
         (keyed by canonicalized semantic hash; leaves excluded)."""
-        plans = [df._jdf.queryExecution().analyzed() for _, df in self._inserts]
+        plans = [df._jdf.queryExecution().analyzed() for _, df, _sp in self._inserts]
 
         def subtrees(p, acc):
             acc.append(p)
@@ -1075,7 +1078,7 @@ class StatementSet:
             pdf.persist()
             cached.append(pdf)
         try:
-            for sink_name, df in self._inserts:
+            for sink_name, df, static_cols in self._inserts:
                 sink = self._tenv._sinks.get(sink_name)
                 if sink is None:
                     raise KeyError(f"unknown sink table {sink_name!r}")
@@ -1087,7 +1090,8 @@ class StatementSet:
                     # statement-set inserts are INSERT INTO → append,
                     # same precedence rule as execute_sql
                     {**sink["props"], "sink.mode": "append"},
-                    partitioned_by=sink.get("partitioned_by"),
+                    partitioned_by=sink.get("partitioned_by")
+                    or static_cols,
                 )
         finally:
             for pdf in cached:
