@@ -467,6 +467,13 @@ class TableEnvironment:
                 for f in StructType.fromDDL(sink["schema"]).fields
             }
         df = _apply_insert_column_list(df, collist, declared)
+        if declared and not collist:
+            # no column list: Flink maps the query to the declared sink
+            # schema POSITIONALLY (names don't matter, arity does) —
+            # static-partition columns are excluded from the mapping
+            targets = [c for c in declared if c not in static_parts]
+            if len(df.columns) == len(targets):
+                df = df.toDF(*targets)
         for k, v in static_parts.items():
             lit = F.lit(v)
             if k in declared:

@@ -217,3 +217,24 @@ def test_insert_with_column_list_null_fills(tenv, spark, tmp_path):
     assert len(got) == 1
     r = got[0]
     assert (r.a, r.b, r.c) == (7, None, 1.5)
+
+
+def test_statement_set_static_partition(tenv, spark, tmp_path):
+    """Statement-set INSERTs honor static PARTITION clauses (typed
+    constant columns + partitioned write), same as single INSERTs."""
+    p = str(tmp_path / "ss_part_sink")
+    tenv.execute_sql(
+        f"CREATE TABLE snk_ss_part (region INT, n BIGINT) WITH ("
+        f"'connector'='filesystem','path'='{p}','format'='parquet')"
+    )
+    res = tenv.execute_sql(
+        "EXECUTE STATEMENT SET BEGIN "
+        "INSERT INTO snk_ss_part PARTITION (region=7) SELECT CAST(42 AS BIGINT); "
+        "END"
+    ).collect()[0]
+    assert res.statements == 1
+    got = spark.read.parquet(p).collect()
+    assert [(r.region, r.n) for r in got] == [(7, 42)]
+    # partitioned directory layout (static col became a partition)
+    import os
+    assert any(d.startswith("region=") for d in os.listdir(p))
