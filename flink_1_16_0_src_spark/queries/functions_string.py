@@ -155,3 +155,62 @@ def func_string_initcap_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.overlay("n_name", F.lit("XX"), 3, 2).alias("overlaid"),
         F.translate("n_name", "AEIOU", "aeiou").alias("translated"),
     )
+
+
+def _sha_oracle() -> str:
+    """Expected digests precomputed with hashlib over the FIXED literal
+    inputs — DuckDB 1.x ships only sha256, so the sha1/224/384/512
+    conformance rows compare against known-answer constants (exactly
+    how the reference's function ITCases pin expected strings)."""
+    import hashlib
+
+    rows = []
+    for s in ("flink", "spark"):
+        b = s.encode()
+        rows.append(
+            "SELECT '{}' AS s, '{}' AS sha1_hex, '{}' AS sha224_hex, "
+            "'{}' AS sha256_hex, '{}' AS sha384_hex, '{}' AS sha512_hex, "
+            "'{}' AS json_str, '{}' AS json_int, 'true' AS json_bool".format(
+                s,
+                hashlib.sha1(b).hexdigest(),
+                hashlib.sha224(b).hexdigest(),
+                hashlib.sha256(b).hexdigest(),
+                hashlib.sha384(b).hexdigest(),
+                hashlib.sha512(b).hexdigest(),
+                '"' + s + '"',
+                len(s),
+            )
+        )
+    return " UNION ALL ".join(rows)
+
+
+@query(
+    "func_sha_json_string",
+    oracle=_sha_oracle(),
+    tags=("function", "string", "json"),
+)
+def func_sha_json_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHA1/SHA2-224/256/384/512 (BuiltInFunctionDefinitions sha1/
+    sha224/sha256/sha384/sha512) and JSON_STRING (scalar-to-JSON
+    serialization) over fixed literal inputs — known-answer conformance,
+    the reference function-ITCase style. JSON_STRING maps onto
+    to_json(named_struct(...)) with the wrapper stripped."""
+    rows = spark.createDataFrame([("flink",), ("spark",)], "s string")
+
+    def json_string(c):
+        j = F.to_json(F.struct(c.alias("v")))
+        return F.regexp_replace(
+            F.regexp_replace(j, r'^\{"v":', ""), r"\}$", ""
+        )
+
+    return rows.select(
+        "s",
+        F.sha1("s").alias("sha1_hex"),
+        F.sha2("s", 224).alias("sha224_hex"),
+        F.sha2("s", 256).alias("sha256_hex"),
+        F.sha2("s", 384).alias("sha384_hex"),
+        F.sha2("s", 512).alias("sha512_hex"),
+        json_string(F.col("s")).alias("json_str"),
+        json_string(F.length("s")).alias("json_int"),
+        json_string(F.lit(True)).alias("json_bool"),
+    )
