@@ -126,6 +126,8 @@ _DRIVER_GREEN_R4 = {
 def _rotation_rank(name: str) -> int:
     """0 = never driver-checked (or failed — re-check), then greens
     oldest-first (re-verify stalest evidence before fresher greens)."""
+    if name in _DRIVER_GREEN_R5:
+        return 5
     if name in _DRIVER_GREEN_R4:
         return 4
     if name in _DRIVER_GREEN_R3:
@@ -137,41 +139,92 @@ def _rotation_rank(name: str) -> int:
     return 0
 
 
-# VERDICT r4 next-round #1 — r5 tier 0 is the driver-evidence backlog:
-# first the 6 scalar-function rows whose LAST driver word is the r1
-# hash-red (fixed r2, strict-green since — one green row each retires
-# the stale red), then ALL 34 never-checked tpcds_* shapes (the
-# reference's own e2e gate is TPC-DS, TpcdsTestProgram.java:76-84),
-# the 6 tvf_*_agg, setop_except[_all] and the upsert-sink e2e; the
-# family round-robin then fills the remainder (tpch_* leads rank-0
-# tier 1 for r6).
-_TIER0_RECHECK = (
+# Green rows from CORRECTNESS_r05.json (50/50 green; r6 re-confirmed the
+# identical set because the rotation below had not been updated — VERDICT
+# r6 "What's wrong" #1). Registering them here is what frees the 50-slot
+# driver prefix for the 72-query never-checked backlog.
+_DRIVER_GREEN_R5 = {
+    "ddl_create_table_like", "format_upsert_sink_materialized",
+    "func_cast_try", "func_collections", "func_decimal_precision",
     "func_math_basic", "func_math_misc", "func_temporal",
-    "func_collections", "func_cast_try", "func_decimal_precision",
-)
-_TIER0_PRIORITY_FAMILIES = ("tvf",)
-# the 34 tpcds shapes that were never driver-checked as of r4 — pinned
-# BY NAME so the r5-new tpcds shapes (q3/q6/q7/... batch) don't crowd
-# them out of the 50-slot prefix; the new ones wait for the r6 rotation
+    "setop_except", "setop_except_all",
+    "tpcds_q10_multi_channel_exists", "tpcds_q13_demographic_band_averages",
+    "tpcds_q14_cross_channel_intersect",
+    "tpcds_q16_distinct_count_not_exists", "tpcds_q17_quantity_stats",
+    "tpcds_q21_before_after_ratio", "tpcds_q22_rollup_averages",
+    "tpcds_q23_frequent_buyers", "tpcds_q29_quantity_chain",
+    "tpcds_q31_share_growth", "tpcds_q37_price_band_window",
+    "tpcds_q39_consecutive_cov", "tpcds_q41_attribute_exists",
+    "tpcds_q43_weekday_pivot", "tpcds_q44_best_worst",
+    "tpcds_q45_disjunctive_subquery", "tpcds_q48_disjunctive_quantity",
+    "tpcds_q4_channel_ratio_growth", "tpcds_q50_latency_matrix",
+    "tpcds_q54_revenue_segments", "tpcds_q58_equal_share",
+    "tpcds_q59_week_over_week_ratio", "tpcds_q61_promo_ratio",
+    "tpcds_q64_repeat_purchases", "tpcds_q65_min_revenue_brand",
+    "tpcds_q66_time_band_pivot", "tpcds_q72_date_offset_join",
+    "tpcds_q75_yoy_delta_union", "tpcds_q89_rolling_deviation",
+    "tpcds_q90_am_pm_ratio", "tpcds_q92_excess_discount",
+    "tpcds_q93_net_after_returns", "tpcds_q98_class_share_window",
+    "tpcds_q9_case_band_subqueries", "tvf_cumulate_agg", "tvf_hop_agg",
+    "tvf_session_agg", "tvf_session_rows", "tvf_tumble_agg",
+    "tvf_tumble_offset_agg",
+}
+
+
+# VERDICT r6 next-round #1 — r7 tier 0 is the ENTIRE 72-query
+# never-driver-checked backlog, pinned by name in the verdict's order:
+# the tpch_* family first (reference ships TPC-H as its own e2e gate,
+# flink-end-to-end-tests/flink-tpch-test/; q9/q21 are benched headliners
+# with zero driver rows) + join_temporal_table_fn, then the 21 r5-new
+# tpcds_* shapes, subq_* ×5, the two over_* frames, the four batch
+# dedup_* variants, then as much of the pipeline tail (sim_/sketch_)
+# as fits the 50-slot prefix; the remaining ~22 (text_/vocab_/sample_/
+# multimodal_/ddl_/func_ extras/shard/stream drains) are pinned after
+# slot 50 and ride the r8 rotation.
+_TIER0_RECHECK = ()
+_TIER0_PRIORITY_FAMILIES = ()
 _TIER0_PRIORITY_NAMES = (
-    "setop_except", "setop_except_all", "format_upsert_sink_materialized",
-    "tpcds_q54_revenue_segments", "tpcds_q17_quantity_stats",
-    "tpcds_q23_frequent_buyers", "tpcds_q65_min_revenue_brand",
-    "tpcds_q89_rolling_deviation", "tpcds_q31_share_growth",
-    "tpcds_q39_consecutive_cov", "tpcds_q44_best_worst",
-    "tpcds_q93_net_after_returns", "tpcds_q64_repeat_purchases",
-    "tpcds_q41_attribute_exists", "tpcds_q90_am_pm_ratio",
-    "tpcds_q4_channel_ratio_growth", "tpcds_q48_disjunctive_quantity",
-    "tpcds_q61_promo_ratio", "tpcds_q66_time_band_pivot",
-    "tpcds_q72_date_offset_join", "tpcds_q75_yoy_delta_union",
-    "tpcds_q92_excess_discount", "tpcds_q10_multi_channel_exists",
-    "tpcds_q14_cross_channel_intersect", "tpcds_q21_before_after_ratio",
-    "tpcds_q29_quantity_chain", "tpcds_q58_equal_share",
-    "tpcds_q9_case_band_subqueries", "tpcds_q13_demographic_band_averages",
-    "tpcds_q16_distinct_count_not_exists", "tpcds_q43_weekday_pivot",
-    "tpcds_q59_week_over_week_ratio", "tpcds_q22_rollup_averages",
-    "tpcds_q37_price_band_window", "tpcds_q45_disjunctive_subquery",
-    "tpcds_q50_latency_matrix", "tpcds_q98_class_share_window",
+    # -- slots 1-11: TPC-H backlog + legacy temporal table function
+    "tpch_q9_product_profit", "tpch_q21_suppliers_waiting",
+    "tpch_q12_priority_pivot", "tpch_q13_order_distribution",
+    "tpch_q14_promo_effect", "tpch_q16_supplier_count",
+    "tpch_q17_small_qty_revenue", "tpch_q18_large_volume_customer",
+    "tpch_q19_disjunctive_revenue", "tpch_q22_sales_opportunity",
+    "join_temporal_table_fn",
+    # -- slots 12-32: the 21 r5-new TPC-DS shapes
+    "tpcds_q3_year_brand_rank", "tpcds_q6_above_nation_avg_count",
+    "tpcds_q7_segment_profile_avgs", "tpcds_q8_name_prefix_revenue",
+    "tpcds_q12_type_revenue_share", "tpcds_q15_disjunctive_exists_agg",
+    "tpcds_q18_rollup_channel_avgs", "tpcds_q19_cross_nation_brand_revenue",
+    "tpcds_q28_quantity_band_panel", "tpcds_q30_returns_above_nation_avg",
+    "tpcds_q34_band_cohort_details", "tpcds_q35_exists_profile_stats",
+    "tpcds_q47_monthly_lag_lead", "tpcds_q53_quarter_vs_year_share",
+    "tpcds_q69_active_never_returned", "tpcds_q70_rank_within_rollup",
+    "tpcds_q77_sales_vs_returns_rollup", "tpcds_q94_multi_supplier_clean_orders",
+    "tpcds_q96_hour_band_traffic", "tpcds_q97_channel_overlap_matrix",
+    "tpcds_q99_latency_matrix_two_dims",
+    # -- slots 33-39: subqueries + over frames
+    "subq_lateral", "subq_not_in", "subq_tpch_q11_having",
+    "subq_tpch_q15_view_max", "subq_tpch_q20_nested_in",
+    "over_range_between", "over_first_last_nth",
+    # -- slots 40-43: batch dedup variants
+    "dedup_keep_first", "dedup_keep_last", "dedup_keep_canonical",
+    "dedup_components",
+    # -- slots 44-50: pipeline tail, similarity + sketches
+    "sim_ivf_topk", "sim_pq_adc_topk", "sim_ivfpq_topk",
+    "sim_ann_recall_eval", "sketch_bloom_prejoin_filter",
+    "sketch_count_min_users", "sketch_histogram_quantiles",
+    # -- slots 51+: remainder of the backlog (r8's driver prefix)
+    "text_boilerplate_ngrams", "text_char_entropy", "text_chunk_windows",
+    "text_length_percentiles", "text_pii_scrub", "text_repetition",
+    "vocab_top_tokens", "vocab_bpe_pair_counts",
+    "sample_mixture_weights", "sample_source_share",
+    "sample_train_holdout_split", "shard_assignment",
+    "multimodal_audio_energy", "multimodal_video_motion",
+    "ddl_alter_table_read", "ddl_statement_set_sql",
+    "func_array_extras", "func_map_extras", "func_sha_json_string",
+    "func_string_slice_bytes",
+    "stream_continuous_trigger_drain", "stream_late_refire_drain",
 )
 _TIER0_QUOTAS = ()
 
@@ -185,7 +238,7 @@ def _family_round_robin(names: list[str]) -> list[str]:
     from collections import OrderedDict
 
     out: list[str] = []
-    for rank in (0, 1, 2, 3, 4):
+    for rank in (0, 1, 2, 3, 4, 5):
         buckets: "OrderedDict[str, list[str]]" = OrderedDict()
         for n in names:
             if _rotation_rank(n) == rank:

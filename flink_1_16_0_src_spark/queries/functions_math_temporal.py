@@ -190,7 +190,10 @@ def func_current_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrival-ordered bounded-out-of-orderness watermark, NULL before the
     first row, emit-then-advance (late rows judged vs the PREVIOUS
     watermark) — the same contract streaming/late.LateRowRouter enforces
-    across micro-batches."""
+    across micro-batches. The global ``ORDER BY event_id`` running-max
+    window is single-partition by construction: bounded-fixture-only
+    (the 11-fold-decimated events replay), never a 100 TB scan — see
+    functions/scalar.py:105 for the same caveat on the helper."""
     from flink_1_16_0_src_spark.functions.scalar import current_watermark
 
     e = load(spark, sf_dir, "events").where(F.col("event_id") % 11 == 0)
