@@ -1532,3 +1532,651 @@ FROM cnt JOIN customer ON c_custkey = o_custkey
     "rows (q73 stops at the counts; the join-back is the family's "
     "second half).",
 )
+
+
+# ---- r7 batch: the 28 remaining TPC-DS query families (closing the
+# inventory at 99/99 vs the reference's e2e gate,
+# flink-end-to-end-tests/flink-tpcds-test/.../TpcdsTestProgram.java:76-84).
+# Same discipline as the r5 batch: every measure is an exact integer
+# (cents; e4 discount/share/tax units; cents*e4 for price*discount
+# products; floor-half-up averages via (2s+n)/(2n)) so the driver's
+# bit-level value hash is engine-exact by construction. Date filters sit
+# inside the fixture's 1995-2001 span so no query is vacuously empty.
+
+_register(
+    "tpcds_q2_weekly_channel_ratio",
+    """
+WITH combined AS (
+  SELECT o_orderdate AS d, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+  UNION ALL
+  SELECT l_shipdate AS d, CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+  FROM lineitem
+),
+weekly AS (
+  SELECT CAST(year(d) AS INT) AS yr, CAST(weekofyear(d) AS INT) AS wk,
+         CAST(sum(cents) AS BIGINT) AS cents
+  FROM combined WHERE year(d) IN (1995, 1996) GROUP BY 1, 2
+)
+SELECT cur.wk, cur.cents AS cents_1996, prev.cents AS cents_1995,
+       CAST(floor((20000 * cur.cents + prev.cents) / (2.0 * prev.cents)) AS BIGINT) AS wow_ratio_e4
+FROM weekly cur JOIN weekly prev ON cur.wk = prev.wk
+WHERE cur.yr = 1996 AND prev.yr = 1995 AND prev.cents > 0
+""",
+    "TPC-DS q2 shape: two channels UNION ALLed into one dated fact, "
+    "rolled up per ISO week, then self-joined across adjacent years on "
+    "the week number for a calendar-aligned ratio (exact e4 units).",
+)
+
+_register(
+    "tpcds_q11_channel_growth_compare",
+    """
+WITH yearly AS (
+  SELECT o_custkey, o_orderstatus AS chan, CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders WHERE o_orderstatus IN ('O', 'F') AND year(o_orderdate) IN (1995, 1996)
+  GROUP BY 1, 2, 3
+)
+SELECT s1.o_custkey AS custkey,
+       s1.cents AS store_1995_cents, s2.cents AS store_1996_cents,
+       w1.cents AS web_1995_cents,   w2.cents AS web_1996_cents
+FROM yearly s1
+JOIN yearly s2 ON s2.o_custkey = s1.o_custkey AND s2.chan = 'F' AND s2.yr = 1996
+JOIN yearly w1 ON w1.o_custkey = s1.o_custkey AND w1.chan = 'O' AND w1.yr = 1995
+JOIN yearly w2 ON w2.o_custkey = s1.o_custkey AND w2.chan = 'O' AND w2.yr = 1996
+WHERE s1.chan = 'F' AND s1.yr = 1995
+  AND s1.cents > 0 AND w1.cents > 0
+  AND w2.cents * s1.cents > s2.cents * w1.cents
+""",
+    "TPC-DS q11 shape (q74's big sibling): per-customer year-over-year "
+    "totals for TWO channels, four-way self-join, keeping customers "
+    "whose web growth ratio beats their store growth ratio — the ratio "
+    "comparison is cross-multiplied so it stays in exact integers.",
+)
+
+_register(
+    "tpcds_q20_windowed_class_share",
+    """
+WITH s AS (
+  SELECT p_type, p_size,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate BETWEEN DATE '1995-02-01' AND DATE '1995-03-02'
+  GROUP BY p_type, p_size
+)
+SELECT p_type, p_size, rev_cents,
+       CAST(floor((20000 * rev_cents + sum(rev_cents) OVER (PARTITION BY p_type))
+            / (2.0 * sum(rev_cents) OVER (PARTITION BY p_type))) AS BIGINT) AS share_e4
+FROM s
+""",
+    "TPC-DS q20 shape: 30-day date-windowed catalog revenue share of "
+    "class within category (q12's ratio_to_report window constrained "
+    "to a date window that must push down to the fact scan).",
+)
+
+_register(
+    "tpcds_q24_spend_above_global_threshold",
+    """
+WITH ss AS (
+  SELECT c_custkey, c_name, p_brand,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS paid_cents
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_returnflag = 'R'
+  GROUP BY 1, 2, 3
+)
+SELECT c_custkey, c_name, p_brand, paid_cents
+FROM ss
+WHERE 10 * paid_cents * (SELECT CAST(count(*) AS BIGINT) FROM ss)
+      > 13 * (SELECT CAST(sum(paid_cents) AS BIGINT) FROM ss)
+""",
+    "TPC-DS q24 shape: per-(customer, brand) returned spend filtered "
+    "against a scalar threshold computed over the SAME aggregate CTE "
+    "(1.3x the global average, cross-multiplied to exact integers) — "
+    "the CTE is scanned three times, once as fact and twice as scalars.",
+)
+
+_register(
+    "tpcds_q25_three_channel_chain",
+    """
+WITH sold AS (
+  SELECT l_partkey, CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1
+),
+ret AS (
+  SELECT l_partkey, CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+),
+reb AS (
+  SELECT l_partkey, CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1
+)
+SELECT p_brand,
+       CAST(sum(sold.cents) AS BIGINT) AS sold_cents,
+       CAST(sum(ret.cents) AS BIGINT) AS returned_cents,
+       CAST(sum(reb.cents) AS BIGINT) AS rebought_cents
+FROM sold
+JOIN ret ON ret.l_partkey = sold.l_partkey
+JOIN reb ON reb.l_partkey = sold.l_partkey
+JOIN part ON p_partkey = sold.l_partkey
+GROUP BY p_brand
+""",
+    "TPC-DS q25/q29 chain shape: three per-item channel aggregates "
+    "(sold, returned, re-bought) inner-joined on the item key — only "
+    "items present in ALL three channels survive — then rolled up per "
+    "brand. Pre-aggregating each channel before the join keeps the "
+    "join keys unique (no fact-x-fact row explosion at scale).",
+)
+
+_register(
+    "tpcds_q26_catalog_profile_avgs",
+    """
+WITH s AS (
+  SELECT p_type,
+         CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sq,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sp,
+         CAST(sum(CAST(round(l_discount * 10000, 0) AS BIGINT)) AS BIGINT) AS sd,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  GROUP BY p_type
+)
+SELECT p_type,
+       CAST(floor((2 * sq + n) / (2.0 * n)) AS BIGINT) AS avg_qty_cents,
+       CAST(floor((2 * sp + n) / (2.0 * n)) AS BIGINT) AS avg_price_cents,
+       CAST(floor((2 * sd + n) / (2.0 * n)) AS BIGINT) AS avg_disc_e4,
+       n
+FROM s
+""",
+    "TPC-DS q26 shape (q7's catalog-channel sibling): demographic "
+    "profile averages per item class for the urgent-priority cohort, "
+    "floor-half-up integer averages from exact sufficient stats.",
+)
+
+_register(
+    "tpcds_q27_rollup_item_geography",
+    """
+WITH s AS (
+  SELECT n_name, p_brand,
+         CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sq,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY ROLLUP (n_name, p_brand)
+)
+SELECT n_name, p_brand,
+       CAST(floor((2 * sq + n) / (2.0 * n)) AS BIGINT) AS avg_qty_cents, n
+FROM s
+""",
+    "TPC-DS q27 shape: ROLLUP over (geography, item) of a segment "
+    "cohort's average quantity — q18 rolls up demographics; q27 mixes "
+    "a dimension from each side of the 5-way star.",
+)
+
+_register(
+    "tpcds_q32_excess_discount_total",
+    """
+WITH d AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_discount * 10000, 0) AS BIGINT)) AS BIGINT) AS sd,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(round(l1.l_extendedprice * 100, 0) AS BIGINT)
+             * CAST(round(l1.l_discount * 10000, 0) AS BIGINT)) AS BIGINT) AS excess_cents_e4
+FROM lineitem l1
+JOIN part ON l1.l_partkey = p_partkey
+JOIN d ON d.l_partkey = l1.l_partkey
+WHERE p_size BETWEEN 1 AND 15
+  AND CAST(round(l1.l_discount * 10000, 0) AS BIGINT) * 10 * d.n > 13 * d.sd
+""",
+    "TPC-DS q32 shape: total discount amount on lines discounted more "
+    "than 1.3x their item's average discount — the per-item average is "
+    "carried as exact (sum_e4, count) sufficient stats and the 1.3x "
+    "comparison is cross-multiplied, so no float ever decides a row. "
+    "q92 reports the per-item variant; q32 is the single-row total.",
+)
+
+_register(
+    "tpcds_q40_net_sales_around_pivot",
+    """
+SELECT n_name,
+  CAST(sum(CASE WHEN l_shipdate <  DATE '1995-06-01'
+                THEN CASE WHEN l_returnflag = 'R'
+                          THEN -CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                          ELSE  CAST(round(l_extendedprice * 100, 0) AS BIGINT) END
+                ELSE 0 END) AS BIGINT) AS net_before_cents,
+  CAST(sum(CASE WHEN l_shipdate >= DATE '1995-06-01'
+                THEN CASE WHEN l_returnflag = 'R'
+                          THEN -CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                          ELSE  CAST(round(l_extendedprice * 100, 0) AS BIGINT) END
+                ELSE 0 END) AS BIGINT) AS net_after_cents
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE l_shipdate BETWEEN DATE '1995-05-01' AND DATE '1995-07-01'
+GROUP BY n_name
+""",
+    "TPC-DS q40 shape: returns-netted sales split before/after a pivot "
+    "date per warehouse geography (q21 ratios gross sales; q40 nets "
+    "returns as negative contributions inside each half).",
+)
+
+_register(
+    "tpcds_q42_year_category_revenue",
+    """
+SELECT CAST(year(l_shipdate) AS INT) AS yr, p_type,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE year(l_shipdate) = 1995 AND month(l_shipdate) = 11
+GROUP BY 1, 2
+""",
+    "TPC-DS q42 shape: single-month category revenue star aggregate — "
+    "the minimal date-dim + item-dim star join the q42/q52/q55 trio "
+    "shares, here keyed on category.",
+)
+
+_register(
+    "tpcds_q46_out_of_town_trips",
+    """
+WITH trips AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS amt_cents,
+         CAST(count(*) AS BIGINT) AS n_items,
+         CAST(max(s_nationkey) AS BIGINT) AS supp_nation
+  FROM orders
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY o_orderkey, o_custkey
+  HAVING count(DISTINCT s_nationkey) = 1
+)
+SELECT c_name, c_custkey, o_orderkey, amt_cents, n_items
+FROM trips JOIN customer ON c_custkey = o_custkey
+WHERE supp_nation <> CAST(c_nationkey AS BIGINT)
+""",
+    "TPC-DS q46 shape: per-trip aggregate restricted to single-source "
+    "trips (HAVING count(DISTINCT supplier-geo) = 1), joined back to "
+    "the customer and kept only where the trip's geography differs "
+    "from the customer's home geography (bought_city <> home city).",
+)
+
+_register(
+    "tpcds_q52_year_brand_revenue",
+    """
+SELECT CAST(year(l_shipdate) AS INT) AS yr, p_brand,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE year(l_shipdate) = 1996 AND month(l_shipdate) = 12
+GROUP BY 1, 2
+""",
+    "TPC-DS q52 shape: single-month brand revenue (the q42 star keyed "
+    "on brand instead of category — the trio's second member).",
+)
+
+_register(
+    "tpcds_q55_manager_brand_revenue",
+    """
+SELECT p_brand,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type = 'STANDARD' AND year(l_shipdate) = 1995 AND month(l_shipdate) = 3
+GROUP BY p_brand
+""",
+    "TPC-DS q55 shape: one manager's (here: one category's) brand "
+    "revenue for one month — the q42/q52/q55 trio's third member, "
+    "with the selective dimension filter on the item side.",
+)
+
+_register(
+    "tpcds_q56_color_items_channel_union",
+    """
+WITH chan AS (
+  SELECT l_partkey, l_returnflag AS chan,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+  FROM lineitem
+),
+per_chan AS (
+  SELECT p_brand, chan, CAST(sum(cents) AS BIGINT) AS cents
+  FROM chan JOIN part ON l_partkey = p_partkey
+  WHERE split_part(p_name, ' ', 1) IN ('red', 'blue', 'ivory')
+  GROUP BY p_brand, chan
+)
+SELECT p_brand, CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(count(*) AS BIGINT) AS n_channels
+FROM per_chan GROUP BY p_brand
+""",
+    "TPC-DS q56 shape: color-list item filter (first word of the item "
+    "name) aggregated per channel, then re-aggregated across channels "
+    "per item dimension — the q56/q60 cross-channel color rollup.",
+)
+
+_register(
+    "tpcds_q60_category_channel_union",
+    """
+WITH u AS (
+  SELECT l_partkey, CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+  FROM lineitem WHERE l_returnflag = 'N'
+  UNION ALL
+  SELECT l_partkey, CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+  FROM lineitem WHERE l_returnflag = 'A'
+  UNION ALL
+  SELECT l_partkey, CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+  FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT p_type, CAST(sum(cents) AS BIGINT) AS total_cents
+FROM u JOIN part ON l_partkey = p_partkey
+WHERE p_type IN ('ECONOMY', 'PROMO')
+GROUP BY p_type
+""",
+    "TPC-DS q60 shape: explicit three-branch UNION ALL of channel "
+    "scans re-aggregated per item category — unlike q56's tagged "
+    "single scan, the planner sees three scans it must prune the "
+    "category filter into (via the join) before the union.",
+)
+
+_register(
+    "tpcds_q63_monthly_vs_annual_avg",
+    """
+WITH monthly AS (
+  SELECT p_brand, CAST(year(l_shipdate) AS INT) AS yr, CAST(month(l_shipdate) AS INT) AS mo,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE year(l_shipdate) IN (1995, 1996)
+  GROUP BY 1, 2, 3
+)
+SELECT p_brand, yr, mo, cents, yr_cents
+FROM (
+  SELECT p_brand, yr, mo, cents,
+         CAST(sum(cents) OVER (PARTITION BY p_brand, yr) AS BIGINT) AS yr_cents
+  FROM monthly
+) t
+WHERE abs(12 * cents - yr_cents) * 10 > yr_cents
+""",
+    "TPC-DS q63 shape (q53/q89 family): monthly manager sales kept "
+    "only where the month deviates more than 10% from the yearly "
+    "average — the deviation test is |12m - y| * 10 > y in exact "
+    "integers (no float average ever materializes).",
+)
+
+_register(
+    "tpcds_q68_trip_measure_breakout",
+    """
+WITH trips AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_cents,
+         CAST(sum(CAST(round(l_tax * 10000, 0) AS BIGINT)) AS BIGINT) AS tax_e4,
+         CAST(sum(CAST(round(l_discount * 10000, 0) AS BIGINT)) AS BIGINT) AS disc_e4
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  GROUP BY o_orderkey, o_custkey
+  HAVING count(*) BETWEEN 5 AND 10
+)
+SELECT c_name, c_custkey, o_orderkey, price_cents, tax_e4, disc_e4
+FROM trips JOIN customer ON c_custkey = o_custkey
+""",
+    "TPC-DS q68 shape: the trip-cohort join-back (q34/q46 family) "
+    "carrying THREE separate per-trip money measures (price, tax, "
+    "discount) through the HAVING band to the detail output.",
+)
+
+_register(
+    "tpcds_q71_hourly_channel_brands",
+    """
+WITH u AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+)
+SELECT CAST(EXTRACT(HOUR FROM ts) AS INT) AS hr,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS val_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM u
+GROUP BY 1
+""",
+    "TPC-DS q71 shape: three channel scans UNION ALLed then bucketed "
+    "by hour of day (the breakfast/dinner time-dim join) — the time "
+    "dimension comes from the event timestamp, the union from the "
+    "channel split.",
+)
+
+_register(
+    "tpcds_q76_sparse_attribute_census",
+    """
+WITH u AS (
+  SELECT 'tax0' AS reason, CAST(year(l_shipdate) AS INT) AS yr, l_returnflag AS chan,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+  FROM lineitem WHERE l_tax = 0
+  UNION ALL
+  SELECT 'disc0' AS reason, CAST(year(l_shipdate) AS INT) AS yr, l_returnflag AS chan,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+  FROM lineitem WHERE l_discount = 0
+)
+SELECT reason, yr, chan, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM u GROUP BY 1, 2, 3
+""",
+    "TPC-DS q76 shape: census of fact rows with a degenerate/missing "
+    "attribute per channel — each branch scans the fact with a "
+    "different sparse-attribute predicate (zero tax / zero discount "
+    "standing in for the null surrogate keys), UNION ALL, then a "
+    "(reason, year, channel) count-and-sum rollup.",
+)
+
+_register(
+    "tpcds_q79_best_trip_per_customer",
+    """
+WITH per_order AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+              * (10000 - CAST(round(l_discount * 10000, 0) AS BIGINT))) AS BIGINT) AS profit_ce4
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, o_orderkey
+)
+SELECT c_name, c_custkey, o_orderkey, profit_ce4
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY profit_ce4 DESC, o_orderkey) AS rn
+  FROM per_order
+) t
+JOIN customer ON c_custkey = o_custkey
+WHERE rn = 1
+""",
+    "TPC-DS q79 shape: each customer's most profitable trip — per-trip "
+    "discounted profit in exact cents*e4 units, a per-customer top-1 "
+    "window (deterministic orderkey tie-break), then the dimension "
+    "join-back for names.",
+)
+
+_register(
+    "tpcds_q80_channel_returns_rollup",
+    """
+WITH base AS (
+  SELECT l_returnflag AS chan, n_name,
+         CASE WHEN l_returnflag = 'R' THEN 0
+              ELSE CAST(round(l_extendedprice * 100, 0) AS BIGINT) END AS sold_cents,
+         CASE WHEN l_returnflag = 'R'
+              THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT) ELSE 0 END AS ret_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE year(l_shipdate) = 1996
+)
+SELECT chan, n_name,
+       CAST(sum(sold_cents) AS BIGINT) AS sales_cents,
+       CAST(sum(ret_cents) AS BIGINT) AS returns_cents,
+       CAST(sum(sold_cents) - sum(ret_cents) AS BIGINT) AS net_cents
+FROM base GROUP BY ROLLUP (chan, n_name)
+""",
+    "TPC-DS q80 shape: sales / returns / net profit per channel and "
+    "geography with a two-level ROLLUP over the channel x location "
+    "hierarchy (q77's rollup with returns netted into the measures).",
+)
+
+_register(
+    "tpcds_q81_returners_above_nation_avg",
+    """
+WITH ret AS (
+  SELECT c_custkey, c_name, c_acctbal, n_name,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS ret_cents
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+  GROUP BY 1, 2, 3, 4
+),
+nat AS (
+  SELECT n_name, CAST(sum(ret_cents) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM ret GROUP BY n_name
+)
+SELECT r.c_custkey, r.c_name, r.c_acctbal, r.n_name, r.ret_cents
+FROM ret r JOIN nat ON r.n_name = nat.n_name
+WHERE 10 * r.ret_cents * nat.n > 12 * nat.s
+""",
+    "TPC-DS q81 shape (q30's detail sibling): customers whose returns "
+    "exceed 1.2x their geography's average, emitting the full customer "
+    "detail row — the threshold is (sum, count) cross-multiplied, and "
+    "the per-nation stats reuse the same aggregate CTE.",
+)
+
+_register(
+    "tpcds_q82_inventory_band_suppliers",
+    """
+SELECT p_brand, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+       CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS qty_cents
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_retailprice BETWEEN 940 AND 980
+  AND l_quantity BETWEEN 20 AND 30
+GROUP BY p_brand, p_size
+""",
+    "TPC-DS q82 shape (q37's store sibling): items in a retail-price "
+    "band with demand in a quantity band, counting distinct suppliers "
+    "per (brand, size) — both band filters must push into their scans "
+    "before the join.",
+)
+
+_register(
+    "tpcds_q83_return_share_three_periods",
+    """
+WITH r1 AS (
+  SELECT l_partkey, CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem WHERE l_returnflag = 'R' AND month(l_shipdate) BETWEEN 1 AND 4 GROUP BY 1
+),
+r2 AS (
+  SELECT l_partkey, CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem WHERE l_returnflag = 'R' AND month(l_shipdate) BETWEEN 5 AND 8 GROUP BY 1
+),
+r3 AS (
+  SELECT l_partkey, CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem WHERE l_returnflag = 'R' AND month(l_shipdate) BETWEEN 9 AND 12 GROUP BY 1
+)
+SELECT r1.l_partkey AS partkey, r1.q AS q1, r2.q AS q2, r3.q AS q3,
+       CAST(floor((20000 * r1.q + (r1.q + r2.q + r3.q)) / (2.0 * (r1.q + r2.q + r3.q))) AS BIGINT) AS share1_e4
+FROM r1
+JOIN r2 ON r2.l_partkey = r1.l_partkey
+JOIN r3 ON r3.l_partkey = r1.l_partkey
+""",
+    "TPC-DS q83 shape: three return channels (period slices) joined "
+    "per item, each item's first-channel share of its total returned "
+    "quantity in exact e4 units — the sr/cr/wr equal-share triangle.",
+)
+
+_register(
+    "tpcds_q84_customer_identification",
+    """
+SELECT c_custkey, c_name, n_name, r_name
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_acctbal BETWEEN 1000 AND 1500 AND c_mktsegment = 'AUTOMOBILE'
+""",
+    "TPC-DS q84 shape: pure snowflake identification lookup — a "
+    "customer attribute band plus segment filter walked out through "
+    "two dimension levels with NO aggregation; the planner should "
+    "broadcast both dims and keep the filter on the probe side.",
+)
+
+_register(
+    "tpcds_q85_banded_return_reasons",
+    """
+WITH s AS (
+  SELECT l_linestatus AS reason,
+         CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sq,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sp,
+         CAST(sum(CAST(round(l_discount * 10000, 0) AS BIGINT)) AS BIGINT) AS sd,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND ((l_quantity BETWEEN 1 AND 20 AND o_totalprice BETWEEN 0 AND 150000)
+      OR (l_quantity BETWEEN 21 AND 35 AND o_totalprice BETWEEN 150000 AND 300000)
+      OR (l_quantity BETWEEN 36 AND 50 AND o_totalprice BETWEEN 300000 AND 500000))
+  GROUP BY 1
+)
+SELECT reason,
+       CAST(floor((2 * sq + n) / (2.0 * n)) AS BIGINT) AS avg_qty_cents,
+       CAST(floor((2 * sp + n) / (2.0 * n)) AS BIGINT) AS avg_price_cents,
+       CAST(floor((2 * sd + n) / (2.0 * n)) AS BIGINT) AS avg_disc_e4,
+       n
+FROM s
+""",
+    "TPC-DS q85 shape: web-returns reason profile under PAIRED band "
+    "disjunctions (each quantity band valid only with its matching "
+    "order-value band — the correlated-band OR that defeats naive "
+    "single-column range pruning), exact integer averages per reason.",
+)
+
+_register(
+    "tpcds_q86_rollup_rank_regions",
+    """
+WITH agg AS (
+  SELECT r_name, n_name,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(grouping(r_name) + grouping(n_name) AS INT) AS lochierarchy,
+         CASE WHEN grouping(n_name) = 1 THEN NULL ELSE r_name END AS parent
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY ROLLUP (r_name, n_name)
+)
+SELECT r_name, n_name, cents, lochierarchy,
+       CAST(rank() OVER (PARTITION BY lochierarchy, parent
+                         ORDER BY cents DESC, coalesce(n_name, ''), coalesce(r_name, '')) AS INT) AS rk
+FROM agg
+""",
+    "TPC-DS q86 shape: the lochierarchy ROLLUP-rank on the geography "
+    "snowflake — grouping()-derived hierarchy level, rank partitioned "
+    "by (level, parent) so siblings compete only within their parent "
+    "(q36 ranks item hierarchy; q70 gates states by a subquery; q86 "
+    "is the plain two-level regional form).",
+)
+
+_register(
+    "tpcds_q91_returns_loss_by_month",
+    """
+SELECT n_name, CAST(month(o_orderdate) AS INT) AS mo,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS loss_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R' AND year(o_orderdate) = 1995
+  AND c_mktsegment IN ('MACHINERY', 'HOUSEHOLD')
+GROUP BY 1, 2
+""",
+    "TPC-DS q91 shape: call-center returns loss per (center-geography, "
+    "month) for targeted demographic segments — a selective 4-way star "
+    "with the returns filter on the fact and the segment filter on the "
+    "customer dimension.",
+)
