@@ -173,6 +173,54 @@ def cep_sql_match_crossvar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cep_sql_classifier",
+    oracle="""
+    SELECT user_id, event_id AS start_id,
+           CASE WHEN next_type = 'purchase' THEN next_id END AS purchase_id,
+           CASE WHEN next_type = 'purchase' THEN 'B' ELSE 'A' END AS matched_var
+    FROM (
+      SELECT user_id, event_id, event_type,
+             lead(event_type) OVER w AS next_type,
+             lead(event_id) OVER w AS next_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) t
+    WHERE event_type = 'click'
+    """,
+    tags=("cep", "match-recognize", "sql-surface", "conformance"),
+)
+def cep_sql_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSIFIER() + RUNNING/FINAL measure prefixes under ONE ROW PER
+    MATCH — BEYOND reference parity: Flink 1.16 lists CLASSIFIER() and
+    non-FINAL MEASURES semantics as not yet supported
+    (docs/content/docs/dev/table/sql/queries/match_recognize.md:1120-1124);
+    here CLASSIFIER() returns the variable of the match's last row
+    (ISO 9075-2 §9.7) and FINAL/RUNNING prefixes parse and coincide,
+    which under ONE ROW PER MATCH is exactly the standard's semantics
+    (output is produced only at match completion, where the running
+    state IS the final state). Pattern (A B?): every click anchors a
+    match; a directly-following purchase is greedily consumed, so
+    CLASSIFIER() alternates between 'B' (consumed) and 'A' (bare
+    click) — the oracle is the lead() rewrite of the same rule."""
+    _events_view(spark, sf_dir, "events_sqlsrc")
+    sql = """
+    SELECT * FROM events_sqlsrc MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts, event_id
+      MEASURES FINAL FIRST(A.event_id) AS start_id,
+               RUNNING LAST(B.event_id) AS purchase_id,
+               CLASSIFIER() AS matched_var
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A B?)
+      DEFINE A AS event_type = 'click',
+             B AS event_type = 'purchase'
+    )
+    """
+    return spark.sql(rewrite_flink_clauses(spark, sql))
+
+
+@query(
     "tvf_sql_session",
     oracle="""
     WITH flagged AS (

@@ -52,7 +52,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
 
 from flink_1_16_0_src_spark.operators import cep, windows
 
@@ -487,6 +487,25 @@ def lower_match_recognize(
         # FINAL/RUNNING semantics coincide under ONE ROW PER MATCH (the
         # only supported mode — Calcite SqlMatchRecognize FINAL default)
         expr_txt = re.sub(r"^(FINAL|RUNNING)\s+", "", expr_txt, flags=re.IGNORECASE)
+        if re.fullmatch(r"CLASSIFIER\s*\(\s*\)", expr_txt, re.IGNORECASE):
+            # ONE ROW PER MATCH: CLASSIFIER() is the variable the LAST
+            # matched row mapped to (ISO 9075-2 §9.7). Patterns here are
+            # sequential, so that is the last pattern position holding
+            # any rows; for a trailing alternation, the branch that
+            # matched. Beyond reference parity — Flink 1.16 lists
+            # CLASSIFIER as not yet supported
+            # (docs/content/docs/dev/table/sql/queries/match_recognize.md:1123).
+            pattern_var_order: list[str] = []
+            for it in items:
+                if isinstance(it, list):
+                    pattern_var_order.extend(b[0].upper() for b in it)
+                else:
+                    pattern_var_order.append(it[0].upper())
+            measures[out_name] = (
+                lambda vs: lambda m: next((v for v in reversed(vs) if m.get(v)), None)
+            )(pattern_var_order)
+            fields.append(StructField(out_name, StringType()))
+            continue
         fm = _MEASURE_FN.match(expr_txt)
         if fm:
             fn, var, col = fm.group(1).upper(), fm.group(2).upper(), fm.group(3)
