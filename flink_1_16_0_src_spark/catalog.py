@@ -25,7 +25,58 @@ same division the reference makes with HiveCatalog.
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+from typing import Optional
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class CatalogTableStatistics:
+    """Table-level stats (catalog/stats/CatalogTableStatistics.java:30):
+    rowCount plus file/byte counts the filesystem reports; ANALYZE only
+    fills rowCount (AnalyzeTableUtil.java:236-239 passes -1 for the
+    rest, same here)."""
+
+    row_count: int
+    file_count: int = -1
+    total_size: int = -1
+    raw_data_size: int = -1
+
+
+@dataclass
+class CatalogColumnStatisticsData:
+    """One column's stats — the union of the reference's per-type
+    CatalogColumnStatisticsData{Long,Double,String,Boolean,Date} variants
+    (catalog/stats/). Fields not meaningful for the column's type stay
+    None, mirroring which variant the reference would have built."""
+
+    null_count: Optional[int] = None
+    ndv: Optional[int] = None
+    min: object = None
+    max: object = None
+    avg_len: Optional[float] = None
+    max_len: Optional[int] = None
+    true_count: Optional[int] = None
+    false_count: Optional[int] = None
+
+
+@dataclass
+class CatalogColumnStatistics:
+    """catalog/stats/CatalogColumnStatistics.java:33 — column name →
+    per-column data map."""
+
+    column_statistics_data: dict[str, CatalogColumnStatisticsData] = field(
+        default_factory=dict
+    )
+
+    def merge(self, new: "CatalogColumnStatistics") -> "CatalogColumnStatistics":
+        """AnalyzeTableUtil.mergeColumnStatistics (:121-135): freshly
+        analyzed columns override; columns analyzed earlier but not in
+        this run keep their old stats."""
+        merged = dict(self.column_statistics_data)
+        merged.update(new.column_statistics_data)
+        return CatalogColumnStatistics(merged)
 
 
 class DatabaseNotExistException(Exception):
@@ -53,6 +104,17 @@ class GenericInMemoryCatalog:
     def __init__(self, spark: SparkSession, name: str = "default_catalog"):
         self.spark = spark
         self.name = name
+        # statistics store (GenericInMemoryCatalog.java keeps tableStats/
+        # tableColumnStats/partitionStats/partitionColumnStats maps);
+        # partition keys are the frozen partition-spec item set
+        self._table_stats: dict[str, CatalogTableStatistics] = {}
+        self._column_stats: dict[str, CatalogColumnStatistics] = {}
+        self._partition_stats: dict[tuple, CatalogTableStatistics] = {}
+        self._partition_column_stats: dict[tuple, CatalogColumnStatistics] = {}
+
+    @staticmethod
+    def _pkey(table: str, spec: dict) -> tuple:
+        return (table, frozenset((k, str(v)) for k, v in spec.items()))
 
     # -- databases (Catalog.java:132-209) --------------------------------
     def list_databases(self) -> list[str]:
@@ -140,6 +202,54 @@ class GenericInMemoryCatalog:
         if not self.table_exists(table):
             raise TableNotExistException(table)
         return self.spark.table(table).dtypes
+
+    # -- statistics (Catalog.java:617-701 get/alter{Table,Partition}
+    # [Column]Statistics — the SPI ANALYZE TABLE writes through) --------
+    def get_table_statistics(self, table: str) -> CatalogTableStatistics:
+        return self._table_stats.get(table, CatalogTableStatistics(-1))
+
+    def get_table_column_statistics(self, table: str) -> CatalogColumnStatistics:
+        return self._column_stats.get(table, CatalogColumnStatistics())
+
+    def alter_table_statistics(
+        self, table: str, stats: CatalogTableStatistics
+    ) -> None:
+        self._table_stats[table] = stats
+
+    def alter_table_column_statistics(
+        self, table: str, stats: CatalogColumnStatistics
+    ) -> None:
+        # merge-on-write like AnalyzeTableUtil: keep stats for columns
+        # not covered by this run
+        self._column_stats[table] = self.get_table_column_statistics(table).merge(
+            stats
+        )
+
+    def get_partition_statistics(
+        self, table: str, spec: dict
+    ) -> CatalogTableStatistics:
+        return self._partition_stats.get(
+            self._pkey(table, spec), CatalogTableStatistics(-1)
+        )
+
+    def get_partition_column_statistics(
+        self, table: str, spec: dict
+    ) -> CatalogColumnStatistics:
+        return self._partition_column_stats.get(
+            self._pkey(table, spec), CatalogColumnStatistics()
+        )
+
+    def alter_partition_statistics(
+        self, table: str, spec: dict, stats: CatalogTableStatistics
+    ) -> None:
+        self._partition_stats[self._pkey(table, spec)] = stats
+
+    def alter_partition_column_statistics(
+        self, table: str, spec: dict, stats: CatalogColumnStatistics
+    ) -> None:
+        key = self._pkey(table, spec)
+        old = self._partition_column_stats.get(key, CatalogColumnStatistics())
+        self._partition_column_stats[key] = old.merge(stats)
 
     # -- functions (Catalog.java:471-532) --------------------------------
     def list_functions(self) -> list[str]:

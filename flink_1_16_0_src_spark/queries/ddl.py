@@ -169,3 +169,82 @@ def ddl_alter_table_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_nationkey, n_name, flag
         """
     ).select("nation_key", "n_name", "flag", "n")
+
+
+@query(
+    "ddl_analyze_table_stats",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name,
+           CAST(count(*) - count(o_orderkey) AS BIGINT) AS null_count,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_val,
+           CAST(NULL AS BIGINT) AS max_len,
+           CAST(count(*) AS BIGINT) AS row_count
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(count(*) - count(o_custkey) AS BIGINT),
+           CAST(min(o_custkey) AS VARCHAR),
+           CAST(max(o_custkey) AS VARCHAR),
+           CAST(NULL AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR),
+           CAST(max(length(o_orderstatus)) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(count(*) - count(o_orderpriority) AS BIGINT),
+           CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR),
+           CAST(max(length(o_orderpriority)) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM orders
+    """,
+    tags=("ddl", "sql-surface", "statistics"),
+)
+def ddl_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS (FLIP-240 —
+    SqlAnalyzeTable.java; AnalyzeTableUtil.java:70-117): the statement
+    runs one aggregate pass and stores stats through the catalog's
+    alterTable[Column]Statistics SPI; the query then reads the STORED
+    stats back off the catalog, so the oracle checks the whole path
+    statement → aggregate → catalog → read-back. The hashed surface
+    carries the deterministic stats (nullCount, min/max, maxLen,
+    rowCount); ndv is APPROX_COUNT_DISTINCT by reference semantics
+    (:183) — sketch results are engine-specific, so it is asserted in
+    tests (exactness bands), never hashed cross-engine."""
+    t = _tenv(spark)
+    n = next(_seq)
+    from flink_1_16_0_src_spark.tables import load
+
+    tbl = f"an_orders_{n}"
+    load(spark, sf_dir, "orders").createOrReplaceTempView(tbl)
+    t.execute_sql(
+        f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS "
+        f"o_orderkey, o_custkey, o_orderstatus, o_orderpriority"
+    )
+    cat = t.catalog_manager.get_catalog()
+    row_count = cat.get_table_statistics(tbl).row_count
+    cols = cat.get_table_column_statistics(tbl).column_statistics_data
+    rows = [
+        (
+            c,
+            d.null_count,
+            str(d.min) if d.min is not None else None,
+            str(d.max) if d.max is not None else None,
+            d.max_len,
+            row_count,
+        )
+        for c, d in cols.items()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "column_name string, null_count bigint, min_val string, "
+        "max_val string, max_len bigint, row_count bigint",
+    )

@@ -86,6 +86,18 @@ _ALTER_TABLE = re.compile(
     r"ALTER\s+TABLE\s+(\w+)\s+(.*)$", re.IGNORECASE | re.DOTALL
 )
 
+_ANALYZE_TABLE = re.compile(
+    # SqlAnalyzeTable.java (FLIP-240, new in 1.16): ANALYZE TABLE t
+    # [PARTITION(p1[=v1], ...)] COMPUTE STATISTICS
+    # [FOR COLUMNS c1, c2 | FOR ALL COLUMNS]
+    r"ANALYZE\s+TABLE\s+(?P<name>[\w.]+)"
+    r"(?:\s+PARTITION\s*\((?P<parts>[^)]*)\))?"
+    r"\s+COMPUTE\s+STATISTICS"
+    r"(?:\s+FOR\s+(?:(?P<allcols>ALL\s+COLUMNS)|COLUMNS\s+(?P<cols>[\w\s,`]+)))?"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 _EXECUTE_STATEMENT_SET = re.compile(
     # SqlExecute.java + SqlStatementSet.java:41 — inline form
     r"EXECUTE\s+STATEMENT\s+SET\s+BEGIN\s+(?P<body>.*?)\s*END\s*;?\s*$",
@@ -376,6 +388,9 @@ class TableEnvironment:
                 name, m.group("schema"), m.group("partcols"), m.group("props")
             )
             return self._register_parsed(name, reg)
+        manalyze = _ANALYZE_TABLE.match(stmt)
+        if manalyze:
+            return self._analyze_table(manalyze)
         malter = _ALTER_TABLE.match(stmt)
         if malter:
             return self._alter_table(malter.group(1), malter.group(2))
@@ -795,6 +810,161 @@ class TableEnvironment:
         # anything else (DROP COLUMNS, table properties Spark-style, …)
         # keeps the old passthrough behavior
         return self.spark.sql(f"ALTER TABLE {name} {rest}")
+
+    def _analyze_table(self, m: "re.Match") -> None:
+        """ANALYZE TABLE (FLIP-240, new in 1.16 — SqlAnalyzeTable.java;
+        semantics AnalyzeTableUtil.java:70-117): compute CatalogTable-
+        Statistics (row count) and, under FOR [ALL] COLUMNS, per-column
+        CatalogColumnStatistics — nullCount for every column, plus
+        ndv/max/min for numeric/date/timestamp, ndv/avgLen/maxLen for
+        strings, trueCount/falseCount for booleans (AnalyzeTableUtil
+        .getColumnStatsSelects :170-233) — and store them through the
+        catalog's alter*Statistics SPI with the reference's per-column
+        merge (:121-135). NDV uses APPROX_COUNT_DISTINCT exactly as the
+        reference does (:183) — stats feed the cost model, so a sketch
+        is the right accuracy/cost point at scale.
+
+        Spark-first deviation: for a partition spec with bare keys the
+        reference loops one scan PER PARTITION (:82-97). Here all
+        requested partitions are computed in ONE grouped aggregate pass
+        (group by the bare keys) — one distributed scan instead of P,
+        the difference between a night and a coffee at 100 TB."""
+        from pyspark.sql import functions as F
+
+        from flink_1_16_0_src_spark.catalog import (
+            CatalogColumnStatistics,
+            CatalogColumnStatisticsData,
+            CatalogTableStatistics,
+        )
+
+        name = m.group("name")
+        df = self.spark.table(name)
+        partcols = (self._registrations.get(name) or {}).get("partcols") or []
+
+        # -- partition-spec validation (SqlAnalyzeTable.java rules:
+        # partitioned tables require a full-key spec; non-partitioned
+        # tables reject PARTITION) --------------------------------------
+        spec: dict[str, str | None] = {}
+        if m.group("parts") is not None:
+            if not partcols:
+                raise ValueError(
+                    f"ANALYZE TABLE {name}: not a partitioned table, "
+                    "PARTITION() is invalid"
+                )
+            for item in m.group("parts").split(","):
+                item = item.strip()
+                if not item:
+                    continue
+                if "=" in item:
+                    k, v = item.split("=", 1)
+                    spec[k.strip().strip("`")] = v.strip()
+                else:
+                    spec[item.strip("`")] = None
+            missing = [p for p in partcols if p not in spec]
+            if missing:
+                raise ValueError(
+                    f"ANALYZE TABLE {name}: partition spec must name every "
+                    f"partition column; missing {missing}"
+                )
+        elif partcols:
+            raise ValueError(
+                f"ANALYZE TABLE {name} is partitioned — PARTITION(...) "
+                "is required (TablePartitionedException parity)"
+            )
+
+        # -- column selection -------------------------------------------
+        dtypes = dict(df.dtypes)
+        if m.group("allcols"):
+            columns = [c for c in df.columns if c not in spec]
+        elif m.group("cols"):
+            columns = [c.strip().strip("`") for c in m.group("cols").split(",") if c.strip()]
+            unknown = [c for c in columns if c not in dtypes]
+            if unknown:
+                raise ValueError(f"ANALYZE TABLE {name}: no such columns {unknown}")
+        else:
+            columns = []
+
+        def _type_class(dt: str) -> str:
+            dt = dt.lower()
+            if dt == "boolean":
+                return "bool"
+            if dt.startswith(
+                ("tinyint", "smallint", "int", "bigint", "float", "double",
+                 "decimal", "date", "timestamp")
+            ):
+                return "num"
+            if dt.startswith(("string", "varchar", "char")):
+                return "str"
+            return "other"  # arrays/maps/binary: nullCount only (ref default:229)
+
+        aggs = [F.count(F.lit(1)).alias("rowCount")]
+        for c in columns:
+            qc = F.col(c)
+            aggs.append((F.count(F.lit(1)) - F.count(qc)).alias(f"{c}__nullCount"))
+            tc = _type_class(dtypes[c])
+            if tc in ("num", "str"):
+                aggs.append(F.approx_count_distinct(qc).alias(f"{c}__ndv"))
+            if tc == "num":
+                aggs.append(F.max(qc).alias(f"{c}__max"))
+                aggs.append(F.min(qc).alias(f"{c}__min"))
+            elif tc == "str":
+                aggs.append(
+                    F.avg(F.length(qc).cast("double")).alias(f"{c}__avgLen")
+                )
+                aggs.append(
+                    F.max(F.length(qc).cast("bigint")).alias(f"{c}__maxLen")
+                )
+            elif tc == "bool":
+                aggs.append(
+                    F.count(F.when(qc == True, 1)).alias(f"{c}__trueCount")  # noqa: E712
+                )
+                aggs.append(
+                    F.count(F.when(qc == False, 1)).alias(f"{c}__falseCount")  # noqa: E712
+                )
+
+        valued = {k: v for k, v in spec.items() if v is not None}
+        bare = [k for k, v in spec.items() if v is None]
+        for k, v in valued.items():
+            df = df.where(F.expr(f"`{k}` = {v}"))
+        grouped = df.groupBy(*[F.col(k) for k in bare]).agg(*aggs) if spec else df.agg(*aggs)
+        rows = grouped.collect()  # one row per analyzed partition — catalog
+        # metadata, bounded by the partition count, never data-sized
+
+        def _col_stats(row) -> CatalogColumnStatistics:
+            data = {}
+            for c in columns:
+                d = CatalogColumnStatisticsData(null_count=row[f"{c}__nullCount"])
+                tc = _type_class(dtypes[c])
+                if tc in ("num", "str"):
+                    d.ndv = row[f"{c}__ndv"]
+                if tc == "num":
+                    d.min, d.max = row[f"{c}__min"], row[f"{c}__max"]
+                elif tc == "str":
+                    d.avg_len, d.max_len = row[f"{c}__avgLen"], row[f"{c}__maxLen"]
+                elif tc == "bool":
+                    d.true_count = row[f"{c}__trueCount"]
+                    d.false_count = row[f"{c}__falseCount"]
+                data[c] = d
+            return CatalogColumnStatistics(data)
+
+        cat = self.catalog_manager.get_catalog()
+        if spec:
+            for row in rows:
+                row_spec = dict(valued)
+                row_spec.update({k: row[k] for k in bare})
+                cat.alter_partition_statistics(
+                    name, row_spec, CatalogTableStatistics(row["rowCount"])
+                )
+                if columns:
+                    cat.alter_partition_column_statistics(
+                        name, row_spec, _col_stats(row)
+                    )
+        else:
+            row = rows[0]
+            cat.alter_table_statistics(name, CatalogTableStatistics(row["rowCount"]))
+            if columns:
+                cat.alter_table_column_statistics(name, _col_stats(row))
+        return None
 
     def _show_create_table(self, name: str) -> DataFrame:
         """SHOW CREATE TABLE (SqlShowCreateTable.java → ShowCreateUtil):
