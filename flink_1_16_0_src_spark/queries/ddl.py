@@ -248,3 +248,110 @@ def ddl_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column_name string, null_count bigint, min_val string, "
         "max_val string, max_len bigint, row_count bigint",
     )
+
+
+@query(
+    "ddl_compact_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("ddl", "sql-surface", "connector"),
+)
+def ddl_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ... COMPACT (SqlAlterTableCompact.java:33; the
+    filesystem sink's small-file compaction, FileSystemConnectorOptions
+    .java:232): orders is written as 16 small files, compacted to
+    target size through the SQL statement, and the aggregate reads
+    THROUGH the re-registered view — the oracle over the original rows
+    proves compaction is content-preserving. File-count reduction is
+    asserted inline (the oracle can't see the filesystem)."""
+    import shutil
+
+    from flink_1_16_0_src_spark.tables import load
+
+    t = _tenv(spark)
+    n = next(_seq)
+    d = tempfile.mkdtemp()
+    path = os.path.join(d, "orders_small_files")
+    load(spark, sf_dir, "orders").repartition(16).write.parquet(path)
+    t.execute_sql(
+        f"CREATE TABLE cmp_orders_{n} WITH ('connector'='filesystem',"
+        f"'path'='{path}','format'='parquet')"
+    )
+    t.execute_sql(f"ALTER TABLE cmp_orders_{n} COMPACT")
+    n_files = sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    assert n_files < 16, f"compaction left {n_files} files"
+    out = t.sql_query(
+        f"""
+        SELECT o_orderstatus,
+               count(*) AS n,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS sum_cents,
+               min(o_orderkey) AS min_key,
+               max(o_orderkey) AS max_key
+        FROM cmp_orders_{n}
+        GROUP BY o_orderstatus
+        """
+    ).select("o_orderstatus", "n", "sum_cents", "min_key", "max_key")
+    out = out.localCheckpoint()  # materialize before the tmp dir is removed
+    shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+@query(
+    "ddl_compile_execute_plan",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           min(n_name) AS first_name
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    tags=("ddl", "sql-surface", "plan"),
+)
+def ddl_compile_execute_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPILE PLAN / EXECUTE PLAN (FLIP-190 — SqlCompilePlan.java:41,
+    SqlExecutePlan.java): the INSERT pipeline is compiled to a plan
+    file by one TableEnvironment and EXECUTED by a FRESH one that has
+    none of the registrations — the plan file alone must restore the
+    source + sink environment and replay the DML. The query reads the
+    sink back; the oracle computes the aggregate directly."""
+    import shutil
+
+    t = _tenv(spark)
+    n = next(_seq)
+    d = tempfile.mkdtemp()
+    plan_file = os.path.join(d, "plan.json")
+    sink_path = os.path.join(d, "out")
+    t.execute_sql(
+        f"CREATE TABLE plan_src_{n} WITH ('connector'='filesystem',"
+        f"'path'='{os.path.join(sf_dir, 'nation.parquet')}',"
+        f"'format'='parquet')"
+    )
+    t.execute_sql(
+        f"CREATE TABLE plan_sink_{n} WITH ('connector'='filesystem',"
+        f"'path'='{sink_path}','format'='parquet')"
+    )
+    t.execute_sql(
+        f"COMPILE PLAN '{plan_file}' FOR "
+        f"INSERT INTO plan_sink_{n} "
+        f"SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name "
+        f"FROM plan_src_{n} GROUP BY n_regionkey"
+    )
+    fresh = _tenv(spark)
+    fresh.execute_sql(f"EXECUTE PLAN '{plan_file}'")
+    out = (
+        spark.read.parquet(sink_path)
+        .select("n_regionkey", "n_nations", "first_name")
+        .localCheckpoint()  # materialize before the tmp dir is removed
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out

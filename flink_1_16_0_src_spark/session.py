@@ -104,6 +104,18 @@ _EXECUTE_STATEMENT_SET = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+_COMPILE_PLAN = re.compile(
+    # SqlCompilePlan.java:41 `COMPILE PLAN 'f' [IF NOT EXISTS] FOR DML` +
+    # SqlCompileAndExecutePlan.java `COMPILE AND EXECUTE PLAN 'f' FOR DML`
+    r"COMPILE(?:\s+AND\s+(?P<execute>EXECUTE))?\s+PLAN\s+'(?P<file>[^']+)'"
+    r"(?:\s+(?P<ine>IF\s+NOT\s+EXISTS))?\s+FOR\s+(?P<dml>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_EXECUTE_PLAN = re.compile(
+    # SqlExecutePlan.java `EXECUTE PLAN 'f'`
+    r"EXECUTE\s+PLAN\s+'(?P<file>[^']+)'\s*;?\s*$", re.IGNORECASE
+)
+
 
 def _split_statements(body: str) -> list[str]:
     """Split a statement-set body on top-level ';' (quote-aware)."""
@@ -302,6 +314,17 @@ class TableEnvironment:
                 [(summary["statements"], summary["shared_subplans"])],
                 "statements int, shared_subplans int",
             )
+        mcp = _COMPILE_PLAN.match(stmt)
+        if mcp:
+            return self._compile_plan(
+                mcp.group("file"),
+                mcp.group("ine") is not None,
+                mcp.group("dml"),
+                execute=mcp.group("execute") is not None,
+            )
+        mep = _EXECUTE_PLAN.match(stmt)
+        if mep:
+            return self._execute_plan(mep.group("file"))
         if re.match(r"^BEGIN\s+STATEMENT\s+SET\s*;?\s*$", stmt, re.IGNORECASE):
             self._pending_statement_set = self.create_statement_set()
             return None
@@ -751,6 +774,33 @@ class TableEnvironment:
             # options (format/path/csv knobs take effect immediately)
             self._register_parsed(name, reg)
             return None
+        mreset = re.match(r"^RESET\s*\((.*)\)\s*$", rest, re.IGNORECASE | re.DOTALL)
+        if mreset:
+            # SqlAlterTableReset.java: drop the listed option keys so the
+            # table falls back to defaults; the connector key is the
+            # table's identity and cannot be reset (AlterTableResetOperation
+            # validation in OperationConverterUtils)
+            reg = self._registrations.get(name)
+            if reg is None:
+                raise ValueError(
+                    f"ALTER TABLE {name!r} RESET: not a DDL-registered table"
+                )
+            keys = [
+                k.strip().strip("'\"") for k in mreset.group(1).split(",") if k.strip()
+            ]
+            if not keys:
+                raise ValueError("ALTER TABLE RESET requires at least one key")
+            if "connector" in keys:
+                raise ValueError("ALTER TABLE RESET cannot reset 'connector'")
+            for k in keys:
+                reg["props"].pop(k, None)
+            self._register_parsed(name, reg)
+            return None
+        mcompact = re.match(
+            r"^(?:PARTITION\s*\((?P<spec>[^)]*)\)\s+)?COMPACT\s*$", rest, re.IGNORECASE
+        )
+        if mcompact:
+            return self._compact_table(name, mcompact.group("spec"))
         # normalize Spark's `ADD COLUMNS (...)` spelling onto Flink's
         # `ADD (...)` so both route identically
         rest_n = re.sub(
@@ -810,6 +860,148 @@ class TableEnvironment:
         # anything else (DROP COLUMNS, table properties Spark-style, …)
         # keeps the old passthrough behavior
         return self.spark.sql(f"ALTER TABLE {name} {rest}")
+
+    def _compile_plan(
+        self, file: str, if_not_exists: bool, dml: str, execute: bool
+    ) -> DataFrame | None:
+        """COMPILE [AND EXECUTE] PLAN (FLIP-190 — SqlCompilePlan.java:41,
+        SqlCompileAndExecutePlan.java; TableEnvironmentImpl
+        .compilePlanAndWrite): persist a DML pipeline to a plan file that
+        EXECUTE PLAN can run in a later session. Overwrite rules match
+        the reference: an existing file is an error, IF NOT EXISTS skips
+        compilation, and SET 'table.plan.force-recompile'='true'
+        overwrites (TableConfigOptions.PLAN_FORCE_RECOMPILE).
+
+        Honest scope: the reference freezes the physical plan at
+        exec-node granularity so a later MINOR version replays it
+        byte-stable. Catalyst neither serializes nor replays physical
+        plans, so the persisted artifact here is the logical contract —
+        the DML text plus the catalog registrations (CatalogTable
+        snapshots) and SET overrides it depends on — and EXECUTE PLAN
+        re-derives the physical plan under the restored environment.
+        Plan-freezing across engine upgrades is documented out of scope
+        in COVERAGE."""
+        import json
+
+        dml = dml.strip().rstrip(";").strip()
+        if re.match(r"^STATEMENT\s+SET", dml, re.IGNORECASE):
+            dml = "EXECUTE " + dml
+        force = self._set_overrides.get("table.plan.force-recompile") == "true"
+        if os.path.exists(file) and not force:
+            if not if_not_exists:
+                raise ValueError(
+                    f"COMPILE PLAN: {file!r} exists — use IF NOT EXISTS or "
+                    "SET 'table.plan.force-recompile'='true'"
+                )
+        else:
+            words = set(re.findall(r"\w+", dml))
+            plan = {
+                "version": 1,
+                "statement": dml,
+                "registrations": {
+                    n: r for n, r in self._registrations.items() if n in words
+                },
+                "set_overrides": self._set_overrides,
+            }
+            os.makedirs(os.path.dirname(file) or ".", exist_ok=True)
+            with open(file, "w") as f:
+                json.dump(plan, f, indent=1)
+        if execute:
+            return self._execute_plan(file)
+        return None
+
+    def _execute_plan(self, file: str) -> DataFrame | None:
+        """EXECUTE PLAN (SqlExecutePlan.java; TableEnvironmentImpl
+        .executePlan): restore the plan file's environment — catalog
+        registrations the current session lacks, then SET overrides —
+        and run its DML through the normal dispatch."""
+        import json
+
+        with open(file) as f:
+            plan = json.load(f)
+        for name, reg in plan.get("registrations", {}).items():
+            if name in self._registrations:
+                continue  # current session's definition wins (same-name rule)
+            if reg.get("watermark") is not None:
+                reg["watermark"] = tuple(reg["watermark"])
+            self._register_parsed(name, reg)
+        for k, v in plan.get("set_overrides", {}).items():
+            if k not in self._set_overrides:
+                self.execute_sql(f"SET '{k}' = '{v}'")
+        return self.execute_sql(plan["statement"])
+
+    def _compact_table(self, name: str, spec_txt: str | None) -> None:
+        """ALTER TABLE [PARTITION(...)] COMPACT (SqlAlterTableCompact
+        .java:33; the small-file compaction the reference's filesystem
+        sink runs under 'auto-compaction' — FileSystemConnectorOptions
+        .java:232, compact operators under flink-connector-files
+        .../table/stream/compact/). Routes to sources.compact_partitions
+        on the table's path (or one partition directory), honoring the
+        'compaction.file-size' option (MemorySize syntax, default 128mb),
+        then re-registers the view so the next query lists the new files.
+
+        Scale: compaction is itself a distributed job — each executor
+        rewrites its share and only the directory swap is driver-side.
+        Run per partition as it closes, not table-wide."""
+        from flink_1_16_0_src_spark import sources as srcs
+
+        reg = self._registrations.get(name)
+        props = (reg or {}).get("props") or self._sources.get(name) or {}
+        if props.get("connector") != "filesystem" or "path" not in props:
+            raise ValueError(
+                f"ALTER TABLE {name} COMPACT: only filesystem-connector "
+                "tables with a 'path' can be compacted"
+            )
+        partcols = (reg or {}).get("partcols") or []
+        path = props["path"]
+        partitioned_by: list[str] | None = partcols or None
+        if spec_txt is not None:
+            spec: dict[str, str] = {}
+            for item in spec_txt.split(","):
+                item = item.strip()
+                if not item:
+                    continue
+                if "=" not in item:
+                    raise ValueError(
+                        f"ALTER TABLE {name} COMPACT: partition spec must be "
+                        f"fully valued, got bare key {item!r}"
+                    )
+                k, v = item.split("=", 1)
+                spec[k.strip().strip("`")] = v.strip().strip("'\"")
+            # hive layout: the spec must cover a directory PREFIX of the
+            # declared partition columns
+            if list(spec) != partcols[: len(spec)]:
+                raise ValueError(
+                    f"ALTER TABLE {name} COMPACT: partition spec {list(spec)} "
+                    f"must be a prefix of the partition columns {partcols}"
+                )
+            path = path.rstrip("/") + "".join(
+                f"/{k}={spec[k]}" for k in partcols[: len(spec)]
+            )
+            remaining = partcols[len(spec):]
+            partitioned_by = remaining or None
+
+        size_txt = props.get("compaction.file-size", "128mb")
+        msize = re.match(r"^\s*(\d+)\s*([kmg]?b)?\s*$", size_txt, re.IGNORECASE)
+        if not msize:
+            raise ValueError(f"bad compaction.file-size {size_txt!r}")
+        mult = {"b": 1, "kb": 1024, "mb": 1024**2, "gb": 1024**3}[
+            (msize.group(2) or "b").lower()
+        ]
+        srcs.compact_partitions(
+            self.spark,
+            path,
+            props.get("format", "parquet"),
+            partitioned_by=partitioned_by,
+            target_file_size_bytes=int(msize.group(1)) * mult,
+        )
+        if reg is not None:
+            self._register_parsed(name, reg)
+        else:
+            srcs.read_table(
+                self.spark, props["path"], props.get("format", "parquet")
+            ).createOrReplaceTempView(name)
+        return None
 
     def _analyze_table(self, m: "re.Match") -> None:
         """ANALYZE TABLE (FLIP-240, new in 1.16 — SqlAnalyzeTable.java;

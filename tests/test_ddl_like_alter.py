@@ -238,3 +238,143 @@ def test_statement_set_static_partition(tenv, spark, tmp_path):
     # partitioned directory layout (static col became a partition)
     import os
     assert any(d.startswith("region=") for d in os.listdir(p))
+
+
+def test_alter_table_reset_options(tenv):
+    """SqlAlterTableReset.java: RESET drops listed keys; connector is
+    protected."""
+    _create_base(tenv, "reset_base")
+    tenv.execute_sql("ALTER TABLE reset_base RESET ('myopt')")
+    assert "myopt" not in tenv._registrations["reset_base"]["props"]
+    with pytest.raises(ValueError, match="cannot reset 'connector'"):
+        tenv.execute_sql("ALTER TABLE reset_base RESET ('connector')")
+    with pytest.raises(ValueError, match="at least one key"):
+        tenv.execute_sql("ALTER TABLE reset_base RESET ()")
+
+
+def _count_files(path, suffix=".parquet"):
+    out = 0
+    for root, _dirs, files in os.walk(path):
+        out += sum(1 for f in files if f.endswith(suffix))
+    return out
+
+
+def test_alter_table_compact_statement(tenv, spark, tmp_path):
+    """ALTER TABLE ... COMPACT (SqlAlterTableCompact.java:33): the SQL
+    statement merges small files and the re-registered view sees
+    identical rows."""
+    path = os.path.join(str(tmp_path), "cmp")
+    src = spark.range(0, 10000).withColumnRenamed("id", "v")
+    src.repartition(24).write.parquet(path)
+    assert _count_files(path) >= 24
+    tenv.execute_sql(
+        f"CREATE TABLE cmp_t WITH ('connector'='filesystem',"
+        f"'path'='{path}','format'='parquet')"
+    )
+    before = tenv.spark.table("cmp_t").agg({"v": "sum"}).collect()[0][0]
+    tenv.execute_sql("ALTER TABLE cmp_t COMPACT")
+    assert _count_files(path) <= 2
+    assert tenv.spark.table("cmp_t").agg({"v": "sum"}).collect()[0][0] == before
+    assert tenv.spark.table("cmp_t").count() == 10000
+
+
+def test_alter_table_compact_partition_scoped(tenv, spark, tmp_path):
+    """PARTITION(k=v) COMPACT touches only that directory; other
+    partitions keep their file layout."""
+    path = os.path.join(str(tmp_path), "cmp_part")
+    from pyspark.sql import functions as F
+
+    spark.range(0, 8000).select(
+        (F.col("id") % 4).alias("p"), F.col("id").alias("v")
+    ).repartition(12).write.partitionBy("p").parquet(path)
+    tenv.execute_sql(
+        f"CREATE TABLE cmp_p (v BIGINT) PARTITIONED BY (p) "
+        f"WITH ('connector'='filesystem','path'='{path}','format'='parquet')"
+    )
+    files_p1_before = _count_files(os.path.join(path, "p=1"))
+    files_p2_before = _count_files(os.path.join(path, "p=2"))
+    assert files_p1_before > 1
+    tenv.execute_sql("ALTER TABLE cmp_p PARTITION (p=1) COMPACT")
+    assert _count_files(os.path.join(path, "p=1")) == 1
+    assert _count_files(os.path.join(path, "p=2")) == files_p2_before
+    df = tenv.spark.table("cmp_p")
+    assert df.where("p = 1").count() == 2000
+    assert df.count() == 8000
+    # bad specs
+    with pytest.raises(ValueError, match="fully valued"):
+        tenv.execute_sql("ALTER TABLE cmp_p PARTITION (p) COMPACT")
+    with pytest.raises(ValueError, match="prefix"):
+        tenv.execute_sql("ALTER TABLE cmp_p PARTITION (v=3) COMPACT")
+
+
+def test_alter_table_compact_requires_filesystem(tenv, spark):
+    spark.range(3).createOrReplaceTempView("cmp_view_only")
+    with pytest.raises(ValueError, match="filesystem"):
+        tenv.execute_sql("ALTER TABLE cmp_view_only COMPACT")
+
+
+def test_compile_and_execute_plan_roundtrip(tenv, spark, tmp_path):
+    """COMPILE PLAN 'f' FOR INSERT / EXECUTE PLAN 'f' (FLIP-190 —
+    SqlCompilePlan.java:41, SqlExecutePlan.java): the plan file restores
+    source + sink registrations in a FRESH TableEnvironment and the DML
+    replays."""
+    plan_file = os.path.join(str(tmp_path), "plans", "p.json")
+    sink_path = os.path.join(str(tmp_path), "sink_out")
+    tenv.execute_sql(
+        f"CREATE TABLE cp_src WITH ('connector'='filesystem',"
+        f"'path'='{SF_DIR}/nation.parquet','format'='parquet')"
+    )
+    tenv.execute_sql(
+        f"CREATE TABLE cp_sink WITH ('connector'='filesystem',"
+        f"'path'='{sink_path}','format'='parquet')"
+    )
+    tenv.execute_sql(
+        f"COMPILE PLAN '{plan_file}' FOR "
+        f"INSERT INTO cp_sink SELECT n_nationkey, n_name FROM cp_src"
+    )
+    assert os.path.exists(plan_file)
+    # existing file without the force flag is an error...
+    with pytest.raises(ValueError, match="exists"):
+        tenv.execute_sql(
+            f"COMPILE PLAN '{plan_file}' FOR "
+            f"INSERT INTO cp_sink SELECT n_nationkey, n_name FROM cp_src"
+        )
+    # ...IF NOT EXISTS skips silently...
+    tenv.execute_sql(
+        f"COMPILE PLAN '{plan_file}' IF NOT EXISTS FOR "
+        f"INSERT INTO cp_sink SELECT n_nationkey, n_name FROM cp_src"
+    )
+    # ...and table.plan.force-recompile overwrites
+    tenv.execute_sql("SET 'table.plan.force-recompile' = 'true'")
+    tenv.execute_sql(
+        f"COMPILE PLAN '{plan_file}' FOR "
+        f"INSERT INTO cp_sink SELECT n_nationkey, n_name FROM cp_src"
+    )
+
+    fresh = TableEnvironment(spark)
+    assert "cp_sink" not in fresh._sinks
+    fresh.execute_sql(f"EXECUTE PLAN '{plan_file}'")
+    out = spark.read.parquet(sink_path)
+    assert out.count() == spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
+    assert set(out.columns) == {"n_nationkey", "n_name"}
+
+
+def test_compile_and_execute_plan_inline(tenv, spark, tmp_path):
+    """COMPILE AND EXECUTE PLAN 'f' FOR ... (SqlCompileAndExecutePlan):
+    writes the file AND runs the DML in one statement."""
+    plan_file = os.path.join(str(tmp_path), "pae.json")
+    sink_path = os.path.join(str(tmp_path), "pae_out")
+    tenv.execute_sql(
+        f"CREATE TABLE cpe_src WITH ('connector'='filesystem',"
+        f"'path'='{SF_DIR}/region.parquet','format'='parquet')"
+    )
+    tenv.execute_sql(
+        f"CREATE TABLE cpe_sink WITH ('connector'='filesystem',"
+        f"'path'='{sink_path}','format'='parquet')"
+    )
+    tenv.execute_sql(
+        f"COMPILE AND EXECUTE PLAN '{plan_file}' FOR "
+        f"INSERT INTO cpe_sink SELECT r_regionkey, r_name FROM cpe_src"
+    )
+    assert os.path.exists(plan_file)
+    assert spark.read.parquet(sink_path).count() == 5
