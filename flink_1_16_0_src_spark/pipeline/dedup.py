@@ -416,3 +416,114 @@ def keep_canonical(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring spans: every maximal token range whose
+    k-token windows ALL occur in >= ``min_docs`` distinct documents —
+    the distributed approximation of suffix-array substring dedup
+    ("Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2021): a duplicated substring of length >= k is exactly a run of
+    duplicated k-windows, so window-hashing + islands-merging finds the
+    same spans without a (cluster-hostile) global suffix array.
+
+    Plan shape (the 100 TB contract):
+    - one map pass builds per-doc window hashes (transform over the
+      token array — no explode of raw gram TEXT; the shuffle carries
+      md5 keys, not k-word strings);
+    - one groupBy(window-hash) with map-side partial counts finds
+      windows seen in >= min_docs docs;
+    - one hash join marks hit positions;
+    - islands-merge runs per document (window partitioned by doc id —
+      bounded by the doc's token count, never corpus-sized).
+
+    Returns (id_col, span_start, span_end, n_windows) in 0-based token
+    offsets, end exclusive."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    d = df.select(F.col(id_col), toks.alias("__toks"))
+    # windows i = tokens [i, i+k) for i in 0..n-k; short docs produce
+    # none (sequence(0, negative) would DESCEND — guard like shingles())
+    grams = F.expr(
+        f"CASE WHEN size(__toks) >= {k} THEN "
+        f"transform(sequence(0, size(__toks) - {k}), "
+        f"i -> md5(concat_ws(' ', slice(__toks, i + 1, {k})))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    wins = d.select(id_col, F.posexplode(grams).alias("pos", "__gh"))
+    dup = (
+        wins.groupBy("__gh")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__gh")
+    )
+    hits = wins.join(dup, "__gh").select(id_col, "pos")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = hits.withColumn(
+        "__new",
+        F.when(F.col("pos") > F.lag("pos").over(w) + k, 1).otherwise(0),
+    ).withColumn(
+        "__isl",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + k).cast("bigint").alias("span_end"),
+            F.count("*").cast("bigint").alias("n_windows"),
+        )
+        .drop("__isl")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Cut the duplicated token ranges out of each document (the
+    destructive half of substring dedup — Lee et al. 2021 drop the span
+    from all but one occurrence; here every occurrence is cut, the
+    conservative variant that never trains on the substring twice).
+    Docs without spans pass through untouched. One aggregation of the
+    (bounded, per-doc) span list + one left join — the corpus never
+    re-shuffles by anything other than the id."""
+    cuts = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__cuts")
+    )
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return (
+        df.join(cuts, id_col, "left")
+        .withColumn("__toks", toks)
+        .withColumn(
+            "__idx",
+            F.expr("CASE WHEN size(__toks) > 0 THEN sequence(0, size(__toks) - 1) "
+                   "ELSE CAST(array() AS ARRAY<INT>) END"),
+        )
+        .withColumn(
+            "__kept_text",
+            F.when(
+                F.col("__cuts").isNull(), F.lower(F.trim(F.col(text_col)))
+            ).otherwise(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(filter(__idx, i -> NOT exists(__cuts, "
+                        "c -> i >= c.span_start AND i < c.span_end)), "
+                        "i -> __toks[i])"
+                    ),
+                )
+            ),
+        )
+        .drop("__cuts", "__toks", "__idx", text_col)
+        .withColumnRenamed("__kept_text", text_col)
+    )

@@ -286,3 +286,57 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_canonical(
         corpus, _ngram_pairs(spark, sf_dir), "doc_id"
     ).select("doc_id", "lang")
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, str_split_regex(lower(trim(text)), '\s+') AS arr
+      FROM documents
+    ),
+    wins0 AS (
+      SELECT doc_id, unnest(generate_series(1, len(arr) - 7)) AS p, arr
+      FROM toks WHERE len(arr) >= 8
+    ),
+    wins AS (
+      SELECT doc_id, p - 1 AS pos, array_to_string(arr[p:p+7], ' ') AS gram
+      FROM wins0
+    ),
+    dup AS (
+      SELECT gram FROM wins GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (gram)),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+                  THEN 1 ELSE 0 END AS new_island
+      FROM hits
+    ),
+    islands AS (
+      SELECT doc_id, pos,
+             sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS isl
+      FROM flagged
+    )
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 8 AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM islands GROUP BY doc_id, isl
+    """,
+    tags=("pipeline", "dedup"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (suffix-array substring dedup
+    a la Lee et al. 2021, approximated as duplicated 8-token-window
+    islands — pipeline/dedup.duplicate_spans): maximal token ranges
+    whose every 8-gram appears in >= 2 distinct documents. One window-
+    hash pass (md5 keys, not gram text, on the shuffle), one grouped
+    count, one hash join, then per-DOC islands merge (window bounded by
+    document length, never corpus-wide)."""
+    from flink_1_16_0_src_spark.pipeline.dedup import duplicate_spans
+
+    d = load(spark, sf_dir, "documents")
+    return duplicate_spans(d, "text", "doc_id", k=8, min_docs=2).select(
+        "doc_id", "span_start", "span_end", "n_windows"
+    )

@@ -161,3 +161,74 @@ def test_connected_components_shapes(spark):
     docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 12, 20, 21, 99]], "doc_id long")
     kept = sorted(r.doc_id for r in keep_canonical(docs, pairs, "doc_id").collect())
     assert kept == [1, 10, 20, 99]  # one per component + untouched 99
+
+
+# -- exact substring spans (duplicate_spans / remove_duplicate_spans) ----
+
+def _span_docs(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = [
+        (1, f"one two three {shared} four five"),
+        (2, f"start {shared} middle words here and more tail"),
+        (3, "totally unique content with no repeats at all whatsoever"),
+        (4, f"{shared} {shared}"),  # duplicated run twice in one doc
+    ]
+    return spark.createDataFrame(docs, "doc_id bigint, text string")
+
+
+def test_duplicate_spans_finds_shared_run(spark):
+    from flink_1_16_0_src_spark.pipeline.dedup import duplicate_spans
+
+    df = _span_docs(spark)
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans(df, "text", "doc_id", k=8).collect()
+    }
+    # doc 1: shared run is tokens [3, 11); doc 2: [1, 9)
+    assert (1, 3, 11) in spans
+    assert (2, 1, 9) in spans
+    # doc 3 clean
+    assert not any(s[0] == 3 for s in spans)
+    # doc 4: the whole 16-token text is one merged island [0, 16)
+    assert (4, 0, 16) in spans
+
+
+def test_duplicate_spans_short_docs_no_windows(spark):
+    from flink_1_16_0_src_spark.pipeline.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, "too short")], "doc_id bigint, text string"
+    )
+    assert duplicate_spans(df, "text", "doc_id", k=8).count() == 0
+
+
+def test_remove_duplicate_spans_cuts_tokens(spark):
+    from flink_1_16_0_src_spark.pipeline.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    df = _span_docs(spark)
+    spans = duplicate_spans(df, "text", "doc_id", k=8)
+    out = {r.doc_id: r.text for r in remove_duplicate_spans(df, spans, "text", "doc_id").collect()}
+    assert out[1] == "one two three four five"
+    assert out[2] == "start middle words here and more tail"
+    assert out[3] == "totally unique content with no repeats at all whatsoever"
+    assert out[4] == ""  # fully duplicated doc is cut to nothing
+
+
+def test_duplicate_spans_islands_merge_overlaps(spark):
+    """Two overlapping duplicated windows merge into ONE maximal span."""
+    from flink_1_16_0_src_spark.pipeline.dedup import duplicate_spans
+
+    nine = "a1 a2 a3 a4 a5 a6 a7 a8 a9"  # 9 tokens -> windows at pos 0 and 1
+    df = spark.createDataFrame(
+        [(1, f"x {nine} y"), (2, f"p q {nine}")],
+        "doc_id bigint, text string",
+    )
+    rows = duplicate_spans(df, "text", "doc_id", k=8).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end, r.n_windows))
+    assert per_doc[1] == [(1, 10, 2)]
+    assert per_doc[2] == [(2, 11, 2)]

@@ -325,3 +325,16 @@ def test_ivfpq_heap_topk_no_python_no_cartesian(spark):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_substring_spans_no_python_no_cartesian(spark):
+    """duplicate_spans (Lee et al. substring dedup): pure-Catalyst map
+    pass + hash join + per-doc window — no Python, no cartesian, partial
+    count-distinct before the gram shuffle, islands window partitioned
+    by doc id (never a corpus-wide single partition)."""
+    plan = _plan(spark, "dedup_substring_spans")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "partial_count(distinct" in plan or "partial_count" in plan
+    # the islands window runs per doc: its exchange hashpartitions on doc_id
+    assert "hashpartitioning(doc_id" in plan
