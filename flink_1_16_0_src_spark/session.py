@@ -422,6 +422,37 @@ class TableEnvironment:
         )
         if mshow:
             return self._show_create_table(mshow.group(1))
+        mshowpart = re.match(
+            r"^SHOW\s+PARTITIONS\s+(?P<name>[\w.]+)"
+            r"(?:\s+PARTITION\s*\((?P<spec>[^)]*)\))?\s*;?\s*$",
+            stmt, re.IGNORECASE,
+        )
+        if mshowpart:
+            return self._show_partitions(
+                mshowpart.group("name"), mshowpart.group("spec")
+            )
+        mshowcols = re.match(
+            r"^SHOW\s+COLUMNS\s+(?:FROM|IN)\s+(?P<name>[\w.]+)"
+            r"(?:\s+(?P<neg>NOT\s+)?LIKE\s+'(?P<pat>[^']*)')?\s*;?\s*$",
+            stmt, re.IGNORECASE,
+        )
+        if mshowcols:
+            return self._show_columns(
+                mshowcols.group("name"),
+                mshowcols.group("pat"),
+                negated=mshowcols.group("neg") is not None,
+            )
+        if re.match(r"^SHOW\s+CURRENT\s+CATALOG\s*;?\s*$", stmt, re.IGNORECASE):
+            # SqlShowCurrentCatalog.java — one row, reference column name
+            return self.spark.createDataFrame(
+                [(self.catalog_manager.current_catalog,)],
+                "`current catalog name` string",
+            )
+        if re.match(r"^SHOW\s+CURRENT\s+DATABASE\s*;?\s*$", stmt, re.IGNORECASE):
+            return self.spark.createDataFrame(
+                [(self.catalog_manager.current_database(),)],
+                "`current database name` string",
+            )
         # catalog statements (SqlCreateCatalog.java / SqlUseCatalog.java /
         # SqlShowCatalogs.java / SqlDropCatalog) — resolved by the
         # CatalogManager; only the in-memory type exists in this env
@@ -1206,6 +1237,81 @@ class TableEnvironment:
         lines.append(f"WITH (\n{props}\n)")
         ddl = "\n".join(lines)
         return self.spark.createDataFrame([(ddl,)], "result string")
+
+    def _show_partitions(self, name: str, spec_txt: str | None) -> DataFrame:
+        """SHOW PARTITIONS t [PARTITION(spec)] (SqlShowPartitions —
+        TableEnvironmentImpl.java:1353-1380: catalog.listPartitions,
+        rows are 'k1=v1/k2=v2' strings in one 'partition name' column).
+        Partitions are discovered from the hive-layout directories under
+        the table's path — the same listing the filesystem connector's
+        partition discovery does; at 100 TB this is catalog/metastore
+        metadata, never a data scan."""
+        reg = self._registrations.get(name)
+        props = (reg or {}).get("props") or self._sources.get(name) or {}
+        partcols = (reg or {}).get("partcols") or []
+        if not partcols or props.get("connector") != "filesystem":
+            raise ValueError(
+                f"SHOW PARTITIONS {name}: not a partitioned filesystem table"
+            )
+        want: dict[str, str] = {}
+        if spec_txt:
+            for item in spec_txt.split(","):
+                if "=" in item:
+                    k, v = item.split("=", 1)
+                    want[k.strip().strip("`")] = v.strip().strip("'\"")
+        base = props["path"].removeprefix("file://").rstrip("/")
+
+        def _walk(d: str, depth: int) -> list[list[str]]:
+            if depth == len(partcols):
+                return [[]]
+            out = []
+            prefix = partcols[depth] + "="
+            for entry in sorted(os.listdir(d)):
+                full = os.path.join(d, entry)
+                if os.path.isdir(full) and entry.startswith(prefix):
+                    for rest in _walk(full, depth + 1):
+                        out.append([entry] + rest)
+            return out
+
+        rows = []
+        for kvs in _walk(base, 0):
+            spec = dict(kv.split("=", 1) for kv in kvs)
+            if all(spec.get(k) == v for k, v in want.items()):
+                rows.append(("/".join(kvs),))
+        return self.spark.createDataFrame(rows, "`partition name` string")
+
+    def _show_columns(
+        self, name: str, pattern: str | None, negated: bool = False
+    ) -> DataFrame:
+        """SHOW COLUMNS (FROM|IN) t [[NOT] LIKE 'p'] (SqlShowColumns —
+        reference output is the DESCRIBE shape: name/type/null/key/
+        extras/watermark; LIKE uses SQL %/_ wildcards)."""
+        df = self.spark.table(name)
+        wm = self._watermarks.get(name)
+        rows = []
+        for field in df.schema.fields:
+            if pattern is not None:
+                rex = re.escape(pattern).replace("%", ".*").replace("_", ".")
+                hit = re.fullmatch(rex, field.name) is not None
+                if hit == negated:
+                    continue
+            rows.append(
+                (
+                    field.name,
+                    field.dataType.simpleString().upper(),
+                    field.nullable,
+                    None,
+                    None,
+                    f"`{wm[0]}` AS `{wm[0]}` - INTERVAL '{wm[1]}'"
+                    if wm and wm[0] == field.name
+                    else None,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "name string, type string, null boolean, key string, "
+            "extras string, watermark string",
+        )
 
     def _rewrite_flink_clauses(self, sql: str) -> str:
         """Window-TVF + MATCH_RECOGNIZE SQL surface (sql_clauses.py):

@@ -378,3 +378,40 @@ def test_compile_and_execute_plan_inline(tenv, spark, tmp_path):
     )
     assert os.path.exists(plan_file)
     assert spark.read.parquet(sink_path).count() == 5
+
+
+def test_show_partitions_and_columns(tenv, spark, tmp_path):
+    """SHOW PARTITIONS (TableEnvironmentImpl.java:1353-1380 k=v/k=v
+    strings), SHOW COLUMNS [NOT] LIKE, SHOW CURRENT CATALOG/DATABASE."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(str(tmp_path), "sp")
+    spark.range(0, 60).select(
+        (F.col("id") % 3).alias("p"), (F.col("id") % 2).alias("q"), "id"
+    ).write.partitionBy("p", "q").parquet(path)
+    tenv.execute_sql(
+        f"CREATE TABLE sp_t (id BIGINT) PARTITIONED BY (p, q) "
+        f"WITH ('connector'='filesystem','path'='{path}','format'='parquet')"
+    )
+    names = [r["partition name"] for r in tenv.execute_sql("SHOW PARTITIONS sp_t").collect()]
+    assert names == sorted(names) and len(names) == 6
+    assert "p=0/q=0" in names and "p=2/q=1" in names
+    filtered = [
+        r["partition name"]
+        for r in tenv.execute_sql("SHOW PARTITIONS sp_t PARTITION (p=1)").collect()
+    ]
+    assert filtered == ["p=1/q=0", "p=1/q=1"]
+    with pytest.raises(ValueError, match="not a partitioned"):
+        tenv.execute_sql("SHOW PARTITIONS missing_table_xyz")
+
+    cols = tenv.execute_sql("SHOW COLUMNS FROM sp_t").collect()
+    assert [c.name for c in cols][:1] == ["id"]
+    liked = tenv.execute_sql("SHOW COLUMNS IN sp_t LIKE 'p%'").collect()
+    assert {c.name for c in liked} == {"p"}
+    notliked = tenv.execute_sql("SHOW COLUMNS IN sp_t NOT LIKE 'p%'").collect()
+    assert {c.name for c in notliked} == {"id", "q"}
+
+    cur = tenv.execute_sql("SHOW CURRENT CATALOG").collect()
+    assert cur[0]["current catalog name"] == "default_catalog"
+    curdb = tenv.execute_sql("SHOW CURRENT DATABASE").collect()
+    assert curdb[0]["current database name"]
