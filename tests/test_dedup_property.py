@@ -232,3 +232,53 @@ def test_duplicate_spans_islands_merge_overlaps(spark):
         per_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end, r.n_windows))
     assert per_doc[1] == [(1, 10, 2)]
     assert per_doc[2] == [(2, 11, 2)]
+
+
+# -- property: duplicate_spans vs a pure-Python spans oracle -------------
+
+span_doc = st.lists(st.sampled_from(WORDS[:4]), min_size=0, max_size=14).map(" ".join)
+span_corpus = st.lists(span_doc, min_size=2, max_size=6)
+SPAN_K = 3
+
+
+def _py_spans(corpus: list[str], k: int = SPAN_K, min_docs: int = 2):
+    wins = {}  # gram -> set(doc ids)
+    toks = [d.lower().strip().split() for d in corpus]
+    for i, t in enumerate(toks):
+        for p in range(len(t) - k + 1):
+            wins.setdefault(" ".join(t[p : p + k]), set()).add(i)
+    dup = {g for g, ids in wins.items() if len(ids) >= min_docs}
+    out = set()
+    for i, t in enumerate(toks):
+        hits = sorted(
+            p for p in range(len(t) - k + 1) if " ".join(t[p : p + k]) in dup
+        )
+        spans, cur = [], None
+        for p in hits:
+            if cur is not None and p <= cur[1] + k:  # overlap-or-adjacent
+                cur = (cur[0], p, cur[2] + 1)
+            else:
+                if cur is not None:
+                    spans.append(cur)
+                cur = (p, p, 1)
+        if cur is not None:
+            spans.append(cur)
+        for s, e, n in spans:
+            out.add((i, s, e + k, n))
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpus=span_corpus)
+def test_duplicate_spans_match_python_oracle(spark, corpus):
+    from flink_1_16_0_src_spark.pipeline.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id bigint, text string"
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in duplicate_spans(df, "text", "doc_id", k=SPAN_K).collect()
+    }
+    assert got == _py_spans(corpus)
