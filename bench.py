@@ -64,6 +64,11 @@ BENCH_QUERIES = [
     "sim_pq_adc_topk",           # PQ ADC scan + heap top-k (r5 fix:
                                  # TakeOrderedAndProject, no global sort)
     "vocab_top_tokens",          # tokenizer vocab head (same r5 fix)
+    # r7 addition (per-query comparison only; totals shift by the new
+    # entry):
+    "dedup_substring_spans",     # exact substring dedup (Lee et al.):
+                                 # window-md5 map pass + grouped distinct
+                                 # count + per-doc islands merge
 ]
 
 

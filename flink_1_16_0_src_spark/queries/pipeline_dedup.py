@@ -340,3 +340,84 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(d, "text", "doc_id", k=8, min_docs=2).select(
         "doc_id", "span_start", "span_end", "n_windows"
     )
+
+
+@query(
+    "dedup_substring_removed",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, str_split_regex(lower(trim(text)), '\s+') AS arr
+      FROM documents
+    ),
+    wins0 AS (
+      SELECT doc_id, unnest(generate_series(1, len(arr) - 7)) AS p, arr
+      FROM toks WHERE len(arr) >= 8
+    ),
+    wins AS (
+      SELECT doc_id, p - 1 AS pos, array_to_string(arr[p:p+7], ' ') AS gram
+      FROM wins0
+    ),
+    dup AS (
+      SELECT gram FROM wins GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (gram)),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+                  THEN 1 ELSE 0 END AS new_island
+      FROM hits
+    ),
+    islands AS (
+      SELECT doc_id, pos,
+             sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS isl
+      FROM flagged
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+      FROM islands GROUP BY doc_id, isl
+    ),
+    cut AS (
+      SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS n_cut FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.arr) AS BIGINT) AS n_tokens_before,
+           CAST(len(t.arr) - coalesce(c.n_cut, 0) AS BIGINT) AS n_tokens_after
+    FROM toks t LEFT JOIN cut c ON t.doc_id = c.doc_id
+    WHERE coalesce(c.n_cut, 0) > 0
+    """,
+    tags=("pipeline", "dedup"),
+)
+def dedup_substring_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The destructive half of substring dedup (Lee et al. 2021):
+    remove_duplicate_spans cuts every duplicated token range; the query
+    reports before/after token counts for every doc that lost tokens —
+    driver-checkable evidence that the cut arithmetic (span merge ->
+    array filter) is exact. Docs whose cleaned text is empty count 0
+    tokens (split('') yields [''] on both engines; guarded)."""
+    from flink_1_16_0_src_spark.pipeline.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = duplicate_spans(d, "text", "doc_id", k=8, min_docs=2)
+    cleaned = remove_duplicate_spans(d, spans, "text", "doc_id")
+    before = d.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim("text")), r"\s+")).cast("bigint").alias(
+            "n_tokens_before"
+        ),
+    )
+    after = cleaned.select(
+        "doc_id",
+        F.when(F.col("text") == "", F.lit(0))
+        .otherwise(F.size(F.split("text", r"\s+")))
+        .cast("bigint")
+        .alias("n_tokens_after"),
+    )
+    return (
+        before.join(after, "doc_id")
+        .where(F.col("n_tokens_after") < F.col("n_tokens_before"))
+        .select("doc_id", "n_tokens_before", "n_tokens_after")
+    )
