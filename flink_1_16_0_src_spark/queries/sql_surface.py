@@ -390,3 +390,105 @@ def join_temporal_table_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE r.o_custkey = e.user_id
         """
     ).select("event_id", "user_id", "ts", "o_orderkey", "rate_price")
+
+
+@query(
+    "cep_sql_quantifier_exact",
+    oracle="""
+    SELECT user_id, click_id, first_view_id, last_view_id, purchase_id
+    FROM (
+      SELECT user_id,
+             event_id AS click_id,
+             event_type,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2,
+             lead(event_type, 3) OVER w AS t3,
+             lead(event_id, 1) OVER w AS first_view_id,
+             lead(event_id, 2) OVER w AS last_view_id,
+             lead(event_id, 3) OVER w AS purchase_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) t
+    WHERE event_type = 'click' AND t1 = 'view' AND t2 = 'view'
+      AND t3 = 'purchase'
+    """,
+    tags=("cep", "match-recognize", "sql-surface", "conformance"),
+)
+def cep_sql_quantifier_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count quantifier PATTERN (A B{2} C) — SqlParser quantifier
+    surface (match_recognize.md quantifier table; NFA exact {n} =
+    (var, n, n) in sql_clauses._parse_quant): a click, exactly two
+    contiguous views, then a purchase. Oracle = the three-lead window
+    rewrite; AFTER MATCH SKIP TO NEXT ROW makes every click an anchor,
+    so both sides enumerate identical anchors."""
+    _events_view(spark, sf_dir, "events_sqlsrc")
+    sql = """
+    SELECT * FROM events_sqlsrc MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts, event_id
+      MEASURES FIRST(A.event_id) AS click_id,
+               FIRST(B.event_id) AS first_view_id,
+               LAST(B.event_id) AS last_view_id,
+               FIRST(C.event_id) AS purchase_id
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (A B{2} C)
+      DEFINE A AS event_type = 'click',
+             B AS event_type = 'view',
+             C AS event_type = 'purchase'
+    )
+    """
+    return spark.sql(rewrite_flink_clauses(spark, sql)).select(
+        "user_id", "click_id", "first_view_id", "last_view_id", "purchase_id"
+    )
+
+
+@query(
+    "cep_sql_optional_greedy",
+    oracle="""
+    SELECT user_id, click_id, view_id, purchase_id
+    FROM (
+      SELECT user_id,
+             event_id AS click_id,
+             event_type,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2,
+             lead(event_id, 1) OVER w AS i1,
+             lead(event_id, 2) OVER w AS i2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) t,
+    LATERAL (
+      SELECT CASE WHEN t1 = 'view' AND t2 = 'purchase' THEN i1 END AS view_id,
+             CASE WHEN t1 = 'view' AND t2 = 'purchase' THEN i2
+                  WHEN t1 = 'purchase' THEN i1 END AS purchase_id
+    ) x
+    WHERE event_type = 'click' AND purchase_id IS NOT NULL
+    """,
+    tags=("cep", "match-recognize", "sql-surface", "conformance"),
+)
+def cep_sql_optional_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optional quantifier PATTERN (A B? C) with GREEDY preference
+    (match_recognize.md: single `?` is greedy — the with-B match wins
+    when both parses exist): click, optionally one view, then a
+    contiguous purchase. view_id is NULL exactly when the match took
+    the empty-B parse. Oracle = two-lead CASE on the same anchors."""
+    _events_view(spark, sf_dir, "events_sqlsrc")
+    sql = """
+    SELECT * FROM events_sqlsrc MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts, event_id
+      MEASURES FIRST(A.event_id) AS click_id,
+               FIRST(B.event_id) AS view_id,
+               FIRST(C.event_id) AS purchase_id
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (A B? C)
+      DEFINE A AS event_type = 'click',
+             B AS event_type = 'view',
+             C AS event_type = 'purchase'
+    )
+    """
+    return spark.sql(rewrite_flink_clauses(spark, sql)).select(
+        "user_id", "click_id", "view_id", "purchase_id"
+    )
