@@ -109,6 +109,14 @@ class Step:
     # enumeration path (to_next_row; within strongly advised). The
     # pattern resumes after the LAST take.
     internal: str = "consecutive"
+    # RELUCTANT quantifier (Quantifier.java ConsumingStrategy — the
+    # reference's Pattern-API quantifiers are reluctant unless .greedy()
+    # is called; MATCH_RECOGNIZE spells it `+?` `*?` `??` `{n,m}?`):
+    # candidate take-counts are tried SHORTEST-first instead of
+    # longest-first. Feasible takes are identical either way — only the
+    # match-selection priority flips. Not combinable with
+    # internal='combinations' (the reference rejects greedy there too).
+    reluctant: bool = False
 
     @staticmethod
     def star(var: str, predicate: Predicate, vec: Callable | None = None,
@@ -192,16 +200,21 @@ def _match_at(
                 j += 1  # gap row between iterations
             else:
                 break
-        while True:
-            if len(takes) >= step.min:
-                res = cont(takes[-1] + 1 if takes else i)
-                if res is not None:
-                    return res
-            if not takes:
-                break
-            takes.pop()
-            matched[step.var].pop()
-            idx[step.var].pop()
+        full_rows = list(matched[step.var][base_len:])
+        full_idx = list(idx[step.var][base_len:])
+        lengths = (
+            range(step.min, len(takes) + 1)
+            if step.reluctant
+            else range(len(takes), step.min - 1, -1)
+        )
+        for L in lengths:
+            del matched[step.var][base_len:]
+            del idx[step.var][base_len:]
+            matched[step.var].extend(full_rows[:L])
+            idx[step.var].extend(full_idx[:L])
+            res = cont(takes[L - 1] + 1 if L else i)
+            if res is not None:
+                return res
         del matched[step.var][base_len:]
         del idx[step.var][base_len:]
         if not matched[step.var]:
@@ -368,14 +381,18 @@ def _match_at_any(
             else:
                 break
         emitted = False
-        while True:
-            if len(takes) >= step.min and cont(takes[-1] + 1 if takes else i):
+        full_rows = list(matched[step.var][base_len:])
+        lengths = (
+            range(step.min, len(takes) + 1)
+            if step.reluctant
+            else range(len(takes), step.min - 1, -1)
+        )
+        for L in lengths:
+            del matched[step.var][base_len:]
+            matched[step.var].extend(full_rows[:L])
+            if cont(takes[L - 1] + 1 if L else i):
                 emitted = True
-                break  # greedy: first completing take per anchor
-            if not takes:
-                break
-            takes.pop()
-            matched[step.var].pop()
+                break  # first completing take-count in preference order
         del matched[step.var][base_len:]
         if not matched[step.var]:
             del matched[step.var]
@@ -623,15 +640,17 @@ def _match_at_masks(
                 j = table[j]
             else:
                 break
-        while True:
-            if len(takes) >= step.min:
-                res = cont(takes[-1] + 1 if takes else i)
-                if res is not None:
-                    return res
-            if not takes:
-                break
-            takes.pop()
-            matched[step.var].pop()
+        lengths = (
+            range(step.min, len(takes) + 1)
+            if step.reluctant
+            else range(len(takes), step.min - 1, -1)
+        )
+        for L in lengths:
+            del matched[step.var][base_len:]
+            matched[step.var].extend(takes[:L])
+            res = cont(takes[L - 1] + 1 if L else i)
+            if res is not None:
+                return res
         del matched[step.var][base_len:]
         if not matched[step.var]:
             del matched[step.var]
@@ -896,14 +915,17 @@ def _match_at_any_masks(
             else:
                 break
         emitted = False
-        while True:
-            if len(takes) >= step.min and cont(takes[-1] + 1 if takes else i):
+        lengths = (
+            range(step.min, len(takes) + 1)
+            if step.reluctant
+            else range(len(takes), step.min - 1, -1)
+        )
+        for L in lengths:
+            del matched[step.var][base_len:]
+            matched[step.var].extend(takes[:L])
+            if cont(takes[L - 1] + 1 if L else i):
                 emitted = True
-                break  # greedy: first completing take per anchor
-            if not takes:
-                break
-            takes.pop()
-            matched[step.var].pop()
+                break  # first completing take-count in preference order
         del matched[step.var][base_len:]
         if not matched[step.var]:
             del matched[step.var]
@@ -1075,6 +1097,12 @@ def match_recognize(
     a 1-step pattern), the MATCH compiles to a lead()-window Catalyst
     plan — no Python anywhere, one shuffle, whole-stage codegen."""
 
+    for s in steps:
+        if s.reluctant and s.internal == "combinations":
+            raise ValueError(
+                f"step {s.var!r}: reluctant quantifier cannot combine with "
+                "allowCombinations (Quantifier.java rejects the pairing too)"
+            )
     compilable = (
         measures_cols is not None
         and all(

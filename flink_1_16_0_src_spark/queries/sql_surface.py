@@ -492,3 +492,61 @@ def cep_sql_optional_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrite_flink_clauses(spark, sql)).select(
         "user_id", "click_id", "view_id", "purchase_id"
     )
+
+
+@query(
+    "cep_sql_reluctant_plus",
+    oracle="""
+    WITH pos AS (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    clicks AS (
+      SELECT user_id, event_id AS click_id, rn AS p FROM pos
+      WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT user_id, event_id AS purchase_id, rn AS q FROM pos
+      WHERE event_type = 'purchase'
+    ),
+    best AS (
+      SELECT c.user_id, c.click_id, c.p, min(pu.q) AS q
+      FROM clicks c
+      JOIN purch pu ON pu.user_id = c.user_id AND pu.q >= c.p + 2
+      GROUP BY c.user_id, c.click_id, c.p
+    )
+    SELECT b.user_id, b.click_id, pu.purchase_id,
+           CAST(b.q - b.p - 1 AS BIGINT) AS n_between
+    FROM best b
+    JOIN purch pu ON pu.user_id = b.user_id AND pu.q = b.q
+    """,
+    tags=("cep", "match-recognize", "sql-surface", "conformance"),
+)
+def cep_sql_reluctant_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELUCTANT quantifier PATTERN (A B+? C) — match_recognize.md
+    quantifier table (`+?` = one-or-more reluctant; Quantifier.java
+    ConsumingStrategy): B is undefined (matches any row, Calcite
+    default), so the reluctant parse closes at the EARLIEST purchase at
+    least two rows after each click — a greedy B+ would close at the
+    LAST viable purchase instead. n_between = COUNT(B.*) counts the
+    consumed gap rows. Oracle = min-position purchase join on the same
+    row numbering."""
+    _events_view(spark, sf_dir, "events_sqlsrc")
+    sql = """
+    SELECT * FROM events_sqlsrc MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts, event_id
+      MEASURES FIRST(A.event_id) AS click_id,
+               FIRST(C.event_id) AS purchase_id,
+               COUNT(B.*) AS n_between
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (A B+? C)
+      DEFINE A AS event_type = 'click',
+             C AS event_type = 'purchase'
+    )
+    """
+    return spark.sql(rewrite_flink_clauses(spark, sql)).select(
+        "user_id", "click_id", "purchase_id", "n_between"
+    )

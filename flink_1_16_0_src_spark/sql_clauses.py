@@ -186,13 +186,18 @@ def rewrite_window_tvfs(spark: SparkSession, sql: str) -> str:
 
 # ---- MATCH_RECOGNIZE ------------------------------------------------------
 
-_QUANT = re.compile(r"^(\w+)(\*|\+|\?|\{\s*(\d+)\s*(?:,\s*(\d*)\s*)?\})?$")
+_QUANT = re.compile(
+    r"^(\w+)(\*\??|\+\??|\?\??|\{\s*(\d+)\s*(?:,\s*(\d*)\s*)?\}\??)?$"
+)
 
 
 def _parse_pattern(text: str) -> list[tuple]:
-    """'A B+ (C|D) E{2,3}' → [('A',1,1), ('B',1,None),
-    [('C',1,1),('D',1,1)], ('E',2,3)] — alternation groups nest one
-    level (the NFA.java group scope)."""
+    """'A B+ (C|D) E{2,3}' → [('A',1,1,False), ('B',1,None,False),
+    [('C',1,1,False),('D',1,1,False)], ('E',2,3,False)] — alternation
+    groups nest one level (the NFA.java group scope). A trailing ``?``
+    on a quantifier (``B+?`` ``B*?`` ``B??`` ``B{2,5}?``) marks it
+    RELUCTANT (match_recognize.md quantifier table) and sets the
+    4th tuple element."""
     items: list = []
     toks = re.findall(r"\([^)]*\)|\S+", text.strip())
     for tok in toks:
@@ -204,22 +209,31 @@ def _parse_pattern(text: str) -> list[tuple]:
     return items
 
 
-def _parse_quant(tok: str) -> tuple[str, int, int | None]:
+def _parse_quant(tok: str) -> tuple[str, int, int | None, bool]:
     m = _QUANT.match(tok)
     if m is None:
         raise ValueError(f"unsupported pattern token {tok!r}")
     var, q = m.group(1), m.group(2)
     if q is None:
-        return (var, 1, 1)
-    if q == "*":
-        return (var, 0, None)
-    if q == "+":
-        return (var, 1, None)
-    if q == "?":
-        return (var, 0, 1)
+        return (var, 1, 1, False)
+    # a trailing '?' on any quantifier marks it reluctant; the bare '?'
+    # quantifier itself is greedy ('??' is its reluctant form)
+    reluctant = q != "?" and q.endswith("?")
+    base = q[:-1] if reluctant else q
+    if base == "*":
+        return (var, 0, None, reluctant)
+    if base == "+":
+        return (var, 1, None, reluctant)
+    if base == "?":
+        return (var, 0, 1, reluctant)
     lo = int(m.group(3))
     hi = m.group(4)
-    return (var, lo, lo if hi is None else (None if hi == "" else int(hi)))
+    return (
+        var,
+        lo,
+        lo if hi is None else (None if hi == "" else int(hi)),
+        reluctant,
+    )
 
 
 _PREV_NEXT = re.compile(r"\b(PREV|NEXT)\s*\(\s*(\w+)\.(\w+)\s*(?:,\s*(\d+)\s*)?\)", re.IGNORECASE)
@@ -393,7 +407,7 @@ def lower_match_recognize(
 
     all_vars: list[str] = []
     for it in items:
-        for v, _, _ in (it if isinstance(it, list) else [it]):
+        for v, *_ in (it if isinstance(it, list) else [it]):
             all_vars.append(v.upper())
 
     def hoist(var: str, cond: str) -> tuple[str, dict, dict]:
@@ -448,13 +462,17 @@ def lower_match_recognize(
         if not cv:  # cross-var DEFINEs evaluate in the NFA, not as a column
             prepared = prepared.withColumn(f"__def_{var}", F.expr(cond))
 
-    def mk_step(v: str, mn: int, mx: int | None) -> cep.Step:
+    def mk_step(
+        v: str, mn: int, mx: int | None, reluctant: bool = False
+    ) -> cep.Step:
         vu = v.upper()
         cond, _h, cv = mask_cols[vu]
         if cv:
             # match-state-dependent predicate: per-row Python in the NFA
             # (no vec — the whole pattern falls back to the dict path)
-            return cep.Step(vu, _crossvar_predicate(cond, cv), mn, mx)
+            return cep.Step(
+                vu, _crossvar_predicate(cond, cv), mn, mx, reluctant=reluctant
+            )
         return cep.Step(
             vu,
             (lambda key: lambda r, m: bool(r[key]))(f"__def_{vu}"),
@@ -463,6 +481,7 @@ def lower_match_recognize(
             vec=(lambda key: lambda pdf: pdf[key].fillna(False).to_numpy(dtype=bool))(
                 f"__def_{vu}"
             ),
+            reluctant=reluctant,
         )
 
     steps: list[cep.Step] = []

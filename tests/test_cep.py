@@ -916,3 +916,79 @@ def test_any_path_mask_equals_dict_path():
             {v: [rows[j]["seq"] for j in js] for v, js in m.items()} for m in got
         ]
         assert want_idx == got_idx and len(want_idx) > 0
+
+
+class TestReluctantQuantifiers:
+    """Quantifier.java ConsumingStrategy: reluctant prefers the FEWEST
+    takes that complete; greedy (the default here) the most. Feasible
+    take-sets are identical — only selection priority flips."""
+
+    def test_plus_reluctant_vs_greedy(self):
+        # A=0 anchor, B+ consumes positives, C>=10 closes. Rows give TWO
+        # viable closes (10 at i3 and 20 at i5): greedy closes at the
+        # LAST viable take-count, reluctant at the FIRST.
+        rows = _rows([0, 5, 7, 10, 8, 20])
+        mk = lambda rel: [
+            cep.Step("A", lambda r, m: r["v"] == 0),
+            cep.Step("B", lambda r, m: r["v"] > 0, 1, None, reluctant=rel),
+            cep.Step("C", lambda r, m: r["v"] >= 10),
+        ]
+        greedy = cep.match_sequence(rows, mk(False))
+        rel = cep.match_sequence(rows, mk(True))
+        assert len(greedy) == len(rel) == 1
+        assert cep.first(greedy[0], "C", "i") == 5  # consumed 5,7,10,8 then C=20
+        assert cep.first(rel[0], "C", "i") == 3     # consumed 5,7 then C=10
+
+    def test_optional_reluctant_prefers_empty(self):
+        # A=1 B?=2 C=2: with B greedy the 2 is taken by B and C fails ->
+        # backtrack still matches (B empty, C takes the 2). Row tail
+        # distinguishes: [1, 2, 2] has both parses; greedy takes B=2
+        # C=2nd-2, reluctant takes B=empty C=1st-2.
+        rows = _rows([1, 2, 2])
+        mk = lambda rel: [
+            cep.Step("A", lambda r, m: r["v"] == 1),
+            cep.Step("B", lambda r, m: r["v"] == 2, 0, 1, reluctant=rel),
+            cep.Step("C", lambda r, m: r["v"] == 2),
+        ]
+        g = cep.match_sequence(rows, mk(False))
+        r = cep.match_sequence(rows, mk(True))
+        assert cep.first(g[0], "C", "i") == 2 and cep.first(g[0], "B", "i") == 1
+        assert cep.first(r[0], "C", "i") == 1 and r[0].get("B") in (None, [])
+
+    def test_reluctant_mask_path_matches_dict_path(self):
+        """Hoisted-mask scan and dict-predicate scan agree on reluctant
+        semantics (two anchors, each with multiple viable closes)."""
+        import numpy as np
+
+        rows = _rows([0, 5, 7, 10, 8, 20, 0, 3, 10])
+
+        def mk(rel):
+            return [
+                cep.Step("A", lambda r, m: r["v"] == 0),
+                cep.Step("B", lambda r, m: r["v"] > 0, 1, None, reluctant=rel),
+                cep.Step("C", lambda r, m: r["v"] >= 10),
+            ]
+
+        for rel in (False, True):
+            steps = mk(rel)
+            d = cep.match_sequence(rows, steps)
+            vals = np.array([r["v"] for r in rows])
+            masks = [vals == 0, vals > 0, vals >= 10]
+            m = cep.match_sequence_masks(masks, len(rows), steps)
+            assert [x["C"][0] for x in m] == [cep.first(x, "C", "i") for x in d]
+        # and the two semantics genuinely differ on this fixture
+        assert [cep.first(x, "C", "i") for x in cep.match_sequence(rows, mk(False))] != [
+            cep.first(x, "C", "i") for x in cep.match_sequence(rows, mk(True))
+        ]
+
+    def test_reluctant_rejects_combinations(self):
+        import pytest as _pytest
+
+        steps = [
+            cep.Step("A", lambda r, m: True, 1, None, reluctant=True,
+                     internal="combinations"),
+        ]
+        with _pytest.raises(ValueError, match="reluctant"):
+            cep.match_recognize(
+                None, [], "i", steps, {}, None  # validation precedes df use
+            )

@@ -25,14 +25,27 @@ def _events(spark, rows):
 
 def test_parse_pattern_quantifiers_and_alternation():
     assert _parse_pattern("A B+ (C|D) E{2,3} F? G*") == [
-        ("A", 1, 1),
-        ("B", 1, None),
-        [("C", 1, 1), ("D", 1, 1)],
-        ("E", 2, 3),
-        ("F", 0, 1),
-        ("G", 0, None),
+        ("A", 1, 1, False),
+        ("B", 1, None, False),
+        [("C", 1, 1, False), ("D", 1, 1, False)],
+        ("E", 2, 3, False),
+        ("F", 0, 1, False),
+        ("G", 0, None, False),
     ]
-    assert _parse_pattern("A{2,}") == [("A", 2, None)]
+    assert _parse_pattern("A{2,}") == [("A", 2, None, False)]
+
+
+def test_parse_pattern_reluctant_quantifiers():
+    """match_recognize.md quantifier table: `+?` `*?` `??` `{n,m}?` are
+    the reluctant forms; bare `?` stays greedy-optional."""
+    assert _parse_pattern("A B+? C*? D?? E{2,5}? F{3}?") == [
+        ("A", 1, 1, False),
+        ("B", 1, None, True),
+        ("C", 0, None, True),
+        ("D", 0, 1, True),
+        ("E", 2, 5, True),
+        ("F", 3, 3, True),
+    ]
 
 
 def test_clause_split_all_keywords():
