@@ -1749,6 +1749,21 @@ class Pattern:
         self._cur().min = 0
         return self
 
+    def greedy(self) -> "Pattern":
+        """Pattern.greedy() (flink-cep Quantifier.java:125) — the
+        default here, provided for API parity and to undo reluctant()."""
+        self._cur().reluctant = False
+        return self
+
+    def reluctant(self) -> "Pattern":
+        """Reluctant take-count preference (Quantifier.java
+        ConsumingStrategy — the reference's Pattern-API quantifiers are
+        reluctant UNLESS .greedy() is called; here greedy is the
+        default, matching SQL MATCH_RECOGNIZE, and reluctant is the
+        opt-in). Shortest completing take-count wins."""
+        self._cur().reluctant = True
+        return self
+
     def within(self, duration) -> "Pattern":
         """Pattern.within(Time) — max span from first to last matched
         row. ``duration``: pandas-parsable offset string or timedelta."""

@@ -992,3 +992,17 @@ class TestReluctantQuantifiers:
             cep.match_recognize(
                 None, [], "i", steps, {}, None  # validation precedes df use
             )
+
+
+def test_pattern_api_reluctant_and_greedy():
+    """Pattern.reluctant()/.greedy() (Quantifier.java ConsumingStrategy)
+    through the fluent facade."""
+    rows = _rows([0, 5, 7, 10, 8, 20])
+    base = lambda: (
+        cep.Pattern.begin("A").where(lambda r, m: r["v"] == 0)
+        .next("B").where(lambda r, m: r["v"] > 0).one_or_more()
+    )
+    g = base().greedy().next("C").where(lambda r, m: r["v"] >= 10).build()
+    r = base().reluctant().next("C").where(lambda r, m: r["v"] >= 10).build()
+    assert cep.first(cep.match_sequence(rows, g)[0], "C", "i") == 5
+    assert cep.first(cep.match_sequence(rows, r)[0], "C", "i") == 3
