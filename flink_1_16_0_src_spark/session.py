@@ -565,6 +565,8 @@ class TableEnvironment:
         metadata_cols: dict[str, str] = {}
         computed_cols: dict[str, str] = {}
         watermark: tuple[str, str] | None = None
+        primary_key: list[str] | None = None
+        pk_name: str | None = None
         if schema_txt:
             wm = _WATERMARK_SPEC.search(schema_txt)
             if wm:
@@ -577,6 +579,28 @@ class TableEnvironment:
             for c in _split_top_commas(schema_txt):
                 c = c.strip()
                 if "WATERMARK" in c.upper():
+                    continue
+                # table constraint `[CONSTRAINT name] PRIMARY KEY (cols)
+                # NOT ENFORCED` (SqlTableConstraint.java; Flink REQUIRES
+                # NOT ENFORCED — the engine doesn't own the data, so it
+                # cannot guarantee the constraint, UniqueConstraint.java)
+                pk = re.match(
+                    r"(?:CONSTRAINT\s+(\w+)\s+)?PRIMARY\s+KEY\s*\(([^)]*)\)"
+                    r"(\s+NOT\s+ENFORCED)?\s*$",
+                    c,
+                    re.IGNORECASE,
+                )
+                if pk:
+                    if pk.group(3) is None:
+                        raise ValueError(
+                            f"table {name!r}: PRIMARY KEY must be declared NOT "
+                            "ENFORCED (Flink rejects enforced mode — the "
+                            "engine does not own the data)"
+                        )
+                    primary_key = [
+                        k.strip().strip("`") for k in pk.group(2).split(",")
+                    ]
+                    pk_name = pk.group(1)
                     continue
                 # `name TYPE METADATA [FROM 'key'] [VIRTUAL]` —
                 # SqlTableColumn.SqlMetadataColumn: routed from the
@@ -607,6 +631,8 @@ class TableEnvironment:
             "metadata_cols": metadata_cols,
             "computed_cols": computed_cols,
             "watermark": watermark,
+            "primary_key": primary_key,
+            "pk_name": pk_name,
         }
 
     def _register_parsed(self, name: str, reg: dict) -> DataFrame | None:
@@ -771,6 +797,12 @@ class TableEnvironment:
                 "generated", braw["computed_cols"], new["computed_cols"]
             ),
             "watermark": _pick("watermarks", braw["watermark"], new["watermark"]),
+            # PRIMARY KEY rides the CONSTRAINTS strategy (SqlTableLike
+            # FeatureOption.CONSTRAINTS)
+            "primary_key": _pick(
+                "constraints", braw.get("primary_key"), new.get("primary_key")
+            ),
+            "pk_name": _pick("constraints", braw.get("pk_name"), new.get("pk_name")),
             # an ALTERed base hands its evolved schema down
             "alter_overlay": list(braw.get("alter_overlay", ())),
         }
@@ -832,6 +864,47 @@ class TableEnvironment:
         )
         if mcompact:
             return self._compact_table(name, mcompact.group("spec"))
+        maddpk = re.match(
+            r"^ADD\s+(?:CONSTRAINT\s+(\w+)\s+)?PRIMARY\s+KEY\s*\(([^)]*)\)"
+            r"(\s+NOT\s+ENFORCED)?\s*$",
+            rest, re.IGNORECASE,
+        )
+        if maddpk:
+            # SqlAlterTableAddConstraint.java: PK is catalog metadata
+            # (NOT ENFORCED mandatory — UniqueConstraint.java)
+            reg = self._registrations.get(name)
+            if reg is None:
+                raise ValueError(
+                    f"ALTER TABLE {name!r} ADD CONSTRAINT: not a DDL-registered table"
+                )
+            if maddpk.group(3) is None:
+                raise ValueError(
+                    "PRIMARY KEY must be declared NOT ENFORCED (Flink rejects "
+                    "enforced mode — the engine does not own the data)"
+                )
+            if reg.get("primary_key"):
+                raise ValueError(f"table {name!r} already has a primary key")
+            reg["primary_key"] = [
+                k.strip().strip("`") for k in maddpk.group(2).split(",")
+            ]
+            reg["pk_name"] = maddpk.group(1)
+            return None
+        mdroppk = re.match(
+            r"^DROP\s+(?:CONSTRAINT\s+(\w+)|PRIMARY\s+KEY)\s*$", rest, re.IGNORECASE
+        )
+        if mdroppk:
+            # SqlAlterTableDropConstraint.java (named or bare form)
+            reg = self._registrations.get(name)
+            if reg is None or not reg.get("primary_key"):
+                raise ValueError(f"table {name!r} has no primary key to drop")
+            cname = mdroppk.group(1)
+            if cname and reg.get("pk_name") and cname != reg["pk_name"]:
+                raise ValueError(
+                    f"table {name!r} has no constraint named {cname!r}"
+                )
+            reg["primary_key"] = None
+            reg["pk_name"] = None
+            return None
         # normalize Spark's `ADD COLUMNS (...)` spelling onto Flink's
         # `ADD (...)` so both route identically
         rest_n = re.sub(
@@ -1220,6 +1293,13 @@ class TableEnvironment:
                     f"{cname} {ctype}" if c.split()[0].lower() == cname.lower() else c
                     for c in cols
                 ]
+        if reg.get("primary_key"):
+            named = (
+                f"CONSTRAINT {reg['pk_name']} " if reg.get("pk_name") else ""
+            )
+            cols.append(
+                f"{named}PRIMARY KEY ({', '.join(reg['primary_key'])}) NOT ENFORCED"
+            )
         if reg["watermark"] is not None:
             wcol, dl = reg["watermark"]
             amount, unit = dl.split(" ", 1)
@@ -1288,6 +1368,8 @@ class TableEnvironment:
         extras/watermark; LIKE uses SQL %/_ wildcards)."""
         df = self.spark.table(name)
         wm = self._watermarks.get(name)
+        pk = (self._registrations.get(name) or {}).get("primary_key") or []
+        pk_label = f"PRI({', '.join(pk)})" if pk else None
         rows = []
         for field in df.schema.fields:
             if pattern is not None:
@@ -1300,7 +1382,7 @@ class TableEnvironment:
                     field.name,
                     field.dataType.simpleString().upper(),
                     field.nullable,
-                    None,
+                    pk_label if field.name in pk else None,
                     None,
                     f"`{wm[0]}` AS `{wm[0]}` - INTERVAL '{wm[1]}'"
                     if wm and wm[0] == field.name

@@ -415,3 +415,55 @@ def test_show_partitions_and_columns(tenv, spark, tmp_path):
     assert cur[0]["current catalog name"] == "default_catalog"
     curdb = tenv.execute_sql("SHOW CURRENT DATABASE").collect()
     assert curdb[0]["current database name"]
+
+
+def test_primary_key_constraint_surface(tenv, spark, tmp_path):
+    """PRIMARY KEY NOT ENFORCED (SqlTableConstraint.java /
+    UniqueConstraint.java): CREATE TABLE parse, mandatory NOT ENFORCED,
+    SHOW CREATE round-trip, SHOW COLUMNS PRI marker, ALTER ADD/DROP
+    CONSTRAINT, LIKE CONSTRAINTS strategy."""
+    path = os.path.join(str(tmp_path), "pk")
+    spark.range(5).selectExpr("id AS k", "CAST(id AS STRING) AS v").write.parquet(path)
+    tenv.execute_sql(
+        f"CREATE TABLE pk_tbl (k BIGINT, v STRING, "
+        f"CONSTRAINT pk_k PRIMARY KEY (k) NOT ENFORCED) "
+        f"WITH ('connector'='filesystem','path'='{path}','format'='parquet')"
+    )
+    reg = tenv._registrations["pk_tbl"]
+    assert reg["primary_key"] == ["k"] and reg["pk_name"] == "pk_k"
+    assert reg["cols"] == ["k BIGINT", "v STRING"]  # PK not mis-parsed as a column
+    with pytest.raises(ValueError, match="NOT ENFORCED"):
+        tenv.execute_sql(
+            f"CREATE TABLE pk_bad (k BIGINT, PRIMARY KEY (k)) "
+            f"WITH ('connector'='filesystem','path'='{path}','format'='parquet')"
+        )
+    ddl = tenv.execute_sql("SHOW CREATE TABLE pk_tbl").collect()[0][0]
+    assert "CONSTRAINT pk_k PRIMARY KEY (k) NOT ENFORCED" in ddl
+    cols = {c.name: c.key for c in tenv.execute_sql("SHOW COLUMNS FROM pk_tbl").collect()}
+    assert cols["k"] == "PRI(k)" and cols["v"] is None
+
+    # ALTER surface
+    tenv.execute_sql(
+        f"CREATE TABLE pk_alter (k BIGINT, v STRING) "
+        f"WITH ('connector'='filesystem','path'='{path}','format'='parquet')"
+    )
+    tenv.execute_sql(
+        "ALTER TABLE pk_alter ADD CONSTRAINT pk2 PRIMARY KEY (k) NOT ENFORCED"
+    )
+    assert tenv._registrations["pk_alter"]["primary_key"] == ["k"]
+    with pytest.raises(ValueError, match="already has"):
+        tenv.execute_sql(
+            "ALTER TABLE pk_alter ADD PRIMARY KEY (v) NOT ENFORCED"
+        )
+    tenv.execute_sql("ALTER TABLE pk_alter DROP CONSTRAINT pk2")
+    assert tenv._registrations["pk_alter"]["primary_key"] is None
+    tenv.execute_sql("ALTER TABLE pk_alter ADD PRIMARY KEY (k) NOT ENFORCED")
+    tenv.execute_sql("ALTER TABLE pk_alter DROP PRIMARY KEY")
+    assert tenv._registrations["pk_alter"]["primary_key"] is None
+
+    # LIKE: CONSTRAINTS strategy — default INCLUDING ALL carries the PK,
+    # EXCLUDING CONSTRAINTS drops it (SqlTableLike FeatureOption)
+    tenv.execute_sql("CREATE TABLE pk_like LIKE pk_tbl")
+    assert tenv._registrations["pk_like"]["primary_key"] == ["k"]
+    tenv.execute_sql("CREATE TABLE pk_like_ex LIKE pk_tbl (EXCLUDING CONSTRAINTS)")
+    assert tenv._registrations["pk_like_ex"]["primary_key"] is None
