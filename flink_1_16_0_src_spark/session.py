@@ -442,6 +442,41 @@ class TableEnvironment:
                 mshowcols.group("pat"),
                 negated=mshowcols.group("neg") is not None,
             )
+        malterview = re.match(
+            r"^ALTER\s+VIEW\s+(?P<name>\w+)\s+"
+            r"(?:RENAME\s+TO\s+(?P<newname>\w+)|AS\s+(?P<query>.+))\s*;?\s*$",
+            stmt, re.IGNORECASE | re.DOTALL,
+        )
+        if malterview:
+            # SqlAlterViewRename.java / SqlAlterViewAs.java: temp views
+            # re-register (metadata-only move / plan swap)
+            vname = malterview.group("name")
+            if malterview.group("newname"):
+                self.catalog_manager.get_catalog().rename_table(
+                    vname, malterview.group("newname")
+                )
+                return None
+            body = self._rewrite_flink_clauses(
+                translate_hints(malterview.group("query"))
+            )
+            self.spark.sql(body).createOrReplaceTempView(vname)
+            return None
+        mdesccat = re.match(
+            r"^DESC(?:RIBE)?\s+CATALOG\s+(\w+)\s*;?\s*$", stmt, re.IGNORECASE
+        )
+        if mdesccat:
+            # SqlDescribeCatalog.java — info-name/value rows
+            cname = mdesccat.group(1)
+            if cname not in self.catalog_manager._catalogs:
+                raise ValueError(f"catalog {cname!r} does not exist")
+            rows = [
+                ("name", cname),
+                ("type", "generic_in_memory"),
+                ("comment", ""),
+            ]
+            return self.spark.createDataFrame(
+                rows, "info_name string, info_value string"
+            )
         if re.match(r"^SHOW\s+CURRENT\s+CATALOG\s*;?\s*$", stmt, re.IGNORECASE):
             # SqlShowCurrentCatalog.java — one row, reference column name
             return self.spark.createDataFrame(

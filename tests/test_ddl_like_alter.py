@@ -467,3 +467,23 @@ def test_primary_key_constraint_surface(tenv, spark, tmp_path):
     assert tenv._registrations["pk_like"]["primary_key"] == ["k"]
     tenv.execute_sql("CREATE TABLE pk_like_ex LIKE pk_tbl (EXCLUDING CONSTRAINTS)")
     assert tenv._registrations["pk_like_ex"]["primary_key"] is None
+
+
+def test_alter_view_and_describe_catalog(tenv, spark):
+    """ALTER VIEW RENAME/AS (SqlAlterViewRename/SqlAlterViewAs) and
+    DESCRIBE CATALOG (SqlDescribeCatalog)."""
+    spark.range(4).createOrReplaceTempView("av_base")
+    tenv.execute_sql("CREATE TEMPORARY VIEW av_v AS SELECT id * 2 AS d FROM av_base")
+    assert spark.table("av_v").count() == 4
+    tenv.execute_sql("ALTER VIEW av_v AS SELECT id * 3 AS t FROM av_base")
+    assert spark.table("av_v").columns == ["t"]
+    tenv.execute_sql("ALTER VIEW av_v RENAME TO av_v2")
+    assert spark.table("av_v2").columns == ["t"]
+    assert not spark.catalog.tableExists("av_v")
+
+    rows = {r.info_name: r.info_value for r in tenv.execute_sql(
+        "DESCRIBE CATALOG default_catalog").collect()}
+    assert rows["name"] == "default_catalog"
+    assert rows["type"] == "generic_in_memory"
+    with pytest.raises(ValueError, match="does not exist"):
+        tenv.execute_sql("DESC CATALOG nope_cat")
