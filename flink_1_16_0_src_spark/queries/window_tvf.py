@@ -227,3 +227,37 @@ def rollup_hypertable_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("vmax", 4).alias("vmax"),
         F.round(F.col("total") / F.col("cnt"), 4).alias("avg_v"),
     )
+
+
+@query(
+    "tvf_tumble_grouping_sets",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events
+    GROUP BY GROUPING SETS
+      ((time_bucket(INTERVAL '1 hour', ts), event_type),
+       (time_bucket(INTERVAL '1 hour', ts)))
+    """,
+    tags=("window-tvf", "grouping-sets"),
+)
+def tvf_tumble_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window aggregation with GROUPING SETS (window-agg.md:120-124:
+    supported since 1.16; window_start/window_end must sit in GROUP BY
+    outside the sets): per-window totals at both the (window,
+    event_type) and (window) granularities in ONE pass — Spark's
+    Expand operator under the tumbled frame, identical plan family to
+    plain GROUPING SETS."""
+    ev = tumble(load(spark, sf_dir, "events"), "ts", "1 hour")
+    v = "tvf_gs_events"
+    ev.createOrReplaceTempView(v)
+    return spark.sql(
+        f"""
+        SELECT window_start, event_type, count(*) AS n,
+               sum(CAST(round(value * 100, 0) AS BIGINT)) AS sum_cents
+        FROM {v}
+        GROUP BY GROUPING SETS ((window_start, event_type), (window_start))
+        """
+    )
