@@ -338,3 +338,13 @@ def test_substring_spans_no_python_no_cartesian(spark):
     assert "partial_count(distinct" in plan or "partial_count" in plan
     # the islands window runs per doc: its exchange hashpartitions on doc_id
     assert "hashpartitioning(doc_id" in plan
+
+
+def test_tvf_grouping_sets_uses_expand(spark):
+    """Window-agg GROUPING SETS compiles to one Expand + one aggregate
+    over the tumbled frame — not a self-union of two scans."""
+    plan = _plan(spark, "tvf_tumble_grouping_sets")
+    assert "Expand" in plan
+    # formatted plans list each node twice (tree + details): one scan
+    # node, and no Union of per-granularity scans
+    assert plan.count("(1) Scan parquet") == 1 and "Union" not in plan
