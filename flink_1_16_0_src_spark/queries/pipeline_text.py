@@ -496,3 +496,251 @@ def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cum), ["lang", "n_chars"])
         .select("lang", "doc_id", "n_chars", pct.cast("bigint").alias("pctile_e4"))
     )
+
+
+_GOPHER_STOPS_SQL = "['the','a','of','and','is','to','in']"
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id,
+             len({_TOKS}) AS n_words,
+             length(array_to_string({_TOKS}, '')) AS sum_wchars,
+             len(list_filter({_TOKS}, w -> regexp_matches(w, '[a-z]'))) AS n_alpha_words,
+             len(list_filter({_TOKS}, w -> w = '#' OR w = '…')) AS n_symbol_words,
+             len(list_intersect({_TOKS}, {_GOPHER_STOPS_SQL})) AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST((20000 * sum_wchars + n_words) // (2 * n_words) AS BIGINT) AS mean_wlen_e4,
+           CAST(n_alpha_words AS BIGINT) AS n_alpha_words,
+           CAST(n_symbol_words AS BIGINT) AS n_symbol_words,
+           CAST(stop_hits AS BIGINT) AS stop_hits,
+           CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS INT) AS wc_ok,
+           CAST(CASE WHEN sum_wchars BETWEEN 3 * n_words AND 10 * n_words
+                THEN 1 ELSE 0 END AS INT) AS mwl_ok,
+           CAST(CASE WHEN 10 * n_symbol_words <= n_words THEN 1 ELSE 0 END AS INT) AS sym_ok,
+           CAST(CASE WHEN 10 * n_alpha_words >= 8 * n_words THEN 1 ELSE 0 END AS INT) AS alpha_ok,
+           CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS stop_ok,
+           CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                      AND sum_wchars BETWEEN 3 * n_words AND 10 * n_words
+                      AND 10 * n_symbol_words <= n_words
+                      AND 10 * n_alpha_words >= 8 * n_words
+                      AND stop_hits >= 2
+                THEN 1 ELSE 0 END AS INT) AS gopher_pass
+    FROM sig
+    """,
+    tags=("pipeline", "text", "quality"),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule panel (Rae et al. 2021, Appendix A): word
+    count in [50, 100k], mean word length in [3, 10], symbol-word
+    (# / ellipsis) ratio <= 0.1, >= 80% alphabetic words, >= 2 distinct
+    function words — each rule emitted as its own 0/1 flag plus the
+    composed gate. Every threshold is an exact integer
+    cross-multiplication (never a float ratio on the hashed surface:
+    the round(double) divergence class from the kmeans driver fails);
+    mean word length is reported in half-up e4 units via the
+    (20000*p + q) div (2*q) identity. Map-only at any corpus size —
+    the whole panel is one projection over the scan."""
+    from flink_1_16_0_src_spark.pipeline.text import gopher_signals
+
+    d = load(spark, sf_dir, "documents")
+    sig = gopher_signals("text")
+    base = d.select(
+        "doc_id",
+        sig["n_words"].alias("n_words"),
+        sig["sum_wchars"].alias("sum_wchars"),
+        sig["n_alpha_words"].alias("n_alpha_words"),
+        sig["n_symbol_words"].alias("n_symbol_words"),
+        sig["stop_hits"].alias("stop_hits"),
+    )
+    wc_ok = F.col("n_words").between(50, 100000)
+    mwl_ok = F.col("sum_wchars").between(3 * F.col("n_words"), 10 * F.col("n_words"))
+    sym_ok = 10 * F.col("n_symbol_words") <= F.col("n_words")
+    alpha_ok = 10 * F.col("n_alpha_words") >= 8 * F.col("n_words")
+    stop_ok = F.col("stop_hits") >= 2
+    return base.select(
+        "doc_id",
+        "n_words",
+        F.expr("(20000 * sum_wchars + n_words) div (2 * n_words)")
+        .cast("bigint")
+        .alias("mean_wlen_e4"),
+        "n_alpha_words",
+        "n_symbol_words",
+        "stop_hits",
+        wc_ok.cast("int").alias("wc_ok"),
+        mwl_ok.cast("int").alias("mwl_ok"),
+        sym_ok.cast("int").alias("sym_ok"),
+        alpha_ok.cast("int").alias("alpha_ok"),
+        stop_ok.cast("int").alias("stop_ok"),
+        (wc_ok & mwl_ok & sym_ok & alpha_ok & stop_ok).cast("int").alias("gopher_pass"),
+    )
+
+
+def _c4_line_sql(i: int) -> str:
+    """DuckDB fragment for decorated line ``i`` — MUST stay the exact
+    twin of the Spark-side construction in text_c4_line_filter."""
+    start = 1 + 12 * i
+    # coalesce: DuckDB array_to_string(empty_list) is NULL (would poison
+    # the || chain); Spark concat_ws of an empty slice is '' — align on ''
+    base = f"coalesce(array_to_string(({_TOKS})[{start}:{start + 11}], ' '), '')"
+    extra = ""
+    if i == 0:
+        extra = " || CASE WHEN doc_id % 7 = 0 THEN ' {' ELSE '' END"
+    elif i == 2:
+        extra = " || CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum' ELSE '' END"
+    term = f" || CASE WHEN (doc_id + {i}) % 3 <> 0 THEN '.' ELSE '' END"
+    return base + extra + term
+
+
+@query(
+    "text_c4_line_filter",
+    oracle=f"""
+    WITH lined AS (
+      SELECT doc_id,
+             [{_c4_line_sql(0)}, {_c4_line_sql(1)}, {_c4_line_sql(2)}, {_c4_line_sql(3)}] AS ls
+      FROM documents
+    ), stats AS (
+      SELECT doc_id, ls,
+             list_filter(ls, l -> regexp_matches(l, '[.!?"]$')
+                                  AND len(string_split(l, ' ')) >= 5) AS kept,
+             array_to_string(ls, chr(10)) AS doc
+      FROM lined
+    )
+    SELECT doc_id,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           md5(coalesce(array_to_string(kept, chr(10)), '')) AS kept_md5,
+           CAST(length(regexp_replace(doc, '[^.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+           CAST(CASE WHEN contains(doc, '{{') THEN 1 ELSE 0 END AS INT) AS has_brace,
+           CAST(CASE WHEN contains(doc, 'lorem ipsum') THEN 1 ELSE 0 END AS INT) AS has_lorem,
+           CAST(CASE WHEN len(kept) >= 1
+                      AND length(regexp_replace(doc, '[^.!?]', '', 'g')) >= 3
+                      AND NOT contains(doc, '{{')
+                      AND NOT contains(doc, 'lorem ipsum')
+                THEN 1 ELSE 0 END AS INT) AS c4_keep
+    FROM stats
+    """,
+    tags=("pipeline", "text", "quality"),
+)
+def text_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line/page cleaning (Raffel et al. 2020, §2.2): keep only
+    lines ending in terminal punctuation with >= 5 words; drop pages
+    containing '{' or 'lorem ipsum' or with < 3 sentences. The fixture
+    corpus has no line structure or punctuation, so each document is
+    deterministically re-lined from doc_id (12-token lines; line i gets
+    a terminal '.' unless (doc_id+i)%3==0; '{' injected on doc_id%7,
+    'lorem ipsum' on doc_id%11) — the same injected-decoration
+    precedent as text_pii_scrub, so every rule binds on every run.
+
+    Scale shape: the per-doc line array never leaves its row — the
+    whole filter is higher-order array functions inside one projection
+    (map-only, whole-stage codegen), no explode and no shuffle at any
+    corpus size."""
+    from flink_1_16_0_src_spark.pipeline.text import c4_line_stats, tokens
+
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+
+    def line(i: int):
+        base = F.concat_ws(" ", F.slice(toks, 1 + 12 * i, 12))
+        parts = [base]
+        if i == 0:
+            parts.append(F.when(F.col("doc_id") % 7 == 0, F.lit(" {")).otherwise(F.lit("")))
+        elif i == 2:
+            parts.append(
+                F.when(F.col("doc_id") % 11 == 0, F.lit(" lorem ipsum")).otherwise(F.lit(""))
+            )
+        parts.append(
+            F.when((F.col("doc_id") + i) % 3 != 0, F.lit(".")).otherwise(F.lit(""))
+        )
+        return F.concat(*parts)
+
+    lined = d.select("doc_id", F.array(line(0), line(1), line(2), line(3)).alias("ls"))
+    st = c4_line_stats(F.col("ls"))
+    keep = (
+        (st["n_kept_lines"] >= 1)
+        & (st["n_sentences"] >= 3)
+        & (st["has_brace"] == 0)
+        & (st["has_lorem"] == 0)
+    )
+    return lined.select(
+        "doc_id",
+        st["n_lines"].alias("n_lines"),
+        st["n_kept_lines"].alias("n_kept_lines"),
+        F.md5(st["kept_text"]).alias("kept_md5"),
+        st["n_sentences"].alias("n_sentences"),
+        st["has_brace"].alias("has_brace"),
+        st["has_lorem"].alias("has_lorem"),
+        keep.cast("int").alias("c4_keep"),
+    )
+
+
+_TFIDF_TERMS = ("table", "window", "hash", "stream")
+
+
+@query(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl FROM (
+        SELECT doc_id, len({_TOKS}) AS dl, unnest({_TOKS}) AS term FROM documents
+      ) WHERE term IN {str(tuple(_TFIDF_TERMS))}
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms_matched,
+           CAST(sum((1000000 * tf * n_docs) // ((df + 1) * dl)) AS BIGINT) AS score_e6
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    GROUP BY doc_id
+    ORDER BY score_e6 DESC, doc_id
+    LIMIT 20
+    """,
+    tags=("pipeline", "text", "retrieval"),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF retrieval over the corpus: score each document against a
+    fixed query-term set and return the exact top-20. The idf is the
+    rational N/(df+1) (no log), so every per-term contribution is the
+    exact integer (1e6·tf·N) div ((df+1)·dl) — engine-identical by
+    construction (a float log-idf would put a transcendental on the
+    hashed surface). At oracle scales the numerator stays far below
+    2^63; a true 100 TB deployment would switch the idf to a double
+    after correctness is pinned, with this form as its oracle.
+
+    Scale shape: one corpus scan (explode + IN-list filter keeps only
+    query-term postings, so the shuffle carries |terms|·|matching docs|
+    rows, not the corpus); tf folds map-side on (doc_id, term); the
+    |terms|-row df table and the 1-row corpus count are broadcast; the
+    final top-k is orderBy().limit() = TakeOrderedAndProject (per-
+    partition heap + driver merge), never a global sort."""
+    from flink_1_16_0_src_spark.pipeline.text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    postings = d.select(
+        "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
+    ).where(F.col("term").isin(*_TFIDF_TERMS))
+    tf = postings.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms_matched"),
+            F.sum(F.expr("(1000000 * tf * n_docs) div ((df + 1) * dl)"))
+            .cast("bigint")
+            .alias("score_e6"),
+        )
+    )
+    return scored.orderBy(F.col("score_e6").desc(), "doc_id").limit(20)
