@@ -459,3 +459,59 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "embedding", "vec_id", query_id=42, k=5, n_cells=4, nprobe=2,
         m=8, ncent=4,
     )
+
+
+@query(
+    "knn_label_predict",
+    oracle="""
+    WITH nn AS (
+      SELECT q.vec_id AS query_id, c.label,
+             row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                      CAST(c.embedding AS DOUBLE[])), 4) DESC,
+                         c.vec_id) AS rn
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 8
+    ), votes AS (
+      SELECT query_id, label, count(*) AS votes FROM nn WHERE rn <= 5 GROUP BY 1, 2
+    )
+    SELECT query_id, label AS predicted_label, CAST(votes AS BIGINT) AS votes
+    FROM votes
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) = 1
+    """,
+    tags=("pipeline", "similarity", "custom-op"),
+)
+def knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification over the embedding column: majority label of
+    the 5 nearest neighbors (rounded-cosine rank, id tie-break;
+    vote ties break on the smaller label) for a FIXED 8-query set —
+    the standard label-propagation / quality-transfer pass a curation
+    pipeline runs from a small labeled seed set onto the corpus.
+
+    Scale shape: the query set is broadcast (fixed |Q|, NOT a corpus
+    fraction — a % predicate would grow |Q| with the corpus and go
+    quadratic, the sim_ivf_topk scale_probe lesson); the corpus streams
+    once through the cosine + per-query top-5; the vote/argmax windows
+    run over <= |Q|*k = 40 rows. Swap brute_force_topk for ivf_topk to
+    trade exactness for a probed scan at 100 TB — the vote logic is
+    index-agnostic."""
+    from pyspark.sql import Window as W
+
+    emb = load(spark, sf_dir, "embeddings")
+    nn = brute_force_topk(
+        emb.where(F.col("vec_id") < 8), emb, "embedding", "vec_id", k=5
+    )
+    labeled = F.broadcast(nn).join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
+    )
+    votes = labeled.groupBy("query_id", "label").agg(F.count("*").alias("votes"))
+    w = W.partitionBy("query_id").orderBy(F.col("votes").desc(), "label")
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "query_id",
+            F.col("label").alias("predicted_label"),
+            F.col("votes").cast("bigint").alias("votes"),
+        )
+    )
