@@ -348,3 +348,37 @@ def test_tvf_grouping_sets_uses_expand(spark):
     # formatted plans list each node twice (tree + details): one scan
     # node, and no Union of per-granularity scans
     assert plan.count("(1) Scan parquet") == 1 and "Union" not in plan
+
+
+def test_gopher_and_c4_panels_map_only(spark):
+    """The Gopher rule panel and the C4 line filter are per-document
+    projections (higher-order array functions, no explode) — zero
+    Exchange and zero Python, so both run at scan speed at any corpus
+    size."""
+    for name in ("text_gopher_rules", "text_c4_line_filter"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, name
+        assert "EvalPython" not in plan, name
+
+
+def test_tfidf_topk_heap_merge_broadcast_df(spark):
+    """TF-IDF retrieval: the top-20 must be a TakeOrderedAndProject
+    (never a global sort of all matching docs), the |terms|-row df
+    table and the 1-row corpus count must broadcast, and nothing drops
+    to Python."""
+    plan = _plan(spark, "text_tfidf_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert "BroadcastExchange" in plan
+    assert "EvalPython" not in plan
+
+
+def test_knn_label_predict_broadcast_queries_no_corpus_window(spark):
+    """k-NN label prediction: the fixed query set broadcasts (the
+    corpus streams once through BroadcastNestedLoopJoin), and the only
+    windows run over the <= |Q|*k voted rows — never over the corpus
+    (no range-partitioned global sort)."""
+    plan = _plan(spark, "knn_label_predict")
+    assert "BroadcastExchange" in plan
+    assert "rangepartitioning" not in plan
+    assert "EvalPython" not in plan
