@@ -125,3 +125,65 @@ def is_decimal(col: Column | str) -> Column:
     as a decimal number — optional sign, digits, optional point)."""
     c = F.col(col) if isinstance(col, str) else col
     return c.rlike(r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)$")
+
+
+def similar_to_regex(pattern: str, escape: str | None = None) -> str:
+    """Translate a SQL:2016 ``SIMILAR TO`` pattern to an ANCHORED
+    regex: ``%``→``.*``, ``_``→``.``; ``| * + ? ( ) [ ]`` keep their
+    regex meaning; ``. \\ ^ $ { }`` are literals. Shared by the Spark
+    predicate below and the DuckDB oracles (DuckDB's own SIMILAR TO is
+    a plain anchored regex WITHOUT the %/_ wildcard translation — a
+    cross-dialect trap, so both engines consume this one output)."""
+    out = []
+    in_class = False
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if escape and ch == escape and i + 1 < len(pattern):
+            nxt = pattern[i + 1]
+            # escaped char is literal: regex-escape it if it's regex meta
+            out.append("\\" + nxt if nxt in ".\\^$*+?()[]{}|" else nxt)
+            i += 2
+            continue
+        if in_class:
+            out.append(ch)
+            if ch == "]":
+                in_class = False
+        elif ch == "[":
+            out.append(ch)
+            in_class = True
+        elif ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        elif ch in r".\^${}":
+            # literal in SIMILAR TO, meta in Java regex
+            out.append("\\" + ch)
+        else:
+            # | * + ? ( ) keep their regex meaning under SIMILAR TO
+            out.append(ch)
+        i += 1
+    return "^" + "".join(out) + "$"
+
+
+def similar_to(col: Column | str, pattern: str, escape: str | None = None) -> Column:
+    """SQL:2016 ``SIMILAR TO`` predicate (Calcite SqlLikeUtils.similar,
+    used by the reference planner): LIKE wildcards ``%``/``_`` combined
+    with POSIX-regex operators, matched against the WHOLE string. Spark
+    has no SIMILAR TO, so the pattern is translated to an anchored Java
+    regex at plan time (driver-side string work; the executed predicate
+    is a codegen'd RLike)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike(similar_to_regex(pattern, escape))
+
+
+def element(arr: Column | str) -> Column:
+    """Flink ``ELEMENT(array)`` (BuiltInFunctionDefinitions ELEMENT):
+    the sole element of a single-element array, NULL for an empty
+    array, runtime error when the array has more than one element."""
+    a = F.col(arr) if isinstance(arr, str) else arr
+    return (
+        F.when(F.size(a) == 1, F.element_at(a, 1))
+        .when(F.size(a) == 0, F.lit(None))
+        .otherwise(F.raise_error(F.lit("ELEMENT() on array with more than one element")))
+    )

@@ -483,3 +483,105 @@ def func_map_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.map_keys(F.map_concat(m1, m2))), ",").alias("all_keys"),
         F.array_contains(F.map_keys(m1), "brand").alias("has_brand"),
     )
+
+
+_SIMILAR_PATTERNS = {
+    "color_name": ("p_name", "%(red|blue|green)%"),
+    "single_digit_brand": ("p_brand", "Brand#_"),
+    "small_medium_type": ("p_type", "(SMALL|MEDIUM)%"),
+}
+
+
+@query(
+    "func_similar_to",
+    oracle="""
+    SELECT p_partkey,
+           regexp_matches(p_name, '^.*(red|blue|green).*$') AS color_name,
+           regexp_matches(p_brand, '^Brand#.$') AS single_digit_brand,
+           regexp_matches(p_type, '^(SMALL|MEDIUM).*$') AS small_medium_type
+    FROM part WHERE p_partkey < 400
+    """,
+    tags=("functions", "string"),
+)
+def func_similar_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 SIMILAR TO conformance (Calcite SqlLikeUtils.similar —
+    the reference planner's predicate): LIKE wildcards + regex
+    alternation/classes over part strings. Spark has no SIMILAR TO;
+    functions/scalar.similar_to translates the pattern to one anchored
+    codegen'd RLike. The oracle consumes the SAME translated regex —
+    DuckDB's native SIMILAR TO is plain anchored regex WITHOUT %/_
+    translation (cross-dialect trap), so both engines share the
+    similar_to_regex output."""
+    from flink_1_16_0_src_spark.functions.scalar import similar_to
+
+    p = load(spark, sf_dir, "part").where("p_partkey < 400")
+    return p.select(
+        "p_partkey",
+        *[
+            similar_to(col, pat).alias(name)
+            for name, (col, pat) in _SIMILAR_PATTERNS.items()
+        ],
+    )
+
+
+@query(
+    "func_distinct_from_element",
+    oracle="""
+    SELECT o_orderkey,
+           nullif(o_orderkey % 3, 0) IS DISTINCT FROM nullif(o_orderkey % 5, 0)
+             AS is_distinct,
+           nullif(o_orderkey % 3, 0) IS NOT DISTINCT FROM nullif(o_orderkey % 5, 0)
+             AS not_distinct,
+           ([o_orderpriority])[1] AS elem_priority,
+           regexp_matches(o_orderpriority, '^[12]-.*$') AS urgent_or_high
+    FROM orders WHERE o_orderkey < 500
+    """,
+    tags=("functions", "comparison"),
+)
+def func_distinct_from_element(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS [NOT] DISTINCT FROM (null-safe comparison — Spark's <=>
+    operator is exactly IS NOT DISTINCT FROM) + Flink ELEMENT(array)
+    (sole element of a 1-element array, NULL on empty, error on >1 —
+    BuiltInFunctionDefinitions ELEMENT) + one more SIMILAR TO shape
+    over orders. NULLs injected via nullif so every null/null,
+    null/value, value/value branch of the null-safe comparison is
+    exercised."""
+    from flink_1_16_0_src_spark.functions.scalar import element, similar_to
+
+    o = load(spark, sf_dir, "orders").where("o_orderkey < 500")
+    a = F.nullif(F.col("o_orderkey") % 3, F.lit(0))
+    b = F.nullif(F.col("o_orderkey") % 5, F.lit(0))
+    return o.select(
+        "o_orderkey",
+        (~a.eqNullSafe(b)).alias("is_distinct"),
+        a.eqNullSafe(b).alias("not_distinct"),
+        element(F.array("o_orderpriority")).alias("elem_priority"),
+        similar_to("o_orderpriority", "[12]-%").alias("urgent_or_high"),
+    )
+
+
+@query(
+    "func_group_id",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, 0 AS group_id
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, 1 AS group_id
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("functions", "aggregates"),
+)
+def func_group_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP_ID() conformance (Calcite, surfaced by the reference's
+    planner): with DUPLICATE grouping sets — GROUP BY GROUPING SETS
+    ((o_orderpriority), (o_orderpriority)) — each group row is emitted
+    once per duplicate with GROUP_ID() = 0..n-1. Spark rejects
+    duplicate grouping sets, so the query runs Calcite's OWN expansion
+    of the construct: the aggregate is computed once and unioned with
+    per-duplicate literal ids (the second branch reuses the same
+    Exchange via Spark's ReuseExchange rule rather than rescanning)."""
+    o = load(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(F.count("*").cast("bigint").alias("n"))
+    return agg.withColumn("group_id", F.lit(0)).unionAll(
+        agg.withColumn("group_id", F.lit(1))
+    )

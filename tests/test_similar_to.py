@@ -1,0 +1,53 @@
+"""Unit tests for the SIMILAR TO pattern translation and ELEMENT()
+(functions/scalar.py) — the oracled conformance query covers fixture
+shapes; these cover the translation grammar incl. ESCAPE and the
+ELEMENT empty/error branches."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from flink_1_16_0_src_spark.functions.scalar import similar_to_regex
+
+
+@pytest.mark.parametrize(
+    "pattern,escape,matches,rejects",
+    [
+        ("%(red|blue)%", None, ["a red x", "blue"], ["green", "re d"]),
+        ("Brand#_", None, ["Brand#7"], ["Brand#17", "Brand#"]),
+        ("[0-9]-%", None, ["1-URGENT", "5-"], ["x-URGENT", "12URGENT"]),
+        ("a_c", None, ["abc", "a.c"], ["ac", "abbc"]),
+        # ESCAPE: wildcard made literal
+        ("100!%", "!", ["100%"], ["1000", "100"]),
+        ("a!_b", "!", ["a_b"], ["axb"]),
+        # regex metas that are LITERAL under SIMILAR TO
+        ("a.b", None, ["a.b"], ["axb"]),
+        ("c^d", None, ["c^d"], ["cd"]),
+        # quantifiers keep regex meaning
+        ("ab+c", None, ["abc", "abbc"], ["ac"]),
+        ("x[abc]*y", None, ["xy", "xabcy"], ["xdy"]),
+    ],
+)
+def test_similar_to_regex_translation(pattern, escape, matches, rejects):
+    rx = re.compile(similar_to_regex(pattern, escape))
+    # the translated regex is ^...$-anchored, so search == whole-string match
+    for s in matches:
+        assert rx.search(s), (pattern, s)
+    for s in rejects:
+        assert not rx.search(s), (pattern, s)
+
+
+def test_element_branches(spark):
+    from pyspark.sql import functions as F
+
+    from flink_1_16_0_src_spark.functions.scalar import element
+
+    df = spark.createDataFrame([(1, ["only"]), (2, [])], "id int, arr array<string>")
+    rows = {r["id"]: r["e"] for r in df.select("id", element("arr").alias("e")).collect()}
+    assert rows == {1: "only", 2: None}
+
+    big = spark.createDataFrame([(3, ["a", "b"])], "id int, arr array<string>")
+    with pytest.raises(Exception):
+        big.select(element("arr").alias("e")).collect()
