@@ -1199,3 +1199,43 @@ def stream_continuous_trigger_drain(spark: SparkSession, sf_dir: str) -> DataFra
     )
     drained = ssrc.run_to_memory(out, f"drain_cont_trig_{next(_seq)}", "append")
     return drained.select("user_id", "window_start", "window_end", "n", "sum_cents")
+
+
+@query(
+    "stream_doc_dedup_drain",
+    oracle="""
+    SELECT bag_fp, doc_id, n_chars FROM (
+      SELECT md5(array_to_string(list_sort(list_distinct(
+               str_split_regex(lower(trim(text)), '\\s+'))), ' ')) AS bag_fp,
+             doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY md5(array_to_string(list_sort(list_distinct(
+                 str_split_regex(lower(trim(text)), '\\s+'))), ' '))
+               ORDER BY doc_id) AS rk
+      FROM documents
+    ) WHERE rk = 1
+    """,
+    tags=("streaming", "stateful", "dedup", "pipeline"),
+)
+def stream_doc_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup of the DOCUMENTS corpus: file stream →
+    token-bag fingerprint (pure codegen'd expression) → keep-FIRST
+    stateful dedup keyed on the fingerprint (order_col=doc_id —
+    DeduplicateKeepFirstRowFunction parity via
+    stateful.keep_first_dedup). This is the training-pipeline shape: a
+    continuously-arriving crawl deduped online before it ever lands,
+    instead of a batch pass afterwards. The fixture's bag fingerprint
+    collides for token-shuffled near-dups (~10% of docs), so the
+    operator binds. State is one row per distinct fingerprint —
+    bounded by corpus cardinality exactly like the batch exact-dedup,
+    and the keep-first rule makes emission deterministic under any
+    arrival interleaving (min doc_id wins)."""
+    from flink_1_16_0_src_spark.pipeline.text import bag_fingerprint
+    from flink_1_16_0_src_spark.streaming.stateful import keep_first_dedup
+
+    sdf = ssrc.stream_table(spark, sf_dir, "documents").select(
+        bag_fingerprint("text").alias("bag_fp"), "doc_id", "n_chars"
+    )
+    out = keep_first_dedup(sdf, ["bag_fp"], order_col="doc_id")
+    drained = ssrc.run_to_memory(out, f"drain_docdedup_{next(_seq)}", "update")
+    return drained.select("bag_fp", "doc_id", "n_chars")

@@ -157,7 +157,10 @@ def keep_last_dedup(
         for pdf in pdfs:
             if len(pdf):
                 p = pdf.sort_values(order_col, kind="stable") if order_col else pdf
-                cand = tuple(p[carry].iloc[-1])
+                # per-column extraction: row-wise p[carry].iloc[-1] upcasts
+                # mixed numeric dtypes to float64, and a float written into
+                # an ArrayType(LongType) state column silently becomes NULL
+                cand = tuple(_py(p[c].iloc[-1]) for c in carry)
                 if last is None or order_col is None or cand[carry.index(order_col)] >= last[
                     carry.index(order_col)
                 ]:
@@ -168,6 +171,56 @@ def keep_last_dedup(
             for kc, kv in zip(keys, key):
                 out[kc] = kv
             yield out[[f.name for f in out_schema.fields]]
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def keep_first_dedup(
+    sdf: DataFrame, keys: list[str], order_col: str | None = None, ttl_ms: int | None = None
+) -> DataFrame:
+    """First row per key wins (DeduplicateKeepFirstRowFunction /
+    FirstRowFunction parity — the reference's
+    flink-table-runtime deduplicate keep-first path). ``order_col``
+    picks the MIN-order row within a batch and allows a later batch to
+    supersede with a smaller order value (rowtime semantics, update
+    emission); ``order_col=None`` is proctime arrival order — once a
+    key has state, later rows emit nothing. ``ttl_ms`` as keep_last."""
+    carry = _carry_cols(sdf, keys)
+    key_fields = [f for f in sdf.schema.fields if f.name in keys]
+    out_schema = StructType(key_fields + [f for f in sdf.schema.fields if f.name in carry])
+    base_schema = _array_state_schema(sdf, carry)
+    state_schema = StructType(list(base_schema.fields) + [StructField("__updated", DoubleType())])
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
+        import time as _time
+
+        now = _time.time()
+        fresh = state.exists and (
+            ttl_ms is None or (now - state.get[-1]) * 1000.0 <= ttl_ms
+        )
+        first = tuple(v[0] for v in state.get[:-1]) if fresh else None
+        changed = False
+        for pdf in pdfs:
+            if len(pdf):
+                p = pdf.sort_values(order_col, kind="stable") if order_col else pdf
+                # per-column extraction — see keep_last_dedup dtype note
+                cand = tuple(_py(p[c].iloc[0]) for c in carry)
+                if first is None or (
+                    order_col is not None
+                    and cand[carry.index(order_col)] < first[carry.index(order_col)]
+                ):
+                    first = cand
+                    changed = True
+        if changed:
+            state.update(tuple([_py(v)] for v in first) + (now,))
+            out = pd.DataFrame([first], columns=carry)
+            for kc, kv in zip(keys, key):
+                out[kc] = kv
+            yield out[[f.name for f in out_schema.fields]]
+        elif first is not None:
+            state.update(tuple([_py(v)] for v in first) + (now,))
 
     return sdf.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout

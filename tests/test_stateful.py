@@ -457,3 +457,51 @@ def test_changelog_group_aggregate_null_measure(spark, tmp_path):
     out = stateful.changelog_group_aggregate(sdf, ["k"], "cents")
     got = [(r.alive_cnt, r.sum_cents) for r in sources.run_to_memory(out, "retract_null", "update").collect()]
     assert got == [(2, 100)]
+
+
+def test_keep_first_dedup_cross_batch(spark, tmp_path):
+    """keep_first_dedup (DeduplicateKeepFirstRowFunction parity):
+    batch 1 seeds the key and emits; a LARGER-order row in batch 2
+    emits nothing (first row already won); a SMALLER-order row in a
+    later batch supersedes and re-emits (rowtime update semantics)."""
+    d = os.path.join(str(tmp_path), "in")
+    os.makedirs(d)
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    schema = "k bigint, seq bigint, value double"
+    b1 = spark.createDataFrame([(1, 100, 1.0), (2, 5, 9.0)], schema)
+    b1.coalesce(1).write.mode("append").parquet(d)
+
+    def dedup():
+        sdf = spark.readStream.schema(b1.schema).parquet(d)
+        return stateful.keep_first_dedup(sdf, ["k"], order_col="seq")
+
+    got1 = {(r.k, r.seq, r.value) for r in _drain_once(dedup(), ckpt, "kf_b1")}
+    assert got1 == {(1, 100, 1.0), (2, 5, 9.0)}
+
+    # larger seq for k=1: ignored; smaller seq for k=2: supersedes
+    spark.createDataFrame([(1, 200, 3.0), (2, 2, 7.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    got2 = {(r.k, r.seq, r.value) for r in _drain_once(dedup(), ckpt, "kf_b2")}
+    assert got2 == {(2, 2, 7.0)}
+
+
+def test_keep_first_dedup_proctime_no_reemit(spark, tmp_path):
+    """order_col=None (proctime): once a key holds state, every later
+    arrival is silently dropped regardless of its payload."""
+    d = os.path.join(str(tmp_path), "in")
+    os.makedirs(d)
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    schema = "k bigint, seq bigint, value double"
+    b1 = spark.createDataFrame([(1, 100, 1.0)], schema)
+    b1.coalesce(1).write.mode("append").parquet(d)
+
+    def dedup():
+        sdf = spark.readStream.schema(b1.schema).parquet(d)
+        return stateful.keep_first_dedup(sdf, ["k"])
+
+    got1 = {(r.k, r.seq) for r in _drain_once(dedup(), ckpt, "kfp_b1")}
+    assert got1 == {(1, 100)}
+    spark.createDataFrame([(1, 1, 5.0)], schema).coalesce(1).write.mode("append").parquet(d)
+    got2 = {(r.k, r.seq) for r in _drain_once(dedup(), ckpt, "kfp_b2")}
+    assert got2 == set()
