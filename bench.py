@@ -69,6 +69,10 @@ BENCH_QUERIES = [
     "dedup_substring_spans",     # exact substring dedup (Lee et al.):
                                  # window-md5 map pass + grouped distinct
                                  # count + per-doc islands merge
+    "text_tfidf_topk",           # TF-IDF retrieval: postings filter at
+                                 # the scan, broadcast df, heap top-20
+    "stream_doc_dedup_drain",    # streaming ingest dedup of documents
+                                 # (bag-fp keep-first, stateful)
 ]
 
 
