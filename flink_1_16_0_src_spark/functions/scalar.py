@@ -187,3 +187,16 @@ def element(arr: Column | str) -> Column:
         .when(F.size(a) == 0, F.lit(None))
         .otherwise(F.raise_error(F.lit("ELEMENT() on array with more than one element")))
     )
+
+
+def current_row_timestamp() -> Column:
+    """Flink ``CURRENT_ROW_TIMESTAMP()`` (BuiltInFunctionDefinitions —
+    evaluated PER ROW, unlike CURRENT_TIMESTAMP's per-query constant).
+    Spark's now()/current_timestamp() are query-constant, so the
+    per-row clock goes through ``reflect('java.lang.System',
+    'currentTimeMillis')`` — still JVM-side codegen, no Python.
+    Nondeterministic by definition: no oracle (same class as
+    PROCTIME())."""
+    return F.timestamp_millis(
+        F.expr("CAST(reflect('java.lang.System','currentTimeMillis') AS BIGINT)")
+    )

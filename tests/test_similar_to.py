@@ -51,3 +51,21 @@ def test_element_branches(spark):
     big = spark.createDataFrame([(3, ["a", "b"])], "id int, arr array<string>")
     with pytest.raises(Exception):
         big.select(element("arr").alias("e")).collect()
+
+
+def test_current_row_timestamp_per_row_and_bounded(spark):
+    """CURRENT_ROW_TIMESTAMP(): per-row wall-clock (not the per-query
+    constant current_timestamp) — every value falls inside the
+    [before, after] bracket of the action."""
+    import datetime as dt
+
+    from flink_1_16_0_src_spark.functions.scalar import current_row_timestamp
+
+    before = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    rows = (
+        spark.range(100)
+        .select(current_row_timestamp().alias("ts"))
+        .collect()
+    )
+    after = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    assert all(before - dt.timedelta(seconds=2) <= r.ts <= after + dt.timedelta(seconds=2) for r in rows)
