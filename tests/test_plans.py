@@ -382,3 +382,14 @@ def test_knn_label_predict_broadcast_queries_no_corpus_window(spark):
     assert "BroadcastExchange" in plan
     assert "rangepartitioning" not in plan
     assert "EvalPython" not in plan
+
+
+def test_group_id_union_reuses_exchange(spark):
+    """func_group_id's duplicate-grouping-set union must compute the
+    aggregate ONCE: AQE stage reuse turns the second branch into a
+    ReusedExchange over the first branch's shuffle (executed plan —
+    the initial plan still shows two exchanges)."""
+    df = all_queries()["func_group_id"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
