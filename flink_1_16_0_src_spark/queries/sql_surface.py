@@ -550,3 +550,106 @@ def cep_sql_reluctant_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrite_flink_clauses(spark, sql)).select(
         "user_id", "click_id", "purchase_id", "n_between"
     )
+
+
+@query(
+    "groupwin_sql_tumble",
+    oracle="""
+    SELECT event_type,
+           time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+             - INTERVAL '1 millisecond' AS rowtime,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3, 4
+    """,
+    tags=("window-tvf", "group-window", "sql-surface"),
+)
+def groupwin_sql_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEGACY group-window syntax: ``GROUP BY TUMBLE(ts, INTERVAL)``
+    with all three event-time auxiliary properties (pre-FLIP-145
+    StreamExecGroupWindowAggregate.java:88; TUMBLE_ROWTIME = window
+    end − 1 ms, TimeWindow.maxTimestamp())."""
+    _events_view(spark, sf_dir, "events_sqlsrc")
+    sql = """
+    SELECT event_type,
+           TUMBLE_START(ts, INTERVAL '1' HOUR) AS window_start,
+           TUMBLE_END(ts, INTERVAL '1' HOUR) AS window_end,
+           TUMBLE_ROWTIME(ts, INTERVAL '1' HOUR) AS rowtime,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events_sqlsrc
+    GROUP BY event_type, TUMBLE(ts, INTERVAL '1' HOUR)
+    """
+    return spark.sql(rewrite_flink_clauses(spark, sql))
+
+
+@query(
+    "groupwin_sql_hop",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', e.ts) - (j.j * INTERVAL '15 minutes') AS window_start,
+           time_bucket(INTERVAL '15 minutes', e.ts) - (j.j * INTERVAL '15 minutes')
+             + INTERVAL '1 hour' AS window_end,
+           count(*) AS n,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e, generate_series(0, 3) j(j)
+    GROUP BY 1, 2
+    """,
+    tags=("window-tvf", "group-window", "sql-surface"),
+)
+def groupwin_sql_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEGACY ``GROUP BY HOP(ts, slide, size)`` (slide 15 min, size 1 h
+    → 4 slices per row) with HOP_START/HOP_END auxiliaries."""
+    _events_view(spark, sf_dir, "events_sqlsrc")
+    sql = """
+    SELECT HOP_START(ts, INTERVAL '15' MINUTE, INTERVAL '1' HOUR) AS window_start,
+           HOP_END(ts, INTERVAL '15' MINUTE, INTERVAL '1' HOUR) AS window_end,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events_sqlsrc
+    GROUP BY HOP(ts, INTERVAL '15' MINUTE, INTERVAL '1' HOUR)
+    """
+    return spark.sql(rewrite_flink_clauses(spark, sql))
+
+
+@query(
+    "groupwin_sql_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes' OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS window_start,
+           max(ts) + INTERVAL '30 minutes' AS window_end,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("window-tvf", "group-window", "session", "sql-surface"),
+)
+def groupwin_sql_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEGACY ``GROUP BY SESSION(ts, gap), key`` — the session window
+    is scoped to the remaining grouping keys exactly like
+    SessionWindowAssigner merging per key; 30-minute gap, oracle =
+    gaps-and-islands."""
+    _events_view(spark, sf_dir, "events_sqlsrc")
+    sql = """
+    SELECT user_id,
+           SESSION_START(ts, INTERVAL '30' MINUTE) AS window_start,
+           SESSION_END(ts, INTERVAL '30' MINUTE) AS window_end,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events_sqlsrc
+    GROUP BY SESSION(ts, INTERVAL '30' MINUTE), user_id
+    """
+    return spark.sql(rewrite_flink_clauses(spark, sql))

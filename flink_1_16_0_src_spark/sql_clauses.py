@@ -15,6 +15,9 @@ Reference parity:
   [ONE ROW PER MATCH] [AFTER MATCH SKIP ..] PATTERN (..) [WITHIN ..]
   DEFINE .. )`` (StreamExecMatch.java:59, SqlMatchRecognize in
   Calcite) — parsed and lowered onto ``operators.cep.match_recognize``.
+- LEGACY group windows ``GROUP BY TUMBLE/HOP/SESSION(ts, ..)`` with
+  ``TUMBLE_START/END/ROWTIME`` auxiliaries (pre-FLIP-145 syntax,
+  StreamExecGroupWindowAggregate.java:88) — same lowering as the TVFs.
 
 Supported MATCH_RECOGNIZE subset (documented v1, mirrors the repo's
 CEP engine scope — strict contiguity, greedy quantifiers, alternation
@@ -182,6 +185,118 @@ def rewrite_window_tvfs(spark: SparkSession, sql: str) -> str:
         counter += 1
         out.createOrReplaceTempView(view)
         sql = sql[: m.start()] + view + sql[end_outer + 1 :]
+
+
+# ---- Legacy group windows (GROUP BY TUMBLE/HOP/SESSION) -------------------
+
+_GW_AUX = re.compile(
+    r"\b(TUMBLE|HOP|SESSION)_(START|END|ROWTIME|PROCTIME)\s*\(", re.IGNORECASE
+)
+_GW_CALL = re.compile(r"\b(TUMBLE|HOP|SESSION)\s*\(", re.IGNORECASE)
+
+
+def rewrite_group_windows(spark: SparkSession, sql: str) -> str:
+    """Lower the LEGACY group-window SQL syntax — ``GROUP BY
+    TUMBLE(ts, INTERVAL '1' HOUR)`` / ``HOP(ts, slide, size)`` /
+    ``SESSION(ts, gap)`` plus the auxiliary functions
+    ``TUMBLE_START/END/ROWTIME`` (and HOP_*/SESSION_*) — onto the same
+    ``operators.windows`` helpers the TVF path uses.
+
+    Reference parity: the pre-FLIP-145 group-window functions
+    (FlinkSqlOperatorTable.java TUMBLE/HOP/SESSION group functions,
+    StreamExecGroupWindowAggregate.java:88; auxiliary start/end/rowtime
+    functions resolved by GroupWindowAggregate's namedProperties —
+    ``*_ROWTIME`` = window end − 1 ms, TimeWindow.maxTimestamp()).
+
+    Scope (same single-relation shape as the temporal-join rewrite):
+    one group window per GROUP BY (the reference's own restriction),
+    a single named table/view in FROM, simple column refs as the other
+    grouping keys. ``*_PROCTIME`` needs a processing-time attribute —
+    nondeterministic by definition — and is rejected like PROCTIME().
+    """
+    gbm = re.search(r"\bGROUP\s+BY\b", sql, re.IGNORECASE)
+    if gbm is None or not _GW_CALL.search(sql[gbm.end():]):
+        return sql
+    # GROUP BY clause extent: up to a depth-0 HAVING/ORDER/LIMIT/WINDOW
+    i, depth, n = gbm.end(), 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            i += 1
+            while i < n and sql[i] != "'":
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        elif depth == 0 and re.match(
+            r"(HAVING|ORDER|LIMIT|WINDOW)\b", sql[i:], re.IGNORECASE
+        ) and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+            break
+        i += 1
+    clause_end = i
+    entries = _split_top_commas(sql[gbm.end():clause_end])
+    win = [
+        k for k, e in enumerate(entries)
+        if re.match(r"(TUMBLE|HOP|SESSION)\s*\(", e, re.IGNORECASE)
+    ]
+    if not win:
+        return sql
+    if len(win) > 1:
+        raise ValueError("only one group window per GROUP BY (Flink restriction)")
+    call = entries[win[0]]
+    fn = re.match(r"\w+", call).group(0).upper()
+    args = _split_top_commas(call[call.index("(") + 1 : _balanced(call, call.index("(")) - 1])
+    ts_col = args[0].strip().split(".")[-1]
+    keys = [e for k, e in enumerate(entries) if k != win[0]]
+
+    fm = re.search(r"\bFROM\s+(\w+)", sql, re.IGNORECASE)
+    if fm is None:
+        raise ValueError("legacy group window needs a single named FROM table")
+    tbl = fm.group(1)
+    df = spark.table(tbl)
+    if fn == "TUMBLE":
+        out = windows.tumble(
+            df, ts_col, _interval_str(args[1]),
+            _interval_str(args[2]) if len(args) > 2 else None,
+        )
+    elif fn == "HOP":
+        out = windows.hop(df, ts_col, _interval_str(args[1]), _interval_str(args[2]))
+    else:  # SESSION — per remaining grouping keys, like SessionWindowAssigner
+        key_cols = [k.split(".")[-1] for k in keys]
+        if any(not re.fullmatch(r"\w+", k) for k in key_cols):
+            raise ValueError("SESSION group window keys must be simple columns")
+        out = windows.session(df, ts_col, _interval_str(args[1]), *key_cols)
+    view = f"__gw_{fn.lower()}_{tbl}"
+    out.createOrReplaceTempView(view)
+
+    new_clause = ", ".join(keys + ["window_start", "window_end"])
+    sql = sql[: gbm.end()] + " " + new_clause + sql[clause_end:]
+    # FROM precedes GROUP BY in the supported single-SELECT shape, so
+    # re-locating it post-edit is safe; substitute only the table token.
+    fm = re.search(r"\bFROM\s+(\w+)", sql, re.IGNORECASE)
+    sql = sql[: fm.start(1)] + view + sql[fm.end(1):]
+    # auxiliary functions anywhere in the statement (SELECT/HAVING)
+    while True:
+        am = _GW_AUX.search(sql)
+        if am is None:
+            return sql
+        prop = am.group(2).upper()
+        if prop == "PROCTIME":
+            raise ValueError(
+                f"{am.group(0).strip('(').strip()}: processing-time window "
+                "properties are nondeterministic (PROCTIME class) — use the "
+                "*_ROWTIME / *_START / *_END event-time properties"
+            )
+        end = _balanced(sql, sql.index("(", am.end() - 1))
+        repl = {
+            "START": "window_start",
+            "END": "window_end",
+            "ROWTIME": "(window_end - INTERVAL '0.001' SECOND)",
+        }[prop]
+        sql = sql[: am.start()] + repl + sql[end:]
 
 
 # ---- MATCH_RECOGNIZE ------------------------------------------------------
@@ -618,6 +733,8 @@ def rewrite_flink_clauses(
         sql = rewrite_match_recognize(spark, sql)
     if _TVF_HEAD.search(sql):
         sql = rewrite_window_tvfs(spark, sql)
+    if _GW_CALL.search(sql):
+        sql = rewrite_group_windows(spark, sql)
     if re.search(r"FOR\s+SYSTEM_TIME\s+AS\s+OF", sql, re.IGNORECASE):
         sql = rewrite_temporal_join(spark, sql, time_attrs or {})
     if temporal_fns and re.search(r"LATERAL\s+TABLE", sql, re.IGNORECASE):

@@ -344,3 +344,72 @@ def test_temporal_table_fn_residual_where_and_inner_semantics(spark):
     # (1, t0+5h) -> rate 140; (1, t0-1h) has no version -> dropped by
     # inner semantics; (2, ...) filtered by the residual v < 25
     assert rows == [(1, 10, 140)]
+
+
+# ---- legacy group windows (GROUP BY TUMBLE/HOP/SESSION) -------------------
+
+
+def _ts_events(spark):
+    rows = [
+        ("u1", dt.datetime(2024, 1, 1, 10, 5), 1.0),
+        ("u1", dt.datetime(2024, 1, 1, 10, 50), 2.0),
+        ("u1", dt.datetime(2024, 1, 1, 12, 1), 4.0),
+        ("u2", dt.datetime(2024, 1, 1, 10, 20), 8.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    df.createOrReplaceTempView("gw_events")
+    return df
+
+
+def test_group_window_tumble_legacy_sql(spark):
+    """GROUP BY TUMBLE + START/END/ROWTIME auxiliaries; rowtime =
+    window end − 1 ms (TimeWindow.maxTimestamp)."""
+    _ts_events(spark)
+    out = spark.sql(rewrite_flink_clauses(spark, """
+        SELECT k, TUMBLE_START(ts, INTERVAL '1' HOUR) AS ws,
+               TUMBLE_END(ts, INTERVAL '1' HOUR) AS we,
+               TUMBLE_ROWTIME(ts, INTERVAL '1' HOUR) AS rt,
+               sum(v) AS s
+        FROM gw_events
+        GROUP BY k, TUMBLE(ts, INTERVAL '1' HOUR)
+    """))
+    got = {(r.k, r.ws.hour, r.we.hour, r.s) for r in out.collect()}
+    assert got == {("u1", 10, 11, 3.0), ("u1", 12, 13, 4.0), ("u2", 10, 11, 8.0)}
+    rt = {r.rt for r in out.collect() if r.ws.hour == 10 and r.k == "u1"}
+    assert rt == {dt.datetime(2024, 1, 1, 10, 59, 59, 999000)}
+
+
+def test_group_window_session_legacy_keys_scope(spark):
+    """SESSION group window merges per the remaining GROUP BY keys."""
+    _ts_events(spark)
+    out = spark.sql(rewrite_flink_clauses(spark, """
+        SELECT k, SESSION_START(ts, INTERVAL '30' MINUTE) AS ws, count(*) AS n
+        FROM gw_events GROUP BY SESSION(ts, INTERVAL '30' MINUTE), k
+    """))
+    # u1's 10:05 and 10:50 are 45min apart -> two sessions
+    assert sorted((r.k, r.n) for r in out.collect()) == [
+        ("u1", 1), ("u1", 1), ("u1", 1), ("u2", 1)]
+
+
+def test_group_window_proctime_property_rejected(spark):
+    _ts_events(spark)
+    with pytest.raises(ValueError, match="PROCTIME"):
+        rewrite_flink_clauses(spark, """
+            SELECT TUMBLE_PROCTIME(ts, INTERVAL '1' HOUR) AS pt, count(*) AS n
+            FROM gw_events GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)
+        """)
+
+
+def test_group_window_double_window_rejected(spark):
+    _ts_events(spark)
+    with pytest.raises(ValueError, match="one group window"):
+        rewrite_flink_clauses(spark, """
+            SELECT count(*) AS n FROM gw_events
+            GROUP BY TUMBLE(ts, INTERVAL '1' HOUR), HOP(ts, INTERVAL '5' MINUTE, INTERVAL '1' HOUR)
+        """)
+
+
+def test_group_window_plain_group_by_untouched(spark):
+    _ts_events(spark)
+    sql = "SELECT k, count(*) AS n FROM gw_events GROUP BY k"
+    assert rewrite_flink_clauses(spark, sql) == sql
