@@ -307,3 +307,92 @@ def agg_sum0_empty_input(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("l_quantity"), F.lit(0.0)).alias("sum0_qty"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "agg_json_on_null_modes",
+    oracle="""
+    WITH t AS (
+      SELECT n_regionkey, n_nationkey, n_name,
+             CASE WHEN n_nationkey % 3 = 0 THEN NULL ELSE n_name END AS v
+      FROM nation
+    )
+    SELECT n_regionkey,
+           '[' || string_agg(coalesce('"' || v || '"', 'null'), ','
+                             ORDER BY n_nationkey) || ']' AS arr_null_on_null,
+           '[' || coalesce(string_agg(CASE WHEN v IS NOT NULL
+                                           THEN '"' || v || '"' END, ','
+                                      ORDER BY n_nationkey), '') || ']'
+             AS arr_absent_on_null,
+           '{' || string_agg('"' || n_name || '":'
+                             || coalesce('"' || v || '"', 'null'), ','
+                             ORDER BY n_name) || '}' AS obj_null_on_null,
+           '{' || coalesce(string_agg(CASE WHEN v IS NOT NULL THEN
+                                      '"' || n_name || '":"' || v || '"' END,
+                                      ',' ORDER BY n_name), '') || '}'
+             AS obj_absent_on_null
+    FROM t GROUP BY n_regionkey
+    """,
+    tags=("agg", "json"),
+)
+def agg_json_on_null_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON_ARRAYAGG / JSON_OBJECTAGG with BOTH ``NULL ON NULL`` and
+    ``ABSENT ON NULL`` modes (BuiltInFunctionDefinitions
+    JSON_ARRAYAGG_NULL_ON_NULL/_ABSENT_ON_NULL and the objectagg
+    twins; SqlJsonArrayAggAggFunction in Calcite). collect_list drops
+    bare NULLs, so null-preserving aggregation collects structs —
+    order pinned by n_nationkey (arrays) / key (objects) on both
+    sides so the hash compares deterministic strings."""
+    n = load(spark, sf_dir, "nation").withColumn(
+        "v",
+        F.when(F.col("n_nationkey") % 3 == 0, F.lit(None)).otherwise(F.col("n_name")),
+    )
+    pairs_by_id = F.array_sort(F.collect_list(F.struct("n_nationkey", "v")))
+    pairs_by_key = F.array_sort(F.collect_list(F.struct("n_name", "v")))
+    quoted = lambda c: F.concat(F.lit('"'), c, F.lit('"'))  # noqa: E731
+    return n.groupBy("n_regionkey").agg(
+        F.concat(
+            F.lit("["),
+            F.array_join(
+                F.transform(pairs_by_id, lambda p: F.coalesce(quoted(p.v), F.lit("null"))),
+                ",",
+            ),
+            F.lit("]"),
+        ).alias("arr_null_on_null"),
+        F.concat(
+            F.lit("["),
+            F.array_join(
+                F.transform(
+                    F.filter(pairs_by_id, lambda p: p.v.isNotNull()),
+                    lambda p: quoted(p.v),
+                ),
+                ",",
+            ),
+            F.lit("]"),
+        ).alias("arr_absent_on_null"),
+        F.concat(
+            F.lit("{"),
+            F.array_join(
+                F.transform(
+                    pairs_by_key,
+                    lambda p: F.concat(
+                        quoted(p.n_name), F.lit(":"),
+                        F.coalesce(quoted(p.v), F.lit("null")),
+                    ),
+                ),
+                ",",
+            ),
+            F.lit("}"),
+        ).alias("obj_null_on_null"),
+        F.concat(
+            F.lit("{"),
+            F.array_join(
+                F.transform(
+                    F.filter(pairs_by_key, lambda p: p.v.isNotNull()),
+                    lambda p: F.concat(quoted(p.n_name), F.lit(":"), quoted(p.v)),
+                ),
+                ",",
+            ),
+            F.lit("}"),
+        ).alias("obj_absent_on_null"),
+    )

@@ -585,3 +585,104 @@ def func_group_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.withColumn("group_id", F.lit(0)).unionAll(
         agg.withColumn("group_id", F.lit(1))
     )
+
+
+@query(
+    "func_bool_predicates",
+    oracle="""
+    SELECT n_nationkey,
+           (f IS TRUE)::int        AS is_t,
+           (f IS NOT TRUE)::int    AS is_nt,
+           (f IS FALSE)::int       AS is_f,
+           (f IS NOT FALSE)::int   AS is_nf,
+           (n_nationkey NOT BETWEEN 5 AND 20)::int AS nb
+    FROM (SELECT n_nationkey,
+                 CASE WHEN n_nationkey % 3 = 0 THEN NULL
+                      ELSE n_nationkey % 2 = 0 END AS f
+          FROM nation) t
+    """,
+    tags=("functions", "conditional"),
+)
+def func_bool_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued boolean tests IS [NOT] TRUE/FALSE (FlinkSqlOperatorTable
+    IS_TRUE/IS_NOT_TRUE/IS_FALSE/IS_NOT_FALSE) and NOT BETWEEN —
+    NULL IS NOT TRUE = true, the SQL boolean-test (not negation)
+    semantics. Cast to int so the hash pins the 3VL collapse."""
+    n = load(spark, sf_dir, "nation")
+    n.createOrReplaceTempView("func_bool_nation")
+    return spark.sql("""
+        SELECT n_nationkey,
+               CAST(f IS TRUE AS int)      AS is_t,
+               CAST(f IS NOT TRUE AS int)  AS is_nt,
+               CAST(f IS FALSE AS int)     AS is_f,
+               CAST(f IS NOT FALSE AS int) AS is_nf,
+               CAST(n_nationkey NOT BETWEEN 5 AND 20 AS int) AS nb
+        FROM (SELECT n_nationkey,
+                     CASE WHEN n_nationkey % 3 = 0 THEN NULL
+                          ELSE n_nationkey % 2 = 0 END AS f
+              FROM func_bool_nation) t
+    """)
+
+
+@query(
+    "func_to_timestamp_ltz",
+    oracle="""
+    SELECT n_nationkey,
+           (to_timestamp(1700000000 + n_nationkey * 86400)
+              AT TIME ZONE 'UTC')::timestamp AS ts_s,
+           (epoch_ms(1700000000123 + n_nationkey * 3600000)
+              AT TIME ZONE 'UTC' AT TIME ZONE 'UTC')::timestamp AS ts_ms
+    FROM nation
+    """,
+    tags=("functions", "temporal"),
+)
+def func_to_timestamp_ltz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TO_TIMESTAMP_LTZ(numeric, precision) with precision 0 (seconds)
+    and 3 (millis) — BuiltInFunctionDefinitions TO_TIMESTAMP_LTZ →
+    timestamp_seconds/timestamp_millis (the session is UTC, so the
+    LTZ instant and the wall reading agree; oracle converts the same
+    epochs via to_timestamp/epoch_ms)."""
+    n = load(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("n_nationkey") * 86400).alias("ts_s"),
+        F.timestamp_millis(
+            F.lit(1700000000123) + F.col("n_nationkey") * 3600000
+        ).alias("ts_ms"),
+    )
+
+
+# Java String.hashCode() known answers, computed by the JLS formula
+# s[0]*31^(n-1) + ... + s[n-1] with 32-bit wrap — the exact values
+# HASH_CODE (FlinkSqlOperatorTable.java HASH_CODE, ScalarOperatorGens
+# hashCode codegen) returns. The long input overflows int32 on purpose.
+_HASH_CODE_KAT = [
+    ("click", 94750088),
+    ("purchase", 1743324417),
+    ("ALGERIA", -198280703),
+    ("the quick brown fox jumps over the lazy dog", -2082818701),
+]
+
+
+@query(
+    "func_hash_code",
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(f"('{s}', {h})" for s, h in _HASH_CODE_KAT)
+    + ") AS t(s, h)",
+    tags=("functions", "string"),
+)
+def func_hash_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH_CODE(string) — Java String.hashCode parity, evaluated
+    JVM-side as one codegen'd aggregate() fold over the code points
+    with explicit 32-bit wraparound (bigint accumulator, mod 2^32,
+    sign-adjust) so ANSI overflow checking never trips. Oracle =
+    known-answer table from the JLS formula."""
+    rows = spark.createDataFrame([(s,) for s, _ in _HASH_CODE_KAT], "s string")
+    return rows.select(
+        "s",
+        F.expr(
+            "cast(((aggregate(split(s, ''), cast(0 as bigint),"
+            " (acc, c) -> (acc * 31 + ascii(c)) % 4294967296)"
+            " + 2147483648) % 4294967296) - 2147483648 as int)"
+        ).alias("h"),
+    )

@@ -603,6 +603,23 @@ class TableEnvironment:
         primary_key: list[str] | None = None
         pk_name: str | None = None
         if schema_txt:
+            swm = re.search(
+                r"WATERMARK\s+FOR\s+(\w+)\s+AS\s+SOURCE_WATERMARK\s*\(\s*\)",
+                schema_txt, re.IGNORECASE,
+            )
+            if swm:
+                # SOURCE_WATERMARK() is a marker the CONNECTOR must
+                # replace with its own strategy (BuiltInFunctionDefinitions
+                # .java:132 SOURCE_WATERMARK; its default implementation throws
+                # because none of the file/values connectors here emit
+                # one — the same TableException the reference raises).
+                raise ValueError(
+                    "WATERMARK FOR "
+                    f"{swm.group(1)} AS SOURCE_WATERMARK(): none of this "
+                    "catalog's connectors provide a source watermark; "
+                    "declare a bounded-delay watermark instead "
+                    "(col - INTERVAL 'n' UNIT)"
+                )
             wm = _WATERMARK_SPEC.search(schema_txt)
             if wm:
                 unit = wm.group(3).upper().rstrip("S") + (

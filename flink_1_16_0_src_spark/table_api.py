@@ -149,6 +149,55 @@ def _cols(exprs) -> list[Column]:
     return out
 
 
+class _Range:
+    """``range_('b', 'd')`` — an inclusive schema-order column span
+    (PyFlink expressions.range_; BuiltInFunctionDefinitions RANGE_TO)."""
+
+    def __init__(self, start: str, end: str):
+        self.start, self.end = start, end
+
+
+def range_(start: str, end: str) -> _Range:
+    return _Range(start, end)
+
+
+class _ColumnSelector:
+    """withColumns/withoutColumns column-function expansion
+    (BuiltInFunctionDefinitions WITH_COLUMNS/WITHOUT_COLUMNS;
+    ColumnFunctionsExpander in the reference planner). Resolved
+    against the actual schema at select() time."""
+
+    def __init__(self, include: bool, items):
+        self.include, self.items = include, items
+
+    def resolve(self, columns: list[str]) -> list[str]:
+        picked: list[str] = []
+        for it in self.items:
+            if isinstance(it, _Range):
+                i, j = columns.index(it.start), columns.index(it.end)
+                if j < i:
+                    raise ValueError(f"range_({it.start!r}, {it.end!r}) is reversed")
+                picked.extend(columns[i : j + 1])
+            else:
+                name = it if isinstance(it, str) else it._c._jc.toString()
+                if name not in columns:
+                    raise ValueError(f"column {name!r} not in schema")
+                picked.append(name)
+        if self.include:
+            seen = set()
+            return [c for c in picked if not (c in seen or seen.add(c))]
+        drop = set(picked)
+        return [c for c in columns if c not in drop]
+
+
+def with_columns(*items) -> _ColumnSelector:
+    return _ColumnSelector(True, items)
+
+
+def without_columns(*items) -> _ColumnSelector:
+    return _ColumnSelector(False, items)
+
+
 class Table:
     """Fluent relational surface over a DataFrame (PyFlink Table)."""
 
@@ -158,7 +207,13 @@ class Table:
     # ---- projection / filter (ProjectQueryOperation / Filter...) ----
 
     def select(self, *exprs) -> "Table":
-        return Table(self._df.select(*_cols(exprs)))
+        expanded: list = []
+        for e in exprs:
+            if isinstance(e, _ColumnSelector):
+                expanded.extend(e.resolve(self._df.columns))
+            else:
+                expanded.append(e)
+        return Table(self._df.select(*_cols(expanded)))
 
     def add_columns(self, *exprs) -> "Table":
         return Table(self._df.select("*", *_cols(exprs)))

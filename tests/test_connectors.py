@@ -939,3 +939,16 @@ def test_set_reset_statements(spark):
     assert spark.conf.get("spark.sql.shuffle.partitions") != "7"
     tenv.execute_sql("RESET")
     assert tenv.execute_sql("SET").count() == 0
+
+
+def test_ddl_source_watermark_rejected(tenv, tmp_path):
+    """SOURCE_WATERMARK() (BuiltInFunctionDefinitions.java:132) is a
+    connector-replaced marker; no connector here provides one, so DDL
+    declaring it fails like the reference's default implementation."""
+    import pytest
+    with pytest.raises(ValueError, match="SOURCE_WATERMARK"):
+        tenv.execute_sql(
+            "CREATE TABLE swm_events (ts TIMESTAMP,"
+            " WATERMARK FOR ts AS SOURCE_WATERMARK())"
+            f" WITH ('connector'='filesystem','path'='{tmp_path}','format'='parquet')"
+        )

@@ -285,3 +285,20 @@ def test_changelog_bridge_roundtrip_property(spark):
         assert sorted(map(tuple, back.collect())) == sorted(map(tuple, exp.collect()))
 
     check()
+
+
+def test_with_without_columns_selectors(spark):
+    """withColumns/withoutColumns + range_ (BuiltInFunctionDefinitions
+    WITH_COLUMNS/WITHOUT_COLUMNS/RANGE_TO; PyFlink expressions.range_)."""
+    from flink_1_16_0_src_spark.table_api import range_, with_columns, without_columns
+
+    t = Table(spark.createDataFrame([(1, 2, 3, 4, 5)], "a int, b int, c int, d int, e int"))
+    assert t.select(with_columns(range_("b", "d")))._df.columns == ["b", "c", "d"]
+    assert t.select(without_columns("c", col("e")))._df.columns == ["a", "b", "d"]
+    # mixing a selector with plain expressions, duplicates collapse
+    assert t.select(with_columns(col("a"), range_("a", "b")))._df.columns == ["a", "b"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="reversed"):
+        t.select(with_columns(range_("d", "b")))
+    with _pytest.raises(ValueError, match="not in schema"):
+        t.select(without_columns("zz"))
