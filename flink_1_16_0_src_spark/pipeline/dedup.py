@@ -527,3 +527,63 @@ def remove_duplicate_spans(
         .drop("__cuts", "__toks", "__idx", text_col)
         .withColumnRenamed("__kept_text", text_col)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    seeds: list[list[float]],
+    threshold: float,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the embedding
+    space with a k-means quantizer, then deduplicate only WITHIN each
+    cluster — pairwise cosine never crosses cluster boundaries, so the
+    candidate set is sum(|cluster|^2), not |corpus|^2 (the paper's
+    scaling trick, same blocking contract as the LSH banded join).
+
+    Keep rule: among duplicates (rounded cosine >= threshold) the
+    member FARTHEST from its cluster centroid survives (the paper's
+    low-similarity-to-centroid representative), min-id tiebreak.
+    Expressed as one rank comparison per duplicate pair — a vector is
+    dropped iff ANY duplicate neighbor outranks it — so the result is
+    order-independent (no greedy sweep) and needs no iteration.
+
+    Determinism contract: centroid distances rank-compared at 6 dp,
+    pair cosines thresholded at 4 dp (the repo float rule — raw-double
+    comparisons flip across engines near ties).
+
+    Scale: seeds are k x dim driver-held literals (bounded coordination
+    state); assignment is map-only; the self-join shuffles on cell.
+    At 100 TB raise k so clusters stay executor-sized (the paper uses
+    k ~ sqrt(N)); skewed mega-clusters take the same hot-bucket cap as
+    lsh_candidate_pairs.
+    """
+    from flink_1_16_0_src_spark.pipeline.similarity import ivf_assign
+
+    assigned = ivf_assign(df, vec_col, id_col, seeds)
+    base = assigned.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cell"),
+        F.round(F.element_at(F.col("__dists"), F.col("cell") + F.lit(1)), 6).alias("__d"),
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+        F.col("cell"), F.col("__d").alias("__da"),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+        F.col("cell"), F.col("__d").alias("__db"),
+    )
+    dup = (
+        a.join(b, "cell")
+        .where(F.col("id_a") != F.col("id_b"))
+        .where(F.round(_cosine(F.col("__va"), F.col("__vb")), 4) >= threshold)
+    )
+    drops = dup.where(
+        (F.col("__db") > F.col("__da"))
+        | ((F.col("__db") == F.col("__da")) & (F.col("id_b") < F.col("id_a")))
+    ).select(F.col("id_a").alias(id_col)).distinct()
+    return base.join(drops, id_col, "left_anti").select(id_col, "cell")

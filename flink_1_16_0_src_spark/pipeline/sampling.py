@@ -102,3 +102,61 @@ def mix_corpus(
         term = (F.col(source_col) == s) & (_hash_unit(id_col, salt) < frac)
         pred = term if pred is None else pred | term
     return df.where(pred if pred is not None else F.lit(False))
+
+
+def dsir_logratio_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_pred: Column,
+    n_features: int = 256,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-document
+    log-importance log w = Σ_tokens [ln p̂(f) − ln q̂(f)] over hashed
+    unigram features f, where p̂ is the add-1-smoothed feature model of
+    the TARGET rows (``target_pred``) and q̂ of the whole corpus.
+
+    Engine-exactness: each feature's log-ratio is quantized ONCE to an
+    integer (round(ln·1e6) → BIGINT) in the tiny feature table; the
+    per-doc score is then an INTEGER sum — order-independent, so the
+    hashed surface never depends on float summation order (repo float
+    rule). Feature hashing is the md5→conv recipe shared with MinHash.
+
+    Scale: the feature table is ≤ ``n_features`` rows — broadcast; the
+    corpus token stream is scanned once for counts (target counts are
+    a filtered re-aggregation of the same pass shape) and once for the
+    score join; both groupBys fold map-side. No corpus-sized shuffle
+    other than the per-doc score reduction.
+    """
+    toks = df.select(
+        F.col(id_col),
+        target_pred.alias("__is_target"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__tok"),
+    ).select(
+        id_col,
+        "__is_target",
+        (F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10).cast("bigint")
+         % n_features).alias("__f"),
+    )
+    counts = toks.groupBy("__f").agg(
+        F.count("*").alias("__cq"),
+        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("__cp"),
+    )
+    totals = toks.agg(
+        F.count("*").alias("__tq"),
+        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("__tp"),
+    )
+    ratios = counts.crossJoin(F.broadcast(totals)).select(
+        "__f",
+        F.round(
+            (F.log((F.col("__cp") + 1) / (F.col("__tp") + n_features))
+             - F.log((F.col("__cq") + 1) / (F.col("__tq") + n_features))) * 1e6,
+            0,
+        ).cast("bigint").alias("__lr_e6"),
+    )
+    return (
+        toks.join(F.broadcast(ratios), "__f")
+        .groupBy(id_col)
+        .agg(F.sum("__lr_e6").alias("dsir_score_e6"))
+    )

@@ -421,3 +421,54 @@ def dedup_substring_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_tokens_after") < F.col("n_tokens_before"))
         .select("doc_id", "n_tokens_before", "n_tokens_after")
     )
+
+
+@query(
+    "dedup_semantic",
+    oracle="""
+    WITH seeds AS (
+      SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < 8
+    ),
+    dists AS (
+      SELECT e.vec_id, s.cell,
+             list_sum(list_transform(generate_series(1, len(e.embedding)),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - s.cvec[i])
+                  * (CAST(e.embedding[i] AS DOUBLE) - s.cvec[i]))) AS d
+      FROM embeddings e, seeds s
+    ),
+    assign AS (
+      SELECT vec_id, cell, round(d, 6) AS d FROM (
+        SELECT vec_id, cell, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY round(d, 6), cell) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    vecs AS (
+      SELECT a.vec_id, a.cell, a.d, CAST(e.embedding AS DOUBLE[]) AS v
+      FROM assign a JOIN embeddings e USING (vec_id)
+    ),
+    drops AS (
+      SELECT DISTINCT x.vec_id
+      FROM vecs x JOIN vecs y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+      WHERE round(list_cosine_similarity(x.v, y.v), 4) >= 0.3
+        AND (y.d > x.d OR (y.d = x.d AND y.vec_id < x.vec_id))
+    )
+    SELECT vec_id, cell FROM vecs
+    WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+    """,
+    tags=("pipeline", "dedup", "custom-op"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): 8-cell k-means blocking
+    (deterministic lowest-id seeds, the cluster_kmeans_update
+    precedent), within-cluster cosine duplicates at eps=0.3, keep the
+    member farthest from its centroid (min-id tiebreak). Oracle
+    replays the full pipeline: assignment argmin at 6 dp, pair cosine
+    at 4 dp, identical rank rule."""
+    from flink_1_16_0_src_spark.pipeline.dedup import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    seed_rows = emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    seeds = [list(map(float, r[1])) for r in sorted(seed_rows, key=lambda r: r[0])]
+    return semantic_dedup(emb, "embedding", "vec_id", seeds, threshold=0.3)

@@ -320,3 +320,46 @@ def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
     )
+
+
+@query(
+    "sample_dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, (lang = 'en') AS is_target,
+             ('0x' || substr(md5(unnest({_TOKS})), 1, 15))::BIGINT % 256 AS f
+      FROM documents
+    ),
+    counts AS (
+      SELECT f, count(*) AS cq,
+             sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS cp
+      FROM toks GROUP BY f
+    ),
+    totals AS (
+      SELECT count(*) AS tq,
+             sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tp
+      FROM toks
+    ),
+    ratios AS (
+      SELECT f, CAST(round((ln((cp + 1.0) / (tp + 256))
+                          - ln((cq + 1.0) / (tq + 256))) * 1e6, 0) AS BIGINT) AS lr
+      FROM counts, totals
+    )
+    SELECT t.doc_id, CAST(sum(r.lr) AS BIGINT) AS dsir_score_e6
+    FROM toks t JOIN ratios r USING (f)
+    GROUP BY t.doc_id
+    """,
+    tags=("pipeline", "sampling", "custom-op"),
+)
+def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-ngram importance weights (Xie et al. 2023): target =
+    English documents, features = 256 md5-hashed word unigrams, add-1
+    smoothing; per-feature log-ratios quantized to integer micro-nats
+    in a broadcast table so the per-doc score is an order-independent
+    INTEGER sum (no float summation on the hashed surface)."""
+    from flink_1_16_0_src_spark.pipeline.sampling import dsir_logratio_weights
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_logratio_weights(
+        docs, "text", "doc_id", target_pred=(F.col("lang") == "en"), n_features=256
+    )

@@ -393,3 +393,22 @@ def test_group_id_union_reuses_exchange(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
+
+
+def test_semantic_dedup_blocked_join_no_cartesian(spark):
+    """SemDeDup's pair join is blocked on the k-means cell — a shuffled
+    equi-join, never CartesianProduct (the paper's sum(|cluster|^2)
+    bound depends on it); the anti-join against drops stays a hash join."""
+    plan = _plan(spark, "dedup_semantic")
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_dsir_feature_table_broadcast(spark):
+    """DSIR's 256-row log-ratio table must broadcast to the corpus-token
+    side — the corpus never shuffles for the score join; the per-doc
+    score sum folds map-side (integer partial_sum)."""
+    plan = _plan(spark, "sample_dsir_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+    assert "PythonUDF" not in plan
