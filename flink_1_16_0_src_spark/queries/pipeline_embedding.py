@@ -89,3 +89,55 @@ def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.groupBy("label").agg(
         F.count("*").cast("bigint").alias("n"), *(moments(0) + moments(1))
     )
+
+
+@query(
+    "embed_int8_quantize",
+    oracle="""
+    WITH stats AS (
+      SELECT d,
+             min(CAST(embedding[d] AS DOUBLE)) AS mn,
+             max(CAST(embedding[d] AS DOUBLE)) AS mx
+      FROM embeddings, generate_series(1, 64) t(d)
+      GROUP BY d
+    ),
+    codes AS (
+      SELECT e.vec_id, s.d,
+             CASE WHEN s.mx = s.mn THEN 0
+                  ELSE CAST(round((CAST(e.embedding[s.d] AS DOUBLE) - s.mn)
+                                  / ((s.mx - s.mn) / 255.0), 0) AS INT)
+             END AS code
+      FROM embeddings e JOIN stats s ON TRUE
+    )
+    SELECT vec_id, string_agg(code::VARCHAR, ',' ORDER BY d) AS codes_csv
+    FROM codes GROUP BY vec_id
+    """,
+    tags=("pipeline", "embedding", "custom-op"),
+)
+def embed_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar uint8 quantization of the embedding column (the vector-
+    store ingestion step: per-dimension min/max range mapped to 0..255
+    codes — the FAISS ScalarQuantizer QT_8bit recipe). One corpus pass
+    computes the 2×64-value stats row (bounded, broadcast); the encode
+    pass is map-only (zip_with over two literal-size arrays, no
+    shuffle). Codes emitted as a CSV string so the hashed surface is
+    pure integers; the only float op per code is one divide + round,
+    identical IEEE doubles on both engines."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    dim = 64
+    stats = emb.agg(
+        F.array(*[F.min(F.element_at(v, d + 1)) for d in range(dim)]).alias("__mn"),
+        F.array(*[F.max(F.element_at(v, d + 1)) for d in range(dim)]).alias("__mx"),
+    )
+    quant = emb.crossJoin(F.broadcast(stats))
+    code = F.zip_with(
+        v,
+        F.zip_with("__mn", "__mx", lambda mn, mx: F.struct(mn.alias("mn"), mx.alias("mx"))),
+        lambda x, s: F.when(s.mx == s.mn, F.lit(0)).otherwise(
+            F.round((x - s.mn) / ((s.mx - s.mn) / 255.0), 0).cast("int")
+        ),
+    )
+    return quant.select(
+        "vec_id", F.array_join(code, ",").alias("codes_csv")
+    )

@@ -412,3 +412,18 @@ def test_dsir_feature_table_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "partial_sum" in plan
     assert "PythonUDF" not in plan
+
+
+def test_int8_quantize_broadcast_map_only(spark):
+    """The 2x64 stats row broadcasts; the encode pass is map-only
+    (BroadcastNestedLoopJoin on a 1-row build side, no shuffle of the
+    corpus, no Python)."""
+    plan = _plan(spark, "embed_int8_quantize")
+    assert "PythonUDF" not in plan
+    assert "BroadcastExchange" in plan and "BroadcastNestedLoopJoin" in plan
+    # corpus side never shuffles: the only shuffle Exchange feeds the
+    # 1-row stats aggregate ("BroadcastExchange" also contains the
+    # substring, so count numbered plan nodes)
+    import re as _re
+    shuffles = _re.findall(r"^\(\d+\) Exchange", plan, _re.MULTILINE)
+    assert len(shuffles) <= 1, plan
