@@ -427,3 +427,13 @@ def test_int8_quantize_broadcast_map_only(spark):
     import re as _re
     shuffles = _re.findall(r"^\(\d+\) Exchange", plan, _re.MULTILINE)
     assert len(shuffles) <= 1, plan
+
+
+def test_pipeline_e2e_curation_composed_plan(spark):
+    """The composed curation DAG keeps each stage's contract: no
+    cartesian, no Python, the decontam gram check broadcast, packing
+    windows partitioned (no global sort of the corpus)."""
+    plan = _plan(spark, "pipeline_e2e_curation")
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
+    assert "BroadcastExchange" in plan
