@@ -653,3 +653,51 @@ def groupwin_sql_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY SESSION(ts, INTERVAL '30' MINUTE), user_id
     """
     return spark.sql(rewrite_flink_clauses(spark, sql))
+
+
+_LKSEQ = iter(range(10_000))
+
+
+@query(
+    "join_lookup_hint_sql",
+    oracle="""
+    SELECT e.event_id, e.user_id, n.n_name
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    WHERE e.event_id % 13 = 0
+    """,
+    tags=("join", "lookup", "sql-surface"),
+)
+def join_lookup_hint_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LOOKUP join as SQL text (joins.md "Lookup Join";
+    StreamExecLookupJoin.java): probe table with a ``pt AS PROCTIME()``
+    computed column, ``JOIN dim FOR SYSTEM_TIME AS OF e.pt``, plus the
+    FLINK-28779 ``LOOKUP(...)`` hint with async/output-mode/capacity/
+    timeout options (LookupJoinHintOptions.java — validated, then
+    absorbed: the Spark lowering joins the current dim snapshot
+    set-oriented, so the mid-query I/O knobs have no result effect).
+    Processing-time semantics = current version of the dim."""
+    import os as _os
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_LKSEQ)
+    t.execute_sql(
+        f"CREATE TABLE lk_events_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE,"
+        f" pt AS PROCTIME())"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    load(spark, sf_dir, "nation").createOrReplaceTempView(f"lk_nation_{k}")
+    return t.sql_query(f"""
+        SELECT /*+ LOOKUP('table'='n', 'async'='true',
+                          'output-mode'='allow_unordered',
+                          'capacity'='100', 'timeout'='180s') */
+               e.event_id, e.user_id, n.n_name
+        FROM lk_events_{k} AS e
+        JOIN lk_nation_{k} FOR SYSTEM_TIME AS OF e.pt AS n
+          ON e.user_id % 25 = n.n_nationkey
+        WHERE e.event_id % 13 = 0
+    """)

@@ -226,12 +226,54 @@ _HINT_BLOCK = re.compile(r"/\*\+(.*?)\*/", re.DOTALL)
 _OPTIONS_HINT = re.compile(r"OPTIONS\s*\([^)]*\)\s*,?", re.IGNORECASE)
 
 
+_LOOKUP_HINT = re.compile(r"LOOKUP\s*\(([^)]*)\)\s*,?", re.IGNORECASE)
+_LOOKUP_OPT_KEYS = {
+    "table", "async", "output-mode", "capacity", "timeout",
+    "retry-predicate", "retry-strategy", "fixed-delay", "max-attempts",
+}
+_LOOKUP_OPT_ENUMS = {
+    "async": {"true", "false"},
+    "output-mode": {"ordered", "allow_unordered"},
+    "retry-predicate": {"lookup_miss"},
+    "retry-strategy": {"fixed_delay"},
+}
+
+
+def parse_lookup_hint(body: str) -> dict[str, str]:
+    """Validate a ``LOOKUP('k'='v', ...)`` hint body (FLINK-28779,
+    LookupJoinHintOptions.java): known keys only, 'table' required,
+    enum values checked. Returns the option dict."""
+    opts: dict[str, str] = {}
+    for m in re.finditer(r"'([^']*)'\s*=\s*'([^']*)'", body):
+        k, v = m.group(1).lower(), m.group(2)
+        if k not in _LOOKUP_OPT_KEYS:
+            raise ValueError(f"unknown LOOKUP hint option {k!r}")
+        ev = _LOOKUP_OPT_ENUMS.get(k)
+        if ev and v.lower() not in ev:
+            raise ValueError(f"LOOKUP hint {k!r} must be one of {sorted(ev)}, got {v!r}")
+        opts[k] = v
+    if "table" not in opts:
+        raise ValueError("LOOKUP hint requires the 'table' option")
+    return opts
+
+
 def translate_hints(sql: str) -> str:
     """Rewrite Flink hint names inside every /*+ ... */ block to the
-    Spark planner's vocabulary (JoinStrategy.java:29-47 parity)."""
+    Spark planner's vocabulary (JoinStrategy.java:29-47 parity).
+    ``LOOKUP(...)`` hints (FLINK-28779) are validated then absorbed:
+    their async/capacity/timeout/retry knobs tune the reference's
+    mid-query lookup I/O, which the Spark lowering replaces with a
+    set-oriented join against the current dim snapshot — correctness
+    is unchanged, so like OPTIONS they leave no Spark hint behind.
+    The API path (operators/lookup.py) carries the real async / cache
+    / retry execution semantics."""
 
     def _one(m: re.Match) -> str:
         body = _OPTIONS_HINT.sub("", m.group(1))
+        lm = _LOOKUP_HINT.search(body)
+        if lm:
+            parse_lookup_hint(lm.group(1))  # validation errors surface
+            body = _LOOKUP_HINT.sub("", body)
         for flink, spark_name in _HINT_MAP.items():
             body = re.sub(rf"\b{flink}\b", spark_name, body, flags=re.IGNORECASE)
         body = body.strip().rstrip(",").strip()
@@ -260,6 +302,10 @@ class TableEnvironment:
         self._sinks: dict[str, dict] = {}
         self._sources: dict[str, dict] = {}
         self._watermarks: dict[str, tuple[str, str]] = {}
+        # processing-time attributes (`pt AS PROCTIME()` computed
+        # columns): table -> column; FOR SYSTEM_TIME AS OF one of these
+        # lowers to the lookup join (current dim snapshot)
+        self._proctimes: dict[str, str] = {}
         self._set_overrides: dict[str, str] = {}
         # parsed DDL per table — the CatalogTable the reference keeps;
         # CREATE TABLE ... LIKE and ALTER TABLE derive from these
@@ -599,6 +645,7 @@ class TableEnvironment:
         cols: list[str] = []
         metadata_cols: dict[str, str] = {}
         computed_cols: dict[str, str] = {}
+        proctime_cols: list[str] = []
         watermark: tuple[str, str] | None = None
         primary_key: list[str] | None = None
         pk_name: str | None = None
@@ -670,6 +717,8 @@ class TableEnvironment:
                 # to current_timestamp()
                 cc = re.match(r"(\w+)\s+AS\s+(.+)$", c, re.IGNORECASE | re.DOTALL)
                 if cc:
+                    if re.search(r"PROCTIME\s*\(\s*\)", cc.group(2), re.IGNORECASE):
+                        proctime_cols.append(cc.group(1))
                     computed_cols[cc.group(1)] = re.sub(
                         r"PROCTIME\s*\(\s*\)", "current_timestamp()",
                         cc.group(2).strip(), flags=re.IGNORECASE,
@@ -682,6 +731,7 @@ class TableEnvironment:
             "partcols": partcols,
             "metadata_cols": metadata_cols,
             "computed_cols": computed_cols,
+            "proctime_cols": proctime_cols,
             "watermark": watermark,
             "primary_key": primary_key,
             "pk_name": pk_name,
@@ -700,6 +750,10 @@ class TableEnvironment:
         self._registrations[name] = reg
         if reg["watermark"] is not None:
             self._watermarks[name] = reg["watermark"]
+        for pc in reg.get("proctime_cols", ()):
+            # processing-time attribute (ProctimeAttribute in the
+            # reference): FOR SYSTEM_TIME AS OF <this col> = lookup join
+            self._proctimes.setdefault(name, pc)
         if connector in ("print", "blackhole"):
             self._sinks[name] = {"connector": connector, "props": props}
             return None
@@ -1453,18 +1507,22 @@ class TableEnvironment:
         t MATCH_RECOGNIZE (...) lower onto operators.windows /
         operators.cep before Catalyst parses the statement."""
         if re.search(
-            r"MATCH_RECOGNIZE|TABLE\s*\(\s*(TUMBLE|HOP|CUMULATE|SESSION)|FOR\s+SYSTEM_TIME\s+AS\s+OF|LATERAL\s+TABLE",
+            r"MATCH_RECOGNIZE|TABLE\s*\(\s*(TUMBLE|HOP|CUMULATE|SESSION)"
+            r"|FOR\s+SYSTEM_TIME\s+AS\s+OF|LATERAL\s+TABLE"
+            r"|\b(TUMBLE|HOP|SESSION)\s*\(",  # legacy group windows
             sql,
             re.IGNORECASE,
         ):
             from flink_1_16_0_src_spark.sql_clauses import rewrite_flink_clauses
 
             # temporal joins resolve the versioned table's time
-            # attribute from its DDL WATERMARK declaration
+            # attribute from its DDL WATERMARK declaration; proctime
+            # attributes route FOR SYSTEM_TIME AS OF to the lookup join
             return rewrite_flink_clauses(
                 self.spark, sql,
                 time_attrs={t: col for t, (col, _d) in self._watermarks.items()},
                 temporal_fns=self._temporal_fns,
+                proctime_attrs=set(self._proctimes.values()),
             )
         return sql
 

@@ -725,9 +725,30 @@ def rewrite_match_recognize(spark: SparkSession, sql: str) -> str:
         sql = sql[: m.start()] + view + tail
 
 
+def rewrite_lookup_join(sql: str, proctime_attrs: set[str]) -> str:
+    """Processing-time temporal join = LOOKUP join (joins.md "Lookup
+    Join"; LookupJoinUtil.java, StreamExecLookupJoin.java): ``JOIN d
+    FOR SYSTEM_TIME AS OF probe.<proctime attr>`` joins each probe row
+    against the CURRENT version of the build side. In a micro-batch
+    lowering the current version is the dim snapshot the batch reads,
+    so the clause reduces to a plain equi-join — the AS OF marker is
+    dropped and Catalyst plans the join (broadcast for dim-sized
+    tables, the same shape operators/lookup.py produces)."""
+
+    def _one(m: re.Match) -> str:
+        if m.group("asof").split(".")[-1] in proctime_attrs:
+            return " "
+        return m.group(0)
+
+    return re.sub(
+        r"\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(?P<asof>[\w.]+)",
+        _one, sql, flags=re.IGNORECASE,
+    )
+
+
 def rewrite_flink_clauses(
     spark: SparkSession, sql: str, time_attrs: dict[str, str] | None = None,
-    temporal_fns: dict | None = None,
+    temporal_fns: dict | None = None, proctime_attrs: set[str] | None = None,
 ) -> str:
     if re.search(r"MATCH_RECOGNIZE", sql, re.IGNORECASE):
         sql = rewrite_match_recognize(spark, sql)
@@ -735,6 +756,8 @@ def rewrite_flink_clauses(
         sql = rewrite_window_tvfs(spark, sql)
     if _GW_CALL.search(sql):
         sql = rewrite_group_windows(spark, sql)
+    if proctime_attrs and re.search(r"FOR\s+SYSTEM_TIME\s+AS\s+OF", sql, re.IGNORECASE):
+        sql = rewrite_lookup_join(sql, proctime_attrs)
     if re.search(r"FOR\s+SYSTEM_TIME\s+AS\s+OF", sql, re.IGNORECASE):
         sql = rewrite_temporal_join(spark, sql, time_attrs or {})
     if temporal_fns and re.search(r"LATERAL\s+TABLE", sql, re.IGNORECASE):

@@ -413,3 +413,53 @@ def test_group_window_plain_group_by_untouched(spark):
     _ts_events(spark)
     sql = "SELECT k, count(*) AS n FROM gw_events GROUP BY k"
     assert rewrite_flink_clauses(spark, sql) == sql
+
+
+def test_lookup_hint_validation():
+    """LOOKUP hint options validated per LookupJoinHintOptions.java."""
+    from flink_1_16_0_src_spark.session import parse_lookup_hint, translate_hints
+
+    ok = parse_lookup_hint("'table'='d', 'async'='true', 'max-attempts'='3'")
+    assert ok["table"] == "d" and ok["async"] == "true"
+    with pytest.raises(ValueError, match="unknown LOOKUP hint option"):
+        parse_lookup_hint("'table'='d', 'bogus'='1'")
+    with pytest.raises(ValueError, match="requires the 'table'"):
+        parse_lookup_hint("'async'='true'")
+    with pytest.raises(ValueError, match="must be one of"):
+        parse_lookup_hint("'table'='d', 'output-mode'='sideways'")
+    # the hint is absorbed: no Spark-side hint text remains
+    out = translate_hints(
+        "SELECT /*+ LOOKUP('table'='d', 'async'='false') */ * FROM t"
+    )
+    assert "LOOKUP" not in out and "/*+" not in out
+
+
+def test_lookup_join_rewrite_proctime_vs_event_time():
+    """FOR SYSTEM_TIME AS OF a PROCTIME attribute drops to a plain join
+    (lookup join, current version); an event-time attribute is left for
+    the temporal-join rewrite."""
+    from flink_1_16_0_src_spark.sql_clauses import rewrite_lookup_join
+
+    sql = "SELECT * FROM e JOIN d FOR SYSTEM_TIME AS OF e.pt AS v ON e.k = v.k"
+    out = rewrite_lookup_join(sql, {"pt"})
+    import re as _re
+    assert "SYSTEM_TIME" not in out
+    assert _re.sub(r"\s+", " ", out).count("JOIN d AS v ON") == 1
+    # event-time column untouched
+    assert rewrite_lookup_join(sql, {"other"}) == sql
+
+
+def test_group_window_reaches_table_environment(spark):
+    """The legacy GROUP BY TUMBLE path must fire through
+    TableEnvironment.sql_query (gate regex), not only via direct
+    rewrite_flink_clauses calls."""
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    _ts_events(spark)
+    t = TableEnvironment(spark)
+    out = t.sql_query("""
+        SELECT k, TUMBLE_START(ts, INTERVAL '1' HOUR) AS ws, sum(v) AS s
+        FROM gw_events GROUP BY k, TUMBLE(ts, INTERVAL '1' HOUR)
+    """)
+    assert sorted((r.k, r.ws.hour, r.s) for r in out.collect()) == [
+        ("u1", 10, 3.0), ("u1", 12, 4.0), ("u2", 10, 8.0)]
