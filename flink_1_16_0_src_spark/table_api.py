@@ -218,8 +218,36 @@ class Table:
     def add_columns(self, *exprs) -> "Table":
         return Table(self._df.select("*", *_cols(exprs)))
 
+    def add_or_replace_columns(self, **exprs) -> "Table":
+        """PyFlink Table.add_or_replace_columns: same-named columns are
+        replaced in place, new names append."""
+        df = self._df
+        for name, e in exprs.items():
+            df = df.withColumn(name, _cols([e])[0])
+        return Table(df)
+
     def drop_columns(self, *names: str) -> "Table":
         return Table(self._df.drop(*names))
+
+    # ---- row-based operations (Table.map/flat_map, the PyFlink
+    # "Row-based Operations" surface) — Arrow-batched, never per-row ----
+
+    def map(self, fn, output_schema: str) -> "Table":
+        """Row-based map. Spark-first deviation from PyFlink's
+        one-Row-at-a-time udf contract: ``fn`` receives and returns a
+        pandas DataFrame per Arrow batch (same result, vectorized).
+        ``output_schema`` is the result DDL, e.g. 'a BIGINT, b STRING'."""
+        return Table(
+            self._df.mapInPandas(lambda it: (fn(b) for b in it), output_schema)
+        )
+
+    def flat_map(self, fn, output_schema: str) -> "Table":
+        """Row-based flat_map (UDTF shape): ``fn`` maps one pandas batch
+        to a pandas DataFrame with ANY number of rows (0..n per input
+        row)."""
+        return Table(
+            self._df.mapInPandas(lambda it: (fn(b) for b in it), output_schema)
+        )
 
     def rename_columns(self, **renames: str) -> "Table":
         df = self._df

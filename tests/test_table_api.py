@@ -302,3 +302,24 @@ def test_with_without_columns_selectors(spark):
         t.select(with_columns(range_("d", "b")))
     with _pytest.raises(ValueError, match="not in schema"):
         t.select(without_columns("zz"))
+
+
+def test_row_based_map_flat_map_and_replace_columns(spark):
+    """Table.map / flat_map (PyFlink row-based operations, Arrow-batched
+    here) and add_or_replace_columns."""
+    t = Table(spark.createDataFrame([(1, "x"), (2, "y")], "a int, s string"))
+
+    doubled = t.map(lambda b: b.assign(a=b.a * 2)[["a", "s"]], "a int, s string")
+    assert sorted(map(tuple, doubled._df.collect())) == [(2, "x"), (4, "y")]
+
+    def explode_batch(b):
+        import pandas as pd
+        rows = [(r.a, i) for r in b.itertuples() for i in range(r.a)]
+        return pd.DataFrame(rows, columns=["a", "i"])
+
+    fanned = t.flat_map(explode_batch, "a int, i int")
+    assert sorted(map(tuple, fanned._df.collect())) == [(1, 0), (2, 0), (2, 1)]
+
+    rep = t.add_or_replace_columns(a=col("a") + lit(10), b=lit("new"))
+    assert rep._df.columns == ["a", "s", "b"]
+    assert sorted(map(tuple, rep._df.collect())) == [(11, "x", "new"), (12, "y", "new")]
