@@ -574,6 +574,39 @@ class TableEnvironment:
         # Flink EXPLAIN syntax (SqlRichExplain: EXPLAIN [PLAN FOR] <q>)
         # → Spark's EXPLAIN <q>
         stmt = re.sub(r"^EXPLAIN\s+PLAN\s+FOR\s+", "EXPLAIN ", stmt, flags=re.IGNORECASE)
+        # EXPLAIN with ExplainDetails (SqlRichExplain + ExplainDetail
+        # enum; explain.md "ExplainDetails"): ESTIMATED_COST → Spark's
+        # cost mode (optimizer Statistics per node), JSON_EXECUTION_PLAN
+        # → executedPlan().toJSON() (a real JSON execution plan),
+        # CHANGELOG_MODE → formatted plan + the insert-only annotation
+        # (batch/micro-batch relations are [I]; retraction streams in
+        # this engine are explicit __rowkind columns, so per-node
+        # changelog traits don't exist — documented deviation).
+        mex = re.match(
+            r"^EXPLAIN\s+((?:ESTIMATED_COST|CHANGELOG_MODE|JSON_EXECUTION_PLAN)"
+            r"(?:\s*,\s*(?:ESTIMATED_COST|CHANGELOG_MODE|JSON_EXECUTION_PLAN))*)\s+"
+            r"(?P<q>.+)$",
+            stmt, re.IGNORECASE | re.DOTALL,
+        )
+        if mex:
+            details = {d.strip().upper() for d in mex.group(1).split(",")}
+            body = self._rewrite_flink_clauses(mex.group("q"))
+            qe = self.spark.sql(body)._jdf.queryExecution()
+            jvm_mode = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            parts = []
+            if "ESTIMATED_COST" in details:
+                parts.append(qe.explainString(jvm_mode.fromString("cost")))
+            if "CHANGELOG_MODE" in details:
+                parts.append(
+                    "changelogMode=[I] (insert-only batch/micro-batch "
+                    "relations; retractions are explicit __rowkind rows)\n"
+                    + qe.explainString(jvm_mode.fromString("simple"))
+                )
+            if "JSON_EXECUTION_PLAN" in details:
+                parts.append(qe.executedPlan().toJSON())
+            return self.spark.createDataFrame(
+                [("\n\n".join(parts),)], "plan string"
+            )
         stmt = self._rewrite_flink_clauses(stmt)
         mi = _INSERT_INTO.match(stmt)
         if mi and mi.group(2) in self._sinks:

@@ -952,3 +952,24 @@ def test_ddl_source_watermark_rejected(tenv, tmp_path):
             " WATERMARK FOR ts AS SOURCE_WATERMARK())"
             f" WITH ('connector'='filesystem','path'='{tmp_path}','format'='parquet')"
         )
+
+
+def test_explain_details_modes(tenv, spark):
+    """EXPLAIN ESTIMATED_COST / CHANGELOG_MODE / JSON_EXECUTION_PLAN
+    (SqlRichExplain ExplainDetails, explain.md): cost mode carries
+    optimizer Statistics, changelog mode states the insert-only
+    contract, JSON mode emits a parseable execution plan."""
+    import json
+
+    tables.load(spark, SF_DIR, "region").createOrReplaceTempView("exp_region")
+    cost = tenv.execute_sql(
+        "EXPLAIN ESTIMATED_COST SELECT count(*) AS c FROM exp_region"
+    ).collect()[0].plan
+    assert "Statistics(" in cost
+    both = tenv.execute_sql(
+        "EXPLAIN CHANGELOG_MODE, JSON_EXECUTION_PLAN "
+        "SELECT r_regionkey, count(*) AS c FROM exp_region GROUP BY r_regionkey"
+    ).collect()[0].plan
+    assert "changelogMode=[I]" in both
+    js = both.rsplit("\n\n", 1)[-1]  # the JSON plan is the last block
+    assert isinstance(json.loads(js), list) and len(json.loads(js)) > 0
