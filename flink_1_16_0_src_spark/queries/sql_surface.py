@@ -701,3 +701,51 @@ def join_lookup_hint_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON e.user_id % 25 = n.n_nationkey
         WHERE e.event_id % 13 = 0
     """)
+
+
+@query(
+    "join_sql_window_tvf",
+    oracle="""
+    WITH lw AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, user_id,
+             count(*) AS n_click
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    rw AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, user_id,
+             count(*) AS n_purchase
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT l.window_start, l.user_id, l.n_click, r.n_purchase
+    FROM lw l LEFT JOIN rw r
+      ON l.window_start = r.window_start AND l.user_id = r.user_id
+    """,
+    tags=("join", "window-tvf", "sql-surface"),
+)
+def join_sql_window_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window join as SQL text (window-join.md; StreamExecWindowJoin):
+    two window-TVF relations joined on window_start/window_end equality
+    plus the key — written entirely as Flink SQL with TWO TABLE(TUMBLE)
+    calls in one statement (the rewrite materializes each occurrence).
+    Final-result-only emission holds by construction in batch; the
+    streaming twin is stream_window_join_drain."""
+    _events_view(spark, sf_dir, "events_sqlsrc")
+    sql = """
+    WITH lw AS (
+      SELECT window_start, window_end, user_id, count(*) AS n_click
+      FROM TABLE(TUMBLE(TABLE events_sqlsrc, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+      WHERE event_type = 'click'
+      GROUP BY window_start, window_end, user_id
+    ),
+    rw AS (
+      SELECT window_start, window_end, user_id, count(*) AS n_purchase
+      FROM TABLE(TUMBLE(TABLE events_sqlsrc, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+      WHERE event_type = 'purchase'
+      GROUP BY window_start, window_end, user_id
+    )
+    SELECT l.window_start, l.user_id, l.n_click, r.n_purchase
+    FROM lw l LEFT JOIN rw r
+      ON l.window_start = r.window_start AND l.window_end = r.window_end
+     AND l.user_id = r.user_id
+    """
+    return spark.sql(rewrite_flink_clauses(spark, sql))
