@@ -355,3 +355,31 @@ def ddl_compile_execute_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+@query(
+    "ddl_create_function_sql",
+    oracle="""
+    SELECT n_nationkey, upper(reverse(n_name)) AS rev
+    FROM nation WHERE n_nationkey % 2 = 0
+    """,
+    tags=("ddl", "udf", "sql-surface"),
+)
+def ddl_create_function_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TEMPORARY FUNCTION f AS 'module.attr' LANGUAGE PYTHON
+    (SqlCreateFunction.java → FunctionCatalog): the dotted path imports
+    through Python (the engine's classpath), the function registers
+    into the session catalog and is called from SQL text."""
+    from flink_1_16_0_src_spark.tables import load
+
+    t = _tenv(spark)
+    t.execute_sql(
+        "CREATE TEMPORARY FUNCTION rev_upper AS "
+        "'flink_1_16_0_src_spark.functions.udf_examples.reverse_upper' "
+        "LANGUAGE PYTHON"
+    )
+    load(spark, sf_dir, "nation").createOrReplaceTempView("fn_nation")
+    return t.sql_query(
+        "SELECT n_nationkey, rev_upper(n_name) AS rev "
+        "FROM fn_nation WHERE n_nationkey % 2 = 0"
+    )

@@ -360,6 +360,50 @@ class TableEnvironment:
                 [(summary["statements"], summary["shared_subplans"])],
                 "statements int, shared_subplans int",
             )
+        # CREATE [TEMPORARY] [SYSTEM] FUNCTION f AS 'module.attr'
+        # [LANGUAGE PYTHON] (SqlCreateFunction.java → FunctionCatalog
+        # registerTempSystemFunction). The identifier resolves through
+        # Python's import system; JAVA/SCALA classpath loading has no
+        # analog in a Python engine and is rejected.
+        mcfn = re.match(
+            r"^CREATE\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+"
+            r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s+AS\s+"
+            r"'(?P<path>[^']+)'(?:\s+LANGUAGE\s+(?P<lang>\w+))?\s*;?$",
+            stmt, re.IGNORECASE,
+        )
+        if mcfn:
+            lang = (mcfn.group("lang") or "PYTHON").upper()
+            if lang != "PYTHON":
+                raise ValueError(
+                    f"LANGUAGE {lang}: only PYTHON functions can be loaded "
+                    "by a Python engine (no JVM classpath here)"
+                )
+            name = mcfn.group("name")
+            if mcfn.group("ine") and self.catalog_manager.get_catalog().function_exists(name):
+                return None
+            import importlib
+
+            mod_path, _, attr = mcfn.group("path").rpartition(".")
+            if not mod_path:
+                raise ValueError(
+                    f"function identifier {mcfn.group('path')!r} must be a "
+                    "dotted module.attr path"
+                )
+            fn = getattr(importlib.import_module(mod_path), attr)
+            from flink_1_16_0_src_spark.functions.udf import register as _reg_fn
+
+            _reg_fn(self.spark, name, fn)
+            return None
+        mdfn = re.match(
+            r"^DROP\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+"
+            r"(?P<ife>IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?$",
+            stmt, re.IGNORECASE,
+        )
+        if mdfn:
+            self.catalog_manager.get_catalog().drop_function(
+                mdfn.group("name"), ignore_if_not_exists=mdfn.group("ife") is not None
+            )
+            return None
         mcp = _COMPILE_PLAN.match(stmt)
         if mcp:
             return self._compile_plan(

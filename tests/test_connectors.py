@@ -973,3 +973,28 @@ def test_explain_details_modes(tenv, spark):
     assert "changelogMode=[I]" in both
     js = both.rsplit("\n\n", 1)[-1]  # the JSON plan is the last block
     assert isinstance(json.loads(js), list) and len(json.loads(js)) > 0
+
+
+def test_create_drop_function_sql(tenv):
+    """CREATE/DROP [TEMPORARY] FUNCTION DDL (SqlCreateFunction.java):
+    dotted-path import, IF NOT EXISTS short-circuit, LANGUAGE
+    JAVA rejected, DROP removes it."""
+    import pytest
+
+    tenv.execute_sql(
+        "CREATE TEMPORARY FUNCTION t_digit_sum AS "
+        "'flink_1_16_0_src_spark.functions.udf_examples.digit_sum'"
+    )
+    got = tenv.sql_query("SELECT t_digit_sum(1234) AS s").collect()[0].s
+    assert got == "10" or got == 10  # untyped register defaults to string
+    # IF NOT EXISTS: second create is a no-op, not an error
+    tenv.execute_sql(
+        "CREATE FUNCTION IF NOT EXISTS t_digit_sum AS "
+        "'flink_1_16_0_src_spark.functions.udf_examples.digit_sum'"
+    )
+    with pytest.raises(ValueError, match="only PYTHON"):
+        tenv.execute_sql(
+            "CREATE FUNCTION j AS 'org.example.Fn' LANGUAGE JAVA"
+        )
+    tenv.execute_sql("DROP TEMPORARY FUNCTION IF EXISTS t_digit_sum")
+    tenv.execute_sql("DROP FUNCTION IF EXISTS never_existed")  # no raise
