@@ -1239,3 +1239,35 @@ def stream_doc_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = keep_first_dedup(sdf, ["bag_fp"], order_col="doc_id")
     drained = ssrc.run_to_memory(out, f"drain_docdedup_{next(_seq)}", "update")
     return drained.select("bag_fp", "doc_id", "n_chars")
+
+
+@query(
+    "stream_lookup_join_drain",
+    oracle="""
+    SELECT e.event_id, e.user_id, n.n_name, e.event_type
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    WHERE e.event_id % 7 = 0
+    """,
+    tags=("streaming", "join", "lookup"),
+)
+def stream_lookup_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming lookup enrichment (LookupJoinUtil.java /
+    StreamExecLookupJoin: probe side is the stream, build side the
+    current dim snapshot): file-stream of events joined to the static
+    nation dim — Structured Streaming's stream-static join, planned as
+    a broadcast hash join inside every micro-batch, which is exactly
+    the FOR SYSTEM_TIME AS OF proctime semantics (each batch sees the
+    dim's current version). Drained with availableNow; append mode
+    needs no watermark because a stream-static inner join is
+    stateless."""
+    from flink_1_16_0_src_spark.tables import load
+
+    sdf = ssrc.stream_table(spark, sf_dir, "events")
+    dim = load(spark, sf_dir, "nation")
+    out = (
+        sdf.where(F.col("event_id") % 7 == 0)
+        .join(F.broadcast(dim), F.col("user_id") % 25 == F.col("n_nationkey"))
+        .select("event_id", "user_id", "n_name", "event_type")
+    )
+    drained = ssrc.run_to_memory(out, f"drain_lookup_{next(_seq)}", "append")
+    return drained.select("event_id", "user_id", "n_name", "event_type")
