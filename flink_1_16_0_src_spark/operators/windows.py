@@ -27,31 +27,40 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def tumble(df: DataFrame, ts: str, size: str, offset: str | None = None) -> DataFrame:
+def tumble(
+    df: DataFrame, ts: str, size: str, offset: str | None = None,
+    keep_struct: bool = False,
+) -> DataFrame:
     """TUMBLE(ts, size [, offset]) — the optional offset shifts window
     boundaries (SqlTumbleTableFunction.java:37 third operand;
     TumblingWindowAssigner.withOffset). Spark: window()'s startTime."""
     if offset is None:
-        return _with_window(df, F.window(ts, size))
-    return _with_window(df, F.window(ts, size, size, offset))
+        return _with_window(df, F.window(ts, size), keep_struct)
+    return _with_window(df, F.window(ts, size, size, offset), keep_struct)
 
 
-def hop(df: DataFrame, ts: str, slide: str, size: str, offset: str | None = None) -> DataFrame:
+def hop(
+    df: DataFrame, ts: str, slide: str, size: str, offset: str | None = None,
+    keep_struct: bool = False,
+) -> DataFrame:
     if offset is None:
-        return _with_window(df, F.window(ts, size, slide))
-    return _with_window(df, F.window(ts, size, slide, offset))
+        return _with_window(df, F.window(ts, size, slide), keep_struct)
+    return _with_window(df, F.window(ts, size, slide, offset), keep_struct)
 
 
-def _with_window(df: DataFrame, w: Column) -> DataFrame:
+def _with_window(df: DataFrame, w: Column, keep_struct: bool = False) -> DataFrame:
     # materialize the window struct ONCE — a sliding window expression
     # explodes rows where it is evaluated, so referencing it twice
-    # (start + end) would square the fan-out
-    return (
+    # (start + end) would square the fan-out. keep_struct retains the
+    # raw ``__w`` TimeWindow column: STREAMING aggregation must group
+    # by the struct itself (only it carries the event-time attribute —
+    # extracted start/end columns lose the watermark linkage).
+    out = (
         df.withColumn("__w", w)
         .withColumn("window_start", F.col("__w.start"))
         .withColumn("window_end", F.col("__w.end"))
-        .drop("__w")
     )
+    return out if keep_struct else out.drop("__w")
 
 
 def cumulate(df: DataFrame, ts: str, step: str, max_size: str) -> DataFrame:

@@ -1271,3 +1271,50 @@ def stream_lookup_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drained = ssrc.run_to_memory(out, f"drain_lookup_{next(_seq)}", "append")
     return drained.select("event_id", "user_id", "n_name", "event_type")
+
+
+@query(
+    "stream_sql_tumble_drain",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events),
+    agg AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start,
+             time_bucket(INTERVAL '30 minutes', ts) + INTERVAL '30 minutes' AS window_end,
+             count(*) AS n,
+             round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, window_end, n, sum_value
+    FROM agg, wm WHERE agg.window_end <= wm.w
+    """,
+    tags=("streaming", "window", "sql-surface"),
+)
+def stream_sql_tumble_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SQL TEXT end-to-end: DDL table (filesystem connector +
+    WATERMARK clause) → TableEnvironment.stream_query with a TUMBLE
+    window TVF written as SQL → streaming plan drained availableNow.
+    The full reference workflow — CREATE TABLE, streaming sqlQuery,
+    sink — in one driver-checked path; emitted set = watermark-closed
+    windows like every append drain."""
+    import os as _os
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE sq_events_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    out = t.stream_query(f"""
+        SELECT window_start, window_end,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM TABLE(TUMBLE(TABLE sq_events_{k}, DESCRIPTOR(ts), INTERVAL '30' MINUTES))
+        GROUP BY window_start, window_end
+    """)
+    drained = ssrc.run_to_memory(out, f"drain_sqltvf_{k}", "append")
+    return drained.select("window_start", "window_end", "n", "sum_value")

@@ -1720,13 +1720,87 @@ class TableEnvironment:
             raise ValueError(f"{name!r} was not registered by execute_sql DDL")
         schema = self.spark.table(name).schema
         reader = self.spark.readStream.schema(schema)
-        sdf = getattr(reader, props.get("format", "parquet"))(props["path"])
+        path = props["path"]
+        if os.path.isfile(path):
+            # the file-stream source monitors a DIRECTORY; expose a
+            # single-file table through a symlink dir (same trick as
+            # streaming.sources.stream_table, no data copy)
+            import tempfile as _tf
+
+            link_dir = os.path.join(
+                _tf.gettempdir(), "spark_graft_streams",
+                f"ddl_{abs(hash(path))}_{name}",
+            )
+            os.makedirs(link_dir, exist_ok=True)
+            link = os.path.join(link_dir, os.path.basename(path))
+            if not os.path.exists(link):
+                os.symlink(path, link)
+            path = link_dir
+        sdf = getattr(reader, props.get("format", "parquet"))(path)
         if name in self._watermarks:
             sdf = sdf.withWatermark(*self._watermarks[name])
         return sdf
 
     def from_path(self, path: str, fmt: str = "parquet") -> DataFrame:
         return getattr(self.spark.read, fmt)(path)
+
+    def stream_query(self, sql: str) -> DataFrame:
+        """Run window-TVF SQL text in STREAMING mode (the
+        EnvironmentSettings.inStreamingMode() sqlQuery path): every
+        ``TABLE(TUMBLE|HOP|CUMULATE(...))`` whose table was registered
+        by DDL resolves to its streaming frame (declared watermark
+        applied), the windowed view is a streaming relation, and the
+        surrounding SELECT compiles to a streaming plan — feed the
+        result to writeStream / streaming.sources.run_to_memory.
+        SESSION windows need the merging state machine
+        (streaming/windows.session_agg); their batch-view rewrite uses
+        non-time window functions, which Structured Streaming rejects,
+        so they're rejected here with that pointer."""
+        import re as _re
+
+        if _re.search(r"TABLE\s*\(\s*(SESSION|CUMULATE)", sql, _re.IGNORECASE):
+            raise ValueError(
+                "SESSION/CUMULATE TVFs in streaming mode: use "
+                "streaming.windows.session_agg / cumulate slicing "
+                "(merging/slicing state machines); their batch rewrites "
+                "are not streamable"
+            )
+        from flink_1_16_0_src_spark.sql_clauses import rewrite_window_tvfs
+
+        def resolver(name: str) -> DataFrame:
+            if name in self._sources:
+                return self.stream(name)
+            return self.spark.table(name)
+
+        out = rewrite_window_tvfs(
+            self.spark, translate_hints(sql), resolver, keep_struct=True
+        )
+        # STREAMING aggregation must group by the TimeWindow struct —
+        # only it carries the event-time attribute (extracted start/end
+        # columns lose the watermark linkage and Spark rejects append
+        # mode). Rewrite the canonical Flink shape: GROUP BY
+        # window_start[, window_end][, keys] groups by __w instead, and
+        # bare window_start / window_end SELECT items become struct
+        # extracts with the same output names.
+        def _regroup(m: _re.Match) -> str:
+            entries = [e.strip() for e in m.group(1).split(",")]
+            keep = [e for e in entries if e.lower() not in ("window_start", "window_end")]
+            return "GROUP BY " + ", ".join(["__w"] + keep)
+
+        out = _re.sub(
+            r"GROUP\s+BY\s+((?:window_start|window_end)"
+            r"(?:\s*,\s*[\w.]+)*)",
+            _regroup, out, flags=_re.IGNORECASE,
+        )
+        out = _re.sub(
+            r"(?<![\w.])window_start(?![\w.])(?!\s+AS)",
+            "__w.start AS window_start", out, count=0, flags=_re.IGNORECASE,
+        )
+        out = _re.sub(
+            r"(?<![\w.])window_end(?![\w.])(?!\s+AS)",
+            "__w.end AS window_end", out, count=0, flags=_re.IGNORECASE,
+        )
+        return self.spark.sql(out)
 
 
 class StatementSet:

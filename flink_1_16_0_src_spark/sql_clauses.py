@@ -128,9 +128,19 @@ def _interval_str(arg: str) -> str:
     return f"{qty} {unit}"
 
 
-def rewrite_window_tvfs(spark: SparkSession, sql: str) -> str:
+def rewrite_window_tvfs(
+    spark: SparkSession, sql: str, resolver=None, keep_struct: bool = False
+) -> str:
     """Replace every ``TABLE(TUMBLE|HOP|CUMULATE|SESSION(...))``
-    occurrence with a temp view holding the windowed relation."""
+    occurrence with a temp view holding the windowed relation.
+
+    ``resolver`` maps a table name to its DataFrame (default
+    ``spark.table``). TableEnvironment.stream_query passes a STREAMING
+    resolver: the windowed view is then a streaming relation and the
+    surrounding SQL stays a streaming plan (Spark SQL composes over
+    streaming temp views; the unsupported-operation check runs at sink
+    time, same as the reference's planner validation)."""
+    resolver = resolver or spark.table
     counter = 0
     while True:
         m = _TVF_HEAD.search(sql)
@@ -162,17 +172,17 @@ def rewrite_window_tvfs(spark: SparkSession, sql: str) -> str:
         if dm is None:
             raise ValueError(f"expected DESCRIPTOR(col), got {args[1]!r}")
         ts = dm.group(1)
-        df = spark.table(tbl)
+        df = resolver(tbl)
         rest = args[2:]
         if fn == "TUMBLE":
             size = _interval_str(named("SIZE", rest[0]))
             offset = _interval_str(rest[1]) if len(rest) > 1 else None
-            out = windows.tumble(df, ts, size, offset)
+            out = windows.tumble(df, ts, size, offset, keep_struct=keep_struct)
         elif fn == "HOP":
             slide = _interval_str(named("SLIDE", rest[0]))
             size = _interval_str(named("SIZE", rest[1]))
             offset = _interval_str(rest[2]) if len(rest) > 2 else None
-            out = windows.hop(df, ts, slide, size, offset)
+            out = windows.hop(df, ts, slide, size, offset, keep_struct=keep_struct)
         elif fn == "CUMULATE":
             step = _interval_str(named("STEP", rest[0]))
             max_size = _interval_str(named("SIZE", rest[1]))

@@ -998,3 +998,12 @@ def test_create_drop_function_sql(tenv):
         )
     tenv.execute_sql("DROP TEMPORARY FUNCTION IF EXISTS t_digit_sum")
     tenv.execute_sql("DROP FUNCTION IF EXISTS never_existed")  # no raise
+
+
+def test_stream_query_session_rejected(tenv):
+    import pytest
+
+    with pytest.raises(ValueError, match="SESSION/CUMULATE"):
+        tenv.stream_query(
+            "SELECT window_start FROM TABLE(SESSION(TABLE x, DESCRIPTOR(ts), INTERVAL '1' HOUR))"
+        )
