@@ -146,6 +146,10 @@ def _normalize_flink_type(coldef: str) -> str:
                flags=re.IGNORECASE)
     s = re.sub(r"\bTIMESTAMP\s*\(\s*\d+\s*\)", "TIMESTAMP", s, flags=re.IGNORECASE)
     s = re.sub(r"\bBYTES\b", "BINARY", s, flags=re.IGNORECASE)
+    # ROW<a INT, b STRING> → STRUCT<...> (RowType); MULTISET<T> →
+    # MAP<T, INT> (MultisetType IS element→count per LogicalTypeParser)
+    s = re.sub(r"\bROW\s*<", "STRUCT<", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bMULTISET\s*<([^<>]+)>", r"MAP<\1, INT>", s, flags=re.IGNORECASE)
     return s
 
 

@@ -1007,3 +1007,21 @@ def test_stream_query_session_rejected(tenv):
         tenv.stream_query(
             "SELECT window_start FROM TABLE(SESSION(TABLE x, DESCRIPTOR(ts), INTERVAL '1' HOUR))"
         )
+
+
+def test_ddl_complex_types_row_multiset(tenv, spark, tmp_path):
+    """LogicalTypeParser.java complex types in DDL: ROW<...> → struct,
+    MULTISET<T> → element→count map, ARRAY/MAP pass through."""
+    d = str(tmp_path / "cx")
+    spark.sql(
+        "SELECT 1 AS id, named_struct('a', 7, 'b', 'x') AS r,"
+        " array(1, 2) AS arr, map('k', 2) AS ms"
+    ).write.parquet(d)
+    df = tenv.execute_sql(
+        f"CREATE TABLE t_cx (id INT, r ROW<a INT, b STRING>,"
+        f" arr ARRAY<INT>, ms MULTISET<STRING>)"
+        f" WITH ('connector'='filesystem','path'='{d}','format'='parquet')"
+    )
+    row = df.collect()[0]
+    assert row.r.a == 7 and row.r.b == "x"
+    assert list(row.arr) == [1, 2] and dict(row.ms) == {"k": 2}
