@@ -73,6 +73,15 @@ BENCH_QUERIES = [
                                  # the scan, broadcast df, heap top-20
     "stream_doc_dedup_drain",    # streaming ingest dedup of documents
                                  # (bag-fp keep-first, stateful)
+    # r7 second wave:
+    "pipeline_e2e_curation",     # the composed curation DAG (dedup →
+                                 # gopher gate → decontam → sample →
+                                 # pack) — end-to-end pipeline
+                                 # throughput in ONE plan
+    "dedup_semantic",            # SemDeDup: k-means-blocked
+                                 # within-cluster cosine dedup
+    "sample_dsir_weights",       # DSIR hashed-ngram importance weights
+                                 # (broadcast log-ratio table)
 ]
 
 
