@@ -472,3 +472,90 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed_rows = emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
     seeds = [list(map(float, r[1])) for r in sorted(seed_rows, key=lambda r: r[0])]
     return semantic_dedup(emb, "embedding", "vec_id", seeds, threshold=0.3)
+
+
+@query(
+    "dedup_lsh_recall_eval",
+    oracle=f"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    sets_ AS (SELECT doc_id, {_SHINGLES} AS s FROM corpus),
+    exact AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sets_ a JOIN sets_ b ON a.doc_id < b.doc_id
+      WHERE a.doc_id < 200
+        AND round(len(list_intersect(a.s, b.s)) /
+              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.6
+    ),
+    shingled AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS sh FROM corpus
+    ),
+    base AS (
+      SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM shingled
+    ),
+    hashed AS (
+      SELECT b.doc_id, p.perm,
+             ((2*p.perm + 1) * (b.h % 2147483647) + p.perm * 40503) % 2147483647 AS h
+      FROM base b, generate_series(0, 15) p(perm)
+    ),
+    sigs AS (
+      SELECT doc_id, perm, min(h) AS minhash FROM hashed GROUP BY doc_id, perm
+    ),
+    banded AS (
+      SELECT doc_id, perm // 4 AS band,
+             md5(string_agg(minhash::VARCHAR, ',' ORDER BY perm)) AS band_hash
+      FROM sigs GROUP BY doc_id, perm // 4
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+      WHERE a.doc_id < 200
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+           (SELECT CAST(count(*) AS BIGINT) FROM cands) AS n_candidates,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(count(*) * 10000 // greatest((SELECT count(*) FROM exact), 1)
+                AS BIGINT) AS recall_e4
+    FROM exact e JOIN cands c ON e.id_a = c.id_a AND e.id_b = c.id_b
+    """,
+    tags=("pipeline", "dedup", "eval", "custom-op"),
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-recall harness for the banded MinHash join (the
+    dedup-side twin of sim_ann_recall_eval): exact ground truth =
+    all Jaccard >= 0.6 pairs anchored at doc_id < 200 (the probe set —
+    brute force is the small-probe exact tool; ground truth at 100 TB
+    comes from a labeled sample, never corpus all-pairs), candidates =
+    the same 16-perm/4-band LSH the production pipeline runs. Recall
+    reported in exact integer e4 (floor), so the hashed surface never
+    holds a float ratio."""
+    from flink_1_16_0_src_spark.pipeline.dedup import (
+        lsh_candidate_pairs, minhash_signatures, shingles,
+    )
+
+    corpus = _dup_corpus(spark, sf_dir)
+    sets_ = corpus.select("doc_id", shingles("text", 3).alias("s"))
+    a = sets_.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sets_.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    jac = F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 4)
+    exact = (
+        a.where(F.col("id_a") < 200)
+        .crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(jac >= 0.6)
+        .select("id_a", "id_b")
+    )
+    sigs = minhash_signatures(corpus, "text", "doc_id", num_perm=16, k=3)
+    cands = lsh_candidate_pairs(sigs, "doc_id", num_perm=16, bands=4).where(
+        F.col("id_a") < 200
+    )
+    hits = exact.join(cands, ["id_a", "id_b"])
+    n_exact = exact.count()
+    n_cands = cands.count()
+    n_hits = hits.count()
+    return spark.createDataFrame(
+        [(n_exact, n_cands, n_hits, n_hits * 10000 // max(n_exact, 1))],
+        "n_exact bigint, n_candidates bigint, n_hits bigint, recall_e4 bigint",
+    )
