@@ -283,7 +283,7 @@ def rewrite_group_windows(spark: SparkSession, sql: str) -> str:
     out.createOrReplaceTempView(view)
 
     new_clause = ", ".join(keys + ["window_start", "window_end"])
-    sql = sql[: gbm.end()] + " " + new_clause + sql[clause_end:]
+    sql = sql[: gbm.end()] + " " + new_clause + " " + sql[clause_end:]
     # FROM precedes GROUP BY in the supported single-SELECT shape, so
     # re-locating it post-edit is safe; substitute only the table token.
     fm = re.search(r"\bFROM\s+(\w+)", sql, re.IGNORECASE)

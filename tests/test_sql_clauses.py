@@ -463,3 +463,17 @@ def test_group_window_reaches_table_environment(spark):
     """)
     assert sorted((r.k, r.ws.hour, r.s) for r in out.collect()) == [
         ("u1", 10, 3.0), ("u1", 12, 4.0), ("u2", 10, 8.0)]
+
+
+def test_group_window_having_and_aux_anywhere(spark):
+    """Auxiliary window properties work outside SELECT too (HAVING /
+    ORDER BY read window_start after the rewrite)."""
+    _ts_events(spark)
+    out = spark.sql(rewrite_flink_clauses(spark, """
+        SELECT k, TUMBLE_START(ts, INTERVAL '1' HOUR) AS ws, count(*) AS n
+        FROM gw_events
+        GROUP BY k, TUMBLE(ts, INTERVAL '1' HOUR)
+        HAVING count(*) >= 1 AND TUMBLE_END(ts, INTERVAL '1' HOUR) > TIMESTAMP '2024-01-01 00:00:00'
+        ORDER BY ws
+    """))
+    assert out.count() == 3  # (u1,10h) x2 rows, (u1,12h), (u2,10h)
