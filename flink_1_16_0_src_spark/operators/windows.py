@@ -13,7 +13,9 @@ Reference parity:
 All helpers return the input with ``window_start`` / ``window_end``
 columns appended — the TVF contract (reference
 WindowTableFunctionOperator.java adds the same three columns; we skip
-window_time = window_end - 1ms, derivable).
+window_time — the TVF contract's three
+columns; window_time = window_end - 1ms = TimeWindow.maxTimestamp,
+the rowtime attribute cascading window aggregations group on).
 
 Scale: tumble/hop/session group-bys shuffle once on (window, keys);
 CUMULATE fan-out is bounded by max_size/step (a small constant), so
@@ -59,6 +61,7 @@ def _with_window(df: DataFrame, w: Column, keep_struct: bool = False) -> DataFra
         df.withColumn("__w", w)
         .withColumn("window_start", F.col("__w.start"))
         .withColumn("window_end", F.col("__w.end"))
+        .withColumn("window_time", F.col("__w.end") - F.expr("INTERVAL '0.001' SECOND"))
     )
     return out if keep_struct else out.drop("__w")
 
@@ -85,6 +88,9 @@ def cumulate(df: DataFrame, ts: str, step: str, max_size: str) -> DataFrame:
             ),
         )
         .where(F.col("window_end") > F.col(ts))
+        .withColumn(
+            "window_time", F.col("window_end") - F.expr("INTERVAL '0.001' SECOND")
+        )
         .drop("__k")
     )
 
@@ -117,6 +123,9 @@ def session(df: DataFrame, ts: str, gap: str, *keys: str | Column) -> DataFrame:
     return (
         sess.withColumn("window_start", F.min(ts).over(bounds))
         .withColumn("window_end", F.max(F.col(ts)).over(bounds) + gap_i)
+        .withColumn(
+            "window_time", F.col("window_end") - F.expr("INTERVAL '0.001' SECOND")
+        )
         .drop("__new_session", "__session_id")
     )
 

@@ -261,3 +261,35 @@ def tvf_tumble_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((window_start, event_type), (window_start))
         """
     )
+
+
+@query(
+    "tvf_window_time_cascade",
+    oracle="""
+    WITH m AS (
+      SELECT time_bucket(INTERVAL '10 minutes', ts) AS ws,
+             count(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT time_bucket(INTERVAL '1 hour',
+             ws + INTERVAL '10 minutes' - INTERVAL '1 millisecond') AS window_start,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_slices
+    FROM m GROUP BY 1
+    """,
+    tags=("window-tvf",),
+)
+def tvf_window_time_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascading window aggregation (window-agg.md "Cascading Window
+    Aggregation"): the 10-minute TVF aggregate keeps its window_time
+    (= window_end − 1 ms, TimeWindow.maxTimestamp — the third TVF
+    column), and the hour-level TUMBLE windows ON that rowtime
+    attribute. The oracle rebuilds window_time arithmetically."""
+    ev = tumble(load(spark, sf_dir, "events"), "ts", "10 minutes")
+    minute = ev.groupBy("window_start", "window_end", "window_time").agg(
+        F.count("*").alias("n")
+    )
+    hour = tumble(minute, "window_time", "1 hour")
+    return hour.groupBy(F.col("window_start")).agg(
+        F.sum("n").alias("n_events"), F.count("*").alias("n_slices")
+    )
