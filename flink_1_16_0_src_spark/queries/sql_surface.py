@@ -749,3 +749,44 @@ def join_sql_window_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND l.user_id = r.user_id
     """
     return spark.sql(rewrite_flink_clauses(spark, sql))
+
+
+@query(
+    "topn_sql_window_tvf",
+    oracle="""
+    WITH agg AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             user_id, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, user_id, sum_value, rownum FROM (
+      SELECT window_start, user_id, sum_value,
+             row_number() OVER (PARTITION BY window_start
+                                ORDER BY sum_value DESC, user_id) AS rownum
+      FROM agg
+    ) WHERE rownum <= 3
+    """,
+    tags=("window-tvf", "topn", "sql-surface"),
+)
+def topn_sql_window_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window Top-N as SQL text (window-topn.md; StreamExecWindowRank):
+    ROW_NUMBER over (window_start, window_end) partitions of a window
+    TVF aggregate, rownum <= 3 — the whole statement is Flink SQL,
+    the TVF rewrite materializes the windowed relation and Catalyst
+    plans the rank with WindowGroupLimit. user_id tiebreak keeps the
+    rank deterministic (repo float rule for ranking surfaces)."""
+    _events_view(spark, sf_dir, "events_sqlsrc")
+    sql = """
+    SELECT window_start, user_id, sum_value, rownum FROM (
+      SELECT window_start, user_id, sum_value,
+             ROW_NUMBER() OVER (PARTITION BY window_start, window_end
+                                ORDER BY sum_value DESC, user_id) AS rownum
+      FROM (
+        SELECT window_start, window_end, user_id,
+               round(sum(value), 2) AS sum_value
+        FROM TABLE(TUMBLE(TABLE events_sqlsrc, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        GROUP BY window_start, window_end, user_id
+      )
+    ) WHERE rownum <= 3
+    """
+    return spark.sql(rewrite_flink_clauses(spark, sql))
