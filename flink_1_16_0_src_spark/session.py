@@ -622,6 +622,13 @@ class TableEnvironment:
         # Flink EXPLAIN syntax (SqlRichExplain: EXPLAIN [PLAN FOR] <q>)
         # → Spark's EXPLAIN <q>
         stmt = re.sub(r"^EXPLAIN\s+PLAN\s+FOR\s+", "EXPLAIN ", stmt, flags=re.IGNORECASE)
+        # Flink spells temporary-object drops with the keyword
+        # (SqlDropView/SqlDropTable isTemporary); Spark's temp views
+        # drop via plain DROP VIEW
+        stmt = re.sub(
+            r"^DROP\s+TEMPORARY\s+(VIEW|TABLE)\b", r"DROP \1", stmt,
+            flags=re.IGNORECASE,
+        )
         # EXPLAIN with ExplainDetails (SqlRichExplain + ExplainDetail
         # enum; explain.md "ExplainDetails"): ESTIMATED_COST → Spark's
         # cost mode (optimizer Statistics per node), JSON_EXECUTION_PLAN

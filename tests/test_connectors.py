@@ -1025,3 +1025,13 @@ def test_ddl_complex_types_row_multiset(tenv, spark, tmp_path):
     row = df.collect()[0]
     assert row.r.a == 7 and row.r.b == "x"
     assert list(row.arr) == [1, 2] and dict(row.ms) == {"k": 2}
+
+
+def test_drop_temporary_view_sql(tenv, spark):
+    """Flink's DROP TEMPORARY VIEW (SqlDropView isTemporary) maps to
+    Spark's DROP VIEW for temp views."""
+    spark.createDataFrame([(1,)], "a int").createOrReplaceTempView("dtv_base")
+    tenv.execute_sql("CREATE TEMPORARY VIEW dtv_v AS SELECT a * 2 AS b FROM dtv_base")
+    assert tenv.sql_query("SELECT * FROM dtv_v").collect()[0].b == 2
+    tenv.execute_sql("DROP TEMPORARY VIEW dtv_v")
+    assert not spark.catalog.tableExists("dtv_v")
