@@ -1795,23 +1795,38 @@ class TableEnvironment:
         # extracts with the same output names.
         def _regroup(m: _re.Match) -> str:
             entries = [e.strip() for e in m.group(1).split(",")]
+            if not any(e.lower() in ("window_start", "window_end") for e in entries):
+                return m.group(0)
             keep = [e for e in entries if e.lower() not in ("window_start", "window_end")]
             return "GROUP BY " + ", ".join(["__w"] + keep)
 
         out = _re.sub(
-            r"GROUP\s+BY\s+((?:window_start|window_end)"
-            r"(?:\s*,\s*[\w.]+)*)",
+            r"GROUP\s+BY\s+([\w.]+(?:\s*,\s*[\w.]+)*)",
             _regroup, out, flags=_re.IGNORECASE,
         )
-        out = _re.sub(
-            r"(?<![\w.])window_start(?![\w.])(?!\s+AS)",
-            "__w.start AS window_start", out, count=0, flags=_re.IGNORECASE,
+        # SELECT-list occurrences become aliased struct extracts (the
+        # output keeps the TVF column names); everywhere else (WHERE/
+        # HAVING/ORDER BY) a bare extract — an alias there is invalid
+        fm = _re.search(r"\bFROM\b", out, _re.IGNORECASE)
+        head, tail = out[: fm.start()], out[fm.start():]
+        for tok, ext in (("window_start", "__w.start"), ("window_end", "__w.end")):
+            head = _re.sub(  # explicit alias kept: `window_start AS ws`
+                rf"(?<![\w.]){tok}(?![\w.])(?=\s+AS\b)", ext, head,
+                flags=_re.IGNORECASE,
+            )
+            head = _re.sub(  # bare item keeps the TVF column name
+                rf"(?<![\w.]){tok}(?![\w.])", f"{ext} AS {tok}", head,
+                flags=_re.IGNORECASE,
+            )
+        tail = _re.sub(
+            r"(?<![\w.])window_start(?![\w.])",
+            "__w.start", tail, flags=_re.IGNORECASE,
         )
-        out = _re.sub(
-            r"(?<![\w.])window_end(?![\w.])(?!\s+AS)",
-            "__w.end AS window_end", out, count=0, flags=_re.IGNORECASE,
+        tail = _re.sub(
+            r"(?<![\w.])window_end(?![\w.])",
+            "__w.end", tail, flags=_re.IGNORECASE,
         )
-        return self.spark.sql(out)
+        return self.spark.sql(head + tail)
 
 
 class StatementSet:

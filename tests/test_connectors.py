@@ -1035,3 +1035,37 @@ def test_drop_temporary_view_sql(tenv, spark):
     assert tenv.sql_query("SELECT * FROM dtv_v").collect()[0].b == 2
     tenv.execute_sql("DROP TEMPORARY VIEW dtv_v")
     assert not spark.catalog.tableExists("dtv_v")
+
+
+def test_stream_query_regroup_variants(tenv, spark, tmp_path):
+    """stream_query regrouping handles key-first GROUP BY lists,
+    explicit aliases, and window refs in WHERE/ORDER BY."""
+    import datetime as dt
+
+    from flink_1_16_0_src_spark.streaming import sources as ssrc
+
+    d = str(tmp_path / "sqv")
+    spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1, 10, 10), 1.0),
+         ("a", dt.datetime(2024, 1, 1, 10, 40), 2.0),
+         ("b", dt.datetime(2024, 1, 1, 11, 10), 4.0),
+         ("a", dt.datetime(2024, 1, 1, 13, 0), 8.0)],
+        "k string, ts timestamp, v double",
+    ).write.parquet(d)
+    tenv.execute_sql(
+        f"CREATE TABLE sqv_ev (k STRING, ts TIMESTAMP(3), v DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{d}','format'='parquet')"
+    )
+    out = tenv.stream_query("""
+        SELECT k, window_start AS ws, sum(v) AS s
+        FROM TABLE(TUMBLE(TABLE sqv_ev, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        GROUP BY k, window_start, window_end
+        HAVING window_end <= TIMESTAMP '2024-01-01 13:00:00'
+    """)
+    assert out.isStreaming
+    rows = ssrc.run_to_memory(out, "sqv_drain", "append").collect()
+    # watermark = 13:00 - 1min closes the 10h and 11h windows; HAVING
+    # keeps ends <= 13:00 (both)
+    assert sorted((r.k, r.ws.hour, r.s) for r in rows) == [
+        ("a", 10, 3.0), ("b", 11, 4.0)]
