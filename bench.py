@@ -123,6 +123,8 @@ SCALE_PROBE_QUERIES = [
     "sim_ivf_topk",
     "sim_pq_adc_topk",
     "sim_ivfpq_topk",
+    "pipeline_e2e_curation",  # the composed curation DAG: the decade
+                              # for the WHOLE pipeline, not just stages
 ]
 _SCALE_BASE = "/root/testdata/sf0.1"
 _SCALE_DIR = "/tmp/spark_graft_scale_probe/sf1"
