@@ -563,27 +563,46 @@ def semantic_dedup(
     from flink_1_16_0_src_spark.pipeline.similarity import ivf_assign
 
     assigned = ivf_assign(df, vec_col, id_col, seeds)
+    v = F.col(vec_col).cast("array<double>")
+    # per-VECTOR norm once (O(n·d)), not per pair (O(pairs·d)) — the
+    # pair cosine below divides by the same na*nb product, bit-identical
     base = assigned.select(
         F.col(id_col),
         F.col(vec_col),
         F.col("cell"),
         F.round(F.element_at(F.col("__dists"), F.col("cell") + F.lit(1)), 6).alias("__d"),
+        F.sqrt(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("__norm"),
     )
     a = base.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
-        F.col("cell"), F.col("__d").alias("__da"),
+        F.col("cell"), F.col("__d").alias("__da"), F.col("__norm").alias("__na"),
     )
     b = base.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
-        F.col("cell"), F.col("__d").alias("__db"),
+        F.col("cell"), F.col("__d").alias("__db"), F.col("__norm").alias("__nb"),
     )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("__va").cast("array<double>"),
+            F.col("__vb").cast("array<double>"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # each unordered pair evaluated ONCE (id_a < id_b); exactly one
+    # member loses the keep rule, so emit the loser directly
     dup = (
         a.join(b, "cell")
-        .where(F.col("id_a") != F.col("id_b"))
-        .where(F.round(_cosine(F.col("__va"), F.col("__vb")), 4) >= threshold)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(dot / (F.col("__na") * F.col("__nb")), 4) >= threshold)
     )
-    drops = dup.where(
+    loser = F.when(
         (F.col("__db") > F.col("__da"))
-        | ((F.col("__db") == F.col("__da")) & (F.col("id_b") < F.col("id_a")))
-    ).select(F.col("id_a").alias(id_col)).distinct()
+        | ((F.col("__db") == F.col("__da")) & (F.col("id_b") < F.col("id_a"))),
+        F.col("id_a"),
+    ).otherwise(F.col("id_b"))
+    drops = dup.select(loser.alias(id_col)).distinct()
     return base.join(drops, id_col, "left_anti").select(id_col, "cell")
