@@ -314,27 +314,51 @@ def embedding_near_dup_pairs(
     — at 100 TB pass a bucket column from similarity.lsh_bucket, never
     run unblocked."""
     cols = [F.col(id_col), F.col(vec_col)] + ([F.col(block_col)] if block_col else [])
-    base = df.select(*cols)
+    v = F.col(vec_col).cast("array<double>")
+    # norms hoisted to one per-row column (O(n·d)) — recomputing them
+    # inside the pair join is O(pairs·d); dot/(na*nb) association is
+    # unchanged, so the rounded threshold surface is bit-identical
+    base = df.select(
+        *cols,
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)).alias("__norm"),
+    )
     a = base.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va"),
+        F.col("__norm").alias("__na"),
         *([F.col(block_col).alias("__blk")] if block_col else []),
     )
     b = base.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("__vb"),
+        F.col("__norm").alias("__nb"),
         *([F.col(block_col).alias("__blk")] if block_col else []),
     )
     on = ["__blk"] if block_col else None
     joined = a.join(b, on) if on else a.crossJoin(b)
     joined = joined.where(F.col("id_a") < F.col("id_b"))
-    cos = _cosine(F.col("__va"), F.col("__vb"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("__va").cast("array<double>"),
+            F.col("__vb").cast("array<double>"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("__na") * F.col("__nb"))
     return joined.select("id_a", "id_b", F.round(cos, 4).alias("cosine")).where(
         F.col("cosine") >= threshold
     )
 
 
 def _cosine(a, b):
+    """Pair cosine with norms evaluated inline. Hot-path note: inside a
+    pair JOIN this recomputes each side's norm per pair — hoist the
+    norm to a per-row column before the join and divide the dot by the
+    product instead (bit-identical: same dot/(na*nb) association), as
+    semantic_dedup does. Fine as-is for map-side probe × broadcast-
+    query shapes where one side is a literal."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
