@@ -1755,6 +1755,43 @@ class TableEnvironment:
     def from_path(self, path: str, fmt: str = "parquet") -> DataFrame:
         return getattr(self.spark.read, fmt)(path)
 
+    def execute_streaming_insert(self, sql: str, checkpoint: str | None = None):
+        """The production streaming statement: ``INSERT INTO <sink>
+        SELECT ... FROM TABLE(TUMBLE|HOP(...)) ...`` executed in
+        STREAMING mode (StreamTableEnvironment.executeSql on an
+        insert). The body compiles via stream_query (streaming TVF
+        resolution, struct regrouping), the sink spec comes from its
+        DDL registration, and the bounded source drains with
+        availableNow — Flink's batch-over-stream unified execution.
+        Returns after the drain completes (TableResult.await parity).
+        """
+        import tempfile as _tf
+
+        mi = _INSERT_INTO.match(sql.strip())
+        if not mi or mi.group(2) not in self._sinks:
+            raise ValueError(
+                "execute_streaming_insert needs INSERT INTO <DDL sink> SELECT ..."
+            )
+        sink = self._sinks[mi.group(2)]
+        if mi.group(1).upper() == "OVERWRITE":
+            raise ValueError("streaming INSERT is append-only (no OVERWRITE)")
+        out = self.stream_query(mi.group("body"))
+        writer = out.writeStream.trigger(availableNow=True).option(
+            "checkpointLocation",
+            checkpoint or _tf.mkdtemp(prefix="spark_graft_ckpt_"),
+        )
+        conn = sink["connector"]
+        if conn == "filesystem":
+            q = writer.format(sink["props"].get("format", "parquet")).option(
+                "path", sink["props"]["path"]
+            ).outputMode("append").start()
+        elif conn in ("blackhole", "print"):
+            q = writer.format("noop").outputMode("append").start()
+        else:
+            raise ValueError(f"streaming insert: unsupported sink connector {conn!r}")
+        q.awaitTermination()
+        return q
+
     def stream_query(self, sql: str) -> DataFrame:
         """Run window-TVF SQL text in STREAMING mode (the
         EnvironmentSettings.inStreamingMode() sqlQuery path): every

@@ -1069,3 +1069,42 @@ def test_stream_query_regroup_variants(tenv, spark, tmp_path):
     # keeps ends <= 13:00 (both)
     assert sorted((r.k, r.ws.hour, r.s) for r in rows) == [
         ("a", 10, 3.0), ("b", 11, 4.0)]
+
+
+def test_execute_streaming_insert_end_to_end(tenv, spark, tmp_path):
+    """INSERT INTO <DDL sink> SELECT ... FROM TABLE(TUMBLE(...)) run in
+    STREAMING mode: DDL source with watermark -> streaming TVF agg ->
+    filesystem sink, drained availableNow; append mode emits ONLY
+    watermark-closed windows — the tail window stays open, the same
+    contract as every append drain."""
+    import datetime as dt
+
+    src = str(tmp_path / "esi_src")
+    spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1, 10, 10), 1.0),
+         ("a", dt.datetime(2024, 1, 1, 10, 40), 2.0),
+         ("b", dt.datetime(2024, 1, 1, 12, 30), 4.0)],
+        "k string, ts timestamp, v double",
+    ).write.parquet(src)
+    tenv.execute_sql(
+        f"CREATE TABLE esi_ev (k STRING, ts TIMESTAMP(3), v DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{src}','format'='parquet')"
+    )
+    out = str(tmp_path / "esi_out")
+    tenv.execute_sql(
+        f"CREATE TABLE esi_sink WITH ('connector'='filesystem',"
+        f"'path'='{out}','format'='parquet')"
+    )
+    tenv.execute_streaming_insert("""
+        INSERT INTO esi_sink
+        SELECT k, window_start, sum(v) AS s
+        FROM TABLE(TUMBLE(TABLE esi_ev, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        GROUP BY k, window_start, window_end
+    """)
+    got = {(r.k, r.window_start.hour, r.s) for r in spark.read.parquet(out).collect()}
+    # final watermark = 12:30 - 1min closes only the 10h window
+    assert got == {("a", 10, 3.0)}
+    import pytest
+    with pytest.raises(ValueError, match="append-only"):
+        tenv.execute_streaming_insert("INSERT OVERWRITE esi_sink SELECT 1")
