@@ -1755,6 +1755,11 @@ class TableEnvironment:
     def from_path(self, path: str, fmt: str = "parquet") -> DataFrame:
         return getattr(self.spark.read, fmt)(path)
 
+    def from_elements(self, elements, schema=None) -> DataFrame:
+        """PyFlink TableEnvironment.from_elements parity: an in-memory
+        VALUES relation (same operation the SQL VALUES clause plans)."""
+        return self.spark.createDataFrame(elements, schema)
+
     def execute_streaming_insert(self, sql: str, checkpoint: str | None = None):
         """The production streaming statement: ``INSERT INTO <sink>
         SELECT ... FROM TABLE(TUMBLE|HOP(...)) ...`` executed in
