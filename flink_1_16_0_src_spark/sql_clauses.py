@@ -203,6 +203,7 @@ _GW_AUX = re.compile(
     r"\b(TUMBLE|HOP|SESSION)_(START|END|ROWTIME|PROCTIME)\s*\(", re.IGNORECASE
 )
 _GW_CALL = re.compile(r"\b(TUMBLE|HOP|SESSION)\s*\(", re.IGNORECASE)
+_GW_COUNTER = 0
 
 
 def rewrite_group_windows(spark: SparkSession, sql: str) -> str:
@@ -279,7 +280,11 @@ def rewrite_group_windows(spark: SparkSession, sql: str) -> str:
         if any(not re.fullmatch(r"\w+", k) for k in key_cols):
             raise ValueError("SESSION group window keys must be simple columns")
         out = windows.session(df, ts_col, _interval_str(args[1]), *key_cols)
-    view = f"__gw_{fn.lower()}_{tbl}"
+    # uniquified like the TVF views: same table + different window
+    # specs in one session must not collide
+    global _GW_COUNTER
+    _GW_COUNTER += 1
+    view = f"__gw_{fn.lower()}_{tbl}_{_GW_COUNTER}"
     out.createOrReplaceTempView(view)
 
     new_clause = ", ".join(keys + ["window_start", "window_end"])
