@@ -744,3 +744,45 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("score_e6").desc(), "doc_id").limit(20)
+
+
+@query(
+    "text_langid_eval",
+    oracle=f"""
+    WITH pred AS (
+      SELECT doc_id, lang AS labeled, {_LANG_CASE} AS predicted
+      FROM documents
+    )
+    SELECT labeled, predicted,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN labeled = predicted THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS acc_e4
+    FROM pred GROUP BY labeled, predicted
+    """,
+    tags=("pipeline", "text", "eval"),
+)
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval harness for the language-ID heuristic: the
+    confusion matrix against the corpus's labeled ``lang`` column —
+    (labeled, predicted, count) cells plus the per-cell accuracy flag
+    in integer e4 (a cell is 10000 when labeled = predicted, 0
+    otherwise — kept as the SQL expression so the oracle replays the
+    same arithmetic). One groupBy over the map-only prediction pass;
+    the pattern every quality/toxicity/langid classifier eval at
+    100 TB follows (predictions never leave the executor, only the
+    k×k confusion cells shuffle)."""
+    from flink_1_16_0_src_spark.pipeline.text import language_id
+
+    d = load(spark, sf_dir, "documents")
+    pred = d.select(
+        F.col("lang").alias("labeled"), language_id("text").alias("predicted")
+    )
+    return pred.groupBy("labeled", "predicted").agg(
+        F.count("*").alias("n"),
+        (
+            F.floor(
+                F.sum(F.when(F.col("labeled") == F.col("predicted"), 1).otherwise(0))
+                * 10000 / F.count("*")
+            )
+        ).cast("bigint").alias("acc_e4"),
+    )
