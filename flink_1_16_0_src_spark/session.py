@@ -1818,7 +1818,11 @@ class TableEnvironment:
                 "(merging/slicing state machines); their batch rewrites "
                 "are not streamable"
             )
-        from flink_1_16_0_src_spark.sql_clauses import rewrite_window_tvfs
+        from flink_1_16_0_src_spark.sql_clauses import (
+            _GW_CALL,
+            rewrite_group_windows,
+            rewrite_window_tvfs,
+        )
 
         def resolver(name: str) -> DataFrame:
             if name in self._sources:
@@ -1828,6 +1832,12 @@ class TableEnvironment:
         out = rewrite_window_tvfs(
             self.spark, translate_hints(sql), resolver, keep_struct=True
         )
+        if _GW_CALL.search(out):
+            # legacy GROUP BY TUMBLE/HOP(...) streaming syntax — the
+            # pre-FLIP-145 classic; same struct-regroup path as the TVFs
+            out = rewrite_group_windows(
+                self.spark, out, resolver, keep_struct=True
+            )
         # STREAMING aggregation must group by the TimeWindow struct —
         # only it carries the event-time attribute (extracted start/end
         # columns lose the watermark linkage and Spark rejects append

@@ -206,7 +206,9 @@ _GW_CALL = re.compile(r"\b(TUMBLE|HOP|SESSION)\s*\(", re.IGNORECASE)
 _GW_COUNTER = 0
 
 
-def rewrite_group_windows(spark: SparkSession, sql: str) -> str:
+def rewrite_group_windows(
+    spark: SparkSession, sql: str, resolver=None, keep_struct: bool = False
+) -> str:
     """Lower the LEGACY group-window SQL syntax — ``GROUP BY
     TUMBLE(ts, INTERVAL '1' HOUR)`` / ``HOP(ts, slide, size)`` /
     ``SESSION(ts, gap)`` plus the auxiliary functions
@@ -267,15 +269,24 @@ def rewrite_group_windows(spark: SparkSession, sql: str) -> str:
     if fm is None:
         raise ValueError("legacy group window needs a single named FROM table")
     tbl = fm.group(1)
-    df = spark.table(tbl)
+    df = (resolver or spark.table)(tbl)
     if fn == "TUMBLE":
         out = windows.tumble(
             df, ts_col, _interval_str(args[1]),
             _interval_str(args[2]) if len(args) > 2 else None,
+            keep_struct=keep_struct,
         )
     elif fn == "HOP":
-        out = windows.hop(df, ts_col, _interval_str(args[1]), _interval_str(args[2]))
+        out = windows.hop(
+            df, ts_col, _interval_str(args[1]), _interval_str(args[2]),
+            keep_struct=keep_struct,
+        )
     else:  # SESSION — per remaining grouping keys, like SessionWindowAssigner
+        if keep_struct:
+            raise ValueError(
+                "SESSION group windows in streaming mode: use "
+                "streaming.windows.session_agg (merging-window state machine)"
+            )
         key_cols = [k.split(".")[-1] for k in keys]
         if any(not re.fullmatch(r"\w+", k) for k in key_cols):
             raise ValueError("SESSION group window keys must be simple columns")
@@ -304,6 +315,11 @@ def rewrite_group_windows(spark: SparkSession, sql: str) -> str:
                 f"{am.group(0).strip('(').strip()}: processing-time window "
                 "properties are nondeterministic (PROCTIME class) — use the "
                 "*_ROWTIME / *_START / *_END event-time properties"
+            )
+        if prop == "ROWTIME" and keep_struct:
+            raise ValueError(
+                "*_ROWTIME in streaming mode: cascade on the window TVF's "
+                "window_time column instead (tvf_window_time_cascade shape)"
             )
         end = _balanced(sql, sql.index("(", am.end() - 1))
         repl = {

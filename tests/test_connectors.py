@@ -1108,3 +1108,38 @@ def test_execute_streaming_insert_end_to_end(tenv, spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="append-only"):
         tenv.execute_streaming_insert("INSERT OVERWRITE esi_sink SELECT 1")
+
+
+def test_stream_query_legacy_group_window(tenv, spark, tmp_path):
+    """Legacy GROUP BY TUMBLE(...) + TUMBLE_START in STREAMING mode
+    through stream_query (the pre-FLIP-145 classic)."""
+    import datetime as dt
+
+    from flink_1_16_0_src_spark.streaming import sources as ssrc
+
+    d = str(tmp_path / "lgw")
+    spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1, 10, 10), 1.0),
+         ("a", dt.datetime(2024, 1, 1, 10, 40), 2.0),
+         ("b", dt.datetime(2024, 1, 1, 13, 0), 8.0)],
+        "k string, ts timestamp, v double",
+    ).write.parquet(d)
+    tenv.execute_sql(
+        f"CREATE TABLE lgw_ev (k STRING, ts TIMESTAMP(3), v DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{d}','format'='parquet')"
+    )
+    out = tenv.stream_query("""
+        SELECT k, TUMBLE_START(ts, INTERVAL '1' HOUR) AS ws, sum(v) AS s
+        FROM lgw_ev GROUP BY k, TUMBLE(ts, INTERVAL '1' HOUR)
+    """)
+    assert out.isStreaming
+    rows = ssrc.run_to_memory(out, "lgw_drain", "append").collect()
+    # final watermark 13:00-1min closes only the 10h window
+    assert sorted((r.k, r.ws.hour, r.s) for r in rows) == [("a", 10, 3.0)]
+    import pytest
+    with pytest.raises(ValueError, match="ROWTIME in streaming"):
+        tenv.stream_query("""
+            SELECT TUMBLE_ROWTIME(ts, INTERVAL '1' HOUR) AS rt, count(*) AS n
+            FROM lgw_ev GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)
+        """)
