@@ -437,3 +437,19 @@ def test_pipeline_e2e_curation_composed_plan(spark):
     assert "CartesianProduct" not in plan
     assert "PythonUDF" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_r7_sql_surface_plan_sweep(spark):
+    """Every round-7 SQL-surface query stays JVM-side and never
+    degenerates into a cross product (the tpch/tpcds sweep discipline
+    extended to the new text-level paths)."""
+    for name in (
+        "groupwin_sql_tumble", "groupwin_sql_hop", "groupwin_sql_session",
+        "join_sql_window_tvf", "topn_sql_window_tvf", "join_lookup_hint_sql",
+        "tvf_window_time_cascade", "func_bool_predicates",
+        "func_to_timestamp_ltz", "agg_json_on_null_modes",
+        "sample_dsir_weights", "text_langid_eval", "embed_int8_quantize",
+    ):
+        plan = _plan(spark, name)
+        assert "EvalPython" not in plan, f"{name} fell off codegen"
+        assert "CartesianProduct" not in plan, f"{name} cross-joins"
