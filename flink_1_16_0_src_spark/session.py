@@ -283,7 +283,25 @@ def translate_hints(sql: str) -> str:
         body = body.strip().rstrip(",").strip()
         return f"/*+ {body} */" if body else ""
 
-    return _HINT_BLOCK.sub(_one, sql)
+    return translate_niladic_clocks(_HINT_BLOCK.sub(_one, sql))
+
+
+def translate_niladic_clocks(sql: str) -> str:
+    """Flink's niladic clock keywords Spark doesn't parse bare
+    (BuiltInFunctionDefinitions localTimestamp/localTime):
+    ``LOCALTIMESTAMP`` → ``localtimestamp()`` (same session-timezone
+    wall reading); ``LOCALTIME`` → millis-of-day BIGINT, the repo's
+    TIME(p) convention (func_time_type — Spark has no TIME type).
+    Rides the translate_hints pass, which every SQL entry point runs."""
+    sql = re.sub(
+        r"\bLOCALTIMESTAMP\b(?!\s*\()", "localtimestamp()", sql,
+        flags=re.IGNORECASE,
+    )
+    return re.sub(
+        r"\bLOCALTIME\b(?!\s*\()",
+        "(unix_millis(current_timestamp()) % 86400000)", sql,
+        flags=re.IGNORECASE,
+    )
 
 
 class TableEnvironment:

@@ -69,3 +69,30 @@ def test_current_row_timestamp_per_row_and_bounded(spark):
     )
     after = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     assert all(before - dt.timedelta(seconds=2) <= r.ts <= after + dt.timedelta(seconds=2) for r in rows)
+
+
+def test_localtime_localtimestamp_clock_class(spark):
+    """LOCALTIMESTAMP / LOCALTIME (BuiltInFunctionDefinitions
+    localTimestamp/localTime): Spark does not parse the bare keywords,
+    so translate_niladic_clocks (riding every SQL entry point's
+    translate_hints pass) maps LOCALTIMESTAMP -> localtimestamp() and
+    LOCALTIME -> millis-of-day BIGINT (the repo's TIME(p) convention,
+    func_time_type). Bracketed like every clock-class function (no
+    oracle by design)."""
+    import datetime as dt
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    before = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    row = t.sql_query(
+        "SELECT LOCALTIMESTAMP AS lts, LOCALTIME AS lt, CURRENT_DATE AS d,"
+        " CAST(CURRENT_TIMESTAMP AS TIMESTAMP_NTZ) AS cts"
+    ).collect()[0]
+    after = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    slop = dt.timedelta(seconds=2)
+    assert before - slop <= row.lts <= after + slop
+    assert abs((row.cts - row.lts).total_seconds()) < 2  # same UTC instant
+    ms_of_day = (before.hour * 3600 + before.minute * 60) * 1000
+    assert abs(row.lt - ms_of_day) < 3_700_000  # within the hour + slop
+    assert row.d in (before.date(), after.date())
