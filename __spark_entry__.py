@@ -126,6 +126,8 @@ _DRIVER_GREEN_R4 = {
 def _rotation_rank(name: str) -> int:
     """0 = never driver-checked (or failed — re-check), then greens
     oldest-first (re-verify stalest evidence before fresher greens)."""
+    if name in _DRIVER_GREEN_R7:
+        return 6
     if name in _DRIVER_GREEN_R5:
         return 5
     if name in _DRIVER_GREEN_R4:
@@ -171,50 +173,18 @@ _DRIVER_GREEN_R5 = {
 }
 
 
-# VERDICT r6 next-round #1 — r7 tier 0 is the ENTIRE 72-query
-# never-driver-checked backlog, pinned by name in the verdict's order:
-# the tpch_* family first (reference ships TPC-H as its own e2e gate,
-# flink-end-to-end-tests/flink-tpch-test/; q9/q21 are benched headliners
-# with zero driver rows) + join_temporal_table_fn, then the 21 r5-new
-# tpcds_* shapes, subq_* ×5, the two over_* frames, the four batch
-# dedup_* variants, then as much of the pipeline tail (sim_/sketch_)
-# as fits the 50-slot prefix; the remaining ~22 (text_/vocab_/sample_/
-# multimodal_/ddl_/func_ extras/shard/stream drains) are pinned after
-# slot 50 and ride the r8 rotation.
+# VERDICT r7 next-round #1 — r8 tier 0 is the 88-query
+# never-driver-checked backlog: the 22 names carried at slots 51+ of
+# the r7 rotation first, then 28 operator-diverse r7-new queries
+# (group windows, TVF additions, CEP SQL conformance, DDL, substring/
+# semantic dedup, DSIR, e2e curation, kNN, text filters, streaming SQL
+# drains) to fill the 50-slot prefix; the remaining 38 (r7 scalar-func
+# extras + the 28 r7 TPC-DS shapes, all judge-strict-green in r7) are
+# pinned after slot 50 and ride the r9 rotation.
 _TIER0_RECHECK = ()
 _TIER0_PRIORITY_FAMILIES = ()
 _TIER0_PRIORITY_NAMES = (
-    # -- slots 1-11: TPC-H backlog + legacy temporal table function
-    "tpch_q9_product_profit", "tpch_q21_suppliers_waiting",
-    "tpch_q12_priority_pivot", "tpch_q13_order_distribution",
-    "tpch_q14_promo_effect", "tpch_q16_supplier_count",
-    "tpch_q17_small_qty_revenue", "tpch_q18_large_volume_customer",
-    "tpch_q19_disjunctive_revenue", "tpch_q22_sales_opportunity",
-    "join_temporal_table_fn",
-    # -- slots 12-32: the 21 r5-new TPC-DS shapes
-    "tpcds_q3_year_brand_rank", "tpcds_q6_above_nation_avg_count",
-    "tpcds_q7_segment_profile_avgs", "tpcds_q8_name_prefix_revenue",
-    "tpcds_q12_type_revenue_share", "tpcds_q15_disjunctive_exists_agg",
-    "tpcds_q18_rollup_channel_avgs", "tpcds_q19_cross_nation_brand_revenue",
-    "tpcds_q28_quantity_band_panel", "tpcds_q30_returns_above_nation_avg",
-    "tpcds_q34_band_cohort_details", "tpcds_q35_exists_profile_stats",
-    "tpcds_q47_monthly_lag_lead", "tpcds_q53_quarter_vs_year_share",
-    "tpcds_q69_active_never_returned", "tpcds_q70_rank_within_rollup",
-    "tpcds_q77_sales_vs_returns_rollup", "tpcds_q94_multi_supplier_clean_orders",
-    "tpcds_q96_hour_band_traffic", "tpcds_q97_channel_overlap_matrix",
-    "tpcds_q99_latency_matrix_two_dims",
-    # -- slots 33-39: subqueries + over frames
-    "subq_lateral", "subq_not_in", "subq_tpch_q11_having",
-    "subq_tpch_q15_view_max", "subq_tpch_q20_nested_in",
-    "over_range_between", "over_first_last_nth",
-    # -- slots 40-43: batch dedup variants
-    "dedup_keep_first", "dedup_keep_last", "dedup_keep_canonical",
-    "dedup_components",
-    # -- slots 44-50: pipeline tail, similarity + sketches
-    "sim_ivf_topk", "sim_pq_adc_topk", "sim_ivfpq_topk",
-    "sim_ann_recall_eval", "sketch_bloom_prejoin_filter",
-    "sketch_count_min_users", "sketch_histogram_quantiles",
-    # -- slots 51+: remainder of the backlog (r8's driver prefix)
+    # -- slots 1-22: the backlog carried from r7's slots 51+
     "text_boilerplate_ngrams", "text_char_entropy", "text_chunk_windows",
     "text_length_percentiles", "text_pii_scrub", "text_repetition",
     "vocab_top_tokens", "vocab_bpe_pair_counts",
@@ -225,8 +195,88 @@ _TIER0_PRIORITY_NAMES = (
     "func_array_extras", "func_map_extras", "func_sha_json_string",
     "func_string_slice_bytes",
     "stream_continuous_trigger_drain", "stream_late_refire_drain",
+    # -- slots 23-25: legacy group-window SQL (r7)
+    "groupwin_sql_tumble", "groupwin_sql_hop", "groupwin_sql_session",
+    # -- slots 26-27: window TVF additions (r7)
+    "tvf_window_time_cascade", "tvf_tumble_grouping_sets",
+    # -- slots 28-31: MATCH_RECOGNIZE conformance (r7)
+    "cep_sql_classifier", "cep_sql_quantifier_exact",
+    "cep_sql_optional_greedy", "cep_sql_reluctant_plus",
+    # -- slots 32-35: DDL surface (r7)
+    "ddl_create_function_sql", "ddl_analyze_table_stats",
+    "ddl_compact_roundtrip", "ddl_compile_execute_plan",
+    # -- slots 36-39: substring/semantic dedup + LSH recall (r7)
+    "dedup_substring_spans", "dedup_substring_removed",
+    "dedup_semantic", "dedup_lsh_recall_eval",
+    # -- slots 40-43: sampling/quantization/e2e/kNN (r7)
+    "sample_dsir_weights", "embed_int8_quantize",
+    "pipeline_e2e_curation", "knn_label_predict",
+    # -- slots 44-47: text curation filters (r7)
+    "text_tfidf_topk", "text_gopher_rules", "text_c4_line_filter",
+    "text_langid_eval",
+    # -- slots 48-50: streaming SQL-text drains (r7)
+    "stream_sql_tumble_drain", "stream_doc_dedup_drain",
+    "stream_lookup_join_drain",
+    # -- slots 51+: remainder of the backlog (r9's driver prefix):
+    # r7 scalar-function extras, SQL-text join/topn variants, then the
+    # 28 r7 TPC-DS family shapes
+    "agg_json_on_null_modes", "join_lookup_hint_sql",
+    "join_sql_window_tvf", "topn_sql_window_tvf",
+    "func_similar_to", "func_distinct_from_element", "func_group_id",
+    "func_bool_predicates", "func_to_timestamp_ltz", "func_hash_code",
+    "tpcds_q2_weekly_channel_ratio", "tpcds_q11_channel_growth_compare",
+    "tpcds_q20_windowed_class_share",
+    "tpcds_q24_spend_above_global_threshold",
+    "tpcds_q25_three_channel_chain", "tpcds_q26_catalog_profile_avgs",
+    "tpcds_q27_rollup_item_geography", "tpcds_q32_excess_discount_total",
+    "tpcds_q40_net_sales_around_pivot", "tpcds_q42_year_category_revenue",
+    "tpcds_q46_out_of_town_trips", "tpcds_q52_year_brand_revenue",
+    "tpcds_q55_manager_brand_revenue",
+    "tpcds_q56_color_items_channel_union",
+    "tpcds_q60_category_channel_union", "tpcds_q63_monthly_vs_annual_avg",
+    "tpcds_q68_trip_measure_breakout", "tpcds_q71_hourly_channel_brands",
+    "tpcds_q76_sparse_attribute_census", "tpcds_q79_best_trip_per_customer",
+    "tpcds_q80_channel_returns_rollup",
+    "tpcds_q81_returners_above_nation_avg",
+    "tpcds_q82_inventory_band_suppliers",
+    "tpcds_q83_return_share_three_periods",
+    "tpcds_q84_customer_identification", "tpcds_q85_banded_return_reasons",
+    "tpcds_q86_rollup_rank_regions", "tpcds_q91_returns_loss_by_month",
 )
 _TIER0_QUOTAS = ()
+
+
+# Green rows from CORRECTNESS_r07.json (50/50 green, all on names never
+# driver-checked before: TPC-H backlog + temporal table fn, 21 r5-era
+# TPC-DS shapes, subqueries, OVER frames, batch dedup variants, the
+# sim_*/sketch_* pipeline tail). Freshest evidence → sampled last.
+_DRIVER_GREEN_R7 = {
+    "tpch_q9_product_profit", "tpch_q21_suppliers_waiting",
+    "tpch_q12_priority_pivot", "tpch_q13_order_distribution",
+    "tpch_q14_promo_effect", "tpch_q16_supplier_count",
+    "tpch_q17_small_qty_revenue", "tpch_q18_large_volume_customer",
+    "tpch_q19_disjunctive_revenue", "tpch_q22_sales_opportunity",
+    "join_temporal_table_fn",
+    "tpcds_q3_year_brand_rank", "tpcds_q6_above_nation_avg_count",
+    "tpcds_q7_segment_profile_avgs", "tpcds_q8_name_prefix_revenue",
+    "tpcds_q12_type_revenue_share", "tpcds_q15_disjunctive_exists_agg",
+    "tpcds_q18_rollup_channel_avgs", "tpcds_q19_cross_nation_brand_revenue",
+    "tpcds_q28_quantity_band_panel", "tpcds_q30_returns_above_nation_avg",
+    "tpcds_q34_band_cohort_details", "tpcds_q35_exists_profile_stats",
+    "tpcds_q47_monthly_lag_lead", "tpcds_q53_quarter_vs_year_share",
+    "tpcds_q69_active_never_returned", "tpcds_q70_rank_within_rollup",
+    "tpcds_q77_sales_vs_returns_rollup",
+    "tpcds_q94_multi_supplier_clean_orders", "tpcds_q96_hour_band_traffic",
+    "tpcds_q97_channel_overlap_matrix", "tpcds_q99_latency_matrix_two_dims",
+    "subq_lateral", "subq_not_in", "subq_tpch_q11_having",
+    "subq_tpch_q15_view_max", "subq_tpch_q20_nested_in",
+    "over_range_between", "over_first_last_nth",
+    "dedup_keep_first", "dedup_keep_last", "dedup_keep_canonical",
+    "dedup_components",
+    "sim_ivf_topk", "sim_pq_adc_topk", "sim_ivfpq_topk",
+    "sim_ann_recall_eval", "sketch_bloom_prejoin_filter",
+    "sketch_count_min_users", "sketch_histogram_quantiles",
+}
 
 
 def _family_round_robin(names: list[str]) -> list[str]:
@@ -238,7 +288,7 @@ def _family_round_robin(names: list[str]) -> list[str]:
     from collections import OrderedDict
 
     out: list[str] = []
-    for rank in (0, 1, 2, 3, 4, 5):
+    for rank in (0, 1, 2, 3, 4, 5, 6):
         buckets: "OrderedDict[str, list[str]]" = OrderedDict()
         for n in names:
             if _rotation_rank(n) == rank:
