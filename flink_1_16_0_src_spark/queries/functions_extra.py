@@ -349,7 +349,7 @@ def func_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "func_flink_string_predicates",
-    oracle="""
+    oracle=r"""
     SELECT p_partkey,
            regexp_matches(replace(p_brand, '#', ''), '^[A-Za-z0-9]+$')
              AND NOT regexp_matches(replace(p_brand, '#', ''), '[0-9]') AS alpha_brand,

@@ -286,22 +286,41 @@ def translate_hints(sql: str) -> str:
     return translate_niladic_clocks(_HINT_BLOCK.sub(_one, sql))
 
 
+# LOCALTIME = millis-of-day of the SESSION-LOCAL wall clock. Derived
+# from localtimestamp() components (not unix_millis(current_timestamp())
+# % day, which is UTC millis-of-day and diverges whenever
+# spark.sql.session.timeZone is non-UTC). localtimestamp() is fixed per
+# query, so the three references read the same instant.
+_LOCALTIME_EXPR = (
+    "(hour(localtimestamp())*3600000 + minute(localtimestamp())*60000"
+    " + CAST(floor(date_part('SECOND', localtimestamp()) * 1000) AS BIGINT))"
+)
+
+
 def translate_niladic_clocks(sql: str) -> str:
     """Flink's niladic clock keywords Spark doesn't parse bare
     (BuiltInFunctionDefinitions localTimestamp/localTime):
     ``LOCALTIMESTAMP`` → ``localtimestamp()`` (same session-timezone
-    wall reading); ``LOCALTIME`` → millis-of-day BIGINT, the repo's
-    TIME(p) convention (func_time_type — Spark has no TIME type).
-    Rides the translate_hints pass, which every SQL entry point runs."""
-    sql = re.sub(
-        r"\bLOCALTIMESTAMP\b(?!\s*\()", "localtimestamp()", sql,
-        flags=re.IGNORECASE,
-    )
-    return re.sub(
-        r"\bLOCALTIME\b(?!\s*\()",
-        "(unix_millis(current_timestamp()) % 86400000)", sql,
-        flags=re.IGNORECASE,
-    )
+    wall reading); ``LOCALTIME`` → millis-of-day BIGINT of the session
+    wall clock, the repo's TIME(p) convention (func_time_type — Spark
+    has no TIME type). Rides the translate_hints pass, which every SQL
+    entry point runs. Substitution is quote-aware: occurrences inside
+    single-quoted string literals are left untouched."""
+
+    def _subst(segment: str) -> str:
+        segment = re.sub(
+            r"\bLOCALTIMESTAMP\b(?!\s*\()", "localtimestamp()", segment,
+            flags=re.IGNORECASE,
+        )
+        return re.sub(
+            r"\bLOCALTIME\b(?!\s*\()", _LOCALTIME_EXPR, segment,
+            flags=re.IGNORECASE,
+        )
+
+    # odd indices of the split are the quoted literals ('' = escaped
+    # quote stays inside one literal token) — substitute only between
+    parts = re.split(r"('(?:[^']|'')*')", sql)
+    return "".join(p if i % 2 else _subst(p) for i, p in enumerate(parts))
 
 
 class TableEnvironment:
@@ -1799,6 +1818,20 @@ class TableEnvironment:
         if mi.group(1).upper() == "OVERWRITE":
             raise ValueError("streaming INSERT is append-only (no OVERWRITE)")
         out = self.stream_query(mi.group("body"))
+        # same FLIP-219 column-list contract as the batch INSERT path:
+        # listed target columns map positionally, declared-but-unlisted
+        # columns null-fill (all projection ops — streamable)
+        declared = {}
+        if sink.get("schema"):
+            from pyspark.sql.types import StructType
+
+            declared = {
+                f.name: f.dataType
+                for f in StructType.fromDDL(sink["schema"]).fields
+            }
+        out = _apply_insert_column_list(out, mi.group("collist"), declared)
+        if declared and not mi.group("collist") and len(out.columns) == len(declared):
+            out = out.toDF(*declared)
         writer = out.writeStream.trigger(availableNow=True).option(
             "checkpointLocation",
             checkpoint or _tf.mkdtemp(prefix="spark_graft_ckpt_"),
@@ -1870,10 +1903,46 @@ class TableEnvironment:
             keep = [e for e in entries if e.lower() not in ("window_start", "window_end")]
             return "GROUP BY " + ", ".join(["__w"] + keep)
 
-        out = _re.sub(
-            r"GROUP\s+BY\s+([\w.]+(?:\s*,\s*[\w.]+)*)",
-            _regroup, out, flags=_re.IGNORECASE,
+        def _depth_at(s: str, idx: int) -> int:
+            depth, i = 0, 0
+            while i < idx:
+                c = s[i]
+                if c == "'":
+                    i += 1
+                    while i < len(s) and s[i] != "'":
+                        i += 1
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                i += 1
+            return depth
+
+        # the struct regroup (and the SELECT-list extract rewrite after
+        # it) contract the OUTERMOST query block only — a subquery's own
+        # GROUP BY window_start would be rewritten onto the outer
+        # block's struct alias, so nesting is rejected, not corrupted
+        gb_pat = _re.compile(
+            r"GROUP\s+BY\s+([\w.]+(?:\s*,\s*[\w.]+)*)", _re.IGNORECASE
         )
+        pieces, pos = [], 0
+        for m in gb_pat.finditer(out):
+            entries = [e.strip().lower() for e in m.group(1).split(",")]
+            windowed = any(e in ("window_start", "window_end") for e in entries)
+            if _depth_at(out, m.start()) > 0:
+                if windowed:
+                    raise ValueError(
+                        "GROUP BY window_start/window_end inside a subquery: "
+                        "streaming SQL supports the single-block window "
+                        "aggregate shape — restructure the statement or "
+                        "compose via operators.windows + the streaming "
+                        "Python API"
+                    )
+                continue
+            pieces.append(out[pos : m.start()])
+            pieces.append(_regroup(m))
+            pos = m.end()
+        out = "".join(pieces) + out[pos:]
         # SELECT-list occurrences become aliased struct extracts (the
         # output keeps the TVF column names); everywhere else (WHERE/
         # HAVING/ORDER BY) a bare extract — an alias there is invalid

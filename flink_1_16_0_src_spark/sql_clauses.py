@@ -206,6 +206,36 @@ _GW_CALL = re.compile(r"\b(TUMBLE|HOP|SESSION)\s*\(", re.IGNORECASE)
 _GW_COUNTER = 0
 
 
+def _statement_from(sql: str) -> tuple[int, int, str] | None:
+    """The statement-level ``FROM <table>`` — first ``FROM`` at paren
+    depth 0 outside string literals; returns the table token's
+    (start, end, name). A bare ``\\bFROM\\b`` regex would hit
+    ``EXTRACT(HOUR FROM ts)`` / ``SUBSTRING(s FROM 1)`` /
+    ``TRIM(x FROM y)`` in the SELECT list first; those are always
+    parenthesized, so the depth-0 scan skips them."""
+    i, depth, n = 0, 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            i += 1
+            while i < n and sql[i] != "'":
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and c in "Ff"
+            and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_"))
+        ):
+            m = re.match(r"FROM\s+(\w+)", sql[i:], re.IGNORECASE)
+            if m is not None:
+                return i + m.start(1), i + m.end(1), m.group(1)
+        i += 1
+    return None
+
+
 def rewrite_group_windows(
     spark: SparkSession, sql: str, resolver=None, keep_struct: bool = False
 ) -> str:
@@ -265,10 +295,10 @@ def rewrite_group_windows(
     ts_col = args[0].strip().split(".")[-1]
     keys = [e for k, e in enumerate(entries) if k != win[0]]
 
-    fm = re.search(r"\bFROM\s+(\w+)", sql, re.IGNORECASE)
+    fm = _statement_from(sql)
     if fm is None:
         raise ValueError("legacy group window needs a single named FROM table")
-    tbl = fm.group(1)
+    tbl = fm[2]
     df = (resolver or spark.table)(tbl)
     if fn == "TUMBLE":
         out = windows.tumble(
@@ -302,8 +332,8 @@ def rewrite_group_windows(
     sql = sql[: gbm.end()] + " " + new_clause + " " + sql[clause_end:]
     # FROM precedes GROUP BY in the supported single-SELECT shape, so
     # re-locating it post-edit is safe; substitute only the table token.
-    fm = re.search(r"\bFROM\s+(\w+)", sql, re.IGNORECASE)
-    sql = sql[: fm.start(1)] + view + sql[fm.end(1):]
+    fs, fe, _ = _statement_from(sql)
+    sql = sql[:fs] + view + sql[fe:]
     # auxiliary functions anywhere in the statement (SELECT/HAVING)
     while True:
         am = _GW_AUX.search(sql)
@@ -321,7 +351,32 @@ def rewrite_group_windows(
                 "*_ROWTIME in streaming mode: cascade on the window TVF's "
                 "window_time column instead (tvf_window_time_cascade shape)"
             )
-        end = _balanced(sql, sql.index("(", am.end() - 1))
+        paren = sql.index("(", am.end() - 1)
+        end = _balanced(sql, paren)
+        # Flink's planner resolves a window property only against the
+        # group window whose function name AND arguments it repeats
+        # (GroupWindowAggregate namedProperties); an aux call naming a
+        # different window fn / time column / interval is rejected
+        # there — mirror that instead of silently substituting the
+        # grouped window's bounds.
+        aux_fn = am.group(1).upper()
+        aux_args = _split_top_commas(sql[paren + 1 : end - 1])
+        aux_ts = aux_args[0].strip().split(".")[-1] if aux_args else ""
+        ok = aux_fn == fn and aux_ts == ts_col and len(aux_args) == len(args)
+        if ok:
+            try:
+                ok = [_interval_str(a) for a in aux_args[1:]] == [
+                    _interval_str(a) for a in args[1:]
+                ]
+            except Exception:
+                ok = False
+        if not ok:
+            raise ValueError(
+                f"{aux_fn}_{prop}({', '.join(a.strip() for a in aux_args)}): "
+                f"window property arguments must repeat the GROUP BY window "
+                f"spec {fn}({', '.join(a.strip() for a in args)}) exactly "
+                "(Flink planner restriction)"
+            )
         repl = {
             "START": "window_start",
             "END": "window_end",

@@ -1143,3 +1143,65 @@ def test_stream_query_legacy_group_window(tenv, spark, tmp_path):
             SELECT TUMBLE_ROWTIME(ts, INTERVAL '1' HOUR) AS rt, count(*) AS n
             FROM lgw_ev GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)
         """)
+
+
+def test_streaming_insert_column_list(tenv, spark, tmp_path):
+    """INSERT INTO sink (cols...) in STREAMING mode applies the same
+    FLIP-219 column-list mapping as the batch path: listed targets map
+    positionally, declared-but-unlisted columns null-fill."""
+    import datetime as dt
+
+    d = str(tmp_path / "sicl_src")
+    spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1, 10, 10), 1.0),
+         ("a", dt.datetime(2024, 1, 1, 10, 40), 2.0),
+         ("b", dt.datetime(2024, 1, 1, 12, 30), 8.0)],
+        "k string, ts timestamp, v double",
+    ).write.parquet(d)
+    tenv.execute_sql(
+        f"CREATE TABLE sicl_ev (k STRING, ts TIMESTAMP(3), v DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{d}','format'='parquet')"
+    )
+    out = str(tmp_path / "sicl_out")
+    tenv.execute_sql(
+        f"CREATE TABLE sicl_sink (s DOUBLE, k STRING, extra INT)"
+        f" WITH ('connector'='filesystem','path'='{out}','format'='parquet')"
+    )
+    tenv.execute_streaming_insert("""
+        INSERT INTO sicl_sink (k, s)
+        SELECT k, sum(v) AS total
+        FROM TABLE(TUMBLE(TABLE sicl_ev, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        GROUP BY k, window_start, window_end
+    """)
+    rows = spark.read.parquet(out).collect()
+    # final watermark 12:30-1min closes only the 10h window
+    assert [(r.s, r.k, r.extra) for r in rows] == [(3.0, "a", None)]
+    assert spark.read.parquet(out).columns == ["s", "k", "extra"]
+
+
+def test_stream_query_nested_window_group_by_rejected(tenv, spark, tmp_path):
+    """The struct regroup contracts the outermost block only; a
+    subquery's own GROUP BY window_start is rejected, not silently
+    rewritten onto the outer block's struct alias."""
+    import datetime as dt
+
+    import pytest
+
+    d = str(tmp_path / "nwgb")
+    spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1, 10, 10), 1.0)],
+        "k string, ts timestamp, v double",
+    ).write.parquet(d)
+    tenv.execute_sql(
+        f"CREATE TABLE nwgb_ev (k STRING, ts TIMESTAMP(3), v DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{d}','format'='parquet')"
+    )
+    with pytest.raises(ValueError, match="subquery"):
+        tenv.stream_query("""
+            SELECT * FROM (
+              SELECT k, window_start, sum(v) AS s
+              FROM TABLE(TUMBLE(TABLE nwgb_ev, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+              GROUP BY k, window_start, window_end) t
+        """)

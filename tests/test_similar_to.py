@@ -96,3 +96,28 @@ def test_localtime_localtimestamp_clock_class(spark):
     ms_of_day = (before.hour * 3600 + before.minute * 60) * 1000
     assert abs(row.lt - ms_of_day) < 3_700_000  # within the hour + slop
     assert row.d in (before.date(), after.date())
+
+
+def test_niladic_clock_rewrite_quote_aware_and_session_tz(spark):
+    """The niladic-clock pass must not rewrite occurrences inside
+    string literals, and LOCALTIME must read the SESSION-timezone wall
+    clock (millis-of-day of localtimestamp()), not UTC millis-of-day —
+    Flink's localTime is session-zone-local like localTimestamp."""
+    from flink_1_16_0_src_spark.session import translate_niladic_clocks
+
+    sql = ("SELECT 'LOCALTIME wins' AS a, LOCALTIME AS lt "
+           "WHERE 'x' LIKE '%LOCALTIMESTAMP%'")
+    out = translate_niladic_clocks(sql)
+    assert "'LOCALTIME wins'" in out and "'%LOCALTIMESTAMP%'" in out
+    assert "hour(localtimestamp())" in out
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        row = spark.sql(translate_niladic_clocks(
+            "SELECT LOCALTIME AS lt, hour(localtimestamp()) AS h,"
+            " minute(localtimestamp()) AS m")).collect()[0]
+        assert row.lt // 3600000 == row.h
+        assert (row.lt % 3600000) // 60000 == row.m
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)

@@ -477,3 +477,43 @@ def test_group_window_having_and_aux_anywhere(spark):
         ORDER BY ws
     """))
     assert out.count() == 3  # (u1,10h) x2 rows, (u1,12h), (u2,10h)
+
+
+def test_group_window_from_resolution_skips_parenthesized_from(spark):
+    """EXTRACT(... FROM ...) in the SELECT list precedes the statement
+    FROM textually; table resolution must use the depth-0 FROM scan,
+    not the first regex hit (a SELECT-list FROM is always inside
+    parentheses)."""
+    _ts_events(spark)
+    out = spark.sql(rewrite_flink_clauses(spark, """
+        SELECT k, EXTRACT(HOUR FROM TUMBLE_START(ts, INTERVAL '1' HOUR)) AS h,
+               sum(v) AS s
+        FROM gw_events
+        GROUP BY k, TUMBLE(ts, INTERVAL '1' HOUR)
+    """))
+    assert sorted((r.k, r.h, r.s) for r in out.collect()) == [
+        ("u1", 10, 3.0), ("u1", 12, 4.0), ("u2", 10, 8.0)]
+
+
+def test_group_window_aux_argument_mismatch_rejected(spark):
+    """A window property whose fn name / interval disagrees with the
+    GROUP BY window spec is a planner error in Flink (namedProperties
+    resolve against the grouped window only) — not a silent substitute
+    of the grouped window's bounds."""
+    _ts_events(spark)
+    with pytest.raises(ValueError, match="must repeat"):
+        rewrite_flink_clauses(spark, """
+            SELECT TUMBLE_START(ts, INTERVAL '2' HOUR) AS ws, count(*) AS n
+            FROM gw_events GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)
+        """)
+    with pytest.raises(ValueError, match="must repeat"):
+        rewrite_flink_clauses(spark, """
+            SELECT HOP_START(ts, INTERVAL '5' MINUTE, INTERVAL '1' HOUR) AS ws,
+                   count(*) AS n
+            FROM gw_events GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)
+        """)
+    with pytest.raises(ValueError, match="must repeat"):
+        rewrite_flink_clauses(spark, """
+            SELECT TUMBLE_END(v, INTERVAL '1' HOUR) AS we, count(*) AS n
+            FROM gw_events GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)
+        """)
