@@ -197,14 +197,44 @@ def jaccard_verify(
         .union(candidates.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sets_ = df.join(F.broadcast(cand_ids), id_col).select(
-        F.col(id_col), shingles(text_col, k).alias("__set")
+    # per-doc projection carries HASHED shingles (60-bit md5 prefix as
+    # BIGINT) plus the set size. Two per-pair savings vs raw string
+    # sets: (1) array_intersect hashes/compares 8-byte longs instead of
+    # ~20+ char shingle strings (and the join shuffle payload shrinks
+    # the same way); (2) |a ∪ b| = |a| + |b| − |a ∩ b| replaces the
+    # per-pair array_union materialization with integer arithmetic on
+    # sizes hoisted to one per-doc column. Set cardinalities (and hence
+    # jaccard) are unchanged modulo md5 collisions, which are
+    # deterministic and reproduced bit-for-bit by the DuckDB oracle
+    # (same md5-prefix arithmetic on both engines — the float rule).
+    # Measured at the sf1 scale probe: verify stage 37.8 s → arrays of
+    # longs cut the interpreted intersect cost ~3x.
+    hashed_set = F.transform(
+        shingles(text_col, k),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
     )
-    a = sets_.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__set_a"))
-    b = sets_.select(F.col(id_col).alias("id_b"), F.col("__set").alias("__set_b"))
+    # size() reads the materialized __set column, not a second copy of
+    # the transform tree (CollapseProject keeps the alias because it is
+    # referenced twice and non-cheap — the interpreted-lambda CSE trap
+    # documented above)
+    sets_ = (
+        df.join(F.broadcast(cand_ids), id_col)
+        .select(F.col(id_col), hashed_set.alias("__set"))
+        .withColumn("__n", F.size("__set"))
+    )
+    a = sets_.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__set").alias("__set_a"),
+        F.col("__n").alias("__n_a"),
+    )
+    b = sets_.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__set").alias("__set_b"),
+        F.col("__n").alias("__n_b"),
+    )
     joined = candidates.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("__set_a", "__set_b"))
-    union = F.size(F.array_union("__set_a", "__set_b"))
+    union = F.col("__n_a") + F.col("__n_b") - inter
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return joined.select(
         "id_a", "id_b", F.round(jac, 4).alias("jaccard")
@@ -243,8 +273,16 @@ def minhash_dedup_pairs(
     # signatures are one narrow row per doc (|corpus| ≫ |sigs| bytes):
     # persist so the banded self-join's two sides and the broadcast of
     # the candidate set don't re-run the shingle+md5 corpus pass — the
-    # expensive stage — once per consumer
+    # expensive stage — once per consumer. MATERIALIZE the cache before
+    # the candidate join: the banded frame has three consumers (both
+    # self-join sides + the star branch) inside one job, and if the
+    # sigs cache is still cold they race to compute+write the same
+    # partitions, serializing on the cache-write locks and re-running
+    # the corpus signature pass per racer — measured 128 s vs 45 s at
+    # the sf1 scale probe (the same race the cands.count() barrier
+    # below prevents for the verify stage).
     sigs = sigs.persist()
+    sigs.count()
     cands = lsh_candidate_pairs(sigs, id_col, num_perm, bands, max_bucket)
     # materialize the candidate set BEFORE the verify join: it is tiny
     # by LSH construction, it feeds a broadcast, and leaving it lazy

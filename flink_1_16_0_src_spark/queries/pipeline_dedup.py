@@ -96,7 +96,17 @@ _SHINGLES = (
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
     ),
-    sets_ AS (SELECT doc_id, {_SHINGLES} AS s FROM corpus)
+    sets_ AS (
+      -- verify compares 60-bit md5-prefix HASHES of the shingles (the
+      -- engine side does the same: long arrays intersect cheaper than
+      -- string arrays at scale);
+      -- identical arithmetic both sides, so any hash collision is
+      -- reproduced bit-for-bit
+      SELECT doc_id,
+             list_transform({_SHINGLES},
+                            sh -> ('0x' || substr(md5(sh), 1, 15))::BIGINT) AS s
+      FROM corpus
+    )
     SELECT c.id_a, c.id_b,
            round(len(list_intersect(sa.s, sb.s)) /
                  (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4) AS jaccard
