@@ -303,6 +303,7 @@ def main() -> None:
     registry = all_queries()
     names = [n for n in BENCH_QUERIES if n in registry]
     timings: dict[str, float] = {}
+    query_canaries: dict[str, float] = {}
     for n in names:
         # warm-up: JIT/codegen, parquet footers, this query's persists
         registry[n].fn(spark, sf_dir).count()
@@ -315,6 +316,12 @@ def main() -> None:
         timings[n] = round(best, 4)
         # isolate queries from each other's leftovers
         _reclaim(spark)
+        # per-query interleaved canary (VERDICT r7 #4): host load can
+        # swing mid-run, so each query's ratio divides by a canary
+        # measured NEXT to it, not one end-of-run sample — cross-round
+        # ratio comparisons then stop being hostage to when in the run
+        # the contention spike landed
+        query_canaries[n] = _canary_sec()
 
     # sf1 scale probe: on by default at the driver's sf0.1 run; skipped
     # for fast smokes at other SFs unless forced via env
@@ -324,7 +331,10 @@ def main() -> None:
     ):
         probe = _scale_probe(spark, registry)
 
-    canary = _canary_sec()
+    # headline canary = median of the interleaved per-query canaries
+    # (kept for cross-round continuity with r1-r7 bench JSONs)
+    cvals = sorted(query_canaries.values()) or [_canary_sec()]
+    canary = cvals[len(cvals) // 2]
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     out = {
@@ -333,11 +343,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        # contention canary: compare rounds via queries[q]/canary_sec
-        # ratios, not raw seconds (shared-host CPU swings several-fold)
+        # contention canary: compare rounds via queries[q]/canary ratios,
+        # not raw seconds (shared-host CPU swings several-fold). Each
+        # ratio divides by the canary interleaved right after that query.
         "canary_sec": canary,
+        "query_canaries": {n: round(c, 4) for n, c in query_canaries.items()},
         "query_canary_ratios": {
-            n: round(t / canary, 2) for n, t in timings.items()
+            n: round(t / query_canaries.get(n, canary), 2)
+            for n, t in timings.items()
         },
         # one measured decade of scaling (sf0.1 -> derived 10x corpus)
         # for the heaviest pipeline ops; see _scale_probe
