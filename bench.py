@@ -299,6 +299,7 @@ def main() -> None:
     from flink_1_16_0_src_spark.registry import all_queries
     from flink_1_16_0_src_spark.session import get_spark
 
+    load_start = os.getloadavg()
     spark = get_spark("bench")
     registry = all_queries()
     names = [n for n in BENCH_QUERIES if n in registry]
@@ -355,6 +356,14 @@ def main() -> None:
         # one measured decade of scaling (sf0.1 -> derived 10x corpus)
         # for the heaviest pipeline ops; see _scale_probe
         "scale_probe": probe,
+        # shared-host contention evidence: neighbor load hits 32-way
+        # parallel stages much harder than the single-core canary
+        # (queueing, not timeslice), so ratios on a loaded host inflate
+        # for the heaviest queries specifically — read these before
+        # cross-round ratio comparisons. 1/5/15-min load averages at
+        # bench start and end; this box has 32 CPUs.
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
     print(json.dumps(out))
     spark.stop()
