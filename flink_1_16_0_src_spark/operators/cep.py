@@ -117,6 +117,15 @@ class Step:
     # match-selection priority flips. Not combinable with
     # internal='combinations' (the reference rejects greedy there too).
     reluctant: bool = False
+    # Pattern.until(condition) (flink-cep Pattern.java:228): stop
+    # condition for looping quantifiers (oneOrMore/timesOrMore) — the
+    # loop stops accepting events once a row satisfies it, and that row
+    # is NOT consumed into the match (NFACompiler ANDs NOT(until) into
+    # the looping state's take AND ignore edges, so a gap row
+    # satisfying it also terminates the loop). Python-predicate only:
+    # a step with ``until`` routes to the row-based NFA paths (the
+    # vectorized mask paths' O(1) gap jumps would skip the stop row).
+    until: Predicate | None = None
 
     @staticmethod
     def star(var: str, predicate: Predicate, vec: Callable | None = None,
@@ -191,6 +200,8 @@ def _match_at(
         while (step.max is None or len(takes) < step.max) and j < len(rows):
             if not in_window(j):
                 break
+            if step.until is not None and step.until(rows[j], matched):
+                break  # stop row is NOT consumed (Pattern.until)
             if step.predicate(rows[j], matched):
                 matched[step.var].append(rows[j])
                 idx[step.var].append(j)
@@ -372,6 +383,8 @@ def _match_at_any(
         while (step.max is None or len(takes) < step.max) and j < len(rows):
             if not in_window(j):
                 break
+            if step.until is not None and step.until(rows[j], matched):
+                break  # stop row is NOT consumed (Pattern.until)
             if step.predicate(rows[j], matched):
                 matched[step.var].append(rows[j])
                 takes.append(j)
@@ -417,6 +430,8 @@ def _match_at_any(
                 return
             k = last + 1
             while k < len(rows) and in_window(k):
+                if step.until is not None and step.until(rows[k], matched):
+                    break  # stop row is NOT consumed (Pattern.until)
                 if step.predicate(rows[k], matched):
                     matched[step.var].append(rows[k])
                     dfs(k, count + 1)
@@ -425,7 +440,12 @@ def _match_at_any(
 
         if step.min == 0 and cont(i):
             emitted = True
-        if i < len(rows) and in_window(i) and step.predicate(rows[i], matched):
+        if (
+            i < len(rows)
+            and in_window(i)
+            and not (step.until is not None and step.until(rows[i], matched))
+            and step.predicate(rows[i], matched)
+        ):
             matched[step.var].append(rows[i])
             dfs(i, 1)
             matched[step.var].pop()
@@ -1042,9 +1062,12 @@ def compute_step_masks(pdf: pd.DataFrame, steps: list[Step]) -> list:
 
 def steps_all_vec(steps: list[Step]) -> bool:
     """True when every step (or all its alternation branches) carries a
-    vectorized predicate form."""
+    vectorized predicate form. A step with an ``until`` stop condition
+    opts out: the mask paths' O(1) relaxed-gap jumps would hop over the
+    stop row without evaluating it (see Step.until)."""
     return all(
-        s.vec is not None or (s.alts and all(b.vec is not None for b in s.alts))
+        (s.vec is not None or (s.alts and all(b.vec is not None for b in s.alts)))
+        and s.until is None
         for s in steps
     )
 
@@ -1762,6 +1785,35 @@ class Pattern:
         default, matching SQL MATCH_RECOGNIZE, and reluctant is the
         opt-in). Shortest completing take-count wins."""
         self._cur().reluctant = True
+        return self
+
+    def until(self, predicate: Predicate) -> "Pattern":
+        """Pattern.until(untilCondition) (flink-cep Pattern.java:228):
+        stop condition for a LOOPING quantifier — once a row satisfies
+        it, no more events are accepted into the loop, and the stop row
+        itself is NOT consumed into the match (the NFA ANDs NOT(until)
+        into the looping state's take and ignore edges). Only valid on
+        an unbounded quantifier (``one_or_more`` / ``times_or_more`` /
+        ``zero_or_more``) and at most once per step — same
+        MalformedPatternException rules as the reference."""
+        s = self._cur()
+        if s.max is not None:
+            raise ValueError(
+                f"step {s.var!r}: until() requires a looping quantifier "
+                "(one_or_more/times_or_more) — Pattern.java throws "
+                "MalformedPatternException for non-looping steps too"
+            )
+        if s.until is not None:
+            raise ValueError(
+                f"step {s.var!r}: only one until() condition can be "
+                "applied (Pattern.java:234)"
+            )
+        s.until = predicate
+        return self
+
+    def times_or_more(self, n: int) -> "Pattern":
+        """Pattern.timesOrMore(n) — at least ``n`` takes, unbounded."""
+        self._cur().min, self._cur().max = n, None
         return self
 
     def within(self, duration) -> "Pattern":

@@ -209,3 +209,76 @@ def cep_followed_by(spark: SparkSession, sf_dir: str):
         _FB_SCHEMA,
         after_match="to_next_row",
     )
+
+
+_UNTIL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("start_ts", TimestampType()),
+        StructField("n_clicks", IntegerType()),
+        StructField("purchase_id", LongType()),
+        StructField("purchase_value", DoubleType()),
+    ]
+)
+
+
+@query(
+    "cep_until_stop",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    seg AS (
+      SELECT *,
+             coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg_id
+      FROM ordered
+    ),
+    g AS (
+      SELECT user_id, seg_id,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS start_ts,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS INT) AS n_clicks,
+             max(CASE WHEN event_type = 'purchase' THEN event_id END) AS purchase_id,
+             max(CASE WHEN event_type = 'purchase' THEN value END) AS purchase_value
+      FROM seg GROUP BY user_id, seg_id
+    )
+    SELECT user_id, start_ts, n_clicks, purchase_id, purchase_value
+    FROM g WHERE n_clicks > 0 AND purchase_id IS NOT NULL
+    """,
+    tags=("cep", "pattern-api"),
+)
+def cep_until_stop(spark: SparkSession, sf_dir: str):
+    """Pattern.until() (flink-cep Pattern.java:228, VERDICT r7 #5):
+    collect a user's clicks with gap-skipping (oneOrMore + allowGaps =
+    Flink's default relaxed loop) UNTIL the first purchase — the stop
+    row is not consumed — then match that purchase as B. Without the
+    stop condition the greedy gap-skipping loop would swallow purchases
+    as gap rows and keep taking later clicks; until() is what bounds
+    the loop at the segment boundary. Oracle: rows segment at each
+    purchase (running purchase count over preceding rows); every
+    segment with >=1 click and a purchase emits (first click ts, click
+    count, the purchase) — exactly the skip-past-last-row match set."""
+    ev = tables.load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    pat = (
+        cep.Pattern.begin("A")
+        .where(lambda r, m: r["event_type"] == "click")
+        .one_or_more()
+        .allow_gaps()
+        .until(lambda r, m: r["event_type"] == "purchase")
+        .followed_by("B")
+        .where(lambda r, m: r["event_type"] == "purchase")
+    )
+    return cep.CEP.pattern(ev, pat, ["user_id"], ["ts", "event_id"]).select(
+        {
+            "start_ts": lambda m: cep.first(m, "A", "ts"),
+            "n_clicks": lambda m: cep.count_of(m, "A"),
+            "purchase_id": lambda m: cep.first(m, "B", "event_id"),
+            "purchase_value": lambda m: cep.first(m, "B", "value"),
+        },
+        _UNTIL_SCHEMA,
+    )

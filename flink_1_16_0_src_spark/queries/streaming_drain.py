@@ -1318,3 +1318,109 @@ def stream_sql_tumble_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
     drained = ssrc.run_to_memory(out, f"drain_sqltvf_{k}", "append")
     return drained.select("window_start", "window_end", "n", "sum_value")
+
+
+@query(
+    "stream_sql_session_drain",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events),
+    flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '2 hours' OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), agg AS (
+      SELECT user_id,
+             min(ts) AS window_start,
+             max(ts) + INTERVAL '2 hours' AS window_end,
+             count(*) AS n,
+             round(sum(value), 2) AS sum_value
+      FROM sessions
+      GROUP BY user_id, session_id
+    )
+    SELECT user_id, window_start, window_end, n, sum_value
+    FROM agg, wm WHERE agg.window_end <= wm.w
+    """,
+    tags=("streaming", "session", "sql-surface"),
+)
+def stream_sql_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SESSION as SQL TEXT (VERDICT r7 #3): DDL table with
+    WATERMARK → stream_query over the SESSION window TVF → append
+    drain. The TVF resolves to the raw streaming frame and the GROUP BY
+    regroups onto Spark's merging ``session_window`` aggregate
+    (SqlSessionTableFunction.java; SessionWindowAssigner merging
+    windows) — same emitted set as stream_session_drain: sessions whose
+    end (last event + gap) the final watermark passed."""
+    import os as _os
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE sq_sess_events_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    out = t.stream_query(f"""
+        SELECT user_id, window_start, window_end,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM TABLE(SESSION(TABLE sq_sess_events_{k} PARTITION BY user_id,
+                           DESCRIPTOR(ts), INTERVAL '2' HOUR))
+        GROUP BY user_id, window_start, window_end
+    """)
+    drained = ssrc.run_to_memory(out, f"drain_sqlsess_{k}", "append")
+    return drained.select("user_id", "window_start", "window_end", "n", "sum_value")
+
+
+@query(
+    "stream_sql_cumulate_drain",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', e.ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', e.ts) + (k.k * INTERVAL '20 minutes') AS window_end,
+           count(*) AS n
+    FROM events e, generate_series(1, 3) k(k)
+    WHERE time_bucket(INTERVAL '1 hour', e.ts) + (k.k * INTERVAL '20 minutes') > e.ts
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window-tvf", "sql-surface", "custom-op"),
+)
+def stream_sql_cumulate_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CUMULATE as SQL TEXT (VERDICT r7 #3): the TVF resolves
+    to the slice-explode view over the streaming frame
+    (SliceAssigners.java:94 expanding slices) and the plain
+    window_start/window_end grouping drains in UPDATE mode with one
+    availableNow batch — the memory sink then holds the final value of
+    every slice, equal to the batch CUMULATE (the oracle), matching the
+    stream_cumulate_drain contract."""
+    import os as _os
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE sq_cum_events_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    out = t.stream_query(f"""
+        SELECT window_start, window_end, count(*) AS n
+        FROM TABLE(CUMULATE(TABLE sq_cum_events_{k}, DESCRIPTOR(ts),
+                            INTERVAL '20' MINUTES, INTERVAL '1' HOUR))
+        GROUP BY window_start, window_end
+    """)
+    drained = ssrc.run_to_memory(out, f"drain_sqlcum_{k}", "update")
+    return drained.select("window_start", "window_end", "n")

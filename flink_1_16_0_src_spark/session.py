@@ -1856,19 +1856,16 @@ class TableEnvironment:
         applied), the windowed view is a streaming relation, and the
         surrounding SELECT compiles to a streaming plan — feed the
         result to writeStream / streaming.sources.run_to_memory.
-        SESSION windows need the merging state machine
-        (streaming/windows.session_agg); their batch-view rewrite uses
-        non-time window functions, which Structured Streaming rejects,
-        so they're rejected here with that pointer."""
+
+        All four window TVFs stream (SqlSessionTableFunction.java,
+        SliceAssigners.java:61-94): SESSION regroups onto Spark's
+        merging ``session_window`` aggregate (the batch gaps-and-islands
+        rewrite uses lag() windows, not streamable); CUMULATE resolves
+        to the slice-explode view whose plain window_start/window_end
+        grouping can't prove append closure — drain it in UPDATE mode
+        with availableNow (the stream_cumulate_drain contract)."""
         import re as _re
 
-        if _re.search(r"TABLE\s*\(\s*(SESSION|CUMULATE)", sql, _re.IGNORECASE):
-            raise ValueError(
-                "SESSION/CUMULATE TVFs in streaming mode: use "
-                "streaming.windows.session_agg / cumulate slicing "
-                "(merging/slicing state machines); their batch rewrites "
-                "are not streamable"
-            )
         from flink_1_16_0_src_spark.sql_clauses import (
             _GW_CALL,
             rewrite_group_windows,
@@ -1880,8 +1877,10 @@ class TableEnvironment:
                 return self.stream(name)
             return self.spark.table(name)
 
+        specs: list[dict] = []
         out = rewrite_window_tvfs(
-            self.spark, translate_hints(sql), resolver, keep_struct=True
+            self.spark, translate_hints(sql), resolver, keep_struct=True,
+            specs=specs,
         )
         if _GW_CALL.search(out):
             # legacy GROUP BY TUMBLE/HOP(...) streaming syntax — the
@@ -1889,6 +1888,23 @@ class TableEnvironment:
             out = rewrite_group_windows(
                 self.spark, out, resolver, keep_struct=True
             )
+        kinds = {s["fn"] for s in specs}
+        if ("CUMULATE" in kinds or "SESSION" in kinds) and len(specs) != 1:
+            raise ValueError(
+                "streaming SESSION/CUMULATE SQL supports a single window "
+                "TVF per statement"
+            )
+        if "CUMULATE" in kinds:
+            return self.spark.sql(out)
+        session_spec = next((s for s in specs if s["fn"] == "SESSION"), None)
+        if session_spec is None:
+            struct_tok = "__w"
+        else:
+            struct_tok = (
+                f"session_window({session_spec['ts']},"
+                f" '{session_spec['gap']}')"
+            )
+        start_ext, end_ext = f"{struct_tok}.start", f"{struct_tok}.end"
         # STREAMING aggregation must group by the TimeWindow struct —
         # only it carries the event-time attribute (extracted start/end
         # columns lose the watermark linkage and Spark rejects append
@@ -1901,7 +1917,22 @@ class TableEnvironment:
             if not any(e.lower() in ("window_start", "window_end") for e in entries):
                 return m.group(0)
             keep = [e for e in entries if e.lower() not in ("window_start", "window_end")]
-            return "GROUP BY " + ", ".join(["__w"] + keep)
+            if session_spec is not None:
+                # Flink sessions merge per PARTITION BY key regardless
+                # of the grouping; Spark's session_window merges per
+                # the full GROUP BY key set — require the declared keys
+                # in the GROUP BY so the two agree
+                keep_bare = [e.split(".")[-1].lower() for e in keep]
+                missing = [
+                    k for k in session_spec.get("keys", ())
+                    if k.split(".")[-1].lower() not in keep_bare
+                ]
+                if missing:
+                    raise ValueError(
+                        f"streaming SESSION: PARTITION BY keys {missing} "
+                        "must appear in GROUP BY (session merge scope)"
+                    )
+            return "GROUP BY " + ", ".join([struct_tok] + keep)
 
         def _depth_at(s: str, idx: int) -> int:
             depth, i = 0, 0
@@ -1948,22 +1979,23 @@ class TableEnvironment:
         # HAVING/ORDER BY) a bare extract — an alias there is invalid
         fm = _re.search(r"\bFROM\b", out, _re.IGNORECASE)
         head, tail = out[: fm.start()], out[fm.start():]
-        for tok, ext in (("window_start", "__w.start"), ("window_end", "__w.end")):
+        for tok, ext in (("window_start", start_ext), ("window_end", end_ext)):
             head = _re.sub(  # explicit alias kept: `window_start AS ws`
-                rf"(?<![\w.]){tok}(?![\w.])(?=\s+AS\b)", ext, head,
-                flags=_re.IGNORECASE,
+                rf"(?<![\w.]){tok}(?![\w.])(?=\s+AS\b)",
+                lambda _m, e=ext: e, head, flags=_re.IGNORECASE,
             )
             head = _re.sub(  # bare item keeps the TVF column name
-                rf"(?<![\w.]){tok}(?![\w.])", f"{ext} AS {tok}", head,
+                rf"(?<![\w.]){tok}(?![\w.])",
+                lambda _m, e=ext, t=tok: f"{e} AS {t}", head,
                 flags=_re.IGNORECASE,
             )
         tail = _re.sub(
             r"(?<![\w.])window_start(?![\w.])",
-            "__w.start", tail, flags=_re.IGNORECASE,
+            lambda _m: start_ext, tail, flags=_re.IGNORECASE,
         )
         tail = _re.sub(
             r"(?<![\w.])window_end(?![\w.])",
-            "__w.end", tail, flags=_re.IGNORECASE,
+            lambda _m: end_ext, tail, flags=_re.IGNORECASE,
         )
         return self.spark.sql(head + tail)
 

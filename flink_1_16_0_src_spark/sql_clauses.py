@@ -129,7 +129,11 @@ def _interval_str(arg: str) -> str:
 
 
 def rewrite_window_tvfs(
-    spark: SparkSession, sql: str, resolver=None, keep_struct: bool = False
+    spark: SparkSession,
+    sql: str,
+    resolver=None,
+    keep_struct: bool = False,
+    specs: list | None = None,
 ) -> str:
     """Replace every ``TABLE(TUMBLE|HOP|CUMULATE|SESSION(...))``
     occurrence with a temp view holding the windowed relation.
@@ -139,7 +143,16 @@ def rewrite_window_tvfs(
     resolver: the windowed view is then a streaming relation and the
     surrounding SQL stays a streaming plan (Spark SQL composes over
     streaming temp views; the unsupported-operation check runs at sink
-    time, same as the reference's planner validation)."""
+    time, same as the reference's planner validation).
+
+    ``specs`` (streaming callers): every rewritten TVF appends a dict
+    {fn, ts, view, ...} so the caller can adapt its struct-regroup to
+    the window kind. With ``keep_struct`` + ``specs``, SESSION
+    registers the RAW streaming frame (gap + partition keys in the
+    spec): per-row session assignment needs lag() windows — not
+    streamable — so the merging state machine is engaged at the
+    aggregation instead, via ``session_window`` grouping
+    (SessionWindowAssigner.java:36 / merging windows)."""
     resolver = resolver or spark.table
     counter = 0
     while True:
@@ -174,6 +187,7 @@ def rewrite_window_tvfs(
         ts = dm.group(1)
         df = resolver(tbl)
         rest = args[2:]
+        spec: dict = {"fn": fn, "ts": ts}
         if fn == "TUMBLE":
             size = _interval_str(named("SIZE", rest[0]))
             offset = _interval_str(rest[1]) if len(rest) > 1 else None
@@ -190,10 +204,19 @@ def rewrite_window_tvfs(
         else:  # SESSION
             gap = _interval_str(named("GAP", rest[0]))
             keys = [k.strip() for k in (part_by or "").split(",") if k.strip()]
-            out = windows.session(df, ts, gap, *keys)
+            if keep_struct and specs is not None:
+                # streaming: no per-row assignment — the caller regroups
+                # onto session_window(ts, gap) (merging state machine)
+                out = df
+                spec.update(gap=gap, keys=keys)
+            else:
+                out = windows.session(df, ts, gap, *keys)
         view = f"__tvf_{fn.lower()}_{tbl}_{counter}"
         counter += 1
         out.createOrReplaceTempView(view)
+        if specs is not None:
+            spec["view"] = view
+            specs.append(spec)
         sql = sql[: m.start()] + view + sql[end_outer + 1 :]
 
 

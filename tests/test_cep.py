@@ -1006,3 +1006,101 @@ def test_pattern_api_reluctant_and_greedy():
     r = base().reluctant().next("C").where(lambda r, m: r["v"] >= 10).build()
     assert cep.first(cep.match_sequence(rows, g)[0], "C", "i") == 5
     assert cep.first(cep.match_sequence(rows, r)[0], "C", "i") == 3
+
+
+class TestPatternUntil:
+    """Pattern.until() (Pattern.java:228): loop stop condition — the
+    stop row is NOT consumed; the loop stops accepting takes when a row
+    satisfies it (take AND ignore edges, so gap rows can stop a relaxed
+    loop too)."""
+
+    def test_until_bounds_gap_skipping_loop(self):
+        # v: clicks=1, gap=0, stop=9; A+ allow_gaps until(v==9), B: v==9
+        rows = _rows([1, 0, 1, 9, 1, 1, 9])
+        pat = (
+            cep.Pattern.begin("A").where(lambda r, m: r["v"] == 1)
+            .one_or_more().allow_gaps()
+            .until(lambda r, m: r["v"] == 9)
+            .followed_by("B").where(lambda r, m: r["v"] == 9)
+        )
+        ms = cep.match_sequence(rows, pat.build())
+        # without until, the greedy loop would skip the first 9 as a
+        # gap row and take the later 1s; with until each segment emits
+        assert [cep.count_of(m, "A") for m in ms] == [2, 2]
+        assert [cep.first(m, "B", "i") for m in ms] == [3, 6]
+
+    def test_until_stop_row_not_consumed(self):
+        # loop stops AT the stop row; a following step can match it
+        rows = _rows([1, 1, 9, 1])
+        pat = (
+            cep.Pattern.begin("A").where(lambda r, m: r["v"] == 1)
+            .one_or_more()
+            .until(lambda r, m: r["v"] == 9)
+            .next("B").where(lambda r, m: r["v"] == 9)
+        )
+        ms = cep.match_sequence(rows, pat.build())
+        assert len(ms) == 1
+        assert cep.count_of(ms[0], "A") == 2
+        assert cep.first(ms[0], "B", "i") == 2
+
+    def test_until_with_reluctant_loop(self):
+        # reluctant prefers the SHORTEST take count; until still caps
+        # the feasible takes — B anchors the earliest completing row
+        rows = _rows([1, 1, 1, 9, 5])
+        base = lambda: (
+            cep.Pattern.begin("A").where(lambda r, m: r["v"] == 1)
+            .one_or_more()
+            .until(lambda r, m: r["v"] == 9)
+        )
+        greedy = base().greedy().followed_by("B").where(
+            lambda r, m: r["v"] > 1).build()
+        rel = base().reluctant().followed_by("B").where(
+            lambda r, m: r["v"] > 1).build()
+        gm = cep.match_sequence(rows, greedy)
+        rm = cep.match_sequence(rows, rel)
+        assert cep.count_of(gm[0], "A") == 3 and cep.first(gm[0], "B", "i") == 3
+        assert cep.count_of(rm[0], "A") == 1 and cep.first(rm[0], "B", "i") == 3
+
+    def test_until_first_candidate_stops_loop(self):
+        # a stop row at the loop head means zero takes -> min=1 fails
+        rows = _rows([9, 1, 1])
+        pat = (
+            cep.Pattern.begin("A").where(lambda r, m: r["v"] >= 1)
+            .one_or_more()
+            .until(lambda r, m: r["v"] == 9)
+        )
+        ms = cep.match_sequence(rows, pat.build())
+        # anchor 0 is the stop row (no takes); anchors 1/2 match
+        assert [cep.count_of(m, "A") for m in ms] == [2]
+
+    def test_until_validation(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="looping"):
+            cep.Pattern.begin("A").where(lambda r, m: True).until(
+                lambda r, m: True)
+        p = cep.Pattern.begin("A").where(lambda r, m: True).one_or_more()
+        p.until(lambda r, m: True)
+        with _pytest.raises(ValueError, match="one until"):
+            p.until(lambda r, m: True)
+
+    def test_times_or_more_with_until(self):
+        rows = _rows([1, 1, 1, 9, 1])
+        pat = (
+            cep.Pattern.begin("A").where(lambda r, m: r["v"] == 1)
+            .times_or_more(2)
+            .until(lambda r, m: r["v"] == 9)
+        )
+        ms = cep.match_sequence(rows, pat.build())
+        assert [cep.count_of(m, "A") for m in ms] == [3]
+
+    def test_until_forces_row_path(self):
+        steps = (
+            cep.Pattern.begin("A")
+            .where(lambda r, m: r["v"] == 1,
+                   vec=lambda pdf: (pdf["v"] == 1).to_numpy())
+            .one_or_more()
+            .until(lambda r, m: r["v"] == 9)
+            .build()
+        )
+        assert not cep.steps_all_vec(steps)

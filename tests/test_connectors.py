@@ -1000,13 +1000,59 @@ def test_create_drop_function_sql(tenv):
     tenv.execute_sql("DROP FUNCTION IF EXISTS never_existed")  # no raise
 
 
-def test_stream_query_session_rejected(tenv):
+def test_stream_query_session_and_cumulate(tenv, spark, tmp_path):
+    """SESSION and CUMULATE window TVFs as streaming SQL text (VERDICT
+    r7 #3): SESSION regroups onto the merging session_window aggregate
+    and drains append; CUMULATE resolves to the slice-explode view and
+    drains update (plain-column grouping can't prove append closure)."""
+    import datetime as dt
+
     import pytest
 
-    with pytest.raises(ValueError, match="SESSION/CUMULATE"):
-        tenv.stream_query(
-            "SELECT window_start FROM TABLE(SESSION(TABLE x, DESCRIPTOR(ts), INTERVAL '1' HOUR))"
-        )
+    from flink_1_16_0_src_spark.streaming import sources as ssrc
+
+    d = str(tmp_path / "sqsess")
+    spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1, 10, 0), 1.0),
+         ("a", dt.datetime(2024, 1, 1, 10, 10), 2.0),
+         ("a", dt.datetime(2024, 1, 1, 12, 0), 4.0),
+         ("b", dt.datetime(2024, 1, 1, 14, 0), 8.0)],
+        "k string, ts timestamp, v double",
+    ).write.parquet(d)
+    tenv.execute_sql(
+        f"CREATE TABLE sqs_ev (k STRING, ts TIMESTAMP(3), v DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{d}','format'='parquet')"
+    )
+    out = tenv.stream_query("""
+        SELECT k, window_start, window_end, sum(v) AS s
+        FROM TABLE(SESSION(TABLE sqs_ev PARTITION BY k, DESCRIPTOR(ts), INTERVAL '30' MINUTE))
+        GROUP BY k, window_start, window_end
+    """)
+    assert out.isStreaming
+    rows = ssrc.run_to_memory(out, "sqs_drain", "append").collect()
+    # final watermark 14:00-1min closes a's both sessions, not b's
+    got = sorted((r.k, r.window_start.hour, r.s) for r in rows)
+    assert got == [("a", 10, 3.0), ("a", 12, 4.0)]
+    # session merge scope: PARTITION BY key missing from GROUP BY
+    with pytest.raises(ValueError, match="session merge scope"):
+        tenv.stream_query("""
+            SELECT window_start, count(*) AS n
+            FROM TABLE(SESSION(TABLE sqs_ev PARTITION BY k, DESCRIPTOR(ts), INTERVAL '30' MINUTE))
+            GROUP BY window_start, window_end
+        """)
+    cum = tenv.stream_query("""
+        SELECT window_start, window_end, count(*) AS n
+        FROM TABLE(CUMULATE(TABLE sqs_ev, DESCRIPTOR(ts), INTERVAL '30' MINUTES, INTERVAL '1' HOUR))
+        GROUP BY window_start, window_end
+    """)
+    assert cum.isStreaming
+    crows = ssrc.run_to_memory(cum, "sqc_drain", "update").collect()
+    # 10:00 span: both rows (10:00, 10:10) precede both slice ends
+    # (10:30, 11:00); the 12:00 row fills its span's two slices alone
+    by_end = {(r.window_start.hour, r.window_end.strftime("%H:%M")): r.n for r in crows}
+    assert by_end[(10, "10:30")] == 2 and by_end[(10, "11:00")] == 2
+    assert by_end[(12, "12:30")] == 1 and by_end[(12, "13:00")] == 1
 
 
 def test_ddl_complex_types_row_multiset(tenv, spark, tmp_path):
