@@ -2180,3 +2180,114 @@ GROUP BY 1, 2
     "with the returns filter on the fact and the segment filter on the "
     "customer dimension.",
 )
+
+
+# ---- a/b variant siblings (TpcdsTestProgram.java:76-84 runs 103 files:
+# the 99 families plus 14a/b, 23a/b, 24a/b, 39a/b). The b-variants'
+# DISTINGUISHING structure, adapted to the fixture schema like every
+# shape above; the a-structures are the previously registered family
+# entries (tpcds_q14_cross_channel_intersect, tpcds_q23_frequent_buyers,
+# tpcds_q24_spend_above_global_threshold, tpcds_q39_consecutive_cov).
+
+_register(
+    "tpcds_q14b_yoy_cross_channel",
+    """
+WITH both_chan AS (
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+  INTERSECT
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+),
+yr AS (
+  SELECT p_brand, year(l_shipdate) AS yr,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem JOIN both_chan b ON lineitem.l_partkey = b.l_partkey
+  JOIN part ON lineitem.l_partkey = p_partkey
+  WHERE year(l_shipdate) IN (1995, 1996)
+  GROUP BY p_brand, year(l_shipdate)
+)
+SELECT cur.p_brand,
+       cur.cents AS rev_this_cents,
+       prev.cents AS rev_last_cents
+FROM yr cur JOIN yr prev
+  ON cur.p_brand = prev.p_brand AND cur.yr = 1996 AND prev.yr = 1995
+WHERE 10 * cur.cents < 9 * prev.cents
+ORDER BY cur.p_brand
+""",
+    "TPC-DS q14b shape: where 14a aggregates the cross-channel item "
+    "set in one period, 14b compares THIS year vs LAST year for the "
+    "same intersect-qualified set (self-join of the yearly aggregate, "
+    "declining-revenue filter as integer cross-multiplication).",
+)
+
+_register(
+    "tpcds_q23b_spend_vs_max",
+    """
+WITH frequent AS (
+  SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) >= 4
+), spend AS (
+  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), qualified AS (
+  SELECT s.o_custkey, s.cents
+  FROM spend s WHERE s.o_custkey IN (SELECT o_custkey FROM frequent)
+)
+SELECT c_name, q.cents AS spend_cents
+FROM qualified q JOIN customer ON q.o_custkey = c_custkey
+WHERE 2 * q.cents > (SELECT max(cents) FROM qualified)
+ORDER BY c_name
+""",
+    "TPC-DS q23b shape: where 23a ranks the frequency-qualified "
+    "spenders top-N, 23b keeps customers whose spend clears a scalar "
+    "threshold derived from the SAME qualified CTE's maximum (the "
+    "best-customer 95-percent-of-max idiom, exact-integer form) and "
+    "joins out the customer names.",
+)
+
+_register(
+    "tpcds_q24b_spend_above_global_threshold_alt",
+    """
+WITH ss AS (
+  SELECT c_custkey, c_name, p_brand,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS paid_cents
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_returnflag = 'A'
+  GROUP BY 1, 2, 3
+)
+SELECT c_custkey, c_name, p_brand, paid_cents
+FROM ss
+WHERE 10 * paid_cents * (SELECT CAST(count(*) AS BIGINT) FROM ss)
+      > 15 * (SELECT CAST(sum(paid_cents) AS BIGINT) FROM ss)
+""",
+    "TPC-DS q24b shape: structurally 24a with the variant's swapped "
+    "parameter set (the reference's b-file changes only the color "
+    "literal) — different channel slice ('A') and a 1.5x global-average "
+    "threshold, still the triple-scan shared-CTE scalar pattern.",
+)
+
+_register(
+    "tpcds_q39b_cov_pair_strict",
+    """
+WITH stats AS (
+  SELECT l_suppkey, month(l_shipdate) AS mo,
+         round(avg(l_quantity), 4) AS mean_q,
+         round(stddev_samp(l_quantity), 4) AS std_q
+  FROM lineitem WHERE year(l_shipdate) = 1995 AND month(l_shipdate) IN (3, 4)
+  GROUP BY l_suppkey, month(l_shipdate)
+  HAVING count(*) >= 3 AND avg(l_quantity) > 0 AND stddev_samp(l_quantity) / avg(l_quantity) > 0.5
+)
+SELECT a.l_suppkey,
+       a.mean_q AS mean_m3, a.std_q AS std_m3,
+       b.mean_q AS mean_m4, b.std_q AS std_m4
+FROM stats a JOIN stats b ON a.l_suppkey = b.l_suppkey AND a.mo = 3 AND b.mo = 4
+WHERE a.std_q > 0.6 * a.mean_q AND b.std_q > 0.6 * b.mean_q
+ORDER BY a.l_suppkey
+""",
+    "TPC-DS q39b shape: 39a's consecutive-period coefficient-of-"
+    "variation pairs with the b-variant's EXTRA strictness filter "
+    "applied to both periods of the joined pair (the reference's b-file "
+    "adds cov >= 1.5 on top of the a-structure; here the tightened "
+    "bound tests the rounded stat columns, no re-division).",
+)
