@@ -1424,3 +1424,62 @@ def stream_sql_cumulate_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
     drained = ssrc.run_to_memory(out, f"drain_sqlcum_{k}", "update")
     return drained.select("window_start", "window_end", "n")
+
+
+@query(
+    "stream_sql_groupwin_session_drain",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events),
+    flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '2 hours' OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), agg AS (
+      SELECT user_id,
+             min(ts) AS window_start,
+             count(*) AS n,
+             round(sum(value), 2) AS sum_value,
+             max(ts) + INTERVAL '2 hours' AS window_end
+      FROM sessions
+      GROUP BY user_id, session_id
+    )
+    SELECT user_id, window_start, n, sum_value
+    FROM agg, wm WHERE agg.window_end <= wm.w
+    """,
+    tags=("streaming", "session", "sql-surface"),
+)
+def stream_sql_groupwin_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEGACY ``GROUP BY SESSION(ts, gap)`` + ``SESSION_START`` aux in
+    STREAMING mode through stream_query (pre-FLIP-145 syntax,
+    StreamExecGroupWindowAggregate.java:88) — the raw frame regroups
+    onto the merging session_window aggregate exactly like the SESSION
+    TVF path; emitted set = watermark-closed sessions."""
+    import os as _os
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE sq_gws_events_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    out = t.stream_query(f"""
+        SELECT user_id, SESSION_START(ts, INTERVAL '2' HOUR) AS window_start,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM sq_gws_events_{k} GROUP BY user_id, SESSION(ts, INTERVAL '2' HOUR)
+    """)
+    drained = ssrc.run_to_memory(out, f"drain_sqlgws_{k}", "append")
+    return drained.select("user_id", "window_start", "n", "sum_value")

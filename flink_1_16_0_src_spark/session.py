@@ -1883,10 +1883,11 @@ class TableEnvironment:
             specs=specs,
         )
         if _GW_CALL.search(out):
-            # legacy GROUP BY TUMBLE/HOP(...) streaming syntax — the
-            # pre-FLIP-145 classic; same struct-regroup path as the TVFs
+            # legacy GROUP BY TUMBLE/HOP/SESSION(...) streaming syntax —
+            # the pre-FLIP-145 classic; same struct-regroup path as the
+            # TVFs (SESSION contributes a session_window spec)
             out = rewrite_group_windows(
-                self.spark, out, resolver, keep_struct=True
+                self.spark, out, resolver, keep_struct=True, specs=specs
             )
         kinds = {s["fn"] for s in specs}
         if ("CUMULATE" in kinds or "SESSION" in kinds) and len(specs) != 1:
@@ -1980,14 +1981,17 @@ class TableEnvironment:
         fm = _re.search(r"\bFROM\b", out, _re.IGNORECASE)
         head, tail = out[: fm.start()], out[fm.start():]
         for tok, ext in (("window_start", start_ext), ("window_end", end_ext)):
-            head = _re.sub(  # explicit alias kept: `window_start AS ws`
-                rf"(?<![\w.]){tok}(?![\w.])(?=\s+AS\b)",
-                lambda _m, e=ext: e, head, flags=_re.IGNORECASE,
-            )
-            head = _re.sub(  # bare item keeps the TVF column name
-                rf"(?<![\w.]){tok}(?![\w.])",
-                lambda _m, e=ext, t=tok: f"{e} AS {t}", head,
-                flags=_re.IGNORECASE,
+            # one pass per token, consuming any explicit `AS alias` into
+            # the match so an alias that is ITSELF named window_start
+            # (e.g. `SESSION_START(...) AS window_start` after the aux
+            # rewrite) is never re-substituted; a bare item keeps the
+            # TVF column name as its alias
+            head = _re.sub(
+                rf"(?<![\w.]){tok}(?![\w.])(\s+AS\s+\w+)?",
+                lambda m, e=ext, t=tok: (
+                    e + m.group(1) if m.group(1) else f"{e} AS {t}"
+                ),
+                head, flags=_re.IGNORECASE,
             )
         tail = _re.sub(
             r"(?<![\w.])window_start(?![\w.])",

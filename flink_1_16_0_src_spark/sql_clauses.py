@@ -260,7 +260,11 @@ def _statement_from(sql: str) -> tuple[int, int, str] | None:
 
 
 def rewrite_group_windows(
-    spark: SparkSession, sql: str, resolver=None, keep_struct: bool = False
+    spark: SparkSession,
+    sql: str,
+    resolver=None,
+    keep_struct: bool = False,
+    specs: list | None = None,
 ) -> str:
     """Lower the LEGACY group-window SQL syntax — ``GROUP BY
     TUMBLE(ts, INTERVAL '1' HOUR)`` / ``HOP(ts, slide, size)`` /
@@ -335,15 +339,31 @@ def rewrite_group_windows(
             keep_struct=keep_struct,
         )
     else:  # SESSION — per remaining grouping keys, like SessionWindowAssigner
-        if keep_struct:
-            raise ValueError(
-                "SESSION group windows in streaming mode: use "
-                "streaming.windows.session_agg (merging-window state machine)"
-            )
         key_cols = [k.split(".")[-1] for k in keys]
         if any(not re.fullmatch(r"\w+", k) for k in key_cols):
             raise ValueError("SESSION group window keys must be simple columns")
-        out = windows.session(df, ts_col, _interval_str(args[1]), *key_cols)
+        if keep_struct:
+            if specs is None:
+                raise ValueError(
+                    "SESSION group windows in streaming mode: use "
+                    "streaming.windows.session_agg (merging-window state "
+                    "machine) or TableEnvironment.stream_query"
+                )
+            # streaming: the batch gaps-and-islands rewrite uses lag()
+            # windows (not streamable) — register the raw frame and let
+            # the caller regroup onto the merging session_window
+            # aggregate, same contract as the SESSION TVF spec path
+            out = df
+            specs.append(
+                {
+                    "fn": "SESSION",
+                    "ts": ts_col,
+                    "gap": _interval_str(args[1]),
+                    "keys": key_cols,
+                }
+            )
+        else:
+            out = windows.session(df, ts_col, _interval_str(args[1]), *key_cols)
     # uniquified like the TVF views: same table + different window
     # specs in one session must not collide
     global _GW_COUNTER

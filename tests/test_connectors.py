@@ -1251,3 +1251,34 @@ def test_stream_query_nested_window_group_by_rejected(tenv, spark, tmp_path):
               FROM TABLE(TUMBLE(TABLE nwgb_ev, DESCRIPTOR(ts), INTERVAL '1' HOUR))
               GROUP BY k, window_start, window_end) t
         """)
+
+
+def test_stream_query_legacy_session_group_window(tenv, spark, tmp_path):
+    """Legacy GROUP BY SESSION(ts, gap) in STREAMING mode routes onto
+    the merging session_window aggregate like the SESSION TVF
+    (pre-FLIP-145 syntax, StreamExecGroupWindowAggregate)."""
+    import datetime as dt
+
+    from flink_1_16_0_src_spark.streaming import sources as ssrc
+
+    d = str(tmp_path / "lgs")
+    spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1, 10, 0), 1.0),
+         ("a", dt.datetime(2024, 1, 1, 10, 10), 2.0),
+         ("a", dt.datetime(2024, 1, 1, 12, 0), 4.0),
+         ("b", dt.datetime(2024, 1, 1, 14, 0), 8.0)],
+        "k string, ts timestamp, v double",
+    ).write.parquet(d)
+    tenv.execute_sql(
+        f"CREATE TABLE lgs_ev (k STRING, ts TIMESTAMP(3), v DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{d}','format'='parquet')"
+    )
+    out = tenv.stream_query("""
+        SELECT k, SESSION_START(ts, INTERVAL '30' MINUTE) AS ws, sum(v) AS s
+        FROM lgs_ev GROUP BY k, SESSION(ts, INTERVAL '30' MINUTE)
+    """)
+    assert out.isStreaming
+    rows = ssrc.run_to_memory(out, "lgs_drain", "append").collect()
+    assert sorted((r.k, r.ws.hour, r.s) for r in rows) == [
+        ("a", 10, 3.0), ("a", 12, 4.0)]
