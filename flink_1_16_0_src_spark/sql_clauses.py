@@ -284,35 +284,67 @@ def rewrite_group_windows(
     grouping keys. ``*_PROCTIME`` needs a processing-time attribute —
     nondeterministic by definition — and is rejected like PROCTIME().
     """
-    gbm = re.search(r"\bGROUP\s+BY\b", sql, re.IGNORECASE)
-    if gbm is None or not _GW_CALL.search(sql[gbm.end():]):
+    if not _GW_CALL.search(sql):
         return sql
-    # GROUP BY clause extent: up to a depth-0 HAVING/ORDER/LIMIT/WINDOW
-    i, depth, n = gbm.end(), 0, len(sql)
-    while i < n:
-        c = sql[i]
-        if c == "'":
-            i += 1
-            while i < n and sql[i] != "'":
+
+    def _clause_end(start: int) -> int:
+        # GROUP BY clause extent: up to a depth-0 HAVING/ORDER/LIMIT/
+        # WINDOW keyword or the enclosing block's closing paren
+        i, depth, n = start, 0, len(sql)
+        while i < n:
+            c = sql[i]
+            if c == "'":
                 i += 1
-        elif c == "(":
-            depth += 1
-        elif c == ")":
-            if depth == 0:
+                while i < n and sql[i] != "'":
+                    i += 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and re.match(
+                r"(HAVING|ORDER|LIMIT|WINDOW)\b", sql[i:], re.IGNORECASE
+            ) and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
                 break
-            depth -= 1
-        elif depth == 0 and re.match(
-            r"(HAVING|ORDER|LIMIT|WINDOW)\b", sql[i:], re.IGNORECASE
-        ) and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
-            break
-        i += 1
-    clause_end = i
-    entries = _split_top_commas(sql[gbm.end():clause_end])
-    win = [
-        k for k, e in enumerate(entries)
-        if re.match(r"(TUMBLE|HOP|SESSION)\s*\(", e, re.IGNORECASE)
-    ]
-    if not win:
+            i += 1
+        return i
+
+    # locate the GROUP BY whose clause holds the window call — the
+    # FIRST textual GROUP BY may belong to a windowless subquery; a
+    # window call inside a subquery is rejected rather than rewritten
+    # against the statement-level FROM (single-block scope)
+    gbm = clause_end = entries = win = None
+    for cand in re.finditer(r"\bGROUP\s+BY\b", sql, re.IGNORECASE):
+        ce = _clause_end(cand.end())
+        ents = _split_top_commas(sql[cand.end():ce])
+        w = [
+            k for k, e in enumerate(ents)
+            if re.match(r"(TUMBLE|HOP|SESSION)\s*\(", e, re.IGNORECASE)
+        ]
+        if not w:
+            continue
+        depth, j = 0, 0
+        while j < cand.start():
+            c = sql[j]
+            if c == "'":
+                j += 1
+                while j < cand.start() and sql[j] != "'":
+                    j += 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            j += 1
+        if depth > 0:
+            raise ValueError(
+                "legacy group window inside a subquery: the rewrite "
+                "supports the single-block shape — restructure or "
+                "compose via operators.windows"
+            )
+        gbm, clause_end, entries, win = cand, ce, ents, w
+        break
+    if gbm is None:
         return sql
     if len(win) > 1:
         raise ValueError("only one group window per GROUP BY (Flink restriction)")

@@ -517,3 +517,24 @@ def test_group_window_aux_argument_mismatch_rejected(spark):
             SELECT TUMBLE_END(v, INTERVAL '1' HOUR) AS we, count(*) AS n
             FROM gw_events GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)
         """)
+
+
+def test_group_window_subquery_scoping(spark):
+    """A windowless subquery GROUP BY before the real group-window
+    clause must not hijack the rewrite; a group window INSIDE a
+    subquery is rejected (single-block scope), not rewritten against
+    the outer FROM."""
+    _ts_events(spark)
+    out = spark.sql(rewrite_flink_clauses(spark, """
+        SELECT k, TUMBLE_START(ts, INTERVAL '1' HOUR) AS ws, sum(v) AS s
+        FROM gw_events
+        WHERE k IN (SELECT k FROM gw_events GROUP BY k)
+        GROUP BY k, TUMBLE(ts, INTERVAL '1' HOUR)
+    """))
+    assert out.count() == 3
+    with pytest.raises(ValueError, match="subquery"):
+        rewrite_flink_clauses(spark, """
+            SELECT * FROM (
+              SELECT k, count(*) AS n FROM gw_events
+              GROUP BY k, TUMBLE(ts, INTERVAL '1' HOUR)) t
+        """)
