@@ -1483,3 +1483,53 @@ def stream_sql_groupwin_session_drain(spark: SparkSession, sf_dir: str) -> DataF
     """)
     drained = ssrc.run_to_memory(out, f"drain_sqlgws_{k}", "append")
     return drained.select("user_id", "window_start", "n", "sum_value")
+
+
+@query(
+    "stream_sql_window_join_drain",
+    oracle="""
+    SELECT a.user_id,
+           time_bucket(INTERVAL '1 hour', a.ts) AS window_start,
+           a.event_id AS click_id, b.event_id AS purchase_id
+    FROM events a JOIN events b
+      ON time_bucket(INTERVAL '1 hour', a.ts) = time_bucket(INTERVAL '1 hour', b.ts)
+     AND a.user_id = b.user_id
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    """,
+    tags=("streaming", "join", "window", "sql-surface"),
+)
+def stream_sql_window_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING window join as SQL TEXT — the reference's documented
+    two-TVF form (window-join.md; StreamExecWindowJoin.java): both
+    sides are TUMBLE TVFs and the ON clause equates window_start,
+    window_end and the key. The TVF views keep their event-time
+    linkage, the single-side WHERE filters push below the join into
+    each scan (state holds only filtered rows at scale), and the inner
+    join drains append with one availableNow batch = all matches (the
+    oracle: the batch window self-join of clicks x purchases)."""
+    import os as _os
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    for side in ("l", "r"):
+        t.execute_sql(
+            f"CREATE TABLE sq_wj_{side}_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+            f" user_id BIGINT, event_type STRING, value DOUBLE,"
+            f" WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)"
+            f" WITH ('connector'='filesystem',"
+            f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+            f"'format'='parquet')"
+        )
+    out = t.stream_query(f"""
+        SELECT L.user_id, L.window_start,
+               L.event_id AS click_id, R.event_id AS purchase_id
+        FROM TABLE(TUMBLE(TABLE sq_wj_l_{k}, DESCRIPTOR(ts), INTERVAL '1' HOUR)) L
+        JOIN TABLE(TUMBLE(TABLE sq_wj_r_{k}, DESCRIPTOR(ts), INTERVAL '1' HOUR)) R
+          ON L.window_start = R.window_start AND L.window_end = R.window_end
+         AND L.user_id = R.user_id
+        WHERE L.event_type = 'click' AND R.event_type = 'purchase'
+    """)
+    drained = ssrc.run_to_memory(out, f"drain_sqlwj_{k}", "append")
+    return drained.select("user_id", "window_start", "click_id", "purchase_id")
