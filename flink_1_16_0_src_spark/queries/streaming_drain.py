@@ -1533,3 +1533,47 @@ def stream_sql_window_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
     drained = ssrc.run_to_memory(out, f"drain_sqlwj_{k}", "append")
     return drained.select("user_id", "window_start", "click_id", "purchase_id")
+
+
+@query(
+    "stream_sql_interval_join_drain",
+    oracle="""
+    SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts BETWEEN a.ts AND a.ts + INTERVAL '1 hour'
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    """,
+    tags=("streaming", "join", "interval", "sql-surface"),
+)
+def stream_sql_interval_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING interval join as SQL TEXT (StreamExecIntervalJoin;
+    the reference's time-bounded join syntax): plain DDL-table
+    references in stream_query now resolve to watermarked streaming
+    frames, so the BETWEEN time-bound + key equality compiles to
+    Spark's stream-stream join with watermark state cleanup. Inner
+    join drains append with one availableNow batch = all matches."""
+    import os as _os
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    for side in ("l", "r"):
+        t.execute_sql(
+            f"CREATE TABLE sq_ij_{side}_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+            f" user_id BIGINT, event_type STRING, value DOUBLE,"
+            f" WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)"
+            f" WITH ('connector'='filesystem',"
+            f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+            f"'format'='parquet')"
+        )
+    out = t.stream_query(f"""
+        SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id
+        FROM sq_ij_l_{k} a JOIN sq_ij_r_{k} b
+          ON a.user_id = b.user_id
+         AND b.ts BETWEEN a.ts AND a.ts + INTERVAL '1' HOUR
+        WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    """)
+    drained = ssrc.run_to_memory(out, f"drain_sqlij_{k}", "append")
+    return drained.select("user_id", "click_id", "purchase_id")

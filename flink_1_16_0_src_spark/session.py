@@ -1889,6 +1889,23 @@ class TableEnvironment:
             out = rewrite_group_windows(
                 self.spark, out, resolver, keep_struct=True, specs=specs
             )
+        # plain (non-TVF) references to DDL sources stream too: an
+        # interval join / filter / agg over raw attributes is a valid
+        # streaming statement in the reference (StreamExecIntervalJoin
+        # et al.) — substitute each remaining source-table token with a
+        # streaming temp view of it (declared watermark applied).
+        # Quote-aware so string literals are untouched.
+        for name in self._sources:
+            pat = rf"(?<![\w.]){_re.escape(name)}(?![\w.])"
+            if not _re.search(pat, out, _re.IGNORECASE):
+                continue
+            sview = f"__stream_src_{name}"
+            self.stream(name).createOrReplaceTempView(sview)
+            parts = _re.split(r"('(?:[^']|'')*')", out)
+            out = "".join(
+                p if i % 2 else _re.sub(pat, sview, p, flags=_re.IGNORECASE)
+                for i, p in enumerate(parts)
+            )
         kinds = {s["fn"] for s in specs}
         if ("CUMULATE" in kinds or "SESSION" in kinds) and len(specs) != 1:
             raise ValueError(
