@@ -197,3 +197,28 @@ def boilerplate_ngrams(
         .agg(F.countDistinct(id_col).alias("doc_freq"))
         .where(F.col("doc_freq") >= min_docs)
     )
+
+
+def hash_lm_ppl_micro(text_col: str) -> Column:
+    """CCNet-style language-model perplexity proxy (Wenzek et al. 2019
+    §4.3: per-paragraph KenLM perplexity drives head/middle/tail
+    quality bucketing). The container has no KenLM, so the bigram
+    "log-probability" is a DETERMINISTIC HASH-LM STUB — each bigram
+    costs (md5-hash mod 6e6) + 5e5 negative micro-nats — with the
+    Spark-side plumbing (tokenize → bigram fold → integer mean) real:
+    swapping in a real LM is replacing this expression with a broadcast
+    logprob-table join, the same shape DSIR already uses. Returns the
+    per-doc mean bigram cost in positive micro-nats as an exact BIGINT
+    (integer division), NULL-free for docs with >= 2 tokens.
+
+    Map-only: one interpreted aggregate() fold per doc, no shuffle —
+    at 100 TB this is a scan-shaped pass like the Gopher gates."""
+    toks = f"split(lower(trim({text_col})), '\\\\s+')"
+    return F.expr(
+        f"aggregate("
+        f"  transform(sequence(1, size({toks}) - 1),"
+        f"            i -> concat_ws(' ', slice({toks}, i, 2))),"
+        f"  0L,"
+        f"  (acc, b) -> acc + CAST(conv(substring(md5(b), 1, 15), 16, 10) AS BIGINT) % 6000000L + 500000L"
+        f") DIV (size({toks}) - 1)"
+    )

@@ -13,9 +13,11 @@ from flink_1_16_0_src_spark.pipeline.text import (
     bag_fingerprint,
     bpe_token_estimate,
     fingerprint,
+    hash_lm_ppl_micro,
     language_id,
     quality_signals,
     token_count,
+    tokens,
 )
 from flink_1_16_0_src_spark.registry import query
 from flink_1_16_0_src_spark.tables import load
@@ -785,4 +787,87 @@ def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * 10000 / F.count("*")
             )
         ).cast("bigint").alias("acc_e4"),
+    )
+
+
+@query(
+    "text_perplexity_buckets",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang, str_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, len(t) - 1 AS nb,
+             CAST(list_sum(list_transform(generate_series(1, len(t) - 1),
+               i -> ('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15))::BIGINT % 6000000 + 500000)) AS BIGINT) AS total
+      FROM toks WHERE len(t) >= 2
+    ),
+    binned AS (
+      SELECT doc_id, lang, CAST(total // nb AS BIGINT) AS ppl_micro,
+             CAST((total // nb) - ((total // nb) % 10000) AS BIGINT) AS bin
+      FROM scored
+    ),
+    hist AS (SELECT lang, bin, count(*) AS cnt FROM binned GROUP BY 1, 2),
+    cum AS (
+      SELECT lang, bin,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY lang) AS n
+      FROM hist
+    ),
+    edges AS (
+      SELECT lang,
+             min(CASE WHEN 10 * cum >= 3 * n THEN bin END) AS head_edge,
+             min(CASE WHEN 20 * cum >= 13 * n THEN bin END) AS mid_edge
+      FROM cum GROUP BY lang
+    )
+    SELECT b.doc_id, b.lang, b.ppl_micro,
+           CASE WHEN b.bin <= e.head_edge THEN 'head'
+                WHEN b.bin <= e.mid_edge THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM binned b JOIN edges e USING (lang)
+    """,
+    tags=("pipeline", "text", "custom-op"),
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet quality bucketing (Wenzek et al. 2019 §4.3): per-language
+    perplexity percentiles split the corpus into head (best 30%),
+    middle (next 35%) and tail — the canonical LM-filtered curation
+    split. Perplexity is the deterministic hash-LM proxy
+    (pipeline.text.hash_lm_ppl_micro — a documented stub for a KenLM
+    broadcast table; exact integer micro-nats).
+
+    Scale shape: the percentile EDGES come from a per-(lang, 10k-bin)
+    HISTOGRAM — one groupBy to a few thousand cells, a window over that
+    tiny frame, a broadcast join back (the text_length_percentiles /
+    sketch_histogram_quantiles pattern). No corpus-sized window, no
+    per-lang global sort; the scoring pass itself is map-only."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    scored = (
+        d.where(F.size(tokens("text")) >= 2)
+        .select(
+            "doc_id", "lang",
+            hash_lm_ppl_micro("text").alias("ppl_micro"),
+        )
+        .withColumn("bin", F.col("ppl_micro") - F.col("ppl_micro") % 10000)
+    )
+    hist = scored.groupBy("lang", "bin").agg(F.count("*").alias("cnt"))
+    wh = W.partitionBy("lang").orderBy("bin")
+    cum = hist.select(
+        "lang", "bin",
+        F.sum("cnt").over(wh).alias("cum"),
+        F.sum("cnt").over(W.partitionBy("lang")).alias("n"),
+    )
+    edges = cum.groupBy("lang").agg(
+        F.min(F.when(10 * F.col("cum") >= 3 * F.col("n"), F.col("bin"))).alias("head_edge"),
+        F.min(F.when(20 * F.col("cum") >= 13 * F.col("n"), F.col("bin"))).alias("mid_edge"),
+    )
+    return scored.join(F.broadcast(edges), "lang").select(
+        "doc_id", "lang", "ppl_micro",
+        F.when(F.col("bin") <= F.col("head_edge"), F.lit("head"))
+        .when(F.col("bin") <= F.col("mid_edge"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
     )

@@ -453,3 +453,14 @@ def test_r7_sql_surface_plan_sweep(spark):
         plan = _plan(spark, name)
         assert "EvalPython" not in plan, f"{name} fell off codegen"
         assert "CartesianProduct" not in plan, f"{name} cross-joins"
+
+
+def test_perplexity_buckets_histogram_sized_no_corpus_window(spark):
+    """text_perplexity_buckets: the percentile edges come from the
+    (lang, bin) histogram + broadcast join back — no per-lang window
+    over the raw corpus (single task per language at 100 TB), and the
+    hash-LM scoring pass stays JVM-side."""
+    plan = _plan(spark, "text_perplexity_buckets")
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
