@@ -1577,3 +1577,53 @@ def stream_sql_interval_join_drain(spark: SparkSession, sf_dir: str) -> DataFram
     """)
     drained = ssrc.run_to_memory(out, f"drain_sqlij_{k}", "append")
     return drained.select("user_id", "click_id", "purchase_id")
+
+
+@query(
+    "stream_sql_lookup_join_drain",
+    oracle="""
+    SELECT e.event_id, e.user_id, n.n_name, e.event_type
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    WHERE e.event_id % 11 = 0
+    """,
+    tags=("streaming", "join", "lookup", "sql-surface"),
+)
+def stream_sql_lookup_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING lookup join as SQL TEXT (joins.md "Lookup Join",
+    StreamExecLookupJoin): probe DDL table with ``pt AS PROCTIME()``,
+    ``JOIN dim FOR SYSTEM_TIME AS OF e.pt`` through stream_query — the
+    marker drops (each micro-batch joins the dim's CURRENT snapshot),
+    the dim stays the batch view while the probe streams, and Spark
+    plans the stateless stream-static broadcast join. Append drain
+    needs no watermark."""
+    import os as _os
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+    from flink_1_16_0_src_spark.tables import load
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE sq_lk_ev_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE,"
+        f" pt AS PROCTIME())"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    t.execute_sql(
+        f"CREATE TABLE sq_lk_dim_{k} (n_nationkey BIGINT, n_name STRING,"
+        f" n_regionkey BIGINT, n_comment STRING)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'nation.parquet')}',"
+        f"'format'='parquet')"
+    )
+    out = t.stream_query(f"""
+        SELECT e.event_id, e.user_id, n.n_name, e.event_type
+        FROM sq_lk_ev_{k} AS e
+        JOIN sq_lk_dim_{k} FOR SYSTEM_TIME AS OF e.pt AS n
+          ON e.user_id % 25 = n.n_nationkey
+        WHERE e.event_id % 11 = 0
+    """)
+    drained = ssrc.run_to_memory(out, f"drain_sqllk_{k}", "append")
+    return drained.select("event_id", "user_id", "n_name", "event_type")

@@ -1889,6 +1889,33 @@ class TableEnvironment:
             out = rewrite_group_windows(
                 self.spark, out, resolver, keep_struct=True, specs=specs
             )
+        # processing-time temporal joins (lookup joins): the dim side of
+        # ``JOIN d FOR SYSTEM_TIME AS OF probe.<proctime>`` is the
+        # CURRENT batch snapshot (StreamExecLookupJoin) — drop the
+        # marker (stream-static join, Spark-native) and pin those dims
+        # to their batch views in the streaming substitution below.
+        # Event-time AS OF needs the custom as-of state machine — point
+        # there instead of planning a wrong join.
+        lookup_dims: set[str] = set()
+        if _re.search(r"FOR\s+SYSTEM_TIME\s+AS\s+OF", out, _re.IGNORECASE):
+            from flink_1_16_0_src_spark.sql_clauses import rewrite_lookup_join
+
+            proctimes = set(self._proctimes.values())
+            for jm in _re.finditer(
+                r"JOIN\s+(\w+)(?:\s+(?:AS\s+)?\w+)?\s+FOR\s+SYSTEM_TIME"
+                r"\s+AS\s+OF\s+([\w.]+)",
+                out, _re.IGNORECASE,
+            ):
+                if jm.group(2).split(".")[-1] in proctimes:
+                    lookup_dims.add(jm.group(1))
+            out = rewrite_lookup_join(out, proctimes)
+            if _re.search(r"FOR\s+SYSTEM_TIME\s+AS\s+OF", out, _re.IGNORECASE):
+                raise ValueError(
+                    "event-time FOR SYSTEM_TIME AS OF in streaming mode: "
+                    "use streaming.joins asof (stream_asof_drain shape) — "
+                    "only processing-time lookup joins lower to "
+                    "stream-static joins"
+                )
         # plain (non-TVF) references to DDL sources stream too: an
         # interval join / filter / agg over raw attributes is a valid
         # streaming statement in the reference (StreamExecIntervalJoin
@@ -1896,6 +1923,8 @@ class TableEnvironment:
         # streaming temp view of it (declared watermark applied).
         # Quote-aware so string literals are untouched.
         for name in self._sources:
+            if name in lookup_dims:
+                continue
             pat = rf"(?<![\w.]){_re.escape(name)}(?![\w.])"
             if not _re.search(pat, out, _re.IGNORECASE):
                 continue

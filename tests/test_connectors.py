@@ -1282,3 +1282,42 @@ def test_stream_query_legacy_session_group_window(tenv, spark, tmp_path):
     rows = ssrc.run_to_memory(out, "lgs_drain", "append").collect()
     assert sorted((r.k, r.ws.hour, r.s) for r in rows) == [
         ("a", 10, 3.0), ("a", 12, 4.0)]
+
+
+def test_stream_query_lookup_join_and_event_time_asof_rejected(tenv, spark, tmp_path):
+    """Proctime FOR SYSTEM_TIME lowers to a stream-static join in
+    stream_query (dim pinned to its batch snapshot); event-time AS OF
+    is rejected with a pointer to the as-of state machine."""
+    import datetime as dt
+
+    import pytest
+
+    from flink_1_16_0_src_spark.streaming import sources as ssrc
+
+    d = str(tmp_path / "lkp")
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 0), 1), (2, dt.datetime(2024, 1, 1, 11, 0), 2)],
+        "id long, ts timestamp, k long",
+    ).write.parquet(d)
+    dimd = str(tmp_path / "lkd")
+    spark.createDataFrame([(1, "x"), (2, "y")], "k long, name string").write.parquet(dimd)
+    tenv.execute_sql(
+        f"CREATE TABLE lkp_ev (id BIGINT, ts TIMESTAMP(3), k BIGINT, pt AS PROCTIME())"
+        f" WITH ('connector'='filesystem','path'='{d}','format'='parquet')"
+    )
+    tenv.execute_sql(
+        f"CREATE TABLE lkp_dim (k BIGINT, name STRING)"
+        f" WITH ('connector'='filesystem','path'='{dimd}','format'='parquet')"
+    )
+    out = tenv.stream_query("""
+        SELECT e.id, n.name FROM lkp_ev AS e
+        JOIN lkp_dim FOR SYSTEM_TIME AS OF e.pt AS n ON e.k = n.k
+    """)
+    assert out.isStreaming
+    rows = ssrc.run_to_memory(out, "lkp_drain", "append").collect()
+    assert sorted((r.id, r.name) for r in rows) == [(1, "x"), (2, "y")]
+    with pytest.raises(ValueError, match="event-time FOR SYSTEM_TIME"):
+        tenv.stream_query("""
+            SELECT e.id, n.name FROM lkp_ev AS e
+            JOIN lkp_dim FOR SYSTEM_TIME AS OF e.ts AS n ON e.k = n.k
+        """)
