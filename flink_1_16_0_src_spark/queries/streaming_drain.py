@@ -1627,3 +1627,62 @@ def stream_sql_lookup_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
     drained = ssrc.run_to_memory(out, f"drain_sqllk_{k}", "append")
     return drained.select("event_id", "user_id", "n_name", "event_type")
+
+
+@query(
+    "stream_sql_match_recognize_drain",
+    oracle="""
+    SELECT user_id, click_id, purchase_id, purchase_value FROM (
+      SELECT user_id,
+             event_id AS click_id,
+             lead(event_id) OVER w AS purchase_id,
+             event_type,
+             lead(event_type) OVER w AS next_type,
+             lead(value) OVER w AS purchase_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) t
+    WHERE event_type = 'click' AND next_type = 'purchase'
+    """,
+    tags=("streaming", "cep", "match-recognize", "sql-surface"),
+)
+def stream_sql_match_recognize_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE as STREAMING SQL TEXT (StreamExecMatch.java:59 —
+    the reference's primary CEP surface IS streaming SQL): stream_query
+    lowers the clause onto the per-key stateful NFA buffer
+    (operators.cep.match_recognize_stream, the CepOperator analog) and
+    the adjacent click→purchase matches drain append. Pattern (A B)
+    with strict adjacency makes SKIP PAST LAST ROW equal the batch
+    lead() rewrite — the same oracle as the batch cep_sql_match, so
+    the streaming and batch lowerings are cross-checked against each
+    other."""
+    import os as _os
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE sq_mr_events_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    out = t.stream_query(f"""
+        SELECT * FROM sq_mr_events_{k} MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(A.event_id) AS click_id,
+                   FIRST(B.event_id) AS purchase_id,
+                   FIRST(B.value) AS purchase_value
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B)
+          DEFINE A AS event_type = 'click',
+                 B AS event_type = 'purchase'
+        )
+    """)
+    drained = ssrc.run_to_memory(out, f"drain_sqlmr_{k}", "append")
+    return drained.select("user_id", "click_id", "purchase_id", "purchase_value")

@@ -1877,10 +1877,21 @@ class TableEnvironment:
                 return self.stream(name)
             return self.spark.table(name)
 
+        out = translate_hints(sql)
+        if _re.search(r"\bMATCH_RECOGNIZE\b", out, _re.IGNORECASE):
+            # streaming MATCH_RECOGNIZE (StreamExecMatch): the NFA runs
+            # in the per-key stateful buffer; the lowered view is a
+            # streaming relation the surrounding SELECT composes over
+            from flink_1_16_0_src_spark.sql_clauses import (
+                rewrite_match_recognize,
+            )
+
+            out = rewrite_match_recognize(
+                self.spark, out, resolver=resolver, streaming=True
+            )
         specs: list[dict] = []
         out = rewrite_window_tvfs(
-            self.spark, translate_hints(sql), resolver, keep_struct=True,
-            specs=specs,
+            self.spark, out, resolver, keep_struct=True, specs=specs,
         )
         if _GW_CALL.search(out):
             # legacy GROUP BY TUMBLE/HOP/SESSION(...) streaming syntax —

@@ -643,9 +643,17 @@ def _clause_split(body: str) -> dict[str, str]:
 
 
 def lower_match_recognize(
-    spark: SparkSession, table: str, body: str
+    spark: SparkSession, table: str, body: str,
+    resolver=None, streaming: bool = False,
 ) -> DataFrame:
-    """Parse one MATCH_RECOGNIZE body and run it via the CEP engine."""
+    """Parse one MATCH_RECOGNIZE body and run it via the CEP engine.
+
+    ``streaming=True`` (stream_query): the source resolves through
+    ``resolver`` to a streaming frame and the NFA runs in the per-key
+    stateful buffer (operators.cep.match_recognize_stream — the
+    CepOperator lowering). Scope: DEFINEs referencing PREV/NEXT need
+    lag/lead hoisting, which is not streamable in this lowering —
+    rejected with a pointer (the batch path supports them)."""
     cl = _clause_split(body)
     if "all_rows" in cl:
         raise NotImplementedError(
@@ -673,7 +681,7 @@ def lower_match_recognize(
             raise ValueError(f"bad DEFINE entry {part!r}")
         defines[dm.group(1).upper()] = dm.group(2).strip()
 
-    df = spark.table(table)
+    df = (resolver or spark.table)(table)
     in_cols = {f.name: f.dataType for f in df.schema.fields}
 
     # hoist every DEFINE to a JVM-evaluated boolean column
@@ -727,6 +735,12 @@ def lower_match_recognize(
         cond = defines.get(var, "TRUE")  # undefined var matches any row (Calcite)
         mask_cols[var] = hoist(var, cond)
 
+    if streaming and any(h for _c, h, _cv in mask_cols.values()):
+        raise ValueError(
+            "MATCH_RECOGNIZE with PREV/NEXT in streaming mode: the "
+            "lag/lead hoisting is not streamable — restructure the "
+            "DEFINE or run in batch mode (sql_query)"
+        )
     prepared = df
     added_helpers: set[str] = set()
     for var, (cond, helpers, _cv) in mask_cols.items():
@@ -851,6 +865,18 @@ def lower_match_recognize(
     if "within" in cl:
         within = (order_by[0], _interval_str(cl["within"]))
 
+    if streaming:
+        return cep.match_recognize_stream(
+            prepared,
+            partition_by,
+            order_by[0],
+            steps,
+            measures,
+            StructType(fields),
+            after_match=after,
+            within=within[1] if within else None,
+            secondary_order=order_by[1] if len(order_by) > 1 else None,
+        )
     return cep.match_recognize(
         prepared,
         partition_by,
@@ -863,9 +889,11 @@ def lower_match_recognize(
     )
 
 
-def rewrite_match_recognize(spark: SparkSession, sql: str) -> str:
+def rewrite_match_recognize(
+    spark: SparkSession, sql: str, resolver=None, streaming: bool = False
+) -> str:
     """Replace every ``<table> MATCH_RECOGNIZE (...) [AS alias]`` with a
-    temp view of the lowered result."""
+    temp view of the lowered result (streaming: the stateful NFA)."""
     counter = 0
     while True:
         m = _MR_HEAD.search(sql)
@@ -875,7 +903,9 @@ def rewrite_match_recognize(spark: SparkSession, sql: str) -> str:
         open_idx = sql.index("(", m.end() - 1)
         end = _balanced(sql, open_idx)
         body = sql[open_idx + 1 : end - 1]
-        out = lower_match_recognize(spark, table, body)
+        out = lower_match_recognize(
+            spark, table, body, resolver=resolver, streaming=streaming
+        )
         view = f"__mr_{table}_{counter}"
         counter += 1
         out.createOrReplaceTempView(view)

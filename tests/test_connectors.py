@@ -1321,3 +1321,32 @@ def test_stream_query_lookup_join_and_event_time_asof_rejected(tenv, spark, tmp_
             SELECT e.id, n.name FROM lkp_ev AS e
             JOIN lkp_dim FOR SYSTEM_TIME AS OF e.ts AS n ON e.k = n.k
         """)
+
+
+def test_stream_query_match_recognize_prev_rejected(tenv, spark, tmp_path):
+    """Streaming MATCH_RECOGNIZE scope: PREV/NEXT DEFINEs need lag/lead
+    hoisting (not streamable) and are rejected with a pointer."""
+    import datetime as dt
+
+    import pytest
+
+    d = str(tmp_path / "mrp")
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 0), 5.0)],
+        "user_id long, ts timestamp, v double",
+    ).write.parquet(d)
+    tenv.execute_sql(
+        f"CREATE TABLE mrp_ev (user_id BIGINT, ts TIMESTAMP(3), v DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{d}','format'='parquet')"
+    )
+    with pytest.raises(ValueError, match="PREV/NEXT in streaming"):
+        tenv.stream_query("""
+            SELECT * FROM mrp_ev MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              MEASURES FIRST(A.v) AS v0
+              ONE ROW PER MATCH
+              PATTERN (A)
+              DEFINE A AS v > PREV(A.v)
+            )
+        """)
