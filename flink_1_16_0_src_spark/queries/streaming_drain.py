@@ -1686,3 +1686,39 @@ def stream_sql_match_recognize_drain(spark: SparkSession, sf_dir: str) -> DataFr
     """)
     drained = ssrc.run_to_memory(out, f"drain_sqlmr_{k}", "append")
     return drained.select("user_id", "click_id", "purchase_id", "purchase_value")
+
+
+@query(
+    "stream_sql_group_agg_drain",
+    oracle="""
+    SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "agg", "sql-surface"),
+)
+def stream_sql_group_agg_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous (non-windowed) streaming GROUP BY as SQL TEXT
+    (StreamExecGroupAggregate.java — Flink's unbounded group agg that
+    emits an update stream): the raw DDL-table reference streams
+    through stream_query and the aggregate drains in UPDATE mode with
+    one availableNow batch, so the memory sink holds each key's final
+    value = the batch aggregate (the oracle)."""
+    import os as _os
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE sq_ga_events_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    out = t.stream_query(f"""
+        SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM sq_ga_events_{k} GROUP BY user_id
+    """)
+    drained = ssrc.run_to_memory(out, f"drain_sqlga_{k}", "update")
+    return drained.select("user_id", "n", "sum_value")
