@@ -1946,6 +1946,19 @@ class TableEnvironment:
                 p if i % 2 else _re.sub(pat, sview, p, flags=_re.IGNORECASE)
                 for i, p in enumerate(parts)
             )
+        # streaming OVER aggregation has no Catalyst lowering (Spark
+        # rejects non-time windows on streams at sink start with an
+        # opaque error) — the custom stateful operator is the path
+        # (StreamExecOverAggregate ≈ streaming/stateful.py over_agg /
+        # windows.window_topn for window Top-N). MATCH_RECOGNIZE's own
+        # OVER usage was consumed by the lowering above.
+        if _re.search(r"\bOVER\s*\(", out, _re.IGNORECASE):
+            raise ValueError(
+                "OVER aggregation in streaming SQL: use "
+                "streaming.stateful.over_agg (running frames) or "
+                "streaming.windows.window_topn (window Top-N) — "
+                "Structured Streaming has no OVER lowering"
+            )
         kinds = {s["fn"] for s in specs}
         if ("CUMULATE" in kinds or "SESSION" in kinds) and len(specs) != 1:
             raise ValueError(

@@ -1350,3 +1350,24 @@ def test_stream_query_match_recognize_prev_rejected(tenv, spark, tmp_path):
               DEFINE A AS v > PREV(A.v)
             )
         """)
+
+
+def test_stream_query_over_rejected_with_pointer(tenv, spark, tmp_path):
+    import datetime as dt
+
+    import pytest
+
+    d = str(tmp_path / "ovr")
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 0), 1.0)],
+        "user_id long, ts timestamp, v double",
+    ).write.parquet(d)
+    tenv.execute_sql(
+        f"CREATE TABLE ovr_ev (user_id BIGINT, ts TIMESTAMP(3), v DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{d}','format'='parquet')"
+    )
+    with pytest.raises(ValueError, match="over_agg"):
+        tenv.stream_query(
+            "SELECT user_id, sum(v) OVER (PARTITION BY user_id ORDER BY ts) AS s FROM ovr_ev"
+        )
