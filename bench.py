@@ -224,27 +224,51 @@ def _scale_probe(spark, registry) -> dict:
     if scale_dir is None:
         return out
 
+    def _pcanary_sec() -> float:
+        """PARALLEL canary: a fixed all-core Spark job. Neighbor load
+        on the shared host hits 32-way stages via slot QUEUEING that
+        the single-core canary cannot see (it always gets a full
+        timeslice) — this canary inflates with the same queueing the
+        probe ops suffer, so growth_x_pnorm stays comparable across
+        host states. Min-of-2."""
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spark.range(300_000_000).selectExpr("sum(id * 3 + 1)").collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 4)
+
+    _pcanary_sec()  # warm the parallel-canary codegen once per probe run
+
     def _timed(fn) -> dict:
         fn(_SCALE_BASE).count()  # warm JIT/codegen
-        c1 = _canary_sec()
+        c1, p1 = _canary_sec(), _pcanary_sec()
         t0 = time.perf_counter()
         fn(_SCALE_BASE).count()
         base = time.perf_counter() - t0
         _reclaim(spark)
-        c2 = _canary_sec()
+        c2, p2 = _canary_sec(), _pcanary_sec()
         t0 = time.perf_counter()
         fn(scale_dir).count()
         x10 = time.perf_counter() - t0
         _reclaim(spark)
-        c3 = _canary_sec()
+        c3, p3 = _canary_sec(), _pcanary_sec()
         base_n = base / ((c1 + c2) / 2)
         x10_n = x10 / ((c2 + c3) / 2)
+        base_p = base / ((p1 + p2) / 2)
+        x10_p = x10 / ((p2 + p3) / 2)
         return {
             "sf0.1_sec": round(base, 4),
             "sf1_sec": round(x10, 4),
             "growth_x": round(x10 / base, 2) if base > 0 else None,
             "growth_x_norm": round(x10_n / base_n, 2) if base_n > 0 else None,
+            # queueing-aware normalization — read THIS one when the
+            # loadavg fields show a neighbor was active
+            "growth_x_pnorm": round(x10_p / base_p, 2) if base_p > 0 else None,
             "canaries_sec": [round(c, 4) for c in (c1, c2, c3)],
+            "parallel_canaries_sec": [p1, p2, p3],
+            "loadavg_1m": round(os.getloadavg()[0], 2),
         }
 
     for n in SCALE_PROBE_QUERIES:

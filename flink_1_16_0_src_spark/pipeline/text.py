@@ -214,11 +214,65 @@ def hash_lm_ppl_micro(text_col: str) -> Column:
     Map-only: one interpreted aggregate() fold per doc, no shuffle —
     at 100 TB this is a scan-shaped pass like the Gopher gates."""
     toks = f"split(lower(trim({text_col})), '\\\\s+')"
+    # CASE-guarded for docs shorter than 2 tokens: sequence(1, 0) is
+    # DESCENDING [1, 0] in Spark (not empty) and slice(toks, 0, 2)
+    # throws — the same documented trap shingles() guards. NULL out.
     return F.expr(
+        f"CASE WHEN size({toks}) >= 2 THEN "
         f"aggregate("
         f"  transform(sequence(1, size({toks}) - 1),"
         f"            i -> concat_ws(' ', slice({toks}, i, 2))),"
         f"  0L,"
         f"  (acc, b) -> acc + CAST(conv(substring(md5(b), 1, 15), 16, 10) AS BIGINT) % 6000000L + 500000L"
-        f") DIV (size({toks}) - 1)"
+        f") DIV (size({toks}) - 1) "
+        f"ELSE CAST(NULL AS BIGINT) END"
     )
+
+
+def perplexity_buckets(docs: DataFrame, materialize: bool = True) -> DataFrame:
+    """CCNet head/middle/tail bucketing over ``hash_lm_ppl_micro``
+    scores: per-language percentile edges from a (lang, 10k-bin)
+    HISTOGRAM + broadcast join back — no corpus-sized window, no
+    per-lang global sort (the text_length_percentiles pattern).
+
+    ``materialize`` (default): the interpreted per-bigram fold is the
+    dominant cost and the scored frame has two consumers (histogram
+    branch + output join) — persist with a count() barrier so the
+    consumers never race a cold cache, block the result back with an
+    eager localCheckpoint, release the cache (the minhash discipline).
+    Pass False for a fully lazy plan (plan inspection / composition)."""
+    from pyspark.sql import Window as W
+
+    scored = (
+        docs.where(F.size(tokens("text")) >= 2)
+        .select(
+            "doc_id", "lang",
+            hash_lm_ppl_micro("text").alias("ppl_micro"),
+        )
+        .withColumn("bin", F.col("ppl_micro") - F.col("ppl_micro") % 10000)
+    )
+    if materialize:
+        scored = scored.persist()
+        scored.count()
+    hist = scored.groupBy("lang", "bin").agg(F.count("*").alias("cnt"))
+    wh = W.partitionBy("lang").orderBy("bin")
+    cum = hist.select(
+        "lang", "bin",
+        F.sum("cnt").over(wh).alias("cum"),
+        F.sum("cnt").over(W.partitionBy("lang")).alias("n"),
+    )
+    edges = cum.groupBy("lang").agg(
+        F.min(F.when(10 * F.col("cum") >= 3 * F.col("n"), F.col("bin"))).alias("head_edge"),
+        F.min(F.when(20 * F.col("cum") >= 13 * F.col("n"), F.col("bin"))).alias("mid_edge"),
+    )
+    res = scored.join(F.broadcast(edges), "lang").select(
+        "doc_id", "lang", "ppl_micro",
+        F.when(F.col("bin") <= F.col("head_edge"), F.lit("head"))
+        .when(F.col("bin") <= F.col("mid_edge"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    if materialize:
+        res = res.localCheckpoint(eager=True)
+        scored.unpersist()
+    return res

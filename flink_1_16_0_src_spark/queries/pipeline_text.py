@@ -842,32 +842,7 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny frame, a broadcast join back (the text_length_percentiles /
     sketch_histogram_quantiles pattern). No corpus-sized window, no
     per-lang global sort; the scoring pass itself is map-only."""
-    from pyspark.sql import Window as W
+    from flink_1_16_0_src_spark.pipeline.text import perplexity_buckets
 
     d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    scored = (
-        d.where(F.size(tokens("text")) >= 2)
-        .select(
-            "doc_id", "lang",
-            hash_lm_ppl_micro("text").alias("ppl_micro"),
-        )
-        .withColumn("bin", F.col("ppl_micro") - F.col("ppl_micro") % 10000)
-    )
-    hist = scored.groupBy("lang", "bin").agg(F.count("*").alias("cnt"))
-    wh = W.partitionBy("lang").orderBy("bin")
-    cum = hist.select(
-        "lang", "bin",
-        F.sum("cnt").over(wh).alias("cum"),
-        F.sum("cnt").over(W.partitionBy("lang")).alias("n"),
-    )
-    edges = cum.groupBy("lang").agg(
-        F.min(F.when(10 * F.col("cum") >= 3 * F.col("n"), F.col("bin"))).alias("head_edge"),
-        F.min(F.when(20 * F.col("cum") >= 13 * F.col("n"), F.col("bin"))).alias("mid_edge"),
-    )
-    return scored.join(F.broadcast(edges), "lang").select(
-        "doc_id", "lang", "ppl_micro",
-        F.when(F.col("bin") <= F.col("head_edge"), F.lit("head"))
-        .when(F.col("bin") <= F.col("mid_edge"), F.lit("middle"))
-        .otherwise(F.lit("tail"))
-        .alias("bucket"),
-    )
+    return perplexity_buckets(d)

@@ -2282,12 +2282,17 @@ SELECT a.l_suppkey,
        a.mean_q AS mean_m3, a.std_q AS std_m3,
        b.mean_q AS mean_m4, b.std_q AS std_m4
 FROM stats a JOIN stats b ON a.l_suppkey = b.l_suppkey AND a.mo = 3 AND b.mo = 4
-WHERE a.std_q > 0.6 * a.mean_q AND b.std_q > 0.6 * b.mean_q
+WHERE CAST(round(a.std_q * 10000, 0) AS BIGINT) * 10
+      > CAST(round(a.mean_q * 10000, 0) AS BIGINT) * 6
+  AND CAST(round(b.std_q * 10000, 0) AS BIGINT) * 10
+      > CAST(round(b.mean_q * 10000, 0) AS BIGINT) * 6
 ORDER BY a.l_suppkey
 """,
     "TPC-DS q39b shape: 39a's consecutive-period coefficient-of-"
     "variation pairs with the b-variant's EXTRA strictness filter "
     "applied to both periods of the joined pair (the reference's b-file "
-    "adds cov >= 1.5 on top of the a-structure; here the tightened "
-    "bound tests the rounded stat columns, no re-division).",
+    "adds cov >= 1.5 on top of the a-structure). The tightened bound is "
+    "an exact-integer cross-multiplication over the e4 images of the "
+    "already-rounded stat columns — no float decides row membership "
+    "(the project float rule).",
 )

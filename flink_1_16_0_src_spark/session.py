@@ -1918,7 +1918,7 @@ class TableEnvironment:
                 out, _re.IGNORECASE,
             ):
                 if jm.group(2).split(".")[-1] in proctimes:
-                    lookup_dims.add(jm.group(1))
+                    lookup_dims.add(jm.group(1).lower())
             out = rewrite_lookup_join(out, proctimes)
             if _re.search(r"FOR\s+SYSTEM_TIME\s+AS\s+OF", out, _re.IGNORECASE):
                 raise ValueError(
@@ -1934,7 +1934,7 @@ class TableEnvironment:
         # streaming temp view of it (declared watermark applied).
         # Quote-aware so string literals are untouched.
         for name in self._sources:
-            if name in lookup_dims:
+            if name.lower() in lookup_dims:
                 continue
             pat = rf"(?<![\w.]){_re.escape(name)}(?![\w.])"
             if not _re.search(pat, out, _re.IGNORECASE):
@@ -1952,7 +1952,11 @@ class TableEnvironment:
         # (StreamExecOverAggregate ≈ streaming/stateful.py over_agg /
         # windows.window_topn for window Top-N). MATCH_RECOGNIZE's own
         # OVER usage was consumed by the lowering above.
-        if _re.search(r"\bOVER\s*\(", out, _re.IGNORECASE):
+        unquoted = "".join(
+            p for i, p in enumerate(_re.split(r"('(?:[^']|'')*')", out))
+            if i % 2 == 0
+        )
+        if _re.search(r"\bOVER\s*\(", unquoted, _re.IGNORECASE):
             raise ValueError(
                 "OVER aggregation in streaming SQL: use "
                 "streaming.stateful.over_agg (running frames) or "
@@ -2048,8 +2052,16 @@ class TableEnvironment:
         # SELECT-list occurrences become aliased struct extracts (the
         # output keeps the TVF column names); everywhere else (WHERE/
         # HAVING/ORDER BY) a bare extract — an alias there is invalid
-        fm = _re.search(r"\bFROM\b", out, _re.IGNORECASE)
-        head, tail = out[: fm.start()], out[fm.start():]
+        # statement-level FROM via the depth-0 quote-aware scan — a
+        # SELECT-list FROM (TRIM/SUBSTRING/EXTRACT ... FROM ..., IS
+        # DISTINCT FROM) must not shift the head/tail split, or the
+        # window_start items after it lose their aliases
+        from flink_1_16_0_src_spark.sql_clauses import _statement_from_kw
+
+        fpos = _statement_from_kw(out)
+        if fpos is None:
+            fpos = len(out)
+        head, tail = out[:fpos], out[fpos:]
         for tok, ext in (("window_start", start_ext), ("window_end", end_ext)):
             # one pass per token, consuming any explicit `AS alias` into
             # the match so an alias that is ITSELF named window_start

@@ -229,13 +229,14 @@ _GW_CALL = re.compile(r"\b(TUMBLE|HOP|SESSION)\s*\(", re.IGNORECASE)
 _GW_COUNTER = 0
 
 
-def _statement_from(sql: str) -> tuple[int, int, str] | None:
-    """The statement-level ``FROM <table>`` — first ``FROM`` at paren
-    depth 0 outside string literals; returns the table token's
-    (start, end, name). A bare ``\\bFROM\\b`` regex would hit
-    ``EXTRACT(HOUR FROM ts)`` / ``SUBSTRING(s FROM 1)`` /
-    ``TRIM(x FROM y)`` in the SELECT list first; those are always
-    parenthesized, so the depth-0 scan skips them."""
+def _statement_from_kw(sql: str) -> int | None:
+    """Position of the statement-level ``FROM`` keyword — first
+    ``FROM`` at paren depth 0 outside string literals that is not the
+    middle of ``IS [NOT] DISTINCT FROM``. A bare ``\\bFROM\\b`` regex
+    would hit ``EXTRACT(HOUR FROM ts)`` / ``SUBSTRING(s FROM 1)`` /
+    ``TRIM(x FROM y)`` first (those are always parenthesized, so the
+    depth-0 scan skips them); ``a IS DISTINCT FROM b`` sits at depth 0
+    in a SELECT list, so the preceding-word check is still needed."""
     i, depth, n = 0, 0, len(sql)
     while i < n:
         c = sql[i]
@@ -251,12 +252,25 @@ def _statement_from(sql: str) -> tuple[int, int, str] | None:
             depth == 0
             and c in "Ff"
             and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_"))
+            and re.match(r"FROM\b", sql[i:], re.IGNORECASE)
         ):
-            m = re.match(r"FROM\s+(\w+)", sql[i:], re.IGNORECASE)
-            if m is not None:
-                return i + m.start(1), i + m.end(1), m.group(1)
+            prev = re.search(r"(\w+)\s*$", sql[:i])
+            if prev is None or prev.group(1).upper() != "DISTINCT":
+                return i
         i += 1
     return None
+
+
+def _statement_from(sql: str) -> tuple[int, int, str] | None:
+    """The statement-level ``FROM <table>`` (see ``_statement_from_kw``)
+    — returns the table token's (start, end, name)."""
+    i = _statement_from_kw(sql)
+    if i is None:
+        return None
+    m = re.match(r"FROM\s+(\w+)", sql[i:], re.IGNORECASE)
+    if m is None:
+        return None
+    return i + m.start(1), i + m.end(1), m.group(1)
 
 
 def rewrite_group_windows(

@@ -1371,3 +1371,32 @@ def test_stream_query_over_rejected_with_pointer(tenv, spark, tmp_path):
         tenv.stream_query(
             "SELECT user_id, sum(v) OVER (PARTITION BY user_id ORDER BY ts) AS s FROM ovr_ev"
         )
+
+
+def test_stream_query_select_list_from_does_not_shift_split(tenv, spark, tmp_path):
+    """A SELECT-list FROM (TRIM ... FROM ...) before the statement FROM
+    must not shift the head/tail split — window_start after it keeps
+    its alias in the output schema."""
+    import datetime as dt
+
+    from flink_1_16_0_src_spark.streaming import sources as ssrc
+
+    d = str(tmp_path / "tfs")
+    spark.createDataFrame(
+        [("xax", dt.datetime(2024, 1, 1, 10, 10), 1.0),
+         ("xbx", dt.datetime(2024, 1, 1, 12, 30), 2.0)],
+        "k string, ts timestamp, v double",
+    ).write.parquet(d)
+    tenv.execute_sql(
+        f"CREATE TABLE tfs_ev (k STRING, ts TIMESTAMP(3), v DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{d}','format'='parquet')"
+    )
+    out = tenv.stream_query("""
+        SELECT TRIM(BOTH 'x' FROM k) AS kk, window_start, count(*) AS n
+        FROM TABLE(TUMBLE(TABLE tfs_ev, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        GROUP BY k, window_start, window_end
+    """)
+    assert "window_start" in out.columns
+    rows = ssrc.run_to_memory(out, "tfs_drain", "append").collect()
+    assert sorted((r.kk, r.window_start.hour, r.n) for r in rows) == [("a", 10, 1)]

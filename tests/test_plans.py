@@ -456,11 +456,22 @@ def test_r7_sql_surface_plan_sweep(spark):
 
 
 def test_perplexity_buckets_histogram_sized_no_corpus_window(spark):
-    """text_perplexity_buckets: the percentile edges come from the
+    """perplexity_buckets: the percentile edges come from the
     (lang, bin) histogram + broadcast join back — no per-lang window
     over the raw corpus (single task per language at 100 TB), and the
-    hash-LM scoring pass stays JVM-side."""
-    plan = _plan(spark, "text_perplexity_buckets")
+    hash-LM scoring pass stays JVM-side. Inspected on the LAZY form
+    (the registry query materializes through a localCheckpoint, which
+    hides the producing plan)."""
+    from flink_1_16_0_src_spark.pipeline.text import perplexity_buckets
+    from flink_1_16_0_src_spark.tables import load
+
+    d = load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", "text"
+    )
+    plan = (
+        perplexity_buckets(d, materialize=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan

@@ -538,3 +538,17 @@ def test_group_window_subquery_scoping(spark):
               SELECT k, count(*) AS n FROM gw_events
               GROUP BY k, TUMBLE(ts, INTERVAL '1' HOUR)) t
         """)
+
+
+def test_statement_from_skips_is_distinct_from(spark):
+    """IS DISTINCT FROM sits at depth 0 in a SELECT list — the
+    statement-FROM scan must not resolve its right operand as the
+    source table."""
+    _ts_events(spark)
+    out = spark.sql(rewrite_flink_clauses(spark, """
+        SELECT k, k IS DISTINCT FROM 'u1' AS d,
+               TUMBLE_START(ts, INTERVAL '1' HOUR) AS ws, sum(v) AS s
+        FROM gw_events
+        GROUP BY k, k IS DISTINCT FROM 'u1', TUMBLE(ts, INTERVAL '1' HOUR)
+    """))
+    assert out.count() == 3
