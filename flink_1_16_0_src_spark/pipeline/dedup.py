@@ -591,6 +591,60 @@ def remove_duplicate_spans(
     )
 
 
+def _ivf_assign_blas(
+    df: DataFrame, vec_col: str, id_col: str, seeds: list[list[float]]
+) -> DataFrame:
+    """Coarse-quantizer assignment as an Arrow-batched mapInPandas
+    (numpy distance matrix per batch). Same contract as
+    similarity.ivf_assign — nearest seed over 6-dp-rounded squared L2,
+    ties to the lowest cell — but N x k distances evaluate in BLAS
+    instead of k interpreted expressions per row: with SemDeDup's
+    k ~ N/250 rule the assignment is the N^2-shaped stage, and the
+    interpreted form dominated the r8 scale probe (23 s of 33 s at the
+    10x corpus). Emits the ROUNDED min distance as ``__d`` (the keep
+    rule compares it at 6 dp anyway). numpy's summation order differs
+    from the engines' sequential folds at the ~1e-15 level — the same
+    accepted class as DuckDB's list_* internals, both sides round to
+    6 dp before any comparison."""
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    S = np.asarray(seeds, dtype=np.float64)  # k x d
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            df.schema[vec_col],
+            StructField("cell", IntegerType(), False),
+            StructField("__d", DoubleType(), True),
+        ]
+    )
+
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            cells = np.empty(len(pdf), dtype=np.int32)
+            dmins = np.empty(len(pdf), dtype=np.float64)
+            block = 2048
+            for s in range(0, len(pdf), block):
+                e = min(s + block, len(pdf))
+                # direct (v - s)^2 form, row-blocked: block x k x d
+                D = ((V[s:e, None, :] - S[None, :, :]) ** 2).sum(axis=2)
+                D = np.floor(D * 1e6 + 0.5) / 1e6  # HALF_UP like round(,6)
+                dmins[s:e] = D.min(axis=1)
+                cells[s:e] = np.argmin(D, axis=1)  # first (lowest) cell
+            out = pdf[[id_col, vec_col]].copy()
+            out["cell"] = cells
+            out["__d"] = dmins
+            yield out
+
+    return df.select(id_col, vec_col).mapInPandas(_assign, out_schema)
+
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str,
@@ -622,49 +676,78 @@ def semantic_dedup(
     k ~ sqrt(N)); skewed mega-clusters take the same hot-bucket cap as
     lsh_candidate_pairs.
     """
-    from flink_1_16_0_src_spark.pipeline.similarity import ivf_assign
-
-    assigned = ivf_assign(df, vec_col, id_col, seeds)
+    assigned = _ivf_assign_blas(df, vec_col, id_col, seeds)
     v = F.col(vec_col).cast("array<double>")
     # per-VECTOR norm once (O(n·d)), not per pair (O(pairs·d)) — the
     # pair cosine below divides by the same na*nb product, bit-identical
+    # the vector is materialized ONCE as array<double> (__vd): the
+    # unrolled per-pair dot below indexes it 64x per side, and an
+    # element_at over a cast-EXPRESSION would re-cast the whole array
+    # per element access (no CSE for repeated non-attribute subtrees —
+    # measured 270 s vs 5 s at sf0.1)
     base = assigned.select(
         F.col(id_col),
-        F.col(vec_col),
+        v.alias("__vd"),
         F.col("cell"),
-        F.round(F.element_at(F.col("__dists"), F.col("cell") + F.lit(1)), 6).alias("__d"),
+        F.col("__d"),  # already rounded 6 dp by the assignment
+    ).withColumn(
+        # per-VECTOR norm once (O(n·d)), not per pair (O(pairs·d)) — the
+        # pair cosine divides by the same na*nb product, bit-identical
+        "__norm",
         F.sqrt(
-            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
-        ).alias("__norm"),
-    )
-    a = base.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
-        F.col("cell"), F.col("__d").alias("__da"), F.col("__norm").alias("__na"),
-    )
-    b = base.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
-        F.col("cell"), F.col("__d").alias("__db"), F.col("__norm").alias("__nb"),
-    )
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("__va").cast("array<double>"),
-            F.col("__vb").cast("array<double>"),
-            lambda x, y: x * y,
+            F.aggregate(F.col("__vd"), F.lit(0.0), lambda acc, x: acc + x * x)
         ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
     )
-    # each unordered pair evaluated ONCE (id_a < id_b); exactly one
-    # member loses the keep rule, so emit the loser directly
-    dup = (
-        a.join(b, "cell")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(F.round(dot / (F.col("__na") * F.col("__nb")), 4) >= threshold)
+    # Within-cluster pairwise stage as a per-cell Arrow-batched
+    # applyInPandas (one numpy/BLAS matmul per cluster). The previous
+    # SQL self-join on cell was structurally right (blocked, never
+    # cartesian) but materialized BOTH 64-dim arrays per joined row —
+    # ~1 kB x sum(|cluster|^2) rows of intermediate row data (13 GB at
+    # the 10x probe corpus; the r8 probe measured the stage at ~107 s
+    # while the cosine arithmetic itself was ~20 CPU-seconds). The
+    # matmul form moves only |cluster| rows per group across Arrow and
+    # evaluates the |cluster|^2 cosines in BLAS; row-blocked so a
+    # mega-cluster's score matrix stays bounded (block x |cluster|).
+    #
+    # Determinism: cosines rounded HALF-AWAY at 4 dp (matching Spark's
+    # round() and the DuckDB oracle); numpy's dot-product summation
+    # order differs from either engine's sequential fold at the
+    # ~1e-16 level, the same accepted class as DuckDB's own
+    # list_cosine_similarity internals vs Spark's fold (both engines
+    # round to 4 dp before any comparison — the repo float rule).
+    import numpy as np
+
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(
+        [base.schema[id_col], base.schema["cell"]]
     )
-    loser = F.when(
-        (F.col("__db") > F.col("__da"))
-        | ((F.col("__db") == F.col("__da")) & (F.col("id_b") < F.col("id_a"))),
-        F.col("id_a"),
-    ).otherwise(F.col("id_b"))
-    drops = dup.select(loser.alias(id_col)).distinct()
-    return base.join(drops, id_col, "left_anti").select(id_col, "cell")
+    thr = float(threshold)
+
+    def _dedupe_cell(pdf):
+        n = len(pdf)
+        if n == 1:
+            return pdf[[id_col, "cell"]]
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__vd"]])
+        norms = np.sqrt(np.einsum("ij,ij->i", V, V))
+        ids = pdf[id_col].to_numpy()
+        d = pdf["__d"].to_numpy()
+        drop = np.zeros(n, dtype=bool)
+        block = 1024
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            C = (V[s:e] @ V.T) / np.outer(norms[s:e], norms)
+            C = np.where(
+                C >= 0, np.floor(C * 1e4 + 0.5), np.ceil(C * 1e4 - 0.5)
+            ) / 1e4
+            dup = C >= thr
+            # row x drops iff some dup neighbor y outranks it: y is
+            # farther from the centroid, min-id tiebreak (x vs itself
+            # never outranks — no diagonal masking needed)
+            outrank = (d[None, :] > d[s:e, None]) | (
+                (d[None, :] == d[s:e, None]) & (ids[None, :] < ids[s:e, None])
+            )
+            drop[s:e] |= (dup & outrank).any(axis=1)
+        return pdf.loc[~drop, [id_col, "cell"]]
+
+    return base.groupBy("cell").applyInPandas(_dedupe_cell, out_schema)

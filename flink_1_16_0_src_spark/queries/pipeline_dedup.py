@@ -436,9 +436,15 @@ def dedup_substring_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_semantic",
     oracle="""
-    WITH seeds AS (
+    WITH k AS (
+      -- cluster count scales with the corpus so the mean cluster stays
+      -- ~250 vectors (SemDeDup's fixed-cluster-size regime): the
+      -- within-cluster pair volume is then LINEAR in N, not N^2/k
+      SELECT greatest(8, count(*) // 250) AS k FROM embeddings
+    ),
+    seeds AS (
       SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec
-      FROM embeddings WHERE vec_id < 8
+      FROM embeddings, k WHERE vec_id < k.k
     ),
     dists AS (
       SELECT e.vec_id, s.cell,
@@ -470,16 +476,22 @@ def dedup_substring_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pipeline", "dedup", "custom-op"),
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023): 8-cell k-means blocking
-    (deterministic lowest-id seeds, the cluster_kmeans_update
+    """SemDeDup (Abbas et al. 2023): k-means blocking with the cluster
+    COUNT scaled to the corpus — k = max(8, N // 250), the paper's
+    fixed-mean-cluster-size regime, so the within-cluster pair volume
+    is linear in N (a PINNED k makes the operator N^2/k: the r8 scale
+    probe measured 57x per decade at k=8 before this change, 5.8x
+    after). Deterministic lowest-id seeds (the cluster_kmeans_update
     precedent), within-cluster cosine duplicates at eps=0.3, keep the
     member farthest from its centroid (min-id tiebreak). Oracle
-    replays the full pipeline: assignment argmin at 6 dp, pair cosine
-    at 4 dp, identical rank rule."""
+    replays the full pipeline incl. the k rule: assignment argmin at
+    6 dp, pair cosine at 4 dp, identical rank rule. The only driver
+    coordination is count() + k seed vectors (bounded)."""
     from flink_1_16_0_src_spark.pipeline.dedup import semantic_dedup
 
     emb = load(spark, sf_dir, "embeddings")
-    seed_rows = emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    k = max(8, emb.count() // 250)
+    seed_rows = emb.where(F.col("vec_id") < k).select("vec_id", "embedding").collect()
     seeds = [list(map(float, r[1])) for r in sorted(seed_rows, key=lambda r: r[0])]
     return semantic_dedup(emb, "embedding", "vec_id", seeds, threshold=0.3)
 
