@@ -125,6 +125,11 @@ SCALE_PROBE_QUERIES = [
     "sim_ivfpq_topk",
     "pipeline_e2e_curation",  # the composed curation DAG: the decade
                               # for the WHOLE pipeline, not just stages
+    # r8 additions — the two heaviest ops the probe had not covered;
+    # dedup_semantic's 57x-per-decade regression was caught exactly by
+    # this kind of one-off measurement (fixed to ~6.6x in r8)
+    "dedup_semantic",
+    "dedup_substring_spans",
 ]
 _SCALE_BASE = "/root/testdata/sf0.1"
 _SCALE_DIR = "/tmp/spark_graft_scale_probe/sf1"
