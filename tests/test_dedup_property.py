@@ -282,3 +282,35 @@ def test_duplicate_spans_match_python_oracle(spark, corpus):
         for r in duplicate_spans(df, "text", "doc_id", k=SPAN_K).collect()
     }
     assert got == _py_spans(corpus)
+
+
+def test_ivf_assign_blas_matches_jvm(spark):
+    """The mapInPandas BLAS quantizer (SemDeDup's assignment) must
+    agree with the JVM ivf_assign contract on the fixture: same cell
+    per vector (nearest seed over 6-dp-rounded squared L2, lowest cell
+    wins ties) and the same rounded min distance."""
+    from pyspark.sql import functions as F
+
+    from flink_1_16_0_src_spark.pipeline.dedup import _ivf_assign_blas
+    from flink_1_16_0_src_spark.pipeline.similarity import ivf_assign
+    from flink_1_16_0_src_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    seed_rows = emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    seeds = [list(map(float, r[1])) for r in sorted(seed_rows, key=lambda r: r[0])]
+    jvm = {
+        r.vec_id: (r.cell, r.d)
+        for r in ivf_assign(emb, "embedding", "vec_id", seeds).select(
+            "vec_id", "cell",
+            F.round(
+                F.element_at(F.col("__dists"), F.col("cell") + F.lit(1)), 6
+            ).alias("d"),
+        ).collect()
+    }
+    blas = {
+        r["vec_id"]: (r["cell"], r["__d"])
+        for r in _ivf_assign_blas(emb, "embedding", "vec_id", seeds).collect()
+    }
+    assert set(jvm) == set(blas)
+    mism = {k: (jvm[k], blas[k]) for k in jvm if jvm[k] != blas[k]}
+    assert not mism, f"{len(mism)} mismatches, e.g. {list(mism.items())[:3]}"
