@@ -126,6 +126,8 @@ _DRIVER_GREEN_R4 = {
 def _rotation_rank(name: str) -> int:
     """0 = never driver-checked (or failed — re-check), then greens
     oldest-first (re-verify stalest evidence before fresher greens)."""
+    if name in _DRIVER_GREEN_R8:
+        return 7
     if name in _DRIVER_GREEN_R7:
         return 6
     if name in _DRIVER_GREEN_R5:
@@ -173,62 +175,33 @@ _DRIVER_GREEN_R5 = {
 }
 
 
-# VERDICT r7 next-round #1 — r8 tier 0 is the 88-query
-# never-driver-checked backlog: the 22 names carried at slots 51+ of
-# the r7 rotation first, then 28 operator-diverse r7-new queries
-# (group windows, TVF additions, CEP SQL conformance, DDL, substring/
-# semantic dedup, DSIR, e2e curation, kNN, text filters, streaming SQL
-# drains) to fill the 50-slot prefix; the remaining 38 (r7 scalar-func
-# extras + the 28 r7 TPC-DS shapes, all judge-strict-green in r7) are
-# pinned after slot 50 and ride the r9 rotation.
+# VERDICT r8 next-round #1 — r9 tier 0 is the 52-query
+# never-driver-checked backlog (judge strict-checked 0 failing in r8):
+# the 10 carried scalar-func/agg/join/topn names and the 32 TPC-DS
+# shapes (28 r7 shapes + 4 r8 b-variants) fill slots 1-42, then the
+# r8-new names (CEP until, perplexity buckets, streaming SQL drains)
+# — per the VERDICT ordering rule the spillover past slot 50 is the
+# last 2 stream_sql_* drains, which ride the r10 rotation with any
+# r9-new queries.
 _TIER0_RECHECK = ()
 _TIER0_PRIORITY_FAMILIES = ()
 _TIER0_PRIORITY_NAMES = (
-    # -- slots 1-22: the backlog carried from r7's slots 51+
-    "text_boilerplate_ngrams", "text_char_entropy", "text_chunk_windows",
-    "text_length_percentiles", "text_pii_scrub", "text_repetition",
-    "vocab_top_tokens", "vocab_bpe_pair_counts",
-    "sample_mixture_weights", "sample_source_share",
-    "sample_train_holdout_split", "shard_assignment",
-    "multimodal_audio_energy", "multimodal_video_motion",
-    "ddl_alter_table_read", "ddl_statement_set_sql",
-    "func_array_extras", "func_map_extras", "func_sha_json_string",
-    "func_string_slice_bytes",
-    "stream_continuous_trigger_drain", "stream_late_refire_drain",
-    # -- slots 23-25: legacy group-window SQL (r7)
-    "groupwin_sql_tumble", "groupwin_sql_hop", "groupwin_sql_session",
-    # -- slots 26-27: window TVF additions (r7)
-    "tvf_window_time_cascade", "tvf_tumble_grouping_sets",
-    # -- slots 28-31: MATCH_RECOGNIZE conformance (r7)
-    "cep_sql_classifier", "cep_sql_quantifier_exact",
-    "cep_sql_optional_greedy", "cep_sql_reluctant_plus",
-    # -- slots 32-35: DDL surface (r7)
-    "ddl_create_function_sql", "ddl_analyze_table_stats",
-    "ddl_compact_roundtrip", "ddl_compile_execute_plan",
-    # -- slots 36-39: substring/semantic dedup + LSH recall (r7)
-    "dedup_substring_spans", "dedup_substring_removed",
-    "dedup_semantic", "dedup_lsh_recall_eval",
-    # -- slots 40-43: sampling/quantization/e2e/kNN (r7)
-    "sample_dsir_weights", "embed_int8_quantize",
-    "pipeline_e2e_curation", "knn_label_predict",
-    # -- slots 44-47: text curation filters (r7)
-    "text_tfidf_topk", "text_gopher_rules", "text_c4_line_filter",
-    "text_langid_eval",
-    # -- slots 48-50: streaming SQL-text drains (r7)
-    "stream_sql_tumble_drain", "stream_doc_dedup_drain",
-    "stream_lookup_join_drain",
-    # -- slots 51+: remainder of the backlog (r9's driver prefix):
-    # r7 scalar-function extras, SQL-text join/topn variants, then the
-    # 28 r7 TPC-DS family shapes
+    # -- slots 1-10: carried from r8's slots 51+ (scalar-func extras,
+    # SQL-text join/topn variants)
     "agg_json_on_null_modes", "join_lookup_hint_sql",
     "join_sql_window_tvf", "topn_sql_window_tvf",
     "func_similar_to", "func_distinct_from_element", "func_group_id",
     "func_bool_predicates", "func_to_timestamp_ltz", "func_hash_code",
+    # -- slots 11-42: the TPC-DS family backlog (28 r7 shapes + the 4
+    # r8 b-variants)
     "tpcds_q2_weekly_channel_ratio", "tpcds_q11_channel_growth_compare",
-    "tpcds_q20_windowed_class_share",
+    "tpcds_q14b_yoy_cross_channel", "tpcds_q20_windowed_class_share",
+    "tpcds_q23b_spend_vs_max",
     "tpcds_q24_spend_above_global_threshold",
+    "tpcds_q24b_spend_above_global_threshold_alt",
     "tpcds_q25_three_channel_chain", "tpcds_q26_catalog_profile_avgs",
     "tpcds_q27_rollup_item_geography", "tpcds_q32_excess_discount_total",
+    "tpcds_q39b_cov_pair_strict",
     "tpcds_q40_net_sales_around_pivot", "tpcds_q42_year_category_revenue",
     "tpcds_q46_out_of_town_trips", "tpcds_q52_year_brand_revenue",
     "tpcds_q55_manager_brand_revenue",
@@ -242,6 +215,15 @@ _TIER0_PRIORITY_NAMES = (
     "tpcds_q83_return_share_three_periods",
     "tpcds_q84_customer_identification", "tpcds_q85_banded_return_reasons",
     "tpcds_q86_rollup_rank_regions", "tpcds_q91_returns_loss_by_month",
+    # -- slots 43-50: r8-new queries (CEP until-stop, perplexity
+    # buckets, streaming SQL-text drains)
+    "cep_until_stop", "text_perplexity_buckets",
+    "stream_sql_group_agg_drain", "stream_sql_session_drain",
+    "stream_sql_cumulate_drain", "stream_sql_groupwin_session_drain",
+    "stream_sql_interval_join_drain", "stream_sql_lookup_join_drain",
+    # -- slots 51+: the 2-name spillover (rides the r10 prefix with
+    # r9-new queries)
+    "stream_sql_window_join_drain", "stream_sql_match_recognize_drain",
 )
 _TIER0_QUOTAS = ()
 
@@ -279,6 +261,37 @@ _DRIVER_GREEN_R7 = {
 }
 
 
+# Green rows from CORRECTNESS_r08.json (50/50 green, all on names never
+# driver-checked before: group-window/TVF SQL, MATCH_RECOGNIZE
+# conformance, DDL surface, substring/semantic dedup, DSIR/quantize/
+# e2e/kNN, text-curation filters, sampling/sharding, multimodal, the
+# scalar-func extras, streaming SQL drains). Freshest evidence →
+# sampled last.
+_DRIVER_GREEN_R8 = {
+    "cep_sql_classifier", "cep_sql_optional_greedy",
+    "cep_sql_quantifier_exact", "cep_sql_reluctant_plus",
+    "ddl_alter_table_read", "ddl_analyze_table_stats",
+    "ddl_compact_roundtrip", "ddl_compile_execute_plan",
+    "ddl_create_function_sql", "ddl_statement_set_sql",
+    "dedup_lsh_recall_eval", "dedup_semantic", "dedup_substring_removed",
+    "dedup_substring_spans", "embed_int8_quantize", "func_array_extras",
+    "func_map_extras", "func_sha_json_string", "func_string_slice_bytes",
+    "groupwin_sql_hop", "groupwin_sql_session", "groupwin_sql_tumble",
+    "knn_label_predict", "multimodal_audio_energy",
+    "multimodal_video_motion", "pipeline_e2e_curation",
+    "sample_dsir_weights", "sample_mixture_weights", "sample_source_share",
+    "sample_train_holdout_split", "shard_assignment",
+    "stream_continuous_trigger_drain", "stream_doc_dedup_drain",
+    "stream_late_refire_drain", "stream_lookup_join_drain",
+    "stream_sql_tumble_drain", "text_boilerplate_ngrams",
+    "text_c4_line_filter", "text_char_entropy", "text_chunk_windows",
+    "text_gopher_rules", "text_langid_eval", "text_length_percentiles",
+    "text_pii_scrub", "text_repetition", "text_tfidf_topk",
+    "tvf_tumble_grouping_sets", "tvf_window_time_cascade",
+    "vocab_bpe_pair_counts", "vocab_top_tokens",
+}
+
+
 def _family_round_robin(names: list[str]) -> list[str]:
     """Order queries so any PREFIX of the dict (the driver checks 50 per
     round) samples (a) driver-unchecked queries before re-sampling known
@@ -288,7 +301,7 @@ def _family_round_robin(names: list[str]) -> list[str]:
     from collections import OrderedDict
 
     out: list[str] = []
-    for rank in (0, 1, 2, 3, 4, 5, 6):
+    for rank in (0, 1, 2, 3, 4, 5, 6, 7):
         buckets: "OrderedDict[str, list[str]]" = OrderedDict()
         for n in names:
             if _rotation_rank(n) == rank:
