@@ -645,12 +645,38 @@ def _ivf_assign_blas(
     return df.select(id_col, vec_col).mapInPandas(_assign, out_schema)
 
 
+def _pair_block_groups(base: DataFrame, id_col: str, max_cell: int) -> DataFrame:
+    """Replicate each row of an oversized cell into its pair-of-blocks
+    groups: cell members hash into B = ceil(|cell| / max_cell)
+    sub-blocks, and a row in block b joins group (min(b, j), max(b, j))
+    for every j in [0, B) — so every pair of cell members meets in
+    exactly one (cell, __gi, __gj) group and each group holds at most
+    two blocks (~2*max_cell rows). Cells at or under the cap get B == 1
+    (a single (0, 0) group — today's per-cell pass unchanged)."""
+    cnts = base.groupBy("cell").agg(F.count("*").alias("__n"))
+    # cnts is k rows (bounded coordination state) — broadcast it
+    return (
+        base.join(F.broadcast(cnts), "cell")
+        .withColumn("__nb", F.ceil(F.col("__n") / F.lit(int(max_cell))).cast("int"))
+        .withColumn(
+            "__blk", F.pmod(F.xxhash64(F.col(id_col)), F.col("__nb")).cast("int")
+        )
+        # __nb is always >= 1 so sequence() is ascending (the
+        # sequence(1, 0) descending trap never applies)
+        .withColumn("__j", F.explode(F.sequence(F.lit(0), F.col("__nb") - 1)))
+        .withColumn("__gi", F.least("__blk", "__j"))
+        .withColumn("__gj", F.greatest("__blk", "__j"))
+        .drop("__n", "__nb", "__j")
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str,
     id_col: str,
     seeds: list[list[float]],
     threshold: float,
+    max_cell: int = 8192,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster the embedding
@@ -671,32 +697,31 @@ def semantic_dedup(
     comparisons flip across engines near ties).
 
     Scale: seeds are k x dim driver-held literals (bounded coordination
-    state); assignment is map-only; the self-join shuffles on cell.
-    At 100 TB raise k so clusters stay executor-sized (the paper uses
-    k ~ sqrt(N)); skewed mega-clusters take the same hot-bucket cap as
-    lsh_candidate_pairs.
+    state); assignment is map-only; the pairwise stage shuffles on
+    cell. At 100 TB raise k so clusters stay executor-sized (the paper
+    uses k ~ sqrt(N)); cells LARGER than ``max_cell`` are additionally
+    split into hash sub-blocks and deduped via a pair-of-blocks pass,
+    so the per-executor pandas group is bounded by ~2*max_cell rows
+    even when a near-duplicate blob collapses into one cell (the
+    workload dedup exists for). The keep rule is block-invariant:
+    a vector drops iff ANY duplicate neighbor outranks it, and every
+    pair of cell members meets in exactly one (block_i, block_j)
+    group, so the blocked result is identical to the single-group one
+    (pinned by tests/test_dedup_property.py::test_semantic_dedup_mega
+    _cluster_blocked_matches_unblocked).
     """
     assigned = _ivf_assign_blas(df, vec_col, id_col, seeds)
     v = F.col(vec_col).cast("array<double>")
-    # per-VECTOR norm once (O(n·d)), not per pair (O(pairs·d)) — the
-    # pair cosine below divides by the same na*nb product, bit-identical
-    # the vector is materialized ONCE as array<double> (__vd): the
-    # unrolled per-pair dot below indexes it 64x per side, and an
-    # element_at over a cast-EXPRESSION would re-cast the whole array
-    # per element access (no CSE for repeated non-attribute subtrees —
-    # measured 270 s vs 5 s at sf0.1)
+    # the vector is materialized ONCE as array<double> (__vd): a cast
+    # EXPRESSION would re-cast the whole array per element access (no
+    # CSE for repeated non-attribute subtrees — measured 270 s vs 5 s
+    # at sf0.1). Norms are computed in numpy inside the Arrow stage
+    # (einsum) — no interpreted per-row fold here.
     base = assigned.select(
         F.col(id_col),
         v.alias("__vd"),
         F.col("cell"),
         F.col("__d"),  # already rounded 6 dp by the assignment
-    ).withColumn(
-        # per-VECTOR norm once (O(n·d)), not per pair (O(pairs·d)) — the
-        # pair cosine divides by the same na*nb product, bit-identical
-        "__norm",
-        F.sqrt(
-            F.aggregate(F.col("__vd"), F.lit(0.0), lambda acc, x: acc + x * x)
-        ),
     )
     # Within-cluster pairwise stage as a per-cell Arrow-batched
     # applyInPandas (one numpy/BLAS matmul per cluster). The previous
@@ -706,8 +731,9 @@ def semantic_dedup(
     # the 10x probe corpus; the r8 probe measured the stage at ~107 s
     # while the cosine arithmetic itself was ~20 CPU-seconds). The
     # matmul form moves only |cluster| rows per group across Arrow and
-    # evaluates the |cluster|^2 cosines in BLAS; row-blocked so a
-    # mega-cluster's score matrix stays bounded (block x |cluster|).
+    # evaluates the |cluster|^2 cosines in BLAS; row-blocked so the
+    # score matrix stays bounded (block x |cluster|), and the V matrix
+    # itself is bounded by the max_cell split below.
     #
     # Determinism: cosines rounded HALF-AWAY at 4 dp (matching Spark's
     # round() and the DuckDB oracle); numpy's dot-product summation
@@ -717,12 +743,30 @@ def semantic_dedup(
     # round to 4 dp before any comparison — the repo float rule).
     import numpy as np
 
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import BooleanType, StructField, StructType
 
     out_schema = StructType(
         [base.schema[id_col], base.schema["cell"]]
     )
     thr = float(threshold)
+
+    def _mark_outranked(rows, nbrs, drop, V, norms, ids, d):
+        """drop[x] |= exists dup neighbor y in nbrs that outranks x:
+        y farther from the centroid (6-dp __d), min-id tiebreak. x vs
+        itself never outranks — no diagonal masking needed."""
+        block = 1024
+        for s in range(0, len(rows), block):
+            r = rows[s : s + block]
+            C = (V[r] @ V[nbrs].T) / np.outer(norms[r], norms[nbrs])
+            C = np.where(
+                C >= 0, np.floor(C * 1e4 + 0.5), np.ceil(C * 1e4 - 0.5)
+            ) / 1e4
+            dup = C >= thr
+            outrank = (d[nbrs][None, :] > d[r][:, None]) | (
+                (d[nbrs][None, :] == d[r][:, None])
+                & (ids[nbrs][None, :] < ids[r][:, None])
+            )
+            drop[r] |= (dup & outrank).any(axis=1)
 
     def _dedupe_cell(pdf):
         n = len(pdf)
@@ -733,21 +777,64 @@ def semantic_dedup(
         ids = pdf[id_col].to_numpy()
         d = pdf["__d"].to_numpy()
         drop = np.zeros(n, dtype=bool)
-        block = 1024
-        for s in range(0, n, block):
-            e = min(s + block, n)
-            C = (V[s:e] @ V.T) / np.outer(norms[s:e], norms)
-            C = np.where(
-                C >= 0, np.floor(C * 1e4 + 0.5), np.ceil(C * 1e4 - 0.5)
-            ) / 1e4
-            dup = C >= thr
-            # row x drops iff some dup neighbor y outranks it: y is
-            # farther from the centroid, min-id tiebreak (x vs itself
-            # never outranks — no diagonal masking needed)
-            outrank = (d[None, :] > d[s:e, None]) | (
-                (d[None, :] == d[s:e, None]) & (ids[None, :] < ids[s:e, None])
-            )
-            drop[s:e] |= (dup & outrank).any(axis=1)
+        idx = np.arange(n)
+        _mark_outranked(idx, idx, drop, V, norms, ids, d)
         return pdf.loc[~drop, [id_col, "cell"]]
 
-    return base.groupBy("cell").applyInPandas(_dedupe_cell, out_schema)
+    # One barrier job: materializes the cache with a SINGLE consumer
+    # (the multi-consumer cold-cache race is the r8 minhash lesson) and
+    # returns the largest cluster size so the plan can stay the cheap
+    # single-group shape when no cell exceeds the cap.
+    base = base.persist()
+    row = base.groupBy("cell").count().agg(F.max("count")).first()
+    largest = int(row[0] or 0)
+    if largest <= max_cell:
+        return base.groupBy("cell").applyInPandas(_dedupe_cell, out_schema)
+
+    # Mega-cluster path: split each oversized cell into
+    # B = ceil(|cell| / max_cell) hash sub-blocks and run one Arrow
+    # group per unordered block pair (i <= j): group (b, b) compares
+    # block b's pairs, group (i, j) compares cross pairs both ways.
+    # Every pair of cell members meets in exactly one group, so the
+    # drop set (and therefore the survivor set) is identical to the
+    # unblocked pass; per-group rows are bounded by ~2*max_cell.
+    flag_schema = StructType(
+        [
+            base.schema[id_col],
+            base.schema["cell"],
+            StructField("__drop", BooleanType(), False),
+        ]
+    )
+
+    def _dedupe_block_pair(pdf):
+        n = len(pdf)
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__vd"]])
+        norms = np.sqrt(np.einsum("ij,ij->i", V, V))
+        ids = pdf[id_col].to_numpy()
+        d = pdf["__d"].to_numpy()
+        drop = np.zeros(n, dtype=bool)
+        gi, gj = int(pdf["__gi"].iat[0]), int(pdf["__gj"].iat[0])
+        if gi == gj:
+            idx = np.arange(n)
+            _mark_outranked(idx, idx, drop, V, norms, ids, d)
+        else:
+            blk = pdf["__blk"].to_numpy()
+            a = np.flatnonzero(blk == gi)
+            b = np.flatnonzero(blk == gj)
+            if len(a) and len(b):
+                _mark_outranked(a, b, drop, V, norms, ids, d)
+                _mark_outranked(b, a, drop, V, norms, ids, d)
+        out = pdf[[id_col, "cell"]].copy()
+        out["__drop"] = drop
+        return out
+
+    grouped = _pair_block_groups(base, id_col, max_cell)
+    flags = grouped.groupBy("cell", "__gi", "__gj").applyInPandas(
+        _dedupe_block_pair, flag_schema
+    )
+    return (
+        flags.groupBy(id_col, "cell")
+        .agg(F.max("__drop").alias("__dropped"))
+        .where(~F.col("__dropped"))
+        .select(id_col, "cell")
+    )

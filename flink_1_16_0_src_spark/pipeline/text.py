@@ -212,20 +212,26 @@ def hash_lm_ppl_micro(text_col: str) -> Column:
     (integer division), NULL-free for docs with >= 2 tokens.
 
     Map-only: one interpreted aggregate() fold per doc, no shuffle —
-    at 100 TB this is a scan-shaped pass like the Gopher gates."""
-    toks = f"split(lower(trim({text_col})), '\\\\s+')"
+    at 100 TB this is a scan-shaped pass like the Gopher gates.
+
+    The token array is BOUND ONCE per doc via a transform() lambda
+    variable (interpreted HOFs get no CSE for repeated non-attribute
+    subtrees — inlining the split into the bigram slice re-split the
+    text once per bigram, O(tokens^2) per doc)."""
+    toks_src = f"split(lower(trim({text_col})), '\\\\s+')"
     # CASE-guarded for docs shorter than 2 tokens: sequence(1, 0) is
     # DESCENDING [1, 0] in Spark (not empty) and slice(toks, 0, 2)
     # throws — the same documented trap shingles() guards. NULL out.
     return F.expr(
-        f"CASE WHEN size({toks}) >= 2 THEN "
+        f"transform(array({toks_src}), toks -> "
+        f"CASE WHEN size(toks) >= 2 THEN "
         f"aggregate("
-        f"  transform(sequence(1, size({toks}) - 1),"
-        f"            i -> concat_ws(' ', slice({toks}, i, 2))),"
+        f"  transform(sequence(1, size(toks) - 1),"
+        f"            i -> concat_ws(' ', slice(toks, i, 2))),"
         f"  0L,"
         f"  (acc, b) -> acc + CAST(conv(substring(md5(b), 1, 15), 16, 10) AS BIGINT) % 6000000L + 500000L"
-        f") DIV (size({toks}) - 1) "
-        f"ELSE CAST(NULL AS BIGINT) END"
+        f") DIV (size(toks) - 1) "
+        f"ELSE CAST(NULL AS BIGINT) END)[0]"
     )
 
 

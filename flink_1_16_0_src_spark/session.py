@@ -2007,6 +2007,23 @@ class TableEnvironment:
                         f"streaming SESSION: PARTITION BY keys {missing} "
                         "must appear in GROUP BY (session merge scope)"
                     )
+                declared = {
+                    k.split(".")[-1].lower()
+                    for k in session_spec.get("keys", ())
+                }
+                extra = [
+                    e for e, b in zip(keep, keep_bare) if b not in declared
+                ]
+                if extra:
+                    raise ValueError(
+                        f"streaming SESSION: GROUP BY keys {extra} are not "
+                        "in the TVF's PARTITION BY (session merge scope): "
+                        "Flink merges sessions per PARTITION BY key only, "
+                        "while Spark's session_window merges per the full "
+                        "GROUP BY key set — extra grouping keys would change "
+                        "window bounds and membership; add them to PARTITION "
+                        "BY or drop them from GROUP BY"
+                    )
             return "GROUP BY " + ", ".join([struct_tok] + keep)
 
         def _depth_at(s: str, idx: int) -> int:

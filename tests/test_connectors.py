@@ -1400,3 +1400,31 @@ def test_stream_query_select_list_from_does_not_shift_split(tenv, spark, tmp_pat
     assert "window_start" in out.columns
     rows = ssrc.run_to_memory(out, "tfs_drain", "append").collect()
     assert sorted((r.kk, r.window_start.hour, r.n) for r in rows) == [("a", 10, 1)]
+
+
+def test_stream_session_merge_scope_rejects_extra_group_keys(tenv, spark, tmp_path):
+    """ADVICE r8: the SESSION merge-scope guard must be bidirectional.
+    GROUP BY keys beyond the TVF's PARTITION BY set change the merge
+    scope (Flink merges per PARTITION BY key only; Spark's
+    session_window merges per the full GROUP BY key set) — silently
+    passing them yields different window bounds than the reference."""
+    import datetime as dt
+
+    import pytest
+
+    d = str(tmp_path / "sqscope")
+    spark.createDataFrame(
+        [("a", "x", dt.datetime(2024, 1, 1, 10, 0), 1.0)],
+        "k string, etype string, ts timestamp, v double",
+    ).write.parquet(d)
+    tenv.execute_sql(
+        f"CREATE TABLE sqscope_ev (k STRING, etype STRING, ts TIMESTAMP(3),"
+        f" v DOUBLE, WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{d}','format'='parquet')"
+    )
+    with pytest.raises(ValueError, match="session merge scope"):
+        tenv.stream_query("""
+            SELECT k, etype, window_start, count(*) AS n
+            FROM TABLE(SESSION(TABLE sqscope_ev PARTITION BY k, DESCRIPTOR(ts), INTERVAL '30' MINUTE))
+            GROUP BY k, etype, window_start, window_end
+        """)
