@@ -1722,3 +1722,113 @@ def stream_sql_group_agg_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
     drained = ssrc.run_to_memory(out, f"drain_sqlga_{k}", "update")
     return drained.select("user_id", "n", "sum_value")
+
+
+@query(
+    "stream_sql_over_drain",
+    oracle="""
+    SELECT user_id, event_id,
+           round(sum(value) OVER w, 2) AS range_sum,
+           count(value) OVER w AS range_cnt
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '30 minutes' PRECEDING AND CURRENT ROW)
+    """,
+    tags=("streaming", "over", "sql-surface"),
+)
+def stream_sql_over_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OVER aggregation as SQL TEXT (VERDICT r8 #3): the DDL
+    table's event-time RANGE frame lowers through stream_query onto
+    stateful.streaming_over_bounded — the reference's
+    StreamExecOverAggregate.java:91 planning
+    RowTimeRangeBoundedPrecedingFunction.java (retract rows strictly
+    older than cur - interval; the bound row itself stays IN the
+    frame, matching SQL RANGE's inclusive preceding edge). Every input
+    row emits exactly one output row (append), so the drained set
+    equals the batch window oracle; (user_id, ts) is unique in events
+    at every SF, so frame content is tie-free on both engines."""
+    import os as _os
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE sq_ovr_events_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    out = t.stream_query(f"""
+        SELECT user_id, event_id,
+               SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL '30' MINUTE PRECEDING AND CURRENT ROW)
+                   AS range_sum,
+               COUNT(value) OVER (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL '30' MINUTE PRECEDING AND CURRENT ROW)
+                   AS range_cnt
+        FROM sq_ovr_events_{k}
+    """)
+    drained = ssrc.run_to_memory(out, f"drain_sqlovr_{k}", "append")
+    return drained.select(
+        "user_id", "event_id",
+        F.round("range_sum", 2).alias("range_sum"), "range_cnt",
+    )
+
+
+@query(
+    "stream_sql_over_rows_drain",
+    oracle="""
+    SELECT user_id, event_id,
+           round(sum(value) OVER w, 2) AS roll_sum,
+           round(min(value) OVER w, 2) AS roll_min,
+           round(max(value) OVER w, 2) AS roll_max
+    FROM events
+    WHERE event_type = 'click'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("streaming", "over", "sql-surface"),
+)
+def stream_sql_over_rows_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ROWS-bounded OVER as SQL TEXT with a WHERE pushed
+    below the window (VERDICT r8 #3's rows-bounded variant):
+    stream_query lowers onto streaming_over_bounded(rows=4) — the
+    reference's RowTimeRowsBoundedPrecedingFunction.java keeping the
+    last n rows per key as retract state. The filter runs before frame
+    assembly exactly like Flink's Calc-under-OverAggregate plan, so
+    frames count only 'click' rows; ts is unique per user (tie-free
+    ROWS numbering on both engines)."""
+    import os as _os
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE sq_ovrr_events_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    out = t.stream_query(f"""
+        SELECT user_id, event_id,
+               SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS roll_sum,
+               MIN(value) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS roll_min,
+               MAX(value) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS roll_max
+        FROM sq_ovrr_events_{k} WHERE event_type = 'click'
+    """)
+    drained = ssrc.run_to_memory(out, f"drain_sqlovrr_{k}", "append")
+    return drained.select(
+        "user_id", "event_id",
+        F.round("roll_sum", 2).alias("roll_sum"),
+        F.round("roll_min", 2).alias("roll_min"),
+        F.round("roll_max", 2).alias("roll_max"),
+    )

@@ -1948,21 +1948,31 @@ class TableEnvironment:
             )
         # streaming OVER aggregation has no Catalyst lowering (Spark
         # rejects non-time windows on streams at sink start with an
-        # opaque error) — the custom stateful operator is the path
-        # (StreamExecOverAggregate ≈ streaming/stateful.py over_agg /
-        # windows.window_topn for window Top-N). MATCH_RECOGNIZE's own
-        # OVER usage was consumed by the lowering above.
+        # opaque error) — lower the single-spec SELECT ... OVER ...
+        # FROM t statement onto the custom stateful operators
+        # (StreamExecOverAggregate.java:91 ≈ streaming/stateful.py
+        # streaming_over_unbounded / streaming_over_bounded).
+        # MATCH_RECOGNIZE's own OVER usage was consumed by the lowering
+        # above; statements mixing window TVFs with OVER are out of
+        # scope (the reference plans them as separate exec nodes —
+        # compose via two statements).
         unquoted = "".join(
             p for i, p in enumerate(_re.split(r"('(?:[^']|'')*')", out))
             if i % 2 == 0
         )
         if _re.search(r"\bOVER\s*\(", unquoted, _re.IGNORECASE):
-            raise ValueError(
-                "OVER aggregation in streaming SQL: use "
-                "streaming.stateful.over_agg (running frames) or "
-                "streaming.windows.window_topn (window Top-N) — "
-                "Structured Streaming has no OVER lowering"
+            if specs:
+                raise ValueError(
+                    "OVER aggregation combined with a window TVF in one "
+                    "streaming statement: run the OVER pass as its own "
+                    "statement (or use streaming.windows.window_topn "
+                    "for window Top-N)"
+                )
+            from flink_1_16_0_src_spark.sql_clauses import (
+                lower_streaming_over,
             )
+
+            return lower_streaming_over(self.spark, out, self.spark.table)
         kinds = {s["fn"] for s in specs}
         if ("CUMULATE" in kinds or "SESSION" in kinds) and len(specs) != 1:
             raise ValueError(

@@ -1136,3 +1136,202 @@ def rewrite_lateral_table(sql: str) -> str:
     them directly for Python UDTFs registered via
     ``functions.udf.register``."""
     return _LATERAL_TABLE.sub(r"LATERAL \1", sql)
+
+
+_OVER_AGG_HEAD = re.compile(
+    r"^(?P<fn>COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(?P<arg>\*|[\w.]+)\s*\)\s+OVER\s*\(",
+    re.IGNORECASE,
+)
+_OVER_SPEC = re.compile(
+    r"^\s*PARTITION\s+BY\s+(?P<keys>[\w.]+(?:\s*,\s*[\w.]+)*)\s+"
+    r"ORDER\s+BY\s+(?P<ord>[\w.]+)(?:\s+(?P<dir>ASC|DESC))?\s*(?P<frame>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_FRAME_ROWS = re.compile(
+    r"^ROWS\s+BETWEEN\s+(\d+)\s+PRECEDING\s+AND\s+CURRENT\s+ROW$", re.IGNORECASE
+)
+_FRAME_RANGE = re.compile(
+    r"^RANGE\s+BETWEEN\s+(INTERVAL\s*'[\d.]+'\s*\w+)\s+PRECEDING"
+    r"\s+AND\s+CURRENT\s+ROW$",
+    re.IGNORECASE,
+)
+_FRAME_UNBOUNDED = re.compile(
+    r"^(?:ROWS|RANGE)\s+(?:BETWEEN\s+)?UNBOUNDED\s+PRECEDING"
+    r"(?:\s+AND\s+CURRENT\s+ROW)?$",
+    re.IGNORECASE,
+)
+
+
+def lower_streaming_over(
+    spark: SparkSession, sql: str, resolver: Callable[[str], DataFrame]
+) -> DataFrame:
+    """Lower a streaming ``SELECT ... agg(x) OVER (PARTITION BY k ORDER
+    BY rowtime [frame]) ... FROM t [WHERE ...]`` statement onto the
+    custom stateful OVER operators — Structured Streaming has no
+    Catalyst OVER lowering, so this is the StreamExecOverAggregate
+    path (EXEC-S/StreamExecOverAggregate.java:91):
+
+    - no frame / UNBOUNDED PRECEDING → streaming_over_unbounded
+      (ProcTimeUnboundedPrecedingFunction.java contract);
+    - ``ROWS BETWEEN n PRECEDING AND CURRENT ROW`` →
+      streaming_over_bounded(rows=n+1)
+      (RowTimeRowsBoundedPrecedingFunction.java);
+    - ``RANGE BETWEEN INTERVAL 'x' U PRECEDING AND CURRENT ROW`` →
+      streaming_over_bounded(range_interval=...)
+      (RowTimeRangeBoundedPrecedingFunction.java).
+
+    Scope (the reference's own planner restrictions, plus the repo's
+    single-relation statement shape): one window spec per statement
+    (Flink: "Over Agg: Unsupported use of OVER windows" for mixed
+    specs), all aggregates over ONE value column (COUNT(*) rides the
+    same pass), ascending time order (descending rejected by Flink's
+    planner too), simple column passthrough items, single source
+    table, optional WHERE."""
+    from flink_1_16_0_src_spark.streaming.stateful import (
+        streaming_over_bounded,
+        streaming_over_unbounded,
+    )
+
+    s = sql.strip().rstrip(";").strip()
+    msel = re.match(r"^SELECT\s+", s, re.IGNORECASE)
+    fk = _statement_from_kw(s)
+    if not msel or fk is None:
+        raise ValueError(
+            "streaming OVER: supported statement shape is SELECT ... "
+            "FROM <table> [WHERE ...] with OVER items in the SELECT "
+            "list — compose streaming.stateful over_agg directly for "
+            "other shapes"
+        )
+    select_list = s[msel.end() : fk]
+    rest = s[fk:]
+    fm = re.match(r"FROM\s+(\w+)\s*(.*)$", rest, re.IGNORECASE | re.DOTALL)
+    if fm is None:
+        raise ValueError(
+            "streaming OVER: FROM must reference a single named table "
+            "(no joins/subqueries) — use streaming.stateful over_agg "
+            "for composed inputs"
+        )
+    tbl, tail = fm.group(1), fm.group(2).strip()
+    where = None
+    if tail:
+        wm = re.match(r"^WHERE\s+(.*)$", tail, re.IGNORECASE | re.DOTALL)
+        if wm is None or re.search(
+            r"\b(JOIN|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|UNION)\b",
+            tail,
+            re.IGNORECASE,
+        ):
+            raise ValueError(
+                "streaming OVER: only an optional WHERE may follow the "
+                "source table (no JOIN/GROUP BY/HAVING/ORDER BY/LIMIT) "
+                "— aggregate or join in a separate statement"
+            )
+        where = wm.group(1).strip()
+
+    passthrough: list[tuple[str, str]] = []  # (source col, output alias)
+    over_items: list[tuple[str, str, str]] = []  # (fn, arg, alias)
+    spec_norm: str | None = None
+    spec_m = None
+    for item in _split_top_commas(select_list):
+        ma = _OVER_AGG_HEAD.match(item)
+        if ma is None:
+            mp = re.match(r"^([\w.]+)(?:\s+AS\s+(\w+))?$", item, re.IGNORECASE)
+            if mp is None:
+                raise ValueError(
+                    f"streaming OVER: unsupported SELECT item {item!r} — "
+                    "items must be plain columns or "
+                    "COUNT/SUM/AVG/MIN/MAX(col) OVER (...) AS alias"
+                )
+            col = mp.group(1).split(".")[-1]
+            passthrough.append((col, mp.group(2) or col))
+            continue
+        open_idx = item.index("(", ma.end() - 1)
+        close_idx = _balanced(item, open_idx)  # just past the ')'
+        spec_text = item[open_idx + 1 : close_idx - 1]
+        after = item[close_idx:].strip()
+        mal = re.match(r"^AS\s+(\w+)$", after, re.IGNORECASE)
+        if mal is None:
+            raise ValueError(
+                f"streaming OVER: every OVER item needs an AS alias "
+                f"(got {item!r})"
+            )
+        norm = re.sub(r"\s+", " ", spec_text.strip().upper())
+        if spec_norm is None:
+            spec_norm, spec_m = norm, _OVER_SPEC.match(spec_text)
+        elif norm != spec_norm:
+            raise ValueError(
+                "streaming OVER: all OVER items must share one window "
+                "spec (the reference's StreamExecOverAggregate plans a "
+                "single over window per node)"
+            )
+        over_items.append(
+            (ma.group("fn").upper(), ma.group("arg").split(".")[-1], mal.group(1))
+        )
+    if not over_items:
+        raise ValueError("streaming OVER: no OVER aggregate items found")
+    if spec_m is None:
+        raise ValueError(
+            "streaming OVER: window spec must be PARTITION BY <cols> "
+            "ORDER BY <time-attribute> [frame]"
+        )
+    if (spec_m.group("dir") or "ASC").upper() == "DESC":
+        raise ValueError(
+            "streaming OVER: ORDER BY must be ascending on the time "
+            "attribute (the reference's planner rejects descending "
+            "streaming OVER windows too)"
+        )
+    keys = [k.strip().split(".")[-1] for k in spec_m.group("keys").split(",")]
+    order_col = spec_m.group("ord").split(".")[-1]
+    frame = spec_m.group("frame").strip()
+    rows = range_interval = None
+    if frame and not _FRAME_UNBOUNDED.match(frame):
+        mr = _FRAME_ROWS.match(frame)
+        mg = _FRAME_RANGE.match(frame)
+        if mr:
+            rows = int(mr.group(1)) + 1
+        elif mg:
+            range_interval = _interval_str(mg.group(1))
+        else:
+            raise ValueError(
+                f"streaming OVER: unsupported frame {frame!r} — use "
+                "ROWS/RANGE BETWEEN <bound> PRECEDING AND CURRENT ROW "
+                "or UNBOUNDED PRECEDING"
+            )
+    value_args = {a for _fn, a, _al in over_items if a != "*"}
+    if len(value_args) > 1:
+        raise ValueError(
+            "streaming OVER: all aggregates must target one value "
+            f"column (got {sorted(value_args)}) — run one statement "
+            "per value column"
+        )
+    sdf = resolver(tbl)
+    if where:
+        sdf = sdf.where(F.expr(where))
+    if value_args:
+        value_col = value_args.pop()
+        needed = list(
+            dict.fromkeys(
+                [c for c, _a in passthrough] + keys + [order_col, value_col]
+            )
+        )
+        sdf = sdf.select(*needed)
+    else:
+        # COUNT(*)-only statement: count rows via a constant value
+        # column (timestamps can't ride the float aggregate buffer)
+        value_col = "__one"
+        needed = list(
+            dict.fromkeys([c for c, _a in passthrough] + keys + [order_col])
+        )
+        sdf = sdf.select(*needed).withColumn("__one", F.lit(1.0))
+    if rows is None and range_interval is None:
+        out = streaming_over_unbounded(sdf, keys, order_col, value_col)
+        prefix = "running_"
+    else:
+        out = streaming_over_bounded(
+            sdf, keys, order_col, value_col,
+            rows=rows, range_interval=range_interval,
+        )
+        prefix = "bounded_"
+    sfx = {"COUNT": "cnt", "SUM": "sum", "AVG": "avg", "MIN": "min", "MAX": "max"}
+    sel = [F.col(c).alias(a) for c, a in passthrough]
+    sel += [F.col(prefix + sfx[fn]).alias(al) for fn, _a, al in over_items]
+    return out.select(*sel)

@@ -340,8 +340,14 @@ def streaming_over_bounded(
             if rows is not None:
                 r = v.rolling(rows, min_periods=1)
             else:
+                # closed="both": Flink's RANGE x PRECEDING frame is
+                # [cur - x, cur] INCLUSIVE on both ends
+                # (RowTimeRangeBoundedPrecedingFunction retracts rows
+                # strictly older than cur - x; SQL RANGE is inclusive)
+                # — pandas' default right-closed window would drop the
+                # row sitting exactly x before the current one
                 r = pd.DataFrame({"v": v.values}, index=pd.DatetimeIndex(t))["v"].rolling(
-                    delta, min_periods=1
+                    delta, min_periods=1, closed="both"
                 )
             agg = {
                 "bounded_cnt": r.count().astype("int64"),

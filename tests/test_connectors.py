@@ -1352,25 +1352,80 @@ def test_stream_query_match_recognize_prev_rejected(tenv, spark, tmp_path):
         """)
 
 
-def test_stream_query_over_rejected_with_pointer(tenv, spark, tmp_path):
+def test_stream_query_over_lowering(tenv, spark, tmp_path):
+    """Streaming SQL OVER (VERDICT r8 #3): stream_query lowers a
+    single-spec OVER statement onto the stateful operators
+    (StreamExecOverAggregate.java:91). Pins the RANGE frame as
+    INCLUSIVE on the preceding bound (a row exactly `interval` before
+    the current one is IN the frame — Flink retracts only rows
+    strictly older than cur - interval) and the planner-parity
+    rejections (descending order, mixed specs, multiple value cols)."""
     import datetime as dt
 
     import pytest
 
+    from flink_1_16_0_src_spark.streaming import sources as ssrc
+
     d = str(tmp_path / "ovr")
     spark.createDataFrame(
-        [(1, dt.datetime(2024, 1, 1, 10, 0), 1.0)],
-        "user_id long, ts timestamp, v double",
+        [
+            (1, dt.datetime(2024, 1, 1, 10, 0), "a", 1.0),
+            (2, dt.datetime(2024, 1, 1, 10, 30), "a", 2.0),
+            (3, dt.datetime(2024, 1, 1, 11, 30), "a", 4.0),
+            (4, dt.datetime(2024, 1, 1, 10, 0), "b", 8.0),
+        ],
+        "id long, ts timestamp, k string, v double",
     ).write.parquet(d)
     tenv.execute_sql(
-        f"CREATE TABLE ovr_ev (user_id BIGINT, ts TIMESTAMP(3), v DOUBLE,"
+        f"CREATE TABLE ovr_ev (id BIGINT, ts TIMESTAMP(3), k STRING, v DOUBLE,"
         f" WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
         f" WITH ('connector'='filesystem','path'='{d}','format'='parquet')"
     )
-    with pytest.raises(ValueError, match="over_agg"):
+    out = tenv.stream_query("""
+        SELECT k, id,
+               SUM(v) OVER (PARTITION BY k ORDER BY ts
+                   RANGE BETWEEN INTERVAL '30' MINUTE PRECEDING AND CURRENT ROW) AS s,
+               COUNT(v) OVER (PARTITION BY k ORDER BY ts
+                   RANGE BETWEEN INTERVAL '30' MINUTE PRECEDING AND CURRENT ROW) AS n
+        FROM ovr_ev
+    """)
+    assert out.isStreaming
+    rows = ssrc.run_to_memory(out, "ovr_range", "append").collect()
+    # id=2 at 10:30: the 10:00 row sits exactly 30 min back -> INCLUDED
+    assert sorted((r.k, r.id, r.s, r.n) for r in rows) == [
+        ("a", 1, 1.0, 1), ("a", 2, 3.0, 2), ("a", 3, 4.0, 1), ("b", 4, 8.0, 1),
+    ]
+    out2 = tenv.stream_query("""
+        SELECT k, id, SUM(v) OVER (PARTITION BY k ORDER BY ts
+            ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+        FROM ovr_ev WHERE v < 8.0
+    """)
+    rows2 = ssrc.run_to_memory(out2, "ovr_rows", "append").collect()
+    assert sorted((r.k, r.id, r.s) for r in rows2) == [
+        ("a", 1, 1.0), ("a", 2, 3.0), ("a", 3, 6.0),
+    ]
+    out3 = tenv.stream_query(
+        "SELECT k, COUNT(*) OVER (PARTITION BY k ORDER BY ts) AS c FROM ovr_ev"
+    )
+    rows3 = ssrc.run_to_memory(out3, "ovr_unb", "append").collect()
+    assert sorted((r.k, r.c) for r in rows3) == [("a", 1), ("a", 2), ("a", 3), ("b", 1)]
+    with pytest.raises(ValueError, match="ascending"):
         tenv.stream_query(
-            "SELECT user_id, sum(v) OVER (PARTITION BY user_id ORDER BY ts) AS s FROM ovr_ev"
+            "SELECT k, SUM(v) OVER (PARTITION BY k ORDER BY ts DESC) AS s FROM ovr_ev"
         )
+    with pytest.raises(ValueError, match="one window spec"):
+        tenv.stream_query("""
+            SELECT k, SUM(v) OVER (PARTITION BY k ORDER BY ts) AS s,
+                   COUNT(v) OVER (PARTITION BY k ORDER BY ts
+                       ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS n
+            FROM ovr_ev
+        """)
+    with pytest.raises(ValueError, match="one value"):
+        tenv.stream_query("""
+            SELECT k, SUM(v) OVER (PARTITION BY k ORDER BY ts) AS s,
+                   SUM(id) OVER (PARTITION BY k ORDER BY ts) AS si
+            FROM ovr_ev
+        """)
 
 
 def test_stream_query_select_list_from_does_not_shift_split(tenv, spark, tmp_path):
