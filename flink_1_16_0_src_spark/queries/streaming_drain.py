@@ -1832,3 +1832,86 @@ def stream_sql_over_rows_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("roll_min", 2).alias("roll_min"),
         F.round("roll_max", 2).alias("roll_max"),
     )
+
+
+@query(
+    "stream_sql_temporal_join_drain",
+    oracle="""
+    WITH v AS (
+      SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS vts,
+             o_orderkey, o_totalprice
+      FROM orders
+      QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                 ORDER BY o_orderkey DESC) = 1
+    )
+    SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+           v.o_orderkey AS version_orderkey,
+           round(v.o_totalprice, 2) AS version_price
+    FROM events e
+    ASOF JOIN v ON e.user_id = v.o_custkey AND e.ts >= v.vts
+    """,
+    tags=("streaming", "temporal", "sql-surface"),
+)
+def stream_sql_temporal_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time temporal join as streaming SQL TEXT (VERDICT r8 #4):
+    two DDL tables with WATERMARKs, ``JOIN v FOR SYSTEM_TIME AS OF
+    e.ts`` lowered through stream_query onto the as-of state machine
+    (StreamExecTemporalJoin.java:77 / TemporalRowTimeJoinOperator.java:
+    version rows held per key, each probe row binds the latest version
+    at or before its rowtime; INNER drops version-less probes). The
+    version table is the per-(customer, day) max-orderkey order — the
+    same tie-free versioned fixture as stream_asof_drain, here
+    PRE-materialized to parquet so the whole statement is pure SQL
+    text over DDL tables. Equals DuckDB's native ASOF JOIN."""
+    import os as _os
+    import tempfile as _tf
+
+    from pyspark.sql import Window as W
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+    from flink_1_16_0_src_spark.tables import load
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    # versioned fixture: one row per (custkey, orderdate) — version
+    # timestamps are unique per key, so bisect ties cannot occur
+    w = W.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
+    vdir = _os.path.join(_tf.mkdtemp(prefix="tjv_"), "versions")
+    (
+        load(spark, sf_dir, "orders")
+        .withColumn("__rn", F.row_number().over(w)).where("__rn = 1")
+        .select(
+            "o_custkey",
+            F.col("o_orderdate").cast("timestamp").alias("vts"),
+            "o_orderkey", "o_totalprice",
+        )
+        .write.mode("overwrite").parquet(vdir)
+    )
+    t.execute_sql(
+        f"CREATE TABLE sq_tj_events_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    t.execute_sql(
+        f"CREATE TABLE sq_tj_versions_{k} (o_custkey BIGINT, vts TIMESTAMP(3),"
+        f" o_orderkey BIGINT, o_totalprice DOUBLE,"
+        f" WATERMARK FOR vts AS vts - INTERVAL '10' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{vdir}','format'='parquet')"
+    )
+    out = t.stream_query(f"""
+        SELECT e.event_id, e.user_id, e.ts,
+               v.o_orderkey AS version_orderkey,
+               v.o_totalprice AS version_price
+        FROM sq_tj_events_{k} AS e
+        JOIN sq_tj_versions_{k} FOR SYSTEM_TIME AS OF e.ts AS v
+        ON e.user_id = v.o_custkey
+    """)
+    drained = ssrc.run_to_memory(out, f"drain_sqltj_{k}", "append")
+    return drained.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+        "version_orderkey",
+        F.round("version_price", 2).alias("version_price"),
+    )

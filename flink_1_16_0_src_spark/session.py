@@ -1921,12 +1921,24 @@ class TableEnvironment:
                     lookup_dims.add(jm.group(1).lower())
             out = rewrite_lookup_join(out, proctimes)
             if _re.search(r"FOR\s+SYSTEM_TIME\s+AS\s+OF", out, _re.IGNORECASE):
-                raise ValueError(
-                    "event-time FOR SYSTEM_TIME AS OF in streaming mode: "
-                    "use streaming.joins asof (stream_asof_drain shape) — "
-                    "only processing-time lookup joins lower to "
-                    "stream-static joins"
+                # event-time AS OF: lower onto the as-of state machine
+                # (StreamExecTemporalJoin.java:77 →
+                # TemporalRowTimeJoinOperator; VERDICT r8 #4)
+                from flink_1_16_0_src_spark.sql_clauses import (
+                    lower_streaming_temporal_join,
                 )
+
+                def _tj_resolve(nm: str):
+                    for s in self._sources:
+                        if s.lower() == nm.lower():
+                            return self.stream(s), self._watermarks.get(s)
+                    raise ValueError(
+                        f"streaming temporal join: unknown DDL table "
+                        f"{nm!r} — both sides must be CREATE TABLE "
+                        "sources"
+                    )
+
+                return lower_streaming_temporal_join(out, _tj_resolve)
         # plain (non-TVF) references to DDL sources stream too: an
         # interval join / filter / agg over raw attributes is a valid
         # streaming statement in the reference (StreamExecIntervalJoin

@@ -1335,3 +1335,197 @@ def lower_streaming_over(
     sel = [F.col(c).alias(a) for c, a in passthrough]
     sel += [F.col(prefix + sfx[fn]).alias(al) for fn, _a, al in over_items]
     return out.select(*sel)
+
+
+_TEMPORAL_FROM = re.compile(
+    r"^FROM\s+(?P<ptbl>\w+)(?:\s+AS)?(?:\s+(?!LEFT\b|INNER\b|JOIN\b)(?P<pal>\w+))?"
+    r"\s+(?P<jt>LEFT\s+|INNER\s+)?JOIN\s+(?P<vtbl>\w+)"
+    r"\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(?P<asof>[\w.]+)"
+    r"(?:\s+AS)?(?:\s+(?!ON\b)(?P<val>\w+))?"
+    r"\s+ON\s+(?P<onl>[\w.]+)\s*=\s*(?P<onr>[\w.]+)\s*(?P<tail>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def lower_streaming_temporal_join(
+    sql: str,
+    resolve: Callable[[str], tuple[DataFrame, tuple[str, str] | None]],
+) -> DataFrame:
+    """Lower an EVENT-TIME temporal join written as streaming SQL text —
+    ``SELECT ... FROM probe [AS] p JOIN version FOR SYSTEM_TIME AS OF
+    p.rowtime [AS] v ON p.k = v.k [WHERE ...]`` — onto the as-of state
+    machine (streaming.stateful.streaming_asof_join). This is the
+    StreamExecTemporalJoin path (EXEC-S/StreamExecTemporalJoin.java:77;
+    T-RUNTIME/operators/join/temporal/TemporalRowTimeJoinOperator.java
+    keeps the version side's per-key (ts, row) list in state and binds
+    each probe row to the latest version at or before its rowtime);
+    proctime AS OF statements never reach here (they lower to
+    stream-static lookup joins upstream).
+
+    Scope, mirroring the reference planner's own restrictions
+    (TemporalJoinRewriteWithUniqueKeyRule.scala): the AS OF column must
+    be the probe table's declared event-time (WATERMARK) attribute; the
+    version table must declare a WATERMARK (its version timestamp); ON
+    is one equality on the version table's key; INNER and LEFT join
+    types; SELECT items are plain (optionally aliased) columns; an
+    optional WHERE over probe columns runs below the join (Calc
+    pushdown, same plan shape as the reference). Version columns that
+    collide with probe column names must be aliased."""
+    from flink_1_16_0_src_spark.streaming.stateful import streaming_asof_join
+
+    s = sql.strip().rstrip(";").strip()
+    msel = re.match(r"^SELECT\s+", s, re.IGNORECASE)
+    fk = _statement_from_kw(s)
+    if not msel or fk is None:
+        raise ValueError(
+            "streaming temporal join: supported shape is SELECT ... "
+            "FROM <probe> JOIN <version> FOR SYSTEM_TIME AS OF "
+            "<probe rowtime> ON <probe key> = <version key> [WHERE ...]"
+            " — compose streaming.stateful.streaming_asof_join directly "
+            "for other shapes"
+        )
+    select_list = s[msel.end() : fk]
+    fm = _TEMPORAL_FROM.match(s[fk:])
+    if fm is None:
+        raise ValueError(
+            "streaming temporal join: could not parse the FROM clause — "
+            "expected FROM <probe> [AS p] [LEFT] JOIN <version> FOR "
+            "SYSTEM_TIME AS OF p.<rowtime> [AS v] ON p.<k> = v.<k>"
+        )
+    ptbl, pal = fm.group("ptbl"), (fm.group("pal") or fm.group("ptbl"))
+    vtbl, val = fm.group("vtbl"), (fm.group("val") or fm.group("vtbl"))
+    left_join = bool(fm.group("jt") and fm.group("jt").strip().upper() == "LEFT")
+    tail = fm.group("tail").strip()
+    where = None
+    if tail:
+        wm = re.match(r"^WHERE\s+(.*)$", tail, re.IGNORECASE | re.DOTALL)
+        if wm is None or re.search(
+            r"\b(JOIN|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|UNION)\b",
+            tail, re.IGNORECASE,
+        ):
+            raise ValueError(
+                "streaming temporal join: only an optional WHERE may "
+                "follow the ON clause — aggregate or re-join in a "
+                "separate statement"
+            )
+        where = wm.group(1).strip()
+
+    probe_sdf, probe_wm = resolve(ptbl)
+    ver_sdf, ver_wm = resolve(vtbl)
+    if probe_wm is None:
+        raise ValueError(
+            f"streaming temporal join: probe table {ptbl!r} declares no "
+            "WATERMARK — the AS OF column must be its event-time "
+            "attribute (the reference rejects non-rowtime AS OF too)"
+        )
+    if ver_wm is None:
+        raise ValueError(
+            f"streaming temporal join: version table {vtbl!r} declares "
+            "no WATERMARK — the version timestamp is its event-time "
+            "attribute (TemporalRowTimeJoinOperator orders versions by "
+            "the right side's rowtime)"
+        )
+
+    def _unq(ref: str, what: str) -> str:
+        parts = ref.split(".")
+        if len(parts) == 1:
+            return parts[0]
+        if len(parts) == 2 and parts[0].lower() in (pal.lower(), val.lower(),
+                                                    ptbl.lower(), vtbl.lower()):
+            return parts[1]
+        raise ValueError(
+            f"streaming temporal join: {what} {ref!r} must be qualified "
+            f"by {pal!r} or {val!r}"
+        )
+
+    def _side(ref: str) -> str:
+        q = ref.split(".")[0].lower() if "." in ref else None
+        if q in (pal.lower(), ptbl.lower()):
+            return "probe"
+        if q in (val.lower(), vtbl.lower()):
+            return "version"
+        col = ref.split(".")[-1]
+        in_p, in_v = col in probe_sdf.columns, col in ver_sdf.columns
+        if in_p and in_v:
+            raise ValueError(
+                f"streaming temporal join: column {ref!r} is ambiguous "
+                f"(in both {ptbl!r} and {vtbl!r}) — qualify it"
+            )
+        if in_v:
+            return "version"
+        return "probe"
+
+    asof_col = _unq(fm.group("asof"), "AS OF column")
+    if _side(fm.group("asof")) != "probe" or asof_col != probe_wm[0]:
+        raise ValueError(
+            f"streaming temporal join: AS OF must reference the probe "
+            f"table's event-time attribute {probe_wm[0]!r} "
+            f"(got {fm.group('asof')!r})"
+        )
+    onl, onr = fm.group("onl"), fm.group("onr")
+    if _side(onl) == "version":
+        onl, onr = onr, onl
+    if _side(onl) != "probe" or _side(onr) != "version":
+        raise ValueError(
+            "streaming temporal join: ON must equate one probe column "
+            "with one version column"
+        )
+    pkey, vkey = _unq(onl, "ON column"), _unq(onr, "ON column")
+
+    # SELECT items: (side, source col, output alias) in statement order
+    items: list[tuple[str, str, str]] = []
+    for item in _split_top_commas(select_list):
+        mi = re.match(r"^([\w.]+)(?:\s+AS\s+(\w+))?$", item.strip(), re.IGNORECASE)
+        if mi is None:
+            raise ValueError(
+                f"streaming temporal join: unsupported SELECT item "
+                f"{item!r} — items must be plain columns (optionally "
+                "AS-aliased); compute expressions in a follow-up "
+                "statement"
+            )
+        ref = mi.group(1)
+        items.append((_side(ref), ref.split(".")[-1], mi.group(2) or ref.split(".")[-1]))
+
+    if where is not None:
+        # probe-only predicate, pushed below the join (Calc-under-
+        # TemporalJoin): strip probe qualifiers quote-aware, reject
+        # version references
+        parts = re.split(r"('(?:[^']|'')*')", where)
+        unq = "".join(p for i, p in enumerate(parts) if i % 2 == 0)
+        if re.search(rf"\b(?:{re.escape(val)}|{re.escape(vtbl)})\s*\.", unq,
+                     re.IGNORECASE):
+            raise ValueError(
+                "streaming temporal join: WHERE may reference probe "
+                "columns only (version-side filters change which rows "
+                "are VERSIONS — filter the version table in its DDL "
+                "view instead)"
+            )
+        where = "".join(
+            p if i % 2 else re.sub(
+                rf"\b(?:{re.escape(pal)}|{re.escape(ptbl)})\s*\.", "", p,
+                flags=re.IGNORECASE,
+            )
+            for i, p in enumerate(parts)
+        )
+        probe_sdf = probe_sdf.where(F.expr(where))
+
+    ver_items = [(c, a) for sd, c, a in items if sd == "version"]
+    collide = [a for _c, a in ver_items if a in probe_sdf.columns]
+    if collide:
+        raise ValueError(
+            f"streaming temporal join: version column(s) {collide} "
+            "collide with probe column names — alias them (AS ...)"
+        )
+    ver_sel = [F.col(vkey).alias(pkey), F.col(ver_wm[0]).alias("__vts")]
+    ver_sel += [F.col(c).alias(a) for c, a in ver_items]
+    right_vals = [a for _c, a in ver_items] + ["__vts"]
+    out = streaming_asof_join(
+        probe_sdf, ver_sdf.select(*ver_sel), pkey, asof_col, "__vts", right_vals,
+    )
+    if not left_join:
+        out = out.where(F.col("__vts").isNotNull())
+    sel = [
+        (F.col(a) if sd == "version" else F.col(c).alias(a))
+        for sd, c, a in items
+    ]
+    return out.select(*sel)

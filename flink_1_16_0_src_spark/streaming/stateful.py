@@ -441,24 +441,55 @@ def streaming_asof_join(
     version with ``right_ts <= left_ts``. Both streams are tagged,
     unioned, and keyed; state keeps the right side's (ts, payload)
     versions sorted (payload JSON-encoded — versions are few per key).
-    Left rows that precede every version emit null payload columns."""
+    Left rows that precede every version emit null payload columns.
+
+    Timestamp payload columns are carried as unix MICROS through the
+    JSON state (to_json's ISO text keeps only milliseconds) and
+    restored on the way out, so event-time values round-trip exactly;
+    the ``__ts`` ordering column likewise compares in micros on both
+    sides (TemporalRowTimeJoinOperator.java orders raw epoch longs)."""
+    from pyspark.sql.types import LongType, TimestampType
+
     lcols = [c for c in left.columns if c != key]
+    l_conv = [c for c in lcols if isinstance(left.schema[c].dataType, TimestampType)]
+    r_conv = [
+        c for c in right_vals if isinstance(right.schema[c].dataType, TimestampType)
+    ]
+
+    def _ts_expr(df: DataFrame, col: str):
+        if isinstance(df.schema[col].dataType, TimestampType):
+            return F.unix_micros(F.col(col))
+        return F.col(col)
+
+    def _payload_cols(cols, conv):
+        return [
+            (F.unix_micros(F.col(c)).alias(c) if c in conv else F.col(c))
+            for c in cols
+        ]
+
     tagged_l = left.select(
         F.col(key).alias("__k"),
         F.lit(0).alias("__side"),
-        F.col(left_ts).alias("__ts"),
-        F.to_json(F.struct(*lcols)).alias("__payload"),
+        _ts_expr(left, left_ts).alias("__ts"),
+        F.to_json(F.struct(*_payload_cols(lcols, l_conv))).alias("__payload"),
     )
     tagged_r = right.select(
         F.col(key).alias("__k"),
         F.lit(1).alias("__side"),
-        F.col(right_ts).alias("__ts"),
-        F.to_json(F.struct(*right_vals)).alias("__payload"),
+        _ts_expr(right, right_ts).alias("__ts"),
+        F.to_json(F.struct(*_payload_cols(right_vals, r_conv))).alias("__payload"),
     )
     both = tagged_l.unionByName(tagged_r)
 
-    left_fields = [f for f in left.schema.fields if f.name != key]
-    right_fields = [f for f in right.schema.fields if f.name in right_vals]
+    def _long_if_conv(f):
+        if f.name in l_conv or f.name in r_conv:
+            return StructField(f.name, LongType())
+        return f
+
+    left_fields = [_long_if_conv(f) for f in left.schema.fields if f.name != key]
+    right_fields = [
+        _long_if_conv(f) for f in right.schema.fields if f.name in right_vals
+    ]
     key_field = [f for f in left.schema.fields if f.name == key]
     out_schema = StructType(key_field + left_fields + right_fields)
     state_schema = StructType(
@@ -497,9 +528,12 @@ def streaming_asof_join(
                 df[f.name] = pd.to_datetime(df[f.name])
         yield df
 
-    return both.groupBy("__k").applyInPandasWithState(
+    res = both.groupBy("__k").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+    for c in l_conv + r_conv:
+        res = res.withColumn(c, F.timestamp_micros(F.col(c)))
+    return res
 
 
 def foreach_batch_upsert(

@@ -1316,10 +1316,92 @@ def test_stream_query_lookup_join_and_event_time_asof_rejected(tenv, spark, tmp_
     assert out.isStreaming
     rows = ssrc.run_to_memory(out, "lkp_drain", "append").collect()
     assert sorted((r.id, r.name) for r in rows) == [(1, "x"), (2, "y")]
-    with pytest.raises(ValueError, match="event-time FOR SYSTEM_TIME"):
+    # event-time AS OF against an UN-watermarked probe: rejected with a
+    # pointer (the reference requires a rowtime attribute too)
+    with pytest.raises(ValueError, match="WATERMARK"):
         tenv.stream_query("""
             SELECT e.id, n.name FROM lkp_ev AS e
             JOIN lkp_dim FOR SYSTEM_TIME AS OF e.ts AS n ON e.k = n.k
+        """)
+
+
+def test_stream_query_event_time_temporal_join(tenv, spark, tmp_path):
+    """Event-time temporal join as streaming SQL TEXT (VERDICT r8 #4):
+    FOR SYSTEM_TIME AS OF probe.rowtime lowers onto the as-of state
+    machine (TemporalRowTimeJoinOperator parity) — each probe row binds
+    the latest version at or before its rowtime, INNER drops unmatched,
+    LEFT emits nulls, probe-side WHERE pushes below the join, and
+    probe timestamps round-trip exactly (unix-micros payload)."""
+    import datetime as dt
+
+    import pytest
+
+    from flink_1_16_0_src_spark.streaming import sources as ssrc
+
+    d = str(tmp_path / "tjp")
+    spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 10, 0), "EUR", 10.0),
+            (2, dt.datetime(2024, 1, 1, 11, 0), "EUR", 20.0),
+            (3, dt.datetime(2024, 1, 1, 9, 0), "USD", 5.0),
+            (4, dt.datetime(2024, 1, 1, 12, 0), "JPY", 7.0),
+        ],
+        "order_id bigint, ots timestamp, cur string, amount double",
+    ).write.parquet(d)
+    v = str(tmp_path / "tjv")
+    spark.createDataFrame(
+        [
+            ("EUR", dt.datetime(2024, 1, 1, 9, 30), 1.1),
+            ("EUR", dt.datetime(2024, 1, 1, 10, 30), 1.2),
+            ("USD", dt.datetime(2024, 1, 1, 8, 0), 1.0),
+        ],
+        "ccy string, rts timestamp, rate double",
+    ).write.parquet(v)
+    tenv.execute_sql(
+        f"CREATE TABLE tj_orders (order_id BIGINT, ots TIMESTAMP(3),"
+        f" cur STRING, amount DOUBLE,"
+        f" WATERMARK FOR ots AS ots - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{d}','format'='parquet')"
+    )
+    tenv.execute_sql(
+        f"CREATE TABLE tj_rates (ccy STRING, rts TIMESTAMP(3), rate DOUBLE,"
+        f" WATERMARK FOR rts AS rts - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{v}','format'='parquet')"
+    )
+    out = tenv.stream_query("""
+        SELECT o.order_id, o.ots, o.amount, rt.rate AS fx
+        FROM tj_orders AS o
+        JOIN tj_rates FOR SYSTEM_TIME AS OF o.ots AS rt
+        ON o.cur = rt.ccy
+    """)
+    assert out.isStreaming
+    rows = ssrc.run_to_memory(out, "tj_inner", "append").collect()
+    assert sorted((r.order_id, str(r.ots), r.amount, r.fx) for r in rows) == [
+        (1, "2024-01-01 10:00:00", 10.0, 1.1),
+        (2, "2024-01-01 11:00:00", 20.0, 1.2),
+        (3, "2024-01-01 09:00:00", 5.0, 1.0),
+    ]
+    out2 = tenv.stream_query("""
+        SELECT o.order_id, rt.rate AS fx
+        FROM tj_orders o
+        LEFT JOIN tj_rates FOR SYSTEM_TIME AS OF o.ots rt
+        ON o.cur = rt.ccy
+        WHERE o.amount < 15.0
+    """)
+    rows2 = ssrc.run_to_memory(out2, "tj_left", "append").collect()
+    assert sorted((r.order_id, r.fx) for r in rows2) == [
+        (1, 1.1), (3, 1.0), (4, None),
+    ]
+    with pytest.raises(ValueError, match="event-time attribute"):
+        tenv.stream_query("""
+            SELECT o.order_id, rt.rate AS fx FROM tj_orders o
+            JOIN tj_rates FOR SYSTEM_TIME AS OF o.amount rt ON o.cur = rt.ccy
+        """)
+    with pytest.raises(ValueError, match="probe columns only"):
+        tenv.stream_query("""
+            SELECT o.order_id, rt.rate AS fx FROM tj_orders o
+            JOIN tj_rates FOR SYSTEM_TIME AS OF o.ots rt ON o.cur = rt.ccy
+            WHERE rt.rate > 1.0
         """)
 
 
