@@ -1338,11 +1338,23 @@ def match_recognize_stream(
     secondary_order: str | None = None,
     timeout_measures: dict[str, Callable[[Matched, object], object]] | None = None,
     timeout_schema: StructType | None = None,
+    prev_next: list[tuple[str, str, str, int]] | None = None,
 ) -> DataFrame:
     """Streaming MATCH_RECOGNIZE: per-key row buffer carried in state
     (JSON rows), matched greedily each batch; matched prefixes are
     discarded, the unmatched tail is retained (bounded by the longest
     open partial match).
+
+    ``prev_next``: ``[(field, 'PREV'|'NEXT', col, offset), ...]`` —
+    PREV/NEXT helper fields for SQL-text DEFINEs, materialized on each
+    buffered row as an index offset into the key's sorted buffer and
+    RECOMPUTED every batch (so a NEXT that was null converges to the
+    batch value once the successor arrives — the same deferred
+    evaluation IterativeConditionRunner.java:31 gets from the NFA's
+    SharedBuffer). Boundary rule: a neighbor that left the buffer (a
+    consumed match prefix, a pruned row) reads as NULL — exact for the
+    one-batch availableNow drain, documented divergence for
+    cross-batch references into consumed prefixes.
 
     ``within`` (Flink's WITHIN clause / Pattern.within, e.g.
     ``'10 minutes'`` — requires a TIMESTAMP ``order_by``): bounds both
@@ -1371,6 +1383,12 @@ def match_recognize_stream(
                 "timed-out partials are defined for the deterministic NFA "
                 "path; followedByAny keeps anchors live until window expiry"
             )
+    if prev_next and _needs_any_path(steps):
+        raise NotImplementedError(
+            "streaming PREV/NEXT with followedByAny: the all-anchors "
+            "path re-enumerates through the vectorized batch matcher, "
+            "which has no in-buffer helper fields"
+        )
     if _needs_any_path(steps):
         # followedByAny/allowCombinations (SKIP_TILL_ANY) stream through a different
         # state shape: anchors stay live after matching (one anchor
@@ -1421,6 +1439,14 @@ def match_recognize_stream(
             if secondary_order
             else (lambda r: r[order_by])
         )
+        if prev_next:
+            # PREV/NEXT = index offsets into the sorted per-key buffer,
+            # refreshed each batch; out-of-buffer neighbors are NULL
+            n = len(buf)
+            for i, r in enumerate(buf):
+                for name, fn_kind, col, off in prev_next:
+                    j = i - off if fn_kind == "PREV" else i + off
+                    r[name] = buf[j][col] if 0 <= j < n else None
         wt = (order_by, delta) if use_ts else None
         if vectorized and buf:
             # hoisted-mask NFA over the buffered rows: every DEFINE

@@ -1915,3 +1915,75 @@ def stream_sql_temporal_join_drain(spark: SparkSession, sf_dir: str) -> DataFram
         "version_orderkey",
         F.round("version_price", 2).alias("version_price"),
     )
+
+@query(
+    "stream_sql_match_prev_drain",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(value) OVER w IS NULL
+                       OR value >= lag(value) OVER w THEN 1 ELSE 0 END AS head
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), runs AS (
+      SELECT user_id, ts, value,
+             sum(head) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS rid
+      FROM seq
+    )
+    SELECT user_id,
+           round(arg_min(value, ts), 2) AS start_v,
+           round(arg_max(value, ts), 2) AS bottom_v,
+           CAST(count(*) - 1 AS BIGINT) AS n_drops
+    FROM runs
+    GROUP BY user_id, rid
+    HAVING count(*) >= 2
+    """,
+    tags=("streaming", "cep", "sql-surface"),
+)
+def stream_sql_match_prev_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MATCH_RECOGNIZE with a PREV DEFINE as SQL TEXT
+    (VERDICT r8 #6): falling-value runs per user — PATTERN (A B+),
+    B AS value < PREV(B.value). The PREV helper materializes as an
+    index offset into the per-key NFA buffer
+    (IterativeConditionRunner.java:31 over the SharedBuffer) and the
+    DEFINE runs as a per-row predicate; greedy B+ with SKIP PAST LAST
+    ROW makes each match exactly one maximal strictly-decreasing run
+    (length >= 2: head = A, descents = B), which the oracle rebuilds
+    with a head-marker run segmentation. ts is unique per user, so
+    arg_min/arg_max pick the head/bottom deterministically; raw-double
+    comparisons (value < prev value) bitwise-match across engines
+    because no arithmetic is applied before the compare."""
+    import os as _os
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE sq_mrp_events_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    out = t.stream_query(f"""
+        SELECT * FROM sq_mrp_events_{k} MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES FIRST(A.value) AS start_v,
+                   LAST(B.value) AS bottom_v,
+                   COUNT(B.value) AS n_drops
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+)
+          DEFINE B AS value < PREV(B.value)
+        )
+    """)
+    drained = ssrc.run_to_memory(out, f"drain_sqlmrp_{k}", "append")
+    return drained.select(
+        "user_id",
+        F.round("start_v", 2).alias("start_v"),
+        F.round("bottom_v", 2).alias("bottom_v"),
+        "n_drops",
+    )

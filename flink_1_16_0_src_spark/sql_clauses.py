@@ -719,8 +719,11 @@ def lower_match_recognize(
             fn, v, col, off = m.group(1).upper(), m.group(2).upper(), m.group(3), m.group(4)
             off = int(off or 1)
             name = f"__pn_{fn.lower()}_{col}_{off}"
+            # (column expr for the batch lag/lead hoist, spec for the
+            # streaming in-buffer evaluation)
             helper_cols[name] = (
-                F.lag(col, off).over(w) if fn == "PREV" else F.lead(col, off).over(w)
+                F.lag(col, off).over(w) if fn == "PREV" else F.lead(col, off).over(w),
+                fn, col, off,
             )
             return name
 
@@ -749,21 +752,33 @@ def lower_match_recognize(
         cond = defines.get(var, "TRUE")  # undefined var matches any row (Calcite)
         mask_cols[var] = hoist(var, cond)
 
-    if streaming and any(h for _c, h, _cv in mask_cols.values()):
-        raise ValueError(
-            "MATCH_RECOGNIZE with PREV/NEXT in streaming mode: the "
-            "lag/lead hoisting is not streamable — restructure the "
-            "DEFINE or run in batch mode (sql_query)"
-        )
+    # streaming PREV/NEXT: the lag/lead hoist is a window function (not
+    # streamable), but the NFA already buffers each key's rows in order
+    # — PREV/NEXT is an index offset there. Collect the helper specs
+    # and let match_recognize_stream materialize them per buffered row
+    # (IterativeConditionRunner.java:31 evaluating DEFINEs against the
+    # SharedBuffer); the affected DEFINEs then run as per-row Python
+    # predicates like cross-var conditions.
+    stream_pn: list[tuple[str, str, str, int]] = []
+    if streaming:
+        seen_pn: set[str] = set()
+        for var, (cond, helpers, _cv) in mask_cols.items():
+            for name, (_colexpr, fn, col, off) in helpers.items():
+                if name not in seen_pn:
+                    stream_pn.append((name, fn, col, off))
+                    seen_pn.add(name)
     prepared = df
     added_helpers: set[str] = set()
-    for var, (cond, helpers, _cv) in mask_cols.items():
-        for name, colexpr in helpers.items():
-            if name not in added_helpers:
-                prepared = prepared.withColumn(name, colexpr)
-                added_helpers.add(name)
-    for var, (cond, _h, cv) in mask_cols.items():
-        if not cv:  # cross-var DEFINEs evaluate in the NFA, not as a column
+    if not streaming:
+        for var, (cond, helpers, _cv) in mask_cols.items():
+            for name, (colexpr, *_spec) in helpers.items():
+                if name not in added_helpers:
+                    prepared = prepared.withColumn(name, colexpr)
+                    added_helpers.add(name)
+    for var, (cond, helpers, cv) in mask_cols.items():
+        if not cv and not (streaming and helpers):
+            # cross-var / streaming-PREV DEFINEs evaluate in the NFA,
+            # not as a column
             prepared = prepared.withColumn(f"__def_{var}", F.expr(cond))
 
     def mk_step(
@@ -771,9 +786,10 @@ def lower_match_recognize(
     ) -> cep.Step:
         vu = v.upper()
         cond, _h, cv = mask_cols[vu]
-        if cv:
-            # match-state-dependent predicate: per-row Python in the NFA
-            # (no vec — the whole pattern falls back to the dict path)
+        if cv or (streaming and _h):
+            # match-state-dependent (or in-buffer PREV/NEXT) predicate:
+            # per-row Python in the NFA (no vec — the whole pattern
+            # falls back to the dict path)
             return cep.Step(
                 vu, _crossvar_predicate(cond, cv), mn, mx, reluctant=reluctant
             )
@@ -890,6 +906,7 @@ def lower_match_recognize(
             after_match=after,
             within=within[1] if within else None,
             secondary_order=order_by[1] if len(order_by) > 1 else None,
+            prev_next=stream_pn or None,
         )
     return cep.match_recognize(
         prepared,

@@ -1405,33 +1405,78 @@ def test_stream_query_event_time_temporal_join(tenv, spark, tmp_path):
         """)
 
 
-def test_stream_query_match_recognize_prev_rejected(tenv, spark, tmp_path):
-    """Streaming MATCH_RECOGNIZE scope: PREV/NEXT DEFINEs need lag/lead
-    hoisting (not streamable) and are rejected with a pointer."""
+def test_stream_query_match_recognize_prev_next(tenv, spark, tmp_path):
+    """Streaming MATCH_RECOGNIZE with PREV/NEXT DEFINEs (VERDICT r8
+    #6): the helpers materialize as index offsets into the per-key NFA
+    buffer (IterativeConditionRunner.java:31 over the SharedBuffer) and
+    the affected DEFINEs run as per-row predicates. PREV drives a
+    falling-run pattern; NEXT a peak detector; the streaming result
+    equals the batch (sql_query) lowering of the same statement."""
     import datetime as dt
 
-    import pytest
+    from flink_1_16_0_src_spark.streaming import sources as ssrc
 
     d = str(tmp_path / "mrp")
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 0), 10.0),
+        (1, dt.datetime(2024, 1, 1, 10, 1), 12.0),
+        (1, dt.datetime(2024, 1, 1, 10, 2), 9.0),
+        (1, dt.datetime(2024, 1, 1, 10, 3), 8.0),
+        (1, dt.datetime(2024, 1, 1, 10, 4), 11.0),
+        (2, dt.datetime(2024, 1, 1, 10, 0), 5.0),
+        (2, dt.datetime(2024, 1, 1, 10, 1), 6.0),
+    ]
     spark.createDataFrame(
-        [(1, dt.datetime(2024, 1, 1, 10, 0), 5.0)],
-        "user_id long, ts timestamp, v double",
+        rows, "user_id bigint, ts timestamp, v double"
     ).write.parquet(d)
     tenv.execute_sql(
         f"CREATE TABLE mrp_ev (user_id BIGINT, ts TIMESTAMP(3), v DOUBLE,"
         f" WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
         f" WITH ('connector'='filesystem','path'='{d}','format'='parquet')"
     )
-    with pytest.raises(ValueError, match="PREV/NEXT in streaming"):
-        tenv.stream_query("""
-            SELECT * FROM mrp_ev MATCH_RECOGNIZE (
-              PARTITION BY user_id ORDER BY ts
-              MEASURES FIRST(A.v) AS v0
-              ONE ROW PER MATCH
-              PATTERN (A)
-              DEFINE A AS v > PREV(A.v)
-            )
-        """)
+    prev_stmt = """
+        SELECT * FROM mrp_ev MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES FIRST(A.v) AS start_v, LAST(B.v) AS bottom_v,
+                   COUNT(B.v) AS n_drops
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+)
+          DEFINE B AS v < PREV(B.v)
+        )
+    """
+    out = tenv.stream_query(prev_stmt)
+    assert out.isStreaming
+    got = sorted(
+        (r.user_id, r.start_v, r.bottom_v, r.n_drops)
+        for r in ssrc.run_to_memory(out, "mrp_prev", "append").collect()
+    )
+    assert got == [(1, 12.0, 8.0, 2)]
+    # batch lowering of the identical statement agrees
+    spark.read.parquet(d).createOrReplaceTempView("mrp_ev_batch")
+    batch = sorted(
+        (r.user_id, r.start_v, r.bottom_v, r.n_drops)
+        for r in tenv.sql_query(
+            prev_stmt.replace("mrp_ev", "mrp_ev_batch")
+        ).collect()
+    )
+    assert batch == got
+    # NEXT: peak rows (strictly above both neighbors)
+    out2 = tenv.stream_query("""
+        SELECT * FROM mrp_ev MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES FIRST(P.v) AS peak_v
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (P)
+          DEFINE P AS v > PREV(P.v) AND v > NEXT(P.v)
+        )
+    """)
+    got2 = sorted(
+        (r.user_id, r.peak_v)
+        for r in ssrc.run_to_memory(out2, "mrp_next", "append").collect()
+    )
+    assert got2 == [(1, 12.0)]
 
 
 def test_stream_query_over_lowering(tenv, spark, tmp_path):
