@@ -104,6 +104,48 @@ def mix_corpus(
     return df.where(pred if pred is not None else F.lit(False))
 
 
+def temperature_mixture(
+    df: DataFrame, source_col: str, id_col: str, temperature: float = 2.0,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-scaled source sampling (the multilingual-LM mixture
+    rule, e.g. mC4/XLM-R: q_s ∝ p_s^(1/T) flattens the source
+    distribution toward uniform as T grows). Downsample-only, binding
+    source keeps everything — the per-source keep fraction reduces to
+    ``(n_min / n_s) ** (1 - 1/T)`` (derivation: w_s = n_s^(1/T),
+    C = min_s n_s/w_s = n_min^(1-1/T), frac_s = C·w_s/n_s).
+
+    Determinism contract: decisions are md5-derived per row; for
+    ``temperature=2`` the exponent is computed with IEEE sqrt
+    (correctly rounded — bit-identical in DuckDB/NumPy/JVM), so the
+    kept set replays exactly in an oracle. Other temperatures go
+    through libm pow, whose last-ulp rounding is not cross-engine
+    guaranteed — fine for production sampling, excluded from the
+    hashed-surface contract.
+
+    Scale: one count aggregation (|sources| rows to the driver), then
+    a map-only hash filter — scan-shaped at 100 TB like mix_corpus."""
+    import math
+
+    counts = {
+        r[source_col]: r["n"]
+        for r in df.groupBy(source_col).agg(F.count("*").alias("n")).collect()
+    }
+    if not counts:
+        return df.where(F.lit(False))
+    n_min = min(counts.values())
+    pred = None
+    for s, n_s in counts.items():
+        ratio = n_min / n_s
+        if temperature == 2.0:
+            frac = math.sqrt(ratio)
+        else:
+            frac = math.pow(ratio, 1.0 - 1.0 / temperature)
+        term = (F.col(source_col) == s) & (_hash_unit(id_col, salt) < frac)
+        pred = term if pred is None else pred | term
+    return df.where(pred)
+
+
 def dsir_logratio_weights(
     df: DataFrame,
     text_col: str,

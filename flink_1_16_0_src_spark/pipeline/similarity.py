@@ -449,3 +449,53 @@ def pq_adc_topk(
         )
         .select("query_id", "neighbor_id", "adc_dist", "rank_num")
     )
+
+
+def random_projection(
+    df: DataFrame, vec_col: str, id_col: str, k: int = 8
+) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection (Achlioptas 2001's
+    database-friendly signs) to ``k`` output dimensions — the
+    dimensionality-reduction pass run before clustering/LSH at corpus
+    scale. The projection matrix is never shipped: component (j, i) is
+    the md5('j:i') parity sign (``_plane_sign``), derived identically
+    on every executor and in SQL oracles.
+
+    Exact-integer contract (the repo float rule): inputs quantize to
+    floor(x·1e6) BIGINT micro-units first, so each output coordinate
+    is an exact ±1-weighted integer sum — equal regardless of
+    summation order, hence hashable across engines (a float dot
+    product would differ in ulps between numpy's pairwise sums and an
+    oracle's sequential fold).
+
+    Scale: map-only (Arrow-batched numpy int64 matmul per batch, k×d
+    sign matrix rebuilt per batch from the hash — no broadcast, no
+    shuffle); output is k BIGINT columns p0..p{k-1}."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [df.schema[id_col]] + [StructField(f"p{j}", LongType()) for j in range(k)]
+    )
+
+    def proj(batches):
+        S = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Q = np.floor(V * 1_000_000.0).astype(np.int64)
+            if S is None or S.shape[0] != Q.shape[1]:
+                d = Q.shape[1]
+                S = np.array(
+                    [[_plane_sign(j, i) for j in range(k)] for i in range(d)],
+                    dtype=np.int64,
+                )
+            P = Q @ S  # exact int64: |q| <= ~2^31, d sums stay far under 2^63
+            out = {id_col: pdf[id_col].to_numpy()}
+            for j in range(k):
+                out[f"p{j}"] = P[:, j]
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col).mapInPandas(proj, out_schema)

@@ -282,3 +282,115 @@ def perplexity_buckets(docs: DataFrame, materialize: bool = True) -> DataFrame:
         res = res.localCheckpoint(eager=True)
         scored.unpersist()
     return res
+
+
+def quality_classifier_margin(
+    docs: DataFrame, text_col: str, id_col: str, min_df: int = 2
+) -> DataFrame:
+    """fastText-style LINEAR quality classifier (Joulin et al. 2016 —
+    the CommonCrawl-vs-curated filter LLaMA/CCNet-style pipelines run
+    after rule gates): score(doc) = Σ_token w(token), keep-decision by
+    sign. The container has no trained weights, so w is a
+    DETERMINISTIC HASH STUB — w(token) = (md5-60bit(token) mod
+    2000001) − 1e6 integer micro-units — with the Spark plumbing real:
+    a bounded vocab (doc_freq >= ``min_df``) broadcast to a hash join
+    over the exploded token stream, map-side partial sums, one shuffle
+    on doc id. Swapping in real weights is replacing the w expression
+    with the trained table — same join, same shapes.
+
+    Returns (id, margin_micro BIGINT): exact integer margins; OOV
+    tokens score 0; a doc with no vocab token scores 0 (the bias-only
+    margin). Scale: the vocab side is bounded by min_df (production
+    additionally caps |vocab|; the broadcast is the same), the corpus
+    side is scan-shaped — no corpus self-join anywhere."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("__tok"),
+    )
+    vocab = (
+        toks.groupBy("__tok")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .where(F.col("__df") >= min_df)
+        .select(
+            "__tok",
+            (
+                F.conv(F.substring(F.md5("__tok"), 1, 15), 16, 10).cast("bigint")
+                % F.lit(2000001)
+                - F.lit(1000000)
+            ).alias("__w"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "__tok", "left")
+        .groupBy(id_col)
+        .agg(F.coalesce(F.sum("__w"), F.lit(0)).cast("bigint").alias("margin_micro"))
+    )
+    return docs.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("margin_micro", F.lit(0)).cast("bigint").alias("margin_micro"),
+    )
+
+
+def bigram_lm_table(
+    docs: DataFrame, text_col: str, min_count: int = 3
+) -> DataFrame:
+    """Count-based bigram LM TRAINING table (the thing
+    ``hash_lm_ppl_micro`` stubs at scoring time — building the real
+    broadcast table is itself a corpus-scale pipeline op): one pass
+    explodes bigrams, one aggregation counts them, the context totals
+    are a re-aggregation OF THE COUNTS (never a second corpus scan),
+    and add-1-smoothed probabilities are exact integers —
+    prob_e6 = (c+1)·1e6 DIV (ctx + |V|) — so the table replays
+    bit-for-bit in an oracle and broadcast-joins into a scorer without
+    any float on a hashed surface.
+
+    Returns (w1, w2, n_bigram, n_context, prob_e6) for bigrams with
+    count >= ``min_count`` (the output-size knob; contexts and |V| are
+    still computed over ALL bigrams, so kept probabilities are the
+    true smoothed ones). Scale: shuffle on bigram, then on w1 over the
+    already-aggregated counts — vocabulary-sized, not corpus-sized.
+    The context totals are a WINDOW over the counts rather than a
+    re-aggregation of the same DataFrame: Catalyst has no physical CSE
+    across a reused lineage, so ``c.groupBy(w1)`` would re-scan and
+    re-explode the whole corpus a second time (plan-pinned in
+    tests/test_plans.py::test_bigram_lm_contexts_reaggregate_counts)."""
+    toks = docs.select(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__t")
+    )
+    # sequence(1, 0) is DESCENDING in Spark — guard docs under 2 tokens
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__t) >= 2 THEN transform("
+                "  sequence(1, size(__t) - 1),"
+                "  i -> named_struct('w1', element_at(__t, i),"
+                "                    'w2', element_at(__t, i + 1)))"
+                " ELSE array() END"
+            )
+        ).alias("__b")
+    ).select("__b.w1", "__b.w2")
+    from pyspark.sql import Window as W
+
+    c = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_bigram"))
+    c = c.withColumn(
+        "n_context", F.sum("n_bigram").over(W.partitionBy("w1"))
+    )
+    v = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__tok")
+        )
+        .agg(F.countDistinct("__tok").alias("__v"))
+    )
+    return (
+        c.crossJoin(F.broadcast(v))
+        .where(F.col("n_bigram") >= min_count)
+        .select(
+            "w1", "w2",
+            F.col("n_bigram").cast("bigint").alias("n_bigram"),
+            F.col("n_context").cast("bigint").alias("n_context"),
+            F.expr("(n_bigram + 1) * 1000000 DIV (n_context + __v)")
+            .cast("bigint").alias("prob_e6"),
+        )
+    )

@@ -141,3 +141,48 @@ def embed_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quant.select(
         "vec_id", F.array_join(code, ",").alias("codes_csv")
     )
+
+
+@query(
+    "embed_random_projection",
+    oracle="""
+    SELECT vec_id,
+           CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+             i -> ((('0x' || substr(md5('0:' || CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 2) * 2 - 1)
+                  * CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS p0,
+           CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+             i -> ((('0x' || substr(md5('1:' || CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 2) * 2 - 1)
+                  * CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS p1,
+           CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+             i -> ((('0x' || substr(md5('2:' || CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 2) * 2 - 1)
+                  * CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS p2,
+           CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+             i -> ((('0x' || substr(md5('3:' || CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 2) * 2 - 1)
+                  * CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS p3,
+           CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+             i -> ((('0x' || substr(md5('4:' || CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 2) * 2 - 1)
+                  * CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS p4,
+           CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+             i -> ((('0x' || substr(md5('5:' || CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 2) * 2 - 1)
+                  * CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS p5,
+           CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+             i -> ((('0x' || substr(md5('6:' || CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 2) * 2 - 1)
+                  * CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS p6,
+           CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+             i -> ((('0x' || substr(md5('7:' || CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 2) * 2 - 1)
+                  * CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS p7
+    FROM embeddings
+    """,
+    tags=("pipeline", "embedding", "custom-op"),
+)
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL +-1 random projection to 8 dims (pipeline.similarity.
+    random_projection): md5-parity sign matrix, inputs quantized to
+    floor(x*1e6) micro-units so every output coordinate is an exact
+    integer sum — numpy's batched int64 matmul and the oracle's
+    sequential list fold agree bit-for-bit (a float dot product would
+    not). Map-only Arrow stage, no shuffle."""
+    from flink_1_16_0_src_spark.pipeline.similarity import random_projection
+
+    e = load(spark, sf_dir, "embeddings")
+    return random_projection(e, "embedding", "vec_id", k=8)

@@ -363,3 +363,33 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_logratio_weights(
         docs, "text", "doc_id", target_pred=(F.col("lang") == "en"), n_features=256
     )
+
+
+@query(
+    "sample_temperature_mixture",
+    oracle="""
+    WITH n AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+    m AS (SELECT min(n_s) AS n_min FROM n),
+    frac AS (
+      SELECT source, sqrt(CAST((SELECT n_min FROM m) AS DOUBLE) / n_s) AS f
+      FROM n
+    )
+    SELECT d.doc_id, d.source FROM documents d
+    JOIN frac ON frac.source = d.source
+    WHERE ((('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':temp'), 1, 15))::BIGINT
+            % 1000000) / 1000000.0) < frac.f
+    """,
+    tags=("pipeline", "sampling", "custom-op"),
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T=2 temperature sampling over sources (pipeline.sampling.
+    temperature_mixture): keep fraction (n_min/n_s)^(1/2) per source —
+    the mC4/XLM-R flattening rule, downsample-only. sqrt is IEEE
+    correctly-rounded on both engines and every keep decision is
+    md5-derived, so the oracle replays the exact membership."""
+    from flink_1_16_0_src_spark.pipeline.sampling import temperature_mixture
+
+    d = load(spark, sf_dir, "documents")
+    return temperature_mixture(d, "source", "doc_id", 2.0).select(
+        "doc_id", "source"
+    )

@@ -846,3 +846,84 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     return perplexity_buckets(d)
+
+
+@query(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ), vocab AS (
+      SELECT tok,
+             CAST((('0x' || substr(md5(tok), 1, 15))::BIGINT % 2000001)
+                  - 1000000 AS BIGINT) AS w
+      FROM (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok)
+      WHERE df >= 2
+    ), m AS (
+      SELECT t.doc_id, CAST(sum(v.w) AS BIGINT) AS margin_micro
+      FROM toks t JOIN vocab v ON t.tok = v.tok
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id, d.lang,
+           COALESCE(m.margin_micro, 0) AS margin_micro
+    FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+    WHERE COALESCE(m.margin_micro, 0) >= 0
+    """,
+    tags=("pipeline", "text", "custom-op"),
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier gate (pipeline.text.
+    quality_classifier_margin — the fastText-style CommonCrawl filter
+    with a deterministic hash-stub weight table): per-doc integer
+    micro-nat margin over a doc_freq-bounded broadcast vocab, keep
+    margin >= 0. Exact integer margins, so the oracle replays the sum
+    bit-for-bit; DuckDB sum(BIGINT) is HUGEINT — cast back."""
+    from flink_1_16_0_src_spark.pipeline.text import quality_classifier_margin
+
+    d = load(spark, sf_dir, "documents")
+    m = quality_classifier_margin(d, "text", "doc_id")
+    return (
+        d.select("doc_id", "lang")
+        .join(m, "doc_id")
+        .where(F.col("margin_micro") >= 0)
+        .select("doc_id", "lang", "margin_micro")
+    )
+
+
+@query(
+    "lm_bigram_table",
+    oracle=f"""
+    WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+    pairs AS (
+      SELECT b[1] AS w1, b[2] AS w2
+      FROM (
+        SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> [t[i], t[i + 1]])) AS b
+        FROM toks WHERE len(t) >= 2
+      )
+    ),
+    c AS (SELECT w1, w2, count(*) AS n_bigram FROM pairs GROUP BY 1, 2),
+    ctx AS (SELECT w1, sum(n_bigram) AS n_context FROM c GROUP BY 1),
+    v AS (
+      SELECT count(DISTINCT tok) AS v
+      FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+    )
+    SELECT c.w1, c.w2,
+           CAST(c.n_bigram AS BIGINT) AS n_bigram,
+           CAST(ctx.n_context AS BIGINT) AS n_context,
+           CAST(((c.n_bigram + 1) * 1000000) // (ctx.n_context + (SELECT v FROM v))
+                AS BIGINT) AS prob_e6
+    FROM c JOIN ctx ON c.w1 = ctx.w1
+    WHERE c.n_bigram >= 3
+    """,
+    tags=("pipeline", "text", "custom-op"),
+)
+def lm_bigram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM training table (pipeline.text.bigram_lm_table):
+    add-1-smoothed counts with exact integer e6 probabilities —
+    context totals re-aggregate the bigram counts instead of
+    re-scanning the corpus. The broadcast-ready complement of the
+    hash-LM scorer."""
+    from flink_1_16_0_src_spark.pipeline.text import bigram_lm_table
+
+    return bigram_lm_table(load(spark, sf_dir, "documents"), "text")

@@ -481,3 +481,36 @@ def test_perplexity_buckets_histogram_sized_no_corpus_window(spark):
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quality_classifier_broadcasts_vocab_no_python(spark):
+    """The fastText-style gate joins the exploded token stream to the
+    bounded vocab via BROADCAST hash join (vocab side is min_df-capped)
+    and stays JVM-side — no Python in the relational plan, no
+    cartesian."""
+    plan = _plan(spark, "text_quality_classifier")
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_random_projection_map_only_arrow(spark):
+    """JL projection is ONE Arrow-batched map stage over the scan — no
+    shuffle anywhere (the sign matrix is hash-derived per executor,
+    never broadcast) and the Python surface is MapInPandas, not
+    row-at-a-time UDFs."""
+    plan = _plan(spark, "embed_random_projection")
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bigram_lm_contexts_reaggregate_counts(spark):
+    """bigram_lm_table computes context totals FROM the bigram counts
+    (one corpus explode feeding both aggregations), so the plan scans
+    documents at most twice (bigrams + vocab size), not three times,
+    and keeps Python out entirely."""
+    plan = _plan(spark, "lm_bigram_table")
+    assert plan.count("documents.parquet") <= 2 or plan.count("Scan parquet") <= 2
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
