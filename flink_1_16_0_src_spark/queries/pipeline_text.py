@@ -927,3 +927,64 @@ def lm_bigram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_16_0_src_spark.pipeline.text import bigram_lm_table
 
     return bigram_lm_table(load(spark, sf_dir, "documents"), "text")
+
+
+@query(
+    "text_ngram_diversity",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT source, b[1] || ' ' || b[2] AS bigram
+      FROM (
+        SELECT source, unnest(list_transform(range(1, len({_TOKS})),
+                                             i -> [{_TOKS}[i], {_TOKS}[i + 1]])) AS b
+        FROM documents WHERE len({_TOKS}) >= 2
+      )
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(count(DISTINCT bigram) AS BIGINT) AS n_distinct,
+           CAST((20000 * count(DISTINCT bigram) + count(*))
+                // (2 * count(*)) AS BIGINT) AS diversity_e4
+    FROM pairs GROUP BY source
+    """,
+    tags=("pipeline", "text", "custom-op"),
+)
+def text_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity report (the distinct-n-gram ratio used to
+    detect templated/boilerplate-heavy sources before training — the
+    corpus-level cousin of the per-doc repetition gates): per source,
+    total and distinct bigram counts plus the distinct ratio in exact
+    half-up e4 integer units (no float ratio on the hashed surface).
+    One explode + one aggregation; at 100 TB the distinct count is the
+    only wide state and shards by (source, bigram) hash."""
+    d = load(spark, sf_dir, "documents")
+    # hoist the token array to a materialized column: interpreted HOFs
+    # get no CSE for repeated non-attribute subtrees, so inlining the
+    # split into the bigram lambda would re-split the text once per
+    # bigram (O(tokens^2) per doc — the hash_lm_ppl_micro lesson)
+    toked = d.select(
+        "source", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("__t")
+    )
+    pairs = toked.select(
+        "source",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__t) >= 2 THEN "
+                "transform(sequence(1, size(__t) - 1),"
+                " i -> concat_ws(' ', element_at(__t, i),"
+                "                element_at(__t, i + 1)))"
+                " ELSE array() END"
+            )
+        ).alias("bigram"),
+    )
+    agg = pairs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.countDistinct("bigram").cast("bigint").alias("n_distinct"),
+    )
+    # exact half-up integer division — a float quotient cast to bigint
+    # can flip at boundaries between engines
+    return agg.select(
+        "source", "n_bigrams", "n_distinct",
+        F.expr("(20000 * n_distinct + n_bigrams) DIV (2 * n_bigrams)")
+        .cast("bigint").alias("diversity_e4"),
+    )

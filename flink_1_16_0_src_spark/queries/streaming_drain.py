@@ -1987,3 +1987,53 @@ def stream_sql_match_prev_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("bottom_v", 2).alias("bottom_v"),
         "n_drops",
     )
+
+
+@query(
+    "stream_sql_over_unbounded_drain",
+    oracle="""
+    SELECT user_id, event_id,
+           count(*) OVER w AS running_cnt,
+           round(sum(value) OVER w, 2) AS running_sum,
+           round(min(value) OVER w, 2) AS running_min
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("streaming", "over", "sql-surface"),
+)
+def stream_sql_over_unbounded_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frameless (UNBOUNDED PRECEDING) streaming OVER as SQL TEXT —
+    the third OVER frame class, lowering onto
+    streaming_over_unbounded (ProcTimeUnboundedPrecedingFunction
+    contract: running accumulators per key, one emit per row). The
+    COUNT(*) item rides the same pass via a constant value column.
+    ts is unique per user, so running values are tie-free on both
+    engines."""
+    import os as _os
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE sq_ovru_events_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    out = t.stream_query(f"""
+        SELECT user_id, event_id,
+               COUNT(value) OVER (PARTITION BY user_id ORDER BY ts) AS running_cnt,
+               SUM(value) OVER (PARTITION BY user_id ORDER BY ts) AS running_sum,
+               MIN(value) OVER (PARTITION BY user_id ORDER BY ts) AS running_min
+        FROM sq_ovru_events_{k}
+    """)
+    drained = ssrc.run_to_memory(out, f"drain_sqlovru_{k}", "append")
+    return drained.select(
+        "user_id", "event_id", "running_cnt",
+        F.round("running_sum", 2).alias("running_sum"),
+        F.round("running_min", 2).alias("running_min"),
+    )
