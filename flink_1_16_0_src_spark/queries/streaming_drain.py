@@ -2037,3 +2037,56 @@ def stream_sql_over_unbounded_drain(spark: SparkSession, sf_dir: str) -> DataFra
         F.round("running_sum", 2).alias("running_sum"),
         F.round("running_min", 2).alias("running_min"),
     )
+
+
+@query(
+    "stream_sql_over_multi_drain",
+    oracle="""
+    SELECT user_id, event_id,
+           round(sum(value) OVER w, 2) AS roll_sum,
+           CAST(max(event_id) OVER w AS BIGINT) AS roll_max_id,
+           count(*) OVER w AS roll_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("streaming", "over", "sql-surface"),
+)
+def stream_sql_over_multi_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate streaming OVER over DIFFERENT value columns in
+    one window spec (the reference's StreamExecOverAggregate plans
+    SUM(a), MAX(b), COUNT(*) as ONE exec node): lowers onto
+    streaming_over_multi — per-key tail state shared across all three
+    aggregates, vectorized pandas rolling. event_id rides the double
+    aggregate buffer and casts back exactly (ids far below 2^53)."""
+    import os as _os
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE sq_ovrm_events_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    out = t.stream_query(f"""
+        SELECT user_id, event_id,
+               SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS roll_sum,
+               MAX(event_id) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS roll_max_id,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS roll_n
+        FROM sq_ovrm_events_{k}
+    """)
+    drained = ssrc.run_to_memory(out, f"drain_sqlovrm_{k}", "append")
+    return drained.select(
+        "user_id", "event_id",
+        F.round("roll_sum", 2).alias("roll_sum"),
+        F.col("roll_max_id").cast("bigint").alias("roll_max_id"),
+        "roll_n",
+    )

@@ -1200,13 +1200,13 @@ def lower_streaming_over(
     Scope (the reference's own planner restrictions, plus the repo's
     single-relation statement shape): one window spec per statement
     (Flink: "Over Agg: Unsupported use of OVER windows" for mixed
-    specs), all aggregates over ONE value column (COUNT(*) rides the
-    same pass), ascending time order (descending rejected by Flink's
+    specs), aggregates may target DIFFERENT value columns within the
+    shared spec (one exec node, like the reference; COUNT(*) rides a
+    constant series), ascending time order (descending rejected by Flink's
     planner too), simple column passthrough items, single source
     table, optional WHERE."""
     from flink_1_16_0_src_spark.streaming.stateful import (
-        streaming_over_bounded,
-        streaming_over_unbounded,
+        streaming_over_multi,
     )
 
     s = sql.strip().rstrip(";").strip()
@@ -1313,44 +1313,27 @@ def lower_streaming_over(
                 "ROWS/RANGE BETWEEN <bound> PRECEDING AND CURRENT ROW "
                 "or UNBOUNDED PRECEDING"
             )
-    value_args = {a for _fn, a, _al in over_items if a != "*"}
-    if len(value_args) > 1:
-        raise ValueError(
-            "streaming OVER: all aggregates must target one value "
-            f"column (got {sorted(value_args)}) — run one statement "
-            "per value column"
-        )
+    # multi-aggregate, multi-column: one over window per statement,
+    # aggregates may target different columns (the reference's
+    # StreamExecOverAggregate plans them in one exec node)
+    aggs = [
+        (fn, None if a == "*" else a, al) for fn, a, al in over_items
+    ]
+    value_cols = [c for _fn, c, _al in aggs if c is not None]
     sdf = resolver(tbl)
     if where:
         sdf = sdf.where(F.expr(where))
-    if value_args:
-        value_col = value_args.pop()
-        needed = list(
-            dict.fromkeys(
-                [c for c, _a in passthrough] + keys + [order_col, value_col]
-            )
+    needed = list(
+        dict.fromkeys(
+            [c for c, _a in passthrough] + keys + [order_col] + value_cols
         )
-        sdf = sdf.select(*needed)
-    else:
-        # COUNT(*)-only statement: count rows via a constant value
-        # column (timestamps can't ride the float aggregate buffer)
-        value_col = "__one"
-        needed = list(
-            dict.fromkeys([c for c, _a in passthrough] + keys + [order_col])
-        )
-        sdf = sdf.select(*needed).withColumn("__one", F.lit(1.0))
-    if rows is None and range_interval is None:
-        out = streaming_over_unbounded(sdf, keys, order_col, value_col)
-        prefix = "running_"
-    else:
-        out = streaming_over_bounded(
-            sdf, keys, order_col, value_col,
-            rows=rows, range_interval=range_interval,
-        )
-        prefix = "bounded_"
-    sfx = {"COUNT": "cnt", "SUM": "sum", "AVG": "avg", "MIN": "min", "MAX": "max"}
+    )
+    out = streaming_over_multi(
+        sdf.select(*needed), keys, order_col, aggs,
+        rows=rows, range_interval=range_interval,
+    )
     sel = [F.col(c).alias(a) for c, a in passthrough]
-    sel += [F.col(prefix + sfx[fn]).alias(al) for fn, _a, al in over_items]
+    sel += [F.col(al) for _fn, _c, al in over_items]
     return out.select(*sel)
 
 

@@ -704,3 +704,168 @@ def changelog_group_aggregate(
     return sdf.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_over_multi(
+    sdf: DataFrame,
+    keys: list[str],
+    order_col: str,
+    aggs: list[tuple[str, str | None, str]],
+    rows: int | None = None,
+    range_interval: str | None = None,
+) -> DataFrame:
+    """Generic per-key streaming OVER — the multi-aggregate form the
+    SQL lowering needs (Flink's StreamExecOverAggregate plans ONE over
+    window per node but lets its aggregates target DIFFERENT columns:
+    ``SUM(a) OVER w, MAX(b) OVER w`` is one exec node). ``aggs`` is
+    ``[(fn, col | None, out_alias), ...]`` with fn in
+    COUNT/SUM/AVG/MIN/MAX (col None = COUNT(*)); at most one frame of
+    ``rows`` (ROWS n total) / ``range_interval`` (RANGE preceding,
+    inclusive edge) / neither (UNBOUNDED PRECEDING).
+
+    State: UNBOUNDED keeps per-column running accumulators
+    (cnt/sum/min/max arrays indexed by referenced column); bounded
+    frames keep the tail rows that can still enter a future frame,
+    JSON-encoded as [ts, v1..vk]. Aggregation itself is vectorized
+    pandas (cum*/rolling) — per-batch, not per-row Python."""
+    assert rows is None or range_interval is None, "pass at most one frame"
+    val_cols = sorted({c for _fn, c, _al in aggs if c is not None})
+    carry = _carry_cols(sdf, keys)
+    key_fields = [f for f in sdf.schema.fields if f.name in keys]
+    out_type = {"COUNT": LongType()}
+    out_schema = StructType(
+        key_fields
+        + [f for f in sdf.schema.fields if f.name in carry]
+        + [
+            StructField(al, out_type.get(fn, DoubleType()))
+            for fn, _c, al in aggs
+        ]
+    )
+    from pyspark.sql.types import ArrayType, StringType
+
+    bounded = rows is not None or range_interval is not None
+    if bounded:
+        state_schema = StructType([StructField("tail", ArrayType(StringType()))])
+    else:
+        state_schema = StructType(
+            [
+                StructField("rows_seen", LongType()),
+                StructField("cnt", ArrayType(LongType())),
+                StructField("sum", ArrayType(DoubleType())),
+                StructField("min", ArrayType(DoubleType())),
+                StructField("max", ArrayType(DoubleType())),
+            ]
+        )
+    delta = pd.Timedelta(range_interval) if range_interval else None
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
+        if bounded:
+            tail = [json.loads(s) for s in state.get[0]] if state.exists else []
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                p = pdf.sort_values(order_col, kind="stable").reset_index(drop=True)
+                ncarry = len(tail)
+                t = pd.concat(
+                    [
+                        pd.Series(pd.to_datetime([r[0] for r in tail])),
+                        pd.to_datetime(p[order_col]),
+                    ],
+                    ignore_index=True,
+                )
+                vals = {
+                    c: pd.concat(
+                        [
+                            pd.Series([r[1 + i] for r in tail], dtype=float),
+                            p[c].astype(float),
+                        ],
+                        ignore_index=True,
+                    )
+                    for i, c in enumerate(val_cols)
+                }
+                ones = pd.Series(1.0, index=range(len(t)))
+
+                def roll(series):
+                    if rows is not None:
+                        return series.rolling(rows, min_periods=1)
+                    # inclusive preceding edge — see streaming_over_bounded
+                    return pd.DataFrame(
+                        {"v": series.values}, index=pd.DatetimeIndex(t)
+                    )["v"].rolling(delta, min_periods=1, closed="both")
+
+                for fn_name, c, al in aggs:
+                    s = ones if c is None else vals[c]
+                    r = roll(s)
+                    if fn_name == "COUNT":
+                        out = r.count().astype("int64")
+                    elif fn_name == "SUM":
+                        out = r.sum()
+                    elif fn_name == "AVG":
+                        out = r.mean()
+                    elif fn_name == "MIN":
+                        out = r.min()
+                    else:
+                        out = r.max()
+                    p[al] = out.to_numpy()[ncarry:]
+                for kc, kv in zip(keys, key):
+                    p[kc] = kv
+                yield p[[f.name for f in out_schema.fields]]
+                if rows is not None:
+                    keep = min(len(t), rows - 1)
+                else:
+                    cutoff = t.iloc[-1] - delta
+                    keep = int((t >= cutoff).sum())
+                tail = [
+                    [str(t.iloc[i])] + [float(vals[c].iloc[i]) for c in val_cols]
+                    for i in range(len(t) - keep, len(t))
+                ]
+            state.update(([json.dumps(r) for r in tail],))
+            return
+        # UNBOUNDED PRECEDING: running accumulators per referenced col
+        k = len(val_cols)
+        if state.exists:
+            rows_seen, cnt, s_, mn, mx = state.get
+            cnt, s_, mn, mx = list(cnt), list(s_), list(mn), list(mx)
+        else:
+            rows_seen = 0
+            cnt, s_ = [0] * k, [0.0] * k
+            mn, mx = [None] * k, [None] * k
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            p = pdf.sort_values(order_col, kind="stable").reset_index(drop=True)
+            run = {}
+            for i, c in enumerate(val_cols):
+                v = p[c].astype(float)
+                rc = v.notna().cumsum() + cnt[i]
+                rs = v.fillna(0).cumsum() + s_[i]
+                rmn = v.cummin() if mn[i] is None else v.cummin().combine(mn[i], min)
+                rmx = v.cummax() if mx[i] is None else v.cummax().combine(mx[i], max)
+                run[c] = (rc, rs, rmn, rmx)
+                cnt[i], s_[i] = int(rc.iloc[-1]), float(rs.iloc[-1])
+                mn[i], mx[i] = float(rmn.iloc[-1]), float(rmx.iloc[-1])
+            star = pd.Series(range(1, len(p) + 1)) + rows_seen
+            rows_seen += len(p)
+            for fn_name, c, al in aggs:
+                if c is None:
+                    p[al] = star.astype("int64")
+                    continue
+                rc, rs, rmn, rmx = run[c]
+                if fn_name == "COUNT":
+                    p[al] = rc.astype("int64")
+                elif fn_name == "SUM":
+                    p[al] = rs
+                elif fn_name == "AVG":
+                    p[al] = rs / rc
+                elif fn_name == "MIN":
+                    p[al] = rmn
+                else:
+                    p[al] = rmx
+            for kc, kv in zip(keys, key):
+                p[kc] = kv
+            yield p[[f.name for f in out_schema.fields]]
+        state.update((rows_seen, cnt, s_, mn, mx))
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

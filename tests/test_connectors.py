@@ -1547,12 +1547,19 @@ def test_stream_query_over_lowering(tenv, spark, tmp_path):
                        ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS n
             FROM ovr_ev
         """)
-    with pytest.raises(ValueError, match="one value"):
-        tenv.stream_query("""
-            SELECT k, SUM(v) OVER (PARTITION BY k ORDER BY ts) AS s,
-                   SUM(id) OVER (PARTITION BY k ORDER BY ts) AS si
-            FROM ovr_ev
-        """)
+    # aggregates over DIFFERENT value columns share the one window spec
+    # (one exec node, reference parity)
+    out4 = tenv.stream_query("""
+        SELECT k, id, SUM(v) OVER (PARTITION BY k ORDER BY ts) AS s,
+               MAX(id) OVER (PARTITION BY k ORDER BY ts) AS mi,
+               COUNT(*) OVER (PARTITION BY k ORDER BY ts) AS c
+        FROM ovr_ev
+    """)
+    rows4 = ssrc.run_to_memory(out4, "ovr_multi", "append").collect()
+    assert sorted((r.k, r.id, r.s, r.mi, r.c) for r in rows4) == [
+        ("a", 1, 1.0, 1.0, 1), ("a", 2, 3.0, 2.0, 2), ("a", 3, 7.0, 3.0, 3),
+        ("b", 4, 8.0, 4.0, 1),
+    ]
 
 
 def test_stream_query_select_list_from_does_not_shift_split(tenv, spark, tmp_path):
