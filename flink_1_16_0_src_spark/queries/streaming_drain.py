@@ -2090,3 +2090,74 @@ def stream_sql_over_multi_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("roll_max_id").cast("bigint").alias("roll_max_id"),
         "roll_n",
     )
+
+
+@query(
+    "stream_sql_temporal_fn_drain",
+    oracle="""
+    WITH v AS (
+      SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS vts,
+             o_orderkey, o_totalprice
+      FROM orders
+      QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                 ORDER BY o_orderkey DESC) = 1
+    )
+    SELECT e.event_id, e.user_id,
+           v.o_orderkey AS version_orderkey,
+           round(v.o_totalprice, 2) AS version_price
+    FROM events e
+    ASOF JOIN v ON e.user_id = v.o_custkey AND e.ts >= v.vts
+    WHERE e.event_type = 'click'
+    """,
+    tags=("streaming", "temporal", "sql-surface"),
+)
+def stream_sql_temporal_fn_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LEGACY temporal table FUNCTION join as streaming SQL text —
+    ``FROM events, LATERAL TABLE (orders_fn(e.ts)) WHERE key = key``
+    (TemporalTableFunctionImpl.java; the reference's classic streaming
+    rates pattern) — lowering onto the same as-of state machine as the
+    FOR SYSTEM_TIME form: history registered via
+    create_temporal_table_function (per-(customer, day) max-orderkey
+    versions, tie-free), probe filter pushed below the join, inner
+    semantics. Same oracle family as stream_sql_temporal_join_drain
+    plus the probe-side filter."""
+    import os as _os
+
+    from pyspark.sql import Window as W
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+    from flink_1_16_0_src_spark.tables import load
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE sq_ttf_events_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    w = W.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
+    hist = (
+        load(spark, sf_dir, "orders")
+        .withColumn("__rn", F.row_number().over(w)).where("__rn = 1")
+        .select(
+            "o_custkey",
+            F.col("o_orderdate").cast("timestamp").alias("vts"),
+            "o_orderkey", "o_totalprice",
+        )
+    )
+    t.create_temporal_table_function(f"orders_fn_{k}", hist, "vts", "o_custkey")
+    out = t.stream_query(f"""
+        SELECT e.event_id, e.user_id,
+               v.o_orderkey AS version_orderkey,
+               v.o_totalprice AS version_price
+        FROM sq_ttf_events_{k} AS e, LATERAL TABLE (orders_fn_{k}(e.ts)) AS v
+        WHERE v.o_custkey = e.user_id AND e.event_type = 'click'
+    """)
+    drained = ssrc.run_to_memory(out, f"drain_sqlttf_{k}", "append")
+    return drained.select(
+        "event_id", "user_id", "version_orderkey",
+        F.round("version_price", 2).alias("version_price"),
+    )

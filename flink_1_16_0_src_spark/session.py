@@ -1889,6 +1889,26 @@ class TableEnvironment:
             out = rewrite_match_recognize(
                 self.spark, out, resolver=resolver, streaming=True
             )
+        if _re.search(r"\bLATERAL\s+TABLE\b", out, _re.IGNORECASE):
+            # legacy temporal table FUNCTION join in streaming mode —
+            # the classic rates example; lowers onto the same as-of
+            # state machine as FOR SYSTEM_TIME (TemporalTableFunction
+            # Impl.java / TemporalRowTimeJoinOperator)
+            from flink_1_16_0_src_spark.sql_clauses import (
+                lower_streaming_temporal_fn,
+            )
+
+            def _ttf_resolve(nm: str):
+                for s in self._sources:
+                    if s.lower() == nm.lower():
+                        return self.stream(s), self._watermarks.get(s)
+                raise ValueError(
+                    f"streaming LATERAL TABLE: unknown DDL table {nm!r}"
+                )
+
+            return lower_streaming_temporal_fn(
+                out, _ttf_resolve, self._temporal_fns, self.spark
+            )
         specs: list[dict] = []
         out = rewrite_window_tvfs(
             self.spark, out, resolver, keep_struct=True, specs=specs,

@@ -1371,7 +1371,6 @@ def lower_streaming_temporal_join(
     optional WHERE over probe columns runs below the join (Calc
     pushdown, same plan shape as the reference). Version columns that
     collide with probe column names must be aliased."""
-    from flink_1_16_0_src_spark.streaming.stateful import streaming_asof_join
 
     s = sql.strip().rstrip(";").strip()
     msel = re.match(r"^SELECT\s+", s, re.IGNORECASE)
@@ -1509,14 +1508,38 @@ def lower_streaming_temporal_join(
         )
         probe_sdf = probe_sdf.where(F.expr(where))
 
+    return _plan_streaming_asof(
+        probe_sdf, ver_sdf, ver_wm[0], pkey, vkey, asof_col, items, left_join,
+        what="streaming temporal join",
+    )
+
+
+def _plan_streaming_asof(
+    probe_sdf: DataFrame,
+    ver_sdf: DataFrame,
+    ver_ts_col: str,
+    pkey: str,
+    vkey: str,
+    asof_col: str,
+    items: list[tuple[str, str, str]],
+    left_join: bool,
+    what: str,
+) -> DataFrame:
+    """Shared tail of the two event-time temporal SQL forms (JOIN ...
+    FOR SYSTEM_TIME AS OF and the legacy LATERAL TABLE(fn(ts))): rename
+    the version key onto the probe key, ride the version timestamp as
+    the ``__vts`` marker, run the as-of state machine, and project the
+    SELECT items (INNER drops marker-null rows)."""
+    from flink_1_16_0_src_spark.streaming.stateful import streaming_asof_join
+
     ver_items = [(c, a) for sd, c, a in items if sd == "version"]
     collide = [a for _c, a in ver_items if a in probe_sdf.columns]
     if collide:
         raise ValueError(
-            f"streaming temporal join: version column(s) {collide} "
+            f"{what}: version column(s) {collide} "
             "collide with probe column names — alias them (AS ...)"
         )
-    ver_sel = [F.col(vkey).alias(pkey), F.col(ver_wm[0]).alias("__vts")]
+    ver_sel = [F.col(vkey).alias(pkey), F.col(ver_ts_col).alias("__vts")]
     ver_sel += [F.col(c).alias(a) for c, a in ver_items]
     right_vals = [a for _c, a in ver_items] + ["__vts"]
     out = streaming_asof_join(
@@ -1529,3 +1552,137 @@ def lower_streaming_temporal_join(
         for sd, c, a in items
     ]
     return out.select(*sel)
+
+
+def lower_streaming_temporal_fn(
+    sql: str,
+    resolve: Callable[[str], tuple[DataFrame, tuple[str, str] | None]],
+    temporal_fns: dict,
+    spark: SparkSession,
+) -> DataFrame:
+    """STREAMING form of the legacy temporal table function join —
+    ``SELECT ... FROM probe [AS p], LATERAL TABLE (rates(p.rowtime))
+    [AS r] WHERE r.key = p.key [AND ...]`` (the reference's classic
+    streaming rates example: TemporalTableFunctionImpl.java +
+    LogicalCorrelateToJoinFromTemporalTableFunctionRule, executed by
+    the same TemporalRowTimeJoinOperator as the FOR SYSTEM_TIME form).
+    The registered history table becomes a one-shot file stream (the
+    as-of state machine unions both sides), the function-alias equality
+    conjunct is the join key, remaining WHERE conjuncts must be
+    probe-side and push below the join. Inner semantics — version-less
+    probe rows drop, as in the reference."""
+    import os as _os
+    import tempfile as _tf
+
+    m = _TEMPORAL_FN_JOIN.match(sql.strip().rstrip(";").strip())
+    if m is None:
+        raise ValueError(
+            "streaming LATERAL TABLE: supported shape is SELECT ... "
+            "FROM <probe> [AS p], LATERAL TABLE (fn(p.<rowtime>)) "
+            "[AS r] WHERE r.<key> = p.<key> [AND probe-filters]"
+        )
+    if m.group("fn") not in temporal_fns:
+        raise ValueError(
+            f"streaming LATERAL TABLE: {m.group('fn')!r} is not a "
+            "registered temporal table function "
+            "(create_temporal_table_function) — UDTF laterals are a "
+            "batch surface"
+        )
+    if m.group("tail"):
+        raise ValueError(
+            "streaming LATERAL TABLE: GROUP/ORDER/LIMIT tails are out "
+            "of scope — aggregate in a separate statement"
+        )
+    right_df, right_time, _pk = temporal_fns[m.group("fn")]
+    lt = m.group("lt")
+    la = (m.group("la") or lt).lower()
+    ra = (m.group("ra") or m.group("fn")).lower()
+    probe_sdf, probe_wm = resolve(lt)
+    if probe_wm is None:
+        raise ValueError(
+            f"streaming LATERAL TABLE: probe table {lt!r} declares no "
+            "WATERMARK — the function argument must be its event-time "
+            "attribute"
+        )
+    arg_col = m.group("arg").split(".")[-1]
+    if arg_col != probe_wm[0]:
+        raise ValueError(
+            f"streaming LATERAL TABLE: the function argument must be "
+            f"the probe's event-time attribute {probe_wm[0]!r} "
+            f"(got {m.group('arg')!r})"
+        )
+
+    def _side(ref: str) -> str:
+        q = ref.split(".")[0].lower() if "." in ref else None
+        if q == la:
+            return "probe"
+        if q == ra:
+            return "version"
+        col = ref.split(".")[-1]
+        in_p, in_v = col in probe_sdf.columns, col in right_df.columns
+        if in_p and in_v:
+            raise ValueError(
+                f"streaming LATERAL TABLE: column {ref!r} is ambiguous "
+                "— qualify it"
+            )
+        return "version" if in_v else "probe"
+
+    # WHERE: one version-key equality, rest are probe-side filters
+    on_l = on_r = None
+    residual: list[str] = []
+    for part in re.split(r"\bAND\b", m.group("cond") or "", flags=re.IGNORECASE):
+        if not part.strip():
+            continue
+        em = re.match(r"\s*([\w.]+)\s*=\s*([\w.]+)\s*$", part)
+        if em and {_side(em.group(1)), _side(em.group(2))} == {"probe", "version"}:
+            if on_l is not None:
+                raise ValueError(
+                    "streaming LATERAL TABLE: exactly one key equality "
+                    "is supported (the function's primary key)"
+                )
+            a, b = em.group(1), em.group(2)
+            if _side(a) == "version":
+                a, b = b, a
+            on_l, on_r = a.split(".")[-1], b.split(".")[-1]
+        else:
+            residual.append(part.strip())
+    if on_l is None:
+        raise ValueError(
+            "streaming LATERAL TABLE: WHERE needs the function-key "
+            "equality (e.g. WHERE r.currency = o.currency)"
+        )
+    items: list[tuple[str, str, str]] = []
+    for item in _split_top_commas(m.group("select")):
+        mi = re.match(r"^([\w.]+)(?:\s+AS\s+(\w+))?$", item.strip(), re.IGNORECASE)
+        if mi is None:
+            raise ValueError(
+                f"streaming LATERAL TABLE: unsupported SELECT item "
+                f"{item!r} — items must be plain columns"
+            )
+        ref = mi.group(1)
+        items.append(
+            (_side(ref), ref.split(".")[-1], mi.group(2) or ref.split(".")[-1])
+        )
+    if residual:
+        bad = [r for r in residual if re.search(rf"\b{ra}\s*\.", r, re.IGNORECASE)]
+        if bad:
+            raise ValueError(
+                "streaming LATERAL TABLE: non-key WHERE conjuncts must "
+                "be probe-side (filter the history in "
+                "create_temporal_table_function instead)"
+            )
+        cond = " AND ".join(
+            re.sub(rf"\b(?:{re.escape(la)}|{re.escape(lt)})\s*\.", "", r,
+                   flags=re.IGNORECASE)
+            for r in residual
+        )
+        probe_sdf = probe_sdf.where(F.expr(cond))
+    # the history is a bounded registered table — feed it to the as-of
+    # union as a one-shot file stream
+    vdir = _os.path.join(_tf.mkdtemp(prefix="ttf_stream_"), "versions")
+    right_df.write.mode("overwrite").parquet(vdir)
+    ver_sdf = spark.readStream.schema(right_df.schema).parquet(vdir)
+    return _plan_streaming_asof(
+        probe_sdf, ver_sdf, right_time, on_l, on_r, arg_col, items,
+        left_join=False, what="streaming LATERAL TABLE",
+    )

@@ -1617,3 +1617,64 @@ def test_stream_session_merge_scope_rejects_extra_group_keys(tenv, spark, tmp_pa
             FROM TABLE(SESSION(TABLE sqscope_ev PARTITION BY k, DESCRIPTOR(ts), INTERVAL '30' MINUTE))
             GROUP BY k, etype, window_start, window_end
         """)
+
+
+def test_stream_query_lateral_temporal_fn(tenv, spark, tmp_path):
+    """Streaming LATERAL TABLE (rates(o.rowtime)) — the legacy temporal
+    table FUNCTION join (the reference's classic streaming rates
+    example) lowers onto the as-of state machine: history becomes a
+    one-shot file stream, the function-key equality is the join key,
+    probe filters push below, version-less probes drop (inner)."""
+    import datetime as dt
+
+    import pytest
+
+    from flink_1_16_0_src_spark.streaming import sources as ssrc
+
+    d = str(tmp_path / "ttfp")
+    spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 10, 0), "EUR", 2.0),
+            (2, dt.datetime(2024, 1, 1, 11, 0), "EUR", 3.0),
+            (3, dt.datetime(2024, 1, 1, 9, 0), "USD", 5.0),
+            (4, dt.datetime(2024, 1, 1, 12, 0), "JPY", 7.0),
+        ],
+        "order_id bigint, ots timestamp, currency string, amount double",
+    ).write.parquet(d)
+    tenv.execute_sql(
+        f"CREATE TABLE ttf_orders (order_id BIGINT, ots TIMESTAMP(3),"
+        f" currency STRING, amount DOUBLE,"
+        f" WATERMARK FOR ots AS ots - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{d}','format'='parquet')"
+    )
+    rates = spark.createDataFrame(
+        [
+            ("EUR", dt.datetime(2024, 1, 1, 9, 30), 1.1),
+            ("EUR", dt.datetime(2024, 1, 1, 10, 30), 1.2),
+            ("USD", dt.datetime(2024, 1, 1, 8, 0), 1.0),
+        ],
+        "r_currency string, rate_time timestamp, rate double",
+    )
+    tenv.create_temporal_table_function("rates", rates, "rate_time", "r_currency")
+    out = tenv.stream_query("""
+        SELECT o.order_id, o.amount, r.rate AS fx
+        FROM ttf_orders AS o, LATERAL TABLE (rates(o.ots)) AS r
+        WHERE r.r_currency = o.currency AND o.amount < 6.0
+    """)
+    assert out.isStreaming
+    rows = ssrc.run_to_memory(out, "ttf_drain", "append").collect()
+    assert sorted((r.order_id, r.amount, r.fx) for r in rows) == [
+        (1, 2.0, 1.1), (2, 3.0, 1.2), (3, 5.0, 1.0),
+    ]
+    with pytest.raises(ValueError, match="event-time attribute"):
+        tenv.stream_query("""
+            SELECT o.order_id, r.rate AS fx
+            FROM ttf_orders AS o, LATERAL TABLE (rates(o.amount)) AS r
+            WHERE r.r_currency = o.currency
+        """)
+    with pytest.raises(ValueError, match="key equality"):
+        tenv.stream_query("""
+            SELECT o.order_id, r.rate AS fx
+            FROM ttf_orders AS o, LATERAL TABLE (rates(o.ots)) AS r
+            WHERE o.amount < 6.0
+        """)
