@@ -2161,3 +2161,49 @@ def stream_sql_temporal_fn_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "version_orderkey",
         F.round("version_price", 2).alias("version_price"),
     )
+
+
+@query(
+    "stream_sql_topn_drain",
+    oracle="""
+    SELECT user_id, event_id, value, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type = 'click'
+    ) t WHERE rn <= 3
+    """,
+    tags=("streaming", "topn", "sql-surface"),
+)
+def stream_sql_topn_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink's CANONICAL streaming Top-N statement as SQL TEXT — the
+    row_number-filter pattern (SELECT ... FROM (SELECT ...,
+    ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC) AS rn FROM t)
+    WHERE rn <= 3) planning as StreamExecRank / AppendOnlyTopNFunction
+    instead of a window (FlinkLogicalRankRule parity). Inner WHERE
+    runs below the rank; update-mode drain holds the final top-3
+    'click' events per user; event_id unique → deterministic ranks."""
+    import os as _os
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE sq_tn_events_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    out = t.stream_query(f"""
+        SELECT user_id, event_id, value, rn FROM (
+          SELECT user_id, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          FROM sq_tn_events_{k} WHERE event_type = 'click'
+        ) WHERE rn <= 3
+    """)
+    drained = ssrc.run_to_memory(out, f"drain_sqltn_{k}", "update")
+    return drained.select(
+        "user_id", "event_id", "value", F.col("rn").cast("bigint").alias("rn")
+    )

@@ -1992,6 +1992,16 @@ class TableEnvironment:
             p for i, p in enumerate(_re.split(r"('(?:[^']|'')*')", out))
             if i % 2 == 0
         )
+        if _re.search(r"\bROW_NUMBER\s*\(", unquoted, _re.IGNORECASE):
+            # the canonical Top-N pattern (row_number-filter over an
+            # OVER window) plans as StreamExecRank, never as a window —
+            # FlinkLogicalRankRule parity; must run before the generic
+            # OVER lowering, whose aggregate set excludes ranks
+            from flink_1_16_0_src_spark.sql_clauses import (
+                lower_streaming_topn,
+            )
+
+            return lower_streaming_topn(out, self.spark.table)
         if _re.search(r"\bOVER\s*\(", unquoted, _re.IGNORECASE):
             if specs:
                 raise ValueError(

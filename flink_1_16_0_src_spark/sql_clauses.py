@@ -1686,3 +1686,155 @@ def lower_streaming_temporal_fn(
         probe_sdf, ver_sdf, right_time, on_l, on_r, arg_col, items,
         left_join=False, what="streaming LATERAL TABLE",
     )
+
+
+_ROWNUM_ITEM = re.compile(
+    r"^ROW_NUMBER\s*\(\s*\)\s+OVER\s*\(\s*PARTITION\s+BY\s+"
+    r"(?P<keys>[\w.]+(?:\s*,\s*[\w.]+)*)\s+ORDER\s+BY\s+(?P<ord>[\w.]+)"
+    r"(?:\s+(?P<dir>ASC|DESC))?\s*\)\s+AS\s+(?P<al>\w+)$",
+    re.IGNORECASE,
+)
+
+
+def lower_streaming_topn(
+    sql: str, resolver: Callable[[str], DataFrame]
+) -> DataFrame:
+    """Lower Flink's CANONICAL streaming Top-N statement —
+
+        SELECT ... FROM (
+          SELECT ..., ROW_NUMBER() OVER (PARTITION BY k ORDER BY v
+          [DESC]) AS rn FROM t [WHERE ...]
+        ) [AS x] WHERE rn <= N
+
+    — onto the continuous Top-N operator (streaming.stateful.
+    streaming_topn). This is exactly how the reference plans
+    StreamExecRank (FlinkLogicalRankRule matching the
+    row_number-filter pattern over an OVER window; AppendOnlyTopN
+    Function keeps the current top-k per key) — the OVER window is
+    never executed as a window. ROW_NUMBER only (the reference
+    optimizes only ROW_NUMBER Top-N in 1.16); one ORDER BY column;
+    ``rn <= N`` / ``rn < N`` / ``rn = N`` bounds. Update-mode output:
+    drain availableNow and the sink holds the final top-k per key.
+    Inner WHERE runs below the rank (Calc-under-Rank plan shape)."""
+    from flink_1_16_0_src_spark.streaming.stateful import streaming_topn
+
+    s = sql.strip().rstrip(";").strip()
+    m = re.match(r"^SELECT\s+(?P<outer>.*?)\s+FROM\s*\(", s,
+                 re.IGNORECASE | re.DOTALL)
+    if m is None:
+        raise ValueError(
+            "streaming Top-N: supported statement shape is SELECT ... "
+            "FROM (SELECT ..., ROW_NUMBER() OVER (PARTITION BY ... "
+            "ORDER BY ...) AS rn FROM t) WHERE rn <= N"
+        )
+    open_idx = s.index("(", m.end() - 1)
+    close = _balanced(s, open_idx)
+    inner = s[open_idx + 1 : close - 1].strip()
+    rest = s[close:].strip()
+    rm = re.match(
+        r"^(?:(?:AS\s+)?(?!WHERE\b)\w+\s+)?WHERE\s+(?P<cond>.+)$",
+        rest, re.IGNORECASE | re.DOTALL,
+    )
+    cm = rm and re.match(r"^(\w+)\s*(<=|<|=)\s*(\d+)$", rm.group("cond").strip())
+    if not cm:
+        raise ValueError(
+            "streaming Top-N: the outer WHERE must bound the "
+            "ROW_NUMBER alias (rn <= N / rn < N / rn = N) — other "
+            "outer predicates belong inside the subquery"
+        )
+    rn_ref, op, n = cm.group(1), cm.group(2), int(cm.group(3))
+    mi = re.match(r"^SELECT\s+", inner, re.IGNORECASE)
+    fk = _statement_from_kw(inner)
+    if not mi or fk is None:
+        raise ValueError("streaming Top-N: could not parse the subquery")
+    fm = re.match(r"FROM\s+(\w+)\s*(.*)$", inner[fk:], re.IGNORECASE | re.DOTALL)
+    if fm is None:
+        raise ValueError(
+            "streaming Top-N: the subquery must read one named table "
+            "(no joins — rank a pre-joined view in two statements)"
+        )
+    tbl, tail = fm.group(1), fm.group(2).strip()
+    where = None
+    if tail:
+        wm = re.match(r"^WHERE\s+(.*)$", tail, re.IGNORECASE | re.DOTALL)
+        if wm is None:
+            raise ValueError(
+                "streaming Top-N: only an optional WHERE may follow "
+                "the subquery's source table"
+            )
+        where = wm.group(1).strip()
+    passthrough: list[tuple[str, str]] = []
+    rank = None
+    for item in _split_top_commas(inner[mi.end() : fk]):
+        it = item.strip()
+        rmatch = _ROWNUM_ITEM.match(it)
+        if rmatch:
+            if rank is not None:
+                raise ValueError("streaming Top-N: one ROW_NUMBER item only")
+            rank = rmatch
+            continue
+        pm = re.match(r"^([\w.]+)(?:\s+AS\s+(\w+))?$", it, re.IGNORECASE)
+        if pm is None:
+            raise ValueError(
+                f"streaming Top-N: unsupported subquery item {it!r} — "
+                "plain columns plus one ROW_NUMBER() OVER (...) AS rn"
+            )
+        col = pm.group(1).split(".")[-1]
+        passthrough.append((col, pm.group(2) or col))
+    if rank is None:
+        raise ValueError(
+            "streaming Top-N: the subquery needs ROW_NUMBER() OVER "
+            "(PARTITION BY ... ORDER BY ...) AS <alias> (RANK/"
+            "DENSE_RANK Top-N is not optimized by the reference either)"
+        )
+    if rank.group("al").lower() != rn_ref.lower():
+        raise ValueError(
+            f"streaming Top-N: outer WHERE bounds {rn_ref!r} but the "
+            f"ROW_NUMBER alias is {rank.group('al')!r}"
+        )
+    keys = [k.strip().split(".")[-1] for k in rank.group("keys").split(",")]
+    order_col = rank.group("ord").split(".")[-1]
+    descending = (rank.group("dir") or "ASC").upper() == "DESC"
+    k = n if op in ("<=", "=") else n - 1
+    if k < 1:
+        raise ValueError("streaming Top-N: empty bound")
+    sdf = resolver(tbl)
+    if where:
+        sdf = sdf.where(F.expr(where))
+    needed = list(
+        dict.fromkeys([c for c, _a in passthrough] + keys + [order_col])
+    )
+    out = streaming_topn(sdf.select(*needed), keys, order_col, k,
+                         descending=descending)
+    if op == "=":
+        out = out.where(F.col("rank_num") == n)
+    # outer projection: * keeps every subquery item (incl. the rank),
+    # otherwise plain refs to subquery aliases / the rank alias
+    aliases = {a: c for c, a in passthrough}
+    sel = []
+    outer = m.group("outer").strip()
+    if outer == "*":
+        sel = [F.col(c).alias(a) for c, a in passthrough]
+        sel.append(F.col("rank_num").alias(rank.group("al")))
+    else:
+        for item in _split_top_commas(outer):
+            om = re.match(r"^([\w.]+)(?:\s+AS\s+(\w+))?$", item.strip(),
+                          re.IGNORECASE)
+            if om is None:
+                raise ValueError(
+                    f"streaming Top-N: unsupported outer item {item!r}"
+                )
+            ref = om.group(1).split(".")[-1]
+            al = om.group(2) or ref
+            if ref.lower() == rank.group("al").lower():
+                sel.append(F.col("rank_num").alias(al))
+            elif ref in aliases:
+                sel.append(F.col(aliases[ref]).alias(al))
+            elif ref in dict(passthrough) or any(c == ref for c, _ in passthrough):
+                sel.append(F.col(ref).alias(al))
+            else:
+                raise ValueError(
+                    f"streaming Top-N: outer item {ref!r} is not a "
+                    "subquery output"
+                )
+    return out.select(*sel)

@@ -1678,3 +1678,63 @@ def test_stream_query_lateral_temporal_fn(tenv, spark, tmp_path):
             FROM ttf_orders AS o, LATERAL TABLE (rates(o.ots)) AS r
             WHERE o.amount < 6.0
         """)
+
+
+def test_stream_query_topn_rownum_pattern(tenv, spark, tmp_path):
+    """The canonical streaming Top-N statement (row_number-filter over
+    an OVER window) plans as the continuous Top-N operator, never as a
+    window — FlinkLogicalRankRule parity. Covers DESC/ASC order, rn=1,
+    SELECT *, inner WHERE below the rank, and shape rejections."""
+    import datetime as dt
+
+    import pytest
+
+    from flink_1_16_0_src_spark.streaming import sources as ssrc
+
+    d = str(tmp_path / "tnp")
+    spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1, 10, i), "a" if i % 2 else "b",
+             float(i))
+            for i in range(1, 9)
+        ],
+        "id bigint, ts timestamp, k string, v double",
+    ).write.parquet(d)
+    tenv.execute_sql(
+        f"CREATE TABLE tn_ev (id BIGINT, ts TIMESTAMP(3), k STRING, v DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{d}','format'='parquet')"
+    )
+    out = tenv.stream_query("""
+        SELECT k, id, rn FROM (
+          SELECT k, id, ROW_NUMBER() OVER (PARTITION BY k ORDER BY id DESC) AS rn
+          FROM tn_ev WHERE v > 2.0
+        ) WHERE rn <= 2
+    """)
+    assert out.isStreaming
+    rows = ssrc.run_to_memory(out, "tn_top2", "update").collect()
+    assert sorted((r.k, r.id, r.rn) for r in rows) == [
+        ("a", 5, 2), ("a", 7, 1), ("b", 6, 2), ("b", 8, 1),
+    ]
+    out2 = tenv.stream_query("""
+        SELECT * FROM (
+          SELECT k, id, ROW_NUMBER() OVER (PARTITION BY k ORDER BY id) AS rn
+          FROM tn_ev
+        ) t WHERE rn = 1
+    """)
+    rows2 = ssrc.run_to_memory(out2, "tn_first", "update").collect()
+    assert sorted((r.k, r.id, r.rn) for r in rows2) == [("a", 1, 1), ("b", 2, 1)]
+    with pytest.raises(ValueError, match="ROW_NUMBER alias"):
+        tenv.stream_query("""
+            SELECT k FROM (
+              SELECT k, ROW_NUMBER() OVER (PARTITION BY k ORDER BY id) AS rn
+              FROM tn_ev
+            ) WHERE other <= 2
+        """)
+    with pytest.raises(ValueError, match="bound the"):
+        tenv.stream_query("""
+            SELECT k FROM (
+              SELECT k, ROW_NUMBER() OVER (PARTITION BY k ORDER BY id) AS rn
+              FROM tn_ev
+            ) WHERE rn <= 2 AND k = 'a'
+        """)
