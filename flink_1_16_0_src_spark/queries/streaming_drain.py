@@ -2207,3 +2207,52 @@ def stream_sql_topn_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drained.select(
         "user_id", "event_id", "value", F.col("rn").cast("bigint").alias("rn")
     )
+
+
+@query(
+    "stream_sql_dedup_keeplast_drain",
+    oracle="""
+    SELECT user_id, event_type, event_id, round(value, 2) AS value FROM (
+      SELECT user_id, event_type, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC) AS rn
+      FROM events
+    ) t WHERE rn = 1
+    """,
+    tags=("streaming", "dedup", "sql-surface"),
+)
+def stream_sql_dedup_keeplast_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink's documented streaming DEDUPLICATION SQL pattern — the
+    row_number-filter with ``rn = 1`` ORDER BY the time attribute DESC
+    (deduplication.md; planned as StreamExecDeduplicate keep-last when
+    the order key is rowtime). Lowers through the same rank-pattern
+    path as Top-N (rn = 1 ≡ top-1 per key): update-mode drain holds
+    the LAST row per (user, event_type). (user, type, ts) is tie-free
+    at every SF."""
+    import os as _os
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE sq_dkl_events_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    out = t.stream_query(f"""
+        SELECT user_id, event_type, event_id, value FROM (
+          SELECT user_id, event_type, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts DESC) AS rn
+          FROM sq_dkl_events_{k}
+        ) WHERE rn = 1
+    """)
+    drained = ssrc.run_to_memory(out, f"drain_sqldkl_{k}", "update")
+    return drained.select(
+        "user_id", "event_type", "event_id",
+        F.round("value", 2).alias("value"),
+    )
