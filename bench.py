@@ -332,6 +332,17 @@ def main() -> None:
     spark = get_spark("bench")
     registry = all_queries()
     names = [n for n in BENCH_QUERIES if n in registry]
+
+    # sf1 scale probe FIRST (VERDICT r8 #7): the probe's absolute
+    # seconds are the scale evidence, so measure them before the
+    # 29-query headline loop has heated the JVM/page cache unevenly
+    # across ops; each probe entry still does its own warm-up pass
+    probe = {}
+    if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "auto") != "0" and (
+        "sf0.1" in sf_dir or os.environ.get("SPARK_GRAFT_SCALE_PROBE") == "1"
+    ):
+        probe = _scale_probe(spark, registry)
+
     timings: dict[str, float] = {}
     query_canaries: dict[str, float] = {}
     for n in names:
@@ -352,14 +363,6 @@ def main() -> None:
         # ratio comparisons then stop being hostage to when in the run
         # the contention spike landed
         query_canaries[n] = _canary_sec()
-
-    # sf1 scale probe: on by default at the driver's sf0.1 run; skipped
-    # for fast smokes at other SFs unless forced via env
-    probe = {}
-    if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "auto") != "0" and (
-        "sf0.1" in sf_dir or os.environ.get("SPARK_GRAFT_SCALE_PROBE") == "1"
-    ):
-        probe = _scale_probe(spark, registry)
 
     # headline canary = median of the interleaved per-query canaries
     # (kept for cross-round continuity with r1-r7 bench JSONs)
