@@ -505,3 +505,53 @@ def test_keep_first_dedup_proctime_no_reemit(spark, tmp_path):
     spark.createDataFrame([(1, 1, 5.0)], schema).coalesce(1).write.mode("append").parquet(d)
     got2 = {(r.k, r.seq) for r in _drain_once(dedup(), ckpt, "kfp_b2")}
     assert got2 == set()
+
+
+def test_streaming_over_multi_cross_batch_tail(spark, tmp_path):
+    """streaming_over_multi: the bounded frame spans MICRO-BATCH
+    boundaries via the JSON tail state (RowTimeRowsBoundedPreceding
+    Function's retract-list analog), and unbounded accumulators carry
+    per column. Two scripted batches; the first frame of batch 2 must
+    include batch-1 rows."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    b1 = spark.createDataFrame(
+        [("a", t0, 1.0, 10), ("a", dt.datetime(2024, 1, 1, 10, 1), 2.0, 20)],
+        "k string, ts timestamp, v double, w long",
+    )
+    b2 = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1, 10, 2), 4.0, 5)],
+        "k string, ts timestamp, v double, w long",
+    )
+    sdf = scripted_stream(spark, [b1, b2], tmp_path)
+    out = stateful.streaming_over_multi(
+        sdf, ["k"], "ts",
+        [("SUM", "v", "s"), ("MAX", "w", "mw"), ("COUNT", None, "n")],
+        rows=2,
+    )
+    got = sorted(
+        (r.k, str(r.ts), r.s, r.mw, r.n)
+        for r in sources.run_to_memory(out, "t_over_multi", "append").collect()
+    )
+    # frame = [prev row, current row]; batch-2's row must see batch-1's
+    # last row through the tail state
+    assert got == [
+        ("a", "2024-01-01 10:00:00", 1.0, 10.0, 1),
+        ("a", "2024-01-01 10:01:00", 3.0, 20.0, 2),
+        ("a", "2024-01-01 10:02:00", 6.0, 20.0, 2),
+    ]
+    sdf2 = scripted_stream(spark, [b1, b2], tmp_path / "u")
+    out2 = stateful.streaming_over_multi(
+        sdf2, ["k"], "ts",
+        [("SUM", "v", "s"), ("MIN", "w", "mn"), ("COUNT", None, "n")],
+    )
+    got2 = sorted(
+        (r.k, str(r.ts), r.s, r.mn, r.n)
+        for r in sources.run_to_memory(out2, "t_over_multi_u", "append").collect()
+    )
+    assert got2 == [
+        ("a", "2024-01-01 10:00:00", 1.0, 10.0, 1),
+        ("a", "2024-01-01 10:01:00", 3.0, 10.0, 2),
+        ("a", "2024-01-01 10:02:00", 7.0, 5.0, 3),
+    ]
