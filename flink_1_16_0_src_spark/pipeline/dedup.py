@@ -79,6 +79,35 @@ def minhash_signatures(
     )
 
 
+def _band_rows(
+    signatures: DataFrame, id_col: str, num_perm: int, bands: int
+) -> DataFrame:
+    """(id, band, band_hash) rows from a wide signature: band b hashes
+    its rows_per_band consecutive minhashes (md5 of the comma-joined
+    values — the same text the oracle string_agg's)."""
+    rows_per_band = num_perm // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{p}").cast("string")
+                            for p in range(b * rows_per_band, (b + 1) * rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col), F.explode(band_structs).alias("__b")
+    ).select(id_col, F.col("__b.band").alias("band"), F.col("__b.band_hash").alias("band_hash"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -109,27 +138,7 @@ def lsh_candidate_pairs(
     bucket size and representative come from one window over the same
     (band, band_hash) shuffle the join needs anyway — no extra exchange
     on the banded rows."""
-    rows_per_band = num_perm // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"mh{p}").cast("string")
-                            for p in range(b * rows_per_band, (b + 1) * rows_per_band)
-                        ],
-                    )
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = signatures.select(
-        F.col(id_col), F.explode(band_structs).alias("__b")
-    ).select(id_col, F.col("__b.band").alias("band"), F.col("__b.band_hash").alias("band_hash"))
+    banded = _band_rows(signatures, id_col, num_perm, bands)
     if max_bucket is None:
         a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
         b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
@@ -304,6 +313,87 @@ def minhash_dedup_pairs(
         eager=True
     )
     df.unpersist()
+    cands.unpersist()
+    return res
+
+
+def minhash_dedup_against(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+    num_perm: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """INCREMENTAL MinHash-LSH dedup — near-dup pairs of a NEW shard
+    against an EXISTING base corpus (the dedup-the-new-crawl-against-
+    the-index pass every rolling ingestion pipeline runs; CCNet /
+    RefinedWeb both dedup incoming snapshots against prior ones).
+    Returns verified (id_a = base doc, id_b = new doc, jaccard) pairs;
+    dropping matched new docs is an anti-join on id_b. Id spaces must
+    be disjoint. Within-shard duplicates are ``minhash_dedup_pairs``'
+    job — this op's candidate join is strictly base x new, so the
+    quadratic term of a self-join never appears: at 100 TB the base
+    side's banded rows are a static index you materialize once and the
+    per-snapshot cost is |new| signatures + the bucket join.
+
+    Hot-bucket guard mirrors ``lsh_candidate_pairs``: a bucket whose
+    BASE side exceeds ``max_bucket`` pairs each new member with the
+    bucket's min base id only (the star representative) — candidate
+    volume stays linear in |new|; same documented recall price."""
+    from pyspark.sql import Window
+
+    spark = new_df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    base = base_df.select(id_col, text_col).repartition(n, F.col(id_col)).persist()
+    new = new_df.select(id_col, text_col).repartition(n, F.col(id_col)).persist()
+    # one signature pass per side; materialize before the bucket join
+    # fans out (the r8 cold-cache-race lesson)
+    sigs_b = minhash_signatures(base, text_col, id_col, num_perm, k).persist()
+    sigs_b.count()
+    sigs_n = minhash_signatures(new, text_col, id_col, num_perm, k).persist()
+    sigs_n.count()
+    banded_b = _band_rows(sigs_b, id_col, num_perm, bands).select(
+        F.col(id_col).alias("id_a"), "band", "band_hash"
+    )
+    banded_n = _band_rows(sigs_n, id_col, num_perm, bands).select(
+        F.col(id_col).alias("id_b"), "band", "band_hash"
+    )
+    if max_bucket is None:
+        cands = (
+            banded_n.join(banded_b, ["band", "band_hash"])
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    else:
+        wb = Window.partitionBy("band", "band_hash")
+        sized = banded_b.withColumn("__bsz", F.count("*").over(wb)).withColumn(
+            "__rep", F.min("id_a").over(wb)
+        )
+        cold = sized.where(F.col("__bsz") <= max_bucket).select(
+            "id_a", "band", "band_hash"
+        )
+        pairs_cold = banded_n.join(cold, ["band", "band_hash"]).select("id_a", "id_b")
+        hot = (
+            sized.where(F.col("__bsz") > max_bucket)
+            .select("band", "band_hash", F.col("__rep").alias("id_a"))
+            .distinct()
+        )
+        pairs_hot = banded_n.join(hot, ["band", "band_hash"]).select("id_a", "id_b")
+        cands = pairs_cold.unionByName(pairs_hot).distinct()
+    cands = cands.persist()
+    cands.count()
+    sigs_b.unpersist()
+    sigs_n.unpersist()
+    corpus = base.unionByName(new)
+    res = jaccard_verify(corpus, cands, text_col, id_col, threshold, k).localCheckpoint(
+        eager=True
+    )
+    base.unpersist()
+    new.unpersist()
     cands.unpersist()
     return res
 

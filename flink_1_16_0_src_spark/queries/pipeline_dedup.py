@@ -581,3 +581,66 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_exact, n_cands, n_hits, n_hits * 10000 // max(n_exact, 1))],
         "n_exact bigint, n_candidates bigint, n_hits bigint, recall_e4 bigint",
     )
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    shingled AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS sh FROM corpus
+    ),
+    base AS (
+      SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM shingled
+    ),
+    hashed AS (
+      SELECT b.doc_id, p.perm,
+             ((2*p.perm + 1) * (b.h % 2147483647) + p.perm * 40503) % 2147483647 AS h
+      FROM base b, generate_series(0, 15) p(perm)
+    ),
+    sigs AS (
+      SELECT doc_id, perm, min(h) AS minhash FROM hashed GROUP BY doc_id, perm
+    ),
+    banded AS (
+      SELECT doc_id, perm // 4 AS band,
+             md5(string_agg(minhash::VARCHAR, ',' ORDER BY perm)) AS band_hash
+      FROM sigs GROUP BY doc_id, perm // 4
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+      WHERE a.doc_id < 100000 AND b.doc_id >= 100000
+    ),
+    sets_ AS (
+      SELECT doc_id,
+             list_transform({_SHINGLES},
+                            sh -> ('0x' || substr(md5(sh), 1, 15))::BIGINT) AS s
+      FROM corpus
+    )
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(sa.s, sb.s)) /
+                 (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4) AS jaccard
+    FROM cands c
+    JOIN sets_ sa ON sa.doc_id = c.id_a
+    JOIN sets_ sb ON sb.doc_id = c.id_b
+    WHERE round(len(list_intersect(sa.s, sb.s)) /
+          (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4) >= 0.6
+    """,
+    tags=("pipeline", "dedup", "custom-op"),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl-vs-index dedup (pipeline.dedup.
+    minhash_dedup_against): the planted copies (doc_id >= 100000) are
+    the NEW shard, the originals the BASE index — candidates are
+    strictly base x new buckets (no self-join quadratic term), verify
+    is the same exact-Jaccard pass, every hash md5-derived so the
+    oracle replays the pipeline bit-for-bit."""
+    from flink_1_16_0_src_spark.pipeline.dedup import minhash_dedup_against
+
+    corpus = _dup_corpus(spark, sf_dir)
+    base = corpus.where(F.col("doc_id") < 100000)
+    new = corpus.where(F.col("doc_id") >= 100000)
+    return minhash_dedup_against(
+        new, base, "text", "doc_id", threshold=0.6, num_perm=16, bands=4, k=3
+    )
