@@ -1993,6 +1993,13 @@ class TableEnvironment:
             if i % 2 == 0
         )
         if _re.search(r"\bROW_NUMBER\s*\(", unquoted, _re.IGNORECASE):
+            if specs:
+                raise ValueError(
+                    "window Top-N (ROW_NUMBER over a window TVF) in "
+                    "streaming SQL: use streaming.windows.window_topn "
+                    "— only the continuous row_number-filter pattern "
+                    "lowers here"
+                )
             # the canonical Top-N pattern (row_number-filter over an
             # OVER window) plans as StreamExecRank, never as a window —
             # FlinkLogicalRankRule parity; must run before the generic
