@@ -246,18 +246,29 @@ def _scale_probe(spark, registry) -> dict:
 
     _pcanary_sec()  # warm the parallel-canary codegen once per probe run
 
+    def _min2(fn, d) -> float:
+        # min-of-2 like the headline loop: single-shot probe timings
+        # are bimodal for the persist-heavy pipelines (a prior
+        # invocation's lingering localCheckpoint blocks squeeze the
+        # storage fraction and the cold-cache race re-runs upstream
+        # passes — stage-level diag shows run 2 lands at the true
+        # value, e.g. minhash sf1 23 s → 12.4 s)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(d).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            _reclaim(spark)
+        return best
+
     def _timed(fn) -> dict:
         fn(_SCALE_BASE).count()  # warm JIT/codegen
+        _reclaim(spark)
         c1, p1 = _canary_sec(), _pcanary_sec()
-        t0 = time.perf_counter()
-        fn(_SCALE_BASE).count()
-        base = time.perf_counter() - t0
-        _reclaim(spark)
+        base = _min2(fn, _SCALE_BASE)
         c2, p2 = _canary_sec(), _pcanary_sec()
-        t0 = time.perf_counter()
-        fn(scale_dir).count()
-        x10 = time.perf_counter() - t0
-        _reclaim(spark)
+        x10 = _min2(fn, scale_dir)
         c3, p3 = _canary_sec(), _pcanary_sec()
         base_n = base / ((c1 + c2) / 2)
         x10_n = x10 / ((c2 + c3) / 2)
