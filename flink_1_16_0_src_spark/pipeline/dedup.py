@@ -928,3 +928,21 @@ def semantic_dedup(
         .where(~F.col("__dropped"))
         .select(id_col, "cell")
     )
+
+
+def exact_dedup_against(
+    new_df: DataFrame, base_df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Exact-match tier of incremental ingestion (the cheap pass run
+    BEFORE minhash_dedup_against): drop new docs whose normalized-text
+    fingerprint already exists in the base corpus — a left-anti join on
+    md5(whitespace-normalized lowercase text). The base side reduces to
+    distinct fingerprints first (one narrow column), so at 100 TB the
+    anti join probes a fingerprint set, never base text; new-shard
+    internal dups are exact_dedup's job."""
+    base_fp = base_df.select(fingerprint(text_col).alias("__fp")).distinct()
+    return (
+        new_df.withColumn("__fp", fingerprint(text_col))
+        .join(base_fp, "__fp", "left_anti")
+        .drop("__fp")
+    )

@@ -202,3 +202,41 @@ def dsir_logratio_weights(
         .groupBy(id_col)
         .agg(F.sum("__lr_e6").alias("dsir_score_e6"))
     )
+
+
+def epoch_upsample(
+    df: DataFrame, source_col: str, id_col: str, epochs: dict[str, float],
+    salt: str = "epoch",
+) -> DataFrame:
+    """Fractional-epoch UPSAMPLING (the mixture knob training runs
+    actually turn: "repeat the curated source 2.3 epochs, downweight
+    crawl to 0.4" — Llama/Pile-style data schedules): every doc of
+    source s emits floor(e_s) copies plus one more with probability
+    frac(e_s), the extra-copy decision md5-derived per doc so the
+    materialized schedule replays exactly. Output rows carry an
+    ``epoch`` index (1-based) — shuffle/shard downstream ops key on
+    (id, epoch). Sources absent from ``epochs`` drop (epoch 0 = drop
+    is expressible as e_s < 1 with a fractional keep).
+
+    Scale: map-only — a per-row sequence explode bounded by
+    ceil(max epoch); no shuffle, no driver state. The explode
+    multiplies rows by the schedule's mean epoch count exactly like
+    the training loader would."""
+    n_copies = None
+    for s, e in epochs.items():
+        base_n = int(e)
+        extra = (_hash_unit(id_col, salt) < (e - base_n)).cast("int")
+        expr = F.lit(base_n) + (extra if e - base_n > 0 else F.lit(0))
+        cond = F.when(F.col(source_col) == s, expr)
+        n_copies = cond if n_copies is None else n_copies.when(
+            F.col(source_col) == s, expr
+        )
+    if n_copies is None:
+        return df.where(F.lit(False)).withColumn("epoch", F.lit(1))
+    n_copies = n_copies.otherwise(F.lit(0))
+    return (
+        df.withColumn("__n", n_copies)
+        .where(F.col("__n") >= 1)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("__n"))))
+        .drop("__n")
+    )

@@ -644,3 +644,31 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_against(
         new, base, "text", "doc_id", threshold=0.6, num_perm=16, bands=4, k=3
     )
+
+
+@query(
+    "dedup_incremental_exact",
+    oracle=f"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    base_fp AS (
+      SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM corpus WHERE doc_id < 100000
+    )
+    SELECT n.doc_id, n.lang FROM corpus n
+    WHERE n.doc_id >= 100000
+      AND md5(regexp_replace(lower(trim(n.text)), '\\s+', ' ', 'g')) NOT IN
+          (SELECT fp FROM base_fp)
+    """,
+    tags=("pipeline", "dedup", "custom-op"),
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-match tier of incremental ingestion (pipeline.dedup.
+    exact_dedup_against): the planted copies are the new shard — exact
+    copies (+100000) anti-join away against the base fingerprint set,
+    the ' zz yy' near-copies (+200000) survive for the MinHash tier."""
+    from flink_1_16_0_src_spark.pipeline.dedup import exact_dedup_against
+
+    corpus = _dup_corpus(spark, sf_dir)
+    base = corpus.where(F.col("doc_id") < 100000)
+    new = corpus.where(F.col("doc_id") >= 100000)
+    return exact_dedup_against(new, base, "text", "doc_id").select("doc_id", "lang")

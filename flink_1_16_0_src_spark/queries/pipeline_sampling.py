@@ -393,3 +393,41 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture(d, "source", "doc_id", 2.0).select(
         "doc_id", "source"
     )
+
+
+@query(
+    "sample_epoch_upsampling",
+    oracle="""
+    WITH marked AS (
+      SELECT doc_id, source,
+             CASE source
+               WHEN 'src0' THEN 2 + CASE WHEN
+                 ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch'), 1, 15))::BIGINT
+                   % 1000000) / 1000000.0) < 0.25 THEN 1 ELSE 0 END
+               WHEN 'src1' THEN 1
+               WHEN 'src2' THEN CASE WHEN
+                 ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch'), 1, 15))::BIGINT
+                   % 1000000) / 1000000.0) < 0.5 THEN 1 ELSE 0 END
+               ELSE 0 END AS n
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(unnest(range(1, n + 1)) AS BIGINT) AS epoch
+    FROM marked
+    """,
+    tags=("pipeline", "sampling", "custom-op"),
+)
+def sample_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch upsampling (pipeline.sampling.epoch_upsample):
+    the data-schedule knob training actually turns — src0 repeats 2.25
+    epochs, src1 once, src2 half an epoch. floor(e) copies per doc
+    plus an md5-decided extra for the fraction; fractions chosen
+    binary-exact (0.25, 0.5) so the float literal is identical on both
+    engines. Map-only sequence explode; the oracle's generate_series
+    replays the schedule row-for-row."""
+    from flink_1_16_0_src_spark.pipeline.sampling import epoch_upsample
+
+    d = load(spark, sf_dir, "documents")
+    out = epoch_upsample(
+        d, "source", "doc_id", {"src0": 2.25, "src1": 1.0, "src2": 0.5}
+    )
+    return out.select("doc_id", "source", F.col("epoch").cast("bigint").alias("epoch"))
