@@ -1155,6 +1155,28 @@ def rewrite_lateral_table(sql: str) -> str:
     return _LATERAL_TABLE.sub(r"LATERAL \1", sql)
 
 
+def _split_unquoted_and(cond: str) -> list[str]:
+    """Split a predicate on AND keywords OUTSIDE string literals (an
+    AND inside a literal must not break the conjunct)."""
+    parts = re.split(r"('(?:[^']|'')*')", cond)
+    marked = "".join(
+        p if i % 2 else re.sub(r"\bAND\b", "\x00", p, flags=re.IGNORECASE)
+        for i, p in enumerate(parts)
+    )
+    return marked.split("\x00")
+
+
+
+def _unquoted_text(sql: str) -> str:
+    """The statement with string-literal contents blanked — keyword
+    guards must never match inside a literal (repo invariant: every
+    regex guard over SQL text is quote-aware)."""
+    return "".join(
+        p if i % 2 == 0 else "''"
+        for i, p in enumerate(re.split(r"('(?:[^']|'')*')", sql))
+    )
+
+
 _OVER_AGG_HEAD = re.compile(
     r"^(?P<fn>COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(?P<arg>\*|[\w.]+)\s*\)\s+OVER\s*\(",
     re.IGNORECASE,
@@ -1234,7 +1256,7 @@ def lower_streaming_over(
         wm = re.match(r"^WHERE\s+(.*)$", tail, re.IGNORECASE | re.DOTALL)
         if wm is None or re.search(
             r"\b(JOIN|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|UNION)\b",
-            tail,
+            _unquoted_text(tail),
             re.IGNORECASE,
         ):
             raise ValueError(
@@ -1400,7 +1422,7 @@ def lower_streaming_temporal_join(
         wm = re.match(r"^WHERE\s+(.*)$", tail, re.IGNORECASE | re.DOTALL)
         if wm is None or re.search(
             r"\b(JOIN|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|UNION)\b",
-            tail, re.IGNORECASE,
+            _unquoted_text(tail), re.IGNORECASE,
         ):
             raise ValueError(
                 "streaming temporal join: only an optional WHERE may "
@@ -1630,7 +1652,7 @@ def lower_streaming_temporal_fn(
     # WHERE: one version-key equality, rest are probe-side filters
     on_l = on_r = None
     residual: list[str] = []
-    for part in re.split(r"\bAND\b", m.group("cond") or "", flags=re.IGNORECASE):
+    for part in _split_unquoted_and(m.group("cond") or ""):
         if not part.strip():
             continue
         em = re.match(r"\s*([\w.]+)\s*=\s*([\w.]+)\s*$", part)
