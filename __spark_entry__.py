@@ -126,6 +126,8 @@ _DRIVER_GREEN_R4 = {
 def _rotation_rank(name: str) -> int:
     """0 = never driver-checked (or failed — re-check), then greens
     oldest-first (re-verify stalest evidence before fresher greens)."""
+    if name in _DRIVER_GREEN_R9:
+        return 8
     if name in _DRIVER_GREEN_R8:
         return 7
     if name in _DRIVER_GREEN_R7:
@@ -175,25 +177,43 @@ _DRIVER_GREEN_R5 = {
 }
 
 
-# VERDICT r8 next-round #1 — r9 tier 0 is the 52-query
-# never-driver-checked backlog (judge strict-checked 0 failing in r8):
-# the 10 carried scalar-func/agg/join/topn names and the 32 TPC-DS
-# shapes (28 r7 shapes + 4 r8 b-variants) fill slots 1-42, then the
-# r8-new names (CEP until, perplexity buckets, streaming SQL drains)
-# — per the VERDICT ordering rule the spillover past slot 50 is the
-# last 2 stream_sql_* drains, which ride the r10 rotation with any
-# r9-new queries.
+# VERDICT r9 next-round #1 — r10 tier 0 is the 19-query
+# never-driver-checked backlog (judge strict-checked 0 failing in r9):
+# the r8 spillover pair, the r9 streaming-SQL drains (OVER, temporal,
+# Top-N, keep-last dedup, MATCH_RECOGNIZE PREV), incremental dedup,
+# and the r9 training-pipeline ops. 19 names fit slot 1-19, leaving
+# ~31 prefix slots for r10-new queries (which rank 0 by default).
 _TIER0_RECHECK = ()
 _TIER0_PRIORITY_FAMILIES = ()
 _TIER0_PRIORITY_NAMES = (
-    # -- slots 1-10: carried from r8's slots 51+ (scalar-func extras,
-    # SQL-text join/topn variants)
+    # -- slots 1-2: r8 spillover (judge-green twice, never driver-seen)
+    "stream_sql_window_join_drain", "stream_sql_match_recognize_drain",
+    # -- slots 3-11: r9 streaming SQL-text drains
+    "stream_sql_over_drain", "stream_sql_over_rows_drain",
+    "stream_sql_over_unbounded_drain", "stream_sql_over_multi_drain",
+    "stream_sql_temporal_join_drain", "stream_sql_temporal_fn_drain",
+    "stream_sql_topn_drain", "stream_sql_dedup_keeplast_drain",
+    "stream_sql_match_prev_drain",
+    # -- slots 12-13: incremental crawl-vs-index dedup
+    "dedup_incremental_exact", "dedup_incremental_minhash",
+    # -- slots 14-19: r9 training-pipeline ops
+    "sample_temperature_mixture", "sample_epoch_upsampling",
+    "text_quality_classifier", "lm_bigram_table",
+    "embed_random_projection", "text_ngram_diversity",
+)
+_TIER0_QUOTAS = ()
+
+
+# Green rows from CORRECTNESS_r09.json (50/50 green, all on names never
+# driver-checked before: the 10 carried scalar-func/agg/join/topn
+# names, the 32-query TPC-DS backlog, CEP until-stop, perplexity
+# buckets, and six streaming SQL-text drains). Freshest evidence →
+# sampled last.
+_DRIVER_GREEN_R9 = {
     "agg_json_on_null_modes", "join_lookup_hint_sql",
     "join_sql_window_tvf", "topn_sql_window_tvf",
     "func_similar_to", "func_distinct_from_element", "func_group_id",
     "func_bool_predicates", "func_to_timestamp_ltz", "func_hash_code",
-    # -- slots 11-42: the TPC-DS family backlog (28 r7 shapes + the 4
-    # r8 b-variants)
     "tpcds_q2_weekly_channel_ratio", "tpcds_q11_channel_growth_compare",
     "tpcds_q14b_yoy_cross_channel", "tpcds_q20_windowed_class_share",
     "tpcds_q23b_spend_vs_max",
@@ -215,17 +235,11 @@ _TIER0_PRIORITY_NAMES = (
     "tpcds_q83_return_share_three_periods",
     "tpcds_q84_customer_identification", "tpcds_q85_banded_return_reasons",
     "tpcds_q86_rollup_rank_regions", "tpcds_q91_returns_loss_by_month",
-    # -- slots 43-50: r8-new queries (CEP until-stop, perplexity
-    # buckets, streaming SQL-text drains)
     "cep_until_stop", "text_perplexity_buckets",
     "stream_sql_group_agg_drain", "stream_sql_session_drain",
     "stream_sql_cumulate_drain", "stream_sql_groupwin_session_drain",
     "stream_sql_interval_join_drain", "stream_sql_lookup_join_drain",
-    # -- slots 51+: the 2-name spillover (rides the r10 prefix with
-    # r9-new queries)
-    "stream_sql_window_join_drain", "stream_sql_match_recognize_drain",
-)
-_TIER0_QUOTAS = ()
+}
 
 
 # Green rows from CORRECTNESS_r07.json (50/50 green, all on names never
@@ -301,7 +315,7 @@ def _family_round_robin(names: list[str]) -> list[str]:
     from collections import OrderedDict
 
     out: list[str] = []
-    for rank in (0, 1, 2, 3, 4, 5, 6, 7):
+    for rank in (0, 1, 2, 3, 4, 5, 6, 7, 8):
         buckets: "OrderedDict[str, list[str]]" = OrderedDict()
         for n in names:
             if _rotation_rank(n) == rank:
