@@ -767,6 +767,7 @@ def semantic_dedup(
     seeds: list[list[float]],
     threshold: float,
     max_cell: int = 8192,
+    materialize: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster the embedding
@@ -879,7 +880,16 @@ def semantic_dedup(
     row = base.groupBy("cell").count().agg(F.max("count")).first()
     largest = int(row[0] or 0)
     if largest <= max_cell:
-        return base.groupBy("cell").applyInPandas(_dedupe_cell, out_schema)
+        # eager materialize then free the cached assignment frame —
+        # same persist hygiene as minhash_dedup_pairs (cached
+        # mega-frames must not accumulate across registry sweeps);
+        # materialize=False keeps the lazy plan (plan tests) and
+        # leaves base cached for the caller to manage
+        res = base.groupBy("cell").applyInPandas(_dedupe_cell, out_schema)
+        if materialize:
+            res = res.localCheckpoint(eager=True)
+            base.unpersist()
+        return res
 
     # Mega-cluster path: split each oversized cell into
     # B = ceil(|cell| / max_cell) hash sub-blocks and run one Arrow
@@ -922,12 +932,16 @@ def semantic_dedup(
     flags = grouped.groupBy("cell", "__gi", "__gj").applyInPandas(
         _dedupe_block_pair, flag_schema
     )
-    return (
+    res = (
         flags.groupBy(id_col, "cell")
         .agg(F.max("__drop").alias("__dropped"))
         .where(~F.col("__dropped"))
         .select(id_col, "cell")
     )
+    if materialize:
+        res = res.localCheckpoint(eager=True)
+        base.unpersist()
+    return res
 
 
 def exact_dedup_against(

@@ -127,6 +127,18 @@ def temperature_mixture(
     a map-only hash filter — scan-shaped at 100 TB like mix_corpus."""
     import math
 
+    if temperature < 1.0:
+        # the keep-fraction derivation C = n_min^(1-1/T) holds for
+        # T >= 1 only: below 1 the exponent goes negative, every
+        # frac >= 1 and the op silently keeps everything (the binding
+        # source flips to the LARGEST count). T < 1 sharpens the
+        # distribution — an upsampling job (epoch_upsample), not a
+        # downsample-only filter.
+        raise ValueError(
+            "temperature_mixture: temperature must be >= 1 (T < 1 "
+            "sharpens the mixture and needs upsampling — see "
+            "epoch_upsample)"
+        )
     counts = {
         r[source_col]: r["n"]
         for r in df.groupBy(source_col).agg(F.count("*").alias("n")).collect()

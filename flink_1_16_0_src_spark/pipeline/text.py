@@ -285,7 +285,8 @@ def perplexity_buckets(docs: DataFrame, materialize: bool = True) -> DataFrame:
 
 
 def quality_classifier_margin(
-    docs: DataFrame, text_col: str, id_col: str, min_df: int = 2
+    docs: DataFrame, text_col: str, id_col: str, min_df: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """fastText-style LINEAR quality classifier (Joulin et al. 2016 —
     the CommonCrawl-vs-curated filter LLaMA/CCNet-style pipelines run
@@ -302,13 +303,18 @@ def quality_classifier_margin(
     tokens score 0; a doc with no vocab token scores 0 (the bias-only
     margin). Scale: the vocab side is bounded by min_df (production
     additionally caps |vocab|; the broadcast is the same), the corpus
-    side is scan-shaped — no corpus self-join anywhere."""
+    side is scan-shaped — no corpus self-join anywhere. The exploded
+    token stream feeds BOTH the vocab doc-freq aggregation and the
+    scoring join, so it is persisted for the fixture's two consumers
+    (one corpus read, not two); the production path — a trained weight
+    table replacing the hash stub — removes the vocab pass entirely
+    and with it the persist."""
     toks = docs.select(
         F.col(id_col),
         F.explode(
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
         ).alias("__tok"),
-    )
+    ).persist()
     vocab = (
         toks.groupBy("__tok")
         .agg(F.countDistinct(id_col).alias("__df"))
@@ -327,10 +333,14 @@ def quality_classifier_margin(
         .groupBy(id_col)
         .agg(F.coalesce(F.sum("__w"), F.lit(0)).cast("bigint").alias("margin_micro"))
     )
-    return docs.select(id_col).join(scored, id_col, "left").select(
+    res = docs.select(id_col).join(scored, id_col, "left").select(
         id_col,
         F.coalesce("margin_micro", F.lit(0)).cast("bigint").alias("margin_micro"),
     )
+    if materialize:
+        res = res.localCheckpoint(eager=True)
+        toks.unpersist()
+    return res
 
 
 def bigram_lm_table(

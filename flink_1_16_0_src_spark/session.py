@@ -163,6 +163,11 @@ def _parse_props(props: str) -> dict[str, str]:
 # INSERT INTO appends (sink.mode=append), INSERT OVERWRITE replaces —
 # the filesystem sink's two write modes (FileSystemTableSink overwrite
 # flag from SqlInsert.isOverwrite)
+# unique names for inline FROM-subquery streaming relations
+import itertools as _itertools
+
+_STREAM_SUB_SEQ = _itertools.count()
+
 _INSERT_INTO = re.compile(
     # optional column list (SqlInsert column list, Flink 1.16 FLIP-219
     # partial-insert): strictly identifiers+commas so a parenthesized
@@ -354,6 +359,12 @@ class TableEnvironment:
         # TemporalTableFunction registry: name -> (history df, time
         # attribute, primary key) — TableImpl.createTemporalTableFunction
         self._temporal_fns: dict[str, tuple] = {}
+        # streaming views (create_streaming_view): name -> body SQL.
+        # The compiled STREAMING relation is registered as a temp view
+        # under the same name, so any later stream_query statement —
+        # TVF table argument, OVER/Top-N source, plain FROM, join side
+        # — composes over it through the ordinary catalog lookup.
+        self._stream_views: dict[str, str] = {}
         # CLI split form: BEGIN STATEMENT SET; ... END; buffers here
         self._pending_statement_set: "StatementSet | None" = None
         from flink_1_16_0_src_spark.catalog import CatalogManager
@@ -1789,6 +1800,25 @@ class TableEnvironment:
             sdf = sdf.withWatermark(*self._watermarks[name])
         return sdf
 
+    def create_streaming_view(self, name: str, sql: str) -> DataFrame:
+        """CREATE TEMPORARY VIEW over a STREAMING pipeline —
+        TableEnvironmentImpl.createTemporaryView; the reference expands
+        views at plan time and optimizes the whole multi-operator
+        statement DAG as one graph
+        (StreamCommonSubGraphBasedOptimizer.scala:49). The body
+        compiles through stream_query, so it may be any streamable
+        statement (projection/filter, interval join, window TVF agg,
+        ...); the resulting STREAMING relation registers under
+        ``name`` and later stream_query statements compose over it —
+        as a TVF table argument (``TABLE name``), an OVER / Top-N
+        source, a plain FROM, or a join side. DataFrames are lazy
+        plans, so eager compilation here IS the reference's plan-time
+        view expansion (nothing executes until a sink starts)."""
+        df = self.stream_query(sql)
+        df.createOrReplaceTempView(name)
+        self._stream_views[name] = sql
+        return df
+
     def from_path(self, path: str, fmt: str = "parquet") -> DataFrame:
         return getattr(self.spark.read, fmt)(path)
 
@@ -1848,7 +1878,7 @@ class TableEnvironment:
         q.awaitTermination()
         return q
 
-    def stream_query(self, sql: str) -> DataFrame:
+    def stream_query(self, sql: str, _nested: bool = False) -> DataFrame:
         """Run window-TVF SQL text in STREAMING mode (the
         EnvironmentSettings.inStreamingMode() sqlQuery path): every
         ``TABLE(TUMBLE|HOP|CUMULATE(...))`` whose table was registered
@@ -1868,6 +1898,7 @@ class TableEnvironment:
 
         from flink_1_16_0_src_spark.sql_clauses import (
             _GW_CALL,
+            _statement_from_kw as _statement_from_kw_early,
             rewrite_group_windows,
             rewrite_window_tvfs,
         )
@@ -1878,6 +1909,42 @@ class TableEnvironment:
             return self.spark.table(name)
 
         out = translate_hints(sql)
+        # ONE level of statement composition — the reference plans
+        # arbitrary multi-operator streaming DAGs from a single
+        # statement (StreamCommonSubGraphBasedOptimizer.scala:49;
+        # exec nodes compose freely): a parenthesized FROM-subquery
+        # compiles RECURSIVELY to a streaming relation that the outer
+        # statement's lowerings (TVF agg, OVER, plain SQL, joins)
+        # consume as an ordinary named relation. The canonical Top-N
+        # statement (inner ROW_NUMBER) keeps its dedicated
+        # StreamExecRank path below; deeper nesting goes through
+        # create_streaming_view.
+        fk0 = _statement_from_kw_early(out)
+        if fk0 is not None:
+            msub = _re.match(r"FROM\s*\(", out[fk0:], _re.IGNORECASE)
+            if msub:
+                from flink_1_16_0_src_spark.sql_clauses import (
+                    _balanced,
+                    _unquoted_text,
+                )
+
+                open_idx = fk0 + msub.end() - 1
+                close = _balanced(out, open_idx)
+                inner = out[open_idx + 1 : close - 1].strip()
+                if _re.match(r"^SELECT\b", inner, _re.IGNORECASE) and not _re.search(
+                    r"\bROW_NUMBER\s*\(", _unquoted_text(inner), _re.IGNORECASE
+                ):
+                    if _nested:
+                        raise ValueError(
+                            "streaming SQL supports one level of FROM-"
+                            "subquery nesting — register the inner "
+                            "statement as a streaming view "
+                            "(create_streaming_view) to compose deeper"
+                        )
+                    sub_df = self.stream_query(inner, _nested=True)
+                    view = f"__stream_sub_{next(_STREAM_SUB_SEQ)}"
+                    sub_df.createOrReplaceTempView(view)
+                    out = out[:fk0] + "FROM " + view + out[close:]
         if _re.search(r"\bMATCH_RECOGNIZE\b", out, _re.IGNORECASE):
             # streaming MATCH_RECOGNIZE (StreamExecMatch): the NFA runs
             # in the per-key stateful buffer; the lowered view is a

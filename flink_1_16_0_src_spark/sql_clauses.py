@@ -1243,12 +1243,22 @@ def lower_streaming_over(
         )
     select_list = s[msel.end() : fk]
     rest = s[fk:]
-    fm = re.match(r"FROM\s+(\w+)\s*(.*)$", rest, re.IGNORECASE | re.DOTALL)
+    # optional table alias (FROM t [AS] x): composed statements arrive
+    # here as `FROM __stream_sub_N AS x` after the subquery extraction;
+    # items/spec refs strip qualifiers already, so the alias only needs
+    # consuming, not binding
+    fm = re.match(
+        r"FROM\s+(\w+)"
+        r"(?:\s+(?:AS\s+)?(?!WHERE\b|GROUP\b|HAVING\b|ORDER\b|LIMIT\b"
+        r"|UNION\b|JOIN\b)\w+)?"
+        r"\s*(.*)$",
+        rest, re.IGNORECASE | re.DOTALL,
+    )
     if fm is None:
         raise ValueError(
             "streaming OVER: FROM must reference a single named table "
-            "(no joins/subqueries) — use streaming.stateful over_agg "
-            "for composed inputs"
+            "or one FROM-subquery level (no joins) — use "
+            "streaming.stateful over_agg for composed inputs"
         )
     tbl, tail = fm.group(1), fm.group(2).strip()
     where = None
@@ -1576,6 +1586,11 @@ def _plan_streaming_asof(
     return out.select(*sel)
 
 
+# materialized-history parquet dirs, one per (fn name, history frame)
+# registration — see lower_streaming_temporal_fn
+_TTF_HISTORY_CACHE: dict[tuple, str] = {}
+
+
 def lower_streaming_temporal_fn(
     sql: str,
     resolve: Callable[[str], tuple[DataFrame, tuple[str, str] | None]],
@@ -1700,9 +1715,17 @@ def lower_streaming_temporal_fn(
         )
         probe_sdf = probe_sdf.where(F.expr(cond))
     # the history is a bounded registered table — feed it to the as-of
-    # union as a one-shot file stream
-    vdir = _os.path.join(_tf.mkdtemp(prefix="ttf_stream_"), "versions")
-    right_df.write.mode("overwrite").parquet(vdir)
+    # union as a one-shot file stream. Materialize ONCE per registered
+    # function (cache keyed by the history frame's identity): repeated
+    # statements over the same registration reuse the parquet dir
+    # instead of leaking a fresh mkdtemp per lowering; re-registration
+    # builds a new frame → new cache slot.
+    ckey = (m.group("fn"), id(right_df))
+    vdir = _TTF_HISTORY_CACHE.get(ckey)
+    if vdir is None or not _os.path.isdir(vdir):
+        vdir = _os.path.join(_tf.mkdtemp(prefix="ttf_stream_"), "versions")
+        right_df.write.mode("overwrite").parquet(vdir)
+        _TTF_HISTORY_CACHE[ckey] = vdir
     ver_sdf = spark.readStream.schema(right_df.schema).parquet(vdir)
     return _plan_streaming_asof(
         probe_sdf, ver_sdf, right_time, on_l, on_r, arg_col, items,
@@ -1769,11 +1792,17 @@ def lower_streaming_topn(
     fk = _statement_from_kw(inner)
     if not mi or fk is None:
         raise ValueError("streaming Top-N: could not parse the subquery")
-    fm = re.match(r"FROM\s+(\w+)\s*(.*)$", inner[fk:], re.IGNORECASE | re.DOTALL)
+    fm = re.match(
+        r"FROM\s+(\w+)"
+        r"(?:\s+(?:AS\s+)?(?!WHERE\b|GROUP\b|HAVING\b|ORDER\b|LIMIT\b"
+        r"|UNION\b|JOIN\b)\w+)?"
+        r"\s*(.*)$",
+        inner[fk:], re.IGNORECASE | re.DOTALL,
+    )
     if fm is None:
         raise ValueError(
             "streaming Top-N: the subquery must read one named table "
-            "(no joins — rank a pre-joined view in two statements)"
+            "(no joins — rank a pre-joined streaming view instead)"
         )
     tbl, tail = fm.group(1), fm.group(2).strip()
     where = None

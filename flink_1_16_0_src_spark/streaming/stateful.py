@@ -32,6 +32,7 @@ import json
 import os
 from typing import Iterable
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -337,6 +338,22 @@ def streaming_over_bounded(
                 [pd.Series(pd.to_datetime(tail_t)), pd.to_datetime(p[order_col])],
                 ignore_index=True,
             )
+            # a late row (batch time < tail max) makes the concat
+            # non-monotonic — time-based rolling would raise and ROWS
+            # frames would mis-order; sort tail+batch JOINTLY (stable:
+            # earlier-arrived rows precede on ties) and map results
+            # back to batch positions. The reference reorders the same
+            # way via MapState + event-time timers; rows older than
+            # the retained tail horizon see a truncated frame (state
+            # already cleaned, matching its watermark cleanup).
+            order = np.argsort(t.to_numpy(), kind="stable")
+            batch_pos = np.arange(ncarry, len(order))
+            if not np.array_equal(order, np.arange(len(order))):
+                inv = np.empty(len(order), dtype=np.int64)
+                inv[order] = np.arange(len(order))
+                batch_pos = inv[ncarry:]
+                v = v.iloc[order].reset_index(drop=True)
+                t = t.iloc[order].reset_index(drop=True)
             if rows is not None:
                 r = v.rolling(rows, min_periods=1)
             else:
@@ -357,7 +374,7 @@ def streaming_over_bounded(
                 "bounded_max": r.max(),
             }
             for name, series in agg.items():
-                p[name] = series.to_numpy()[ncarry:]
+                p[name] = series.to_numpy()[batch_pos]
             for kc, kv in zip(keys, key):
                 p[kc] = kv
             yield p[[f.name for f in out_schema.fields]]
@@ -783,6 +800,19 @@ def streaming_over_multi(
                     )
                     for i, c in enumerate(val_cols)
                 }
+                # joint tail+batch sort for late rows — see
+                # streaming_over_bounded (same MapState-reorder parity)
+                order = np.argsort(t.to_numpy(), kind="stable")
+                batch_pos = np.arange(ncarry, len(order))
+                if not np.array_equal(order, np.arange(len(order))):
+                    inv = np.empty(len(order), dtype=np.int64)
+                    inv[order] = np.arange(len(order))
+                    batch_pos = inv[ncarry:]
+                    t = t.iloc[order].reset_index(drop=True)
+                    vals = {
+                        c: v.iloc[order].reset_index(drop=True)
+                        for c, v in vals.items()
+                    }
                 ones = pd.Series(1.0, index=range(len(t)))
 
                 def roll(series):
@@ -806,7 +836,7 @@ def streaming_over_multi(
                         out = r.min()
                     else:
                         out = r.max()
-                    p[al] = out.to_numpy()[ncarry:]
+                    p[al] = out.to_numpy()[batch_pos]
                 for kc, kv in zip(keys, key):
                     p[kc] = kv
                 yield p[[f.name for f in out_schema.fields]]

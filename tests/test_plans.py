@@ -401,8 +401,27 @@ def test_semantic_dedup_blocked_arrow_stage_no_cartesian(spark):
     CartesianProduct, and never an array-materializing SQL self-join
     (the r8 probe measured that shape at 13 GB of intermediate rows /
     107 s at the 10x corpus vs seconds for the BLAS form). The
-    assignment is the mapInPandas BLAS quantizer (no shuffle)."""
-    plan = _plan(spark, "dedup_semantic")
+    assignment is the mapInPandas BLAS quantizer (no shuffle).
+    materialize=False keeps the lazy plan — the registered query's
+    default eagerly checkpoints (persist hygiene, r9 ADVICE) which
+    would hide the compute plan behind a LogicalRDD scan."""
+    from pyspark.sql import functions as F
+
+    from flink_1_16_0_src_spark.pipeline.dedup import semantic_dedup
+    from flink_1_16_0_src_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    k = max(8, emb.count() // 250)
+    seed_rows = emb.where(F.col("vec_id") < k).select(
+        "vec_id", "embedding"
+    ).collect()
+    seeds = [list(map(float, r[1])) for r in sorted(seed_rows, key=lambda r: r[0])]
+    df = semantic_dedup(
+        emb, "embedding", "vec_id", seeds, threshold=0.3, materialize=False
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
     assert "CartesianProduct" not in plan
     assert "FlatMapGroupsInPandas" in plan
     assert "MapInPandas" in plan
@@ -487,8 +506,17 @@ def test_quality_classifier_broadcasts_vocab_no_python(spark):
     """The fastText-style gate joins the exploded token stream to the
     bounded vocab via BROADCAST hash join (vocab side is min_df-capped)
     and stays JVM-side — no Python in the relational plan, no
-    cartesian."""
-    plan = _plan(spark, "text_quality_classifier")
+    cartesian. materialize=False keeps the lazy plan (the default
+    eagerly checkpoints so the persisted token explode is freed — the
+    r9 one-scan fix)."""
+    from flink_1_16_0_src_spark.pipeline.text import quality_classifier_margin
+    from flink_1_16_0_src_spark.tables import load
+
+    docs = load(spark, SF_DIR, "documents")
+    df = quality_classifier_margin(docs, "text", "doc_id", materialize=False)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
