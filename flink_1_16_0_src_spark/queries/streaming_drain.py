@@ -2256,3 +2256,122 @@ def stream_sql_dedup_keeplast_drain(spark: SparkSession, sf_dir: str) -> DataFra
         "user_id", "event_type", "event_id",
         F.round("value", 2).alias("value"),
     )
+
+
+@query(
+    "stream_sql_composed_drain",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events),
+    pairs AS (
+      SELECT b.ts AS ts, b.value AS value
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND b.ts BETWEEN a.ts AND a.ts + INTERVAL '1 hour'
+      WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    ),
+    agg AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+             count(*) AS n,
+             round(sum(value), 2) AS total_value
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT window_start, window_end, n, total_value
+    FROM agg, wm WHERE agg.window_end <= wm.w
+    """,
+    tags=("streaming", "composition", "sql-surface"),
+)
+def stream_sql_composed_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SQL STATEMENT COMPOSITION (VERDICT r9 #2): an
+    interval-join pipeline registered as a STREAMING VIEW
+    (create_streaming_view — the reference expands views at plan time
+    and optimizes the whole multi-operator statement as one DAG,
+    StreamCommonSubGraphBasedOptimizer.scala:49), then consumed as the
+    TVF table argument of a TUMBLE aggregation in ONE statement:
+    join → window agg, the canonical two-operator streaming DAG a
+    Flink user writes as a single query. The join's event-time column
+    keeps its watermark linkage through the view, so the windowed agg
+    still proves append mode; emitted set = windows closed by the
+    final watermark (the oracle's wm gate, same contract as
+    stream_tumble_drain)."""
+    import os as _os
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    for side in ("l", "r"):
+        t.execute_sql(
+            f"CREATE TABLE sq_cmp_{side}_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+            f" user_id BIGINT, event_type STRING, value DOUBLE,"
+            f" WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)"
+            f" WITH ('connector'='filesystem',"
+            f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+            f"'format'='parquet')"
+        )
+    t.create_streaming_view(f"sq_cmp_pairs_{k}", f"""
+        SELECT b.ts AS ts, b.value AS value
+        FROM sq_cmp_l_{k} a JOIN sq_cmp_r_{k} b
+          ON a.user_id = b.user_id
+         AND b.ts BETWEEN a.ts AND a.ts + INTERVAL '1' HOUR
+        WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    """)
+    out = t.stream_query(f"""
+        SELECT window_start, window_end, COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS total_value
+        FROM TABLE(TUMBLE(TABLE sq_cmp_pairs_{k}, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        GROUP BY window_start, window_end
+    """)
+    drained = ssrc.run_to_memory(out, f"drain_sqlcmp_{k}", "append")
+    return drained.select("window_start", "window_end", "n", "total_value")
+
+
+@query(
+    "stream_sql_subquery_over_drain",
+    oracle="""
+    SELECT user_id, event_id,
+           count(*) OVER w AS buy_cnt,
+           round(sum(value) OVER w, 2) AS buy_sum
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("streaming", "composition", "over", "sql-surface"),
+)
+def stream_sql_subquery_over_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SQL composition form 2 (VERDICT r9 #2): an INLINE
+    parenthesized FROM-subquery feeding the OVER lowering in one
+    statement — stream_query compiles the inner SELECT recursively to
+    a streaming relation and the outer statement's
+    StreamExecOverAggregate lowering consumes it like any named table
+    (the subquery's filter is the Calc below the over window in the
+    reference's plan). ts is unique per user, so running values are
+    tie-free on both engines."""
+    import os as _os
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE sq_sqov_events_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    out = t.stream_query(f"""
+        SELECT user_id, event_id,
+               COUNT(value) OVER (PARTITION BY user_id ORDER BY ts) AS buy_cnt,
+               SUM(value) OVER (PARTITION BY user_id ORDER BY ts) AS buy_sum
+        FROM (SELECT user_id, event_id, ts, value
+              FROM sq_sqov_events_{k}
+              WHERE event_type = 'purchase') AS p
+    """)
+    drained = ssrc.run_to_memory(out, f"drain_sqlsqov_{k}", "append")
+    return drained.select(
+        "user_id", "event_id", "buy_cnt",
+        F.round("buy_sum", 2).alias("buy_sum"),
+    )

@@ -1738,3 +1738,65 @@ def test_stream_query_topn_rownum_pattern(tenv, spark, tmp_path):
               FROM tn_ev
             ) WHERE rn <= 2 AND k = 'a'
         """)
+
+
+def test_stream_query_composition(tenv, spark, tmp_path):
+    """One level of streaming statement composition (VERDICT r9 #2):
+    an inline FROM-subquery compiles recursively and feeds the outer
+    lowering; a create_streaming_view relation serves as a TVF table
+    argument; deeper nesting is rejected with the view pointer."""
+    import datetime as dt
+
+    import pytest
+
+    from flink_1_16_0_src_spark.streaming import sources as ssrc
+
+    d = str(tmp_path / "sqcomp")
+    spark.createDataFrame(
+        [(1, "buy", dt.datetime(2024, 1, 1, 10, 0), 1.0),
+         (1, "buy", dt.datetime(2024, 1, 1, 10, 5), 2.0),
+         (1, "view", dt.datetime(2024, 1, 1, 10, 6), 9.0),
+         (2, "buy", dt.datetime(2024, 1, 1, 12, 0), 4.0),
+         (1, "buy", dt.datetime(2024, 1, 1, 23, 0), 8.0)],
+        "uid bigint, et string, ts timestamp, v double",
+    ).write.parquet(d)
+    tenv.execute_sql(
+        f"CREATE TABLE sqc_ev (uid BIGINT, et STRING, ts TIMESTAMP(3), v DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{d}','format'='parquet')"
+    )
+    # inline subquery -> OVER in one statement (filter below the window)
+    out = tenv.stream_query("""
+        SELECT uid, SUM(v) OVER (PARTITION BY uid ORDER BY ts) AS s
+        FROM (SELECT uid, ts, v FROM sqc_ev WHERE et = 'buy') AS b
+    """)
+    assert out.isStreaming
+    got = sorted(
+        (r.uid, r.s)
+        for r in ssrc.run_to_memory(out, "sqc_subover", "append").collect()
+    )
+    assert got == [(1, 1.0), (1, 3.0), (1, 11.0), (2, 4.0)]
+    # streaming view -> window TVF agg in one statement
+    tenv.create_streaming_view(
+        "sqc_buys", "SELECT uid, ts, v FROM sqc_ev WHERE et = 'buy'"
+    )
+    out2 = tenv.stream_query("""
+        SELECT window_start, COUNT(*) AS n, SUM(v) AS s
+        FROM TABLE(TUMBLE(TABLE sqc_buys, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        GROUP BY window_start, window_end
+    """)
+    assert out2.isStreaming
+    rows2 = sorted(
+        (r.window_start.hour, r.n, r.s)
+        for r in ssrc.run_to_memory(out2, "sqc_viewtvf", "append").collect()
+    )
+    # final watermark 23:00-1min closes the 10:00 and 12:00 windows only
+    assert rows2 == [(10, 2, 3.0), (12, 1, 4.0)]
+    # deeper nesting is rejected, not mis-planned
+    with pytest.raises(ValueError, match="one level"):
+        tenv.stream_query("""
+            SELECT uid, SUM(v) OVER (PARTITION BY uid ORDER BY ts) AS s
+            FROM (SELECT uid, ts, v FROM
+                   (SELECT uid, ts, v FROM sqc_ev WHERE et = 'buy') AS i
+                  WHERE v > 0) AS o
+        """)
