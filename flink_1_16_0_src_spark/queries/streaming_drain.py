@@ -2375,3 +2375,63 @@ def stream_sql_subquery_over_drain(spark: SparkSession, sf_dir: str) -> DataFram
         "user_id", "event_id", "buy_cnt",
         F.round("buy_sum", 2).alias("buy_sum"),
     )
+
+
+@query(
+    "stream_sql_over_leadlag_drain",
+    oracle="""
+    SELECT user_id, event_id,
+           round(lag(value, 1) OVER w, 2) AS prev_v,
+           round(lag(value, 2) OVER w, 2) AS prev2_v,
+           round(first_value(value) OVER w, 2) AS first_v,
+           round(last_value(value) OVER w, 2) AS last_v,
+           round(sum(value) OVER w, 2) AS running_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("streaming", "over", "sql-surface"),
+)
+def stream_sql_over_leadlag_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset/value aggregates in streaming OVER SQL (VERDICT r9 #3):
+    LAG at two offsets, FIRST_VALUE, LAST_VALUE and a plain SUM share
+    ONE window spec — the reference plans them all in a single
+    StreamExecOverAggregate node (LeadLagAggFunction.java /
+    FirstValueAggFunction.java under StreamExecOverAggregate.java:91);
+    here they ride the same per-key running-state pass
+    (streaming_over_multi: per-column lag tails + first/last
+    accumulators + cumsum, all vectorized). LAG is NULL before enough
+    rows exist (SQL default); ts is unique per user, so every value is
+    tie-free on both engines."""
+    import os as _os
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE sq_ovll_events_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    out = t.stream_query(f"""
+        SELECT user_id, event_id,
+               LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS prev_v,
+               LAG(value, 2) OVER (PARTITION BY user_id ORDER BY ts) AS prev2_v,
+               FIRST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts) AS first_v,
+               LAST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts) AS last_v,
+               SUM(value) OVER (PARTITION BY user_id ORDER BY ts) AS running_sum
+        FROM sq_ovll_events_{k}
+    """)
+    drained = ssrc.run_to_memory(out, f"drain_sqlovll_{k}", "append")
+    return drained.select(
+        "user_id", "event_id",
+        F.round("prev_v", 2).alias("prev_v"),
+        F.round("prev2_v", 2).alias("prev2_v"),
+        F.round("first_v", 2).alias("first_v"),
+        F.round("last_v", 2).alias("last_v"),
+        F.round("running_sum", 2).alias("running_sum"),
+    )

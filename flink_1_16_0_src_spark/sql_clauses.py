@@ -1178,7 +1178,8 @@ def _unquoted_text(sql: str) -> str:
 
 
 _OVER_AGG_HEAD = re.compile(
-    r"^(?P<fn>COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(?P<arg>\*|[\w.]+)\s*\)\s+OVER\s*\(",
+    r"^(?P<fn>COUNT|SUM|AVG|MIN|MAX|LAG|LEAD|FIRST_VALUE|LAST_VALUE)"
+    r"\s*\(\s*(?P<arg>\*|[\w.]+)\s*(?:,\s*(?P<off>\d+)\s*)?\)\s+OVER\s*\(",
     re.IGNORECASE,
 )
 _OVER_SPEC = re.compile(
@@ -1226,7 +1227,12 @@ def lower_streaming_over(
     shared spec (one exec node, like the reference; COUNT(*) rides a
     constant series), ascending time order (descending rejected by Flink's
     planner too), simple column passthrough items, single source
-    table, optional WHERE."""
+    table (or a composed streaming relation — FROM-subquery / view),
+    optional WHERE. Offset/value aggregates LAG(col[, n]),
+    LEAD(col, 0), FIRST_VALUE(col), LAST_VALUE(col)
+    (LeadLagAggFunction.java / FirstValueAggFunction.java, planned by
+    the same exec node) ride the UNBOUNDED frame; positive LEAD
+    offsets are rejected (append mode cannot see future rows)."""
     from flink_1_16_0_src_spark.streaming.stateful import (
         streaming_over_multi,
     )
@@ -1277,7 +1283,7 @@ def lower_streaming_over(
         where = wm.group(1).strip()
 
     passthrough: list[tuple[str, str]] = []  # (source col, output alias)
-    over_items: list[tuple[str, str, str]] = []  # (fn, arg, alias)
+    over_items: list[tuple] = []  # (fn, arg, alias, offset)
     spec_norm: str | None = None
     spec_m = None
     for item in _split_top_commas(select_list):
@@ -1313,7 +1319,12 @@ def lower_streaming_over(
                 "single over window per node)"
             )
         over_items.append(
-            (ma.group("fn").upper(), ma.group("arg").split(".")[-1], mal.group(1))
+            (
+                ma.group("fn").upper(),
+                ma.group("arg").split(".")[-1],
+                mal.group(1),
+                int(ma.group("off")) if ma.group("off") else None,
+            )
         )
     if not over_items:
         raise ValueError("streaming OVER: no OVER aggregate items found")
@@ -1349,9 +1360,10 @@ def lower_streaming_over(
     # aggregates may target different columns (the reference's
     # StreamExecOverAggregate plans them in one exec node)
     aggs = [
-        (fn, None if a == "*" else a, al) for fn, a, al in over_items
+        (fn, None if a == "*" else a, al, off)
+        for fn, a, al, off in over_items
     ]
-    value_cols = [c for _fn, c, _al in aggs if c is not None]
+    value_cols = [c for _fn, c, _al, _off in aggs if c is not None]
     sdf = resolver(tbl)
     if where:
         sdf = sdf.where(F.expr(where))
@@ -1365,7 +1377,7 @@ def lower_streaming_over(
         rows=rows, range_interval=range_interval,
     )
     sel = [F.col(c).alias(a) for c, a in passthrough]
-    sel += [F.col(al) for _fn, _c, al in over_items]
+    sel += [F.col(al) for _fn, _c, al, _off in over_items]
     return out.select(*sel)
 
 

@@ -735,18 +735,49 @@ def streaming_over_multi(
     SQL lowering needs (Flink's StreamExecOverAggregate plans ONE over
     window per node but lets its aggregates target DIFFERENT columns:
     ``SUM(a) OVER w, MAX(b) OVER w`` is one exec node). ``aggs`` is
-    ``[(fn, col | None, out_alias), ...]`` with fn in
-    COUNT/SUM/AVG/MIN/MAX (col None = COUNT(*)); at most one frame of
-    ``rows`` (ROWS n total) / ``range_interval`` (RANGE preceding,
-    inclusive edge) / neither (UNBOUNDED PRECEDING).
+    ``[(fn, col | None, out_alias[, offset]), ...]`` with fn in
+    COUNT/SUM/AVG/MIN/MAX (col None = COUNT(*)) plus — UNBOUNDED frame
+    only — the offset/value aggregates LAG/LEAD/FIRST_VALUE/LAST_VALUE
+    (LeadLagAggFunction.java / FirstValueAggFunction.java, planned by
+    the same StreamExecOverAggregate.java:91 node): LAG(c, n) is the
+    value n rows earlier in the per-key event-time order (NULL before
+    n rows exist — SQL default), LEAD is offset-0 only (a positive
+    offset needs future rows; the reference's append-mode runtime
+    emits each row on arrival, so it cannot either), FIRST_VALUE /
+    LAST_VALUE skip NULLs like the reference's agg functions. At most
+    one frame of ``rows`` (ROWS n total) / ``range_interval`` (RANGE
+    preceding, inclusive edge) / neither (UNBOUNDED PRECEDING).
 
     State: UNBOUNDED keeps per-column running accumulators
-    (cnt/sum/min/max arrays indexed by referenced column); bounded
-    frames keep the tail rows that can still enter a future frame,
+    (cnt/sum/min/max/first/last arrays indexed by referenced column)
+    plus the last max-LAG-offset values per column; bounded frames
+    keep the tail rows that can still enter a future frame,
     JSON-encoded as [ts, v1..vk]. Aggregation itself is vectorized
-    pandas (cum*/rolling) — per-batch, not per-row Python."""
+    pandas (cum*/rolling/shift) — per-batch, not per-row Python."""
     assert rows is None or range_interval is None, "pass at most one frame"
-    val_cols = sorted({c for _fn, c, _al in aggs if c is not None})
+    aggs = [tuple(a) + (None,) * (4 - len(a)) for a in aggs]
+    offset_fns = {"LAG", "LEAD", "FIRST_VALUE", "LAST_VALUE"}
+    if (rows is not None or range_interval is not None) and any(
+        fn in offset_fns for fn, _c, _al, _off in aggs
+    ):
+        raise ValueError(
+            "LAG/LEAD/FIRST_VALUE/LAST_VALUE stream on the UNBOUNDED "
+            "frame only (the offset is the navigation, not the frame)"
+        )
+    for fn, c, _al, off in aggs:
+        if fn == "LEAD" and (off or 0) != 0:
+            raise ValueError(
+                "streaming LEAD needs future rows — append-mode OVER "
+                "emits each row on arrival (the reference's streaming "
+                "runtime cannot see ahead either); use LAG or a "
+                "MATCH_RECOGNIZE NEXT pattern"
+            )
+        if fn in offset_fns and c is None:
+            raise ValueError(f"{fn} requires a column argument")
+    lag_depth = max(
+        [off or 1 for fn, _c, _al, off in aggs if fn == "LAG"], default=0
+    )
+    val_cols = sorted({c for _fn, c, _al, _off in aggs if c is not None})
     carry = _carry_cols(sdf, keys)
     key_fields = [f for f in sdf.schema.fields if f.name in keys]
     out_type = {"COUNT": LongType()}
@@ -755,7 +786,7 @@ def streaming_over_multi(
         + [f for f in sdf.schema.fields if f.name in carry]
         + [
             StructField(al, out_type.get(fn, DoubleType()))
-            for fn, _c, al in aggs
+            for fn, _c, al, _off in aggs
         ]
     )
     from pyspark.sql.types import ArrayType, StringType
@@ -771,6 +802,12 @@ def streaming_over_multi(
                 StructField("sum", ArrayType(DoubleType())),
                 StructField("min", ArrayType(DoubleType())),
                 StructField("max", ArrayType(DoubleType())),
+                # offset/value aggregate state: first/last non-null per
+                # column, plus the last lag_depth values per column
+                # (JSON rows [v1..vk]) for LAG
+                StructField("first", ArrayType(DoubleType())),
+                StructField("last", ArrayType(DoubleType())),
+                StructField("lag_tail", ArrayType(StringType())),
             ]
         )
     delta = pd.Timedelta(range_interval) if range_interval else None
@@ -823,7 +860,7 @@ def streaming_over_multi(
                         {"v": series.values}, index=pd.DatetimeIndex(t)
                     )["v"].rolling(delta, min_periods=1, closed="both")
 
-                for fn_name, c, al in aggs:
+                for fn_name, c, al, _off in aggs:
                     s = ones if c is None else vals[c]
                     r = roll(s)
                     if fn_name == "COUNT":
@@ -854,33 +891,65 @@ def streaming_over_multi(
         # UNBOUNDED PRECEDING: running accumulators per referenced col
         k = len(val_cols)
         if state.exists:
-            rows_seen, cnt, s_, mn, mx = state.get
+            rows_seen, cnt, s_, mn, mx, first, last, lag_json = state.get
             cnt, s_, mn, mx = list(cnt), list(s_), list(mn), list(mx)
+            first, last = list(first), list(last)
+            lag_tails = {
+                c: json.loads(lag_json[i]) for i, c in enumerate(val_cols)
+            } if lag_json else {c: [] for c in val_cols}
         else:
             rows_seen = 0
             cnt, s_ = [0] * k, [0.0] * k
             mn, mx = [None] * k, [None] * k
+            first, last = [None] * k, [None] * k
+            lag_tails = {c: [] for c in val_cols}
         for pdf in pdfs:
             if not len(pdf):
                 continue
             p = pdf.sort_values(order_col, kind="stable").reset_index(drop=True)
             run = {}
+            lag_map = {}
             for i, c in enumerate(val_cols):
                 v = p[c].astype(float)
                 rc = v.notna().cumsum() + cnt[i]
                 rs = v.fillna(0).cumsum() + s_[i]
                 rmn = v.cummin() if mn[i] is None else v.cummin().combine(mn[i], min)
                 rmx = v.cummax() if mx[i] is None else v.cummax().combine(mx[i], max)
-                run[c] = (rc, rs, rmn, rmx)
+                # FIRST_VALUE / LAST_VALUE navigation (NULLs skipped —
+                # FirstValueAggFunction / LastValueAggFunction parity)
+                if first[i] is not None:
+                    fv = pd.Series(first[i], index=v.index)
+                else:
+                    fv = pd.Series(np.nan, index=v.index)
+                    fvi = v.first_valid_index()
+                    if fvi is not None:
+                        fv.iloc[int(fvi):] = float(v.iloc[int(fvi)])
+                        first[i] = float(v.iloc[int(fvi)])
+                lv = v.ffill()
+                if last[i] is not None:
+                    lv = lv.fillna(last[i])
+                if len(lv) and not pd.isna(lv.iloc[-1]):
+                    last[i] = float(lv.iloc[-1])
+                if lag_depth:
+                    prev = lag_tails.get(c, [])
+                    s2 = pd.concat(
+                        [pd.Series(prev, dtype=float), v], ignore_index=True
+                    )
+                    lag_map[c] = (s2, len(prev))
+                    lag_tails[c] = [
+                        None if pd.isna(x) else float(x)
+                        for x in s2.iloc[max(0, len(s2) - lag_depth):]
+                    ]
+                run[c] = (rc, rs, rmn, rmx, fv, lv)
                 cnt[i], s_[i] = int(rc.iloc[-1]), float(rs.iloc[-1])
                 mn[i], mx[i] = float(rmn.iloc[-1]), float(rmx.iloc[-1])
             star = pd.Series(range(1, len(p) + 1)) + rows_seen
             rows_seen += len(p)
-            for fn_name, c, al in aggs:
+            for fn_name, c, al, off in aggs:
                 if c is None:
                     p[al] = star.astype("int64")
                     continue
-                rc, rs, rmn, rmx = run[c]
+                rc, rs, rmn, rmx, fv, lv = run[c]
                 if fn_name == "COUNT":
                     p[al] = rc.astype("int64")
                 elif fn_name == "SUM":
@@ -889,12 +958,24 @@ def streaming_over_multi(
                     p[al] = rs / rc
                 elif fn_name == "MIN":
                     p[al] = rmn
-                else:
+                elif fn_name == "MAX":
                     p[al] = rmx
+                elif fn_name == "LAG":
+                    s2, npfx = lag_map[c]
+                    p[al] = s2.shift(off or 1).to_numpy()[npfx:]
+                elif fn_name == "LEAD":  # offset 0 = current row value
+                    p[al] = p[c].astype(float).to_numpy()
+                elif fn_name == "FIRST_VALUE":
+                    p[al] = fv.to_numpy()
+                else:  # LAST_VALUE
+                    p[al] = lv.to_numpy()
             for kc, kv in zip(keys, key):
                 p[kc] = kv
             yield p[[f.name for f in out_schema.fields]]
-        state.update((rows_seen, cnt, s_, mn, mx))
+        state.update((
+            rows_seen, cnt, s_, mn, mx, first, last,
+            [json.dumps(lag_tails.get(c, [])) for c in val_cols],
+        ))
 
     return sdf.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout

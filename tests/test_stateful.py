@@ -555,3 +555,51 @@ def test_streaming_over_multi_cross_batch_tail(spark, tmp_path):
         ("a", "2024-01-01 10:01:00", 3.0, 10.0, 2),
         ("a", "2024-01-01 10:02:00", 7.0, 5.0, 3),
     ]
+
+
+def test_streaming_over_multi_offset_value_aggs(spark, tmp_path):
+    """LAG / LEAD(…,0) / FIRST_VALUE / LAST_VALUE in the unbounded OVER
+    pass (LeadLagAggFunction / FirstValueAggFunction parity): the LAG
+    tail and first/last accumulators carry across micro-batches; NULLs
+    are skipped by FIRST/LAST and passed through by LAG (SQL default);
+    positive LEAD offsets and bounded-frame usage are rejected."""
+    import datetime as dt
+
+    import pytest
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    b1 = spark.createDataFrame(
+        [("a", t(0), 1.0), ("a", t(1), None), ("a", t(2), 3.0)],
+        "k string, ts timestamp, v double",
+    )
+    b2 = spark.createDataFrame(
+        [("a", t(3), 4.0), ("b", t(3), 7.0)],
+        "k string, ts timestamp, v double",
+    )
+    sdf = scripted_stream(spark, [b1, b2], tmp_path)
+    out = stateful.streaming_over_multi(
+        sdf, ["k"], "ts",
+        [("LAG", "v", "prev", 1), ("LAG", "v", "prev2", 2),
+         ("LEAD", "v", "cur", 0), ("FIRST_VALUE", "v", "fv"),
+         ("LAST_VALUE", "v", "lv"), ("SUM", "v", "s")],
+    )
+    got = sorted(
+        (r.k, str(r.ts), r.prev, r.prev2, r.cur, r.fv, r.lv, r.s)
+        for r in sources.run_to_memory(out, "t_over_llfl", "append").collect()
+    )
+    assert got == [
+        ("a", "2024-01-01 10:00:00", None, None, 1.0, 1.0, 1.0, 1.0),
+        ("a", "2024-01-01 10:01:00", 1.0, None, None, 1.0, 1.0, 1.0),
+        ("a", "2024-01-01 10:02:00", None, 1.0, 3.0, 1.0, 3.0, 4.0),
+        # batch 2: lag tail carries batch-1 values across the boundary
+        ("a", "2024-01-01 10:03:00", 3.0, None, 4.0, 1.0, 4.0, 8.0),
+        ("b", "2024-01-01 10:03:00", None, None, 7.0, 7.0, 7.0, 7.0),
+    ]
+    with pytest.raises(ValueError, match="future rows"):
+        stateful.streaming_over_multi(
+            sdf, ["k"], "ts", [("LEAD", "v", "nxt", 1)]
+        )
+    with pytest.raises(ValueError, match="UNBOUNDED frame only"):
+        stateful.streaming_over_multi(
+            sdf, ["k"], "ts", [("LAG", "v", "prev", 1)], rows=3
+        )
