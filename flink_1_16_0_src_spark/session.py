@@ -2061,12 +2061,15 @@ class TableEnvironment:
         )
         if _re.search(r"\bROW_NUMBER\s*\(", unquoted, _re.IGNORECASE):
             if specs:
-                raise ValueError(
-                    "window Top-N (ROW_NUMBER over a window TVF) in "
-                    "streaming SQL: use streaming.windows.window_topn "
-                    "— only the continuous row_number-filter pattern "
-                    "lowers here"
+                # window Top-N: ROW_NUMBER partitioned by window_start,
+                # window_end over a window TVF — StreamExecWindowRank
+                # (EXEC-S/StreamExecWindowRank.java:77); lowers onto the
+                # append-mode top-k-per-closed-window composition
+                from flink_1_16_0_src_spark.sql_clauses import (
+                    lower_streaming_window_topn,
                 )
+
+                return lower_streaming_window_topn(out, specs)
             # the canonical Top-N pattern (row_number-filter over an
             # OVER window) plans as StreamExecRank, never as a window —
             # FlinkLogicalRankRule parity; must run before the generic

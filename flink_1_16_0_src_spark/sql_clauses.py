@@ -187,15 +187,19 @@ def rewrite_window_tvfs(
         ts = dm.group(1)
         df = resolver(tbl)
         rest = args[2:]
-        spec: dict = {"fn": fn, "ts": ts}
+        # src + window parameters ride the spec so downstream lowerings
+        # that regroup from the RAW stream (window Top-N) can re-window
+        spec: dict = {"fn": fn, "ts": ts, "src": df}
         if fn == "TUMBLE":
             size = _interval_str(named("SIZE", rest[0]))
             offset = _interval_str(rest[1]) if len(rest) > 1 else None
+            spec.update(size=size, offset=offset)
             out = windows.tumble(df, ts, size, offset, keep_struct=keep_struct)
         elif fn == "HOP":
             slide = _interval_str(named("SLIDE", rest[0]))
             size = _interval_str(named("SIZE", rest[1]))
             offset = _interval_str(rest[2]) if len(rest) > 2 else None
+            spec.update(size=size, slide=slide, offset=offset)
             out = windows.hop(df, ts, slide, size, offset, keep_struct=keep_struct)
         elif fn == "CUMULATE":
             step = _interval_str(named("STEP", rest[0]))
@@ -1899,5 +1903,172 @@ def lower_streaming_topn(
                 raise ValueError(
                     f"streaming Top-N: outer item {ref!r} is not a "
                     "subquery output"
+                )
+    return out.select(*sel)
+
+
+def lower_streaming_window_topn(sql: str, specs: list[dict]) -> DataFrame:
+    """Lower Flink's WINDOW TOP-N statement — the documented pattern
+    (window-topn.md; EXEC-S/StreamExecWindowRank.java:77 planned by
+    FlinkLogicalRankRule when the row_number PARTITION BY contains
+    window_start AND window_end) —
+
+        SELECT ... FROM (
+          SELECT ..., ROW_NUMBER() OVER (PARTITION BY window_start,
+            window_end[, keys] ORDER BY v [DESC]) AS rn
+          FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL ...))
+          [WHERE ...]
+        ) WHERE rn <= N
+
+    — onto streaming.windows.window_topn (top-k per closed window via
+    window-agg collect → sort → slice, APPEND mode, state freed at
+    window end exactly like the reference's window-rank operator). The
+    TVF has already been rewritten by the caller; ``specs`` carries
+    the raw source frame + window parameters, so the lowering
+    re-windows from the raw stream. TUMBLE windows (the canonical
+    form); the inner WHERE filters raw rows below the rank
+    (Calc-under-WindowRank plan shape). ROW_NUMBER ties break by the
+    payload columns in order, descending with the rank order — mirror
+    that in oracles or keep the order column tie-free."""
+    from flink_1_16_0_src_spark.streaming.windows import window_topn
+
+    if len(specs) != 1 or specs[0]["fn"] != "TUMBLE":
+        raise ValueError(
+            "streaming window Top-N: one TUMBLE TVF per statement (HOP/"
+            "CUMULATE/SESSION window rank: compose streaming.windows."
+            "window_topn semantics via the Python API)"
+        )
+    spec = specs[0]
+    s = sql.strip().rstrip(";").strip()
+    m = re.match(r"^SELECT\s+(?P<outer>.*?)\s+FROM\s*\(", s,
+                 re.IGNORECASE | re.DOTALL)
+    if m is None:
+        raise ValueError(
+            "streaming window Top-N: supported shape is SELECT ... "
+            "FROM (SELECT ..., ROW_NUMBER() OVER (PARTITION BY "
+            "window_start, window_end[, keys] ORDER BY v) AS rn FROM "
+            "TABLE(TUMBLE(...))) WHERE rn <= N"
+        )
+    open_idx = s.index("(", m.end() - 1)
+    close = _balanced(s, open_idx)
+    inner = s[open_idx + 1 : close - 1].strip()
+    rest = s[close:].strip()
+    rm = re.match(
+        r"^(?:(?:AS\s+)?(?!WHERE\b)\w+\s+)?WHERE\s+(?P<cond>.+)$",
+        rest, re.IGNORECASE | re.DOTALL,
+    )
+    cm = rm and re.match(r"^(\w+)\s*(<=|<|=)\s*(\d+)$", rm.group("cond").strip())
+    if not cm:
+        raise ValueError(
+            "streaming window Top-N: the outer WHERE must bound the "
+            "ROW_NUMBER alias (rn <= N / rn < N / rn = N)"
+        )
+    rn_ref, op, n = cm.group(1), cm.group(2), int(cm.group(3))
+    mi = re.match(r"^SELECT\s+", inner, re.IGNORECASE)
+    fk = _statement_from_kw(inner)
+    if not mi or fk is None:
+        raise ValueError("streaming window Top-N: could not parse the subquery")
+    fm = re.match(r"FROM\s+(\w+)\s*(.*)$", inner[fk:], re.IGNORECASE | re.DOTALL)
+    if fm is None or fm.group(1) != spec["view"]:
+        raise ValueError(
+            "streaming window Top-N: the subquery must read the window "
+            "TVF directly (no joins below the rank)"
+        )
+    tail = fm.group(2).strip()
+    where = None
+    if tail:
+        wm = re.match(r"^WHERE\s+(.*)$", tail, re.IGNORECASE | re.DOTALL)
+        if wm is None:
+            raise ValueError(
+                "streaming window Top-N: only an optional WHERE may "
+                "follow the TVF in the subquery"
+            )
+        where = wm.group(1).strip()
+    passthrough: list[tuple[str, str]] = []
+    rank = None
+    for item in _split_top_commas(inner[mi.end() : fk]):
+        it = item.strip()
+        rmatch = _ROWNUM_ITEM.match(it)
+        if rmatch:
+            if rank is not None:
+                raise ValueError("streaming window Top-N: one ROW_NUMBER item only")
+            rank = rmatch
+            continue
+        pm = re.match(r"^([\w.]+)(?:\s+AS\s+(\w+))?$", it, re.IGNORECASE)
+        if pm is None:
+            raise ValueError(
+                f"streaming window Top-N: unsupported subquery item {it!r}"
+            )
+        col = pm.group(1).split(".")[-1]
+        passthrough.append((col, pm.group(2) or col))
+    if rank is None:
+        raise ValueError(
+            "streaming window Top-N: the subquery needs ROW_NUMBER() "
+            "OVER (PARTITION BY window_start, window_end[, keys] "
+            "ORDER BY v) AS <alias>"
+        )
+    if rank.group("al").lower() != rn_ref.lower():
+        raise ValueError(
+            f"streaming window Top-N: outer WHERE bounds {rn_ref!r} but "
+            f"the ROW_NUMBER alias is {rank.group('al')!r}"
+        )
+    part = [k.strip().split(".")[-1] for k in rank.group("keys").split(",")]
+    part_l = [k.lower() for k in part]
+    if "window_start" not in part_l or "window_end" not in part_l:
+        raise ValueError(
+            "streaming window Top-N: PARTITION BY must contain BOTH "
+            "window_start and window_end (that is what makes the rank "
+            "a window rank — FlinkLogicalRankRule); for the continuous "
+            "per-key Top-N drop the window TVF"
+        )
+    keys = [k for k in part if k.lower() not in ("window_start", "window_end")]
+    order_col = rank.group("ord").split(".")[-1]
+    descending = (rank.group("dir") or "ASC").upper() == "DESC"
+    k = n if op in ("<=", "=") else n - 1
+    if k < 1:
+        raise ValueError("streaming window Top-N: empty bound")
+    src = spec["src"]
+    if where:
+        src = src.where(F.expr(where))
+    payload = [
+        c for c, _a in passthrough
+        if c.lower() not in ("window_start", "window_end")
+        and c not in keys and c != order_col
+    ]
+    out = window_topn(
+        src, spec["ts"], spec["size"], keys, order_col, k,
+        payload, descending=descending,
+    )
+    if op == "=":
+        out = out.where(F.col("rank_num") == n)
+    aliases = {a: c for c, a in passthrough}
+    produced = {c.lower() for c, _a in passthrough} | {
+        "window_start", "window_end", order_col.lower(), rank.group("al").lower()
+    } | {kk.lower() for kk in keys}
+    sel = []
+    outer = m.group("outer").strip()
+    if outer == "*":
+        sel = [F.col(c).alias(a) for c, a in passthrough]
+        sel.append(F.col("rank_num").alias(rank.group("al")))
+    else:
+        for item in _split_top_commas(outer):
+            om = re.match(r"^([\w.]+)(?:\s+AS\s+(\w+))?$", item.strip(),
+                          re.IGNORECASE)
+            if om is None:
+                raise ValueError(
+                    f"streaming window Top-N: unsupported outer item {item!r}"
+                )
+            ref = om.group(1).split(".")[-1]
+            al = om.group(2) or ref
+            if ref.lower() == rank.group("al").lower():
+                sel.append(F.col("rank_num").alias(al))
+            elif ref in aliases:
+                sel.append(F.col(aliases[ref]).alias(al))
+            elif ref.lower() in produced:
+                sel.append(F.col(ref).alias(al))
+            else:
+                raise ValueError(
+                    f"streaming window Top-N: outer item {ref!r} is not "
+                    "a subquery output"
                 )
     return out.select(*sel)
