@@ -2496,3 +2496,85 @@ def stream_sql_window_topn_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_start", "window_end", "event_type", "user_id", "event_id",
         F.round("value", 2).alias("value"), "rn",
     )
+
+
+@query(
+    "stream_sql_statement_set_drain",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, count(*) AS n_clicks
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    purch AS (
+      SELECT user_id, count(*) AS n_purchases,
+             round(sum(value), 2) AS purchase_total
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT c.user_id, c.n_clicks, p.n_purchases, p.purchase_total
+    FROM clicks c JOIN purch p ON c.user_id = p.user_id
+    """,
+    tags=("streaming", "statement-set", "sql-surface"),
+)
+def stream_sql_statement_set_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING statement set (VERDICT r9 #8 —
+    StreamStatementSetImpl.java): two INSERTs reading the SAME events
+    source drain as ONE streaming job; the shared scan is structural
+    (a single readStream + foreachBatch persisting each micro-batch,
+    both sinks planned over the persisted frame — the Spark analog of
+    the reference's common-subgraph reuse). Sink A takes the click
+    projection, sink B the per-user purchase aggregate; the result
+    joins both sinks back, proving each received its statement's
+    rows. The execute() receipt pins streaming_queries == 1."""
+    import os as _os
+    import tempfile as _tf
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE sq_sset_ev_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    d = _tf.mkdtemp(prefix="spark_graft_sset_q_")
+    clicks_dir = _os.path.join(d, "clicks")
+    purch_dir = _os.path.join(d, "purch")
+    t.execute_sql(
+        f"CREATE TABLE sq_sset_clicks_{k} WITH ('connector'='filesystem',"
+        f"'path'='{clicks_dir}','format'='parquet')"
+    )
+    t.execute_sql(
+        f"CREATE TABLE sq_sset_purch_{k} WITH ('connector'='filesystem',"
+        f"'path'='{purch_dir}','format'='parquet')"
+    )
+    receipt = (
+        t.create_stream_statement_set()
+        .add_insert_sql(
+            f"INSERT INTO sq_sset_clicks_{k} "
+            f"SELECT event_id, user_id FROM sq_sset_ev_{k} "
+            f"WHERE event_type = 'click'"
+        )
+        .add_insert_sql(
+            f"INSERT INTO sq_sset_purch_{k} "
+            f"SELECT user_id, COUNT(*) AS n_purchases, "
+            f"ROUND(SUM(value), 2) AS purchase_total "
+            f"FROM sq_sset_ev_{k} WHERE event_type = 'purchase' "
+            f"GROUP BY user_id"
+        )
+        .execute()
+    )
+    assert receipt["streaming_queries"] == 1 and receipt["statements"] == 2
+    clicks = (
+        spark.read.parquet(clicks_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    purch = spark.read.parquet(purch_dir)
+    return clicks.join(purch, "user_id").select(
+        "user_id", "n_clicks", "n_purchases",
+        F.round("purchase_total", 2).alias("purchase_total"),
+    )

@@ -735,15 +735,20 @@ class TableEnvironment:
         return self.spark.sql(stmt)
 
     def _build_insert_df(
-        self, sink: dict, collist: str | None, rest: str
+        self, sink: dict, collist: str | None, rest: str,
+        spark: SparkSession | None = None,
     ) -> "tuple[DataFrame, dict]":
         """Shared INSERT body preparation for execute_sql and
         StatementSet.add_insert_sql: static ``PARTITION (...)`` clause
         (typed constant columns — SqlPartitionUtils.getPartitionKVs),
         column-list mapping with typed NULL fill, Flink clause/hint
-        rewriting of the query body."""
+        rewriting of the query body. ``spark`` overrides the planning
+        session (the streaming statement set plans inside foreachBatch,
+        whose micro-batch frame lives in a CLONED session — temp views
+        registered there are invisible to the main one)."""
+        spark = spark or self.spark
         static_parts, body = _parse_static_partition(rest)
-        df = self.spark.sql(self._rewrite_flink_clauses(translate_hints(body)))
+        df = spark.sql(self._rewrite_flink_clauses(translate_hints(body)))
         declared = {}
         if sink.get("schema"):
             from pyspark.sql.types import StructType
@@ -1683,6 +1688,12 @@ class TableEnvironment:
         job."""
         return StatementSet(self)
 
+    def create_stream_statement_set(self) -> "StreamStatementSet":
+        """StreamTableEnvironment.createStatementSet
+        (StreamStatementSetImpl.java): buffer streaming INSERTs sharing
+        ONE DDL source scan, drain as a single streaming job."""
+        return StreamStatementSet(self)
+
     # ---- DataStream <-> Table bridges (SURVEY §3.3;
     # flink-table-api-java-bridge StreamTableEnvironment) --------------
 
@@ -2344,3 +2355,126 @@ class StatementSet:
             for pdf in cached:
                 pdf.unpersist()
         return {"statements": len(self._inserts), "shared_subplans": len(cached)}
+
+
+class StreamStatementSet:
+    """STREAMING multi-sink statement set — StreamStatementSetImpl.java
+    (flink-table-api-bridge) parity: all buffered INSERTs optimize as
+    ONE job and the shared source scan is computed once
+    (StreamCommonSubGraphBasedOptimizer.scala:49 splits the multi-sink
+    DAG into shared sub-graphs). Spark has no multi-sink streaming
+    query, so ``execute()`` reproduces the sharing with the canonical
+    Spark pattern: ONE streaming read of the common DDL source +
+    ``foreachBatch`` that persists each micro-batch and plans every
+    buffered INSERT as batch SQL over it — source listing, decode, and
+    batch materialization happen once per batch regardless of how many
+    sinks consume it.
+
+    Scope: every statement must read the SAME single DDL streaming
+    source (batch dimension tables may differ per statement); the
+    per-batch re-planning keeps projection/filter/lookup-join/window-
+    agg statements exact under an availableNow drain. Stateful
+    cross-batch operators (OVER, dedup, stream-stream joins) need
+    their own stream_query statement — one stateful pipeline per sink,
+    the same granularity the reference gives each exec-node chain."""
+
+    def __init__(self, tenv: "TableEnvironment"):
+        self._tenv = tenv
+        # (sink name, column list | None, body SQL, source table name)
+        self._inserts: list[tuple[str, str | None, str, str]] = []
+
+    def add_insert_sql(self, sql: str) -> "StreamStatementSet":
+        mi = _INSERT_INTO.match(sql.strip())
+        if not mi:
+            raise ValueError("statement must be INSERT INTO <sink> <query>")
+        if mi.group(1).upper() == "OVERWRITE":
+            raise ValueError("streaming INSERT is append-only (no OVERWRITE)")
+        sink_name, body = mi.group(2), mi.group("body")
+        if sink_name not in self._tenv._sinks:
+            raise KeyError(f"unknown sink table {sink_name!r}")
+        unquoted = "".join(
+            p for i, p in enumerate(re.split(r"('(?:[^']|'')*')", body))
+            if i % 2 == 0
+        )
+        srcs_in = [
+            s for s in self._tenv._sources
+            if re.search(rf"(?<![\w.]){re.escape(s)}(?![\w.])", unquoted,
+                         re.IGNORECASE)
+        ]
+        if len(srcs_in) != 1:
+            raise ValueError(
+                "streaming statement set: each statement must read "
+                "exactly one DDL streaming source (got "
+                f"{srcs_in or 'none'}); join batch dims by name, run "
+                "stream-stream joins as their own stream_query"
+            )
+        self._inserts.append((sink_name, mi.group("collist"), body, srcs_in[0]))
+        return self
+
+    def execute(self, checkpoint: str | None = None) -> dict:
+        """Drain all statements in ONE streaming job (availableNow).
+        Returns counts incl. ``streaming_queries`` — always 1: the
+        provably-shared scan."""
+        import tempfile as _tf
+
+        from flink_1_16_0_src_spark import sources as srcs
+
+        if not self._inserts:
+            raise ValueError("streaming statement set: no statements buffered")
+        shared = {s for _sk, _cl, _b, s in self._inserts}
+        if len(shared) != 1:
+            raise ValueError(
+                "streaming statement set: all statements must share one "
+                f"DDL streaming source (got {sorted(shared)}) — the "
+                "shared-scan contract; split disjoint sources into "
+                "separate sets"
+            )
+        src_name = next(iter(shared))
+        tenv, spark = self._tenv, self._tenv.spark
+        sdf = tenv.stream(src_name)
+        batch_view = f"__sset_batch_{next(_STREAM_SUB_SEQ)}"
+        pat = rf"(?<![\w.]){re.escape(src_name)}(?![\w.])"
+        inserts = list(self._inserts)
+
+        def fn(batch_df, _batch_id):
+            batch_df.persist()
+            batch_df.createOrReplaceTempView(batch_view)
+            try:
+                for sink_name, collist, body, _s in inserts:
+                    parts = re.split(r"('(?:[^']|'')*')", body)
+                    sub = "".join(
+                        p if i % 2 else re.sub(pat, batch_view, p,
+                                               flags=re.IGNORECASE)
+                        for i, p in enumerate(parts)
+                    )
+                    sink = tenv._sinks[sink_name]
+                    df, static_parts = tenv._build_insert_df(
+                        sink, collist, sub, spark=batch_df.sparkSession
+                    )
+                    srcs.write_table(
+                        df,
+                        sink["props"].get("path"),
+                        sink["connector"],
+                        sink["props"].get("format", "parquet"),
+                        {**sink["props"], "sink.mode": "append"},
+                        partitioned_by=sink.get("partitioned_by")
+                        or (list(static_parts) or None),
+                    )
+            finally:
+                batch_df.unpersist()
+
+        q = (
+            sdf.writeStream.foreachBatch(fn)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                checkpoint or _tf.mkdtemp(prefix="spark_graft_sset_"),
+            )
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            "statements": len(inserts),
+            "shared_source": src_name,
+            "streaming_queries": 1,
+        }

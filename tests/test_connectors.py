@@ -1852,3 +1852,55 @@ def test_stream_query_window_topn_sql(tenv, spark, tmp_path):
               FROM TABLE(TUMBLE(TABLE sqwtn_ev, DESCRIPTOR(ts), INTERVAL '1' HOUR))
             ) WHERE rn <= 2
         """)
+
+
+def test_stream_statement_set(tenv, spark, tmp_path):
+    """StreamStatementSet: two INSERTs over one DDL streaming source
+    drain as ONE streaming job (the shared-scan receipt pins
+    streaming_queries == 1); statements reading no / disjoint sources
+    are rejected."""
+    import datetime as dt
+
+    import pytest
+
+    d = str(tmp_path / "ssetsrc")
+    spark.createDataFrame(
+        [(1, "click", dt.datetime(2024, 1, 1, 10, 0), 1.0),
+         (2, "buy", dt.datetime(2024, 1, 1, 10, 1), 2.0),
+         (3, "buy", dt.datetime(2024, 1, 1, 10, 2), 4.0)],
+        "eid bigint, et string, ts timestamp, v double",
+    ).write.parquet(d)
+    tenv.execute_sql(
+        f"CREATE TABLE sset_ev (eid BIGINT, et STRING, ts TIMESTAMP(3), v DOUBLE)"
+        f" WITH ('connector'='filesystem','path'='{d}','format'='parquet')"
+    )
+    a, b = str(tmp_path / "snk_a"), str(tmp_path / "snk_b")
+    tenv.execute_sql(
+        f"CREATE TABLE sset_a WITH ('connector'='filesystem',"
+        f"'path'='{a}','format'='parquet')"
+    )
+    tenv.execute_sql(
+        f"CREATE TABLE sset_b WITH ('connector'='filesystem',"
+        f"'path'='{b}','format'='parquet')"
+    )
+    receipt = (
+        tenv.create_stream_statement_set()
+        .add_insert_sql("INSERT INTO sset_a SELECT eid, v FROM sset_ev WHERE et = 'click'")
+        .add_insert_sql(
+            "INSERT INTO sset_b SELECT et, COUNT(*) AS n, SUM(v) AS s "
+            "FROM sset_ev GROUP BY et"
+        )
+        .execute(checkpoint=str(tmp_path / "ckpt"))
+    )
+    assert receipt == {
+        "statements": 2, "shared_source": "sset_ev", "streaming_queries": 1,
+    }
+    assert [(r.eid, r.v) for r in spark.read.parquet(a).collect()] == [(1, 1.0)]
+    got_b = sorted((r.et, r.n, r.s) for r in spark.read.parquet(b).collect())
+    assert got_b == [("buy", 2, 6.0), ("click", 1, 1.0)]
+    with pytest.raises(ValueError, match="no statements"):
+        tenv.create_stream_statement_set().execute()
+    with pytest.raises(ValueError, match="exactly one DDL streaming source"):
+        tenv.create_stream_statement_set().add_insert_sql(
+            "INSERT INTO sset_a SELECT 1 AS x"
+        )
