@@ -252,3 +252,74 @@ def epoch_upsample(
         .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("__n"))))
         .drop("__n")
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    source_col: str,
+    quality_col: str,
+    tokens_col: str,
+    id_col: str,
+    budget: int,
+) -> DataFrame:
+    """Per-source TOKEN-BUDGET curation — the "fill each domain's
+    X-billion-token budget with its best documents" step every
+    pretraining mixture ends with (the quality-threshold selection in
+    LLaMA/FineWeb-style pipelines): rank a source's docs by quality
+    DESC (id ASC tiebreak) and keep the greedy prefix whose RUNNING
+    token total stays <= ``budget`` (prefix rule — a doc that would
+    overflow stops the source, later smaller docs do not re-enter; a
+    knapsack would be order-dependent and non-reproducible).
+
+    Scale: a straight per-source window cumsum would funnel each
+    source's full 100 TB slice through ONE task's sort. Instead the
+    exact result is computed in three bounded steps: (1) one
+    aggregation builds per-(source, quality) token-sum buckets; (2)
+    the cumulative scan + boundary-bucket search runs over that
+    aggregated bucket table (narrow; per-source cutoffs are
+    |sources|-row driver state, like mix_corpus); (3) docs strictly
+    above the cutoff pass a MAP-ONLY broadcast filter, and only the
+    single boundary bucket per source is doc-level ranked for the
+    remaining budget (degenerates to a per-source sort only if every
+    doc shares one quality value — document scores never do).
+
+    Determinism: quality is quantized to 6-dp micro-units (the repo
+    float rule); ties break by id ASC; the kept set replays exactly in
+    a window-cumsum SQL oracle."""
+    spark = df.sparkSession
+    q6 = F.round(F.col(quality_col).cast("double") * 1e6).cast("bigint")
+    d = df.withColumn("__q6", q6)
+    buckets = d.groupBy(source_col, "__q6").agg(
+        F.sum(F.col(tokens_col).cast("bigint")).alias("__btok")
+    )
+    wq = Window.partitionBy(source_col).orderBy(F.col("__q6").desc())
+    cum = buckets.withColumn("__cum", F.sum("__btok").over(wq)).withColumn(
+        "__above", F.col("__cum") - F.col("__btok")
+    )
+    # the (at most one per source) boundary bucket: better buckets all
+    # fit, this one crosses the budget
+    boundary_rows = (
+        cum.where((F.col("__above") <= budget) & (F.col("__cum") > budget))
+        .select(source_col, "__q6", (F.lit(budget) - F.col("__above")).alias("__rem"))
+        .collect()
+    )
+    if not boundary_rows:
+        return df  # every source fits entirely
+    cutdf = spark.createDataFrame(
+        [(r[0], r[1], r[2]) for r in boundary_rows],
+        f"{source_col} string, __cutq bigint, __rem bigint",
+    )
+    j = d.join(F.broadcast(cutdf), source_col, "left")
+    keep_better = j.where(
+        F.col("__cutq").isNull() | (F.col("__q6") > F.col("__cutq"))
+    )
+    wb = Window.partitionBy(source_col).orderBy(F.col(id_col))
+    boundary_keep = (
+        j.where(F.col("__q6") == F.col("__cutq"))
+        .withColumn(
+            "__bcum", F.sum(F.col(tokens_col).cast("bigint")).over(wb)
+        )
+        .where(F.col("__bcum") <= F.col("__rem"))
+    )
+    cols = df.columns
+    return keep_better.select(*cols).unionByName(boundary_keep.select(*cols))

@@ -431,3 +431,48 @@ def sample_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "source", "doc_id", {"src0": 2.25, "src1": 1.0, "src2": 0.5}
     )
     return out.select("doc_id", "source", F.col("epoch").cast("bigint").alias("epoch"))
+
+
+@query(
+    "sample_token_budget",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(n_chars % 7 AS BIGINT) AS quality,
+             CAST(len(str_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY quality DESC, doc_id) AS cum
+      FROM scored
+    )
+    SELECT doc_id, source, quality, n_tokens FROM ranked WHERE cum <= 700
+    """,
+    tags=("pipeline", "sampling", "custom-op"),
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget curation (pipeline.sampling.
+    token_budget_select — the 'fill each domain's token budget with its
+    best documents' selection every pretraining mixture ends with):
+    quality here is a deterministic 7-level score (n_chars % 7, so
+    boundary BUCKETS hold several docs and the doc-level boundary rank
+    is exercised), tokens are the repo's whitespace count, budget 700
+    per source keeps roughly half of each. The op computes the exact
+    greedy quality-prefix WITHOUT a corpus-wide per-source sort
+    (bucket aggregation + |sources|-row cutoff broadcast + map-only
+    filter + boundary-bucket-only rank); the oracle is the equivalent
+    window cumsum."""
+    from flink_1_16_0_src_spark.pipeline.sampling import token_budget_select
+    from flink_1_16_0_src_spark.pipeline.text import token_count
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source",
+        (F.col("n_chars") % 7).cast("bigint").alias("quality"),
+        token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    return token_budget_select(
+        scored, "source", "quality", "n_tokens", "doc_id", budget=700
+    )

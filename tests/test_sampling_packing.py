@@ -128,3 +128,49 @@ def test_mix_corpus_proportions_and_determinism(spark):
         .select("doc_id").collect()
     }
     assert a == b
+
+
+def test_token_budget_select_matches_window_cumsum(spark):
+    """token_budget_select's bucket-threshold plan computes EXACTLY the
+    greedy quality-prefix that the naive per-source window cumsum
+    defines — including multi-doc boundary buckets, a rem=0 boundary,
+    and the all-fits fast path — and is partitioning-invariant."""
+    from pyspark.sql import Window
+
+    from flink_1_16_0_src_spark.pipeline.sampling import token_budget_select
+
+    rows = []
+    for s in range(4):
+        for i in range(40):
+            # quality collides (mod 5) so boundary buckets hold
+            # several docs; token sizes vary deterministically
+            rows.append((f"s{s}", s * 100 + i, (i * 7) % 5, 10 + (i * 13) % 50))
+    d = spark.createDataFrame(
+        rows, "source string, doc_id bigint, quality bigint, n_tokens bigint"
+    )
+
+    def naive(budget):
+        w = Window.partitionBy("source").orderBy(
+            F.col("quality").desc(), F.col("doc_id")
+        )
+        return {
+            tuple(r)
+            for r in d.withColumn("c", F.sum("n_tokens").over(w))
+            .where(F.col("c") <= budget)
+            .select("source", "doc_id")
+            .collect()
+        }
+
+    for budget in (0, 35, 237, 900, 10**9):
+        got = {
+            tuple(r)
+            for r in token_budget_select(
+                d.repartition(7), "source", "quality", "n_tokens",
+                "doc_id", budget,
+            ).select("source", "doc_id").collect()
+        }
+        assert got == naive(budget), f"budget={budget}"
+    # all-fits path returns every row
+    assert token_budget_select(
+        d, "source", "quality", "n_tokens", "doc_id", 10**9
+    ).count() == d.count()
