@@ -186,3 +186,44 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     return random_projection(e, "embedding", "vec_id", k=8)
+
+
+@query(
+    "embed_matryoshka_truncate",
+    oracle="""
+    WITH t AS (
+      SELECT vec_id,
+             list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(v[1] / sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS u0,
+           round(v[2] / sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS u1,
+           round(v[3] / sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS u2,
+           round(v[16] / sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS u15
+    FROM t
+    """,
+    tags=("pipeline", "embedding", "custom-op"),
+)
+def embed_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation (Kusupati et al. 2022, "Matryoshka
+    Representation Learning"): keep the LEADING 16 of 64 dims and
+    L2-renormalize — the progressive-retrieval trick (cheap coarse ANN
+    over the prefix, full-dim re-rank on the shortlist) modern
+    embedding models are trained for. Map-only Catalyst array slice +
+    fold, zero shuffle, no Python; emits dims 0-2 and 15 of the
+    renormalized prefix. The per-row fold runs in ascending dimension
+    order on both engines (the embed_l2_normalize determinism
+    contract)."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.slice(F.col("embedding").cast("array<double>"), 1, 16)
+    norm = F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    return emb.select(
+        "vec_id",
+        *[
+            F.round(F.element_at(v, d + 1) / norm, 6).alias(f"u{d}")
+            for d in (0, 1, 2, 15)
+        ],
+    )

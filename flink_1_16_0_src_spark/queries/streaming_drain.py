@@ -2578,3 +2578,95 @@ def stream_sql_statement_set_drain(spark: SparkSession, sf_dir: str) -> DataFram
         "user_id", "n_clicks", "n_purchases",
         F.round("purchase_total", 2).alias("purchase_total"),
     )
+
+
+@query(
+    "stream_sql_view_topn_drain",
+    oracle="""
+    SELECT user_id, event_id, value, rn FROM (
+      SELECT user_id, event_id, round(value, 2) AS value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ) WHERE rn <= 2
+    """,
+    tags=("streaming", "composition", "topn", "sql-surface"),
+)
+def stream_sql_view_topn_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition form 3 (VERDICT r9 #2): a STREAMING VIEW (filter
+    pipeline) feeding the canonical continuous Top-N statement — the
+    row_number-filter pattern's subquery reads the registered view, so
+    filter → rank composes across two statements exactly like the
+    reference's view expansion (StreamExecRank over a Calc sub-graph).
+    Update-mode drain: the sink holds the final top-2 per user — the
+    two most RECENT purchases (rank by ts DESC, the keep-last-N
+    pattern); (user_id, ts) is unique at every SF, so the rank is
+    tie-free on both engines (ranking by value would tie at 2 dp)."""
+    import os as _os
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE sq_vtn_events_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    t.create_streaming_view(f"sq_vtn_purch_{k}", f"""
+        SELECT user_id, event_id, ts, ROUND(value, 2) AS value
+        FROM sq_vtn_events_{k} WHERE event_type = 'purchase'
+    """)
+    out = t.stream_query(f"""
+        SELECT user_id, event_id, value, rn FROM (
+          SELECT user_id, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC) AS rn
+          FROM sq_vtn_purch_{k}
+        ) WHERE rn <= 2
+    """)
+    drained = ssrc.run_to_memory(out, f"drain_sqlvtn_{k}", "update")
+    return drained.select("user_id", "event_id", "value", "rn")
+
+
+@query(
+    "stream_sql_group_agg_having_drain",
+    oracle="""
+    SELECT user_id, event_type, count(*) AS n, round(sum(value), 2) AS total
+    FROM events
+    GROUP BY user_id, event_type
+    HAVING count(*) >= 3
+    """,
+    tags=("streaming", "agg", "sql-surface"),
+)
+def stream_sql_group_agg_having_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous streaming GROUP BY with a HAVING gate as SQL TEXT
+    (StreamExecGroupAggregate + the Calc the reference plans above it):
+    the post-aggregate filter streams in update mode — keys whose
+    running count has not reached the gate are absent from the sink
+    after the availableNow drain, matching the batch HAVING oracle."""
+    import os as _os
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE sq_gah_events_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    out = t.stream_query(f"""
+        SELECT user_id, event_type, COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS total
+        FROM sq_gah_events_{k}
+        GROUP BY user_id, event_type
+        HAVING COUNT(*) >= 3
+    """)
+    drained = ssrc.run_to_memory(out, f"drain_sqlgah_{k}", "update")
+    return drained.select("user_id", "event_type", "n", "total")
