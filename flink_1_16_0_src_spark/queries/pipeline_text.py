@@ -988,3 +988,66 @@ def text_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(20000 * n_distinct + n_bigrams) DIV (2 * n_bigrams)")
         .cast("bigint").alias("diversity_e4"),
     )
+
+
+@query(
+    "vocab_oov_rate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(str_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok,
+               row_number() OVER (ORDER BY count(*) DESC, tok) AS r
+        FROM toks GROUP BY tok
+      ) WHERE r <= 200
+    )
+    SELECT t.lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS n_oov,
+           CAST(count(*) FILTER (WHERE v.tok IS NULL) * 1000000
+                // count(*) AS BIGINT) AS oov_ppm
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.lang
+    """,
+    tags=("pipeline", "text", "vocab"),
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage report: per-language OOV share against the
+    corpus's own top-200 vocabulary — the go/no-go check before
+    freezing a tokenizer for a multilingual mix (a lang whose OOV rate
+    spikes is under-served by the vocab). Two passes over the exploded
+    token stream (vocab head, then a BROADCAST left anti-ish probe —
+    the 200-row vocab broadcasts, the corpus never shuffles for the
+    join) and one k-row groupBy(lang). OOV share emitted as integer
+    parts-per-million (BIGINT floor-div, engine-exact — no double
+    division on the hashed surface)."""
+    from flink_1_16_0_src_spark.pipeline.text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(tokens("text")).alias("tok"))
+    vocab = (
+        toks.groupBy("tok").agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(200)
+        .select("tok", F.lit(True).alias("__in_vocab"))
+    )
+    probed = toks.join(F.broadcast(vocab), "tok", "left")
+    return (
+        probed.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_oov"),
+        )
+        .select(
+            "lang", "n_tokens", "n_oov",
+            # integral DIV, not double-divide-then-cast: the latter can
+            # land one ulp under an exact quotient and floor one lower
+            # than DuckDB's BIGINT //
+            F.expr("n_oov * 1000000L div n_tokens").alias("oov_ppm"),
+        )
+    )
