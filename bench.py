@@ -82,6 +82,11 @@ BENCH_QUERIES = [
                                  # within-cluster cosine dedup
     "sample_dsir_weights",       # DSIR hashed-ngram importance weights
                                  # (broadcast log-ratio table)
+    # r10 addition (per-query comparison only):
+    "stream_sql_composed_drain", # streaming statement composition:
+                                 # interval-join view feeding a TUMBLE
+                                 # TVF agg in one statement (two
+                                 # stateful operators, one drain)
 ]
 
 

@@ -2445,9 +2445,11 @@ def stream_sql_over_leadlag_drain(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
              time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
              event_type, user_id, event_id, round(value, 2) AS value,
+             -- rank on the RAW value (the operator compares raw doubles;
+             -- parquet-identical on both engines) — rounding is display-only
              row_number() OVER (
                PARTITION BY time_bucket(INTERVAL '1 hour', ts), event_type
-               ORDER BY value DESC, user_id DESC, event_id DESC) AS rn
+               ORDER BY events.value DESC, user_id DESC, event_id DESC) AS rn
       FROM events
     )
     SELECT window_start, window_end, event_type, user_id, event_id, value, rn
@@ -2670,3 +2672,65 @@ def stream_sql_group_agg_having_drain(spark: SparkSession, sf_dir: str) -> DataF
     """)
     drained = ssrc.run_to_memory(out, f"drain_sqlgah_{k}", "update")
     return drained.select("user_id", "event_type", "n", "total")
+
+
+@query(
+    "stream_sql_window_topn_hop_drain",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events),
+    hopped AS (
+      SELECT time_bucket(INTERVAL '30 minutes', e.ts)
+               - (j.j * INTERVAL '30 minutes') AS window_start,
+             time_bucket(INTERVAL '30 minutes', e.ts)
+               - (j.j * INTERVAL '30 minutes') + INTERVAL '1 hour' AS window_end,
+             e.user_id, e.event_id, round(e.value, 2) AS value,
+             e.value AS raw_value
+      FROM events e, generate_series(0, 1) j(j)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY window_start
+               ORDER BY raw_value DESC, user_id DESC, event_id DESC) AS rn
+      FROM hopped
+    )
+    SELECT window_start, window_end, user_id, event_id, value, rn
+    FROM ranked, wm WHERE rn <= 3 AND window_end <= wm.w
+    """,
+    tags=("streaming", "topn", "window", "sql-surface"),
+)
+def stream_sql_window_topn_hop_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOP-window Top-N as streaming SQL (StreamExecWindowRank runs on
+    any window kind — window-topn.md's hopping example): top-3 rows per
+    sliding 1-hour window (slide 30 min, each row ranks in 2 windows).
+    Same lowering as the TUMBLE form with the spec's slide re-windowing
+    the raw stream; ties break by payload DESC (oracle mirrors);
+    emitted set = windows closed by the final watermark."""
+    import os as _os
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE sq_wtnh_events_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    out = t.stream_query(f"""
+        SELECT window_start, window_end, user_id, event_id, value, rn
+        FROM (
+          SELECT window_start, window_end, user_id, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY window_start, window_end
+                     ORDER BY value DESC) AS rn
+          FROM TABLE(HOP(TABLE sq_wtnh_events_{k}, DESCRIPTOR(ts),
+                         INTERVAL '30' MINUTE, INTERVAL '1' HOUR))
+        ) WHERE rn <= 3
+    """)
+    drained = ssrc.run_to_memory(out, f"drain_sqlwtnh_{k}", "append")
+    return drained.select(
+        "window_start", "window_end", "user_id", "event_id",
+        F.round("value", 2).alias("value"), "rn",
+    )

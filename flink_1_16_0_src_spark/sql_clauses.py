@@ -1932,11 +1932,11 @@ def lower_streaming_window_topn(sql: str, specs: list[dict]) -> DataFrame:
     that in oracles or keep the order column tie-free."""
     from flink_1_16_0_src_spark.streaming.windows import window_topn
 
-    if len(specs) != 1 or specs[0]["fn"] != "TUMBLE":
+    if len(specs) != 1 or specs[0]["fn"] not in ("TUMBLE", "HOP"):
         raise ValueError(
-            "streaming window Top-N: one TUMBLE TVF per statement (HOP/"
-            "CUMULATE/SESSION window rank: compose streaming.windows."
-            "window_topn semantics via the Python API)"
+            "streaming window Top-N: one TUMBLE or HOP TVF per "
+            "statement (CUMULATE/SESSION window rank: compose "
+            "streaming.windows.window_topn semantics via the Python API)"
         )
     spec = specs[0]
     s = sql.strip().rstrip(";").strip()
@@ -2037,7 +2037,7 @@ def lower_streaming_window_topn(sql: str, specs: list[dict]) -> DataFrame:
     ]
     out = window_topn(
         src, spec["ts"], spec["size"], keys, order_col, k,
-        payload, descending=descending,
+        payload, descending=descending, slide=spec.get("slide"),
     )
     if op == "=":
         out = out.where(F.col("rank_num") == n)

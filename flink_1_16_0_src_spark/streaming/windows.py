@@ -71,17 +71,21 @@ def window_topn(
     k: int,
     payload: list[str],
     descending: bool = True,
+    slide: str | None = None,
 ) -> DataFrame:
     """Streaming window Top-N (StreamExecWindowRank.java:77): top-k rows
-    per (tumbling window, keys), emitted when the window closes — an
-    APPEND-mode composition (window agg collect → sort → slice →
-    explode), no custom state op needed; state is freed at window end
-    exactly like the reference's window-rank operator."""
+    per (window, keys), emitted when the window closes — an APPEND-mode
+    composition (window agg collect → sort → slice → explode), no
+    custom state op needed; state is freed at window end exactly like
+    the reference's window-rank operator. ``slide`` makes the windows
+    HOPPING (a row ranks in every window covering it — the reference's
+    window rank runs on any window kind); default tumbling."""
     entry = F.struct(F.col(order_col).alias("__o"), *[F.col(c) for c in payload])
     sorted_entries = F.array_sort(F.collect_list(entry))
     top = F.slice(F.reverse(sorted_entries) if descending else sorted_entries, 1, k)
     exploded = (
-        sdf.groupBy(F.window(ts, size).alias("__w"), *keys)
+        sdf.groupBy(F.window(ts, size, slide).alias("__w") if slide
+                    else F.window(ts, size).alias("__w"), *keys)
         .agg(top.alias("__top"))
         .select(
             F.col("__w.start").alias("window_start"),
