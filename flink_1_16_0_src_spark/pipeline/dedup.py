@@ -960,3 +960,100 @@ def exact_dedup_against(
         .join(base_fp, "__fp", "left_anti")
         .drop("__fp")
     )
+
+
+def simhash_dedup_against(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 32,
+    max_hamming: int = 2,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """INCREMENTAL SimHash dedup — the third tier of crawl-vs-index
+    ingestion (after exact_dedup_against and minhash_dedup_against):
+    near-dup pairs of a NEW shard against the base corpus by signature
+    hamming distance. Candidates come from the PIGEONHOLE band join:
+    the ``bits``-bit signature splits into ``max_hamming + 1``
+    contiguous bands, and any pair within hamming distance
+    <= max_hamming must agree EXACTLY on at least one band (it differs
+    in at most max_hamming bits, which cannot touch every band) — so
+    the candidate join is a band-key equi-join base x new, never
+    all-pairs, and the bit_count(xor) verify makes the result EQUAL to
+    the full hamming join (no recall loss, unlike MinHash banding)
+    unless the hot-bucket cap triggers. Returns (id_a base, id_b new,
+    hamming); id spaces must be disjoint.
+
+    Scale: the base side's band rows are a materialize-once index
+    (|base| x (max_hamming+1) narrow rows); per-snapshot cost is |new|
+    signatures + the bucket join. ``max_bucket`` mirrors the minhash
+    star cap: a band value whose BASE bucket exceeds it pairs each new
+    member with the bucket's min base id only (candidate volume linear
+    in |new|; documented recall price — pass None for the exact
+    result)."""
+    from pyspark.sql import Window
+
+    nb = max_hamming + 1
+    widths = [bits // nb + (1 if i < bits % nb else 0) for i in range(nb)]
+    offs = [sum(widths[:i]) for i in range(nb)]
+
+    def band_rows(sdf: DataFrame, out_id: str) -> DataFrame:
+        parts = [
+            F.struct(
+                F.lit(i).alias("band"),
+                (
+                    F.shiftright("simhash", offs[i])
+                    % F.lit(1 << widths[i]).cast("bigint")
+                ).alias("band_val"),
+            )
+            for i in range(nb)
+        ]
+        return sdf.select(
+            F.col(id_col).alias(out_id), F.explode(F.array(*parts)).alias("__b")
+        ).select(out_id, F.col("__b.band").alias("band"),
+                 F.col("__b.band_val").alias("band_val"))
+
+    sig_b = simhash(base_df, text_col, id_col, bits).persist()
+    sig_b.count()  # materialize before the band fan-out (r8 lesson)
+    sig_n = simhash(new_df, text_col, id_col, bits).persist()
+    sig_n.count()
+    banded_b = band_rows(sig_b, "id_a")
+    banded_n = band_rows(sig_n, "id_b")
+    if max_bucket is None:
+        cands = (
+            banded_n.join(banded_b, ["band", "band_val"])
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    else:
+        wb = Window.partitionBy("band", "band_val")
+        sized = banded_b.withColumn("__bsz", F.count("*").over(wb)).withColumn(
+            "__rep", F.min("id_a").over(wb)
+        )
+        cold = sized.where(F.col("__bsz") <= max_bucket).select(
+            "id_a", "band", "band_val"
+        )
+        pairs_cold = banded_n.join(cold, ["band", "band_val"]).select("id_a", "id_b")
+        hot = (
+            sized.where(F.col("__bsz") > max_bucket)
+            .select("band", "band_val", F.col("__rep").alias("id_a"))
+            .distinct()
+        )
+        pairs_hot = banded_n.join(hot, ["band", "band_val"]).select("id_a", "id_b")
+        cands = pairs_cold.unionByName(pairs_hot).distinct()
+    res = (
+        cands.join(sig_b.select(F.col(id_col).alias("id_a"),
+                                F.col("simhash").alias("__sa")), "id_a")
+        .join(sig_n.select(F.col(id_col).alias("id_b"),
+                           F.col("simhash").alias("__sb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.expr("__sa ^ __sb")).cast("bigint").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .localCheckpoint(eager=True)
+    )
+    sig_b.unpersist()
+    sig_n.unpersist()
+    return res

@@ -672,3 +672,48 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = corpus.where(F.col("doc_id") < 100000)
     new = corpus.where(F.col("doc_id") >= 100000)
     return exact_dedup_against(new, base, "text", "doc_id").select("doc_id", "lang")
+
+
+@query(
+    "dedup_incremental_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(unnest({_TOKS})), 1, 15))::BIGINT AS h
+      FROM documents
+    ),
+    votes AS (
+      SELECT doc_id, b.bit, sum(((h >> b.bit) & 1) * 2 - 1) AS v
+      FROM toks, generate_series(0, 31) b(bit) GROUP BY doc_id, b.bit
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+                  AS BIGINT) AS s
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b
+      ON a.doc_id < 250 AND b.doc_id >= 250
+     AND bit_count(xor(a.s, b.s)) <= 2
+    """,
+    tags=("pipeline", "dedup", "incremental", "custom-op"),
+)
+def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SimHash tier of crawl-vs-index dedup
+    (pipeline.dedup.simhash_dedup_against): 32-bit signatures, pairs
+    within hamming distance 2 of the base found via the PIGEONHOLE band
+    join (3 contiguous bands — a pair differing in <= 2 bits must agree
+    exactly on one band), verified with bit_count(xor). With no
+    hot-bucket cap the banded result EQUALS the full hamming join (no
+    recall loss, unlike MinHash banding), which is exactly what the
+    oracle computes as an unblocked base x new theta join."""
+    from flink_1_16_0_src_spark.pipeline.dedup import simhash_dedup_against
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < 250)
+    new = docs.where(F.col("doc_id") >= 250)
+    return simhash_dedup_against(
+        new, base, "text", "doc_id", bits=32, max_hamming=2, max_bucket=None
+    )

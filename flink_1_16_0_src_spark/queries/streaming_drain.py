@@ -2734,3 +2734,44 @@ def stream_sql_window_topn_hop_drain(spark: SparkSession, sf_dir: str) -> DataFr
         "window_start", "window_end", "user_id", "event_id",
         F.round("value", 2).alias("value"), "rn",
     )
+
+
+@query(
+    "stream_sql_grouping_sets_drain",
+    oracle="""
+    SELECT event_type, user_id % 3 AS ub, count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (event_type, user_id % 3), ())
+    """,
+    tags=("streaming", "agg", "grouping-sets", "sql-surface"),
+)
+def stream_sql_grouping_sets_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS over a continuous streaming aggregate as SQL TEXT
+    (the reference plans StreamExecExpand under
+    StreamExecGroupAggregate for streaming grouping sets — Spark's
+    Expand + update-mode stateful agg is the same shape): three
+    grouping sets (type, type x user-bucket, grand total) drain in
+    UPDATE mode; the sink's final value per expanded key equals the
+    batch grouping-sets oracle."""
+    import os as _os
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE sq_gs_events_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    out = t.stream_query(f"""
+        SELECT event_type, user_id % 3 AS ub, COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS total
+        FROM sq_gs_events_{k}
+        GROUP BY GROUPING SETS ((event_type), (event_type, user_id % 3), ())
+    """)
+    drained = ssrc.run_to_memory(out, f"drain_sqlgs_{k}", "update")
+    return drained.select("event_type", "ub", "n", "total")
