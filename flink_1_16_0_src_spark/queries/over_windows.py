@@ -206,3 +206,57 @@ def over_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("l_partkey").over(wfull).alias("last_part"),
         F.nth_value("l_partkey", 2).over(wfull).alias("second_part"),
     )
+
+
+@query(
+    "over_ignore_nulls",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'click' THEN NULL
+                  ELSE round(value, 2) END AS v
+      FROM events
+    )
+    SELECT event_id, user_id,
+           lag(v IGNORE NULLS)        OVER w AS prev_nn,
+           lead(v IGNORE NULLS)       OVER w AS next_nn,
+           first_value(v IGNORE NULLS) OVER w AS first_nn,
+           last_value(v IGNORE NULLS)  OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_nn
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("over", "functions"),
+)
+def over_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS navigation in OVER windows — the reference's
+    FIRST_VALUE/LAST_VALUE agg functions skip NULLs by design
+    (FirstValueAggFunction.java accumulates only non-null values) and
+    LEAD/LAG take the respect/ignore flag (LeadLagAggFunction.java):
+    click rows carry a NULL measure, so every navigation skips over
+    them. Catalyst lead/lag/first/last all take ignoreNulls natively —
+    pure window plan, no Python."""
+    ev = load(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "click", F.lit(None)).otherwise(
+        F.round("value", 2)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e = ev.select("event_id", "user_id", "ts", v.alias("v"))
+    # lead/lag take IGNORE NULLS only through the SQL clause (the
+    # Python wrappers don't expose the flag); first/last do natively
+    return e.select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "lag(v) IGNORE NULLS OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id)"
+        ).alias("prev_nn"),
+        F.expr(
+            "lead(v) IGNORE NULLS OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id)"
+        ).alias("next_nn"),
+        F.first("v", ignorenulls=True).over(w).alias("first_nn"),
+        F.last("v", ignorenulls=True).over(wrows).alias("last_nn"),
+    )
