@@ -400,3 +400,54 @@ def test_semantic_dedup_block_groups_are_bounded(spark):
     ).first()[0]
     assert pairs.where(F.col("count") != 1).count() == 0
     assert pairs.count() == int(n_members)
+
+
+def test_simhash_incremental_band_join_exact_and_capped(spark):
+    """simhash_dedup_against's pigeonhole band join is LOSSLESS: with no
+    hot-bucket cap the banded candidates + hamming verify equal the
+    full base x new hamming theta join; with a cap the result is a
+    subset of the exact one (the documented star-cap recall price) and
+    every surviving pair still verifies."""
+    from pyspark.sql import functions as F
+
+    from flink_1_16_0_src_spark import tables
+    from flink_1_16_0_src_spark.pipeline.dedup import (
+        simhash,
+        simhash_dedup_against,
+    )
+
+    docs = tables.load(spark, "/root/testdata/sf0.001", "documents")
+    base = docs.where(F.col("doc_id") < 250)
+    new = docs.where(F.col("doc_id") >= 250)
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_dedup_against(
+            new, base, "text", "doc_id", bits=32, max_hamming=2,
+            max_bucket=None,
+        ).collect()
+    }
+    sb = simhash(base, "text", "doc_id", 32).select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa")
+    )
+    sn = simhash(new, "text", "doc_id", 32).select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb")
+    )
+    exact = {
+        (r.id_a, r.id_b, r.h)
+        for r in sb.crossJoin(sn)
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.expr("sa ^ sb")).cast("bigint").alias("h"),
+        )
+        .where(F.col("h") <= 2)
+        .collect()
+    }
+    assert got == exact and len(exact) > 0
+    capped = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_dedup_against(
+            new, base, "text", "doc_id", bits=32, max_hamming=2,
+            max_bucket=2,
+        ).collect()
+    }
+    assert capped <= exact
