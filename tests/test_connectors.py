@@ -1226,17 +1226,24 @@ def test_streaming_insert_column_list(tenv, spark, tmp_path):
     assert spark.read.parquet(out).columns == ["s", "k", "extra"]
 
 
-def test_stream_query_nested_window_group_by_rejected(tenv, spark, tmp_path):
-    """The struct regroup contracts the outermost block only; a
-    subquery's own GROUP BY window_start is rejected, not silently
-    rewritten onto the outer block's struct alias."""
+def test_stream_query_nested_window_group_by_composes(tenv, spark, tmp_path):
+    """A subquery's own GROUP BY window_start COMPOSES since r10 (the
+    one-level FROM-subquery extraction compiles the inner window agg
+    recursively — it is never rewritten onto the outer block's struct
+    alias, which is what this test pinned as a rejection before
+    composition existed). The emitted window agg matches the inner
+    statement run alone; two nesting levels still reject."""
     import datetime as dt
 
     import pytest
 
+    from flink_1_16_0_src_spark.streaming import sources as ssrc
+
     d = str(tmp_path / "nwgb")
     spark.createDataFrame(
-        [("a", dt.datetime(2024, 1, 1, 10, 10), 1.0)],
+        [("a", dt.datetime(2024, 1, 1, 10, 10), 1.0),
+         ("a", dt.datetime(2024, 1, 1, 10, 20), 2.0),
+         ("b", dt.datetime(2024, 1, 1, 14, 0), 8.0)],
         "k string, ts timestamp, v double",
     ).write.parquet(d)
     tenv.execute_sql(
@@ -1244,12 +1251,22 @@ def test_stream_query_nested_window_group_by_rejected(tenv, spark, tmp_path):
         f" WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
         f" WITH ('connector'='filesystem','path'='{d}','format'='parquet')"
     )
-    with pytest.raises(ValueError, match="subquery"):
+    out = tenv.stream_query("""
+        SELECT * FROM (
+          SELECT k, window_start, sum(v) AS s
+          FROM TABLE(TUMBLE(TABLE nwgb_ev, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+          GROUP BY k, window_start, window_end) t
+    """)
+    assert out.isStreaming
+    rows = ssrc.run_to_memory(out, "nwgb_drain", "append").collect()
+    # watermark 14:00-1min closes a's 10:00 window; b's stays open
+    assert [(r.k, r.window_start.hour, r.s) for r in rows] == [("a", 10, 3.0)]
+    with pytest.raises(ValueError, match="one level"):
         tenv.stream_query("""
-            SELECT * FROM (
+            SELECT * FROM (SELECT * FROM (
               SELECT k, window_start, sum(v) AS s
               FROM TABLE(TUMBLE(TABLE nwgb_ev, DESCRIPTOR(ts), INTERVAL '1' HOUR))
-              GROUP BY k, window_start, window_end) t
+              GROUP BY k, window_start, window_end) i) o
         """)
 
 
