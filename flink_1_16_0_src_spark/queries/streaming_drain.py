@@ -2775,3 +2775,51 @@ def stream_sql_grouping_sets_drain(spark: SparkSession, sf_dir: str) -> DataFram
     """)
     drained = ssrc.run_to_memory(out, f"drain_sqlgs_{k}", "update")
     return drained.select("event_type", "ub", "n", "total")
+
+
+@query(
+    "stream_sql_union_agg_drain",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, value FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+    FROM u GROUP BY user_id
+    """,
+    tags=("streaming", "setop", "agg", "sql-surface"),
+)
+def stream_sql_union_agg_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two STREAMING relations feeding one continuous
+    aggregate, all in a single statement (StreamExecUnion under
+    StreamExecGroupAggregate — the fan-in every multi-topic ingestion
+    job starts with): both DDL tables resolve to streaming frames
+    inside stream_query, Spark plans the streaming union natively, and
+    the update-mode drain's final per-key values equal the batch
+    oracle."""
+    import os as _os
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    for side in ("l", "r"):
+        t.execute_sql(
+            f"CREATE TABLE sq_un_{side}_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+            f" user_id BIGINT, event_type STRING, value DOUBLE)"
+            f" WITH ('connector'='filesystem',"
+            f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+            f"'format'='parquet')"
+        )
+    out = t.stream_query(f"""
+        SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+        FROM (
+          SELECT user_id, value FROM sq_un_l_{k} WHERE event_type = 'click'
+          UNION ALL
+          SELECT user_id, value FROM sq_un_r_{k} WHERE event_type = 'purchase'
+        ) u
+        GROUP BY user_id
+    """)
+    drained = ssrc.run_to_memory(out, f"drain_sqlun_{k}", "update")
+    return drained.select("user_id", "n", "total")
