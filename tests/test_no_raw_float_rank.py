@@ -33,6 +33,7 @@ def _order_by_spans(src: str):
 NON_FLOAT_INTERNAL = {
     "__t", "__side", "__rt", "__epoch", "__rowtime", "__ts", "__ord",
     "__b",  # histogram_quantiles bucket index — floor()ed bigint
+    "__q6",  # token_budget_select quality — round()ed 6-dp BIGINT micro-units
 }
 
 
