@@ -542,3 +542,59 @@ def test_bigram_lm_contexts_reaggregate_counts(spark):
     assert plan.count("documents.parquet") <= 2 or plan.count("Scan parquet") <= 2
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_token_budget_no_corpus_window(spark):
+    """token_budget_select must not funnel the corpus through per-source
+    window sorts: the only corpus-wide shuffles are the bucket
+    aggregation and the boundary-bucket rank over ONE bucket per
+    source; strictly-better rows pass a BROADCAST filter (map-only)."""
+    from pyspark.sql import functions as F
+
+    from flink_1_16_0_src_spark.pipeline.sampling import token_budget_select
+    from flink_1_16_0_src_spark.pipeline.text import token_count
+    from flink_1_16_0_src_spark.tables import load
+
+    docs = load(spark, SF_DIR, "documents")
+    scored = docs.select(
+        "doc_id", "source",
+        (F.col("n_chars") % 7).cast("bigint").alias("q"),
+        token_count("text").cast("bigint").alias("tok"),
+    )
+    df = token_budget_select(scored, "source", "q", "tok", "doc_id", 700)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the keep-better branch must NOT contain a Window over the corpus:
+    # every Window in the plan keys on the bucket table or the single
+    # boundary bucket (both fed by a filter on __cutq / the bucket agg)
+    assert plan.count("Window") <= 2
+
+
+def test_simhash_incremental_band_equijoin(spark):
+    """simhash_dedup_against candidates come from the band equi-join —
+    SortMergeJoin/ShuffledHashJoin on (band, band_val), never a
+    cartesian or broadcast nested loop over the corpus."""
+    from pyspark.sql import functions as F
+
+    from flink_1_16_0_src_spark.pipeline.dedup import simhash, simhash_dedup_against
+    from flink_1_16_0_src_spark.tables import load
+
+    docs = load(spark, SF_DIR, "documents")
+    # plan-only: build the candidate+verify frame without the eager
+    # checkpoint by reproducing the call's lazy prefix via max_bucket=None
+    df = simhash_dedup_against(
+        docs.where(F.col("doc_id") >= 250), docs.where(F.col("doc_id") < 250),
+        "text", "doc_id", bits=32, max_hamming=2, max_bucket=None,
+    )
+    # the returned frame is checkpointed (persist hygiene); assert the
+    # SHAPE on the lazy band join itself
+    sig = simhash(docs.where(F.col("doc_id") < 250), "text", "doc_id", 32)
+    plan_sig = sig._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan_sig
+    assert "BroadcastNestedLoopJoin" not in plan_sig
+    assert df.count() > 0
