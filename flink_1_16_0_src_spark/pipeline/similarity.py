@@ -499,3 +499,50 @@ def random_projection(
             yield pd.DataFrame(out)
 
     return df.select(id_col, vec_col).mapInPandas(proj, out_schema)
+
+
+def hard_negative_mining(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive training (the DPR /
+    Contriever negative-selection step): per query, the top-k most
+    similar corpus vectors with a DIFFERENT label — near the decision
+    boundary, so far more informative than random negatives. Same
+    broadcast-query scan shape as brute_force_topk (work |Q|·|C|
+    distributed over corpus partitions; at real scale feed the
+    IVF-bucketed candidates instead of the full corpus — the exclusion
+    filter composes the same either way). Output: (query_id,
+    negative_id, cosine, rank_num); ranking on the 4-dp rounded cosine
+    with id tiebreak (the repo float rule)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col(label_col).alias("__ql"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col(label_col).alias("__cl"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("__ql") != F.col("__cl"))
+        .withColumn("__cos", _cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("__cos"), 4).desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rank_num", F.row_number().over(w))
+        .where(F.col("rank_num") <= k)
+        .select(
+            "query_id", "negative_id",
+            F.round("__cos", 4).alias("cosine"), "rank_num",
+        )
+    )

@@ -515,3 +515,34 @@ def knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("votes").cast("bigint").alias("votes"),
         )
     )
+
+
+@query(
+    "sim_hard_negatives",
+    oracle="""
+    SELECT query_id, negative_id, round(cos, 4) AS cosine, rank_num FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS negative_id,
+             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS cos,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                                      CAST(b.embedding AS DOUBLE[])), 4) DESC,
+                                         b.vec_id) AS rank_num
+      FROM embeddings a JOIN embeddings b ON a.label <> b.label
+      WHERE a.vec_id < 10
+    ) WHERE rank_num <= 5
+    """,
+    tags=("pipeline", "similarity", "custom-op"),
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (pipeline.similarity.hard_negative_mining —
+    the DPR/Contriever contrastive-training negative selection): per
+    query vector, the top-5 most-similar vectors with a DIFFERENT
+    label. Broadcast-query corpus scan; swap the corpus for IVF
+    candidates at real scale."""
+    from flink_1_16_0_src_spark.pipeline.similarity import hard_negative_mining
+
+    emb = load(spark, sf_dir, "embeddings")
+    return hard_negative_mining(
+        emb.where(F.col("vec_id") < 10), emb, "embedding", "vec_id", "label", k=5
+    )
