@@ -1904,7 +1904,21 @@ class TableEnvironment:
         rewrite uses lag() windows, not streamable); CUMULATE resolves
         to the slice-explode view whose plain window_start/window_end
         grouping can't prove append closure — drain it in UPDATE mode
-        with availableNow (the stream_cumulate_drain contract)."""
+        with availableNow (the stream_cumulate_drain contract).
+
+        STATEMENT COMPOSITION (r10 — the reference plans arbitrary
+        multi-operator streaming DAGs from one statement,
+        StreamCommonSubGraphBasedOptimizer.scala:49): one level of
+        parenthesized FROM-subquery compiles recursively, and
+        relations registered via :meth:`create_streaming_view` compose
+        everywhere a named table can appear (TVF table argument,
+        OVER / Top-N source, plain FROM, join side) — so
+        ``filter → TVF agg``, ``interval-join view → tumble agg``,
+        ``subquery → OVER``, ``UNION ALL → group agg``, and
+        ``view → continuous Top-N`` are each ONE statement. The
+        canonical Top-N / window Top-N ROW_NUMBER statements keep
+        their dedicated StreamExecRank / StreamExecWindowRank paths;
+        deeper nesting is rejected toward create_streaming_view."""
         import re as _re
 
         from flink_1_16_0_src_spark.sql_clauses import (
