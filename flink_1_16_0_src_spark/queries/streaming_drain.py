@@ -2823,3 +2823,61 @@ def stream_sql_union_agg_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
     drained = ssrc.run_to_memory(out, f"drain_sqlun_{k}", "update")
     return drained.select("user_id", "n", "total")
+
+
+@query(
+    "stream_sql_view_match_drain",
+    oracle="""
+    WITH busy AS (
+      SELECT user_id, ts, event_id, event_type FROM events WHERE value > 5
+    )
+    SELECT user_id, click_id, purchase_id FROM (
+      SELECT user_id,
+             event_id AS click_id,
+             lead(event_id) OVER w AS purchase_id,
+             event_type,
+             lead(event_type) OVER w AS next_type
+      FROM busy
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) t
+    WHERE event_type = 'click' AND next_type = 'purchase'
+    """,
+    tags=("streaming", "cep", "composition", "sql-surface"),
+)
+def stream_sql_view_match_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition form 4: a STREAMING VIEW (value filter) feeding
+    streaming MATCH_RECOGNIZE — the Calc-under-Match plan the reference
+    builds when a view wraps the CEP source (StreamExecMatch over
+    StreamExecCalc). The filter changes which rows are ADJACENT, so the
+    pattern genuinely runs over the composed relation, not the raw
+    table; strict (A B) adjacency with SKIP PAST LAST ROW equals the
+    batch lead() rewrite over the same filtered corpus."""
+    import os as _os
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE sq_vm_events_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    t.create_streaming_view(f"sq_vm_busy_{k}", f"""
+        SELECT user_id, ts, event_id, event_type
+        FROM sq_vm_events_{k} WHERE value > 5
+    """)
+    out = t.stream_query(f"""
+        SELECT * FROM sq_vm_busy_{k} MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES A.event_id AS click_id, B.event_id AS purchase_id
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B)
+          DEFINE A AS A.event_type = 'click', B AS B.event_type = 'purchase'
+        )
+    """)
+    drained = ssrc.run_to_memory(out, f"drain_sqlvm_{k}", "append")
+    return drained.select("user_id", "click_id", "purchase_id")
