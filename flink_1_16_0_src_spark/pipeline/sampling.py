@@ -305,9 +305,15 @@ def token_budget_select(
     )
     if not boundary_rows:
         return df  # every source fits entirely
+    from pyspark.sql.types import LongType, StructField, StructType
+
     cutdf = spark.createDataFrame(
         [(r[0], r[1], r[2]) for r in boundary_rows],
-        f"{source_col} string, __cutq bigint, __rem bigint",
+        StructType([  # source keeps its input type (string/int domains)
+            df.schema[source_col],
+            StructField("__cutq", LongType()),
+            StructField("__rem", LongType()),
+        ]),
     )
     j = d.join(F.broadcast(cutdf), source_col, "left")
     keep_better = j.where(
