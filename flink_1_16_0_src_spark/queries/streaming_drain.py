@@ -2881,3 +2881,57 @@ def stream_sql_view_match_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
     drained = ssrc.run_to_memory(out, f"drain_sqlvm_{k}", "append")
     return drained.select("user_id", "click_id", "purchase_id")
+
+
+@query(
+    "stream_sql_match_within_drain",
+    oracle="""
+    SELECT user_id, click_id, purchase_id FROM (
+      SELECT user_id,
+             event_id AS click_id,
+             lead(event_id) OVER w AS purchase_id,
+             ts,
+             lead(ts) OVER w AS next_ts,
+             event_type,
+             lead(event_type) OVER w AS next_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) t
+    WHERE event_type = 'click' AND next_type = 'purchase'
+      AND next_ts <= ts + INTERVAL '30 minutes'
+    """,
+    tags=("streaming", "cep", "match-recognize", "sql-surface"),
+)
+def stream_sql_match_within_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MATCH_RECOGNIZE with the WITHIN clause (Flink's
+    SqlMatchRecognize extension — CepOperator arms a match-lifetime
+    timer; matches exceeding the interval are pruned): the (A B)
+    adjacency pattern only matches when the purchase lands within 30
+    minutes of the click, so the drained set is the batch lead()
+    rewrite PLUS the time bound. The WITHIN pruning also bounds NFA
+    state lifetime — the state-cleanup contract at scale."""
+    import os as _os
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE sq_mw_events_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    out = t.stream_query(f"""
+        SELECT * FROM sq_mw_events_{k} MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES A.event_id AS click_id, B.event_id AS purchase_id
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B) WITHIN INTERVAL '30' MINUTE
+          DEFINE A AS A.event_type = 'click', B AS B.event_type = 'purchase'
+        )
+    """)
+    drained = ssrc.run_to_memory(out, f"drain_sqlmw_{k}", "append")
+    return drained.select("user_id", "click_id", "purchase_id")
