@@ -383,3 +383,41 @@ def ddl_create_function_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT n_nationkey, rev_upper(n_name) AS rev "
         "FROM fn_nation WHERE n_nationkey % 2 = 0"
     )
+
+
+@query(
+    "ddl_datagen_sequence",
+    oracle="""
+    SELECT i, CAST(i + 9 AS BIGINT) AS v,
+           CAST(sum(i) OVER (ORDER BY i) AS BIGINT) AS running
+    FROM (SELECT unnest(generate_series(1, 40)) AS i)
+    """,
+    tags=("ddl", "connector", "datagen", "sql-surface"),
+)
+def ddl_datagen_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datagen connector with SEQUENCE fields
+    (DataGenTableSourceFactory — 'fields.<f>.kind'='sequence' with
+    start/end): a BOUNDED, fully deterministic generated table (the
+    reference's reproducible-fixture mode; the rate-stream random mode
+    stays no-oracle-by-design). Two zipped sequences + a running sum
+    prove values AND order; random kinds mixed with sequences are
+    rejected."""
+    from pyspark.sql import functions as F
+
+    t = _tenv(spark)
+    n = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE dg_seq_{n} (i BIGINT, v BIGINT)"
+        f" WITH ('connector'='datagen',"
+        f"'fields.i.kind'='sequence','fields.i.start'='1','fields.i.end'='40',"
+        f"'fields.v.kind'='sequence','fields.v.start'='10','fields.v.end'='49')"
+    )
+    from pyspark.sql import Window as W
+
+    base = spark.table(f"dg_seq_{n}")
+    # zipped sequences: row k has i = k+1 and v = k+10, so v = i + 9
+    # (what the oracle derives)
+    return base.select(
+        "i", F.col("v").alias("v"),
+        F.sum("i").over(W.orderBy("i")).cast("bigint").alias("running"),
+    )

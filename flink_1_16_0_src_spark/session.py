@@ -899,6 +899,49 @@ class TableEnvironment:
             self._sinks[name] = {"connector": connector, "props": props}
             return None
         if connector == "datagen":
+            # SEQUENCE fields (DataGenTableSourceFactory: 'fields.<f>.
+            # kind'='sequence' + start/end) make datagen a BOUNDED
+            # DETERMINISTIC source — the reference's fixture generator
+            # for exactly-reproducible tests; random kinds stay the
+            # unbounded rate stream (engine-reproducible randomness is
+            # not part of the datagen contract there either).
+            seq = {}
+            for key, v in props.items():
+                mk = re.match(r"fields\.(\w+)\.kind$", key)
+                if mk and v == "sequence":
+                    f = mk.group(1)
+                    seq[f] = (
+                        int(props[f"fields.{f}.start"]),
+                        int(props[f"fields.{f}.end"]),
+                    )
+            if seq and schema:
+                from pyspark.sql.types import StructType
+
+                st = StructType.fromDDL(schema)
+                lens = {e - s + 1 for s, e in seq.values()}
+                if len(lens) != 1:
+                    raise ValueError(
+                        "datagen: sequence fields must have equal "
+                        "lengths (the generator zips them positionally)"
+                    )
+                missing = [f.name for f in st.fields if f.name not in seq]
+                if missing:
+                    raise ValueError(
+                        f"datagen: fields {missing} need 'fields.<f>."
+                        "kind'='sequence' — random kinds are the "
+                        "unbounded rate stream, not mixable with the "
+                        "bounded sequence source"
+                    )
+                df = self.spark.range(lens.pop()).select(
+                    *[
+                        (F.col("id") + F.lit(seq[f.name][0]))
+                        .cast(f.dataType)
+                        .alias(f.name)
+                        for f in st.fields
+                    ]
+                )
+                df.createOrReplaceTempView(name)
+                return df
             df = srcs.datagen_source(
                 self.spark, int(props.get("rows-per-second", "100"))
             )
