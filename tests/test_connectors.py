@@ -1921,3 +1921,30 @@ def test_stream_statement_set(tenv, spark, tmp_path):
         tenv.create_stream_statement_set().add_insert_sql(
             "INSERT INTO sset_a SELECT 1 AS x"
         )
+
+
+def test_datagen_sequence_bounded_deterministic(tenv, spark):
+    """datagen SEQUENCE fields build a bounded deterministic table
+    (zipped positionally); unequal lengths and sequence/random mixes
+    are rejected."""
+    import pytest
+
+    tenv.execute_sql(
+        "CREATE TABLE dgt (a BIGINT, b INT) WITH ('connector'='datagen',"
+        "'fields.a.kind'='sequence','fields.a.start'='5','fields.a.end'='7',"
+        "'fields.b.kind'='sequence','fields.b.start'='0','fields.b.end'='2')"
+    )
+    assert [(r.a, r.b) for r in spark.table("dgt").orderBy("a").collect()] == [
+        (5, 0), (6, 1), (7, 2)
+    ]
+    with pytest.raises(ValueError, match="equal"):
+        tenv.execute_sql(
+            "CREATE TABLE dgt_bad (a BIGINT, b INT) WITH ('connector'='datagen',"
+            "'fields.a.kind'='sequence','fields.a.start'='1','fields.a.end'='3',"
+            "'fields.b.kind'='sequence','fields.b.start'='1','fields.b.end'='9')"
+        )
+    with pytest.raises(ValueError, match="rate stream"):
+        tenv.execute_sql(
+            "CREATE TABLE dgt_mix (a BIGINT, b INT) WITH ('connector'='datagen',"
+            "'fields.a.kind'='sequence','fields.a.start'='1','fields.a.end'='3')"
+        )
