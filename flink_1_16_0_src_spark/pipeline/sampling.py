@@ -329,3 +329,43 @@ def token_budget_select(
     )
     cols = df.columns
     return keep_better.select(*cols).unionByName(boundary_keep.select(*cols))
+
+
+def quality_percentile_by_source(
+    df: DataFrame, source_col: str, quality_col: str, id_col: str
+) -> DataFrame:
+    """Per-source QUALITY PERCENTILES — the calibration step before
+    mixing domains (raw classifier scores are not comparable across
+    sources; FineWeb-style pipelines threshold on the within-domain
+    percentile instead): pct_ppm = rank of (quality, id) within the
+    source, in parts-per-million of the source size (integral DIV —
+    engine-exact, no double division).
+
+    Scale: like token_budget_select, the exact rank is computed WITHOUT
+    a per-source global sort. (1) one aggregation builds per-(source,
+    quality) buckets; (2) a cumulative window over that NARROW bucket
+    table yields each bucket's strictly-below count; (3) the corpus
+    joins its bucket row on (source, quality) — a shuffle keyed on
+    BOTH columns, so no single source funnels through one task — and
+    ranks by id only WITHIN its tie bucket (bounded by the tie count);
+    source totals broadcast (|sources| x |distinct q| aggregated away).
+    Quality quantized to 6-dp micro-units (the repo float rule)."""
+    q6 = F.round(F.col(quality_col).cast("double") * 1e6).cast("bigint")
+    d = df.withColumn("__q6", q6)
+    buckets = d.groupBy(source_col, "__q6").agg(F.count("*").alias("__bn"))
+    wq = Window.partitionBy(source_col).orderBy("__q6")
+    cum = buckets.withColumn(
+        "__below", F.sum("__bn").over(wq) - F.col("__bn")
+    )
+    totals = buckets.groupBy(source_col).agg(F.sum("__bn").alias("__n"))
+    wb = Window.partitionBy(source_col, "__q6").orderBy(F.col(id_col))
+    return (
+        d.join(cum.select(source_col, "__q6", "__below"), [source_col, "__q6"])
+        .join(F.broadcast(totals), source_col)
+        .withColumn("__r", F.row_number().over(wb))
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            F.expr("(__below + __r) * 1000000L div __n").alias("pct_ppm"),
+        )
+    )

@@ -525,3 +525,39 @@ def sample_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard", "doc_id", "difficulty",
         F.row_number().over(w).cast("bigint").alias("position"),
     )
+
+
+@query(
+    "sample_quality_percentiles",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS q
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(row_number() OVER (PARTITION BY source ORDER BY q, doc_id)
+                * 1000000 // (count(*) OVER (PARTITION BY source))
+                AS BIGINT) AS pct_ppm
+    FROM scored
+    """,
+    tags=("pipeline", "sampling", "custom-op"),
+)
+def sample_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality percentile calibration (pipeline.sampling.
+    quality_percentile_by_source — domain scores are only comparable
+    after within-domain ranking): rank-ppm of each doc's (quality, id)
+    within its source, computed via the bucket-CDF plan (one bucket
+    aggregation + a window over the NARROW bucket table + a
+    (source, quality)-keyed join — never a per-source global sort).
+    Quality = token count here; the oracle is the equivalent window
+    formulation."""
+    from flink_1_16_0_src_spark.pipeline.sampling import (
+        quality_percentile_by_source,
+    )
+    from flink_1_16_0_src_spark.pipeline.text import token_count
+
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", token_count("text").cast("bigint").alias("q")
+    )
+    return quality_percentile_by_source(scored, "source", "q", "doc_id")
