@@ -52,7 +52,11 @@ _DRIVER_GREEN_R1 = {
 }
 _DRIVER_GREEN_R2 = {
     "agg_distinct", "agg_q1_pricing_summary", "agg_q6_forecast_revenue",
-    "cep_adjacent_click_purchase", "cep_clicks_then_purchase",
+    # NOTE: cep_clicks_then_purchase was wrongly listed here through r10 —
+    # its r2 CORRECTNESS row was ``err: no_oracle`` (it had no oracle
+    # yet), not green (VERDICT r10 "What's wrong" #1). It is tier-0
+    # slot 1 for r11 so the driver union reaches 420/420.
+    "cep_adjacent_click_purchase",
     "cep_followed_by", "dedup_exact", "dedup_minhash_lsh", "ds_keyed_reduce",
     "ds_min_by_max_by", "func_parse_url", "func_str_to_map", "join_inner_equi",
     "join_tpch_q10_returned_items", "join_tpch_q3_shipping_priority",
@@ -126,6 +130,8 @@ _DRIVER_GREEN_R4 = {
 def _rotation_rank(name: str) -> int:
     """0 = never driver-checked (or failed — re-check), then greens
     oldest-first (re-verify stalest evidence before fresher greens)."""
+    if name in _DRIVER_GREEN_R10:
+        return 9
     if name in _DRIVER_GREEN_R9:
         return 8
     if name in _DRIVER_GREEN_R8:
@@ -177,31 +183,46 @@ _DRIVER_GREEN_R5 = {
 }
 
 
-# VERDICT r9 next-round #1 — r10 tier 0 is the 19-query
-# never-driver-checked backlog (judge strict-checked 0 failing in r9):
-# the r8 spillover pair, the r9 streaming-SQL drains (OVER, temporal,
-# Top-N, keep-last dedup, MATCH_RECOGNIZE PREV), incremental dedup,
-# and the r9 training-pipeline ops. 19 names fit slot 1-19, leaving
-# ~31 prefix slots for r10-new queries (which rank 0 by default).
+# VERDICT r10 next-round #1 — r11 tier 0 slot 1 is the single name with
+# no green driver row (its r2 row was ``err: no_oracle``, and it sat in
+# _DRIVER_GREEN_R2 by mistake until r11 — judge strict-green in r10).
+# r11-new queries rank 0 by default and fill the remaining prefix slots.
 _TIER0_RECHECK = ()
 _TIER0_PRIORITY_FAMILIES = ()
 _TIER0_PRIORITY_NAMES = (
-    # -- slots 1-2: r8 spillover (judge-green twice, never driver-seen)
-    "stream_sql_window_join_drain", "stream_sql_match_recognize_drain",
-    # -- slots 3-11: r9 streaming SQL-text drains
-    "stream_sql_over_drain", "stream_sql_over_rows_drain",
-    "stream_sql_over_unbounded_drain", "stream_sql_over_multi_drain",
-    "stream_sql_temporal_join_drain", "stream_sql_temporal_fn_drain",
-    "stream_sql_topn_drain", "stream_sql_dedup_keeplast_drain",
-    "stream_sql_match_prev_drain",
-    # -- slots 12-13: incremental crawl-vs-index dedup
-    "dedup_incremental_exact", "dedup_incremental_minhash",
-    # -- slots 14-19: r9 training-pipeline ops
-    "sample_temperature_mixture", "sample_epoch_upsampling",
-    "text_quality_classifier", "lm_bigram_table",
-    "embed_random_projection", "text_ngram_diversity",
+    "cep_clicks_then_purchase",
 )
 _TIER0_QUOTAS = ()
+
+
+# Green rows from CORRECTNESS_r10.json (50/50 green — seventh
+# consecutive fully-green driver round): the 19-name r9 backlog, all 21
+# r10-new queries (streaming SQL composition / LEAD-LAG / window Top-N /
+# grouping-sets / statement-set drains + six pipeline ops), and 10
+# regression re-checks of r1 greens. Freshest evidence → sampled last.
+_DRIVER_GREEN_R10 = {
+    "agg_cube", "agg_first_last_value", "agg_grouping_sets", "agg_listagg",
+    "agg_stats", "ddl_datagen_sequence", "dedup_incremental_exact",
+    "dedup_incremental_minhash", "dedup_incremental_simhash", "ds_co_group",
+    "embed_matryoshka_truncate", "embed_random_projection",
+    "func_math_hyperbolic_conv", "func_split_index_pad",
+    "func_timestamp_arith", "func_tz_json_path", "lm_bigram_table",
+    "over_ignore_nulls", "sample_curriculum_shards", "sample_epoch_upsampling",
+    "sample_quality_percentiles", "sample_temperature_mixture",
+    "sample_token_budget", "sim_hard_negatives", "stream_sql_composed_drain",
+    "stream_sql_dedup_keeplast_drain", "stream_sql_group_agg_having_drain",
+    "stream_sql_grouping_sets_drain", "stream_sql_match_prev_drain",
+    "stream_sql_match_recognize_drain", "stream_sql_match_within_drain",
+    "stream_sql_over_drain", "stream_sql_over_leadlag_drain",
+    "stream_sql_over_multi_drain", "stream_sql_over_rows_drain",
+    "stream_sql_over_unbounded_drain", "stream_sql_statement_set_drain",
+    "stream_sql_subquery_over_drain", "stream_sql_temporal_fn_drain",
+    "stream_sql_temporal_join_drain", "stream_sql_topn_drain",
+    "stream_sql_union_agg_drain", "stream_sql_view_match_drain",
+    "stream_sql_view_topn_drain", "stream_sql_window_join_drain",
+    "stream_sql_window_topn_drain", "stream_sql_window_topn_hop_drain",
+    "text_ngram_diversity", "text_quality_classifier", "vocab_oov_rate",
+}
 
 
 # Green rows from CORRECTNESS_r09.json (50/50 green, all on names never
@@ -315,7 +336,7 @@ def _family_round_robin(names: list[str]) -> list[str]:
     from collections import OrderedDict
 
     out: list[str] = []
-    for rank in (0, 1, 2, 3, 4, 5, 6, 7, 8):
+    for rank in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9):
         buckets: "OrderedDict[str, list[str]]" = OrderedDict()
         for n in names:
             if _rotation_rank(n) == rank:
