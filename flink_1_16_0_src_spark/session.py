@@ -914,6 +914,15 @@ class TableEnvironment:
                         int(props[f"fields.{f}.start"]),
                         int(props[f"fields.{f}.end"]),
                     )
+            if seq and not schema:
+                # mirror the equal-length / mixed-kind validations:
+                # sequence props without a parsed schema must not fall
+                # through to the unbounded random rate stream.
+                raise ValueError(
+                    "datagen: sequence field props require a column "
+                    "schema in the CREATE TABLE (the bounded sequence "
+                    "source derives row types from it)"
+                )
             if seq and schema:
                 from pyspark.sql.types import StructType
 
@@ -1720,7 +1729,16 @@ class TableEnvironment:
         and the clause rewriter lowers it onto the as-of join
         operator."""
         df = history if isinstance(history, DataFrame) else self.spark.table(history)
-        self._temporal_fns[name] = (df, time_attr, primary_key)
+        # 4th slot: a process-unique registration token. The streaming
+        # lowering keys its materialized-history parquet cache by it —
+        # id(df) is NOT safe (a re-registration can free the old frame
+        # and a new frame may reuse the same id, resurrecting a stale
+        # history dir).
+        from flink_1_16_0_src_spark import sql_clauses as _sc
+
+        self._temporal_fns[name] = (
+            df, time_attr, primary_key, next(_sc._TTF_REGISTRATION_COUNTER),
+        )
 
     def sql_query(self, sql: str) -> DataFrame:
         return self.spark.sql(self._rewrite_flink_clauses(translate_hints(sql)))

@@ -1093,7 +1093,7 @@ def rewrite_temporal_table_fn(spark: SparkSession, sql: str, temporal_fns: dict)
         return sql
     from flink_1_16_0_src_spark.operators.joins import asof_join
 
-    right_df, right_time, _pk = temporal_fns[m.group("fn")]
+    right_df, right_time, _pk = temporal_fns[m.group("fn")][:3]
     lt = m.group("lt")
     la = m.group("la") or lt
     ra = m.group("ra") or m.group("fn")
@@ -1322,13 +1322,19 @@ def lower_streaming_over(
                 "spec (the reference's StreamExecOverAggregate plans a "
                 "single over window per node)"
             )
+        fn_up = ma.group("fn").upper()
+        # SQL (and LeadLagAggFunction.java) defaults a missing LEAD/LAG
+        # offset to 1 — keep that here so bare LEAD(col) hits the
+        # stateful operator's "needs future rows" rejection instead of
+        # silently behaving like LEAD(col, 0) (the current row).
+        if ma.group("off"):
+            off_val: int | None = int(ma.group("off"))
+        elif fn_up in ("LEAD", "LAG"):
+            off_val = 1
+        else:
+            off_val = None
         over_items.append(
-            (
-                ma.group("fn").upper(),
-                ma.group("arg").split(".")[-1],
-                mal.group(1),
-                int(ma.group("off")) if ma.group("off") else None,
-            )
+            (fn_up, ma.group("arg").split(".")[-1], mal.group(1), off_val)
         )
     if not over_items:
         raise ValueError("streaming OVER: no OVER aggregate items found")
@@ -1602,8 +1608,15 @@ def _plan_streaming_asof(
     return out.select(*sel)
 
 
-# materialized-history parquet dirs, one per (fn name, history frame)
-# registration — see lower_streaming_temporal_fn
+# materialized-history parquet dirs, one per (fn name, registration
+# token) — see lower_streaming_temporal_fn. Keyed by a monotonically
+# increasing token stamped at create_temporal_table_function time, NOT
+# id(history_df): after a re-registration the old frame can be GC'd and
+# a new frame may reuse the same id(), which would resurrect a stale
+# materialized-history dir (wrong as-of results).
+import itertools as _it
+
+_TTF_REGISTRATION_COUNTER = _it.count()
 _TTF_HISTORY_CACHE: dict[tuple, str] = {}
 
 
@@ -1646,7 +1659,9 @@ def lower_streaming_temporal_fn(
             "streaming LATERAL TABLE: GROUP/ORDER/LIMIT tails are out "
             "of scope — aggregate in a separate statement"
         )
-    right_df, right_time, _pk = temporal_fns[m.group("fn")]
+    entry = temporal_fns[m.group("fn")]
+    right_df, right_time, _pk = entry[:3]
+    reg_token = entry[3] if len(entry) > 3 else id(right_df)
     lt = m.group("lt")
     la = (m.group("la") or lt).lower()
     ra = (m.group("ra") or m.group("fn")).lower()
@@ -1732,11 +1747,11 @@ def lower_streaming_temporal_fn(
         probe_sdf = probe_sdf.where(F.expr(cond))
     # the history is a bounded registered table — feed it to the as-of
     # union as a one-shot file stream. Materialize ONCE per registered
-    # function (cache keyed by the history frame's identity): repeated
+    # function (cache keyed by the registration token): repeated
     # statements over the same registration reuse the parquet dir
     # instead of leaking a fresh mkdtemp per lowering; re-registration
-    # builds a new frame → new cache slot.
-    ckey = (m.group("fn"), id(right_df))
+    # stamps a new token → new cache slot, never a stale dir.
+    ckey = (m.group("fn"), reg_token)
     vdir = _TTF_HISTORY_CACHE.get(ckey)
     if vdir is None or not _os.path.isdir(vdir):
         vdir = _os.path.join(_tf.mkdtemp(prefix="ttf_stream_"), "versions")

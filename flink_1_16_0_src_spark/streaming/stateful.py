@@ -765,7 +765,9 @@ def streaming_over_multi(
             "frame only (the offset is the navigation, not the frame)"
         )
     for fn, c, _al, off in aggs:
-        if fn == "LEAD" and (off or 0) != 0:
+        # A missing LEAD offset means 1 (SQL / LeadLagAggFunction.java
+        # default), NOT 0 — only an explicit LEAD(col, 0) may pass.
+        if fn == "LEAD" and (1 if off is None else off) != 0:
             raise ValueError(
                 "streaming LEAD needs future rows — append-mode OVER "
                 "emits each row on arrival (the reference's streaming "

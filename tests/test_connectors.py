@@ -1948,3 +1948,99 @@ def test_datagen_sequence_bounded_deterministic(tenv, spark):
             "CREATE TABLE dgt_mix (a BIGINT, b INT) WITH ('connector'='datagen',"
             "'fields.a.kind'='sequence','fields.a.start'='1','fields.a.end'='3')"
         )
+
+
+def test_datagen_sequence_without_schema_rejected(tenv):
+    """Sequence-kind field props on a schema-less CREATE TABLE must
+    raise, not silently fall through to the unbounded random rate
+    stream (ADVICE r10 #4 — mirrors the equal-length / mixed-kind
+    validations)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="sequence field props"):
+        tenv.execute_sql(
+            "CREATE TABLE dgt_noschema WITH ('connector'='datagen',"
+            "'fields.a.kind'='sequence','fields.a.start'='1',"
+            "'fields.a.end'='3')"
+        )
+
+
+def test_streaming_over_sql_bare_lead_rejected(tenv, spark, tmp_path):
+    """Bare LEAD(col) in streaming OVER SQL means LEAD(col, 1) (SQL /
+    LeadLagAggFunction.java default) — it must hit the 'needs future
+    rows' rejection, not silently return the current row's value like
+    LEAD(col, 0) (ADVICE r10 #1). An explicit LEAD(col, 0) stays
+    accepted."""
+    import datetime as dt
+
+    import pytest
+
+    from flink_1_16_0_src_spark.streaming import sources as ssrc
+
+    d = str(tmp_path / "sqlead")
+    spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1, 10, 0), 1.0),
+         ("a", dt.datetime(2024, 1, 1, 10, 1), 2.0)],
+        "k string, ts timestamp, v double",
+    ).write.parquet(d)
+    tenv.execute_sql(
+        f"CREATE TABLE sqlead_ev (k STRING, ts TIMESTAMP(3), v DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{d}','format'='parquet')"
+    )
+    with pytest.raises(ValueError, match="future rows"):
+        tenv.stream_query(
+            "SELECT k, LEAD(v) OVER (PARTITION BY k ORDER BY ts) AS nxt"
+            " FROM sqlead_ev"
+        )
+    out = tenv.stream_query(
+        "SELECT k, LEAD(v, 0) OVER (PARTITION BY k ORDER BY ts) AS cur"
+        " FROM sqlead_ev"
+    )
+    rows = ssrc.run_to_memory(out, "sqlead_drain", "append").collect()
+    assert sorted(r.cur for r in rows) == [1.0, 2.0]
+
+
+def test_streaming_temporal_fn_reregistration_uses_new_history(
+    tenv, spark, tmp_path
+):
+    """Re-registering a temporal table function under the same name
+    must rebuild the materialized-history cache (ADVICE r10 #2): the
+    cache is keyed by a per-registration token, not id(history_df) —
+    an id() reuse after GC must never resurrect the stale parquet
+    dir. The same statement re-lowered after re-registration reflects
+    the NEW rates."""
+    import datetime as dt
+
+    from flink_1_16_0_src_spark.streaming import sources as ssrc
+
+    d = str(tmp_path / "ttfr")
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 0), "EUR", 2.0)],
+        "order_id bigint, ots timestamp, currency string, amount double",
+    ).write.parquet(d)
+    tenv.execute_sql(
+        f"CREATE TABLE ttfr_orders (order_id BIGINT, ots TIMESTAMP(3),"
+        f" currency STRING, amount DOUBLE,"
+        f" WATERMARK FOR ots AS ots - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{d}','format'='parquet')"
+    )
+    stmt = """
+        SELECT o.order_id, r.rate AS fx
+        FROM ttfr_orders AS o, LATERAL TABLE (rr(o.ots)) AS r
+        WHERE r.r_currency = o.currency
+    """
+    mk = lambda rate: spark.createDataFrame(
+        [("EUR", dt.datetime(2024, 1, 1, 9, 0), rate)],
+        "r_currency string, rate_time timestamp, rate double",
+    )
+    tenv.create_temporal_table_function("rr", mk(1.1), "rate_time", "r_currency")
+    tok1 = tenv._temporal_fns["rr"][3]
+    rows = ssrc.run_to_memory(tenv.stream_query(stmt), "ttfr_d1", "append").collect()
+    assert [(r.order_id, r.fx) for r in rows] == [(1, 1.1)]
+    # re-register: new token → new cache slot → new history dir
+    tenv.create_temporal_table_function("rr", mk(9.9), "rate_time", "r_currency")
+    tok2 = tenv._temporal_fns["rr"][3]
+    assert tok2 != tok1
+    rows2 = ssrc.run_to_memory(tenv.stream_query(stmt), "ttfr_d2", "append").collect()
+    assert [(r.order_id, r.fx) for r in rows2] == [(1, 9.9)]

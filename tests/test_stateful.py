@@ -599,6 +599,12 @@ def test_streaming_over_multi_offset_value_aggs(spark, tmp_path):
         stateful.streaming_over_multi(
             sdf, ["k"], "ts", [("LEAD", "v", "nxt", 1)]
         )
+    # a MISSING offset means LEAD(v, 1) (SQL default), never LEAD(v, 0)
+    # — bare LEAD must hit the same future-rows rejection
+    with pytest.raises(ValueError, match="future rows"):
+        stateful.streaming_over_multi(
+            sdf, ["k"], "ts", [("LEAD", "v", "nxt")]
+        )
     with pytest.raises(ValueError, match="UNBOUNDED frame only"):
         stateful.streaming_over_multi(
             sdf, ["k"], "ts", [("LAG", "v", "prev", 1)], rows=3
