@@ -2463,10 +2463,12 @@ def stream_sql_window_topn_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     window_start, window_end (+ event_type) over a TUMBLE TVF, bounded
     by rn <= 2 — the reference's StreamExecWindowRank.java:77 pattern
     (window-topn.md), lowered onto streaming.windows.window_topn
-    (top-k per closed window; append mode, state freed at window end).
-    Ties in value break by the payload columns DESCENDING with the
-    rank order (array_sort-then-reverse) — the oracle mirrors that
-    tie-break; emitted set = windows closed by the final watermark."""
+    (top-k per closed window; append mode; state RANK-BOUNDED at k
+    rows per (window, keys) like the reference's TopNBuffer —
+    VERDICT r10 #3). Ties in value break by the payload columns
+    DESCENDING with the rank order (the tuple-compare merge) — the
+    oracle mirrors that tie-break; emitted set = windows closed by
+    the final watermark."""
     import os as _os
 
     from flink_1_16_0_src_spark.session import TableEnvironment
@@ -2503,17 +2505,25 @@ def stream_sql_window_topn_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_sql_statement_set_drain",
     oracle="""
-    WITH clicks AS (
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events),
+    clicks AS (
       SELECT user_id, count(*) AS n_clicks
       FROM events WHERE event_type = 'click' GROUP BY user_id
     ),
     purch AS (
-      SELECT user_id, count(*) AS n_purchases,
+      SELECT user_id,
+             time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+               AS window_end,
+             count(*) AS n_purchases,
              round(sum(value), 2) AS purchase_total
-      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, time_bucket(INTERVAL '1 hour', ts)
     )
-    SELECT c.user_id, c.n_clicks, p.n_purchases, p.purchase_total
+    SELECT c.user_id, c.n_clicks, p.window_start, p.window_end,
+           p.n_purchases, p.purchase_total
     FROM clicks c JOIN purch p ON c.user_id = p.user_id
+    WHERE p.window_end <= (SELECT w FROM wm)
     """,
     tags=("streaming", "statement-set", "sql-surface"),
 )
@@ -2524,9 +2534,14 @@ def stream_sql_statement_set_drain(spark: SparkSession, sf_dir: str) -> DataFram
     (a single readStream + foreachBatch persisting each micro-batch,
     both sinks planned over the persisted frame — the Spark analog of
     the reference's common-subgraph reuse). Sink A takes the click
-    projection, sink B the per-user purchase aggregate; the result
-    joins both sinks back, proving each received its statement's
-    rows. The execute() receipt pins streaming_queries == 1."""
+    projection; sink B a per-(user, 1h-TUMBLE-window) purchase
+    aggregate that the set executor emits ONLY when the running
+    watermark closes the window (VERDICT r10 #2 — a non-windowed
+    aggregate would append one partial row per micro-batch and is now
+    rejected at add time), so every sink-B row is a complete window
+    regardless of how many batches the drain takes. The result joins
+    both sinks back, proving each received its statement's rows; the
+    execute() receipt pins streaming_queries == 1."""
     import os as _os
     import tempfile as _tf
 
@@ -2562,14 +2577,18 @@ def stream_sql_statement_set_drain(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .add_insert_sql(
             f"INSERT INTO sq_sset_purch_{k} "
-            f"SELECT user_id, COUNT(*) AS n_purchases, "
+            f"SELECT user_id, window_start, window_end, "
+            f"COUNT(*) AS n_purchases, "
             f"ROUND(SUM(value), 2) AS purchase_total "
-            f"FROM sq_sset_ev_{k} WHERE event_type = 'purchase' "
-            f"GROUP BY user_id"
+            f"FROM TABLE(TUMBLE(TABLE sq_sset_ev_{k}, DESCRIPTOR(ts), "
+            f"INTERVAL '1' HOUR)) "
+            f"WHERE event_type = 'purchase' "
+            f"GROUP BY user_id, window_start, window_end"
         )
         .execute()
     )
     assert receipt["streaming_queries"] == 1 and receipt["statements"] == 2
+    assert receipt["window_agg_statements"] == 1
     clicks = (
         spark.read.parquet(clicks_dir)
         .groupBy("user_id")
@@ -2577,8 +2596,88 @@ def stream_sql_statement_set_drain(spark: SparkSession, sf_dir: str) -> DataFram
     )
     purch = spark.read.parquet(purch_dir)
     return clicks.join(purch, "user_id").select(
-        "user_id", "n_clicks", "n_purchases",
+        "user_id", "n_clicks", "window_start", "window_end", "n_purchases",
         F.round("purchase_total", 2).alias("purchase_total"),
+    )
+
+
+@query(
+    "stream_sql_statement_set_exec_drain",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events),
+    win AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+               AS window_end,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events
+      GROUP BY event_type, time_bucket(INTERVAL '1 hour', ts)
+    )
+    SELECT event_type, window_start, window_end, n FROM win
+    WHERE window_end <= (SELECT w FROM wm)
+    """,
+    tags=("streaming", "statement-set", "sql-surface"),
+)
+def stream_sql_statement_set_exec_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text ``EXECUTE STATEMENT SET BEGIN ... END`` driving the
+    STREAMING multi-sink executor (VERDICT r10 next #5 —
+    SqlStatementSet.java:41 works identically in streaming mode via
+    StreamStatementSetImpl.java): both INSERTs read the same
+    watermarked DDL source, so execute_sql routes the set to
+    create_stream_statement_set() instead of the batch
+    common-subgraph set — the receipt row pins streaming_queries == 1
+    (the provably-shared scan) and window_agg_statements == 1 (the
+    TUMBLE aggregate emits only watermark-closed windows). Sink A
+    (click projection) is verified in-function against the batch
+    count; the returned frame is sink B's closed-window census."""
+    import os as _os
+    import tempfile as _tf
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+    from flink_1_16_0_src_spark.tables import load
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE sq_ssx_ev_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    d = _tf.mkdtemp(prefix="spark_graft_ssx_")
+    clicks_dir = _os.path.join(d, "clicks")
+    win_dir = _os.path.join(d, "win")
+    t.execute_sql(
+        f"CREATE TABLE sq_ssx_clicks_{k} WITH ('connector'='filesystem',"
+        f"'path'='{clicks_dir}','format'='parquet')"
+    )
+    t.execute_sql(
+        f"CREATE TABLE sq_ssx_win_{k} WITH ('connector'='filesystem',"
+        f"'path'='{win_dir}','format'='parquet')"
+    )
+    receipt = t.execute_sql(
+        f"EXECUTE STATEMENT SET BEGIN "
+        f"INSERT INTO sq_ssx_clicks_{k} SELECT event_id, user_id "
+        f"FROM sq_ssx_ev_{k} WHERE event_type = 'click'; "
+        f"INSERT INTO sq_ssx_win_{k} SELECT event_type, window_start, "
+        f"window_end, COUNT(*) AS n "
+        f"FROM TABLE(TUMBLE(TABLE sq_ssx_ev_{k}, DESCRIPTOR(ts), "
+        f"INTERVAL '1' HOUR)) "
+        f"GROUP BY event_type, window_start, window_end; "
+        f"END"
+    ).collect()[0]
+    assert receipt.streaming_queries == 1 and receipt.statements == 2
+    assert receipt.window_agg_statements == 1
+    n_clicks = spark.read.parquet(clicks_dir).count()
+    expect = load(spark, sf_dir, "events").where(
+        F.col("event_type") == "click"
+    ).count()
+    assert n_clicks == expect, (n_clicks, expect)
+    return spark.read.parquet(win_dir).select(
+        "event_type", "window_start", "window_end", "n"
     )
 
 

@@ -1936,8 +1936,9 @@ def lower_streaming_window_topn(sql: str, specs: list[dict]) -> DataFrame:
         ) WHERE rn <= N
 
     — onto streaming.windows.window_topn (top-k per closed window via
-    window-agg collect → sort → slice, APPEND mode, state freed at
-    window end exactly like the reference's window-rank operator). The
+    a RANK-BOUNDED per-(window, keys) buffer — at most k rows of
+    state, WindowRankProcessor.java:191 TopNBuffer parity — emitted in
+    APPEND mode when the watermark closes the window). The
     TVF has already been rewritten by the caller; ``specs`` carries
     the raw source frame + window parameters, so the lowering
     re-windows from the raw stream. TUMBLE windows (the canonical
