@@ -2327,6 +2327,75 @@ def stream_sql_composed_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_sql_nested2_drain",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events),
+    j AS (
+      SELECT e.ts AS ts, c.c_nationkey AS nation, e.value AS value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      WHERE e.event_type = 'purchase'
+    ),
+    win AS (
+      SELECT nation,
+             time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+               AS window_end,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(value), 2) AS total
+      FROM j GROUP BY nation, time_bucket(INTERVAL '1 hour', ts)
+    )
+    SELECT nation, window_start, window_end, n, total FROM win
+    WHERE window_end <= (SELECT w FROM wm)
+    """,
+    tags=("streaming", "composition", "sql-surface"),
+)
+def stream_sql_nested2_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-level statement nesting in ONE streaming statement
+    (VERDICT r10 next #4 — the depth cap is lifted; the reference
+    plans arbitrary-depth DAGs from one statement,
+    StreamCommonSubGraphBasedOptimizer.scala:49): a FILTER subquery
+    (purchases only) nests inside a JOIN subquery (stream x batch
+    customer dim — stateless per row, so it streams), which is the
+    window TVF's own TABLE ( ... ) argument of a TUMBLE aggregation —
+    filter → join → window agg with no intermediate view. The
+    event-time column keeps its watermark linkage through both
+    subqueries, so the windowed agg still drains append; emitted set =
+    windows closed by the final watermark (the source watermark
+    advances on ALL events, clicks included — the oracle's wm gate
+    mirrors that)."""
+    import os as _os
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+    from flink_1_16_0_src_spark.tables import load
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE sq_n2_ev_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    load(spark, sf_dir, "customer").createOrReplaceTempView(f"sq_n2_cust_{k}")
+    out = t.stream_query(f"""
+        SELECT nation, window_start, window_end, COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS total
+        FROM TABLE(TUMBLE(TABLE (
+            SELECT i.ts AS ts, c.c_nationkey AS nation, i.value AS value
+            FROM (
+                SELECT ts, user_id, value FROM sq_n2_ev_{k}
+                WHERE event_type = 'purchase'
+            ) i JOIN sq_n2_cust_{k} c ON i.user_id = c.c_custkey
+        ), DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        GROUP BY nation, window_start, window_end
+    """)
+    drained = ssrc.run_to_memory(out, f"drain_sqln2_{k}", "append")
+    return drained.select("nation", "window_start", "window_end", "n", "total")
+
+
+@query(
     "stream_sql_subquery_over_drain",
     oracle="""
     SELECT user_id, event_id,

@@ -1232,7 +1232,8 @@ def test_stream_query_nested_window_group_by_composes(tenv, spark, tmp_path):
     recursively — it is never rewritten onto the outer block's struct
     alias, which is what this test pinned as a rejection before
     composition existed). The emitted window agg matches the inner
-    statement run alone; two nesting levels still reject."""
+    statement run alone; since r11 deeper nesting unwinds recursively
+    instead of rejecting (VERDICT r10 next #4)."""
     import datetime as dt
 
     import pytest
@@ -1261,13 +1262,14 @@ def test_stream_query_nested_window_group_by_composes(tenv, spark, tmp_path):
     rows = ssrc.run_to_memory(out, "nwgb_drain", "append").collect()
     # watermark 14:00-1min closes a's 10:00 window; b's stays open
     assert [(r.k, r.window_start.hour, r.s) for r in rows] == [("a", 10, 3.0)]
-    with pytest.raises(ValueError, match="one level"):
-        tenv.stream_query("""
-            SELECT * FROM (SELECT * FROM (
-              SELECT k, window_start, sum(v) AS s
-              FROM TABLE(TUMBLE(TABLE nwgb_ev, DESCRIPTOR(ts), INTERVAL '1' HOUR))
-              GROUP BY k, window_start, window_end) i) o
-        """)
+    deep = tenv.stream_query("""
+        SELECT * FROM (SELECT * FROM (
+          SELECT k, window_start, sum(v) AS s
+          FROM TABLE(TUMBLE(TABLE nwgb_ev, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+          GROUP BY k, window_start, window_end) i) o
+    """)
+    rows2 = ssrc.run_to_memory(deep, "nwgb_deep", "append").collect()
+    assert [(r.k, r.window_start.hour, r.s) for r in rows2] == [("a", 10, 3.0)]
 
 
 def test_stream_query_legacy_session_group_window(tenv, spark, tmp_path):
@@ -2220,3 +2222,49 @@ def test_execute_statement_set_sql_routes_streaming(tenv, spark, tmp_path):
     ).collect()[0]
     assert "streaming_queries" not in res2.asDict()
     assert res2.statements == 1
+
+
+def test_stream_query_nested_from_subqueries_any_depth(tenv, spark, tmp_path):
+    """FROM-subquery nesting unwinds recursively to any depth
+    (VERDICT r10 next #4 — the one-level cap is lifted): three nested
+    SELECTs compile to one streaming plan; a TVF's TABLE ( ... )
+    argument may itself be a subquery."""
+    import datetime as dt
+
+    from flink_1_16_0_src_spark.streaming import sources as ssrc
+
+    d = str(tmp_path / "nestsrc")
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 0), "a", 1.0),
+         (2, dt.datetime(2024, 1, 1, 10, 30), "a", 2.0),
+         (3, dt.datetime(2024, 1, 1, 10, 40), "b", 4.0),
+         (4, dt.datetime(2024, 1, 1, 12, 0), "a", 8.0)],
+        "eid bigint, ts timestamp, k string, v double",
+    ).write.parquet(d)
+    tenv.execute_sql(
+        f"CREATE TABLE nest_ev (eid BIGINT, ts TIMESTAMP(3), k STRING,"
+        f" v DOUBLE, WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{d}','format'='parquet')"
+    )
+    out = tenv.stream_query("""
+        SELECT k, ts, v3 FROM (
+          SELECT k, ts, v2 + 1 AS v3 FROM (
+            SELECT k, ts, v * 2 AS v2 FROM (
+              SELECT k, ts, v FROM nest_ev WHERE k = 'a'
+            ) WHERE v < 5
+          )
+        )
+    """)
+    assert out.isStreaming
+    rows = ssrc.run_to_memory(out, "nest_d1", "append").collect()
+    assert sorted((r.k, r.v3) for r in rows) == [("a", 3.0), ("a", 5.0)]
+    # TVF TABLE ( subquery ) argument: filter-subquery under the window
+    agg = tenv.stream_query("""
+        SELECT k, window_end, COUNT(*) AS n FROM TABLE(TUMBLE(TABLE (
+            SELECT k, ts FROM nest_ev WHERE k = 'a'
+        ), DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        GROUP BY k, window_start, window_end
+    """)
+    rows2 = ssrc.run_to_memory(agg, "nest_d2", "append").collect()
+    # final wm 12:00-1min closes the 10:00 window (2 'a' rows)
+    assert [(r.k, r.window_end.hour, r.n) for r in rows2] == [("a", 11, 2)]
