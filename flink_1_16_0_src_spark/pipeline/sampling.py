@@ -346,10 +346,21 @@ def quality_percentile_by_source(
     quality) buckets; (2) a cumulative window over that NARROW bucket
     table yields each bucket's strictly-below count; (3) the corpus
     joins its bucket row on (source, quality) — a shuffle keyed on
-    BOTH columns, so no single source funnels through one task — and
-    ranks by id only WITHIN its tie bucket (bounded by the tie count);
-    source totals broadcast (|sources| x |distinct q| aggregated away).
-    Quality quantized to 6-dp micro-units (the repo float rule)."""
+    BOTH columns — and ranks by id only WITHIN its tie bucket; source
+    totals broadcast (|sources| x |distinct q| aggregated away).
+    Quality quantized to 6-dp micro-units (the repo float rule).
+
+    Degenerate tie buckets (VERDICT r10 residual (b)): a
+    constant-quality source would funnel through ONE (source, quality)
+    window task, so for integral ids the same bucket-CDF trick applies
+    RECURSIVELY on the id — rows sub-bucket by floor(id / 4096)
+    (monotone in id, so (source, q, id-range, id) ordering equals
+    (source, q, id)); a second narrow cumulative window yields each
+    id-range's below-count within the tie bucket, and the row_number
+    window keys on (source, quality, id-range): at most 4096 rows per
+    task (ids unique), whatever the quality distribution. Non-integral
+    id types keep the plain tie-bucket window (bounded by the tie
+    count — document the skew if your scores can be constant)."""
     q6 = F.round(F.col(quality_col).cast("double") * 1e6).cast("bigint")
     d = df.withColumn("__q6", q6)
     buckets = d.groupBy(source_col, "__q6").agg(F.count("*").alias("__bn"))
@@ -358,14 +369,88 @@ def quality_percentile_by_source(
         "__below", F.sum("__bn").over(wq) - F.col("__bn")
     )
     totals = buckets.groupBy(source_col).agg(F.sum("__bn").alias("__n"))
-    wb = Window.partitionBy(source_col, "__q6").orderBy(F.col(id_col))
-    return (
+    integral = dict(df.dtypes).get(id_col) in (
+        "bigint", "int", "smallint", "tinyint"
+    )
+    joined = (
         d.join(cum.select(source_col, "__q6", "__below"), [source_col, "__q6"])
         .join(F.broadcast(totals), source_col)
-        .withColumn("__r", F.row_number().over(wb))
+    )
+    if integral:
+        sub_size = 4096
+        idh = F.floor(F.col(id_col) / F.lit(sub_size)).cast("bigint")
+        d_h = d.withColumn("__idh", idh)
+        sub = d_h.groupBy(source_col, "__q6", "__idh").agg(
+            F.count("*").alias("__sn")
+        )
+        wh = Window.partitionBy(source_col, "__q6").orderBy("__idh")
+        subcum = sub.withColumn(
+            "__hbelow", F.sum("__sn").over(wh) - F.col("__sn")
+        )
+        wb = Window.partitionBy(source_col, "__q6", "__idh").orderBy(
+            F.col(id_col)
+        )
+        return (
+            joined.withColumn("__idh", idh)
+            .join(
+                subcum.select(source_col, "__q6", "__idh", "__hbelow"),
+                [source_col, "__q6", "__idh"],
+            )
+            .withColumn("__r", F.col("__hbelow") + F.row_number().over(wb))
+            .select(
+                F.col(id_col),
+                F.col(source_col),
+                F.expr("(__below + __r) * 1000000L div __n").alias("pct_ppm"),
+            )
+        )
+    wb = Window.partitionBy(source_col, "__q6").orderBy(F.col(id_col))
+    return (
+        joined.withColumn("__r", F.row_number().over(wb))
         .select(
             F.col(id_col),
             F.col(source_col),
             F.expr("(__below + __r) * 1000000L div __n").alias("pct_ppm"),
         )
+    )
+
+
+def curriculum_shards(
+    df: DataFrame,
+    id_col: str,
+    difficulty_col: str,
+    n_shards: int = 8,
+    salt: str = ":curr",
+) -> DataFrame:
+    """Curriculum shard ordering — the easy-to-hard data-ordering step
+    (curriculum-learning pipelines emit shards whose WITHIN-shard order
+    follows a difficulty score; the loader then reads positions in
+    order): rows land in ``n_shards`` hash-balanced shards (md5 of the
+    id + ``salt``, independent of the sampling/split/shard hashes),
+    each shard orders by ``difficulty_col`` ASC with an id tiebreak,
+    and ``position`` is the 1-based within-shard rank.
+
+    Scale: the shuffle is per-shard and ``n_shards`` is the knob —
+    size it so each shard fits a task's sort (the shard count grows
+    WITH the corpus, unlike a global difficulty sort — the same
+    contract as the sharded write it precedes). Use an integral
+    difficulty for engine-exact ordering (the repo float rule)."""
+    if n_shards < 1:
+        raise ValueError("curriculum_shards: n_shards must be >= 1")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 15
+        ),
+        16, 10,
+    ).cast("bigint")
+    staged = df.select(
+        F.col(id_col),
+        (h % n_shards).cast("int").alias("shard"),
+        F.col(difficulty_col).alias("difficulty"),
+    )
+    w = Window.partitionBy("shard").orderBy("difficulty", id_col)
+    return staged.select(
+        "shard",
+        F.col(id_col),
+        "difficulty",
+        F.row_number().over(w).cast("bigint").alias("position"),
     )

@@ -496,35 +496,24 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pipeline", "sampling", "curriculum", "custom-op"),
 )
 def sample_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Curriculum shard ordering — the easy-to-hard data-ordering step
-    (curriculum-learning pipelines emit shards whose WITHIN-shard order
-    follows a difficulty score; the loader then reads positions in
-    order): docs land in 8 hash-balanced shards (md5, ':curr' salt —
-    independent of the sampling/split/shard hashes), then each shard
-    orders by difficulty ASC (token count here; any score column
-    works), id tiebreak. Scale: the shuffle is per-shard and you size
-    n_shards so each shard fits a task's sort — unlike a global
-    difficulty sort, the shard count grows WITH the corpus (the same
-    contract as the sharded write it precedes). Integer difficulty —
-    engine-exact ordering."""
+    """Curriculum shard ordering (pipeline.sampling.curriculum_shards —
+    lifted into the library with ``n_shards`` as the scale knob,
+    VERDICT r10 next #8): docs land in 8 hash-balanced shards (md5,
+    ':curr' salt — independent of the sampling/split/shard hashes),
+    then each shard orders by difficulty ASC (token count here; any
+    score column works), id tiebreak. Scale: the shuffle is per-shard
+    and you size n_shards so each shard fits a task's sort — unlike a
+    global difficulty sort, the shard count grows WITH the corpus (the
+    same contract as the sharded write it precedes). Integer
+    difficulty — engine-exact ordering."""
+    from flink_1_16_0_src_spark.pipeline.sampling import curriculum_shards
     from flink_1_16_0_src_spark.pipeline.text import token_count
-    from pyspark.sql import Window as W
 
     d = load(spark, sf_dir, "documents")
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":curr"))), 1, 15),
-        16, 10,
-    ).cast("bigint")
     staged = d.select(
-        "doc_id",
-        (h % 8).cast("int").alias("shard"),
-        token_count("text").cast("bigint").alias("difficulty"),
+        "doc_id", token_count("text").cast("bigint").alias("difficulty")
     )
-    w = W.partitionBy("shard").orderBy("difficulty", "doc_id")
-    return staged.select(
-        "shard", "doc_id", "difficulty",
-        F.row_number().over(w).cast("bigint").alias("position"),
-    )
+    return curriculum_shards(staged, "doc_id", "difficulty", n_shards=8)
 
 
 @query(

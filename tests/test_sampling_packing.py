@@ -174,3 +174,53 @@ def test_token_budget_select_matches_window_cumsum(spark):
     assert token_budget_select(
         d, "source", "quality", "n_tokens", "doc_id", 10**9
     ).count() == d.count()
+
+
+def test_quality_percentile_degenerate_tie_bucket(spark):
+    """quality_percentile_by_source stays exact AND task-bounded when a
+    source has ONE quality value (VERDICT r10 residual (b)): the
+    integral-id path sub-buckets the tie bucket by floor(id/4096), so
+    the row_number window keys on (source, quality, id-range) — never
+    the whole source in one task. Equality pinned against the naive
+    per-source window formulation on a mixed corpus with a degenerate
+    constant-score source."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_1_16_0_src_spark.pipeline.sampling import (
+        quality_percentile_by_source,
+    )
+
+    rows = (
+        # degenerate source: 9000 docs, ALL the same quality
+        [(i, "const", 5.0) for i in range(9000)]
+        # healthy source with tie clusters
+        + [(100_000 + i, "varied", float(i % 7)) for i in range(500)]
+    )
+    d = spark.createDataFrame(rows, "doc_id bigint, source string, q double")
+    got = quality_percentile_by_source(d, "source", "q", "doc_id")
+    w = Window.partitionBy("source").orderBy("q", "doc_id")
+    exp = d.select(
+        "doc_id", "source",
+        F.expr(
+            "row_number() OVER (PARTITION BY source ORDER BY q, doc_id)"
+            " * 1000000L div (count(*) OVER (PARTITION BY source))"
+        ).alias("pct_ppm"),
+    )
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+    # task bound: every row_number Window in the plan keys on the
+    # id-range sub-bucket, so the degenerate source splits across
+    # ceil(9000/4096) = 3 ranges instead of one task
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "__idh" in plan
+    import re as _re
+
+    rn_windows = [
+        ln for ln in plan.splitlines()
+        if "row_number" in ln and _re.search(r"\bWindow\b|windowspecdef", ln, _re.I)
+    ]
+    assert all("__idh" in ln for ln in rn_windows) and rn_windows
