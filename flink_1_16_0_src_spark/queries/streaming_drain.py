@@ -2751,6 +2751,73 @@ def stream_sql_statement_set_exec_drain(spark: SparkSession, sf_dir: str) -> Dat
 
 
 @query(
+    "stream_sql_statement_set_hop_drain",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events),
+    hop AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts)
+               - (INTERVAL '30 minutes' * g.i) AS window_start,
+             value
+      FROM events, (SELECT 0 AS i UNION ALL SELECT 1) g
+      WHERE event_type = 'purchase'
+    )
+    SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+           CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+    FROM hop
+    GROUP BY window_start
+    HAVING window_start + INTERVAL '1 hour' <= (SELECT w FROM wm)
+    """,
+    tags=("streaming", "statement-set", "sql-surface"),
+)
+def stream_sql_statement_set_hop_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOP window aggregate inside a STREAMING statement set (r11 —
+    the reference's StreamStatementSetImpl runs any window kind; here
+    multi-window rows stage until their LAST covering window closes
+    and emission post-filters planned output on window_end, so every
+    1h/30m-slide window emits exactly once with its complete row set
+    whatever the batch boundaries). Oracle: each purchase contributes
+    to its two covering hop windows (30-minute grid), gated at the
+    final watermark."""
+    import os as _os
+    import tempfile as _tf
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE sq_ssh_ev_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    d = _os.path.join(_tf.mkdtemp(prefix="spark_graft_ssh_"), "win")
+    t.execute_sql(
+        f"CREATE TABLE sq_ssh_win_{k} WITH ('connector'='filesystem',"
+        f"'path'='{d}','format'='parquet')"
+    )
+    receipt = (
+        t.create_stream_statement_set()
+        .add_insert_sql(
+            f"INSERT INTO sq_ssh_win_{k} SELECT window_start, window_end, "
+            f"COUNT(*) AS n, ROUND(SUM(value), 2) AS total "
+            f"FROM TABLE(HOP(TABLE sq_ssh_ev_{k}, DESCRIPTOR(ts), "
+            f"INTERVAL '30' MINUTE, INTERVAL '1' HOUR)) "
+            f"WHERE event_type = 'purchase' "
+            f"GROUP BY window_start, window_end"
+        )
+        .execute()
+    )
+    assert receipt["streaming_queries"] == 1
+    assert receipt["window_agg_statements"] == 1
+    return spark.read.parquet(d).select(
+        "window_start", "window_end", "n", F.round("total", 2).alias("total")
+    )
+
+
+@query(
     "stream_sql_view_topn_drain",
     oracle="""
     SELECT user_id, event_id, value, rn FROM (

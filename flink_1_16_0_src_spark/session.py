@@ -2514,11 +2514,12 @@ class StatementSet:
         return {"statements": len(self._inserts), "shared_subplans": len(cached)}
 
 
-_SSET_TUMBLE_TVF = re.compile(
-    r"TABLE\s*\(\s*TUMBLE\s*\(\s*(?:DATA\s*=>\s*)?TABLE\s+(?P<src>\w+)\s*,\s*"
+_SSET_WIN_TVF = re.compile(
+    r"TABLE\s*\(\s*(?P<fn>TUMBLE|HOP|CUMULATE)\s*\(\s*(?:DATA\s*=>\s*)?"
+    r"TABLE\s+(?P<src>\w+)\s*,\s*"
     r"(?:TIMECOL\s*=>\s*)?DESCRIPTOR\s*\(\s*(?P<ts>\w+)\s*\)\s*,\s*"
-    r"(?:SIZE\s*=>\s*)?(?P<size>INTERVAL\s*'[^']+'\s*\w+)\s*"
-    r"(?:,\s*(?P<offset>INTERVAL\s*'[^']+'\s*\w+)\s*)?\)\s*\)",
+    r"(?P<i1>INTERVAL\s*'[^']+'\s*\w+)\s*"
+    r"(?:,\s*(?P<i2>INTERVAL\s*'[^']+'\s*\w+)\s*)?\)\s*\)",
     re.IGNORECASE,
 )
 _SSET_AGG_HEAD = re.compile(
@@ -2556,9 +2557,17 @@ class StreamStatementSet:
       exactly like the engine's append-mode window aggregate. Staged
       state is bounded by (watermark delay + window size) of rows per
       statement, the same horizon the engine's own window state keeps.
+    - HOP / CUMULATE TVF aggregates (r11): a row belongs to SEVERAL
+      windows, so rows stage until their LAST covering window closes
+      and emission post-filters the planned output on ``window_end``
+      (which the SELECT list must expose) to windows closing in
+      (previous watermark, current watermark] — every window emits
+      exactly once with its complete row set. Re-planning touches the
+      staged horizon each batch (bounded by delay + window span).
     - Anything else stateful across batches (non-windowed GROUP BY /
-      global aggregates, DISTINCT, OVER, MATCH_RECOGNIZE, HOP/CUMULATE
-      /SESSION TVFs, stream-stream joins) is REJECTED at add time:
+      global aggregates, DISTINCT, OVER, MATCH_RECOGNIZE, SESSION
+      windows — which MERGE, so a row's window identity isn't fixed on
+      arrival — and stream-stream joins) is REJECTED at add time:
       those need their own ``stream_query`` statement — one stateful
       pipeline per sink, the same granularity the reference gives each
       exec-node chain."""
@@ -2594,15 +2603,14 @@ class StreamStatementSet:
                 "streaming statement set: DISTINCT deduplicates across "
                 "micro-batches — run it as its own stream_query"
             )
-        if re.search(r"TABLE\s*\(\s*(?:HOP|CUMULATE|SESSION)\s*\(",
-                     unquoted, re.IGNORECASE):
+        if re.search(r"TABLE\s*\(\s*SESSION\s*\(", unquoted, re.IGNORECASE):
             raise ValueError(
-                "streaming statement set: only the TUMBLE window TVF "
-                "is supported here (each row belongs to exactly one "
-                "window) — run HOP/CUMULATE/SESSION aggregates as "
-                "their own stream_query"
+                "streaming statement set: SESSION windows MERGE across "
+                "batches (a row's window identity isn't fixed on "
+                "arrival) — run SESSION aggregates as their own "
+                "stream_query"
             )
-        tm = _SSET_TUMBLE_TVF.search(body)
+        tm = _SSET_WIN_TVF.search(body)
         gm = re.search(r"\bGROUP\s+BY\b(?P<keys>.*)$", unquoted,
                        re.IGNORECASE | re.DOTALL)
         if tm is None:
@@ -2611,15 +2619,15 @@ class StreamStatementSet:
                     "streaming statement set: a non-windowed aggregate "
                     "re-planned per micro-batch appends one PARTIAL "
                     "result per batch — run it as its own stream_query, "
-                    "or aggregate into a watermark-closed TUMBLE window "
-                    "(GROUP BY window_start, window_end)"
+                    "or aggregate into a watermark-closed TUMBLE/HOP/"
+                    "CUMULATE window (GROUP BY window_start, window_end)"
                 )
             return "stateless", None
         keys = gm.group("keys") if gm else ""
         if not (re.search(r"\bwindow_start\b", keys, re.IGNORECASE)
                 and re.search(r"\bwindow_end\b", keys, re.IGNORECASE)):
             raise ValueError(
-                "streaming statement set: a TUMBLE TVF statement must "
+                "streaming statement set: a window TVF statement must "
                 "GROUP BY window_start, window_end so every emitted row "
                 "is a watermark-closed window"
             )
@@ -2637,11 +2645,34 @@ class StreamStatementSet:
             )
         from flink_1_16_0_src_spark.sql_clauses import _interval_str
 
-        return "tumble", {
+        fn = tm.group("fn").upper()
+        if fn == "TUMBLE":
+            return "tumble", {
+                "ts": wm[0],
+                "size": _interval_str(tm.group("i1")),
+                "offset": (_interval_str(tm.group("i2"))
+                           if tm.group("i2") else None),
+            }
+        # HOP(slide, size) / CUMULATE(step, max): a row belongs to
+        # SEVERAL windows, so emission post-filters the planned output
+        # on window_end — the SELECT list must expose it
+        if not tm.group("i2"):
+            raise ValueError(
+                f"streaming statement set: {fn} takes two INTERVAL "
+                "arguments"
+            )
+        head = re.split(r"\bFROM\b", unquoted, maxsplit=1,
+                        flags=re.IGNORECASE)[0]
+        if not re.search(r"\bwindow_end\b", head, re.IGNORECASE):
+            raise ValueError(
+                f"streaming statement set: a {fn} statement must SELECT "
+                "window_end (emission filters closed windows on it)"
+            )
+        return "win_multi", {
             "ts": wm[0],
-            "size": _interval_str(tm.group("size")),
-            "offset": (_interval_str(tm.group("offset"))
-                       if tm.group("offset") else None),
+            "fn": fn,
+            "i1": _interval_str(tm.group("i1")),
+            "i2": _interval_str(tm.group("i2")),
         }
 
     def add_insert_sql(self, sql: str) -> "StreamStatementSet":
@@ -2714,19 +2745,22 @@ class StreamStatementSet:
         batch_view = f"__sset_batch_{next(_STREAM_SUB_SEQ)}"
         pat = rf"(?<![\w.]){re.escape(src_name)}(?![\w.])"
         inserts = list(self._inserts)
-        tumble_idx = [i for i, it in enumerate(inserts) if it[4] == "tumble"]
+        win_idx = [i for i, it in enumerate(inserts)
+                   if it[4] in ("tumble", "win_multi")]
         wm_spec = tenv._watermarks.get(src_name)
         state: dict = {"max_ts": None, "wm": None,
-                       "stage": {i: None for i in tumble_idx}}
+                       "stage": {i: None for i in win_idx}}
         stage_root = _tf.mkdtemp(prefix="spark_graft_sset_state_") \
-            if tumble_idx else None
-        delay = _pd.Timedelta(wm_spec[1]) if tumble_idx else None
+            if win_idx else None
+        delay = _pd.Timedelta(wm_spec[1]) if win_idx else None
 
-        def _emit(sink_name, collist, sub, bspark):
+        def _emit(sink_name, collist, sub, bspark, post=None):
             sink = tenv._sinks[sink_name]
             df, static_parts = tenv._build_insert_df(
                 sink, collist, sub, spark=bspark
             )
+            if post is not None:
+                df = post(df)
             srcs.write_table(
                 df,
                 sink["props"].get("path"),
@@ -2744,7 +2778,7 @@ class StreamStatementSet:
             # running watermark = max event time seen − delay (the
             # engine's WatermarkStrategy contract); a bounded 1-row agg
             wm_prev, wm_new = state["wm"], state["wm"]
-            if tumble_idx:
+            if win_idx:
                 bmax = batch_df.agg(F.max(wm_spec[0])).first()[0]
                 if bmax is not None:
                     state["max_ts"] = (
@@ -2763,6 +2797,63 @@ class StreamStatementSet:
                             for i, p in enumerate(parts)
                         )
                         _emit(sink_name, collist, sub, bspark)
+                        continue
+                    if kind == "win_multi":
+                        # HOP / CUMULATE: a row belongs to SEVERAL
+                        # windows, so rows stage until their LAST
+                        # covering window closes; emission plans the
+                        # statement over every still-relevant row and
+                        # post-filters output windows closing in
+                        # (wm_prev, wm_new] — each window emits once,
+                        # complete (any row covering it is retained
+                        # until strictly later).
+                        tsu = F.unix_micros(F.col(info["ts"]))
+                        i1_us = int(_pd.Timedelta(info["i1"]).total_seconds() * 1e6)
+                        i2_us = int(_pd.Timedelta(info["i2"]).total_seconds() * 1e6)
+                        grid = i1_us if info["fn"] == "HOP" else i2_us
+                        # HOP(slide=i1, size=i2): last end = hop-grid
+                        # floor + size; CUMULATE(step=i1, max=i2):
+                        # last slice end = span start + max
+                        lend_us = (tsu - (tsu % F.lit(grid))) + F.lit(i2_us)
+                        lcol = "__sset_lend"
+                        cur = batch_df.withColumn(
+                            lcol, F.timestamp_micros(lend_us)
+                        )
+                        stg = state["stage"][idx]
+                        if stg is not None:
+                            cur = cur.unionByName(
+                                bspark.read.schema(cur.schema).parquet(stg)
+                            )
+                        cur = cur.persist()
+                        if wm_new is not None and cur.limit(1).count():
+                            wview = f"{batch_view}_w{idx}"
+                            cur.drop(lcol).createOrReplaceTempView(wview)
+                            sub = "".join(
+                                p if i % 2 else re.sub(
+                                    pat, wview, p, flags=re.IGNORECASE)
+                                for i, p in enumerate(parts)
+                            )
+                            lo, hi = wm_prev, wm_new
+
+                            def post(df, lo=lo, hi=hi):
+                                cond = F.col("window_end") <= F.lit(hi)
+                                if lo is not None:
+                                    cond = cond & (
+                                        F.col("window_end") > F.lit(lo)
+                                    )
+                                return df.where(cond)
+
+                            _emit(sink_name, collist, sub, bspark, post)
+                        keep = (cur.where(F.col(lcol) > F.lit(wm_new))
+                                if wm_new is not None else cur)
+                        new_stage = os.path.join(
+                            stage_root, f"s{idx}_b{batch_id}"
+                        )
+                        keep.write.mode("overwrite").parquet(new_stage)
+                        cur.unpersist()
+                        if stg is not None:
+                            _sh.rmtree(stg, ignore_errors=True)
+                        state["stage"][idx] = new_stage
                         continue
                     # TUMBLE window agg: stage rows until their window
                     # closes, then plan the statement once over the
@@ -2807,7 +2898,7 @@ class StreamStatementSet:
                     if stg is not None:
                         _sh.rmtree(stg, ignore_errors=True)
                     state["stage"][idx] = new_stage
-                if tumble_idx:
+                if win_idx:
                     state["wm"] = wm_new
             finally:
                 batch_df.unpersist()
@@ -2829,6 +2920,6 @@ class StreamStatementSet:
         return {
             "statements": len(inserts),
             "shared_source": src_name,
-            "window_agg_statements": len(tumble_idx),
+            "window_agg_statements": len(win_idx),
             "streaming_queries": 1,
         }

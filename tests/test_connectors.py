@@ -1948,9 +1948,16 @@ def test_stream_statement_set(tenv, spark, tmp_path):
             "INSERT INTO sset_a SELECT eid, SUM(v) OVER (PARTITION BY et "
             "ORDER BY ts) AS s FROM sset_ev"
         )
-    with pytest.raises(ValueError, match="TUMBLE"):
+    with pytest.raises(ValueError, match="SESSION windows MERGE"):
         ss.add_insert_sql(
             "INSERT INTO sset_b SELECT et, window_end, COUNT(*) AS n, SUM(v) AS s "
+            "FROM TABLE(SESSION(TABLE sset_ev PARTITION BY et, "
+            "DESCRIPTOR(ts), INTERVAL '30' MINUTE)) "
+            "GROUP BY et, window_start, window_end"
+        )
+    with pytest.raises(ValueError, match="SELECT\\s+window_end|must SELECT"):
+        ss.add_insert_sql(
+            "INSERT INTO sset_b SELECT et, COUNT(*) AS n "
             "FROM TABLE(HOP(TABLE sset_ev, DESCRIPTOR(ts), "
             "INTERVAL '30' MINUTE, INTERVAL '1' HOUR)) "
             "GROUP BY et, window_start, window_end"
@@ -2268,3 +2275,72 @@ def test_stream_query_nested_from_subqueries_any_depth(tenv, spark, tmp_path):
     rows2 = ssrc.run_to_memory(agg, "nest_d2", "append").collect()
     # final wm 12:00-1min closes the 10:00 window (2 'a' rows)
     assert [(r.k, r.window_end.hour, r.n) for r in rows2] == [("a", 11, 2)]
+
+
+def test_stream_statement_set_hop_two_batches(tenv, spark, tmp_path):
+    """HOP window aggregates in a statement set are exact under a
+    forced multi-batch drain (r11): rows stage until their LAST
+    covering window closes, emission post-filters planned output on
+    window_end in (prev wm, new wm] — a row contributes to EVERY
+    covering window exactly once even when those windows close in
+    different batches."""
+    import datetime as dt
+    import os
+
+    src = str(tmp_path / "hop2src")
+    os.makedirs(src)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "eid bigint, ts timestamp, v double")
+    _write_single_parquet_file(
+        spark,
+        mk([(1, dt.datetime(2024, 1, 1, 10, 5), 1.0),
+            (2, dt.datetime(2024, 1, 1, 10, 40), 2.0),
+            (3, dt.datetime(2024, 1, 1, 11, 20), 4.0)]),
+        os.path.join(src, "f1.parquet"), mtime=1_000_000,
+    )
+    _write_single_parquet_file(
+        spark,
+        mk([(4, dt.datetime(2024, 1, 1, 11, 25), 8.0),
+            (5, dt.datetime(2024, 1, 1, 13, 0), 16.0)]),
+        os.path.join(src, "f2.parquet"), mtime=2_000_000,
+    )
+    tenv.execute_sql(
+        f"CREATE TABLE hop2_ev (eid BIGINT, ts TIMESTAMP(3), v DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{src}','format'='parquet')"
+    )
+    sinks = {}
+    for tag in ("m", "s"):  # multi-batch and single-batch runs
+        sinks[tag] = str(tmp_path / f"hop2_snk_{tag}")
+        tenv.execute_sql(
+            f"CREATE TABLE hop2_w_{tag} WITH ('connector'='filesystem',"
+            f"'path'='{sinks[tag]}','format'='parquet')"
+        )
+    stmt = (
+        "INSERT INTO hop2_w_{tag} SELECT window_start, window_end, "
+        "COUNT(*) AS n, SUM(v) AS s "
+        "FROM TABLE(HOP(TABLE hop2_ev, DESCRIPTOR(ts), "
+        "INTERVAL '30' MINUTE, INTERVAL '1' HOUR)) "
+        "GROUP BY window_start, window_end"
+    )
+    r1 = tenv.create_stream_statement_set().add_insert_sql(
+        stmt.format(tag="m")
+    ).execute(checkpoint=str(tmp_path / "ck_m"), max_files_per_trigger=1)
+    assert r1["window_agg_statements"] == 1
+    tenv.create_stream_statement_set().add_insert_sql(
+        stmt.format(tag="s")
+    ).execute(checkpoint=str(tmp_path / "ck_s"))
+    fetch = lambda p: sorted(
+        (r.window_end.strftime("%H:%M"), r.n, r.s)
+        for r in spark.read.parquet(p).collect()
+    )
+    got_m, got_s = fetch(sinks["m"]), fetch(sinks["s"])
+    # every covering window, each emitted once, complete:
+    # [9:30,10:30) {e1}; [10:00,11:00) {e1,e2}; [10:30,11:30)
+    # {e2,e3,e4} SPANS BOTH BATCHES; [11:00,12:00) {e3,e4};
+    # 13:00's windows stay open (wm 12:59)
+    assert got_m == [
+        ("10:30", 1, 1.0), ("11:00", 2, 3.0),
+        ("11:30", 3, 14.0), ("12:00", 2, 12.0),
+    ]
+    assert got_m == got_s
