@@ -83,3 +83,40 @@ def decontaminate(
     if broadcast_flagged:
         flagged = F.broadcast(flagged)
     return docs.join(flagged, id_col, "left_anti")
+
+
+def contamination_report(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    n: int = 13,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Per-group contamination CENSUS — the release-report rollup every
+    decontamination run ends with (how dirty is each source/domain/
+    shard against the eval suite): for each group, total docs,
+    contaminated docs, contaminated parts-per-million (integral DIV —
+    engine-exact), and the total distinct-hit gram count.
+
+    Scale: contamination_hits is the broadcast map-side pass; the hit
+    table (O(contaminated docs), narrow) joins back on the id and the
+    report is one |groups|-row aggregation — the corpus text is
+    scanned once and never shuffled."""
+    hits = contamination_hits(
+        docs, bench, text_col, id_col, n, broadcast_bench=broadcast_bench
+    )
+    per_doc = docs.select(F.col(id_col), F.col(group_col)).join(
+        hits, id_col, "left"
+    )
+    return per_doc.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.count("n_contaminated_ngrams").alias("n_contaminated"),
+        F.coalesce(F.sum("n_contaminated_ngrams"), F.lit(0)).cast("bigint")
+        .alias("n_hit_grams"),
+    ).select(
+        group_col, "n_docs", "n_contaminated", "n_hit_grams",
+        F.expr("n_contaminated * 1000000L div n_docs")
+        .alias("contaminated_ppm"),
+    )

@@ -1057,3 +1057,111 @@ def simhash_dedup_against(
     sig_b.unpersist()
     sig_n.unpersist()
     return res
+
+
+def semantic_dedup_against(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    seeds: list[list[float]],
+    threshold: float,
+    max_cell: int = 8192,
+) -> DataFrame:
+    """INCREMENTAL SemDeDup — the EMBEDDING tier of crawl-vs-index
+    ingestion, completing the incremental family (exact_dedup_against
+    / minhash_dedup_against / simhash_dedup_against): drop NEW vectors
+    whose 4-dp cosine against ANY base vector in the same k-means cell
+    reaches ``threshold``; survivors return as (id, cell). Candidates
+    are strictly base x new WITHIN a cell (the SemDeDup blocking
+    contract, Abbas et al. 2023 — cross-cell misses are the
+    quantizer's, identical to semantic_dedup), so re-ingesting a crawl
+    snapshot costs |new| assignments + the cell-blocked probe, never a
+    within-base pass.
+
+    Scale: assignment is the map-only BLAS pass (_ivf_assign_blas);
+    the probe join shuffles on cell with HOT-CELL SALTING — a base
+    cell larger than ``max_cell`` splits into ceil(|cell|/max_cell)
+    hash sub-blocks and each new row of that cell replicates across
+    the sub-blocks (split table = one row per cell, broadcast), so no
+    task sees more than ~max_cell base rows and the result is EXACT:
+    every in-cell base x new pair meets in exactly one sub-block.
+    Norms hoist to one per-row column (the embedding_near_dup_pairs
+    precedent); cosines round at 4 dp before the threshold compare
+    (the repo float rule)."""
+    a_base = _ivf_assign_blas(base_df, vec_col, id_col, seeds)
+    a_new = _ivf_assign_blas(new_df, vec_col, id_col, seeds)
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    b = a_base.select(
+        F.col(id_col).alias("__bid"), v.alias("__vb"), norm.alias("__nb"),
+        "cell",
+    )
+    n = a_new.select(
+        F.col(id_col), v.alias("__vn"), norm.alias("__nn"), "cell",
+    )
+    splits = F.broadcast(
+        b.groupBy("cell").agg(
+            F.ceil(F.count("*") / F.lit(max_cell)).cast("int").alias("__nblk")
+        )
+    )
+    b_s = b.join(splits, "cell").withColumn(
+        "__sub", F.pmod(F.xxhash64("__bid"), F.col("__nblk"))
+    )
+    # new rows in cells ABSENT from the base have no candidates — the
+    # left join keeps them (they survive unconditionally)
+    n_s = (
+        n.join(splits, "cell", "left")
+        .withColumn("__nblk", F.coalesce(F.col("__nblk"), F.lit(1)))
+        .withColumn(
+            "__sub",
+            F.explode(F.sequence(F.lit(0).cast("long"),
+                                 F.col("__nblk").cast("long") - 1)),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__vn"), F.col("__vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dropped = (
+        n_s.join(b_s, ["cell", "__sub"])
+        .where(F.round(dot / (F.col("__nn") * F.col("__nb")), 4)
+               >= F.lit(threshold))
+        .select(id_col)
+        .distinct()
+    )
+    return a_new.join(dropped, id_col, "left_anti").select(id_col, "cell")
+
+
+def prefix_dedup(
+    df: DataFrame, text_col: str, id_col: str, n_tokens: int = 50
+) -> DataFrame:
+    """Truncation-duplicate removal: keep ONE doc (min id) per
+    prefix-fingerprint group — md5 of the first ``n_tokens``
+    whitespace tokens (text.prefix_fingerprint). Whole-document
+    fingerprints miss the same article cut at different lengths /
+    with different boilerplate tails; the head-of-doc hash catches
+    them (the crawl-pipeline companion pass to exact_dedup, run after
+    it). Keep rule favors the LONGEST member (most complete copy),
+    min-id tiebreak — deterministic, order-independent.
+
+    Scale: one hash-groupBy shuffle on the 16-byte fingerprint (same
+    shape as exact_dedup); the keep rule is a max_by aggregate, no
+    window sort."""
+    from flink_1_16_0_src_spark.pipeline.text import prefix_fingerprint
+
+    fp = df.select(
+        F.col(id_col),
+        prefix_fingerprint(text_col, n_tokens).alias("__pfp"),
+        F.length(text_col).cast("bigint").alias("__len"),
+    )
+    keep = fp.groupBy("__pfp").agg(
+        F.max(F.struct(F.col("__len"), (-F.col(id_col)).alias("__negid")))
+        .alias("__best")
+    ).select(
+        (-F.col("__best.__negid")).cast("bigint").alias("__keep_id")
+    )
+    return df.join(
+        keep.withColumnRenamed("__keep_id", id_col), id_col, "left_semi"
+    )

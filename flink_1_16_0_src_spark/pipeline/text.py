@@ -404,3 +404,52 @@ def bigram_lm_table(
             .cast("bigint").alias("prob_e6"),
         )
     )
+
+
+def prefix_fingerprint(col: Column | str, n_tokens: int = 50) -> Column:
+    """Prefix fingerprint: md5 over the first ``n_tokens`` whitespace
+    tokens of lowercased text — the truncation-duplicate key (the same
+    article cut at different lengths shares a prefix but not a
+    whole-document fingerprint; crawl pipelines dedup on a head-of-doc
+    hash for exactly this). Map-only; pairs with
+    ``dedup.prefix_dedup``."""
+    return F.md5(F.array_join(F.slice(tokens(col), 1, n_tokens), " "))
+
+
+def tokenizer_fertility(
+    df: DataFrame, text_col: str, group_col: str
+) -> DataFrame:
+    """Per-group tokenizer FERTILITY / compression census — the
+    tokenizer-fit report multilingual pipelines run per source or
+    language (a tokenizer with high fertility on a domain wastes
+    context window there): for each group, doc count, whitespace-word
+    and BPE-estimate token totals, char total, and two integral
+    ratios — fertility_ppm = BPE tokens per word x 1e6 (how many
+    subwords a word splits into) and chars_per_token_ppm = chars per
+    BPE token x 1e6 (compression). Integral DIV — engine-exact, no
+    float summation order. One scan, one |groups|-row aggregation."""
+    from pyspark.sql import DataFrame as _DF  # noqa: F401  (signature import)
+
+    c = F.col(text_col)
+    return (
+        df.select(
+            F.col(group_col),
+            F.length(c).cast("bigint").alias("__chars"),
+            token_count(c).cast("bigint").alias("__words"),
+            bpe_token_estimate(c).cast("bigint").alias("__bpe"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__chars").alias("n_chars"),
+            F.sum("__words").alias("n_words"),
+            F.sum("__bpe").alias("n_bpe_tokens"),
+        )
+        .select(
+            group_col, "n_docs", "n_chars", "n_words", "n_bpe_tokens",
+            F.expr("n_bpe_tokens * 1000000L div n_words")
+            .alias("fertility_ppm"),
+            F.expr("n_chars * 1000000L div n_bpe_tokens")
+            .alias("chars_per_token_ppm"),
+        )
+    )

@@ -647,6 +647,76 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental_semantic",
+    oracle="""
+    WITH nb AS (SELECT count(*) // 2 AS b FROM embeddings),
+    base AS (SELECT * FROM embeddings, nb WHERE vec_id < nb.b),
+    new_ AS (SELECT * FROM embeddings, nb WHERE vec_id >= nb.b),
+    k AS (SELECT greatest(8, count(*) // 250) AS k FROM base),
+    seeds AS (
+      SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM base, k WHERE vec_id < k.k
+    ),
+    dists AS (
+      SELECT e.vec_id, s.cell,
+             list_sum(list_transform(generate_series(1, len(e.embedding)),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - s.cvec[i])
+                  * (CAST(e.embedding[i] AS DOUBLE) - s.cvec[i]))) AS d
+      FROM embeddings e, seeds s
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY round(d, 6), cell) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    bvec AS (
+      SELECT a.vec_id, a.cell, CAST(e.embedding AS DOUBLE[]) AS v
+      FROM assign a JOIN base e USING (vec_id)
+    ),
+    nvec AS (
+      SELECT a.vec_id, a.cell, CAST(e.embedding AS DOUBLE[]) AS v
+      FROM assign a JOIN new_ e USING (vec_id)
+    ),
+    drops AS (
+      SELECT DISTINCT n.vec_id
+      FROM nvec n JOIN bvec b ON n.cell = b.cell
+      WHERE round(list_cosine_similarity(n.v, b.v), 4) >= 0.3
+    )
+    SELECT vec_id, cell FROM nvec
+    WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+    """,
+    tags=("pipeline", "dedup", "custom-op"),
+)
+def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup (pipeline.dedup.semantic_dedup_against —
+    r11, the EMBEDDING tier completing the crawl-vs-index family):
+    the upper half of the embeddings table is the NEW snapshot, the
+    lower half the BASE index; seeds derive from the BASE (k = max(8,
+    |base| // 250), lowest-id rule), candidates are strictly base x
+    new within a k-means cell with hot-cell salting, cosine
+    thresholded at 4 dp. Survivors of the new shard return with their
+    cell; the oracle replays assignment (6-dp argmin, lowest-cell
+    tiebreak) and the cell-blocked probe."""
+    from flink_1_16_0_src_spark.pipeline.dedup import semantic_dedup_against
+
+    emb = load(spark, sf_dir, "embeddings")
+    b = emb.count() // 2
+    base = emb.where(F.col("vec_id") < b)
+    new = emb.where(F.col("vec_id") >= b)
+    k = max(8, base.count() // 250)
+    seed_rows = base.where(F.col("vec_id") < k).select(
+        "vec_id", "embedding"
+    ).collect()
+    seeds = [list(map(float, r[1])) for r in sorted(seed_rows, key=lambda r: r[0])]
+    return semantic_dedup_against(
+        new, base, "embedding", "vec_id", seeds, threshold=0.3
+    )
+
+
+@query(
     "dedup_incremental_exact",
     oracle=f"""
     WITH corpus AS ({_DUP_CORPUS_SQL}),
@@ -716,4 +786,59 @@ def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.where(F.col("doc_id") >= 250)
     return simhash_dedup_against(
         new, base, "text", "doc_id", bits=32, max_hamming=2, max_bucket=None
+    )
+
+
+@query(
+    "dedup_prefix",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id,
+             array_to_string(list_slice(
+               str_split_regex(lower(trim(text)), '\s+'), 1, 30), ' ') AS text
+      FROM documents
+    ),
+    fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(
+               str_split_regex(lower(trim(text)), '\s+'), 1, 20), ' ')) AS pfp,
+             CAST(len(text) AS BIGINT) AS l
+      FROM corpus
+    ),
+    keep AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY pfp ORDER BY l DESC, doc_id)
+                 AS rn
+        FROM fp
+      ) WHERE rn = 1
+    )
+    SELECT f.doc_id, f.l AS len_chars FROM fp f
+    WHERE f.doc_id IN (SELECT doc_id FROM keep)
+    """,
+    tags=("pipeline", "dedup", "custom-op"),
+)
+def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-duplicate removal (pipeline.dedup.prefix_dedup —
+    r11): every document gets a planted TRUNCATED copy (its first 30
+    normalized tokens, doc_id + 200000); deduping on the 20-token
+    prefix fingerprint collapses each (original, truncation) pair to
+    the LONGEST member (min-id tiebreak) — the head-of-doc hash
+    catches what whole-document fingerprints miss. One hash-groupBy
+    on the 16-byte fingerprint, keep rule as a max_by aggregate (no
+    window sort); the oracle replays the same prefix hash and keep
+    rank."""
+    from flink_1_16_0_src_spark.pipeline.dedup import prefix_dedup
+    from flink_1_16_0_src_spark.pipeline.text import tokens
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    truncated = docs.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(F.slice(tokens("text"), 1, 30), " ").alias("text"),
+    )
+    corpus = docs.unionByName(truncated)
+    return prefix_dedup(corpus, "text", "doc_id", n_tokens=20).select(
+        "doc_id", F.length("text").cast("bigint").alias("len_chars")
     )

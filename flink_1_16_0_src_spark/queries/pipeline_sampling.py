@@ -550,3 +550,43 @@ def sample_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", token_count("text").cast("bigint").alias("q")
     )
     return quality_percentile_by_source(scored, "source", "q", "doc_id")
+
+
+@query(
+    "decontam_report",
+    oracle=f"""
+    WITH bench AS (
+      SELECT DISTINCT unnest({_GRAMS8}) AS g FROM documents WHERE doc_id % 97 = 0
+    ),
+    doc_grams AS (
+      SELECT doc_id, unnest({_GRAMS8}) AS g FROM documents
+    ),
+    hits AS (
+      SELECT d.doc_id, CAST(count(*) AS BIGINT) AS nh
+      FROM doc_grams d JOIN bench b ON d.g = b.g
+      GROUP BY d.doc_id
+    )
+    SELECT s.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(h.nh) AS BIGINT) AS n_contaminated,
+           CAST(coalesce(sum(h.nh), 0) AS BIGINT) AS n_hit_grams,
+           CAST(count(h.nh) * 1000000 // count(*) AS BIGINT)
+             AS contaminated_ppm
+    FROM documents s LEFT JOIN hits h USING (doc_id)
+    GROUP BY s.source
+    """,
+    tags=("pipeline", "decontam", "custom-op"),
+)
+def decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contamination CENSUS (pipeline.decontam.
+    contamination_report — r11): the release-report rollup after the
+    n-gram overlap pass — per source: docs, contaminated docs,
+    distinct-hit gram total, and contamination parts-per-million
+    (integral DIV). Benchmark grams broadcast, hit table joins back on
+    the id, one |sources|-row aggregation — the corpus text is scanned
+    once and never shuffled."""
+    from flink_1_16_0_src_spark.pipeline.decontam import contamination_report
+
+    d = load(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    return contamination_report(d, bench, "text", "doc_id", "source", n=8)

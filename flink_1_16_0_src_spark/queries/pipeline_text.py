@@ -1051,3 +1051,34 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_oov * 1000000L div n_tokens").alias("oov_ppm"),
         )
     )
+
+
+@query(
+    "text_tokenizer_fertility",
+    oracle=f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(text)) AS BIGINT) AS n_chars,
+           CAST(sum(len({_TOKS})) AS BIGINT) AS n_words,
+           CAST(sum(len(text) // 4 + len({_TOKS})) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(len(text) // 4 + len({_TOKS})) * 1000000
+                // sum(len({_TOKS})) AS BIGINT) AS fertility_ppm,
+           CAST(sum(len(text)) * 1000000
+                // sum(len(text) // 4 + len({_TOKS})) AS BIGINT)
+             AS chars_per_token_ppm
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("pipeline", "text", "custom-op"),
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility / compression census
+    (pipeline.text.tokenizer_fertility — r11): BPE-estimate tokens per
+    whitespace word and chars per BPE token, both as integral ppm —
+    the tokenizer-fit report multilingual pipelines run per source or
+    language before fixing a vocab. One scan, one |sources|-row
+    aggregation, integer arithmetic end-to-end (repo float rule)."""
+    from flink_1_16_0_src_spark.pipeline.text import tokenizer_fertility
+
+    d = load(spark, sf_dir, "documents")
+    return tokenizer_fertility(d, "text", "source")
