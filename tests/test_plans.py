@@ -598,3 +598,27 @@ def test_simhash_incremental_band_equijoin(spark):
     assert "CartesianProduct" not in plan_sig
     assert "BroadcastNestedLoopJoin" not in plan_sig
     assert df.count() > 0
+
+
+def test_r11_pipeline_ops_plan_shapes(spark):
+    """The r11 pipeline ops keep their scale contracts: no cartesian /
+    broadcast-nested-loop anywhere; decontam_report broadcasts the
+    bench grams and never windows the corpus; dedup_prefix is
+    window-free (max_by keep rule); tokenizer_fertility is one
+    aggregation (no joins at all); the incremental SemDeDup probe is a
+    KEYED join (cell + sub-block), its only Python stages the Arrow
+    assignment passes."""
+    for name in ("dedup_prefix", "decontam_report",
+                 "text_tokenizer_fertility", "dedup_incremental_semantic"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+    fert = _plan(spark, "text_tokenizer_fertility")
+    assert "Join" not in fert and "Window" not in fert
+    assert "EvalPython" not in fert
+    for name in ("dedup_prefix", "decontam_report"):
+        plan = _plan(spark, name)
+        assert plan.count("Window") == 0, name
+        assert "EvalPython" not in plan, name
+    sem = _plan(spark, "dedup_incremental_semantic")
+    assert "MapInPandas" in sem or "ArrowEvalPython" in sem  # BLAS assign
