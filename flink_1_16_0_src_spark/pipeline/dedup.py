@@ -1165,3 +1165,23 @@ def prefix_dedup(
     return df.join(
         keep.withColumnRenamed("__keep_id", id_col), id_col, "left_semi"
     )
+
+
+def cluster_census(components: DataFrame) -> DataFrame:
+    """Duplicate-cluster SIZE census — the dedup report every corpus
+    writeup includes (how much of the corpus sits in 2-doc pairs vs
+    mega-clusters; a fat tail means boilerplate/mirror domains): from
+    a connected_components labeling, per cluster size the number of
+    clusters and total docs. Two narrow aggregations over the
+    |clustered docs|-row label table — nothing touches the corpus."""
+    sizes = components.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+        .select(
+            "cluster_size", "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+    )

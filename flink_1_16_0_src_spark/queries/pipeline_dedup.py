@@ -842,3 +842,47 @@ def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_dedup(corpus, "text", "doc_id", n_tokens=20).select(
         "doc_id", F.length("text").cast("bigint").alias("len_chars")
     )
+
+
+@query(
+    "dedup_cluster_census",
+    oracle=f"""
+    WITH RECURSIVE corpus AS ({_DUP_CORPUS_SQL}),
+    sets_ AS (SELECT doc_id, lang, {_SHINGLES} AS s FROM corpus),
+    pairs AS ({_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS node, least(src, min(dst)) AS component
+      FROM reach GROUP BY src
+    ),
+    sizes AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY component
+    )
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+    tags=("pipeline", "dedup", "custom-op"),
+)
+def dedup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size census (pipeline.dedup.cluster_census —
+    r11): the dedup-report rollup over the connected-components
+    labeling of the near-dup pair graph — clusters and docs per
+    cluster size (a fat tail flags boilerplate/mirror domains). Two
+    narrow aggregations over the label table; the oracle extends the
+    recursive-closure components oracle with the same census."""
+    from flink_1_16_0_src_spark.pipeline.dedup import (
+        cluster_census,
+        connected_components,
+    )
+
+    return cluster_census(connected_components(_ngram_pairs(spark, sf_dir)))

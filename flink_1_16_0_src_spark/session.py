@@ -2570,7 +2570,14 @@ class StreamStatementSet:
       arrival — and stream-stream joins) is REJECTED at add time:
       those need their own ``stream_query`` statement — one stateful
       pipeline per sink, the same granularity the reference gives each
-      exec-node chain."""
+      exec-node chain.
+
+    Recovery note: Spark's checkpoint covers the source offsets, but
+    the window staging dirs + running watermark live outside it — a
+    killed-and-restarted drain replays from offsets with EMPTY staging
+    (the reference's statement set checkpoints its window state;
+    SURVEY §7.3 risk 3). Run drains to completion (availableNow) or
+    give each set a fresh checkpoint dir."""
 
     def __init__(self, tenv: "TableEnvironment"):
         self._tenv = tenv

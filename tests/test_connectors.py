@@ -2344,3 +2344,54 @@ def test_stream_statement_set_hop_two_batches(tenv, spark, tmp_path):
         ("11:30", 3, 14.0), ("12:00", 2, 12.0),
     ]
     assert got_m == got_s
+
+
+def test_stream_statement_set_cumulate_two_batches(tenv, spark, tmp_path):
+    """CUMULATE statement-set aggregates: expanding slices emit as the
+    watermark passes each slice end — across batches, each slice
+    exactly once with the full span prefix (rows stage until the span
+    ends)."""
+    import datetime as dt
+    import os
+
+    src = str(tmp_path / "cum2src")
+    os.makedirs(src)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "eid bigint, ts timestamp, v double")
+    # span = 1 hour, step = 30 min → slices end at :30 and :00
+    _write_single_parquet_file(
+        spark,
+        mk([(1, dt.datetime(2024, 1, 1, 10, 5), 1.0),
+            (2, dt.datetime(2024, 1, 1, 10, 40), 2.0)]),
+        os.path.join(src, "f1.parquet"), mtime=1_000_000,
+    )  # wm after b1 = 10:39 → closes slice [10:00,10:30) only
+    _write_single_parquet_file(
+        spark,
+        mk([(3, dt.datetime(2024, 1, 1, 10, 50), 4.0),
+            (4, dt.datetime(2024, 1, 1, 12, 0), 8.0)]),
+        os.path.join(src, "f2.parquet"), mtime=2_000_000,
+    )  # wm = 11:59 → closes slice [10:00,11:00) with eids 1,2,3
+    tenv.execute_sql(
+        f"CREATE TABLE cum2_ev (eid BIGINT, ts TIMESTAMP(3), v DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{src}','format'='parquet')"
+    )
+    sink = str(tmp_path / "cum2_snk")
+    tenv.execute_sql(
+        f"CREATE TABLE cum2_w WITH ('connector'='filesystem',"
+        f"'path'='{sink}','format'='parquet')"
+    )
+    r = tenv.create_stream_statement_set().add_insert_sql(
+        "INSERT INTO cum2_w SELECT window_start, window_end, COUNT(*) AS n, "
+        "SUM(v) AS s "
+        "FROM TABLE(CUMULATE(TABLE cum2_ev, DESCRIPTOR(ts), "
+        "INTERVAL '30' MINUTE, INTERVAL '1' HOUR)) "
+        "GROUP BY window_start, window_end"
+    ).execute(checkpoint=str(tmp_path / "ck_c"), max_files_per_trigger=1)
+    assert r["window_agg_statements"] == 1
+    got = sorted((r_.window_end.strftime("%H:%M"), r_.n, r_.s)
+                 for r_ in spark.read.parquet(sink).collect())
+    # slice [10:00,10:30): {e1} closed in batch 1; slice [10:00,11:00):
+    # {e1,e2,e3} SPANS batches (e3 arrives in batch 2 before the slice
+    # closes); 12:00's span stays open (wm 11:59)
+    assert got == [("10:30", 1, 1.0), ("11:00", 3, 7.0)]
