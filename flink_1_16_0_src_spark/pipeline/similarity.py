@@ -192,11 +192,20 @@ def ivf_topk(
 
         seeds = refine_seeds(df, vec_col, id_col, seeds, refine)
     assigned = ivf_assign(df, vec_col, id_col, seeds)
+    # norms hoisted to one per-row column on EACH side (the
+    # embedding_near_dup_pairs precedent): inside the probe join the
+    # inline-_cosine form recomputed both norms per candidate PAIR —
+    # O(pairs·d) interpreted folds; dot/(nq·nc) association is
+    # unchanged, so the rounded cosine surface is bit-identical
+    vd = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x * x))
     corpus = assigned.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vc"), "cell"
+        F.col(id_col).alias("neighbor_id"), vd.alias("__vc"),
+        norm.alias("__nc"), "cell",
     )
     q = assigned.where(query_pred).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__vq"), "__dists"
+        F.col(id_col).alias("query_id"), vd.alias("__vq"),
+        norm.alias("__nq"), "__dists",
     )
     # nprobe nearest cells: repeated first-minimum with the taken cell
     # masked out — identical tie behavior to sorting by (round(d,6), cell);
@@ -215,10 +224,16 @@ def ivf_topk(
         cur = F.col(f"__d{i}")
         probe_cols.append(f"__p{i}")
     probes = q.select(
-        "query_id", "__vq", F.explode(F.array(*[F.col(c) for c in probe_cols])).alias("cell")
+        "query_id", "__vq", "__nq",
+        F.explode(F.array(*[F.col(c) for c in probe_cols])).alias("cell"),
     )
     joined = probes.join(corpus, "cell").where(F.col("neighbor_id") != F.col("query_id"))
-    cos = _cosine(F.col("__vq"), F.col("__vc"))
+    dot = F.aggregate(
+        F.zip_with(F.col("__vq"), F.col("__vc"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("__nq") * F.col("__nc"))
     # rounded-cosine ranking — same ulp-tie determinism rule as
     # brute_force_topk / pq_adc_topk
     w = Window.partitionBy("query_id").orderBy(
