@@ -614,6 +614,35 @@ class TableEnvironment:
                 mshowcols.group("pat"),
                 negated=mshowcols.group("neg") is not None,
             )
+        mcview = re.match(
+            r"^CREATE\s+(?:TEMPORARY\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r"(?P<name>\w+)\s+AS\s+(?P<q>.+?)\s*;?\s*$",
+            stmt, re.IGNORECASE | re.DOTALL,
+        )
+        if mcview:
+            # SqlCreateView.java: in the reference views are
+            # mode-agnostic (expanded at plan time); here a view whose
+            # body reads a WATERMARKED DDL source or another streaming
+            # view is a STREAMING view (create_streaming_view — later
+            # stream_query statements compose over it); anything else
+            # keeps the plain batch temp-view registration.
+            body = mcview.group("q")
+            unq = "".join(
+                p for i, p in enumerate(re.split(r"('(?:[^']|'')*')", body))
+                if i % 2 == 0
+            )
+            streaming_rels = set(self._watermarks) | set(self._stream_views)
+            if any(
+                re.search(rf"(?<![\w.]){re.escape(s)}(?![\w.])", unq,
+                          re.IGNORECASE)
+                for s in streaming_rels
+            ):
+                self.create_streaming_view(mcview.group("name"), body)
+                return None
+            self.spark.sql(
+                self._rewrite_flink_clauses(translate_hints(stmt))
+            )
+            return None
         malterview = re.match(
             r"^ALTER\s+VIEW\s+(?P<name>\w+)\s+"
             r"(?:RENAME\s+TO\s+(?P<newname>\w+)|AS\s+(?P<query>.+))\s*;?\s*$",

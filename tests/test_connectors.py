@@ -2395,3 +2395,49 @@ def test_stream_statement_set_cumulate_two_batches(tenv, spark, tmp_path):
     # {e1,e2,e3} SPANS batches (e3 arrives in batch 2 before the slice
     # closes); 12:00's span stays open (wm 11:59)
     assert got == [("10:30", 1, 1.0), ("11:00", 3, 7.0)]
+
+
+def test_create_view_sql_routes_streaming(tenv, spark, tmp_path):
+    """SQL-text CREATE TEMPORARY VIEW routes to create_streaming_view
+    when the body reads a watermarked DDL source or another streaming
+    view (SqlCreateView.java — the reference's views are mode-agnostic
+    and expand at plan time); plain bodies keep the batch temp view."""
+    import datetime as dt
+
+    from flink_1_16_0_src_spark.streaming import sources as ssrc
+
+    d = str(tmp_path / "cvsrc")
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 0), "a", 1.0),
+         (2, dt.datetime(2024, 1, 1, 10, 10), "b", 2.0),
+         (3, dt.datetime(2024, 1, 1, 12, 0), "a", 4.0)],
+        "eid bigint, ts timestamp, k string, v double",
+    ).write.parquet(d)
+    tenv.execute_sql(
+        f"CREATE TABLE cv_ev (eid BIGINT, ts TIMESTAMP(3), k STRING,"
+        f" v DOUBLE, WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{d}','format'='parquet')"
+    )
+    tenv.execute_sql(
+        "CREATE TEMPORARY VIEW cv_a AS SELECT eid, ts, v FROM cv_ev "
+        "WHERE k = 'a'"
+    )
+    assert "cv_a" in tenv._stream_views
+    # composes: second-level view over the first, then a TVF agg
+    tenv.execute_sql(
+        "CREATE TEMPORARY VIEW cv_a2 AS SELECT eid, ts, v * 10 AS v10 "
+        "FROM cv_a"
+    )
+    assert "cv_a2" in tenv._stream_views
+    out = tenv.stream_query("""
+        SELECT window_end, COUNT(*) AS n, SUM(v10) AS s
+        FROM TABLE(TUMBLE(TABLE cv_a2, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        GROUP BY window_start, window_end
+    """)
+    rows = ssrc.run_to_memory(out, "cv_drain", "append").collect()
+    assert [(r.window_end.hour, r.n, r.s) for r in rows] == [(11, 1, 10.0)]
+    # batch body → plain temp view, not a streaming one
+    spark.createDataFrame([(7,)], "x int").createOrReplaceTempView("cv_base")
+    tenv.execute_sql("CREATE TEMPORARY VIEW cv_b AS SELECT x * 2 AS y FROM cv_base")
+    assert "cv_b" not in tenv._stream_views
+    assert spark.table("cv_b").collect()[0].y == 14
