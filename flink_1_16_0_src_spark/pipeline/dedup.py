@@ -1185,3 +1185,70 @@ def cluster_census(components: DataFrame) -> DataFrame:
             (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
         )
     )
+
+
+def hamming_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int,
+    max_hamming: int = 4,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Within-corpus hamming near-dup pairs over ANY integer signature
+    column (SimHash, image dHash, audio fingerprints …) via the
+    PIGEONHOLE band join: the ``bits``-bit signature splits into
+    ``max_hamming + 1`` contiguous bands; any pair within hamming
+    distance <= max_hamming agrees exactly on at least one band, so
+    candidates come from a band-key equi-join (never all-pairs) and
+    the bit_count(xor) verify makes the result EQUAL to the full
+    hamming join — no recall loss, unless the hot-bucket star cap
+    triggers (``max_bucket``, the minhash precedent: an oversized
+    band bucket pairs members with its min id only; None = exact).
+    Self-join twin of simhash_dedup_against's base x new form."""
+    from pyspark.sql import Window
+
+    nb = max_hamming + 1
+    widths = [bits // nb + (1 if i < bits % nb else 0) for i in range(nb)]
+    offs = [sum(widths[:i]) for i in range(nb)]
+    parts = [
+        F.struct(
+            F.lit(i).alias("band"),
+            (
+                F.shiftright(hash_col, offs[i])
+                % F.lit(1 << widths[i]).cast("bigint")
+            ).alias("band_val"),
+        )
+        for i in range(nb)
+    ]
+    banded = df.select(
+        F.col(id_col), F.col(hash_col).alias("__sig"),
+        F.explode(F.array(*parts)).alias("__b"),
+    ).select(id_col, "__sig", F.col("__b.band").alias("band"),
+             F.col("__b.band_val").alias("band_val"))
+    a = banded.select(F.col(id_col).alias("id_a"),
+                      F.col("__sig").alias("__sa"), "band", "band_val")
+    b = banded.select(F.col(id_col).alias("id_b"),
+                      F.col("__sig").alias("__sb"), "band", "band_val")
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "band_val")
+        a = (
+            a.withColumn("__bn", F.count("*").over(w))
+            .withColumn("__rep", F.min("id_a").over(w))
+            .where((F.col("__bn") <= max_bucket)
+                   | (F.col("id_a") == F.col("__rep")))
+            .drop("__bn", "__rep")
+        )
+    cands = (
+        a.join(b, ["band", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sa", "__sb")
+        .distinct()
+    )
+    return (
+        cands.select(
+            "id_a", "id_b",
+            F.bit_count(F.expr("__sa ^ __sb")).cast("bigint").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

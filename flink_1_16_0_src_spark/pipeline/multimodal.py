@@ -427,3 +427,62 @@ def chunk_media(df: DataFrame, chunk_bytes: int = 64) -> DataFrame:
             F.octet_length("__c.chunk").cast("int").alias("chunk_len"),
         )
     )
+
+
+def image_dhash(
+    df: DataFrame, payload_col: str, id_col: str, block: int = 4
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) over ppm image payloads — the
+    image near-dup fingerprint multimodal pipelines pair with text
+    MinHash (aHash/dHash/pHash family; dHash = gradient signs, robust
+    to brightness shifts and mild noise). Pipeline per image, ALL
+    INTEGER (engine-exact, no float thresholds):
+
+    1. decode P6 ppm -> (h, w, 3) uint8;
+    2. integer luma gray = (299 R + 587 G + 114 B) // 1000;
+    3. downsample to an 8 x 8 block grid by integer block mean
+       (block x block pixels, floor division);
+    4. bit(i, j) = 1 iff grid[i][j] > grid[i][j+1] — 7 comparisons per
+       row, a 56-bit signature (BIGINT-safe on every engine; the
+       classic 9x8 layout's 64th bit would overflow signed 64-bit
+       accumulation in SQL oracles).
+
+    Arrow-batched mapInPandas (numpy reshape-sum per image), map-only;
+    feed the signatures to dedup.hamming_near_dup_pairs for the
+    banded near-dup join. Expects h = w = 8 * block images (the
+    deterministic synth fixtures use 32 x 32)."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [df.schema[id_col], StructField("dhash", LongType(), False)]
+    )
+
+    def _hash(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for payload in pdf[payload_col]:
+                px = _parse_ppm(bytes(payload)).astype(np.int64)
+                gray = (299 * px[..., 0] + 587 * px[..., 1]
+                        + 114 * px[..., 2]) // 1000
+                h, w = gray.shape
+                gh, gw = h // block, w // block
+                grid = (
+                    gray.reshape(gh, block, gw, block).sum(axis=(1, 3))
+                    // (block * block)
+                )
+                bits = grid[:, :-1] > grid[:, 1:]  # gh x (gw-1)
+                val = 0
+                for i in range(gh):
+                    for j in range(gw - 1):
+                        if bits[i, j]:
+                            val |= 1 << (i * (gw - 1) + j)
+                out.append(val)
+            res = pdf[[id_col]].copy()
+            res["dhash"] = out
+            yield res
+
+    return df.select(id_col, payload_col).mapInPandas(_hash, out_schema)

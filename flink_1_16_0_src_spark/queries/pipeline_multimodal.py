@@ -281,3 +281,157 @@ def multimodal_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.mapInPandas(
         synth_and_motion, "media_id bigint, frame_no int, motion_sad bigint"
     )
+
+
+def _synth_images(spark: SparkSession, sf_dir: str, with_perturbed: bool):
+    """Deterministic 32x32 ppm fixtures from the documents ids (every
+    5th doc): pixel (y, x, c) = ((base*2654435761 + (x + 32c)*40503 +
+    y*69427) >> 3) % 256 — integer mixing, replayable in SQL. The
+    perturbed twin (media_id = base + 500000) brightens ONE 4x4 block
+    (by=3, bx=2) by +8 (clipped), flipping at most the two dhash
+    comparisons that touch it."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType,
+    )
+
+    from flink_1_16_0_src_spark.pipeline.multimodal import encode_ppm
+
+    ids = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select(F.col("doc_id").alias("base"), F.lit(0).alias("pert"))
+    )
+    if with_perturbed:
+        ids = ids.unionByName(
+            ids.select("base", F.lit(1).alias("pert"))
+        )
+    out_schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+    ])
+
+    def _gen(batches):
+        y, x = np.mgrid[0:32, 0:32]
+        for pdf in batches:
+            rows = []
+            for base, pert in zip(pdf["base"], pdf["pert"]):
+                base = int(base)
+                px = np.stack(
+                    [
+                        ((base * 2654435761 + (x + 32 * c) * 40503
+                          + y * 69427) >> 3) % 256
+                        for c in range(3)
+                    ],
+                    axis=-1,
+                ).astype(np.int64)
+                if pert:
+                    px[12:16, 8:12, :] = np.minimum(
+                        px[12:16, 8:12, :] + 8, 255
+                    )
+                rows.append(
+                    (base + (500000 if pert else 0),
+                     encode_ppm(px.astype(np.uint8)))
+                )
+            import pandas as pd
+
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return ids.mapInPandas(_gen, out_schema)
+
+
+_DHASH_SIG_SQL = """
+    px AS (
+      SELECT i.mid, i.base, i.pert, xs.x, ys.y,
+             (299 * (CASE WHEN i.pert = 1 AND xs.x // 4 = 2 AND ys.y // 4 = 3
+                     THEN least(((i.base*2654435761 + (xs.x + 0)*40503 + ys.y*69427) >> 3) % 256 + 8, 255)
+                     ELSE ((i.base*2654435761 + (xs.x + 0)*40503 + ys.y*69427) >> 3) % 256 END)
+            + 587 * (CASE WHEN i.pert = 1 AND xs.x // 4 = 2 AND ys.y // 4 = 3
+                     THEN least(((i.base*2654435761 + (xs.x + 32)*40503 + ys.y*69427) >> 3) % 256 + 8, 255)
+                     ELSE ((i.base*2654435761 + (xs.x + 32)*40503 + ys.y*69427) >> 3) % 256 END)
+            + 114 * (CASE WHEN i.pert = 1 AND xs.x // 4 = 2 AND ys.y // 4 = 3
+                     THEN least(((i.base*2654435761 + (xs.x + 64)*40503 + ys.y*69427) >> 3) % 256 + 8, 255)
+                     ELSE ((i.base*2654435761 + (xs.x + 64)*40503 + ys.y*69427) >> 3) % 256 END)
+             ) // 1000 AS gray
+      FROM imgs i, generate_series(0, 31) xs(x), generate_series(0, 31) ys(y)
+    ),
+    blocks AS (
+      SELECT mid, y // 4 AS by, x // 4 AS bx, sum(gray) // 16 AS bm
+      FROM px GROUP BY mid, y // 4, x // 4
+    ),
+    bits AS (
+      SELECT l.mid, l.by * 7 + l.bx AS bit,
+             CASE WHEN l.bm > r.bm THEN 1 ELSE 0 END AS b
+      FROM blocks l JOIN blocks r
+        ON l.mid = r.mid AND l.by = r.by AND r.bx = l.bx + 1
+      WHERE l.bx < 7
+    ),
+    sig AS (
+      SELECT mid, CAST(sum(CASE WHEN b = 1 THEN (1::BIGINT << bit)
+                                ELSE 0 END) AS BIGINT) AS dhash
+      FROM bits GROUP BY mid
+    )
+"""
+
+
+@query(
+    "multimodal_image_dhash",
+    oracle=f"""
+    WITH imgs AS (
+      SELECT doc_id AS mid, doc_id AS base, 0 AS pert
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    {_DHASH_SIG_SQL}
+    SELECT mid AS media_id, dhash FROM sig
+    """,
+    tags=("pipeline", "multimodal", "dedup", "custom-op"),
+)
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dHash (pipeline.multimodal.image_dhash — r11):
+    deterministic 32x32 ppm fixtures decode through the real P6 codec,
+    integer luma, 4x4 block means, row-adjacent gradient signs → a
+    56-bit BIGINT signature, ALL INTEGER (the oracle replays pixel
+    synthesis + the hash arithmetic in SQL — so a decode bug would
+    hash-mismatch). Map-only Arrow pass."""
+    from flink_1_16_0_src_spark.pipeline.multimodal import image_dhash
+
+    media = _synth_images(spark, sf_dir, with_perturbed=False)
+    return image_dhash(media, "payload", "media_id")
+
+
+@query(
+    "multimodal_image_neardup",
+    oracle=f"""
+    WITH imgs AS (
+      SELECT doc_id AS mid, doc_id AS base, 0 AS pert
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 500000, doc_id, 1
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    {_DHASH_SIG_SQL}
+    SELECT a.mid AS id_a, b.mid AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.mid < b.mid
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
+    """,
+    tags=("pipeline", "multimodal", "dedup", "custom-op"),
+)
+def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-DUP pairs by dHash hamming distance (r11 —
+    pipeline.dedup.hamming_near_dup_pairs over image_dhash
+    signatures): every image gets a perturbed twin (+8 on one 4x4
+    block, at most two gradient-sign flips); the pigeonhole band
+    equi-join (5 bands over 56 bits, EXACT vs the full hamming join —
+    uncapped here) recovers the twins at hamming <= 4. The oracle is
+    the literal all-pairs hamming join, feasible only at oracle scale
+    — which is exactly why the banded operator exists."""
+    from flink_1_16_0_src_spark.pipeline.dedup import hamming_near_dup_pairs
+    from flink_1_16_0_src_spark.pipeline.multimodal import image_dhash
+
+    media = _synth_images(spark, sf_dir, with_perturbed=True)
+    sigs = image_dhash(media, "payload", "media_id")
+    return hamming_near_dup_pairs(
+        sigs, "media_id", "dhash", bits=56, max_hamming=4, max_bucket=None
+    )
