@@ -87,6 +87,12 @@ BENCH_QUERIES = [
                                  # interval-join view feeding a TUMBLE
                                  # TVF agg in one statement (two
                                  # stateful operators, one drain)
+    # r11 addition (per-query comparison only):
+    "stream_sql_window_topn_drain",  # window Top-N via the r11
+                                 # RANK-BOUNDED stateful buffer
+                                 # (k rows per (window, key) state +
+                                 # event-time-timer emission) — the
+                                 # perf canary for the rewrite
 ]
 
 

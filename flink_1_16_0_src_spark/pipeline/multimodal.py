@@ -486,3 +486,55 @@ def image_dhash(
             yield res
 
     return df.select(id_col, payload_col).mapInPandas(_hash, out_schema)
+
+
+def audio_fingerprint(
+    df: DataFrame, payload_col: str, id_col: str,
+    frame: int = 64, n_frames: int = 57,
+) -> DataFrame:
+    """Audio FINGERPRINT over wav payloads — the audio twin of
+    image_dhash (the energy-gradient-sign family: Shazam/chromaprint
+    reduce audio to per-frame features and hash feature DELTAS; here
+    the feature is the integer frame energy of the 8-bit PCM stream):
+    bit(i) = 1 iff energy(frame i) > energy(frame i+1), over the first
+    ``n_frames`` frames of ``frame`` samples — a (n_frames-1)-bit
+    BIGINT signature, ALL INTEGER (8-bit PCM decodes to (u-128)/128,
+    exact in float64, so the raw bytes recover exactly). Robust to
+    uniform gain shifts smaller than the quantization step; pair with
+    dedup.hamming_near_dup_pairs for near-dup audio. Map-only Arrow
+    pass."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    assert n_frames <= 57, "signature must fit signed 64-bit SQL math"
+    out_schema = StructType(
+        [df.schema[id_col], StructField("afp", LongType(), False)]
+    )
+
+    def _fp(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for payload in pdf[payload_col]:
+                s, _rate = _parse_wav(bytes(payload))
+                u8 = np.rint(s[:, 0] * 128.0 + 128.0).astype(np.int64)
+                need = frame * n_frames
+                if len(u8) < need:
+                    raise ValueError(
+                        f"audio_fingerprint needs >= {need} samples"
+                    )
+                e = u8[:need].reshape(n_frames, frame).sum(axis=1)
+                val = 0
+                for i in range(n_frames - 1):
+                    if e[i] > e[i + 1]:
+                        val |= 1 << i
+                out.append(val)
+            res = pdf[[id_col]].copy()
+            res["afp"] = out
+            yield res
+
+    return df.select(id_col, payload_col).mapInPandas(_fp, out_schema)

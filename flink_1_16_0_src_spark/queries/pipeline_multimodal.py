@@ -435,3 +435,101 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_near_dup_pairs(
         sigs, "media_id", "dhash", bits=56, max_hamming=4, max_bucket=None
     )
+
+
+@query(
+    "multimodal_audio_neardup",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS base FROM documents WHERE doc_id % 5 = 0
+    ),
+    clips AS (
+      SELECT base AS mid, base, 0 AS pert FROM m
+      UNION ALL
+      SELECT base + 500000, base, 1 FROM m
+    ),
+    samples AS (
+      SELECT c.mid, s.i // 64 AS f,
+             CASE WHEN c.pert = 1 AND s.i // 64 = 20
+                  THEN least(((c.base*2654435761 + s.i*40503) >> 3) % 256 + 4, 255)
+                  ELSE ((c.base*2654435761 + s.i*40503) >> 3) % 256 END AS v
+      FROM clips c, generate_series(0, 3647) s(i)
+    ),
+    energies AS (
+      SELECT mid, f, sum(v) AS e FROM samples GROUP BY mid, f
+    ),
+    sig AS (
+      SELECT l.mid,
+             CAST(sum(CASE WHEN l.e > r.e THEN (1::BIGINT << l.f)
+                           ELSE 0 END) AS BIGINT) AS afp
+      FROM energies l JOIN energies r ON l.mid = r.mid AND r.f = l.f + 1
+      WHERE l.f < 56
+      GROUP BY l.mid
+    )
+    SELECT a.mid AS id_a, b.mid AS id_b,
+           CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.mid < b.mid
+    WHERE bit_count(xor(a.afp, b.afp)) <= 4
+    """,
+    tags=("pipeline", "multimodal", "dedup", "custom-op"),
+)
+def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio NEAR-DUP pairs by energy-gradient fingerprint hamming
+    distance (r11 — pipeline.multimodal.audio_fingerprint +
+    pipeline.dedup.hamming_near_dup_pairs): deterministic 8-bit PCM
+    clips (3648 samples from integer mixing) decode through the real
+    RIFF/WAVE codec; each clip gets a twin with ONE frame boosted +4
+    (at most two gradient-sign flips); the pigeonhole band join
+    recovers the twins at hamming <= 4. The oracle replays sample
+    synthesis, frame energies, the 56-bit signature, and the literal
+    all-pairs hamming join in SQL — a codec bug would hash-mismatch."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType,
+    )
+
+    from flink_1_16_0_src_spark.pipeline.dedup import hamming_near_dup_pairs
+    from flink_1_16_0_src_spark.pipeline.multimodal import (
+        audio_fingerprint,
+        encode_wav,
+    )
+
+    ids = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select(F.col("doc_id").alias("base"))
+    )
+    clips = ids.select("base", F.lit(0).alias("pert")).unionByName(
+        ids.select("base", F.lit(1).alias("pert"))
+    )
+    out_schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+    ])
+
+    def _gen(batches):
+        import pandas as pd
+
+        i = np.arange(3648, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for base, pert in zip(pdf["base"], pdf["pert"]):
+                base = int(base)
+                v = ((base * 2654435761 + i * 40503) >> 3) % 256
+                if pert:
+                    v = v.copy()
+                    v[20 * 64 : 21 * 64] = np.minimum(
+                        v[20 * 64 : 21 * 64] + 4, 255
+                    )
+                rows.append(
+                    (base + (500000 if pert else 0),
+                     encode_wav(v.astype(np.uint8).tobytes()))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = clips.mapInPandas(_gen, out_schema)
+    sigs = audio_fingerprint(media, "payload", "media_id")
+    return hamming_near_dup_pairs(
+        sigs, "media_id", "afp", bits=56, max_hamming=4, max_bucket=None
+    )
