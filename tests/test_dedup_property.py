@@ -451,3 +451,47 @@ def test_simhash_incremental_band_join_exact_and_capped(spark):
         ).collect()
     }
     assert capped <= exact
+
+
+def test_hamming_near_dup_pairs_lossless_vs_full_join(spark):
+    """The generic pigeonhole band join (hamming_near_dup_pairs, r11)
+    is EQUAL to the full all-pairs hamming join when uncapped: any
+    pair within hamming <= max_hamming differs in at most max_hamming
+    bits, which cannot touch every one of the max_hamming+1 bands.
+    Random 56-bit signatures + planted near-twins; the capped variant
+    returns a subset."""
+    import itertools
+    import random
+
+    from flink_1_16_0_src_spark.pipeline.dedup import hamming_near_dup_pairs
+
+    rng = random.Random(11)
+    sigs = [(i, rng.getrandbits(56)) for i in range(120)]
+    # planted twins: flip 1..4 random bits of existing signatures
+    for j, (src, flips) in enumerate(
+        [(3, 1), (17, 2), (40, 3), (77, 4), (90, 4)]
+    ):
+        v = sigs[src][1]
+        for b in rng.sample(range(56), flips):
+            v ^= 1 << b
+        sigs.append((1000 + j, v))
+    df = spark.createDataFrame(sigs, "id bigint, sig bigint")
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_near_dup_pairs(
+            df, "id", "sig", bits=56, max_hamming=4, max_bucket=None
+        ).collect()
+    )
+    exp = sorted(
+        (a, b, bin(sa ^ sb).count("1"))
+        for (a, sa), (b, sb) in itertools.combinations(sigs, 2)
+        if bin(sa ^ sb).count("1") <= 4
+    )
+    assert got == exp and len(exp) >= 5
+    capped = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_near_dup_pairs(
+            df, "id", "sig", bits=56, max_hamming=4, max_bucket=1
+        ).collect()
+    )
+    assert set(capped) <= set(exp)
