@@ -34,6 +34,7 @@ NON_FLOAT_INTERNAL = {
     "__t", "__side", "__rt", "__epoch", "__rowtime", "__ts", "__ord",
     "__b",  # histogram_quantiles bucket index — floor()ed bigint
     "__q6",  # token_budget_select quality — round()ed 6-dp BIGINT micro-units
+    "__idh",  # quality_percentile id-range sub-bucket — floor()ed BIGINT
 }
 
 
