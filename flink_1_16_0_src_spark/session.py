@@ -2724,17 +2724,24 @@ class StreamStatementSet:
             p for i, p in enumerate(re.split(r"('(?:[^']|'')*')", body))
             if i % 2 == 0
         )
-        srcs_in = [
+        refs = [
             s for s in self._tenv._sources
             if re.search(rf"(?<![\w.]){re.escape(s)}(?![\w.])", unquoted,
                          re.IGNORECASE)
         ]
+        # the STREAM side is the watermarked source; other referenced
+        # DDL tables are batch DIMENSIONS and resolve through their
+        # batch temp views inside the per-batch planning (the
+        # stream-dim enrichment shape). A watermark-less statement
+        # keeps the old rule: its single DDL source IS the stream.
+        wm_srcs = [s for s in refs if s in self._tenv._watermarks]
+        srcs_in = wm_srcs if wm_srcs else refs
         if len(srcs_in) != 1:
             raise ValueError(
                 "streaming statement set: each statement must read "
-                "exactly one DDL streaming source (got "
-                f"{srcs_in or 'none'}); join batch dims by name, run "
-                "stream-stream joins as their own stream_query"
+                "exactly one streaming (watermarked) DDL source (got "
+                f"{srcs_in or 'none'}); batch DDL dims may join freely, "
+                "stream-stream joins run as their own stream_query"
             )
         kind, info = self._classify(unquoted, body, srcs_in[0])
         self._inserts.append(

@@ -1933,7 +1933,7 @@ def test_stream_statement_set(tenv, spark, tmp_path):
     assert got_b == [("buy", 11, 2, 6.0), ("click", 11, 1, 1.0)]
     with pytest.raises(ValueError, match="no statements"):
         tenv.create_stream_statement_set().execute()
-    with pytest.raises(ValueError, match="exactly one DDL streaming source"):
+    with pytest.raises(ValueError, match="exactly one streaming"):
         tenv.create_stream_statement_set().add_insert_sql(
             "INSERT INTO sset_a SELECT 1 AS x"
         )
@@ -2445,3 +2445,64 @@ def test_create_view_sql_routes_streaming(tenv, spark, tmp_path):
     tenv.execute_sql("CREATE TEMPORARY VIEW cv_b AS SELECT x * 2 AS y FROM cv_base")
     assert "cv_b" not in tenv._stream_views
     assert spark.table("cv_b").collect()[0].y == 14
+
+
+def test_stream_statement_set_dim_join(tenv, spark, tmp_path):
+    """Statement sets admit stream x batch-DIM enrichment joins (r11):
+    the watermarked source is the stream; other referenced DDL tables
+    are batch dimensions resolved through their batch temp views —
+    both in a stateless projection statement and under a TUMBLE
+    aggregate."""
+    import datetime as dt
+
+    d = str(tmp_path / "dimsrc")
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 0), 10, 1.0),
+         (2, dt.datetime(2024, 1, 1, 10, 30), 20, 2.0),
+         (3, dt.datetime(2024, 1, 1, 12, 0), 10, 4.0)],
+        "eid bigint, ts timestamp, dim_id bigint, v double",
+    ).write.parquet(d)
+    dimd = str(tmp_path / "dimtab")
+    spark.createDataFrame(
+        [(10, "alpha"), (20, "beta")], "dim_id bigint, label string"
+    ).write.parquet(dimd)
+    tenv.execute_sql(
+        f"CREATE TABLE dim_ev (eid BIGINT, ts TIMESTAMP(3), dim_id BIGINT,"
+        f" v DOUBLE, WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{d}','format'='parquet')"
+    )
+    tenv.execute_sql(
+        f"CREATE TABLE dim_tab (dim_id BIGINT, label STRING)"
+        f" WITH ('connector'='filesystem','path'='{dimd}','format'='parquet')"
+    )
+    a, b = str(tmp_path / "dim_a"), str(tmp_path / "dim_b")
+    tenv.execute_sql(
+        f"CREATE TABLE dim_snk_a WITH ('connector'='filesystem',"
+        f"'path'='{a}','format'='parquet')"
+    )
+    tenv.execute_sql(
+        f"CREATE TABLE dim_snk_b WITH ('connector'='filesystem',"
+        f"'path'='{b}','format'='parquet')"
+    )
+    r = (
+        tenv.create_stream_statement_set()
+        .add_insert_sql(
+            "INSERT INTO dim_snk_a SELECT e.eid, t.label FROM dim_ev e "
+            "JOIN dim_tab t ON e.dim_id = t.dim_id"
+        )
+        .add_insert_sql(
+            "INSERT INTO dim_snk_b SELECT t.label, window_end, "
+            "COUNT(*) AS n, SUM(e.v) AS s "
+            "FROM TABLE(TUMBLE(TABLE dim_ev, DESCRIPTOR(ts), "
+            "INTERVAL '1' HOUR)) e JOIN dim_tab t ON e.dim_id = t.dim_id "
+            "GROUP BY t.label, window_start, window_end"
+        )
+        .execute(checkpoint=str(tmp_path / "dimck"))
+    )
+    assert r["shared_source"] == "dim_ev" and r["window_agg_statements"] == 1
+    got_a = sorted((x.eid, x.label) for x in spark.read.parquet(a).collect())
+    assert got_a == [(1, "alpha"), (2, "beta"), (3, "alpha")]
+    # wm 12:00-1min closes only the 10:00 window
+    got_b = sorted((x.label, x.window_end.hour, x.n, x.s)
+                   for x in spark.read.parquet(b).collect())
+    assert got_b == [("alpha", 11, 1, 1.0), ("beta", 11, 1, 2.0)]
