@@ -2818,6 +2818,82 @@ def stream_sql_statement_set_hop_drain(spark: SparkSession, sf_dir: str) -> Data
 
 
 @query(
+    "stream_sql_statement_set_dim_drain",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events),
+    win AS (
+      SELECT c.c_nationkey AS nation,
+             time_bucket(INTERVAL '1 hour', e.ts) AS window_start,
+             time_bucket(INTERVAL '1 hour', e.ts) + INTERVAL '1 hour'
+               AS window_end,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(e.value), 2) AS total
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      WHERE e.event_type = 'purchase'
+      GROUP BY c.c_nationkey, time_bucket(INTERVAL '1 hour', e.ts)
+    )
+    SELECT nation, window_start, window_end, n, total FROM win
+    WHERE window_end <= (SELECT w FROM wm)
+    """,
+    tags=("streaming", "statement-set", "sql-surface"),
+)
+def stream_sql_statement_set_dim_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream x batch-DIM enrichment inside a streaming statement set
+    (r11): the watermarked events source is the stream; the customer
+    DDL table is a batch dimension resolving through its batch view in
+    the per-batch planning — here under a watermark-closed TUMBLE
+    aggregate (per-nation hourly purchase census), the canonical
+    enrichment-then-window production shape. The receipt pins the
+    shared scan; every emitted row is a complete closed window."""
+    import os as _os
+    import tempfile as _tf
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE sq_ssd_ev_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    t.execute_sql(
+        f"CREATE TABLE sq_ssd_cust_{k}"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'customer.parquet')}',"
+        f"'format'='parquet')"
+    )
+    d = _os.path.join(_tf.mkdtemp(prefix="spark_graft_ssd_"), "win")
+    t.execute_sql(
+        f"CREATE TABLE sq_ssd_win_{k} WITH ('connector'='filesystem',"
+        f"'path'='{d}','format'='parquet')"
+    )
+    receipt = (
+        t.create_stream_statement_set()
+        .add_insert_sql(
+            f"INSERT INTO sq_ssd_win_{k} SELECT c.c_nationkey AS nation, "
+            f"window_start, window_end, COUNT(*) AS n, "
+            f"ROUND(SUM(e.value), 2) AS total "
+            f"FROM TABLE(TUMBLE(TABLE sq_ssd_ev_{k}, DESCRIPTOR(ts), "
+            f"INTERVAL '1' HOUR)) e "
+            f"JOIN sq_ssd_cust_{k} c ON e.user_id = c.c_custkey "
+            f"WHERE e.event_type = 'purchase' "
+            f"GROUP BY c.c_nationkey, window_start, window_end"
+        )
+        .execute()
+    )
+    assert receipt["shared_source"] == f"sq_ssd_ev_{k}"
+    assert receipt["window_agg_statements"] == 1
+    return spark.read.parquet(d).select(
+        "nation", "window_start", "window_end", "n",
+        F.round("total", 2).alias("total"),
+    )
+
+
+@query(
     "stream_sql_view_topn_drain",
     oracle="""
     SELECT user_id, event_id, value, rn FROM (
