@@ -2894,6 +2894,95 @@ def stream_sql_statement_set_dim_drain(spark: SparkSession, sf_dir: str) -> Data
 
 
 @query(
+    "stream_sql_statement_set_session_drain",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events),
+    b AS (
+      SELECT user_id, ts, event_type, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts)
+                          > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    s AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM b
+    ),
+    w AS (
+      SELECT user_id, event_type, value,
+             min(ts) OVER (PARTITION BY user_id, sid) AS window_start,
+             max(ts) OVER (PARTITION BY user_id, sid)
+               + INTERVAL '30 minutes' AS window_end
+      FROM s
+    )
+    SELECT user_id, window_start, window_end,
+           CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+    FROM w
+    WHERE event_type = 'purchase'
+      AND window_end <= (SELECT w FROM wm)
+    GROUP BY user_id, window_start, window_end
+    """,
+    tags=("streaming", "statement-set", "sql-surface"),
+)
+def stream_sql_statement_set_session_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SESSION window aggregate inside a STREAMING statement set (r11
+    — merging windows under the staging model: session assignment is
+    recomputed over staged ∪ new rows each batch and a session emits
+    once, complete, when the watermark passes max(ts)+gap; the
+    reference's StreamStatementSetImpl.java runs merging windows the
+    same way via WindowOperator purge-on-fire). Per-user 30-minute
+    activity sessions; the WHERE filters purchases AFTER session
+    assignment (TVF semantics), so session bounds derive from ALL the
+    user's events. Oracle replays gaps-and-islands per user, gated at
+    the final watermark."""
+    import os as _os
+    import tempfile as _tf
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE sq_sss_ev_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    d = _os.path.join(_tf.mkdtemp(prefix="spark_graft_sss_"), "win")
+    t.execute_sql(
+        f"CREATE TABLE sq_sss_win_{k} WITH ('connector'='filesystem',"
+        f"'path'='{d}','format'='parquet')"
+    )
+    receipt = (
+        t.create_stream_statement_set()
+        .add_insert_sql(
+            f"INSERT INTO sq_sss_win_{k} SELECT user_id, window_start, "
+            f"window_end, COUNT(*) AS n, ROUND(SUM(value), 2) AS total "
+            f"FROM TABLE(SESSION(TABLE sq_sss_ev_{k} "
+            f"PARTITION BY user_id, DESCRIPTOR(ts), "
+            f"INTERVAL '30' MINUTE)) "
+            f"WHERE event_type = 'purchase' "
+            f"GROUP BY user_id, window_start, window_end"
+        )
+        .execute()
+    )
+    assert receipt["streaming_queries"] == 1
+    assert receipt["window_agg_statements"] == 1
+    return spark.read.parquet(d).select(
+        "user_id", "window_start", "window_end", "n",
+        F.round("total", 2).alias("total"),
+    )
+
+
+@query(
     "stream_sql_view_topn_drain",
     oracle="""
     SELECT user_id, event_id, value, rn FROM (

@@ -2551,6 +2551,14 @@ _SSET_WIN_TVF = re.compile(
     r"(?:,\s*(?P<i2>INTERVAL\s*'[^']+'\s*\w+)\s*)?\)\s*\)",
     re.IGNORECASE,
 )
+_SSET_SESSION_TVF = re.compile(
+    r"TABLE\s*\(\s*SESSION\s*\(\s*(?:DATA\s*=>\s*)?"
+    r"TABLE\s+(?P<src>\w+)"
+    r"(?:\s+PARTITION\s+BY\s+(?P<keys>\w+(?:\s*,\s*\w+)*))?\s*,\s*"
+    r"(?:TIMECOL\s*=>\s*)?DESCRIPTOR\s*\(\s*(?P<ts>\w+)\s*\)\s*,\s*"
+    r"(?:GAP\s*=>\s*)?(?P<gap>INTERVAL\s*'[^']+'\s*\w+)\s*\)\s*\)",
+    re.IGNORECASE,
+)
 _SSET_AGG_HEAD = re.compile(
     r"\b(?:COUNT|SUM|AVG|MIN|MAX|STDDEV\w*|VAR\w*|LISTAGG|COLLECT|"
     r"FIRST_VALUE|LAST_VALUE|APPROX_COUNT_DISTINCT)\s*\(",
@@ -2593,10 +2601,16 @@ class StreamStatementSet:
       (previous watermark, current watermark] — every window emits
       exactly once with its complete row set. Re-planning touches the
       staged horizon each batch (bounded by delay + window span).
+    - SESSION TVF aggregates (r11): sessions MERGE, so a row's window
+      identity isn't fixed on arrival — assignment is recomputed over
+      staged ∪ new rows each batch, and a session is final (emitted
+      once, complete) when the watermark passes max(ts)+gap: any
+      surviving non-late future row necessarily starts a NEW session,
+      the reference's purge-on-fire contract (WindowOperator.java /
+      SessionWindowAssigner.java merging windows).
     - Anything else stateful across batches (non-windowed GROUP BY /
-      global aggregates, DISTINCT, OVER, MATCH_RECOGNIZE, SESSION
-      windows — which MERGE, so a row's window identity isn't fixed on
-      arrival — and stream-stream joins) is REJECTED at add time:
+      global aggregates, DISTINCT, OVER, MATCH_RECOGNIZE,
+      and stream-stream joins) is REJECTED at add time:
       those need their own ``stream_query`` statement — one stateful
       pipeline per sink, the same granularity the reference gives each
       exec-node chain.
@@ -2639,16 +2653,56 @@ class StreamStatementSet:
                 "streaming statement set: DISTINCT deduplicates across "
                 "micro-batches — run it as its own stream_query"
             )
-        if re.search(r"TABLE\s*\(\s*SESSION\s*\(", unquoted, re.IGNORECASE):
-            raise ValueError(
-                "streaming statement set: SESSION windows MERGE across "
-                "batches (a row's window identity isn't fixed on "
-                "arrival) — run SESSION aggregates as their own "
-                "stream_query"
-            )
-        tm = _SSET_WIN_TVF.search(body)
         gm = re.search(r"\bGROUP\s+BY\b(?P<keys>.*)$", unquoted,
                        re.IGNORECASE | re.DOTALL)
+        sm = _SSET_SESSION_TVF.search(body)
+        if sm is not None:
+            # SESSION windows MERGE (a row's window identity isn't
+            # fixed on arrival — SessionWindowAssigner.java merging
+            # windows), but the staging model closes them exactly:
+            # rows of still-open sessions stay staged; a session is
+            # FINAL once the watermark passes max(ts)+gap, because any
+            # surviving (non-late) future row has ts+gap > wm ≥ that
+            # session's end and therefore starts a NEW session — the
+            # reference's purge-on-fire contract (WindowOperator.java).
+            keys_txt = gm.group("keys") if gm else ""
+            if not (re.search(r"\bwindow_start\b", keys_txt, re.IGNORECASE)
+                    and re.search(r"\bwindow_end\b", keys_txt,
+                                  re.IGNORECASE)):
+                raise ValueError(
+                    "streaming statement set: a SESSION TVF statement "
+                    "must GROUP BY window_start, window_end so every "
+                    "emitted row is a watermark-closed session"
+                )
+            wm = self._tenv._watermarks.get(src_name)
+            if wm is None:
+                raise ValueError(
+                    f"streaming statement set: source {src_name!r} "
+                    "needs a WATERMARK declaration — session closure "
+                    "is watermark-driven"
+                )
+            if sm.group("ts").lower() != wm[0].lower():
+                raise ValueError(
+                    f"streaming statement set: DESCRIPTOR"
+                    f"({sm.group('ts')}) must be the source's "
+                    f"event-time attribute {wm[0]!r}"
+                )
+            from flink_1_16_0_src_spark.sql_clauses import _interval_str
+
+            return "session", {
+                "ts": wm[0],
+                "gap": _interval_str(sm.group("gap")),
+                "keys": [k.strip()
+                         for k in (sm.group("keys") or "").split(",")
+                         if k.strip()],
+            }
+        if re.search(r"TABLE\s*\(\s*SESSION\s*\(", unquoted, re.IGNORECASE):
+            raise ValueError(
+                "streaming statement set: unsupported SESSION TVF form "
+                "— expected TABLE(SESSION(TABLE src [PARTITION BY k], "
+                "DESCRIPTOR(ts), INTERVAL gap))"
+            )
+        tm = _SSET_WIN_TVF.search(body)
         if tm is None:
             if gm is not None or _SSET_AGG_HEAD.search(unquoted):
                 raise ValueError(
@@ -2789,7 +2843,7 @@ class StreamStatementSet:
         pat = rf"(?<![\w.]){re.escape(src_name)}(?![\w.])"
         inserts = list(self._inserts)
         win_idx = [i for i, it in enumerate(inserts)
-                   if it[4] in ("tumble", "win_multi")]
+                   if it[4] in ("tumble", "win_multi", "session")]
         wm_spec = tenv._watermarks.get(src_name)
         state: dict = {"max_ts": None, "wm": None,
                        "stage": {i: None for i in win_idx}}
@@ -2893,6 +2947,95 @@ class StreamStatementSet:
                             stage_root, f"s{idx}_b{batch_id}"
                         )
                         keep.write.mode("overwrite").parquet(new_stage)
+                        cur.unpersist()
+                        if stg is not None:
+                            _sh.rmtree(stg, ignore_errors=True)
+                        state["stage"][idx] = new_stage
+                        continue
+                    if kind == "session":
+                        # SESSION: recompute session assignment over
+                        # staged ∪ new rows each batch (merging
+                        # windows); sessions whose end = max(ts)+gap
+                        # has passed the watermark are final — feed
+                        # their COMPLETE row sets to the statement
+                        # (recomputing the TVF over whole closed
+                        # sessions reproduces exactly those sessions,
+                        # since sessions are maximal disjoint row
+                        # groups). Open-session rows re-stage raw.
+                        from pyspark.sql import Window as _W
+
+                        gap_us = int(
+                            _pd.Timedelta(info["gap"]).total_seconds()
+                            * 1e6
+                        )
+                        tsu = F.unix_micros(F.col(info["ts"]))
+                        cur = batch_df
+                        if wm_prev is not None:
+                            # isWindowLate (allowed lateness 0): the
+                            # row's prospective session [ts, ts+gap)
+                            # closed before the watermark and fired
+                            # state was purged — drop
+                            cur = cur.where(
+                                F.timestamp_micros(tsu + F.lit(gap_us))
+                                > F.lit(wm_prev)
+                            )
+                        stg = state["stage"][idx]
+                        if stg is not None:
+                            cur = cur.unionByName(
+                                bspark.read.schema(cur.schema)
+                                .parquet(stg)
+                            )
+                        pk = ([F.col(k) for k in info["keys"]]
+                              if info["keys"] else [F.lit(1)])
+                        kw = _W.partitionBy(*pk).orderBy(info["ts"])
+                        cur = cur.withColumn(
+                            "__sset_sid",
+                            F.sum(
+                                F.coalesce(
+                                    (tsu - F.unix_micros(
+                                        F.lag(F.col(info["ts"])).over(kw)
+                                    ) > F.lit(gap_us)).cast("int"),
+                                    F.lit(1),
+                                )
+                            ).over(
+                                kw.rowsBetween(_W.unboundedPreceding, 0)
+                            ),
+                        )
+                        scol = "__sset_send"
+                        cur = cur.withColumn(
+                            scol,
+                            F.timestamp_micros(
+                                F.max(tsu).over(
+                                    _W.partitionBy(
+                                        *pk, F.col("__sset_sid")
+                                    )
+                                )
+                                + F.lit(gap_us)
+                            ),
+                        ).persist()
+                        closed = (
+                            cur.where(F.col(scol) <= F.lit(wm_new))
+                            if wm_new is not None else None
+                        )
+                        open_df = (
+                            cur.where(F.col(scol) > F.lit(wm_new))
+                            if wm_new is not None else cur
+                        )
+                        if closed is not None and closed.limit(1).count():
+                            wview = f"{batch_view}_w{idx}"
+                            closed.drop(scol, "__sset_sid") \
+                                .createOrReplaceTempView(wview)
+                            sub = "".join(
+                                p if i % 2 else re.sub(
+                                    pat, wview, p, flags=re.IGNORECASE)
+                                for i, p in enumerate(parts)
+                            )
+                            _emit(sink_name, collist, sub, bspark)
+                        new_stage = os.path.join(
+                            stage_root, f"s{idx}_b{batch_id}"
+                        )
+                        open_df.drop(scol, "__sset_sid").write \
+                            .mode("overwrite").parquet(new_stage)
                         cur.unpersist()
                         if stg is not None:
                             _sh.rmtree(stg, ignore_errors=True)

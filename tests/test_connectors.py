@@ -2401,6 +2401,130 @@ def test_stream_statement_set_cumulate_two_batches(tenv, spark, tmp_path):
     assert got == [("10:30", 1, 1.0), ("11:00", 3, 7.0)]
 
 
+def test_stream_statement_set_session_two_batches(tenv, spark, tmp_path):
+    """SESSION TVF aggregates in a statement set (r11): sessions merge
+    across batch boundaries while open (assignment recomputed over
+    staged ∪ new rows) and emit exactly once, complete, when the
+    watermark passes max(ts)+gap — multi-batch equals single-batch
+    when no session fires between a merge."""
+    import datetime as dt
+    import os
+
+    src = str(tmp_path / "sess2src")
+    os.makedirs(src)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "eid bigint, ts timestamp, k string, v double")
+    # u's session SPANS batches (10:00 in b1, 10:20 in b2, gap 30m —
+    # b1 watermark 10:24 leaves it open); w@10:25 drives b1's wm,
+    # w@12:00 drives b2's wm to 11:59 which closes everything but its
+    # own session
+    _write_single_parquet_file(
+        spark,
+        mk([(1, dt.datetime(2024, 1, 1, 10, 0), "u", 1.0),
+            (2, dt.datetime(2024, 1, 1, 10, 25), "w", 2.0)]),
+        os.path.join(src, "f1.parquet"), mtime=1_000_000,
+    )
+    _write_single_parquet_file(
+        spark,
+        mk([(3, dt.datetime(2024, 1, 1, 10, 20), "u", 4.0),
+            (4, dt.datetime(2024, 1, 1, 12, 0), "w", 8.0)]),
+        os.path.join(src, "f2.parquet"), mtime=2_000_000,
+    )
+    tenv.execute_sql(
+        f"CREATE TABLE sess2_ev (eid BIGINT, ts TIMESTAMP(3), k STRING,"
+        f" v DOUBLE, WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{src}','format'='parquet')"
+    )
+    sinks = {}
+    for tag in ("m", "s"):
+        sinks[tag] = str(tmp_path / f"sess2_snk_{tag}")
+        tenv.execute_sql(
+            f"CREATE TABLE sess2_w_{tag} WITH ('connector'='filesystem',"
+            f"'path'='{sinks[tag]}','format'='parquet')"
+        )
+    stmt = (
+        "INSERT INTO sess2_w_{tag} SELECT k, window_start, window_end, "
+        "COUNT(*) AS n, SUM(v) AS s "
+        "FROM TABLE(SESSION(TABLE sess2_ev PARTITION BY k, "
+        "DESCRIPTOR(ts), INTERVAL '30' MINUTE)) "
+        "GROUP BY k, window_start, window_end"
+    )
+    r1 = tenv.create_stream_statement_set().add_insert_sql(
+        stmt.format(tag="m")
+    ).execute(checkpoint=str(tmp_path / "ck_m"), max_files_per_trigger=1)
+    assert r1["window_agg_statements"] == 1
+    tenv.create_stream_statement_set().add_insert_sql(
+        stmt.format(tag="s")
+    ).execute(checkpoint=str(tmp_path / "ck_s"))
+    fetch = lambda p: sorted(
+        (r.k, r.window_start.strftime("%H:%M"),
+         r.window_end.strftime("%H:%M"), r.n, r.s)
+        for r in spark.read.parquet(p).collect()
+    )
+    got_m, got_s = fetch(sinks["m"]), fetch(sinks["s"])
+    # u merges {10:00, 10:20} across batches → [10:00, 10:50) n=2;
+    # w's [10:25, 10:55) closes at wm 11:59; w@12:00 stays open
+    assert got_m == [("u", "10:00", "10:50", 2, 5.0),
+                     ("w", "10:25", "10:55", 1, 2.0)]
+    assert got_m == got_s
+
+
+def test_stream_statement_set_session_purge_on_fire(tenv, spark, tmp_path):
+    """Purge-on-fire parity (WindowOperator.java): once a session has
+    fired, its state is gone — a later row inside the fired span that
+    is NOT window-late (ts+gap still ahead of the watermark) starts a
+    NEW session instead of resurrecting the emitted one."""
+    import datetime as dt
+    import os
+
+    src = str(tmp_path / "sesspsrc")
+    os.makedirs(src)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "eid bigint, ts timestamp, k string, v double")
+    # b1: u@10:00 (session end 10:30) + w@10:31 → wm = 10:30 fires u's
+    # session. b2: u@10:15 — prospective window [10:15, 10:45) is not
+    # late (10:45 > 10:30) but the fired session is purged → NEW
+    # session; w@11:30 drives wm to 11:29, closing [10:15,10:45) and
+    # w's first session [10:31, 11:01)
+    _write_single_parquet_file(
+        spark,
+        mk([(1, dt.datetime(2024, 1, 1, 10, 0), "u", 1.0),
+            (2, dt.datetime(2024, 1, 1, 10, 31), "w", 2.0)]),
+        os.path.join(src, "f1.parquet"), mtime=1_000_000,
+    )
+    _write_single_parquet_file(
+        spark,
+        mk([(3, dt.datetime(2024, 1, 1, 10, 15), "u", 4.0),
+            (4, dt.datetime(2024, 1, 1, 11, 30), "w", 8.0)]),
+        os.path.join(src, "f2.parquet"), mtime=2_000_000,
+    )
+    tenv.execute_sql(
+        f"CREATE TABLE sessp_ev (eid BIGINT, ts TIMESTAMP(3), k STRING,"
+        f" v DOUBLE, WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{src}','format'='parquet')"
+    )
+    sink = str(tmp_path / "sessp_snk")
+    tenv.execute_sql(
+        f"CREATE TABLE sessp_w WITH ('connector'='filesystem',"
+        f"'path'='{sink}','format'='parquet')"
+    )
+    tenv.create_stream_statement_set().add_insert_sql(
+        "INSERT INTO sessp_w SELECT k, window_start, window_end, "
+        "COUNT(*) AS n "
+        "FROM TABLE(SESSION(TABLE sessp_ev PARTITION BY k, "
+        "DESCRIPTOR(ts), INTERVAL '30' MINUTE)) "
+        "GROUP BY k, window_start, window_end"
+    ).execute(checkpoint=str(tmp_path / "ck"), max_files_per_trigger=1)
+    got = sorted(
+        (r.k, r.window_start.strftime("%H:%M"),
+         r.window_end.strftime("%H:%M"), r.n)
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert got == [("u", "10:00", "10:30", 1),
+                   ("u", "10:15", "10:45", 1),
+                   ("w", "10:31", "11:01", 1)]
+
+
 def test_create_view_sql_routes_streaming(tenv, spark, tmp_path):
     """SQL-text CREATE TEMPORARY VIEW routes to create_streaming_view
     when the body reads a watermarked DDL source or another streaming
