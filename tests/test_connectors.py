@@ -1952,12 +1952,20 @@ def test_stream_statement_set(tenv, spark, tmp_path):
             "INSERT INTO sset_a SELECT eid, SUM(v) OVER (PARTITION BY et "
             "ORDER BY ts) AS s FROM sset_ev"
         )
-    with pytest.raises(ValueError, match="SESSION windows MERGE"):
+    # SESSION TVF statements are ADMITTED since r11 (merging windows
+    # close exactly under the staging model) — but only grouped on
+    # window_start/window_end so every emitted row is a closed session
+    ss.add_insert_sql(
+        "INSERT INTO sset_b SELECT et, window_end, COUNT(*) AS n, SUM(v) AS s "
+        "FROM TABLE(SESSION(TABLE sset_ev PARTITION BY et, "
+        "DESCRIPTOR(ts), INTERVAL '30' MINUTE)) "
+        "GROUP BY et, window_start, window_end"
+    )
+    with pytest.raises(ValueError, match="watermark-closed session"):
         ss.add_insert_sql(
-            "INSERT INTO sset_b SELECT et, window_end, COUNT(*) AS n, SUM(v) AS s "
+            "INSERT INTO sset_b SELECT et, COUNT(*) AS n, SUM(v) AS s "
             "FROM TABLE(SESSION(TABLE sset_ev PARTITION BY et, "
-            "DESCRIPTOR(ts), INTERVAL '30' MINUTE)) "
-            "GROUP BY et, window_start, window_end"
+            "DESCRIPTOR(ts), INTERVAL '30' MINUTE)) GROUP BY et"
         )
     with pytest.raises(ValueError, match="SELECT\\s+window_end|must SELECT"):
         ss.add_insert_sql(
@@ -2523,6 +2531,77 @@ def test_stream_statement_set_session_purge_on_fire(tenv, spark, tmp_path):
     assert got == [("u", "10:00", "10:30", 1),
                    ("u", "10:15", "10:45", 1),
                    ("w", "10:31", "11:01", 1)]
+
+
+def test_stream_statement_set_mixed_kinds_two_batches(tenv, spark, tmp_path):
+    """One statement set mixing all three admission kinds — stateless
+    projection, TUMBLE aggregate, SESSION aggregate — over ONE shared
+    scan, exact under a forced two-batch drain: each statement keeps
+    its own staging lane and the receipt still pins one streaming
+    query."""
+    import datetime as dt
+    import os
+
+    src = str(tmp_path / "mixsrc")
+    os.makedirs(src)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "eid bigint, ts timestamp, k string, v double")
+    _write_single_parquet_file(
+        spark,
+        mk([(1, dt.datetime(2024, 1, 1, 10, 0), "u", 1.0),
+            (2, dt.datetime(2024, 1, 1, 10, 25), "w", 2.0)]),
+        os.path.join(src, "f1.parquet"), mtime=1_000_000,
+    )
+    _write_single_parquet_file(
+        spark,
+        mk([(3, dt.datetime(2024, 1, 1, 10, 20), "u", 4.0),
+            (4, dt.datetime(2024, 1, 1, 12, 0), "w", 8.0)]),
+        os.path.join(src, "f2.parquet"), mtime=2_000_000,
+    )
+    tenv.execute_sql(
+        f"CREATE TABLE mix_ev (eid BIGINT, ts TIMESTAMP(3), k STRING,"
+        f" v DOUBLE, WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{src}','format'='parquet')"
+    )
+    snk = {}
+    for tag in ("p", "t", "s"):
+        snk[tag] = str(tmp_path / f"mix_snk_{tag}")
+        tenv.execute_sql(
+            f"CREATE TABLE mix_{tag} WITH ('connector'='filesystem',"
+            f"'path'='{snk[tag]}','format'='parquet')"
+        )
+    receipt = (
+        tenv.create_stream_statement_set()
+        .add_insert_sql("INSERT INTO mix_p SELECT eid, v FROM mix_ev "
+                        "WHERE k = 'u'")
+        .add_insert_sql(
+            "INSERT INTO mix_t SELECT window_end, COUNT(*) AS n "
+            "FROM TABLE(TUMBLE(TABLE mix_ev, DESCRIPTOR(ts), "
+            "INTERVAL '1' HOUR)) GROUP BY window_start, window_end"
+        )
+        .add_insert_sql(
+            "INSERT INTO mix_s SELECT k, window_start, window_end, "
+            "COUNT(*) AS n FROM TABLE(SESSION(TABLE mix_ev "
+            "PARTITION BY k, DESCRIPTOR(ts), INTERVAL '30' MINUTE)) "
+            "GROUP BY k, window_start, window_end"
+        )
+        .execute(checkpoint=str(tmp_path / "ck"), max_files_per_trigger=1)
+    )
+    assert receipt == {
+        "statements": 3, "shared_source": "mix_ev",
+        "window_agg_statements": 2, "streaming_queries": 1,
+    }
+    # stateless: every u row, both batches
+    assert sorted((r.eid, r.v) for r in
+                  spark.read.parquet(snk["p"]).collect()) == \
+        [(1, 1.0), (3, 4.0)]
+    # tumble: the 10:00 hour closes at wm 11:59 with BOTH batches' rows
+    assert [(r.window_end.hour, r.n) for r in
+            spark.read.parquet(snk["t"]).collect()] == [(11, 3)]
+    # session: u merges across batches, w@12:00 stays open
+    assert sorted((r.k, r.window_end.strftime("%H:%M"), r.n) for r in
+                  spark.read.parquet(snk["s"]).collect()) == \
+        [("u", "10:50", 2), ("w", "10:55", 1)]
 
 
 def test_create_view_sql_routes_streaming(tenv, spark, tmp_path):
