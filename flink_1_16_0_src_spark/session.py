@@ -2615,12 +2615,20 @@ class StreamStatementSet:
       pipeline per sink, the same granularity the reference gives each
       exec-node chain.
 
-    Recovery note: Spark's checkpoint covers the source offsets, but
-    the window staging dirs + running watermark live outside it — a
-    killed-and-restarted drain replays from offsets with EMPTY staging
-    (the reference's statement set checkpoints its window state;
-    SURVEY §7.3 risk 3). Run drains to completion (availableNow) or
-    give each set a fresh checkpoint dir."""
+    Recovery (r11, SURVEY §7.3 risk 3 closed): with an explicit
+    ``checkpoint`` dir, window staging + the running watermark persist
+    INSIDE it next to Spark's offset log, tracked by an atomically-
+    replaced manifest written after each batch's emissions — a
+    killed-and-restarted (or re-executed) drain resumes mid-window:
+    offsets skip consumed files, staged open windows carry over, and a
+    replayed already-manifested batch is skipped (no duplicate
+    emissions). A batch that crashed between emitting and writing the
+    manifest re-emits on replay — at-least-once for that batch, the
+    reference's guarantee with non-transactional sinks
+    (StreamStatementSetImpl checkpoints operator state the same way;
+    its filesystem sink needs the two-phase commit protocol for
+    exactly-once). Resuming requires the same statements in the same
+    order (the manifest fingerprints them and rejects a mismatch)."""
 
     def __init__(self, tenv: "TableEnvironment"):
         self._tenv = tenv
@@ -2845,11 +2853,66 @@ class StreamStatementSet:
         win_idx = [i for i, it in enumerate(inserts)
                    if it[4] in ("tumble", "win_multi", "session")]
         wm_spec = tenv._watermarks.get(src_name)
-        state: dict = {"max_ts": None, "wm": None,
+        state: dict = {"max_ts": None, "wm": None, "last_batch": None,
                        "stage": {i: None for i in win_idx}}
-        stage_root = _tf.mkdtemp(prefix="spark_graft_sset_state_") \
-            if win_idx else None
+        # Persistent staging (r11, SURVEY §7.3 risk 3): with an
+        # explicit checkpoint dir, window staging + the running
+        # watermark live INSIDE it next to Spark's offset log, tracked
+        # by an atomically-replaced manifest — a killed-and-restarted
+        # (or simply re-executed) drain resumes mid-window instead of
+        # replaying offsets over empty staging. The manifest is
+        # written AFTER a batch's emissions, so a fully-processed
+        # replayed batch is skipped (no duplicate emissions); a batch
+        # that crashed mid-emit re-emits on replay (at-least-once,
+        # the reference's guarantee with non-transactional sinks).
+        import datetime as _dt
+        import json as _json
+
+        stmt_sig = [f"{s}::{c or ''}::{b}" for s, c, b, _s2, _k, _i
+                    in inserts]
+        mpath = (os.path.join(checkpoint, "sset_manifest.json")
+                 if checkpoint else None)
+        if checkpoint:
+            os.makedirs(checkpoint, exist_ok=True)
+            stage_root = os.path.join(checkpoint, "sset_stage")
+            os.makedirs(stage_root, exist_ok=True)
+        else:
+            stage_root = _tf.mkdtemp(prefix="spark_graft_sset_state_") \
+                if win_idx else None
+        if mpath and os.path.exists(mpath):
+            with open(mpath) as fh:
+                m = _json.load(fh)
+            if m["statements"] != stmt_sig:
+                raise ValueError(
+                    "streaming statement set: checkpoint "
+                    f"{checkpoint!r} was written by a DIFFERENT "
+                    "statement set — resume requires the same INSERTs "
+                    "in the same order, or a fresh checkpoint dir"
+                )
+            state["max_ts"] = (_dt.datetime.fromisoformat(m["max_ts"])
+                               if m["max_ts"] else None)
+            state["wm"] = (_dt.datetime.fromisoformat(m["wm"])
+                           if m["wm"] else None)
+            state["last_batch"] = m["last_batch"]
+            state["stage"] = {int(k): v
+                              for k, v in m["stage"].items()}
         delay = _pd.Timedelta(wm_spec[1]) if win_idx else None
+
+        def _write_manifest(batch_id):
+            if mpath is None:
+                return
+            tmp = mpath + ".tmp"
+            with open(tmp, "w") as fh:
+                _json.dump({
+                    "statements": stmt_sig,
+                    "max_ts": (state["max_ts"].isoformat()
+                               if state["max_ts"] else None),
+                    "wm": (state["wm"].isoformat()
+                           if state["wm"] else None),
+                    "last_batch": batch_id,
+                    "stage": state["stage"],
+                }, fh)
+            os.replace(tmp, mpath)
 
         def _emit(sink_name, collist, sub, bspark, post=None):
             sink = tenv._sinks[sink_name]
@@ -2869,6 +2932,13 @@ class StreamStatementSet:
             )
 
         def fn(batch_df, batch_id):
+            if (state["last_batch"] is not None
+                    and batch_id <= state["last_batch"]):
+                # replay of a batch the manifest already recorded as
+                # fully processed (emissions + staging + watermark) —
+                # skip, exactly-once across restarts
+                return
+            old_stages: list[str] = []
             batch_df.persist()
             batch_df.createOrReplaceTempView(batch_view)
             bspark = batch_df.sparkSession
@@ -2949,7 +3019,7 @@ class StreamStatementSet:
                         keep.write.mode("overwrite").parquet(new_stage)
                         cur.unpersist()
                         if stg is not None:
-                            _sh.rmtree(stg, ignore_errors=True)
+                            old_stages.append(stg)
                         state["stage"][idx] = new_stage
                         continue
                     if kind == "session":
@@ -3038,7 +3108,7 @@ class StreamStatementSet:
                             .mode("overwrite").parquet(new_stage)
                         cur.unpersist()
                         if stg is not None:
-                            _sh.rmtree(stg, ignore_errors=True)
+                            old_stages.append(stg)
                         state["stage"][idx] = new_stage
                         continue
                     # TUMBLE window agg: stage rows until their window
@@ -3082,10 +3152,17 @@ class StreamStatementSet:
                     if closed is not None:
                         closed.unpersist()
                     if stg is not None:
-                        _sh.rmtree(stg, ignore_errors=True)
+                        old_stages.append(stg)
                     state["stage"][idx] = new_stage
                 if win_idx:
                     state["wm"] = wm_new
+                # durability point: emissions done → record staging +
+                # watermark + batch id, THEN drop superseded stage dirs
+                # (never delete a dir a manifest still references)
+                state["last_batch"] = batch_id
+                _write_manifest(batch_id)
+                for d_ in old_stages:
+                    _sh.rmtree(d_, ignore_errors=True)
             finally:
                 batch_df.unpersist()
 
@@ -3099,9 +3176,11 @@ class StreamStatementSet:
             .start()
         )
         q.awaitTermination()
-        if stage_root is not None:
+        if stage_root is not None and not checkpoint:
             # windows still open at end-of-drain are NOT emitted
-            # (append-mode contract, same as the stream_query drains)
+            # (append-mode contract, same as the stream_query drains);
+            # with a checkpoint dir they PERSIST — a later execute()
+            # with the same checkpoint resumes them mid-window
             _sh.rmtree(stage_root, ignore_errors=True)
         return {
             "statements": len(inserts),

@@ -2604,6 +2604,84 @@ def test_stream_statement_set_mixed_kinds_two_batches(tenv, spark, tmp_path):
         [("u", "10:50", 2), ("w", "10:55", 1)]
 
 
+def test_stream_statement_set_restart_resumes_staging(tenv, spark, tmp_path):
+    """Persistent staging (r11, SURVEY §7.3 risk 3): a second
+    execute() against the SAME checkpoint dir resumes mid-window —
+    Spark's offset log skips the already-consumed file, the manifest
+    restores staged open windows + the running watermark, and a
+    session/tumble window SPANNING THE TWO RUNS emits once, complete.
+    A third run with no new data emits nothing, and a different
+    statement list on the same checkpoint is rejected."""
+    import datetime as dt
+    import os
+
+    import pytest
+
+    src = str(tmp_path / "rssrc")
+    os.makedirs(src)
+    ck = str(tmp_path / "ck")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "eid bigint, ts timestamp, k string, v double")
+    _write_single_parquet_file(
+        spark,
+        mk([(1, dt.datetime(2024, 1, 1, 10, 0), "u", 1.0),
+            (2, dt.datetime(2024, 1, 1, 10, 25), "w", 2.0)]),
+        os.path.join(src, "f1.parquet"), mtime=1_000_000,
+    )
+    tenv.execute_sql(
+        f"CREATE TABLE rs_ev (eid BIGINT, ts TIMESTAMP(3), k STRING,"
+        f" v DOUBLE, WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{src}','format'='parquet')"
+    )
+    snk = {}
+    for tag in ("t", "s"):
+        snk[tag] = str(tmp_path / f"rs_snk_{tag}")
+        tenv.execute_sql(
+            f"CREATE TABLE rs_{tag} WITH ('connector'='filesystem',"
+            f"'path'='{snk[tag]}','format'='parquet')"
+        )
+    stmts = [
+        "INSERT INTO rs_t SELECT window_end, COUNT(*) AS n "
+        "FROM TABLE(TUMBLE(TABLE rs_ev, DESCRIPTOR(ts), "
+        "INTERVAL '1' HOUR)) GROUP BY window_start, window_end",
+        "INSERT INTO rs_s SELECT k, window_start, window_end, "
+        "COUNT(*) AS n FROM TABLE(SESSION(TABLE rs_ev PARTITION BY k, "
+        "DESCRIPTOR(ts), INTERVAL '30' MINUTE)) "
+        "GROUP BY k, window_start, window_end",
+    ]
+
+    def run():
+        ss = tenv.create_stream_statement_set()
+        for st in stmts:
+            ss.add_insert_sql(st)
+        return ss.execute(checkpoint=ck)
+
+    run()  # run 1: wm 10:24 — every window still open, nothing emits
+    assert not os.path.exists(snk["t"]) or not os.listdir(snk["t"])
+    # "restart": new data lands, a NEW statement set resumes the ckpt
+    _write_single_parquet_file(
+        spark,
+        mk([(3, dt.datetime(2024, 1, 1, 10, 20), "u", 4.0),
+            (4, dt.datetime(2024, 1, 1, 12, 0), "w", 8.0)]),
+        os.path.join(src, "f2.parquet"), mtime=2_000_000,
+    )
+    run()  # run 2: only f2 is consumed; staged rows carry over
+    # tumble window [10:00, 11:00) spans both RUNS: eids 1, 2, 3
+    assert [(r.window_end.hour, r.n) for r in
+            spark.read.parquet(snk["t"]).collect()] == [(11, 3)]
+    # u's session merges ACROSS RUNS {10:00 (run 1), 10:20 (run 2)}
+    assert sorted((r.k, r.window_end.strftime("%H:%M"), r.n) for r in
+                  spark.read.parquet(snk["s"]).collect()) == \
+        [("u", "10:50", 2), ("w", "10:55", 1)]
+    run()  # run 3: no new files — nothing re-emits (manifest skip)
+    assert spark.read.parquet(snk["t"]).count() == 1
+    assert spark.read.parquet(snk["s"]).count() == 2
+    with pytest.raises(ValueError, match="DIFFERENT.*statement set"):
+        tenv.create_stream_statement_set().add_insert_sql(
+            stmts[0]
+        ).execute(checkpoint=ck)
+
+
 def test_create_view_sql_routes_streaming(tenv, spark, tmp_path):
     """SQL-text CREATE TEMPORARY VIEW routes to create_streaming_view
     when the body reads a watermarked DDL source or another streaming
