@@ -538,3 +538,54 @@ def audio_fingerprint(
             yield res
 
     return df.select(id_col, payload_col).mapInPandas(_fp, out_schema)
+
+
+def video_motion_fingerprint(
+    df: DataFrame, payload_col: str, id_col: str, n_frames: int = 58,
+) -> DataFrame:
+    """Video FINGERPRINT over y4m payloads — the video member of the
+    gradient-sign family (image_dhash / audio_fingerprint): the
+    per-frame feature is MOTION, the sum of absolute Y-plane
+    differences against the previous frame (the scene-change signal of
+    multimodal_video_motion; shot-boundary fingerprints hash exactly
+    this profile). ``n_frames`` frames yield n_frames-1 motion values
+    and bit(i) = 1 iff motion(i+2) > motion(i+1) — an (n_frames-2)-bit
+    BIGINT signature, ALL INTEGER (uint8 planes, exact SADs), robust
+    to uniform brightness shifts which cancel in the frame difference.
+    Map-only Arrow pass; pair with dedup.hamming_near_dup_pairs for
+    the banded near-dup join. The reference ships no video operators —
+    this extends its multimodal surface the way a training-data
+    pipeline needs (SURVEY §2 multimodal row)."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    assert n_frames <= 58, "signature must fit signed 64-bit SQL math"
+    out_schema = StructType(
+        [df.schema[id_col], StructField("vfp", LongType(), False)]
+    )
+
+    def _fp(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for payload in pdf[payload_col]:
+                _w, _h, frames = _parse_y4m(bytes(payload))
+                if len(frames) < n_frames:
+                    raise ValueError(
+                        f"video_motion_fingerprint needs >= {n_frames} "
+                        f"frames, got {len(frames)}"
+                    )
+                fr = np.stack(frames[:n_frames]).astype(np.int64)
+                sad = np.abs(fr[1:] - fr[:-1]).sum(axis=(1, 2))
+                val = 0
+                for i in range(len(sad) - 1):
+                    if sad[i + 1] > sad[i]:
+                        val |= 1 << i
+                out.append(val)
+            res = pdf[[id_col]].copy()
+            res["vfp"] = out
+            yield res
+
+    return df.select(id_col, payload_col).mapInPandas(_fp, out_schema)

@@ -533,3 +533,115 @@ def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_near_dup_pairs(
         sigs, "media_id", "afp", bits=56, max_hamming=4, max_bucket=None
     )
+
+
+@query(
+    "multimodal_video_neardup",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS base FROM documents WHERE doc_id % 5 = 0
+    ),
+    clips AS (
+      SELECT base AS mid, base, 0 AS pert FROM m
+      UNION ALL
+      SELECT base + 500000, base, 1 FROM m
+    ),
+    px AS (
+      SELECT c.mid, s.i // 64 AS f, s.i % 64 AS p,
+             CASE WHEN c.pert = 1 AND s.i // 64 = 20
+                  THEN least(((c.base*2654435761 + s.i*40503
+                               + (s.i // 64)*69427) >> 3) % 256 + 4,
+                             255)
+                  ELSE ((c.base*2654435761 + s.i*40503
+                         + (s.i // 64)*69427) >> 3) % 256 END AS y
+      FROM clips c, generate_series(0, 3711) s(i)
+    ),
+    motion AS (
+      SELECT cur.mid, cur.f, sum(abs(cur.y - prv.y)) AS sad
+      FROM px cur JOIN px prv
+        ON prv.mid = cur.mid AND prv.p = cur.p AND prv.f = cur.f - 1
+      GROUP BY cur.mid, cur.f
+    ),
+    sig AS (
+      SELECT l.mid,
+             CAST(sum(CASE WHEN r.sad > l.sad
+                           THEN (1::BIGINT << (l.f - 1))
+                           ELSE 0 END) AS BIGINT) AS vfp
+      FROM motion l JOIN motion r ON l.mid = r.mid AND r.f = l.f + 1
+      GROUP BY l.mid
+    )
+    SELECT a.mid AS id_a, b.mid AS id_b,
+           CAST(bit_count(xor(a.vfp, b.vfp)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.mid < b.mid
+    WHERE bit_count(xor(a.vfp, b.vfp)) <= 4
+    """,
+    tags=("pipeline", "multimodal", "dedup", "custom-op"),
+)
+def multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video NEAR-DUP pairs by motion-profile fingerprint hamming
+    distance (r11 — pipeline.multimodal.video_motion_fingerprint +
+    pipeline.dedup.hamming_near_dup_pairs, completing the
+    image/audio/video near-dup triple): deterministic 58-frame 8x8
+    videos (integer-mixing Y planes) round-trip the real YUV4MPEG2
+    codec; each video gets a twin with ONE frame brightened +4
+    (clipped), which perturbs two consecutive frame-SADs and flips at
+    most three motion-gradient bits; the pigeonhole band join recovers
+    the twins at hamming <= 4. The oracle replays pixel synthesis,
+    frame SADs, the 56-bit motion signature, and the literal all-pairs
+    hamming join in SQL — a codec bug would hash-mismatch."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType,
+    )
+
+    from flink_1_16_0_src_spark.pipeline.dedup import hamming_near_dup_pairs
+    from flink_1_16_0_src_spark.pipeline.multimodal import (
+        encode_y4m,
+        video_motion_fingerprint,
+    )
+
+    ids = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select(F.col("doc_id").alias("base"))
+    )
+    clips = ids.select("base", F.lit(0).alias("pert")).unionByName(
+        ids.select("base", F.lit(1).alias("pert"))
+    )
+    out_schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+    ])
+
+    def _gen(batches):
+        import pandas as pd
+
+        i = np.arange(58 * 64, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for base, pert in zip(pdf["base"], pdf["pert"]):
+                base = int(base)
+                v = ((base * 2654435761 + i * 40503
+                      + (i // 64) * 69427) >> 3) % 256
+                if pert:
+                    v = v.copy()
+                    v[20 * 64 : 21 * 64] = np.minimum(
+                        v[20 * 64 : 21 * 64] + 4, 255
+                    )
+                frames = [
+                    v[f * 64 : (f + 1) * 64]
+                    .astype(np.uint8).reshape(8, 8)
+                    for f in range(58)
+                ]
+                rows.append(
+                    (base + (500000 if pert else 0),
+                     encode_y4m(frames, 8, 8))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = clips.mapInPandas(_gen, out_schema)
+    sigs = video_motion_fingerprint(media, "payload", "media_id")
+    return hamming_near_dup_pairs(
+        sigs, "media_id", "vfp", bits=56, max_hamming=4, max_bucket=None
+    )
