@@ -2983,6 +2983,92 @@ def stream_sql_statement_set_session_drain(
 
 
 @query(
+    "stream_sql_statement_set_multisrc_drain",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events),
+    win AS (
+      SELECT event_type AS et,
+             time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+               AS window_end,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(value), 2) AS total
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY event_type, time_bucket(INTERVAL '1 hour', ts)
+    )
+    SELECT et, window_end, n, total FROM win
+    WHERE window_end <= (SELECT w FROM wm)
+    """,
+    tags=("streaming", "statement-set", "sql-surface"),
+)
+def stream_sql_statement_set_multisrc_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Statement set spanning TWO streaming sources (r11): the
+    reference's StreamStatementSetImpl accepts INSERTs over any mix of
+    sources — common-subgraph sharing merges only identical scans, so
+    distinct sources are distinct subgraphs of the one job. Here two
+    DDL tables (both over the events fixture) each feed a TUMBLE
+    census (purchases / clicks); the receipt pins one streaming query
+    PER SOURCE (streaming_queries == 2) and both drains stay
+    watermark-gated. Output unions the two sinks under an ``et`` tag;
+    the oracle replays both censuses in one grouped scan."""
+    import os as _os
+    import tempfile as _tf
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    sinks = {}
+    for tag, et in (("p", "purchase"), ("c", "click")):
+        t.execute_sql(
+            f"CREATE TABLE sq_ssm_{tag}_{k} (event_id BIGINT,"
+            f" ts TIMESTAMP(3), user_id BIGINT, event_type STRING,"
+            f" value DOUBLE,"
+            f" WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)"
+            f" WITH ('connector'='filesystem',"
+            f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+            f"'format'='parquet')"
+        )
+        sinks[tag] = _os.path.join(
+            _tf.mkdtemp(prefix="spark_graft_ssm_"), "win"
+        )
+        t.execute_sql(
+            f"CREATE TABLE sq_ssm_w_{tag}_{k}"
+            f" WITH ('connector'='filesystem','path'='{sinks[tag]}',"
+            f"'format'='parquet')"
+        )
+    receipt = (
+        t.create_stream_statement_set()
+        .add_insert_sql(
+            f"INSERT INTO sq_ssm_w_p_{k} SELECT window_end, "
+            f"COUNT(*) AS n, ROUND(SUM(value), 2) AS total "
+            f"FROM TABLE(TUMBLE(TABLE sq_ssm_p_{k}, DESCRIPTOR(ts), "
+            f"INTERVAL '1' HOUR)) WHERE event_type = 'purchase' "
+            f"GROUP BY window_start, window_end"
+        )
+        .add_insert_sql(
+            f"INSERT INTO sq_ssm_w_c_{k} SELECT window_end, "
+            f"COUNT(*) AS n, ROUND(SUM(value), 2) AS total "
+            f"FROM TABLE(TUMBLE(TABLE sq_ssm_c_{k}, DESCRIPTOR(ts), "
+            f"INTERVAL '1' HOUR)) WHERE event_type = 'click' "
+            f"GROUP BY window_start, window_end"
+        )
+        .execute()
+    )
+    assert receipt["streaming_queries"] == 2
+    assert receipt["window_agg_statements"] == 2
+    out = None
+    for tag, et in (("p", "purchase"), ("c", "click")):
+        part = spark.read.parquet(sinks[tag]).select(
+            F.lit(et).alias("et"), "window_end", "n",
+            F.round("total", 2).alias("total"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+@query(
     "stream_sql_view_topn_drain",
     oracle="""
     SELECT user_id, event_id, value, rn FROM (

@@ -407,21 +407,21 @@ class TableEnvironment:
             stmts = _split_statements(mexec.group("body"))
             # STREAMING route (SqlStatementSet.java:41 works identically
             # in streaming mode via StreamStatementSetImpl.java): when
-            # every INSERT reads the same single WATERMARKED DDL source
-            # and passes the stream set's admission gate, the SQL-text
-            # form drives the streaming multi-sink executor — one shared
-            # scan, watermark-closed window aggregates. Anything else
-            # (temp views, multi-source bodies, watermark-less sources,
-            # stateful shapes the per-batch model can't keep exact)
-            # falls back to the batch common-subgraph set.
+            # every INSERT reads a WATERMARKED DDL source and passes
+            # the stream set's admission gate, the SQL-text form
+            # drives the streaming multi-sink executor — one shared
+            # scan per distinct source, watermark-closed window
+            # aggregates. Anything else (temp views, watermark-less
+            # sources, stateful shapes the per-batch model can't keep
+            # exact) falls back to the batch common-subgraph set.
             sset = None
             try:
                 cand = self.create_stream_statement_set()
                 for ins in stmts:
                     cand.add_insert_sql(ins)
                 srcs_used = {t[3] for t in cand._inserts}
-                if (len(srcs_used) == 1
-                        and next(iter(srcs_used)) in self._watermarks):
+                if srcs_used and all(s in self._watermarks
+                                     for s in srcs_used):
                     sset = cand
             except (ValueError, KeyError):
                 sset = None
@@ -2579,6 +2579,14 @@ class StreamStatementSet:
     materialization happen once per batch regardless of how many sinks
     consume it.
 
+    Statements over DIFFERENT streaming sources may share one set
+    (r11): they group by source and each group runs as its own
+    streaming query with its own provably-shared scan — identical to
+    the reference, where common-subgraph sharing merges only
+    IDENTICAL scans and disjoint sources are disjoint subgraphs of
+    the one job. The receipt's ``streaming_queries`` counts the
+    groups.
+
     Statement admission mirrors the per-batch execution model
     (VERDICT r10 "What's wrong" #2 closed the partial-aggregate hole):
 
@@ -2816,11 +2824,49 @@ class StreamStatementSet:
         checkpoint: str | None = None,
         max_files_per_trigger: int | None = None,
     ) -> dict:
-        """Drain all statements in ONE streaming job (availableNow).
-        Returns counts incl. ``streaming_queries`` — always 1: the
-        provably-shared scan. ``max_files_per_trigger`` forces
-        multi-batch drains (tests use it to prove cross-batch window
-        correctness)."""
+        """Drain all statements (availableNow). Statements GROUP BY
+        their streaming source: each distinct source runs as ONE
+        streaming query whose scan its statements provably share —
+        the reference's common-subgraph sharing merges IDENTICAL
+        scans the same way (StreamCommonSubGraphBasedOptimizer.scala:
+        49); distinct sources are distinct subgraphs there too, they
+        merely ride one job. ``streaming_queries`` in the receipt =
+        number of distinct sources (1 for the classic shared-scan
+        set). With a checkpoint dir and several sources, each group
+        persists under its own ``src<i>/`` subdir.
+        ``max_files_per_trigger`` forces multi-batch drains (tests
+        use it to prove cross-batch window correctness)."""
+        if not self._inserts:
+            raise ValueError("streaming statement set: no statements buffered")
+        groups: dict[str, list] = {}
+        for it in self._inserts:
+            groups.setdefault(it[3], []).append(it)
+        total = {
+            "statements": len(self._inserts),
+            "shared_source": (next(iter(groups)) if len(groups) == 1
+                              else sorted(groups)),
+            "window_agg_statements": 0,
+            "streaming_queries": 0,
+        }
+        for gi, (src_name, inserts) in enumerate(groups.items()):
+            ck = (os.path.join(checkpoint, f"src{gi}")
+                  if checkpoint and len(groups) > 1 else checkpoint)
+            r = self._execute_group(
+                src_name, inserts, ck, max_files_per_trigger
+            )
+            total["window_agg_statements"] += r["window_agg_statements"]
+            total["streaming_queries"] += 1
+        return total
+
+    def _execute_group(
+        self,
+        src_name: str,
+        inserts: list,
+        checkpoint: str | None,
+        max_files_per_trigger: int | None,
+    ) -> dict:
+        """One streaming query draining every statement that reads
+        ``src_name`` — the shared-scan unit of execute()."""
         import shutil as _sh
         import tempfile as _tf
 
@@ -2828,17 +2874,6 @@ class StreamStatementSet:
 
         from flink_1_16_0_src_spark import sources as srcs
 
-        if not self._inserts:
-            raise ValueError("streaming statement set: no statements buffered")
-        shared = {s for _sk, _cl, _b, s, _k, _i in self._inserts}
-        if len(shared) != 1:
-            raise ValueError(
-                "streaming statement set: all statements must share one "
-                f"DDL streaming source (got {sorted(shared)}) — the "
-                "shared-scan contract; split disjoint sources into "
-                "separate sets"
-            )
-        src_name = next(iter(shared))
         tenv, spark = self._tenv, self._tenv.spark
         sdf = tenv.stream(
             src_name,
@@ -2849,7 +2884,6 @@ class StreamStatementSet:
         )
         batch_view = f"__sset_batch_{next(_STREAM_SUB_SEQ)}"
         pat = rf"(?<![\w.]){re.escape(src_name)}(?![\w.])"
-        inserts = list(self._inserts)
         win_idx = [i for i, it in enumerate(inserts)
                    if it[4] in ("tumble", "win_multi", "session")]
         wm_spec = tenv._watermarks.get(src_name)
@@ -3182,9 +3216,4 @@ class StreamStatementSet:
             # with a checkpoint dir they PERSIST — a later execute()
             # with the same checkpoint resumes them mid-window
             _sh.rmtree(stage_root, ignore_errors=True)
-        return {
-            "statements": len(inserts),
-            "shared_source": src_name,
-            "window_agg_statements": len(win_idx),
-            "streaming_queries": 1,
-        }
+        return {"window_agg_statements": len(win_idx)}

@@ -1880,8 +1880,8 @@ def test_stream_query_window_topn_sql(tenv, spark, tmp_path):
 def test_stream_statement_set(tenv, spark, tmp_path):
     """StreamStatementSet: two INSERTs over one DDL streaming source
     drain as ONE streaming job (the shared-scan receipt pins
-    streaming_queries == 1); statements reading no / disjoint sources
-    are rejected, and so is every shape the per-batch model cannot
+    streaming_queries == 1); statements reading no source are
+    rejected, and so is every shape the per-batch model cannot
     keep exact across micro-batches (VERDICT r10 #2): non-windowed
     GROUP BY, DISTINCT, OVER, non-TUMBLE TVFs."""
     import datetime as dt
@@ -2680,6 +2680,76 @@ def test_stream_statement_set_restart_resumes_staging(tenv, spark, tmp_path):
         tenv.create_stream_statement_set().add_insert_sql(
             stmts[0]
         ).execute(checkpoint=ck)
+
+
+def test_stream_statement_set_multi_source(tenv, spark, tmp_path):
+    """Statements over DIFFERENT streaming sources share one set
+    (r11): they group by source, each group draining as its own
+    streaming query with its own shared scan (the reference's
+    common-subgraph sharing merges only identical scans). Checkpointed
+    resume works per group: a second execute() on the same checkpoint
+    merges each source's window across RUNS."""
+    import datetime as dt
+    import os
+
+    ck = str(tmp_path / "ck")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "eid bigint, ts timestamp, v double")
+    srcs = {}
+    for tag, t0 in (("a", 10), ("b", 14)):
+        srcs[tag] = str(tmp_path / f"ms_{tag}")
+        os.makedirs(srcs[tag])
+        _write_single_parquet_file(
+            spark, mk([(1, dt.datetime(2024, 1, 1, t0, 5), 1.0)]),
+            os.path.join(srcs[tag], "f1.parquet"), mtime=1_000_000,
+        )
+        tenv.execute_sql(
+            f"CREATE TABLE ms_ev_{tag} (eid BIGINT, ts TIMESTAMP(3),"
+            f" v DOUBLE, WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
+            f" WITH ('connector'='filesystem','path'='{srcs[tag]}',"
+            f"'format'='parquet')"
+        )
+        tenv.execute_sql(
+            f"CREATE TABLE ms_w_{tag} WITH ('connector'='filesystem',"
+            f"'path'='{tmp_path / ('ms_snk_' + tag)}','format'='parquet')"
+        )
+
+    def run():
+        return (
+            tenv.create_stream_statement_set()
+            .add_insert_sql(
+                "INSERT INTO ms_w_a SELECT window_end, COUNT(*) AS n, "
+                "SUM(v) AS s FROM TABLE(TUMBLE(TABLE ms_ev_a, "
+                "DESCRIPTOR(ts), INTERVAL '1' HOUR)) "
+                "GROUP BY window_start, window_end"
+            )
+            .add_insert_sql(
+                "INSERT INTO ms_w_b SELECT window_end, COUNT(*) AS n, "
+                "SUM(v) AS s FROM TABLE(TUMBLE(TABLE ms_ev_b, "
+                "DESCRIPTOR(ts), INTERVAL '1' HOUR)) "
+                "GROUP BY window_start, window_end"
+            )
+            .execute(checkpoint=ck)
+        )
+
+    r1 = run()  # both windows still open — nothing emits
+    assert r1 == {
+        "statements": 2, "shared_source": ["ms_ev_a", "ms_ev_b"],
+        "window_agg_statements": 2, "streaming_queries": 2,
+    }
+    # run 2: one closing row lands in EACH source; every group's
+    # window spans the two runs and emits once, complete
+    for tag, t0 in (("a", 10), ("b", 14)):
+        _write_single_parquet_file(
+            spark, mk([(2, dt.datetime(2024, 1, 1, t0, 40), 2.0),
+                       (3, dt.datetime(2024, 1, 1, t0 + 2, 0), 4.0)]),
+            os.path.join(srcs[tag], "f2.parquet"), mtime=2_000_000,
+        )
+    run()
+    for tag, t0 in (("a", 10), ("b", 14)):
+        got = [(r.window_end.hour, r.n, r.s) for r in spark.read.parquet(
+            str(tmp_path / ("ms_snk_" + tag))).collect()]
+        assert got == [(t0 + 1, 2, 3.0)], (tag, got)
 
 
 def test_create_view_sql_routes_streaming(tenv, spark, tmp_path):
