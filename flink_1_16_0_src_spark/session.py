@@ -2630,13 +2630,18 @@ class StreamStatementSet:
     killed-and-restarted (or re-executed) drain resumes mid-window:
     offsets skip consumed files, staged open windows carry over, and a
     replayed already-manifested batch is skipped (no duplicate
-    emissions). A batch that crashed between emitting and writing the
-    manifest re-emits on replay — at-least-once for that batch, the
-    reference's guarantee with non-transactional sinks
-    (StreamStatementSetImpl checkpoints operator state the same way;
-    its filesystem sink needs the two-phase commit protocol for
-    exactly-once). Resuming requires the same statements in the same
-    order (the manifest fingerprints them and rejects a mismatch)."""
+    emissions). Emissions to unpartitioned filesystem sinks are
+    EXACTLY-ONCE end-to-end via a two-phase file commit (FileSink's
+    pending→finalized rename protocol / TwoPhaseCommittingSink
+    parity): each batch writes sink output to a pending dir, the
+    manifest records the moves BEFORE any sink mutation, then
+    idempotent renames finalize — a crash before the manifest
+    recomputes the batch onto the overwritten pending dir (sinks
+    untouched); a crash after it finishes the moves at the next
+    startup. Partitioned / non-filesystem sinks keep the direct
+    append (at-least-once on a mid-emit crash). Resuming requires
+    the same statements in the same order (the manifest fingerprints
+    them and rejects a mismatch)."""
 
     def __init__(self, tenv: "TableEnvironment"):
         self._tenv = tenv
@@ -2888,17 +2893,18 @@ class StreamStatementSet:
                    if it[4] in ("tumble", "win_multi", "session")]
         wm_spec = tenv._watermarks.get(src_name)
         state: dict = {"max_ts": None, "wm": None, "last_batch": None,
-                       "stage": {i: None for i in win_idx}}
+                       "stage": {i: None for i in win_idx},
+                       "pending": []}
         # Persistent staging (r11, SURVEY §7.3 risk 3): with an
         # explicit checkpoint dir, window staging + the running
         # watermark live INSIDE it next to Spark's offset log, tracked
         # by an atomically-replaced manifest — a killed-and-restarted
         # (or simply re-executed) drain resumes mid-window instead of
-        # replaying offsets over empty staging. The manifest is
-        # written AFTER a batch's emissions, so a fully-processed
-        # replayed batch is skipped (no duplicate emissions); a batch
-        # that crashed mid-emit re-emits on replay (at-least-once,
-        # the reference's guarantee with non-transactional sinks).
+        # replaying offsets over empty staging. A fully-processed
+        # replayed batch is skipped (no duplicate emissions), and
+        # unpartitioned-filesystem emissions ride the two-phase file
+        # commit below (pending dir → manifest → idempotent renames)
+        # for exactly-once across crashes at ANY point.
         import datetime as _dt
         import json as _json
 
@@ -2930,7 +2936,35 @@ class StreamStatementSet:
             state["last_batch"] = m["last_batch"]
             state["stage"] = {int(k): v
                               for k, v in m["stage"].items()}
+            state["pending"] = m.get("pending", [])
         delay = _pd.Timedelta(wm_spec[1]) if win_idx else None
+        pend_root = (os.path.join(checkpoint, "sset_pending")
+                     if checkpoint else None)
+
+        def _commit_pending():
+            """Phase 2 of the two-phase file commit: move each
+            manifested pending file into its sink under a
+            batch/statement-deterministic name. Idempotent — a file
+            already moved is absent from its pending dir and skipped,
+            so a crash anywhere inside the move loop re-runs safely
+            (FileSink's pending→finalized rename protocol,
+            StreamingFileSink/TwoPhaseCommittingSink parity)."""
+            import glob as _glob
+
+            for ent in state["pending"]:
+                files = sorted(
+                    _glob.glob(os.path.join(ent["src"], "part-*"))
+                )
+                os.makedirs(ent["dst"], exist_ok=True)
+                for f in files:
+                    dst = os.path.join(
+                        ent["dst"], ent["prefix"] + os.path.basename(f)
+                    )
+                    if os.path.exists(f):
+                        os.replace(f, dst)
+                _sh.rmtree(ent["src"], ignore_errors=True)
+            state["pending"] = []
+
 
         def _write_manifest(batch_id):
             if mpath is None:
@@ -2945,24 +2979,56 @@ class StreamStatementSet:
                            if state["wm"] else None),
                     "last_batch": batch_id,
                     "stage": state["stage"],
+                    "pending": state["pending"],
                 }, fh)
             os.replace(tmp, mpath)
 
-        def _emit(sink_name, collist, sub, bspark, post=None):
+        if state["pending"]:
+            # the previous run crashed between manifest and commit —
+            # finish the moves before consuming anything new, then
+            # persist the cleared pending list
+            _commit_pending()
+            _write_manifest(state["last_batch"])
+
+        def _emit(sink_name, collist, sub, bspark, post=None, slot=None):
             sink = tenv._sinks[sink_name]
             df, static_parts = tenv._build_insert_df(
                 sink, collist, sub, spark=bspark
             )
             if post is not None:
                 df = post(df)
+            parts = (sink.get("partitioned_by")
+                     or (list(static_parts) or None))
+            if (pend_root is not None and slot is not None
+                    and sink["connector"] == "filesystem" and not parts):
+                # phase 1 of the two-phase file commit: write the
+                # batch's output to a pending dir (overwrite — a
+                # recompute-replay after a pre-manifest crash lands on
+                # the same dir) and record the move in the manifest
+                # BEFORE any sink mutation. Partitioned / non-file
+                # sinks keep the direct append (at-least-once on a
+                # mid-emit crash, documented).
+                bid, sidx = slot
+                pdir = os.path.join(pend_root, f"b{bid}_s{sidx}")
+                srcs.write_table(
+                    df, pdir, "filesystem",
+                    sink["props"].get("format", "parquet"),
+                    {**sink["props"], "sink.mode": "overwrite"},
+                    partitioned_by=None,
+                )
+                state["pending"].append({
+                    "src": pdir,
+                    "dst": sink["props"]["path"],
+                    "prefix": f"sset-b{bid}-s{sidx}-",
+                })
+                return
             srcs.write_table(
                 df,
                 sink["props"].get("path"),
                 sink["connector"],
                 sink["props"].get("format", "parquet"),
                 {**sink["props"], "sink.mode": "append"},
-                partitioned_by=sink.get("partitioned_by")
-                or (list(static_parts) or None),
+                partitioned_by=parts,
             )
 
         def fn(batch_df, batch_id):
@@ -2973,6 +3039,7 @@ class StreamStatementSet:
                 # skip, exactly-once across restarts
                 return
             old_stages: list[str] = []
+            state["pending"] = []
             batch_df.persist()
             batch_df.createOrReplaceTempView(batch_view)
             bspark = batch_df.sparkSession
@@ -2997,7 +3064,8 @@ class StreamStatementSet:
                                                    flags=re.IGNORECASE)
                             for i, p in enumerate(parts)
                         )
-                        _emit(sink_name, collist, sub, bspark)
+                        _emit(sink_name, collist, sub, bspark,
+                              slot=(batch_id, idx))
                         continue
                     if kind == "win_multi":
                         # HOP / CUMULATE: a row belongs to SEVERAL
@@ -3044,7 +3112,8 @@ class StreamStatementSet:
                                     )
                                 return df.where(cond)
 
-                            _emit(sink_name, collist, sub, bspark, post)
+                            _emit(sink_name, collist, sub, bspark, post,
+                                  slot=(batch_id, idx))
                         keep = (cur.where(F.col(lcol) > F.lit(wm_new))
                                 if wm_new is not None else cur)
                         new_stage = os.path.join(
@@ -3134,7 +3203,8 @@ class StreamStatementSet:
                                     pat, wview, p, flags=re.IGNORECASE)
                                 for i, p in enumerate(parts)
                             )
-                            _emit(sink_name, collist, sub, bspark)
+                            _emit(sink_name, collist, sub, bspark,
+                                  slot=(batch_id, idx))
                         new_stage = os.path.join(
                             stage_root, f"s{idx}_b{batch_id}"
                         )
@@ -3178,7 +3248,8 @@ class StreamStatementSet:
                                     pat, wview, p, flags=re.IGNORECASE)
                                 for i, p in enumerate(parts)
                             )
-                            _emit(sink_name, collist, sub, bspark)
+                            _emit(sink_name, collist, sub, bspark,
+                              slot=(batch_id, idx))
                     # re-stage open rows to a fresh dir (never
                     # overwrite the dir being read), drop the old one
                     new_stage = os.path.join(stage_root, f"s{idx}_b{batch_id}")
@@ -3190,11 +3261,22 @@ class StreamStatementSet:
                     state["stage"][idx] = new_stage
                 if win_idx:
                     state["wm"] = wm_new
-                # durability point: emissions done → record staging +
-                # watermark + batch id, THEN drop superseded stage dirs
-                # (never delete a dir a manifest still references)
+                # durability point: pending outputs + staging +
+                # watermark + batch id hit the manifest BEFORE any
+                # sink mutation (phase 1 of the two-phase commit),
+                # THEN pending files move into their sinks (phase 2,
+                # idempotent renames), THEN the manifest clears its
+                # pending list and superseded stage dirs drop (never
+                # delete a dir a manifest still references). A crash
+                # before the manifest recomputes the batch
+                # (deterministic, pending overwritten, sinks
+                # untouched); after it, startup finishes the moves —
+                # exactly-once for unpartitioned filesystem sinks.
                 state["last_batch"] = batch_id
                 _write_manifest(batch_id)
+                if state["pending"]:
+                    _commit_pending()
+                    _write_manifest(batch_id)
                 for d_ in old_stages:
                     _sh.rmtree(d_, ignore_errors=True)
             finally:

@@ -2752,6 +2752,74 @@ def test_stream_statement_set_multi_source(tenv, spark, tmp_path):
         assert got == [(t0 + 1, 2, 3.0)], (tag, got)
 
 
+def test_stream_statement_set_two_phase_commit_recovery(tenv, spark, tmp_path):
+    """Exactly-once sink protocol (FileSink pending→finalized rename
+    parity): pending output that was MANIFESTED but never moved (a
+    crash between phase 1 and phase 2) is finalized at the next
+    startup, exactly once — re-running again changes nothing, and
+    normal drains leave no pending residue."""
+    import datetime as dt
+    import glob
+    import json
+    import os
+
+    src = str(tmp_path / "tpcsrc")
+    os.makedirs(src)
+    ck = str(tmp_path / "ck")
+    sink = str(tmp_path / "tpc_snk")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "eid bigint, ts timestamp, v double")
+    _write_single_parquet_file(
+        spark,
+        mk([(1, dt.datetime(2024, 1, 1, 10, 5), 1.0),
+            (2, dt.datetime(2024, 1, 1, 12, 0), 2.0)]),
+        os.path.join(src, "f1.parquet"), mtime=1_000_000,
+    )
+    tenv.execute_sql(
+        f"CREATE TABLE tpc_ev (eid BIGINT, ts TIMESTAMP(3), v DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{src}','format'='parquet')"
+    )
+    tenv.execute_sql(
+        f"CREATE TABLE tpc_w WITH ('connector'='filesystem',"
+        f"'path'='{sink}','format'='parquet')"
+    )
+
+    def run():
+        return tenv.create_stream_statement_set().add_insert_sql(
+            "INSERT INTO tpc_w SELECT window_end, COUNT(*) AS n "
+            "FROM TABLE(TUMBLE(TABLE tpc_ev, DESCRIPTOR(ts), "
+            "INTERVAL '1' HOUR)) GROUP BY window_start, window_end"
+        ).execute(checkpoint=ck)
+
+    run()  # the 10:00 window closes (wm 11:59) and commits via 2PC
+    assert spark.read.parquet(sink).count() == 1
+    # committed files carry the protocol's deterministic prefix and
+    # the pending area is empty
+    assert glob.glob(os.path.join(sink, "sset-b*-s0-part-*"))
+    assert not glob.glob(os.path.join(ck, "sset_pending", "*"))
+    mpath = os.path.join(ck, "sset_manifest.json")
+    m = json.load(open(mpath))
+    assert m["pending"] == []
+    # simulate a crash AFTER the manifest, BEFORE the move: plant a
+    # pending dir + manifest entry, as phase 1 leaves them
+    pdir = os.path.join(ck, "sset_pending", "b99_s0")
+    spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 13, 0), 7)], "window_end timestamp, n bigint"
+    ).coalesce(1).write.parquet(pdir)
+    m["pending"] = [{"src": pdir, "dst": sink, "prefix": "sset-b99-s0-"}]
+    json.dump(m, open(mpath, "w"))
+    run()  # startup recovery finalizes the orphaned pending output
+    got = sorted((r.window_end.hour, r.n)
+                 for r in spark.read.parquet(sink).collect())
+    assert got == [(11, 1), (13, 7)]
+    assert not glob.glob(os.path.join(ck, "sset_pending", "*"))
+    assert json.load(open(mpath))["pending"] == []
+    run()  # idempotent — nothing re-commits, nothing re-emits
+    assert sorted((r.window_end.hour, r.n)
+                  for r in spark.read.parquet(sink).collect()) == got
+
+
 def test_create_view_sql_routes_streaming(tenv, spark, tmp_path):
     """SQL-text CREATE TEMPORARY VIEW routes to create_streaming_view
     when the body reads a watermarked DDL source or another streaming
