@@ -71,6 +71,28 @@ def split_train_holdout(
     return df.where(u >= holdout_fraction), df.where(u < holdout_fraction)
 
 
+def split_by_group(
+    df: DataFrame, group_col: str, holdout_fraction: float,
+    salt: str = "split",
+) -> DataFrame:
+    """LEAKAGE-AWARE split: every row of a GROUP (near-dup cluster,
+    URL host, author, ...) lands on the same side. Splitting on the
+    raw doc id leaks near-duplicates of training docs into the
+    holdout — the classic eval-contamination pitfall that n-gram
+    decontamination then has to mop up; hashing the GROUP key keeps
+    whole duplicate clusters together. Same engine-stable unit hash
+    as ``split_train_holdout``; appends a ``split`` column ('train' |
+    'holdout'). Map-only given the group column (the expensive part —
+    connected components over near-dup pairs — is the dedup family's
+    job and is reused, not recomputed, here)."""
+    u = _hash_unit(group_col, salt)
+    return df.withColumn(
+        "split",
+        F.when(u < holdout_fraction, F.lit("holdout"))
+        .otherwise(F.lit("train")),
+    )
+
+
 def mix_corpus(
     df: DataFrame, source_col: str, id_col: str, weights: dict[str, float],
     salt: str = "mix",

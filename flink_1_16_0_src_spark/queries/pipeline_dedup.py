@@ -299,6 +299,62 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_split_by_cluster",
+    oracle=f"""
+    WITH RECURSIVE corpus AS ({_DUP_CORPUS_SQL}),
+    sets_ AS (SELECT doc_id, lang, {_SHINGLES} AS s FROM corpus),
+    pairs AS ({_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS node, least(src, min(dst)) AS component
+      FROM reach GROUP BY src
+    ),
+    grp AS (
+      SELECT c.doc_id, COALESCE(p.component, c.doc_id) AS grp
+      FROM corpus c LEFT JOIN comp p ON p.node = c.doc_id
+    )
+    SELECT doc_id, grp,
+           CASE WHEN (('0x' || substr(md5(CAST(grp AS VARCHAR)
+                        || ':split'), 1, 15))::BIGINT
+                      % 1000000) / 1000000.0 < 0.1
+                THEN 'holdout' ELSE 'train' END AS split
+    FROM grp
+    """,
+    tags=("pipeline", "dedup", "sampling", "custom-op"),
+)
+def sample_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-AWARE train/holdout split (pipeline.sampling.
+    split_by_group): the split key is the near-dup CLUSTER (connected
+    component of the n-gram pair graph, unpaired docs their own
+    group), so a training doc's near-duplicates can never land in the
+    holdout — splitting on raw doc ids leaks them, the classic
+    eval-contamination pitfall. Deterministic md5-unit hash on the
+    group key, same recipe as sample_train_holdout_split; the oracle
+    replays components by recursive closure plus the identical hash."""
+    from flink_1_16_0_src_spark.pipeline.dedup import connected_components
+    from flink_1_16_0_src_spark.pipeline.sampling import split_by_group
+
+    corpus = _dup_corpus(spark, sf_dir)
+    comps = connected_components(_ngram_pairs(spark, sf_dir))
+    g = (
+        corpus.join(comps, corpus["doc_id"] == comps["node"], "left")
+        .select(
+            corpus["doc_id"],
+            F.coalesce(F.col("component"), corpus["doc_id"]).alias("grp"),
+        )
+    )
+    return split_by_group(g, "grp", 0.1).select("doc_id", "grp", "split")
+
+
+@query(
     "dedup_substring_spans",
     oracle=r"""
     WITH toks AS (

@@ -224,3 +224,38 @@ def test_quality_percentile_degenerate_tie_bucket(spark):
         if "row_number" in ln and _re.search(r"\bWindow\b|windowspecdef", ln, _re.I)
     ]
     assert all("__idh" in ln for ln in rn_windows) and rn_windows
+
+
+def test_split_by_cluster_never_leaks_near_dups(spark):
+    """Leakage contract: every near-dup PAIR has both ends on the same
+    side of the split, because the hash key is the connected component
+    — splitting on raw doc ids demonstrably violates this on the same
+    corpus (the pitfall the op exists to close)."""
+    from flink_1_16_0_src_spark.pipeline.dedup import connected_components
+    from flink_1_16_0_src_spark.pipeline.sampling import split_by_group
+    from flink_1_16_0_src_spark.queries.pipeline_dedup import (
+        _dup_corpus, _ngram_pairs,
+    )
+
+    corpus = _dup_corpus(spark, SF_DIR)
+    pairs = _ngram_pairs(spark, SF_DIR).select("id_a", "id_b")
+    comps = connected_components(pairs)
+    g = (
+        corpus.join(comps, corpus["doc_id"] == comps["node"], "left")
+        .select(
+            corpus["doc_id"],
+            F.coalesce(F.col("component"), corpus["doc_id"]).alias("grp"),
+        )
+    )
+    split = split_by_group(g, "grp", 0.3)
+    side = {r.doc_id: r.split for r in split.collect()}
+    ps = [(r.id_a, r.id_b) for r in pairs.collect()]
+    assert ps, "fixture must contain near-dup pairs"
+    assert all(side[a] == side[b] for a, b in ps)
+    # both sides populated (0.3 of groups is far from degenerate)
+    assert {"train", "holdout"} == set(side.values())
+    # the naive doc-id split DOES leak on this corpus — the contrast
+    # that motivates the operator
+    naive = split_by_group(g, "doc_id", 0.3)
+    nside = {r.doc_id: r.split for r in naive.collect()}
+    assert any(nside[a] != nside[b] for a, b in ps)
