@@ -2961,7 +2961,15 @@ class StreamStatementSet:
                         ent["dst"], ent["prefix"] + os.path.basename(f)
                     )
                     if os.path.exists(f):
-                        os.replace(f, dst)
+                        try:
+                            os.replace(f, dst)
+                        except OSError:
+                            # checkpoint and sink on different
+                            # filesystems: copy-then-delete keeps the
+                            # protocol (the pending copy is the
+                            # durable one until the delete)
+                            _sh.copy2(f, dst)
+                            os.remove(f)
                 _sh.rmtree(ent["src"], ignore_errors=True)
             state["pending"] = []
 
