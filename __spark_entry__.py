@@ -130,6 +130,8 @@ _DRIVER_GREEN_R4 = {
 def _rotation_rank(name: str) -> int:
     """0 = never driver-checked (or failed — re-check), then greens
     oldest-first (re-verify stalest evidence before fresher greens)."""
+    if name in _DRIVER_GREEN_R11:
+        return 10
     if name in _DRIVER_GREEN_R10:
         return 9
     if name in _DRIVER_GREEN_R9:
@@ -183,16 +185,45 @@ _DRIVER_GREEN_R5 = {
 }
 
 
-# VERDICT r10 next-round #1 — r11 tier 0 slot 1 is the single name with
-# no green driver row (its r2 row was ``err: no_oracle``, and it sat in
-# _DRIVER_GREEN_R2 by mistake until r11 — judge strict-green in r10).
-# r11-new queries rank 0 by default and fill the remaining prefix slots.
+# VERDICT r11 next-round #2 — the never-driver-green backlog is EMPTY
+# (union 436/436 as of r11), so tier 0 holds only r12-NEW queries; after
+# them the prefix re-verifies the LEAST-recently-checked greens (rank 1 =
+# r1 rows never re-sampled since, then r2, …) — pure regression hygiene.
 _TIER0_RECHECK = ()
 _TIER0_PRIORITY_FAMILIES = ()
-_TIER0_PRIORITY_NAMES = (
-    "cep_clicks_then_purchase",
-)
+_TIER0_PRIORITY_NAMES = ()
 _TIER0_QUOTAS = ()
+
+
+# Green rows from CORRECTNESS_r11.json (50/50 green — eighth consecutive
+# fully-green driver round): the 16 r11-new queries (statement-set
+# multi-batch drains, incremental-semantic/prefix dedup, cluster census,
+# contamination report, tokenizer fertility, multimodal perceptual
+# near-dups, leakage-aware split), the cep backlog closer, and 33
+# regression re-checks of r1/r2 greens. Freshest evidence → sampled last.
+_DRIVER_GREEN_R11 = {
+    "cep_clicks_then_purchase", "sample_split_by_cluster",
+    "dedup_incremental_semantic", "multimodal_image_dhash",
+    "decontam_report", "text_tokenizer_fertility",
+    "stream_sql_nested2_drain", "dedup_prefix", "multimodal_image_neardup",
+    "stream_sql_statement_set_exec_drain", "dedup_cluster_census",
+    "multimodal_audio_neardup", "stream_sql_statement_set_hop_drain",
+    "multimodal_video_neardup", "stream_sql_statement_set_dim_drain",
+    "stream_sql_statement_set_session_drain",
+    "stream_sql_statement_set_multisrc_drain", "agg_rollup",
+    "func_extract_fields", "agg_approx_count_distinct", "func_json",
+    "agg_having_filter", "func_json_construct", "agg_json_objectagg",
+    "func_conditional", "agg_json_arrayagg", "func_math_trig",
+    "agg_single_value", "func_temporal_overlaps", "agg_multiset_collect",
+    "func_current_watermark", "agg_grouping_funcs", "func_string_basic",
+    "agg_sum0_empty_input", "func_string_search", "func_string_codec",
+    "func_string_initcap_overlay", "func_time_type", "func_interval_types",
+    "agg_q1_pricing_summary", "over_range_interval_frame",
+    "join_tpch_q3_shipping_priority", "cep_adjacent_click_purchase",
+    "ds_min_by_max_by", "func_parse_url", "dedup_exact",
+    "multimodal_metadata", "sim_topk_bruteforce", "text_token_stats",
+    "topn_per_group",
+}
 
 
 # Green rows from CORRECTNESS_r10.json (50/50 green — seventh
@@ -336,7 +367,7 @@ def _family_round_robin(names: list[str]) -> list[str]:
     from collections import OrderedDict
 
     out: list[str] = []
-    for rank in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9):
+    for rank in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10):
         buckets: "OrderedDict[str, list[str]]" = OrderedDict()
         for n in names:
             if _rotation_rank(n) == rank:
