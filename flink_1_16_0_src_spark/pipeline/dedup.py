@@ -1156,12 +1156,18 @@ def prefix_dedup(
         prefix_fingerprint(text_col, n_tokens).alias("__pfp"),
         F.length(text_col).cast("bigint").alias("__len"),
     )
+    # min_by on the (−len, id) struct = keep the longest member, min-id
+    # tiebreak — and unlike the old (−id) trick it works for ANY
+    # orderable id type (a string doc id under non-ANSI Spark used to
+    # cast −id to NULL and silently drop the whole corpus; ADVICE r11
+    # #2). (−len, id) is unique per row (ids are unique), so the pick
+    # is deterministic.
     keep = fp.groupBy("__pfp").agg(
-        F.max(F.struct(F.col("__len"), (-F.col(id_col)).alias("__negid")))
-        .alias("__best")
-    ).select(
-        (-F.col("__best.__negid")).cast("bigint").alias("__keep_id")
-    )
+        F.min_by(
+            F.col(id_col),
+            F.struct((-F.col("__len")).alias("nl"), F.col(id_col).alias("i")),
+        ).alias("__keep_id")
+    ).select("__keep_id")
     return df.join(
         keep.withColumnRenamed("__keep_id", id_col), id_col, "left_semi"
     )
@@ -1211,13 +1217,19 @@ def hamming_near_dup_pairs(
     nb = max_hamming + 1
     widths = [bits // nb + (1 if i < bits % nb else 0) for i in range(nb)]
     offs = [sum(widths[:i]) for i in range(nb)]
+    # Band extraction must be SIGN-INDEPENDENT: a full 64-bit signature
+    # with the sign bit set (classic 64-bit SimHash) makes arithmetic
+    # shiftright carry the sign and '%' return negative remainders, so a
+    # negative-sig vs positive-sig pair agreeing on a band would get
+    # different band_vals and the equi-join would miss it (silent recall
+    # loss). Logical shift + mask keeps band values non-negative for any
+    # bits <= 64 (ADVICE r11 #1).
     parts = [
         F.struct(
             F.lit(i).alias("band"),
-            (
-                F.shiftright(hash_col, offs[i])
-                % F.lit(1 << widths[i]).cast("bigint")
-            ).alias("band_val"),
+            F.shiftrightunsigned(F.col(hash_col).cast("bigint"), offs[i])
+            .bitwiseAND(F.lit((1 << widths[i]) - 1).cast("bigint"))
+            .alias("band_val"),
         )
         for i in range(nb)
     ]

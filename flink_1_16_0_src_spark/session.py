@@ -302,6 +302,28 @@ _LOCALTIME_EXPR = (
 )
 
 
+def relation_positions(unq: str) -> set[str]:
+    """Identifiers that appear in RELATION positions (after FROM / JOIN /
+    the ``TABLE src`` of a window TVF, plus comma-separated FROM lists)
+    of an already quote-stripped SQL body. Used by the CREATE VIEW
+    batch-vs-streaming router so a column or alias that merely SHARES a
+    watermarked source's name no longer false-positives a batch view
+    into the streaming path (ADVICE r11 #5)."""
+    rels: set[str] = set()
+    for m in re.finditer(r"\b(?:FROM|JOIN|TABLE)\s+([A-Za-z_]\w*)", unq,
+                         re.IGNORECASE):
+        rels.add(m.group(1))
+    # comma-separated FROM lists: FROM a [AS x], b [y], c
+    for m in re.finditer(
+        r"\bFROM\s+[A-Za-z_]\w*(?:\s+(?:AS\s+)?[A-Za-z_]\w*)?"
+        r"((?:\s*,\s*[A-Za-z_]\w*(?:\s+(?:AS\s+)?[A-Za-z_]\w*)?)+)",
+        unq, re.IGNORECASE,
+    ):
+        for mm in re.finditer(r",\s*([A-Za-z_]\w*)", m.group(1)):
+            rels.add(mm.group(1))
+    return {r.lower() for r in rels}
+
+
 def translate_niladic_clocks(sql: str) -> str:
     """Flink's niladic clock keywords Spark doesn't parse bare
     (BuiltInFunctionDefinitions localTimestamp/localTime):
@@ -631,12 +653,14 @@ class TableEnvironment:
                 p for i, p in enumerate(re.split(r"('(?:[^']|'')*')", body))
                 if i % 2 == 0
             )
-            streaming_rels = set(self._watermarks) | set(self._stream_views)
-            if any(
-                re.search(rf"(?<![\w.]){re.escape(s)}(?![\w.])", unq,
-                          re.IGNORECASE)
-                for s in streaming_rels
-            ):
+            streaming_rels = {
+                s.lower()
+                for s in set(self._watermarks) | set(self._stream_views)
+            }
+            # match only FROM/JOIN/TABLE( relation positions — a column
+            # or alias sharing a streaming relation's name must NOT
+            # route a batch view through create_streaming_view
+            if streaming_rels & relation_positions(unq):
                 self.create_streaming_view(mcview.group("name"), body)
                 return None
             self.spark.sql(
@@ -2774,10 +2798,32 @@ class StreamStatementSet:
             )
         head = re.split(r"\bFROM\b", unquoted, maxsplit=1,
                         flags=re.IGNORECASE)[0]
-        if not re.search(r"\bwindow_end\b", head, re.IGNORECASE):
+        # Emission post-filters the PLANNED output on a column literally
+        # named window_end, so admission must guarantee a BARE window_end
+        # projection item — ``SELECT window_end AS we`` used to pass the
+        # old \bwindow_end\b scan and then abort the drain mid-stream
+        # with an unresolved column (ADVICE r11 #3).
+        items, depth, cur = [], 0, []
+        for ch in re.sub(r"^\s*SELECT\s+(DISTINCT\s+)?", "", head,
+                         flags=re.IGNORECASE):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                items.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        items.append("".join(cur).strip())
+        if not any(
+            re.fullmatch(r"(?:\w+\.)?window_end", it, re.IGNORECASE)
+            for it in items
+        ):
             raise ValueError(
                 f"streaming statement set: a {fn} statement must SELECT "
-                "window_end (emission filters closed windows on it)"
+                "window_end as a bare (un-aliased) column — emission "
+                "filters closed windows on it"
             )
         return "win_multi", {
             "ts": wm[0],

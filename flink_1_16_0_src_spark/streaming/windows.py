@@ -155,12 +155,15 @@ def window_topn(
     buf_cols = [order_col] + [c for c in payload if c != order_col]
     by_name = {f.name: f for f in sdf.schema.fields}
     key_cols = ["window_start", "window_end", *keys]
+    # order_col may double as a payload column — include it exactly ONCE
+    # (a duplicate field name in the StructType breaks
+    # applyInPandasWithState output resolution; ADVICE r11 #4)
     out_schema = StructType(
         [f for f in assigned.schema.fields if f.name in ("window_start", "window_end")]
         + [by_name[c] for c in keys]
         + [StructField("rank_num", IntegerType())]
         + [by_name[order_col]]
-        + [by_name[c] for c in payload]
+        + [by_name[c] for c in payload if c != order_col]
     )
     state_schema = StructType(
         [StructField(c, ArrayType(by_name[c].dataType)) for c in buf_cols]

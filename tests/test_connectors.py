@@ -1974,6 +1974,16 @@ def test_stream_statement_set(tenv, spark, tmp_path):
             "INTERVAL '30' MINUTE, INTERVAL '1' HOUR)) "
             "GROUP BY et, window_start, window_end"
         )
+    # ADVICE r11 #3: an ALIASED window_end passes a naive \b-scan but
+    # would abort the drain mid-stream (emission filters on the bare
+    # column) — must be rejected at add time instead
+    with pytest.raises(ValueError, match="bare"):
+        ss.add_insert_sql(
+            "INSERT INTO sset_b SELECT et, window_end AS we, COUNT(*) AS n "
+            "FROM TABLE(HOP(TABLE sset_ev, DESCRIPTOR(ts), "
+            "INTERVAL '30' MINUTE, INTERVAL '1' HOUR)) "
+            "GROUP BY et, window_start, window_end"
+        )
     with pytest.raises(ValueError, match="window_start, window_end"):
         ss.add_insert_sql(
             "INSERT INTO sset_b SELECT et, COUNT(*) AS n, SUM(v) AS s "
@@ -2864,6 +2874,14 @@ def test_create_view_sql_routes_streaming(tenv, spark, tmp_path):
     tenv.execute_sql("CREATE TEMPORARY VIEW cv_b AS SELECT x * 2 AS y FROM cv_base")
     assert "cv_b" not in tenv._stream_views
     assert spark.table("cv_b").collect()[0].y == 14
+    # ADVICE r11 #5: an output ALIAS that merely shares a streaming
+    # relation's name must NOT route a batch view through the streaming
+    # path — only FROM/JOIN/TABLE( relation positions count
+    tenv.execute_sql(
+        "CREATE TEMPORARY VIEW cv_c AS SELECT x * 3 AS cv_ev FROM cv_base"
+    )
+    assert "cv_c" not in tenv._stream_views
+    assert spark.table("cv_c").collect()[0].cv_ev == 21
 
 
 def test_stream_statement_set_dim_join(tenv, spark, tmp_path):

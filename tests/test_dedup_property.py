@@ -495,3 +495,71 @@ def test_hamming_near_dup_pairs_lossless_vs_full_join(spark):
         ).collect()
     )
     assert set(capped) <= set(exp)
+
+
+def test_hamming_near_dup_pairs_lossless_64bit_signed(spark):
+    """ADVICE r11 #1 regression: full 64-bit signatures with the SIGN
+    bit set (classic 64-bit SimHash stored as Spark bigint) must keep
+    the pigeonhole guarantee. The old arithmetic shiftright + '%'
+    extraction gave negative band values for negative sigs, so a
+    negative-sig vs positive-sig near-twin straddling the sign bit was
+    silently missed by the equi-join."""
+    import itertools
+    import random
+
+    from flink_1_16_0_src_spark.pipeline.dedup import hamming_near_dup_pairs
+
+    rng = random.Random(12)
+
+    def signed(v: int) -> int:
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    raw = [rng.getrandbits(64) | (1 << 63) if i % 2 else
+           rng.getrandbits(63) for i in range(60)]
+    # planted cross-sign twins: flip the SIGN bit plus 0..3 low bits —
+    # exactly the pairs the signed extraction used to lose
+    for j, (src, flips) in enumerate([(1, 0), (2, 1), (5, 2), (8, 3)]):
+        v = raw[src] ^ (1 << 63)
+        for b in rng.sample(range(63), flips):
+            v ^= 1 << b
+        raw.append(v)
+    sigs = [(i, signed(v)) for i, v in enumerate(raw)]
+    df = spark.createDataFrame(sigs, "id bigint, sig bigint")
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_near_dup_pairs(
+            df, "id", "sig", bits=64, max_hamming=4, max_bucket=None
+        ).collect()
+    )
+    mask = (1 << 64) - 1
+    exp = sorted(
+        (a, b, bin((sa ^ sb) & mask).count("1"))
+        for (a, sa), (b, sb) in itertools.combinations(sigs, 2)
+        if bin((sa ^ sb) & mask).count("1") <= 4
+    )
+    assert got == exp and len(exp) >= 4
+    # at least one expected pair actually crosses the sign boundary
+    by_id = dict(sigs)
+    assert any((by_id[a] < 0) != (by_id[b] < 0) for a, b, _ in exp)
+
+
+def test_prefix_dedup_string_ids(spark):
+    """ADVICE r11 #2 regression: prefix_dedup with a STRING id column
+    (common for doc ids) must keep longest-then-min-id per prefix
+    group. The old (−id) trick cast string ids to NULL under non-ANSI
+    Spark and silently dropped the whole corpus."""
+    from flink_1_16_0_src_spark.pipeline.dedup import prefix_dedup
+
+    head = " ".join(f"w{i}" for i in range(6))
+    rows = [
+        ("doc_b", head + " tail tail tail"),   # longest in group → kept
+        ("doc_a", head + " tail"),
+        ("doc_c", head + " tail tail tail"),   # same len as doc_b, id > b
+        ("doc_z", "something else entirely " * 3),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    kept = sorted(
+        r.doc_id
+        for r in prefix_dedup(df, "text", "doc_id", n_tokens=6).collect()
+    )
+    assert kept == ["doc_b", "doc_z"]

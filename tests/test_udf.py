@@ -85,6 +85,23 @@ def test_streaming_window_topn(spark):
     assert g == e and len(g) > 0
 
 
+def test_streaming_window_topn_order_col_in_payload(spark):
+    """ADVICE r11 #4: order_col doubling as a payload column must yield
+    a duplicate-free output StructType (a repeated field name breaks
+    applyInPandasWithState output resolution)."""
+    from flink_1_16_0_src_spark.streaming import sources, windows
+
+    sdf = sources.stream_table(spark, SF_DIR, "events", watermark=("ts", "10 minutes"))
+    out = windows.window_topn(
+        sdf, "ts", "1 hour", ["event_type"], "value", 2,
+        payload=["value", "event_id"],
+    )
+    names = [f.name for f in out.schema.fields]
+    assert names.count("value") == 1 and len(names) == len(set(names))
+    got = sources.run_to_memory(out, "w_topn_dup_payload", "append")
+    assert got.count() > 0
+
+
 def test_raw_codec_roundtrip(spark, sf_dir):
     """RAW type (RawType.java): opaque binary survives shuffle/group;
     only the declared codec reads it back."""
