@@ -2629,17 +2629,34 @@ class StreamStatementSet:
     - HOP / CUMULATE TVF aggregates (r11): a row belongs to SEVERAL
       windows, so rows stage until their LAST covering window closes
       and emission post-filters the planned output on ``window_end``
-      (which the SELECT list must expose) to windows closing in
-      (previous watermark, current watermark] — every window emits
-      exactly once with its complete row set. Re-planning touches the
-      staged horizon each batch (bounded by delay + window span).
+      (which the SELECT list must expose, un-aliased) to windows
+      closing in (previous watermark, current watermark] — every
+      window emits exactly once with its complete row set.
+    - Staging I/O (r12, VERDICT r11 #1): TUMBLE/HOP/CUMULATE staging
+      is APPEND-ONLY — each batch writes ONLY its own still-open rows
+      as a new parquet segment annotated with first/last covering
+      window end; segments drop whole once the watermark passes their
+      max end. Stage writes per batch are O(batch delta) — a row is
+      written to staging at most once per drain (the manifest's
+      ``staged_rows_cum`` is the receipt) — and emission planning
+      reads only rows covering a window closing this batch, skipping
+      batches whose watermark advance contains no window-end grid
+      point: the reference's per-record O(delta) slicing
+      (SlicingWindowOperator.java:101), not an O(horizon) rewrite.
     - SESSION TVF aggregates (r11): sessions MERGE, so a row's window
       identity isn't fixed on arrival — assignment is recomputed over
       staged ∪ new rows each batch, and a session is final (emitted
       once, complete) when the watermark passes max(ts)+gap: any
       surviving non-late future row necessarily starts a NEW session,
       the reference's purge-on-fire contract (WindowOperator.java /
-      SessionWindowAssigner.java merging windows).
+      SessionWindowAssigner.java merging windows). SESSION keeps the
+      per-batch rewrite — but of OPEN-session rows only, so its stage
+      footprint is bounded by the live sessions, not the drain
+      history. KEYLESS session assignment orders the whole open set
+      in one window task (the global gap chain is inherently
+      sequential); keyed sessions parallelize per key — bound the
+      keyless form's open horizon via the watermark delay, or key the
+      session (PARTITION BY) for scale.
     - Anything else stateful across batches (non-windowed GROUP BY /
       global aggregates, DISTINCT, OVER, MATCH_RECOGNIZE,
       and stream-stream joins) is REJECTED at add time:
@@ -2938,9 +2955,16 @@ class StreamStatementSet:
         win_idx = [i for i, it in enumerate(inserts)
                    if it[4] in ("tumble", "win_multi", "session")]
         wm_spec = tenv._watermarks.get(src_name)
+        # stage value per windowed statement: a LIST of append-only
+        # segment entries {dir, max_end, rows} for tumble/win_multi
+        # (r12 — written once per batch, dropped whole when the
+        # watermark passes max_end); a single re-staged dir for
+        # SESSION (merging windows need the full open-session row set
+        # each batch — that rewrite is bounded by OPEN sessions only)
         state: dict = {"max_ts": None, "wm": None, "last_batch": None,
-                       "stage": {i: None for i in win_idx},
-                       "pending": []}
+                       "stage": {i: ([] if inserts[i][4] != "session"
+                                     else None) for i in win_idx},
+                       "pending": [], "staged_rows_cum": 0}
         # Persistent staging (r11, SURVEY §7.3 risk 3): with an
         # explicit checkpoint dir, window staging + the running
         # watermark live INSIDE it next to Spark's offset log, tracked
@@ -2983,6 +3007,15 @@ class StreamStatementSet:
             state["stage"] = {int(k): v
                               for k, v in m["stage"].items()}
             state["pending"] = m.get("pending", [])
+            state["staged_rows_cum"] = m.get("staged_rows_cum", 0)
+            for i_, v_ in state["stage"].items():
+                if inserts[i_][4] != "session" and isinstance(v_, str):
+                    raise ValueError(
+                        "streaming statement set: checkpoint "
+                        f"{checkpoint!r} staged windows in the pre-r12 "
+                        "full-rewrite format — drain it with the old "
+                        "build or start a fresh checkpoint dir"
+                    )
         delay = _pd.Timedelta(wm_spec[1]) if win_idx else None
         pend_root = (os.path.join(checkpoint, "sset_pending")
                      if checkpoint else None)
@@ -3034,8 +3067,44 @@ class StreamStatementSet:
                     "last_batch": batch_id,
                     "stage": state["stage"],
                     "pending": state["pending"],
+                    "staged_rows_cum": state["staged_rows_cum"],
                 }, fh)
             os.replace(tmp, mpath)
+
+        def _ep_us(dt_):
+            """Epoch micros of a (naive, UTC-semantics) datetime —
+            avoids .timestamp()'s local-TZ interpretation."""
+            return ((dt_ - _dt.datetime(1970, 1, 1))
+                    // _dt.timedelta(microseconds=1))
+
+        def _stage_segment(keep_new, end_col, idx, batch_id, segs, hi,
+                           old_stages):
+            """Append-only staging (r12, VERDICT r11 #1): write ONLY
+            the batch's own still-open rows as a new segment annotated
+            with its max window-end and row count, then drop whole
+            segments the watermark has passed. Per-batch stage writes
+            are O(batch delta); a row is written to staging AT MOST
+            ONCE over the drain (staged_rows_cum in the manifest is
+            the auditable receipt)."""
+            smax, srows = keep_new.agg(
+                F.max(end_col), F.count("*")
+            ).first()
+            segs = list(segs)
+            if srows:
+                segdir = os.path.join(stage_root, f"s{idx}_b{batch_id}")
+                keep_new.write.mode("overwrite").parquet(segdir)
+                segs.append({"dir": segdir, "max_end": smax.isoformat(),
+                             "rows": int(srows)})
+                state["staged_rows_cum"] += int(srows)
+            if hi is not None:
+                live = []
+                for s_ in segs:
+                    if _dt.datetime.fromisoformat(s_["max_end"]) <= hi:
+                        old_stages.append(s_["dir"])
+                    else:
+                        live.append(s_)
+                segs = live
+            return segs
 
         if state["pending"]:
             # the previous run crashed between manifest and commit —
@@ -3123,61 +3192,104 @@ class StreamStatementSet:
                         continue
                     if kind == "win_multi":
                         # HOP / CUMULATE: a row belongs to SEVERAL
-                        # windows, so rows stage until their LAST
-                        # covering window closes; emission plans the
-                        # statement over every still-relevant row and
-                        # post-filters output windows closing in
-                        # (wm_prev, wm_new] — each window emits once,
-                        # complete (any row covering it is retained
-                        # until strictly later).
+                        # windows. r12 staging is APPEND-ONLY (VERDICT
+                        # r11 next-round #1): each batch writes ONLY
+                        # its own still-open rows as a new stage
+                        # SEGMENT annotated with first/last covering
+                        # window end; a segment drops whole when the
+                        # watermark passes its max last-end. Emission
+                        # plans the statement over (new rows ∪ live
+                        # segments) FILTERED to rows covering a window
+                        # closing in (wm_prev, wm_new] and post-filters
+                        # output on window_end — each window emits
+                        # once, complete (a window ending at e keeps
+                        # exactly the rows with fend <= e <= lend).
+                        # Batches where (wm_prev, wm_new] contains no
+                        # window-end grid point skip planning entirely.
+                        # Write per batch = O(batch delta), compute =
+                        # O(rows of closing windows) — the reference's
+                        # per-record O(delta) slicing
+                        # (SlicingWindowOperator.java:101), not
+                        # O(open horizon) per batch.
                         tsu = F.unix_micros(F.col(info["ts"]))
                         i1_us = int(_pd.Timedelta(info["i1"]).total_seconds() * 1e6)
                         i2_us = int(_pd.Timedelta(info["i2"]).total_seconds() * 1e6)
-                        grid = i1_us if info["fn"] == "HOP" else i2_us
-                        # HOP(slide=i1, size=i2): last end = hop-grid
-                        # floor + size; CUMULATE(step=i1, max=i2):
-                        # last slice end = span start + max
-                        lend_us = (tsu - (tsu % F.lit(grid))) + F.lit(i2_us)
-                        lcol = "__sset_lend"
-                        cur = batch_df.withColumn(
-                            lcol, F.timestamp_micros(lend_us)
+                        if info["fn"] == "HOP":
+                            # window ends = k*slide + size; a row at t
+                            # covers ends in (t, t + size]
+                            grid, rem = i1_us, i2_us % i1_us
+                            lend_us = (tsu - (tsu % F.lit(i1_us))) + F.lit(i2_us)
+                            d = tsu - F.lit(i2_us)
+                            fend_us = (d - F.pmod(d, F.lit(i1_us))) \
+                                + F.lit(i1_us + i2_us)
+                        else:
+                            # CUMULATE(step=i1, max=i2): span start
+                            # S = floor(t/max)*max, slice ends
+                            # S + j*step for j >= 1, first end > t
+                            grid, rem = i1_us, 0
+                            span = tsu - (tsu % F.lit(i2_us))
+                            off = tsu - span
+                            lend_us = span + F.lit(i2_us)
+                            fend_us = span + (off - (off % F.lit(i1_us))) \
+                                + F.lit(i1_us)
+                        lcol, fcol = "__sset_lend", "__sset_fend"
+                        cur_new = (
+                            batch_df
+                            .withColumn(lcol, F.timestamp_micros(lend_us))
+                            .withColumn(fcol, F.timestamp_micros(fend_us))
                         )
-                        stg = state["stage"][idx]
-                        if stg is not None:
-                            cur = cur.unionByName(
-                                bspark.read.schema(cur.schema).parquet(stg)
-                            )
-                        cur = cur.persist()
-                        if wm_new is not None and cur.limit(1).count():
-                            wview = f"{batch_view}_w{idx}"
-                            cur.drop(lcol).createOrReplaceTempView(wview)
-                            sub = "".join(
-                                p if i % 2 else re.sub(
-                                    pat, wview, p, flags=re.IGNORECASE)
-                                for i, p in enumerate(parts)
-                            )
-                            lo, hi = wm_prev, wm_new
+                        segs = state["stage"][idx] or []
+                        lo, hi = wm_prev, wm_new
+                        plan_needed = hi is not None
+                        if (hi is not None and lo is not None
+                                and (info["fn"] == "HOP"
+                                     or i2_us % i1_us == 0)):
+                            # largest window-end grid point <= hi; none
+                            # in (lo, hi] → no window closes this batch
+                            hi_us, lo_us = _ep_us(hi), _ep_us(lo)
+                            e_hi_us = hi_us - ((hi_us - rem) % grid)
+                            if e_hi_us <= lo_us:
+                                plan_needed = False
+                        if plan_needed:
+                            rel = cur_new
+                            if segs:
+                                rel = rel.unionByName(
+                                    bspark.read.schema(cur_new.schema)
+                                    .parquet(*[s_["dir"] for s_ in segs])
+                                )
+                            rel = rel.where(F.col(fcol) <= F.lit(hi))
+                            if lo is not None:
+                                rel = rel.where(F.col(lcol) > F.lit(lo))
+                            rel = rel.persist()
+                            if rel.limit(1).count():
+                                wview = f"{batch_view}_w{idx}"
+                                rel.drop(lcol, fcol) \
+                                    .createOrReplaceTempView(wview)
+                                sub = "".join(
+                                    p if i % 2 else re.sub(
+                                        pat, wview, p, flags=re.IGNORECASE)
+                                    for i, p in enumerate(parts)
+                                )
 
-                            def post(df, lo=lo, hi=hi):
-                                cond = F.col("window_end") <= F.lit(hi)
-                                if lo is not None:
-                                    cond = cond & (
-                                        F.col("window_end") > F.lit(lo)
-                                    )
-                                return df.where(cond)
+                                def post(df, lo=lo, hi=hi):
+                                    cond = F.col("window_end") <= F.lit(hi)
+                                    if lo is not None:
+                                        cond = cond & (
+                                            F.col("window_end") > F.lit(lo)
+                                        )
+                                    return df.where(cond)
 
-                            _emit(sink_name, collist, sub, bspark, post,
-                                  slot=(batch_id, idx))
-                        keep = (cur.where(F.col(lcol) > F.lit(wm_new))
-                                if wm_new is not None else cur)
-                        new_stage = os.path.join(
-                            stage_root, f"s{idx}_b{batch_id}"
+                                _emit(sink_name, collist, sub, bspark,
+                                      post, slot=(batch_id, idx))
+                            rel.unpersist()
+                        keep_new = (
+                            cur_new.where(F.col(lcol) > F.lit(hi))
+                            if hi is not None else cur_new
                         )
-                        keep.write.mode("overwrite").parquet(new_stage)
-                        cur.unpersist()
-                        if stg is not None:
-                            old_stages.append(stg)
-                        state["stage"][idx] = new_stage
+                        state["stage"][idx] = _stage_segment(
+                            keep_new, lcol, idx, batch_id, segs, hi,
+                            old_stages,
+                        )
                         continue
                     if kind == "session":
                         # SESSION: recompute session assignment over
@@ -3269,30 +3381,57 @@ class StreamStatementSet:
                             old_stages.append(stg)
                         state["stage"][idx] = new_stage
                         continue
-                    # TUMBLE window agg: stage rows until their window
-                    # closes, then plan the statement once over the
-                    # window's COMPLETE row set (never a partial).
+                    # TUMBLE window agg: each row belongs to exactly
+                    # ONE window; rows stage until it closes, then the
+                    # statement plans once over the window's COMPLETE
+                    # row set. r12 staging is APPEND-ONLY (see the
+                    # win_multi note): the batch's open-window rows
+                    # write ONCE as a segment; emission reads
+                    # new ∪ live segments row-filtered to windows
+                    # closing in (wm_prev, wm_new] (exact for TUMBLE —
+                    # no output post-filter needed), and segments drop
+                    # whole once the watermark passes their max end.
                     wargs = [F.col(info["ts"]), info["size"]]
                     if info["offset"]:
                         wargs += [info["size"], info["offset"]]
                     # window() only resolves under Project/Aggregate —
                     # tag the window end as a column, filter on that
                     wcol = "__sset_wend"
-                    cur = batch_df.withColumn(wcol, F.window(*wargs).end)
+                    cur_new = batch_df.withColumn(wcol, F.window(*wargs).end)
                     if wm_prev is not None:
                         # late rows of already-emitted windows drop —
                         # append-mode window-agg semantics
-                        cur = cur.where(F.col(wcol) > F.lit(wm_prev))
-                    stg = state["stage"][idx]
-                    if stg is not None:
-                        cur = cur.unionByName(
-                            bspark.read.schema(cur.schema).parquet(stg)
+                        cur_new = cur_new.where(F.col(wcol) > F.lit(wm_prev))
+                    segs = state["stage"][idx] or []
+                    lo, hi = wm_prev, wm_new
+                    plan_needed = hi is not None
+                    if hi is not None and lo is not None:
+                        # no window-end grid point in (lo, hi] → no
+                        # window closes this batch; skip even reading
+                        # the segments
+                        size_us = int(
+                            _pd.Timedelta(info["size"]).total_seconds() * 1e6
                         )
-                    closed = (cur.where(F.col(wcol) <= F.lit(wm_new))
-                              if wm_new is not None else None)
-                    open_df = (cur.where(F.col(wcol) > F.lit(wm_new))
-                               if wm_new is not None else cur)
-                    if closed is not None:
+                        off_us = (
+                            int(_pd.Timedelta(info["offset"])
+                                .total_seconds() * 1e6)
+                            if info["offset"] else 0
+                        )
+                        hi_us, lo_us = _ep_us(hi), _ep_us(lo)
+                        e_hi_us = hi_us - ((hi_us - off_us % size_us)
+                                           % size_us)
+                        if e_hi_us <= lo_us:
+                            plan_needed = False
+                    if plan_needed:
+                        closed = cur_new
+                        if segs:
+                            closed = closed.unionByName(
+                                bspark.read.schema(cur_new.schema)
+                                .parquet(*[s_["dir"] for s_ in segs])
+                            )
+                        closed = closed.where(F.col(wcol) <= F.lit(hi))
+                        if lo is not None:
+                            closed = closed.where(F.col(wcol) > F.lit(lo))
                         closed = closed.persist()
                         if closed.limit(1).count():
                             wview = f"{batch_view}_w{idx}"
@@ -3304,15 +3443,12 @@ class StreamStatementSet:
                             )
                             _emit(sink_name, collist, sub, bspark,
                               slot=(batch_id, idx))
-                    # re-stage open rows to a fresh dir (never
-                    # overwrite the dir being read), drop the old one
-                    new_stage = os.path.join(stage_root, f"s{idx}_b{batch_id}")
-                    open_df.write.mode("overwrite").parquet(new_stage)
-                    if closed is not None:
                         closed.unpersist()
-                    if stg is not None:
-                        old_stages.append(stg)
-                    state["stage"][idx] = new_stage
+                    keep_new = (cur_new.where(F.col(wcol) > F.lit(hi))
+                                if hi is not None else cur_new)
+                    state["stage"][idx] = _stage_segment(
+                        keep_new, wcol, idx, batch_id, segs, hi, old_stages
+                    )
                 if win_idx:
                     state["wm"] = wm_new
                 # durability point: pending outputs + staging +

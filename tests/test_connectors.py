@@ -2081,6 +2081,98 @@ def test_stream_statement_set_window_agg_two_batches(tenv, spark, tmp_path):
     assert [g for g in got1 if g[0] != 11] == [g for g in got if g[0] != 11]
 
 
+def test_stream_statement_set_staging_writes_are_batch_delta(tenv, spark, tmp_path):
+    """VERDICT r11 next-round #1 done-criterion: statement-set window
+    staging is APPEND-ONLY — files written to staging per batch cover
+    O(batch delta) rows, not O(open horizon). Over the whole drain each
+    row is written to staging AT MOST ONCE; the manifest's
+    staged_rows_cum is the auditable receipt. Here a 1-hour window stays
+    open across three single-file batches: the pre-r12 full-horizon
+    rewrite would stage 2+4+5=11 row-writes, the segment design stages
+    2+2+1=5 (the batch-3 13:00 row; the other batch-3 row joins the
+    closing window and never stages)."""
+    import datetime as dt
+    import json
+    import os
+
+    src = str(tmp_path / "odsrc")
+    os.makedirs(src)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "eid bigint, et string, ts timestamp, v double")
+    _write_single_parquet_file(
+        spark,
+        mk([(1, "buy", dt.datetime(2024, 1, 1, 10, 0), 1.0),
+            (2, "buy", dt.datetime(2024, 1, 1, 10, 10), 2.0)]),
+        os.path.join(src, "f1.parquet"), mtime=1_000_000,
+    )
+    _write_single_parquet_file(
+        spark,
+        mk([(3, "buy", dt.datetime(2024, 1, 1, 10, 20), 4.0),
+            (4, "buy", dt.datetime(2024, 1, 1, 10, 30), 8.0)]),
+        os.path.join(src, "f2.parquet"), mtime=2_000_000,
+    )
+    _write_single_parquet_file(
+        spark,
+        mk([(5, "buy", dt.datetime(2024, 1, 1, 10, 40), 16.0),
+            (6, "buy", dt.datetime(2024, 1, 1, 13, 0), 32.0)]),
+        os.path.join(src, "f3.parquet"), mtime=3_000_000,
+    )
+    tenv.execute_sql(
+        f"CREATE TABLE od_ev (eid BIGINT, et STRING, ts TIMESTAMP(3),"
+        f" v DOUBLE, WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{src}','format'='parquet')"
+    )
+    sink = str(tmp_path / "od_snk")
+    tenv.execute_sql(
+        f"CREATE TABLE od_w WITH ('connector'='filesystem',"
+        f"'path'='{sink}','format'='parquet')"
+    )
+    ck = str(tmp_path / "od_ck")
+    tenv.create_stream_statement_set().add_insert_sql(
+        "INSERT INTO od_w SELECT window_end, COUNT(*) AS n, SUM(v) AS s "
+        "FROM TABLE(TUMBLE(TABLE od_ev, DESCRIPTOR(ts), INTERVAL '1' HOUR)) "
+        "GROUP BY window_start, window_end"
+    ).execute(checkpoint=ck, max_files_per_trigger=1)
+    # correctness: the 10:00 window emits once, complete (5 rows)
+    got = sorted((r.window_end.hour, r.n, r.s)
+                 for r in spark.read.parquet(sink).collect())
+    assert got == [(11, 5, 31.0)]
+    m = json.load(open(os.path.join(ck, "sset_manifest.json")))
+    # each row staged at most once: batches staged 2, 2, 1 rows
+    assert m["staged_rows_cum"] == 5
+    # exactly one live segment remains (the open 13:00-window row)
+    (segs,) = m["stage"].values()
+    assert [s["rows"] for s in segs] == [1]
+    # HOP variant: same three files, 30-min slide / 1-hour size; every
+    # row is still written to staging at most once (cum <= input rows)
+    tenv.execute_sql(
+        f"CREATE TABLE od_ev2 (eid BIGINT, et STRING, ts TIMESTAMP(3),"
+        f" v DOUBLE, WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{src}','format'='parquet')"
+    )
+    sink2 = str(tmp_path / "od_snk2")
+    tenv.execute_sql(
+        f"CREATE TABLE od_w2 WITH ('connector'='filesystem',"
+        f"'path'='{sink2}','format'='parquet')"
+    )
+    ck2 = str(tmp_path / "od_ck2")
+    tenv.create_stream_statement_set().add_insert_sql(
+        "INSERT INTO od_w2 SELECT window_end, COUNT(*) AS n "
+        "FROM TABLE(HOP(TABLE od_ev2, DESCRIPTOR(ts), "
+        "INTERVAL '30' MINUTE, INTERVAL '1' HOUR)) "
+        "GROUP BY window_start, window_end"
+    ).execute(checkpoint=ck2, max_files_per_trigger=1)
+    m2 = json.load(open(os.path.join(ck2, "sset_manifest.json")))
+    # batch deltas staged: 2 (both open), 2, 1 (13:00; the 10:40 row's
+    # last window closes this batch and never stages)
+    assert m2["staged_rows_cum"] == 5
+    # final wm 12:59 → hop window ends 10:30 / 11:00 / 11:30 closed,
+    # each once, complete (rows spanning all three batches)
+    got2 = sorted((r.window_end.hour, r.window_end.minute, r.n)
+                  for r in spark.read.parquet(sink2).collect())
+    assert got2 == [(10, 30, 3), (11, 0, 5), (11, 30, 2)]
+
+
 def test_datagen_sequence_bounded_deterministic(tenv, spark):
     """datagen SEQUENCE fields build a bounded deterministic table
     (zipped positionally); unequal lengths and sequence/random mixes
