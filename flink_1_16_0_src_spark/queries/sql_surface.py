@@ -172,6 +172,84 @@ def cep_sql_match_crossvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RUNSUM_ORACLE = """
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS vi,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    clicks AS (
+      SELECT user_id, event_id, vi, rn,
+             rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS isl
+      FROM ordered WHERE event_type = 'click'
+    ),
+    cum AS (
+      SELECT user_id, isl, rn, event_id, vi,
+             sum(vi) OVER (PARTITION BY user_id, isl ORDER BY rn) AS cumvi,
+             min(rn) OVER (PARTITION BY user_id, isl) AS first_rn
+      FROM clicks
+    ),
+    runs AS (
+      SELECT user_id, isl, min(first_rn) AS first_rn,
+             CAST(count(*) AS BIGINT) AS n_clicks,
+             CAST(sum(vi) AS BIGINT) AS sum_vi,
+             arg_min(event_id, rn) AS first_click
+      FROM cum WHERE cumvi < 10000
+      GROUP BY user_id, isl
+    )
+    SELECT o.user_id, o.event_id AS anchor_id, r.first_click,
+           r.n_clicks, r.sum_vi
+    FROM ordered o
+    JOIN runs r ON r.user_id = o.user_id AND r.first_rn = o.rn + 1
+    WHERE o.event_type = 'purchase'
+"""
+
+
+@query(
+    "cep_sql_running_sum",
+    oracle=_RUNSUM_ORACLE,
+    tags=("cep", "match-recognize", "sql-surface"),
+)
+def cep_sql_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate over the variable BEING defined (r12, VERDICT
+    r11 #3): ``DEFINE A AS SUM(A.vi) < 10000`` takes clicks while the
+    running sum INCLUDING the candidate stays under the threshold —
+    the reference's MatchRecognizeITCase.scala:677-694 running-sum
+    pattern (MatchCodeGenerator.scala:61-71,121). Anchored on each
+    purchase (S A+, SKIP TO NEXT ROW) so the greedy run extent is
+    per-anchor independent; the oracle replays it via gaps-and-islands
+    on consecutive clicks + a monotone integer prefix-sum cut (vi =
+    cents, so both sides sum exactly)."""
+    _events_view(spark, sf_dir, "events_sqlsrc")
+    spark.sql("""
+        SELECT user_id, event_id, ts, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS vi
+        FROM events_sqlsrc
+    """).createOrReplaceTempView("events_runsum")
+    sql = """
+    SELECT * FROM events_runsum MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts, event_id
+      MEASURES FIRST(S.event_id) AS anchor_id,
+               FIRST(A.event_id) AS first_click,
+               COUNT(A.*) AS n_clicks,
+               SUM(A.vi) AS sum_vi
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (S A+)
+      DEFINE S AS event_type = 'purchase',
+             A AS event_type = 'click' AND SUM(A.vi) < 10000
+    )
+    """
+    out = spark.sql(rewrite_flink_clauses(spark, sql))
+    return out.select(
+        "user_id", "anchor_id", "first_click",
+        F.col("n_clicks").cast("bigint").alias("n_clicks"),
+        F.col("sum_vi").cast("bigint").alias("sum_vi"),
+    )
+
+
 @query(
     "cep_sql_classifier",
     oracle="""

@@ -1689,6 +1689,92 @@ def stream_sql_match_recognize_drain(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "stream_sql_match_runsum_drain",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS vi,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    clicks AS (
+      SELECT user_id, event_id, vi, rn,
+             rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS isl
+      FROM ordered WHERE event_type = 'click'
+    ),
+    cum AS (
+      SELECT user_id, isl, rn, event_id, vi,
+             sum(vi) OVER (PARTITION BY user_id, isl ORDER BY rn) AS cumvi,
+             min(rn) OVER (PARTITION BY user_id, isl) AS first_rn
+      FROM clicks
+    ),
+    runs AS (
+      SELECT user_id, isl, min(first_rn) AS first_rn,
+             CAST(count(*) AS BIGINT) AS n_clicks,
+             CAST(sum(vi) AS BIGINT) AS sum_vi,
+             arg_min(event_id, rn) AS first_click
+      FROM cum WHERE cumvi < 10000
+      GROUP BY user_id, isl
+    )
+    SELECT o.user_id, o.event_id AS anchor_id, r.first_click,
+           r.n_clicks, r.sum_vi
+    FROM ordered o
+    JOIN runs r ON r.user_id = o.user_id AND r.first_rn = o.rn + 1
+    WHERE o.event_type = 'purchase'
+    """,
+    tags=("streaming", "cep", "match-recognize", "sql-surface"),
+)
+def stream_sql_match_runsum_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of cep_sql_running_sum (r12, VERDICT r11 #3):
+    the running aggregate over the variable being defined —
+    ``DEFINE A AS SUM(A.vi) < 10000`` — evaluated inside the per-key
+    stateful NFA buffer from match state, fed through a streaming VIEW
+    that derives the integer cents column. Same oracle as the batch
+    query, so the streaming and batch lowerings cross-check."""
+    import os as _os
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE sq_rs_events_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    t.execute_sql(
+        f"CREATE TEMPORARY VIEW sq_rs_vi_{k} AS"
+        f" SELECT user_id, event_id, ts, event_type,"
+        f" CAST(ROUND(value * 100) AS BIGINT) AS vi"
+        f" FROM sq_rs_events_{k}"
+    )
+    out = t.stream_query(f"""
+        SELECT * FROM sq_rs_vi_{k} MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(S.event_id) AS anchor_id,
+                   FIRST(A.event_id) AS first_click,
+                   COUNT(A.*) AS n_clicks,
+                   SUM(A.vi) AS sum_vi
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (S A+)
+          DEFINE S AS event_type = 'purchase',
+                 A AS event_type = 'click' AND SUM(A.vi) < 10000
+        )
+    """)
+    drained = ssrc.run_to_memory(out, f"drain_sqlrs_{k}", "append")
+    return drained.select(
+        "user_id", "anchor_id", "first_click",
+        F.col("n_clicks").cast("bigint").alias("n_clicks"),
+        F.col("sum_vi").cast("bigint").alias("sum_vi"),
+    )
+
+
+@query(
     "stream_sql_group_agg_drain",
     oracle="""
     SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value

@@ -37,7 +37,9 @@ groups):
   match state (the whole pattern then runs the dict path instead of
   the vectorized masks; restricted expression grammar — comparisons,
   arithmetic, AND/OR/NOT, literals, column refs). Aggregates over the
-  variable BEING defined remain unsupported (use PREV).
+  variable BEING defined (``DEFINE A AS SUM(A.price) < 6``) run with
+  RUNNING semantics — the candidate row joins the aggregate as if
+  already mapped (r12; MatchCodeGenerator.scala:61-71,121).
 - MEASURES: ``FIRST(V.col)``, ``LAST(V.col)``, ``V.col`` (≡ LAST —
   Calcite's implicit last-row semantics), ``COUNT(V.*)``,
   ``SUM(V.col)``, ``AVG(V.col)``.
@@ -575,19 +577,30 @@ def _sql_bool_to_py(cond: str) -> str:
     return "".join(out)
 
 
-def _crossvar_value(fn: str, m: dict, var: str, col: str | None):
+def _crossvar_value(fn: str, m: dict, var: str, col: str | None, cand=None):
+    """Aggregate over ``var``'s matched-so-far rows; ``cand`` (set for
+    aggregates over the variable BEING defined) is the candidate row
+    under test, included as if already mapped — the reference's RUNNING
+    semantics for DEFINE aggregates (MatchCodeGenerator.scala:61-71:
+    'the current row is included in the aggregate computation')."""
+    rows = list(m.get(var) or [])
+    if cand is not None:
+        rows.append(cand)
     if fn == "COUNT":
-        return cep.count_of(m, var)
-    if not m.get(var):
+        if col is None:
+            return len(rows)
+        return sum(1 for r in rows if r[col] is not None)
+    if not rows:
         return None  # SQL NULL: aggregate over an unmatched variable
     if fn == "FIRST":
-        return cep.first(m, var, col)
+        return rows[0][col]
     if fn == "LAST":
-        return cep.last(m, var, col)
-    if fn == "SUM":
-        return cep.sum_of(m, var, col)
-    n = cep.count_of(m, var)  # AVG
-    return cep.sum_of(m, var, col) / n if n else None
+        return rows[-1][col]
+    vals = [r[col] for r in rows if r[col] is not None]
+    if not vals:
+        return None
+    s = sum(vals)
+    return s if fn == "SUM" else s / len(vals)  # SUM / AVG
 
 
 def _crossvar_predicate(cond: str, cv_map: dict):
@@ -611,8 +624,10 @@ def _crossvar_predicate(cond: str, cv_map: dict):
 
     def pred(r, m) -> bool:
         env = {"r": r}
-        for name, (fn, var, col) in cv_map.items():
-            env[name] = _crossvar_value(fn, m, var, col)
+        for name, (fn, var, col, self_agg) in cv_map.items():
+            env[name] = _crossvar_value(
+                fn, m, var, col, r if self_agg else None
+            )
         try:
             return bool(eval(code, {"__builtins__": {}}, env))
         except TypeError:
@@ -733,14 +748,12 @@ def lower_match_recognize(
 
         def sub_crossvar(m: re.Match) -> str:
             fn, v, col = m.group(1).upper(), m.group(2).upper(), m.group(3)
-            if v == var:
-                raise NotImplementedError(
-                    f"{fn}({v}.{col}) inside DEFINE {var}: aggregates over the "
-                    "variable being defined are not supported — only refs to "
-                    "OTHER variables' matched rows (use PREV for the prior row)"
-                )
+            # v == var: RUNNING aggregate over the variable being
+            # defined — the candidate row joins the aggregate as if
+            # already mapped (r12; MatchCodeGenerator.scala:61-71,121;
+            # MatchRecognizeITCase.scala:677-694 running-sum pattern)
             name = f"__cv{len(cv_map)}"
-            cv_map[name] = (fn, v, None if col == "*" else col)
+            cv_map[name] = (fn, v, None if col == "*" else col, v == var)
             return name
 
         cond = _PREV_NEXT.sub(sub_prevnext, cond)

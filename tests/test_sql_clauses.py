@@ -278,14 +278,58 @@ def test_match_recognize_crossvar_sum_count(spark):
     assert got == [("k", 4, 2, 6)]
 
 
-def test_match_recognize_selfvar_aggregate_rejected(spark):
-    _events(spark, [("k", 1, "a", 1.0)])
-    with pytest.raises(NotImplementedError, match="variable being defined"):
-        lower_match_recognize(
-            spark, "sqlc_events",
-            "PARTITION BY k ORDER BY seq MEASURES FIRST(A.seq) AS s "
-            "PATTERN (A+) DEFINE A AS A.v > LAST(A.v)",
-        )
+def test_match_recognize_selfvar_running_sum(spark):
+    """Running aggregate over the variable BEING defined (r12, VERDICT
+    r11 #3): DEFINE A AS SUM(A.v) < 6 takes rows while the running sum
+    INCLUDING the candidate row stays under the threshold — the
+    reference's MatchRecognizeITCase.scala:677-694 running-sum pattern
+    (MatchCodeGenerator.scala:61-71,121: the current row joins the
+    aggregate as if already mapped)."""
+    _events(spark, [
+        ("k", 1, "a", 1.0), ("k", 2, "a", 2.0), ("k", 3, "a", 5.0),  # 1,3,8→A=2 rows
+        ("k", 4, "a", 1.0), ("k", 5, "a", 4.0), ("k", 6, "a", 9.0),  # 1,5,14→A=2 rows
+    ])
+    out = lower_match_recognize(
+        spark, "sqlc_events",
+        "PARTITION BY k ORDER BY seq "
+        "MEASURES FIRST(A.seq) AS a0, COUNT(A.*) AS n_a, SUM(A.v) AS s_a, "
+        "LAST(B.seq) AS b_seq "
+        "AFTER MATCH SKIP PAST LAST ROW "
+        "PATTERN (A+ B) "
+        "DEFINE A AS SUM(A.v) < 6, B AS TRUE",
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    # match 1: A={seq 1,2} (1,3 < 6; +5.0 would be 8), B=seq 3, sum 3
+    # match 2: A={seq 4,5} (1,5 < 6; +9.0 would be 14), B=seq 6, sum 5
+    assert got == [("k", 1, 2, 3.0, 3), ("k", 4, 2, 5.0, 6)]
+
+
+def test_match_recognize_selfvar_running_count_and_last(spark):
+    """COUNT(A.*) and LAST(A.v) over the variable being defined:
+    COUNT includes the candidate (A AS COUNT(A.*) <= 2 caps the run at
+    two rows); LAST(A.v) during A's DEFINE is the candidate itself, so
+    A.v > LAST(A.v) is always false (never matches) — Flink RUNNING
+    semantics."""
+    _events(spark, [
+        ("k", 1, "a", 1.0), ("k", 2, "a", 2.0), ("k", 3, "a", 3.0),
+        ("k", 4, "b", 0.0),
+    ])
+    out = lower_match_recognize(
+        spark, "sqlc_events",
+        "PARTITION BY k ORDER BY seq "
+        "MEASURES FIRST(A.seq) AS a0, COUNT(A.*) AS n_a "
+        "AFTER MATCH SKIP PAST LAST ROW "
+        "PATTERN (A+) "
+        "DEFINE A AS c = 'a' AND COUNT(A.*) <= 2",
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [("k", 1, 2), ("k", 3, 1)]
+    out2 = lower_match_recognize(
+        spark, "sqlc_events",
+        "PARTITION BY k ORDER BY seq MEASURES FIRST(A.seq) AS s "
+        "PATTERN (A+) DEFINE A AS A.v > LAST(A.v)",
+    )
+    assert out2.count() == 0
 
 
 def test_sql_bool_to_py_literal_with_operators():
@@ -307,7 +351,7 @@ def test_crossvar_predicate_null_vs_real_type_error():
 
     from flink_1_16_0_src_spark.sql_clauses import _crossvar_predicate
 
-    pred = _crossvar_predicate("__cv0 > 5", {"__cv0": ("LAST", "A", "v")})
+    pred = _crossvar_predicate("__cv0 > 5", {"__cv0": ("LAST", "A", "v", False)})
     assert pred({"v": 1}, {}) is False  # unmatched A -> NULL -> false
     bad = _crossvar_predicate("v + 1 > 'x'", {})
     with pytest.raises(TypeError):
