@@ -551,6 +551,33 @@ def _longest_partial_at(
     return None
 
 
+def _longest_partial_at_any(
+    rows: list[Row], start: int, steps: list[Step],
+    within: tuple[str, object] | None = None,
+) -> Matched | None:
+    """Any-path twin of ``_longest_partial_at``: the longest
+    proper-prefix match anchored at ``start`` for a pattern containing
+    followedByAny/allowCombinations steps. A prefix may itself be
+    deterministic (the any step can sit later in the pattern) — route
+    each prefix to the matching evaluator. Returns the first match of
+    the longest completable prefix (the buffered rows a pruned NFA
+    computation state carries)."""
+    for k in range(len(steps) - 1, 0, -1):
+        prefix = steps[:k]
+        if all(s.negated for s in prefix):
+            continue
+        if _needs_any_path(prefix):
+            ms = _match_at_any(rows, start, prefix, within)
+            for m0 in ms:
+                if m0:
+                    return m0
+        else:
+            m = _match_at(rows, start, prefix, within)
+            if m is not None and m[0]:
+                return m[0]
+    return None
+
+
 def match_sequence_with_timeouts(
     rows: list[Row],
     steps: list[Step],
@@ -573,15 +600,32 @@ def match_sequence_with_timeouts(
     consume nothing (the NFA just drops the computation state)."""
     if within is None:
         raise ValueError("timeout enumeration requires within= (Pattern.within)")
-    if _needs_any_path(steps):
-        raise NotImplementedError(
-            "timed-out partials are defined for the deterministic NFA "
-            "path; followedByAny/allowCombinations keep anchors live "
-            "until window expiry by design"
-        )
     ts_col, delta = within
     matches: list[Matched] = []
     timeouts: list[tuple[Matched, object]] = []
+    if _needs_any_path(steps):
+        # followedByAny / allowCombinations (r12, VERDICT r11 #5):
+        # anchors stay live until window expiry (NFA.java:86 timeout
+        # branch prunes them at advanceTime) — an anchor with NO
+        # completing enumeration but a viable prefix times out with its
+        # buffered longest-prefix partial at anchor_ts + within. The
+        # any-path couples with to_next_row (same rule as
+        # match_sequence), so anchors partition into the two outputs
+        # exactly as on the deterministic path.
+        if after_match != "to_next_row":
+            raise ValueError(
+                "followedByAny/allowCombinations patterns require "
+                "after_match='to_next_row'"
+            )
+        for i in range(len(rows)):
+            ms = _match_at_any(rows, i, steps, within)
+            if ms:
+                matches.extend(ms)
+                continue
+            partial = _longest_partial_at_any(rows, i, steps, within)
+            if partial is not None:
+                timeouts.append((partial, rows[i][ts_col] + delta))
+        return matches, timeouts
     i = 0
     while i < len(rows):
         m = _match_at(rows, i, steps, within)
@@ -1378,11 +1422,6 @@ def match_recognize_stream(
     if timeout_measures is not None:
         if within is None or timeout_schema is None:
             raise ValueError("timeout_measures requires within= and timeout_schema=")
-        if _needs_any_path(steps):
-            raise NotImplementedError(
-                "timed-out partials are defined for the deterministic NFA "
-                "path; followedByAny keeps anchors live until window expiry"
-            )
     if prev_next and _needs_any_path(steps):
         raise NotImplementedError(
             "streaming PREV/NEXT with followedByAny: the all-anchors "
@@ -1404,6 +1443,7 @@ def match_recognize_stream(
         return _match_recognize_stream_any(
             sdf, partition_by, order_by, steps, measures, output_schema, within,
             secondary_order=secondary_order,
+            timeout_measures=timeout_measures, timeout_schema=timeout_schema,
         )
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import ArrayType, StringType, StructField
@@ -1569,6 +1609,8 @@ def _match_recognize_stream_any(
     output_schema: StructType,
     within: str,
     secondary_order: str | None = None,
+    timeout_measures: dict[str, Callable[[Matched, object], object]] | None = None,
+    timeout_schema: StructType | None = None,
 ) -> DataFrame:
     """Streaming followedByAny (SKIP_TILL_ANY — NFA.java:86's
     skip-till-any transition): every batch re-enumerates ALL anchors in
@@ -1583,7 +1625,13 @@ def _match_recognize_stream_any(
     state is bounded by the window's row count (the same windowTime
     bound Flink requires for SKIP_TILL_ANY state cleanup). Caveat: a
     match arriving entirely BELOW the prune cutoff (very late data) is
-    dropped where batch would emit it — standard watermark semantics."""
+    dropped where batch would emit it — standard watermark semantics.
+
+    With ``timeout_measures`` (r12, VERDICT r11 #5): an anchor pruning
+    out of the window with NO emitted match and a viable prefix emits a
+    ``__side='timeout'`` row carrying its buffered longest partial —
+    the NFA.java:86 timeout branch at the advanceTime prune, same
+    contract as the deterministic path's handler."""
     import hashlib
 
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -1597,6 +1645,17 @@ def _match_recognize_stream_any(
     )
     delta = pd.Timedelta(within)
     vec_ready = steps_all_vec(steps)
+    emit_schema = (
+        _combined_schema(output_schema, timeout_schema)
+        if timeout_measures is not None
+        else output_schema
+    )
+    emit_cols = [f.name for f in emit_schema.fields]
+
+    def _row_md5(r) -> str:
+        return hashlib.md5(
+            json.dumps(r, default=str, sort_keys=True).encode()
+        ).hexdigest()
 
     def fn(key, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
         buf: list = []
@@ -1657,16 +1716,48 @@ def _match_recognize_stream_any(
                     ).encode()
                 ).hexdigest()
                 anchor_ts = min(r[order_by] for rs in matched.values() for r in rs)
-                fp = f"{pd.Timestamp(anchor_ts).isoformat()}|{body}"
+                # fingerprint = anchor ts | anchor-row hash | match body:
+                # the ts prefix drives pruning, the anchor hash lets the
+                # timeout scan know this anchor DID complete something
+                anchor_row = next(
+                    r for rs in matched.values() for r in rs
+                    if r[order_by] == anchor_ts
+                )
+                fp = (f"{pd.Timestamp(anchor_ts).isoformat()}"
+                      f"|{_row_md5(anchor_row)}|{body}")
                 if fp in emitted:
                     continue
                 emitted.add(fp)
-                rec = dict(zip(partition_by, key))
+                rec = (dict.fromkeys(emit_cols)
+                       if timeout_measures is not None else {})
+                rec.update(zip(partition_by, key))
                 for name, fmeas in measures.items():
                     rec[name] = fmeas(matched)
+                if timeout_measures is not None:
+                    rec["__side"] = "match"
                 out.append(rec)
         if buf:
             cutoff = max(r[order_by] for r in buf) - delta
+            if timeout_measures is not None:
+                # anchors pruning NOW (below the cutoff) that never
+                # completed a match but had a viable prefix → timeout
+                # row (processTimedOutMatch at the advanceTime prune)
+                done_anchors = {p.split("|")[1] for p in emitted}
+                for i, r in enumerate(buf):
+                    if r[order_by] >= cutoff:
+                        break  # buf is ts-sorted
+                    if _row_md5(r) in done_anchors:
+                        continue
+                    partial = _longest_partial_at_any(buf, i, steps, wt)
+                    if partial is None:
+                        continue
+                    rec = dict.fromkeys(emit_cols)
+                    rec.update(zip(partition_by, key))
+                    tts = r[order_by] + delta
+                    for name, fmeas in timeout_measures.items():
+                        rec[name] = fmeas(partial, tts)
+                    rec["__side"] = "timeout"
+                    out.append(rec)
             buf = [r for r in buf if r[order_by] >= cutoff]
             emitted = {
                 fp for fp in emitted if pd.Timestamp(fp.split("|", 1)[0]) >= cutoff
@@ -1674,15 +1765,17 @@ def _match_recognize_stream_any(
         state.update(
             ([json.dumps(r, default=str) for r in buf], sorted(emitted))
         )
-        cols = [f.name for f in output_schema.fields]
-        res = pd.DataFrame(out, columns=cols)
-        for f in output_schema.fields:
+        res = pd.DataFrame(out, columns=emit_cols)
+        if timeout_measures is not None:
+            # union frame: keep None (not NaN) in the other side's columns
+            res = res.astype(object).where(res.notna(), None)
+        for f in emit_schema.fields:
             if "timestamp" in f.dataType.simpleString():
                 res[f.name] = pd.to_datetime(res[f.name])
         yield res
 
     return sdf.groupBy(*partition_by).applyInPandasWithState(
-        fn, output_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        fn, emit_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
 
 

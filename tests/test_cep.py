@@ -657,6 +657,115 @@ class TestTimedOutPartials:
         assert set(partial) == {"A", "B"}
         assert cep.first(partial, "B", "i") == 1 and tts == 10
 
+    def test_kernel_any_path_partitions_anchors(self):
+        """followedByAny timeout partials (r12, VERDICT r11 #5,
+        NFA.java:86 timeout branch): an anchor with NO completing
+        enumeration but a viable prefix times out with its buffered
+        partial; anchors with at least one match never time out even
+        though the any-path keeps them live for more continuations."""
+        steps = [
+            cep.Step("A", lambda r, m: r["c"] == "order"),
+            cep.Step("B", lambda r, m: r["c"] == "pay",
+                     contiguity="relaxed_any"),
+        ]
+        rows = [
+            {"ts": 0, "c": "order", "i": 0},   # pays at 5 AND 8 → 2 matches
+            {"ts": 5, "c": "pay", "i": 1},
+            {"ts": 8, "c": "pay", "i": 2},
+            {"ts": 12, "c": "order", "i": 3},  # no pay in (12,22] → timeout 22
+            {"ts": 30, "c": "order", "i": 4},  # end of input → timeout 40
+            {"ts": 31, "c": "view", "i": 5},   # never anchors anything
+        ]
+        matches, touts = cep.match_sequence_with_timeouts(
+            rows, steps, after_match="to_next_row", within=("ts", 10)
+        )
+        got = sorted(
+            (cep.first(m, "A", "i"), cep.first(m, "B", "i")) for m in matches
+        )
+        assert got == [(0, 1), (0, 2)]
+        assert [(cep.first(p, "A", "i"), tts) for p, tts in touts] == [
+            (3, 22), (4, 40)
+        ]
+        # anchors partition: every order is in exactly one output
+        assert {cep.first(m, "A", "i") for m in matches} == {0}
+        assert {cep.first(p, "A", "i") for p, _ in touts} == {3, 4}
+
+    def test_kernel_any_path_timeouts_require_to_next_row(self):
+        import pytest
+
+        steps = [
+            cep.Step("A", lambda r, m: r["c"] == "order"),
+            cep.Step("B", lambda r, m: r["c"] == "pay",
+                     contiguity="relaxed_any"),
+        ]
+        with pytest.raises(ValueError, match="to_next_row"):
+            cep.match_sequence_with_timeouts(
+                [], steps, after_match="past_last_row", within=("ts", 10)
+            )
+
+    def test_streaming_any_path_timeouts(self, spark):
+        """Streaming followedByAny with a timeout handler (r12): anchors
+        pruning out of the within-window without a match emit
+        __side='timeout' rows carrying the longest buffered partial;
+        matched anchors (even multi-match ones) do not."""
+        import datetime as dt
+        import tempfile
+
+        from flink_1_16_0_src_spark.streaming import sources
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            ("u1", base, "order", 0),
+            ("u1", base + dt.timedelta(minutes=5), "pay", 1),
+            ("u1", base + dt.timedelta(minutes=10), "pay", 2),
+            ("u1", base + dt.timedelta(minutes=40), "order", 3),
+            ("u1", base + dt.timedelta(hours=3), "view", 4),  # expires order@40m
+        ]
+        d = tempfile.mkdtemp()
+        for group in (rows[:3], rows[3:]):
+            spark.createDataFrame(
+                group, "k string, ts timestamp, c string, seq long"
+            ).coalesce(1).write.mode("append").parquet(d)
+        sdf = (
+            spark.readStream.schema("k string, ts timestamp, c string, seq long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        steps = [
+            cep.Step("A", lambda r, m: r["c"] == "order"),
+            cep.Step("B", lambda r, m: r["c"] == "pay",
+                     contiguity="relaxed_any"),
+        ]
+        schema = StructType(
+            [StructField("k", StringType()), StructField("order_seq", LongType()),
+             StructField("pay_seq", LongType())]
+        )
+        to_schema = StructType(
+            [StructField("k", StringType()), StructField("order_seq", LongType()),
+             StructField("timeout_ts", TimestampType())]
+        )
+        out = cep.match_recognize_stream(
+            sdf, ["k"], "ts", steps,
+            {"order_seq": lambda m: cep.first(m, "A", "seq"),
+             "pay_seq": lambda m: cep.first(m, "B", "seq")},
+            schema,
+            after_match="to_next_row", within="30 minutes",
+            secondary_order="seq",
+            timeout_measures={
+                "order_seq": lambda p, tts: cep.first(p, "A", "seq"),
+                "timeout_ts": lambda p, tts: tts,
+            },
+            timeout_schema=to_schema,
+        )
+        got = sources.run_to_memory(out, "cep_any_timeout_stream", "append").collect()
+        main = {(r.k, r.order_seq, r.pay_seq) for r in got if r["__side"] == "match"}
+        touts = {(r.k, r.order_seq, r.timeout_ts)
+                 for r in got if r["__side"] == "timeout"}
+        # order@0 pairs with BOTH pays (any-path), never times out
+        assert main == {("u1", 0, 1), ("u1", 0, 2)}
+        # order@40m saw no pay inside 30m and pruned on the 3h view
+        assert touts == {("u1", 3, base + dt.timedelta(minutes=70))}
+
     def test_pattern_stream_select_with_timeout_fn(self, spark):
         import datetime as dt
 
