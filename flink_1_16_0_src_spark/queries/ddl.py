@@ -79,6 +79,51 @@ def ddl_create_table_like(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ddl_ctas_jdbc",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("ddl", "ctas", "connector", "sql-surface"),
+)
+def ddl_ctas_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS into a JDBC table (r12, VERDICT r11 #7): CREATE TABLE ...
+    WITH ('connector'='jdbc', ...) AS SELECT shares INSERT INTO's sink
+    matrix (SqlCreateTableAs / FLIP-218 create-then-insert →
+    JdbcDynamicTableSink.java). The aggregate lands in an embedded
+    Derby database through Spark's jdbc writer, and the query result is
+    the READ-BACK through the jdbc source — so the rows returned are
+    the durable ones, not the plan's. Integer cents keep the value
+    hash summation-order-proof."""
+    from flink_1_16_0_src_spark.tables import load
+
+    t = _tenv(spark)
+    n = next(_seq)
+    load(spark, sf_dir, "orders").createOrReplaceTempView(f"ctas_orders_{n}")
+    d = tempfile.mkdtemp(prefix="spark_graft_ctas_jdbc_")
+    t.execute_sql(
+        f"""
+        CREATE TABLE ctas_jdbc_out_{n} WITH (
+          'connector' = 'jdbc',
+          'url' = 'jdbc:derby:{d}/db;create=true',
+          'table-name' = 'ctas_out',
+          'driver' = 'org.apache.derby.jdbc.EmbeddedDriver'
+        ) AS SELECT o_orderpriority,
+                    count(*) AS n,
+                    sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                        AS total_cents
+             FROM ctas_orders_{n} GROUP BY o_orderpriority
+        """
+    )
+    return spark.table(f"ctas_jdbc_out_{n}").select(
+        "o_orderpriority", "n", "total_cents"
+    )
+
+
+@query(
     "ddl_statement_set_sql",
     oracle="""
     WITH agg AS (

@@ -476,6 +476,22 @@ def write_table(
     if connector == "jdbc":
         jdbc_sink(df, options or {}, (options or {}).get("sink.mode", "append"))
         return
+    if connector in ("kafka", "upsert-kafka"):
+        # sink half of the kafka table connector (KafkaDynamicSink):
+        # rows encode to the (key, value) wire frame via
+        # kafka_value_encode, then Spark's kafka sink ships them. The
+        # encoding + option mapping are offline-testable; .save() needs
+        # a broker (env-gated, like the source half).
+        props = options or {}
+        wire = kafka_value_encode(
+            df, df.schema, props.get("format", "json"), props
+        )
+        (wire.write.format("kafka")
+         .option("kafka.bootstrap.servers",
+                 props.get("properties.bootstrap.servers", ""))
+         .option("topic", props.get("topic", ""))
+         .save())
+        return
     writer = df.write.mode(options.get("sink.mode", "overwrite") if options else "overwrite")
     if partitioned_by:
         writer = writer.partitionBy(*partitioned_by)

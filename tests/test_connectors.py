@@ -383,6 +383,36 @@ def test_jdbc_ddl_roundtrip(tenv):
         tenv.table("jdbc_orders").collect()
 
 
+def test_ctas_jdbc_roundtrip_and_append(tenv, spark, tmp_path):
+    """CTAS into a jdbc table (r12, VERDICT r11 #7): the query result
+    lands in the database through the sink path, the registered table
+    reads BACK from jdbc (durable rows, not the plan), and a follow-up
+    INSERT INTO appends through the same sink registration — the
+    connector matrix of INSERT INTO now covers CTAS."""
+    url = f"jdbc:derby:{tmp_path}/ctasdb;create=true"
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+        "id bigint, k string, v double",
+    ).createOrReplaceTempView("ctas_src_t")
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE ctas_jdbc_t WITH (
+          'connector' = 'jdbc',
+          'url' = '{url}',
+          'table-name' = 'ctas_t',
+          'driver' = 'org.apache.derby.jdbc.EmbeddedDriver'
+        ) AS SELECT k, count(*) AS n FROM ctas_src_t GROUP BY k
+        """
+    )
+    got = sorted((r.k, r.n) for r in spark.table("ctas_jdbc_t").collect())
+    assert got == [("a", 2), ("b", 1)]
+    assert tenv._sinks["ctas_jdbc_t"]["connector"] == "jdbc"
+    tenv.execute_sql("INSERT INTO ctas_jdbc_t SELECT 'z' AS k, 9 AS n")
+    # read-back is live jdbc — the appended row is visible
+    got2 = sorted((r.k, r.n) for r in spark.table("ctas_jdbc_t").collect())
+    assert got2 == [("a", 2), ("b", 1), ("z", 9)]
+
+
 def test_explain_plan_for_translation(tenv, spark):
     tables.load(spark, SF_DIR, "region").createOrReplaceTempView("e_region")
     out = tenv.execute_sql("EXPLAIN PLAN FOR SELECT count(*) AS c FROM e_region")
