@@ -2829,6 +2829,7 @@ class StreamStatementSet:
                 "size": _interval_str(tm.group("i1")),
                 "offset": (_interval_str(tm.group("i2"))
                            if tm.group("i2") else None),
+                "acc": self._parse_tumble_acc(body, tm),
             }
         # HOP(slide, size) / CUMULATE(step, max): a row belongs to
         # SEVERAL windows, so emission post-filters the planned output
@@ -2873,6 +2874,86 @@ class StreamStatementSet:
             "i1": _interval_str(tm.group("i1")),
             "i2": _interval_str(tm.group("i2")),
         }
+
+    def _parse_tumble_acc(self, body: str, tm: "re.Match") -> dict | None:
+        """Decompose a TUMBLE statement into PARTIAL ACCUMULATORS
+        (r12, VERDICT r11 #1c): when every SELECT item is a group key
+        or a plain COUNT/SUM/MIN/MAX/AVG aggregate, staging keeps ONE
+        partial row per open (window, keys) group instead of raw rows
+        — the reference's incremental window accumulators
+        (MiniBatchIncrementalGroupAggFunction.java local/global split,
+        SlicingWindowOperator.java:101 per-record accumulate). Stage
+        volume becomes O(open groups) regardless of row rate; a 1-hour
+        window at any throughput stages one row per trigger per group.
+        Returns None (raw-row staging) for shapes the merge cannot
+        express: expressions AROUND aggregates, HAVING, DISTINCT-agg,
+        non-column group keys, un-aliased aggregates."""
+        head = body[:tm.start()]
+        hm = re.fullmatch(r"\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+", head,
+                          re.IGNORECASE | re.DOTALL)
+        if hm is None:
+            return None
+        rm = re.fullmatch(
+            r"\s*(?:WHERE\s+(?P<w>.*?)\s+)?"
+            r"GROUP\s+BY\s+(?P<g>[\w\s,\.]+?)\s*;?\s*",
+            body[tm.end():], re.IGNORECASE | re.DOTALL,
+        )
+        if rm is None:
+            return None  # HAVING / exotic tail → raw-row staging
+        gkeys = [k.strip().split(".")[-1].lower()
+                 for k in rm.group("g").split(",") if k.strip()]
+        data_keys = [k for k in gkeys
+                     if k not in ("window_start", "window_end")]
+        # split the SELECT list on top-level commas
+        items, depth, cur = [], 0, []
+        for ch in hm.group("sel"):
+            depth += ch == "("
+            depth -= ch == ")"
+            if ch == "," and depth == 0:
+                items.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        items.append("".join(cur).strip())
+        sel: list[dict] = []
+        aggs = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
+        for it in items:
+            km = re.fullmatch(
+                r"(?:\w+\.)?(\w+)(?:\s+AS\s+(\w+))?", it, re.IGNORECASE
+            )
+            if km and km.group(1).lower() in gkeys:
+                sel.append({"kind": "key", "col": km.group(1).lower(),
+                            "alias": km.group(2) or km.group(1)})
+                continue
+            am = re.fullmatch(
+                r"(\w+)\s*\((.*)\)\s+AS\s+(\w+)", it,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if am is None or am.group(1).upper() not in aggs:
+                return None
+            inner = am.group(2).strip()
+            # inner must be balanced (the fullmatch above could pair
+            # the fn's '(' with a later ')'), aggregate-free, and not
+            # reference the window columns
+            d = 0
+            for ch in inner:
+                d += ch == "("
+                d -= ch == ")"
+                if d < 0:
+                    return None
+            if d != 0 or _SSET_AGG_HEAD.search(inner):
+                return None
+            if re.search(r"\bwindow_(start|end)\b|\bDISTINCT\b", inner,
+                         re.IGNORECASE):
+                return None
+            fn_u = am.group(1).upper()
+            if inner == "*" and fn_u != "COUNT":
+                return None
+            if am.group(3).lower() in gkeys:
+                return None  # alias shadows a group key → ambiguous
+            sel.append({"kind": "agg", "fn": fn_u, "expr": inner,
+                        "alias": am.group(3)})
+        return {"where": rm.group("w"), "keys": data_keys, "sel": sel}
 
     def add_insert_sql(self, sql: str) -> "StreamStatementSet":
         mi = _INSERT_INTO.match(sql.strip())
@@ -3406,13 +3487,130 @@ class StreamStatementSet:
                             old_stages.append(stg)
                         state["stage"][idx] = new_stage
                         continue
-                    # TUMBLE window agg: each row belongs to exactly
-                    # ONE window; rows stage until it closes, then the
-                    # statement plans once over the window's COMPLETE
-                    # row set. r12 staging is APPEND-ONLY (see the
-                    # win_multi note): the batch's open-window rows
-                    # write ONCE as a segment; emission reads
-                    # new ∪ live segments row-filtered to windows
+                    if kind == "tumble" and info.get("acc"):
+                        # PARTIAL-ACCUMULATOR staging (r12, VERDICT r11
+                        # #1c): the batch's rows fold into ONE partial
+                        # row per (window, keys) group before staging
+                        # (COUNT/SUM/MIN/MAX merge by sum/min/max, AVG
+                        # by a sum+count pair) — stage I/O is O(open
+                        # groups) per batch at ANY row rate, the
+                        # reference's incremental accumulator contract
+                        # (MiniBatchIncrementalGroupAggFunction.java,
+                        # SlicingWindowOperator.java:101).
+                        acc = info["acc"]
+                        wargs = [F.col(info["ts"]), info["size"]]
+                        if info["offset"]:
+                            wargs += [info["size"], info["offset"]]
+                        win = F.window(*wargs)
+                        rows = (batch_df
+                                .withColumn("window_start", win.start)
+                                .withColumn("window_end", win.end))
+                        if acc["where"]:
+                            rows = rows.where(F.expr(acc["where"]))
+                        if wm_prev is not None:
+                            rows = rows.where(
+                                F.col("window_end") > F.lit(wm_prev)
+                            )
+                        paggs, aidx = [], []
+                        for i2_, it in enumerate(acc["sel"]):
+                            if it["kind"] != "agg":
+                                continue
+                            aidx.append(i2_)
+                            e = (F.lit(1) if it["expr"] == "*"
+                                 else F.expr(it["expr"]))
+                            if it["fn"] == "AVG":
+                                paggs.append(F.sum(e).alias(f"__p{i2_}_s"))
+                                paggs.append(F.count(e).alias(f"__p{i2_}_c"))
+                            else:
+                                agg_fn = {"COUNT": F.count, "SUM": F.sum,
+                                          "MIN": F.min, "MAX": F.max}[it["fn"]]
+                                paggs.append(agg_fn(e).alias(f"__p{i2_}"))
+                        gb = ["window_start", "window_end", *acc["keys"]]
+                        pb = (rows.groupBy(*gb).agg(*paggs) if paggs
+                              else rows.select(*gb).distinct()).persist()
+                        segs = state["stage"][idx] or []
+                        lo, hi = wm_prev, wm_new
+                        plan_needed = hi is not None
+                        if hi is not None and lo is not None:
+                            size_us = int(
+                                _pd.Timedelta(info["size"]).total_seconds()
+                                * 1e6
+                            )
+                            off_us = (
+                                int(_pd.Timedelta(info["offset"])
+                                    .total_seconds() * 1e6)
+                                if info["offset"] else 0
+                            )
+                            hi_us, lo_us = _ep_us(hi), _ep_us(lo)
+                            e_hi_us = hi_us - ((hi_us - off_us % size_us)
+                                               % size_us)
+                            if e_hi_us <= lo_us:
+                                plan_needed = False
+                        if plan_needed:
+                            rel = pb
+                            if segs:
+                                rel = rel.unionByName(
+                                    bspark.read.schema(pb.schema)
+                                    .parquet(*[s_["dir"] for s_ in segs])
+                                )
+                            rel = rel.where(F.col("window_end") <= F.lit(hi))
+                            if lo is not None:
+                                rel = rel.where(
+                                    F.col("window_end") > F.lit(lo)
+                                )
+                            rel = rel.persist()
+                            if rel.limit(1).count():
+                                maggs = []
+                                for i2_ in aidx:
+                                    it = acc["sel"][i2_]
+                                    if it["fn"] == "AVG":
+                                        maggs.append(
+                                            (F.sum(f"__p{i2_}_s")
+                                             / F.sum(f"__p{i2_}_c"))
+                                            .alias(it["alias"])
+                                        )
+                                    else:
+                                        merge_fn = {
+                                            "COUNT": F.sum, "SUM": F.sum,
+                                            "MIN": F.min, "MAX": F.max,
+                                        }[it["fn"]]
+                                        maggs.append(
+                                            merge_fn(f"__p{i2_}")
+                                            .alias(it["alias"])
+                                        )
+                                merged = (rel.groupBy(*gb).agg(*maggs)
+                                          if maggs
+                                          else rel.select(*gb).distinct())
+                                final = merged.select(*[
+                                    F.col(it["col"]).alias(it["alias"])
+                                    if it["kind"] == "key"
+                                    else F.col(it["alias"])
+                                    for it in acc["sel"]
+                                ])
+                                wview = f"{batch_view}_w{idx}"
+                                final.createOrReplaceTempView(wview)
+                                _emit(sink_name, collist,
+                                      f"SELECT * FROM {wview}", bspark,
+                                      slot=(batch_id, idx))
+                            rel.unpersist()
+                        keep_new = (
+                            pb.where(F.col("window_end") > F.lit(hi))
+                            if hi is not None else pb
+                        )
+                        state["stage"][idx] = _stage_segment(
+                            keep_new, "window_end", idx, batch_id, segs,
+                            hi, old_stages,
+                        )
+                        pb.unpersist()
+                        continue
+                    # TUMBLE window agg (raw-row staging — shapes the
+                    # accumulator decomposition can't express): each row
+                    # belongs to exactly ONE window; rows stage until it
+                    # closes, then the statement plans once over the
+                    # window's COMPLETE row set. r12 staging is
+                    # APPEND-ONLY (see the win_multi note): the batch's
+                    # open-window rows write ONCE as a segment; emission
+                    # reads new ∪ live segments row-filtered to windows
                     # closing in (wm_prev, wm_new] (exact for TUMBLE —
                     # no output post-filter needed), and segments drop
                     # whole once the watermark passes their max end.

@@ -2157,22 +2157,43 @@ def test_stream_statement_set_staging_writes_are_batch_delta(tenv, spark, tmp_pa
         f"CREATE TABLE od_w WITH ('connector'='filesystem',"
         f"'path'='{sink}','format'='parquet')"
     )
+    sink_r = str(tmp_path / "od_snk_raw")
+    tenv.execute_sql(
+        f"CREATE TABLE od_w_raw WITH ('connector'='filesystem',"
+        f"'path'='{sink_r}','format'='parquet')"
+    )
     ck = str(tmp_path / "od_ck")
     tenv.create_stream_statement_set().add_insert_sql(
+        # plain COUNT/SUM → the r12 PARTIAL-ACCUMULATOR path: one
+        # partial row per open (window, keys) group per batch
         "INSERT INTO od_w SELECT window_end, COUNT(*) AS n, SUM(v) AS s "
         "FROM TABLE(TUMBLE(TABLE od_ev, DESCRIPTOR(ts), INTERVAL '1' HOUR)) "
         "GROUP BY window_start, window_end"
+    ).add_insert_sql(
+        # ROUND around the aggregate defeats the decomposition → the
+        # raw-row segment path
+        "INSERT INTO od_w_raw SELECT window_end, COUNT(*) AS n, "
+        "ROUND(SUM(v), 2) AS s "
+        "FROM TABLE(TUMBLE(TABLE od_ev, DESCRIPTOR(ts), INTERVAL '1' HOUR)) "
+        "GROUP BY window_start, window_end"
     ).execute(checkpoint=ck, max_files_per_trigger=1)
-    # correctness: the 10:00 window emits once, complete (5 rows)
+    # correctness: the 10:00 window emits once, complete (5 rows), on
+    # BOTH paths
     got = sorted((r.window_end.hour, r.n, r.s)
                  for r in spark.read.parquet(sink).collect())
     assert got == [(11, 5, 31.0)]
+    got_r = sorted((r.window_end.hour, r.n, r.s)
+                   for r in spark.read.parquet(sink_r).collect())
+    assert got_r == [(11, 5, 31.0)]
     m = json.load(open(os.path.join(ck, "sset_manifest.json")))
-    # each row staged at most once: batches staged 2, 2, 1 rows
-    assert m["staged_rows_cum"] == 5
-    # exactly one live segment remains (the open 13:00-window row)
-    (segs,) = m["stage"].values()
-    assert [s["rows"] for s in segs] == [1]
+    # acc path (statement 0): one PARTIAL row per batch per open group
+    # (1+1+1); raw path (statement 1): each row staged at most once
+    # (2+2+1) — vs the pre-r12 horizon rewrite's 2+4+5
+    assert m["staged_rows_cum"] == 3 + 5
+    segs_acc, segs_raw = (m["stage"][k] for k in sorted(m["stage"]))
+    # one live segment each: the open 13:00-window partial / raw row
+    assert [s["rows"] for s in segs_acc] == [1]
+    assert [s["rows"] for s in segs_raw] == [1]
     # HOP variant: same three files, 30-min slide / 1-hour size; every
     # row is still written to staging at most once (cum <= input rows)
     tenv.execute_sql(
