@@ -251,6 +251,80 @@ def cep_sql_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cep_sql_agg_measures",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS vi,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    clicks AS (
+      SELECT user_id, event_id, vi, rn,
+             rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS isl
+      FROM ordered WHERE event_type = 'click'
+    ),
+    islands AS (
+      SELECT user_id, isl, min(rn) AS first_rn, max(rn) AS last_rn,
+             arg_min(event_id, rn) AS first_click,
+             CAST(count(*) AS BIGINT) AS n_clicks,
+             CAST(sum(vi * 2) AS BIGINT) AS s2,
+             CAST(max(vi) AS BIGINT) AS mx,
+             CAST(sum(vi) AS DOUBLE) / count(*) AS av
+      FROM clicks GROUP BY user_id, isl
+    )
+    SELECT i.user_id, i.first_click, i.n_clicks, i.s2, i.mx, i.av,
+           o.event_id AS purchase_id
+    FROM islands i
+    JOIN ordered o ON o.user_id = i.user_id AND o.rn = i.last_rn + 1
+    WHERE o.event_type = 'purchase'
+    """,
+    tags=("cep", "match-recognize", "sql-surface"),
+)
+def cep_sql_agg_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURES aggregates over EXPRESSIONS of one variable's matched
+    rows (r12; MatchRecognizeITCase.scala:677-694 — the
+    SUM(B.price * B.rate) surface): a maximal click run immediately
+    followed by a purchase reports SUM(A.vi * 2), MAX(A.vi), AVG(A.vi),
+    COUNT(A.vi). Greedy A+ under strict contiguity consumes the whole
+    island, so the oracle is gaps-and-islands + island aggregates with
+    the island's successor row required to be a purchase. Integer cents
+    make SUM/MAX exact; AVG is the same two-integer division on both
+    sides."""
+    _events_view(spark, sf_dir, "events_sqlsrc")
+    spark.sql("""
+        SELECT user_id, event_id, ts, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS vi
+        FROM events_sqlsrc
+    """).createOrReplaceTempView("events_aggm")
+    sql = """
+    SELECT * FROM events_aggm MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts, event_id
+      MEASURES FIRST(A.event_id) AS first_click,
+               COUNT(A.*) AS n_clicks,
+               SUM(A.vi * 2) AS s2,
+               MAX(A.vi) AS mx,
+               AVG(A.vi) AS av,
+               FIRST(B.event_id) AS purchase_id
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A+ B)
+      DEFINE A AS event_type = 'click',
+             B AS event_type = 'purchase'
+    )
+    """
+    out = spark.sql(rewrite_flink_clauses(spark, sql))
+    return out.select(
+        "user_id", "first_click",
+        F.col("n_clicks").cast("bigint").alias("n_clicks"),
+        F.col("s2").cast("bigint").alias("s2"),
+        F.col("mx").cast("bigint").alias("mx"),
+        "av", "purchase_id",
+    )
+
+
+@query(
     "cep_sql_classifier",
     oracle="""
     SELECT user_id, event_id AS start_id,

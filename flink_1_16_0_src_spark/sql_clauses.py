@@ -534,6 +534,40 @@ def _parse_quant(tok: str) -> tuple[str, int, int | None, bool]:
 
 _PREV_NEXT = re.compile(r"\b(PREV|NEXT)\s*\(\s*(\w+)\.(\w+)\s*(?:,\s*(\d+)\s*)?\)", re.IGNORECASE)
 _MEASURE_FN = re.compile(r"^(FIRST|LAST|COUNT|SUM|AVG)\s*\(\s*(\w+)\.(\w+|\*)\s*\)$", re.IGNORECASE)
+# aggregate over an EXPRESSION of one variable's columns in MEASURES —
+# SUM(B.price * B.rate), MAX(A.vi) (MatchRecognizeITCase.scala:677-694;
+# Flink requires all aggregation inputs to reference exactly one
+# pattern variable — MatchCodeGenerator.scala aggregatesPerVariable)
+_MEASURE_AGG_EXPR = re.compile(r"^(SUM|AVG|MIN|MAX|COUNT)\s*\((.+)\)$",
+                               re.IGNORECASE | re.DOTALL)
+
+
+def _agg_expr_measure(fn: str, var: str, code):
+    """MEASURES aggregate over a per-row expression of ``var``'s matched
+    rows: evaluate the compiled expression per row (NULL operands → the
+    row contributes NULL, skipped per SQL aggregate semantics), then
+    fold. Numeric results surface as DOUBLE (COUNT as BIGINT)."""
+    def f(m):
+        vals = []
+        for r in (m.get(var) or []):
+            try:
+                v = eval(code, {"__builtins__": {}}, {"r": r})
+            except TypeError:
+                v = None  # NULL operand in the expression
+            if v is not None:
+                vals.append(v)
+        if fn == "COUNT":
+            return len(vals)
+        if not vals:
+            return None
+        if fn == "SUM":
+            return float(sum(vals))
+        if fn == "MIN":
+            return float(min(vals))
+        if fn == "MAX":
+            return float(max(vals))
+        return float(sum(vals)) / len(vals)  # AVG
+    return f
 _VAR_COL = re.compile(r"^(\w+)\.(\w+)$")
 # cross-variable running aggregate inside DEFINE (MatchCodeGenerator.scala
 # compiles these over the already-matched prefix): FIRST/LAST/SUM/AVG(V.col),
@@ -892,6 +926,47 @@ def lower_match_recognize(
             measures[out_name] = (lambda v, c: lambda m: cep.last(m, v, c))(var, col)
             fields.append(StructField(out_name, in_cols[col]))
             continue
+        am = _MEASURE_AGG_EXPR.match(expr_txt)
+        if am:
+            # SUM(B.price * B.rate) / MIN / MAX / AVG / COUNT over an
+            # expression of ONE variable's columns (r12; the
+            # MatchRecognizeITCase.scala:677-694 measure surface).
+            # Flink's rule applies: every aggregation references
+            # exactly one pattern variable.
+            fn = am.group(1).upper()
+            inner = am.group(2).strip()
+            depth = 0
+            for ch in inner:
+                depth += ch == "("
+                depth -= ch == ")"
+                if depth < 0:
+                    break
+            var_refs = {
+                v.upper()
+                for v, _c in re.findall(r"\b(\w+)\.(\w+)", inner)
+                if v.upper() in all_vars
+            }
+            if depth == 0 and len(var_refs) == 1:
+                var = next(iter(var_refs))
+                bare = re.sub(rf"\b{var}\.(\w+)", r"\1", inner,
+                              flags=re.IGNORECASE)
+                try:
+                    code = compile(_sql_bool_to_py(bare), "<measure>", "eval")
+                except SyntaxError:
+                    raise ValueError(
+                        f"unsupported MEASURES expression {expr_txt!r}"
+                    ) from None
+                measures[out_name] = _agg_expr_measure(fn, var, code)
+                fields.append(StructField(
+                    out_name, LongType() if fn == "COUNT" else DoubleType()
+                ))
+                continue
+            if len(var_refs) > 1:
+                raise ValueError(
+                    f"MEASURES aggregate {expr_txt!r} references "
+                    f"{sorted(var_refs)} — Flink requires all aggregation "
+                    "inputs to reference exactly ONE pattern variable"
+                )
         raise ValueError(f"unsupported MEASURES expression {expr_txt!r}")
 
     # AFTER MATCH SKIP ...

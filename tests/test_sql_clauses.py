@@ -344,6 +344,37 @@ def test_sql_bool_to_py_literal_with_operators():
     assert eval(py, {"__builtins__": {}}, {"r": {"c": "a<>b", "d": "x=y"}}) is False
 
 
+def test_match_recognize_measure_expression_aggregates(spark):
+    """MEASURES aggregates over an EXPRESSION of one variable's columns
+    (r12; MatchRecognizeITCase.scala:677-694 — SUM(B.price * B.rate)):
+    SUM/MIN/MAX/AVG/COUNT fold the per-row expression over the matched
+    rows; mixing two variables in one aggregate is rejected with
+    Flink's single-variable rule."""
+    import pytest
+
+    _events(spark, [
+        ("k", 1, "a", 2.0), ("k", 2, "a", 3.0), ("k", 3, "b", 10.0),
+    ])
+    out = lower_match_recognize(
+        spark, "sqlc_events",
+        "PARTITION BY k ORDER BY seq "
+        "MEASURES SUM(A.v * A.seq) AS s, MAX(A.v) AS mx, MIN(A.seq) AS mn, "
+        "AVG(A.v) AS av, COUNT(A.v + 1) AS n "
+        "AFTER MATCH SKIP PAST LAST ROW "
+        "PATTERN (A+ B) "
+        "DEFINE A AS c = 'a', B AS c = 'b'",
+    )
+    got = [tuple(r) for r in out.collect()]
+    # s = 2*1 + 3*2 = 8; mx = 3; mn = 1; av = 2.5; n = 2
+    assert got == [("k", 8.0, 3.0, 1.0, 2.5, 2)]
+    with pytest.raises(ValueError, match="exactly ONE pattern variable"):
+        lower_match_recognize(
+            spark, "sqlc_events",
+            "PARTITION BY k ORDER BY seq MEASURES SUM(A.v * B.v) AS s "
+            "PATTERN (A B) DEFINE A AS c = 'a', B AS c = 'b'",
+        )
+
+
 def test_crossvar_predicate_null_vs_real_type_error():
     """NULL comparisons collapse to false; a genuine type bug (str vs
     int arithmetic) raises instead of silently not-matching."""
