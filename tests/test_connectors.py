@@ -2214,9 +2214,12 @@ def test_stream_statement_set_staging_writes_are_batch_delta(tenv, spark, tmp_pa
         "GROUP BY window_start, window_end"
     ).execute(checkpoint=ck2, max_files_per_trigger=1)
     m2 = json.load(open(os.path.join(ck2, "sset_manifest.json")))
-    # batch deltas staged: 2 (both open), 2, 1 (13:00; the 10:40 row's
-    # last window closes this batch and never stages)
-    assert m2["staged_rows_cum"] == 5
+    # HOP also rides the r12 PARTIAL-ACCUMULATOR path (plain COUNT):
+    # each batch stages one partial per open (window_end) group —
+    # b1: ends 10:30,11:00 (2); b2: ends 10:30,11:00,11:30 (3);
+    # b3: ends 13:30,14:00 (2, the closed ends never stage) = 7,
+    # independent of the row rate within each group
+    assert m2["staged_rows_cum"] == 7
     # final wm 12:59 → hop window ends 10:30 / 11:00 / 11:30 closed,
     # each once, complete (rows spanning all three batches)
     got2 = sorted((r.window_end.hour, r.window_end.minute, r.n)
