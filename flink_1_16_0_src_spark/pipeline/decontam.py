@@ -120,3 +120,71 @@ def contamination_report(
         F.expr("n_contaminated * 1000000L div n_docs")
         .alias("contaminated_ppm"),
     )
+
+
+def semantic_contamination(
+    corpus_df: DataFrame,
+    bench_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    seeds: list[list[float]],
+    threshold: float,
+    max_cell: int = 8192,
+) -> DataFrame:
+    """EMBEDDING-tier benchmark decontamination (r12) — the semantic
+    complement of the n-gram passes above: flag corpus vectors whose
+    4-dp cosine against ANY benchmark vector in the same k-means cell
+    reaches ``threshold``. Paraphrased or re-worded eval items slip
+    past 8/13-gram overlap; embedding proximity catches them (the
+    contamination analog of SemDeDup's blocking, Abbas et al. 2023).
+    Returns one row per contaminated corpus vector:
+    (id, cell, n_hits, max_cos4).
+
+    Scale: the same shape as dedup.semantic_dedup_against — seeds are
+    driver-held literals, assignment is the map-only BLAS pass, the
+    probe join shuffles on cell with hot-cell sub-block salting on the
+    BENCH side (every bench x corpus in-cell pair meets exactly once,
+    so n_hits is exact), norms hoist to one column per row. The bench
+    side is small by construction (eval suites); a 100 TB corpus pays
+    one assignment scan + the cell-blocked probe."""
+    from flink_1_16_0_src_spark.pipeline.dedup import _ivf_assign_blas
+
+    a_b = _ivf_assign_blas(bench_df, vec_col, id_col, seeds)
+    a_c = _ivf_assign_blas(corpus_df, vec_col, id_col, seeds)
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    b = a_b.select(
+        F.col(id_col).alias("__bid"), v.alias("__vb"), norm.alias("__nb"),
+        "cell",
+    )
+    c = a_c.select(F.col(id_col), v.alias("__vc"), norm.alias("__nc"), "cell")
+    splits = F.broadcast(
+        b.groupBy("cell").agg(
+            F.ceil(F.count("*") / F.lit(max_cell)).cast("int").alias("__nblk")
+        )
+    )
+    b_s = b.join(splits, "cell").withColumn(
+        "__sub", F.pmod(F.xxhash64("__bid"), F.col("__nblk"))
+    )
+    c_s = (
+        c.join(splits, "cell")  # corpus cells absent from bench: clean
+        .withColumn("__sub", F.explode(F.sequence(
+            F.lit(0), F.col("__nblk") - 1
+        )))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__vc"), F.col("__vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        c_s.join(b_s, ["cell", "__sub"])
+        .withColumn("__cos4",
+                    F.round(dot / (F.col("__nc") * F.col("__nb")), 4))
+        .where(F.col("__cos4") >= F.lit(threshold))
+        .groupBy(id_col, "cell")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hits"),
+            F.max("__cos4").alias("max_cos4"),
+        )
+    )

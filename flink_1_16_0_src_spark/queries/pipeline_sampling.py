@@ -187,6 +187,77 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontam_semantic",
+    oracle="""
+    WITH bench AS (SELECT * FROM embeddings WHERE vec_id % 20 = 0),
+    corpus AS (SELECT * FROM embeddings WHERE vec_id % 20 <> 0),
+    k AS (SELECT greatest(8, count(*) // 250) AS k FROM bench),
+    seed_ids AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+      FROM bench, k QUALIFY cell < k.k
+    ),
+    seeds AS (
+      SELECT s.cell, CAST(e.embedding AS DOUBLE[]) AS cvec
+      FROM seed_ids s JOIN embeddings e USING (vec_id)
+    ),
+    dists AS (
+      SELECT e.vec_id, s.cell,
+             list_sum(list_transform(generate_series(1, len(e.embedding)),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - s.cvec[i])
+                  * (CAST(e.embedding[i] AS DOUBLE) - s.cvec[i]))) AS d
+      FROM embeddings e, seeds s
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY round(d, 6), cell) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    bvec AS (
+      SELECT a.vec_id, a.cell, CAST(e.embedding AS DOUBLE[]) AS v
+      FROM assign a JOIN bench e USING (vec_id)
+    ),
+    cvec AS (
+      SELECT a.vec_id, a.cell, CAST(e.embedding AS DOUBLE[]) AS v
+      FROM assign a JOIN corpus e USING (vec_id)
+    )
+    SELECT c.vec_id, c.cell,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           max(round(list_cosine_similarity(c.v, b.v), 4)) AS max_cos4
+    FROM cvec c JOIN bvec b ON c.cell = b.cell
+    WHERE round(list_cosine_similarity(c.v, b.v), 4) >= 0.3
+    GROUP BY c.vec_id, c.cell
+    """,
+    tags=("pipeline", "decontam", "custom-op"),
+)
+def decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination (r12 —
+    pipeline.decontam.semantic_contamination): paraphrased eval items
+    slip past the 8/13-gram passes, so the embedding tier flags corpus
+    vectors whose 4-dp cosine against ANY benchmark vector in the same
+    k-means cell reaches 0.3, reporting hit count + max cosine per
+    contaminated vector. Every 20th embedding stands in for the eval
+    suite; seeds are its k lowest ids (k = max(8, |bench| // 250)).
+    The oracle replays assignment (6-dp argmin, lowest-cell tiebreak)
+    and the cell-blocked probe; cosines round at 4 dp on both sides."""
+    from flink_1_16_0_src_spark.pipeline.decontam import semantic_contamination
+
+    emb = load(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 20 == 0)
+    corpus = emb.where(F.col("vec_id") % 20 != 0)
+    k = max(8, bench.count() // 250)
+    seed_rows = sorted(
+        bench.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
+    )
+    seeds = [list(map(float, r[1])) for r in seed_rows]
+    return semantic_contamination(
+        corpus, bench, "embedding", "vec_id", seeds, threshold=0.3
+    )
+
+
+@query(
     "decontam_filtered_count",
     oracle=f"""
     WITH bench AS (

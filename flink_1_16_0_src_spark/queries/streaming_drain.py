@@ -2904,6 +2904,86 @@ def stream_sql_statement_set_hop_drain(spark: SparkSession, sf_dir: str) -> Data
 
 
 @query(
+    "stream_sql_statement_set_cumacc_drain",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events),
+    base AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS span, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS vi
+      FROM events WHERE event_type = 'click'
+    ),
+    expl AS (
+      SELECT span AS window_start,
+             span + (INTERVAL '30 minutes' * g.j) AS window_end,
+             event_id, vi
+      FROM base, (SELECT 1 AS j UNION ALL SELECT 2) g
+      WHERE span + (INTERVAL '30 minutes' * g.j) > ts
+    )
+    SELECT window_start, window_end,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(vi) AS BIGINT) AS cents,
+           CAST(min(event_id) AS BIGINT) AS min_id,
+           CAST(max(event_id) AS BIGINT) AS max_id,
+           CAST(sum(vi) AS DOUBLE) / count(*) AS avg_cents
+    FROM expl
+    GROUP BY window_start, window_end
+    HAVING window_end <= (SELECT w FROM wm)
+    """,
+    tags=("streaming", "statement-set", "sql-surface"),
+)
+def stream_sql_statement_set_cumacc_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATE window aggregate inside a streaming statement set on
+    the r12 PARTIAL-ACCUMULATOR path: the SELECT list decomposes
+    (COUNT/SUM/MIN/MAX/AVG over expressions + bare window columns), so
+    each batch stages one partial row per (window, keys) group —
+    exploded per covering slice — and emission merges partials
+    (AVG = sum+count pair) instead of re-planning raw rows
+    (MiniBatchIncrementalGroupAggFunction.java contract). The query fn
+    asserts the decomposition actually engaged. Oracle: each click
+    contributes to its span's still-open slices (30-minute step,
+    1-hour max), gated at the final watermark; integer cents keep
+    SUM/AVG exact."""
+    import os as _os
+    import tempfile as _tf
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE sq_ssc_ev_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    d = _os.path.join(_tf.mkdtemp(prefix="spark_graft_ssc_"), "win")
+    t.execute_sql(
+        f"CREATE TABLE sq_ssc_win_{k} WITH ('connector'='filesystem',"
+        f"'path'='{d}','format'='parquet')"
+    )
+    ss = t.create_stream_statement_set().add_insert_sql(
+        f"INSERT INTO sq_ssc_win_{k} SELECT window_start, window_end, "
+        f"COUNT(*) AS n, "
+        f"SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents, "
+        f"MIN(event_id) AS min_id, MAX(event_id) AS max_id, "
+        f"AVG(CAST(ROUND(value * 100) AS BIGINT)) AS avg_cents "
+        f"FROM TABLE(CUMULATE(TABLE sq_ssc_ev_{k}, DESCRIPTOR(ts), "
+        f"INTERVAL '30' MINUTE, INTERVAL '1' HOUR)) "
+        f"WHERE event_type = 'click' "
+        f"GROUP BY window_start, window_end"
+    )
+    assert ss._inserts[0][5]["acc"] is not None, "acc path must engage"
+    receipt = ss.execute()
+    assert receipt["window_agg_statements"] == 1
+    return spark.read.parquet(d).select(
+        "window_start", "window_end", "n", "cents", "min_id", "max_id",
+        "avg_cents",
+    )
+
+
+@query(
     "stream_sql_statement_set_dim_drain",
     oracle="""
     WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events),
