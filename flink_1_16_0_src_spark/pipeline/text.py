@@ -453,3 +453,69 @@ def tokenizer_fertility(
             .alias("chars_per_token_ppm"),
         )
     )
+
+
+def source_distribution_drift(
+    df: DataFrame, text_col: str, source_col: str, top_n: int = 200
+) -> DataFrame:
+    """Corpus-mixture DRIFT monitor (r12): pairwise total-variation
+    distance between per-source unigram distributions over the global
+    ``top_n`` vocabulary — the periodic report a training-mixture
+    pipeline runs to catch a source whose content shifted (crawl went
+    stale, boilerplate flooded in) before it skews the mix. Pure
+    integer arithmetic end-to-end (the repo float rule):
+    ``tv(a,b) = tv_num / (2 * total_a * total_b)`` where
+    ``tv_num = Σ_tok |cnt_a·total_b − cnt_b·total_a|`` — the exact
+    cross-multiplied numerator, so equal distributions give exactly 0
+    and disjoint ones 2·total_a·total_b. Returns one row per unordered
+    source pair: (source_a, source_b, tv_num, total_a, total_b).
+
+    Scale: the vocabulary is a bounded top-N broadcast (ties break on
+    token text — deterministic); per-source counts are ONE shuffle on
+    (source, tok); the pairwise stage runs on the |sources| × top_n
+    grid (tiny — the corpus is never self-joined). At extreme counts
+    (cnt·total beyond ~9e18) pre-scale counts or lift to DECIMAL —
+    the fixture regime fits BIGINT with 5 orders of headroom."""
+    tok = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens(text_col)).alias("tok"),
+    )
+    vocab = (
+        tok.groupBy("tok").count()
+        .orderBy(F.col("count").desc(), "tok")
+        .limit(top_n)
+        .select("tok")
+    )
+    cnts = (
+        tok.join(F.broadcast(vocab), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = cnts.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("total")
+    )
+    grid = totals.crossJoin(F.broadcast(vocab))
+    full = (
+        grid.join(cnts, ["source", "tok"], "left")
+        .fillna(0, subset=["cnt"])
+    )
+    a = full.select(
+        F.col("source").alias("source_a"), "tok",
+        F.col("cnt").alias("__ca"), F.col("total").alias("total_a"),
+    )
+    b = full.select(
+        F.col("source").alias("source_b"), "tok",
+        F.col("cnt").alias("__cb"), F.col("total").alias("total_b"),
+    )
+    return (
+        a.join(b, "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b", "total_a", "total_b")
+        .agg(
+            F.sum(F.abs(
+                F.col("__ca") * F.col("total_b")
+                - F.col("__cb") * F.col("total_a")
+            )).cast("bigint").alias("tv_num")
+        )
+        .select("source_a", "source_b", "tv_num", "total_a", "total_b")
+    )

@@ -1082,3 +1082,52 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return tokenizer_fertility(d, "text", "source")
+
+
+@query(
+    "text_source_tv_drift",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(str_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS c FROM tok GROUP BY tok
+        ORDER BY c DESC, tok LIMIT 200
+      )
+    ),
+    cnts AS (
+      SELECT t.source, t.tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM tok t JOIN vocab v USING (tok)
+      GROUP BY t.source, t.tok
+    ),
+    totals AS (
+      SELECT source, CAST(sum(cnt) AS BIGINT) AS total
+      FROM cnts GROUP BY source
+    ),
+    grid AS (SELECT s.source, s.total, v.tok FROM totals s CROSS JOIN vocab v),
+    filled AS (
+      SELECT g.source, g.total, g.tok, COALESCE(c.cnt, 0) AS cnt
+      FROM grid g LEFT JOIN cnts c ON c.source = g.source AND c.tok = g.tok
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(sum(abs(a.cnt * b.total - b.cnt * a.total)) AS BIGINT) AS tv_num,
+           a.total AS total_a, b.total AS total_b
+    FROM filled a JOIN filled b ON a.tok = b.tok AND a.source < b.source
+    GROUP BY a.source, b.source, a.total, b.total
+    """,
+    tags=("pipeline", "text", "custom-op"),
+)
+def text_source_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture drift report (r12 —
+    pipeline.text.source_distribution_drift): pairwise total-variation
+    distance between per-source unigram distributions over the global
+    top-200 vocabulary, as the EXACT cross-multiplied integer numerator
+    (tv = tv_num / (2 * total_a * total_b)) so the value hash is
+    summation-order-proof. Vocabulary broadcasts; the pair stage runs
+    on the sources x vocab grid, never the corpus."""
+    from flink_1_16_0_src_spark.pipeline.text import source_distribution_drift
+
+    d = load(spark, sf_dir, "documents")
+    return source_distribution_drift(d, "text", "source", top_n=200)
