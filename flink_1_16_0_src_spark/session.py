@@ -2829,7 +2829,7 @@ class StreamStatementSet:
                 "size": _interval_str(tm.group("i1")),
                 "offset": (_interval_str(tm.group("i2"))
                            if tm.group("i2") else None),
-                "acc": self._parse_tumble_acc(body, tm),
+                "acc": self._parse_win_acc(body, tm),
             }
         # HOP(slide, size) / CUMULATE(step, max): a row belongs to
         # SEVERAL windows, so emission post-filters the planned output
@@ -2873,11 +2873,11 @@ class StreamStatementSet:
             "fn": fn,
             "i1": _interval_str(tm.group("i1")),
             "i2": _interval_str(tm.group("i2")),
-            "acc": self._parse_tumble_acc(body, tm),
+            "acc": self._parse_win_acc(body, tm),
         }
 
-    def _parse_tumble_acc(self, body: str, tm: "re.Match") -> dict | None:
-        """Decompose a TUMBLE statement into PARTIAL ACCUMULATORS
+    def _parse_win_acc(self, body: str, tm: "re.Match") -> dict | None:
+        """Decompose a TUMBLE/HOP/CUMULATE statement into PARTIAL ACCUMULATORS
         (r12, VERDICT r11 #1c): when every SELECT item is a group key
         or a plain COUNT/SUM/MIN/MAX/AVG aggregate, staging keeps ONE
         partial row per open (window, keys) group instead of raw rows
