@@ -789,8 +789,14 @@ def semantic_dedup(
 
     Scale: seeds are k x dim driver-held literals (bounded coordination
     state); assignment is map-only; the pairwise stage shuffles on
-    cell. At 100 TB raise k so clusters stay executor-sized (the paper
-    uses k ~ sqrt(N)); cells LARGER than ``max_cell`` are additionally
+    cell. In the paper's fixed-cell-size regime (k ∝ N — what the
+    registry query uses) the within-cell PAIR volume is linear in N
+    (measured flat across the r12 sf0.1→sf1 decade), but the N x k
+    assignment matmul grows quadratically — fine while assignment is
+    BLAS-bound (sub-second at the probe sizes), and at true 100 TB
+    scale swap the flat quantizer for a two-level one (coarse cells,
+    then sub-cells within) to keep assignment ~N^1.5. Cells LARGER
+    than ``max_cell`` are additionally
     split into hash sub-blocks and deduped via a pair-of-blocks pass,
     so the per-executor pandas group is bounded by ~2*max_cell rows
     even when a near-duplicate blob collapses into one cell (the
