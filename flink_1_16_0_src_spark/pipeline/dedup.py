@@ -402,28 +402,47 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     """SimHash signature: per-token md5-derived ``bits``-bit hash; each
     bit position votes +1/-1 weighted by token frequency; sign of the
     vote is the signature bit. Work is one token explode + one groupBy
-    with ``bits`` sum columns — no per-bit row fan-out."""
+    with ``bits`` sum columns — no per-bit row fan-out.
+
+    r12: ``bits`` up to 64 — votes for bits 60+ read a SECOND 60-bit
+    hash limb (md5 hex chars 16-30; the first limb is chars 1-15), and
+    bit 63 contributes the two's-complement sign term (−2^63), so a
+    full 64-bit signature round-trips through BIGINT exactly — the
+    classic 64-bit SimHash whose sign bit the hamming band join now
+    handles (ADVICE r11 #1)."""
+    if bits > 64:
+        raise ValueError("simhash supports at most 64 bits (BIGINT signature)")
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__tok"),
     )
-    tok_h = toks.select(
-        id_col,
-        F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10).cast("bigint").alias("__h"),
-    )
+    hcols = [
+        F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10)
+        .cast("bigint").alias("__h"),
+    ]
+    if bits > 60:
+        hcols.append(
+            F.conv(F.substring(F.md5(F.col("__tok")), 16, 15), 16, 10)
+            .cast("bigint").alias("__h2")
+        )
+    tok_h = toks.select(id_col, *hcols)
     # one groupBy with ``bits`` sum() columns (each bit test is a
     # codegen'd expression) instead of a ×bits row explode — shuffle is
     # |docs| wide rows and the sums fold map-side, same shape as the
     # minhash signature agg
     votes = tok_h.groupBy(id_col).agg(
         *[
-            F.sum((F.shiftright("__h", b) % 2) * 2 - 1).alias(f"v{b}")
+            F.sum((
+                (F.shiftright("__h", b) if b < 60
+                 else F.shiftright("__h2", b - 60)) % 2
+            ) * 2 - 1).alias(f"v{b}")
             for b in range(bits)
         ]
     )
     sig = None
     for b in range(bits):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+        bitval = F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("bigint")
+        term = F.when(F.col(f"v{b}") > 0, bitval).otherwise(
             F.lit(0).cast("bigint")
         )
         sig = term if sig is None else sig + term

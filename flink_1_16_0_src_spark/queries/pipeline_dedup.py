@@ -185,6 +185,63 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_simhash64_neardup",
+    oracle=f"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    sub AS (SELECT * FROM corpus WHERE doc_id % 100000 < 400),
+    toks AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h,
+             ('0x' || substr(md5(tok), 16, 15))::BIGINT AS h2
+      FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM sub)
+    ),
+    votes AS (
+      SELECT doc_id, b.bit,
+             sum((CASE WHEN b.bit < 60 THEN ((h >> b.bit) & 1)
+                       ELSE ((h2 >> (b.bit - 60)) & 1) END) * 2 - 1) AS v
+      FROM toks, generate_series(0, 63) b(bit)
+      GROUP BY doc_id, b.bit
+    ),
+    sigs AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN
+                   CASE WHEN bit = 63
+                        THEN (-9223372036854775807 - 1)::HUGEINT
+                        ELSE (1::BIGINT << bit)::HUGEINT END
+                 ELSE 0::HUGEINT END) AS BIGINT) AS sig
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 8
+    """,
+    tags=("pipeline", "dedup", "custom-op"),
+)
+def dedup_simhash64_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL 64-bit SimHash near-dup pairs (r12): the classic 64-bit
+    signature whose SIGN bit the pigeonhole band join used to lose
+    (ADVICE r11 #1 — arithmetic shiftright gave negative band keys) —
+    signatures live as signed BIGINTs, roughly half with the sign bit
+    set, and the uncapped band join must equal the all-pairs hamming
+    join the oracle computes (xor + bit_count over two's complement on
+    both engines). simhash's second md5 limb feeds bits 60-63; bit 63
+    contributes the two's-complement sign term."""
+    from flink_1_16_0_src_spark.pipeline.dedup import (
+        hamming_near_dup_pairs,
+        simhash,
+    )
+
+    corpus = _dup_corpus(spark, sf_dir).where(
+        (F.col("doc_id") % 100000) < 400
+    )
+    sig = simhash(corpus, "text", "doc_id", bits=64)
+    return hamming_near_dup_pairs(
+        sig, "doc_id", "simhash", bits=64, max_hamming=8, max_bucket=None
+    )
+
+
+@query(
     "dedup_embedding_cosine",
     oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
