@@ -2790,13 +2790,14 @@ def test_stream_statement_set_restart_resumes_staging(tenv, spark, tmp_path):
         f" WITH ('connector'='filesystem','path'='{src}','format'='parquet')"
     )
     snk = {}
-    for tag in ("t", "s"):
+    for tag in ("t", "s", "r", "h"):
         snk[tag] = str(tmp_path / f"rs_snk_{tag}")
         tenv.execute_sql(
             f"CREATE TABLE rs_{tag} WITH ('connector'='filesystem',"
             f"'path'='{snk[tag]}','format'='parquet')"
         )
     stmts = [
+        # plain COUNT → r12 partial-ACCUMULATOR tumble path
         "INSERT INTO rs_t SELECT window_end, COUNT(*) AS n "
         "FROM TABLE(TUMBLE(TABLE rs_ev, DESCRIPTOR(ts), "
         "INTERVAL '1' HOUR)) GROUP BY window_start, window_end",
@@ -2804,6 +2805,16 @@ def test_stream_statement_set_restart_resumes_staging(tenv, spark, tmp_path):
         "COUNT(*) AS n FROM TABLE(SESSION(TABLE rs_ev PARTITION BY k, "
         "DESCRIPTOR(ts), INTERVAL '30' MINUTE)) "
         "GROUP BY k, window_start, window_end",
+        # ROUND defeats the decomposition → RAW-row segment tumble path
+        "INSERT INTO rs_r SELECT window_end, COUNT(*) AS n, "
+        "ROUND(SUM(v), 2) AS s "
+        "FROM TABLE(TUMBLE(TABLE rs_ev, DESCRIPTOR(ts), "
+        "INTERVAL '1' HOUR)) GROUP BY window_start, window_end",
+        # HOP on the accumulator path (multi-window partials)
+        "INSERT INTO rs_h SELECT window_end, COUNT(*) AS n "
+        "FROM TABLE(HOP(TABLE rs_ev, DESCRIPTOR(ts), "
+        "INTERVAL '30' MINUTE, INTERVAL '1' HOUR)) "
+        "GROUP BY window_start, window_end",
     ]
 
     def run():
@@ -2829,9 +2840,19 @@ def test_stream_statement_set_restart_resumes_staging(tenv, spark, tmp_path):
     assert sorted((r.k, r.window_end.strftime("%H:%M"), r.n) for r in
                   spark.read.parquet(snk["s"]).collect()) == \
         [("u", "10:50", 2), ("w", "10:55", 1)]
+    # raw-row tumble path resumed the same spanning window, with values
+    assert [(r.window_end.hour, r.n, r.s) for r in
+            spark.read.parquet(snk["r"]).collect()] == [(11, 3, 7.0)]
+    # hop-accumulator partials from run 1 merged with run 2's: ends
+    # 10:30 and 11:00 each cover all three early rows
+    assert sorted((r.window_end.strftime("%H:%M"), r.n) for r in
+                  spark.read.parquet(snk["h"]).collect()) == \
+        [("10:30", 3), ("11:00", 3)]
     run()  # run 3: no new files — nothing re-emits (manifest skip)
     assert spark.read.parquet(snk["t"]).count() == 1
     assert spark.read.parquet(snk["s"]).count() == 2
+    assert spark.read.parquet(snk["r"]).count() == 1
+    assert spark.read.parquet(snk["h"]).count() == 2
     with pytest.raises(ValueError, match="DIFFERENT.*statement set"):
         tenv.create_stream_statement_set().add_insert_sql(
             stmts[0]
