@@ -310,16 +310,16 @@ def relation_positions(unq: str) -> set[str]:
     watermarked source's name no longer false-positives a batch view
     into the streaming path (ADVICE r11 #5)."""
     rels: set[str] = set()
-    for m in re.finditer(r"\b(?:FROM|JOIN|TABLE)\s+([A-Za-z_]\w*)", unq,
+    for m in re.finditer(r"\b(?:FROM|JOIN|TABLE)\s+`?([A-Za-z_]\w*)`?", unq,
                          re.IGNORECASE):
         rels.add(m.group(1))
     # comma-separated FROM lists: FROM a [AS x], b [y], c
     for m in re.finditer(
-        r"\bFROM\s+[A-Za-z_]\w*(?:\s+(?:AS\s+)?[A-Za-z_]\w*)?"
-        r"((?:\s*,\s*[A-Za-z_]\w*(?:\s+(?:AS\s+)?[A-Za-z_]\w*)?)+)",
+        r"\bFROM\s+`?[A-Za-z_]\w*`?(?:\s+(?:AS\s+)?[A-Za-z_]\w*)?"
+        r"((?:\s*,\s*`?[A-Za-z_]\w*`?(?:\s+(?:AS\s+)?[A-Za-z_]\w*)?)+)",
         unq, re.IGNORECASE,
     ):
-        for mm in re.finditer(r",\s*([A-Za-z_]\w*)", m.group(1)):
+        for mm in re.finditer(r",\s*`?([A-Za-z_]\w*)`?", m.group(1)):
             rels.add(mm.group(1))
     return {r.lower() for r in rels}
 
@@ -3007,20 +3007,35 @@ class StreamStatementSet:
                 rel = rel.where(F.col("window_end") > F.lit(lo))
             rel = rel.persist()
             if rel.limit(1).count():
+                # merge-result types must equal the RAW plan's aggregate
+                # types or the sink schema drifts between the acc and
+                # raw-row paths — e.g. AVG(DECIMAL(10,2)) is
+                # DECIMAL(14,6) under Spark's typing while the naive
+                # sum/count division is not, and SUM-of-SUMs widens
+                # decimal precision. Resolve the raw types once (plan
+                # analysis only, no job) and cast each merged column.
+                raw_types = [
+                    f.dataType
+                    for f in rows.select(*[
+                        F.expr(
+                            f"{acc['sel'][i2_]['fn']}"
+                            f"({acc['sel'][i2_]['expr']})"
+                        )
+                        for i2_ in aidx
+                    ]).schema.fields
+                ]
                 maggs = []
-                for i2_ in aidx:
+                for j_, i2_ in enumerate(aidx):
                     it = acc["sel"][i2_]
                     if it["fn"] == "AVG":
-                        maggs.append(
-                            (F.sum(f"__p{i2_}_s") / F.sum(f"__p{i2_}_c"))
-                            .alias(it["alias"])
-                        )
+                        mcol = F.sum(f"__p{i2_}_s") / F.sum(f"__p{i2_}_c")
                     else:
                         merge_fn = {"COUNT": F.sum, "SUM": F.sum,
                                     "MIN": F.min, "MAX": F.max}[it["fn"]]
-                        maggs.append(
-                            merge_fn(f"__p{i2_}").alias(it["alias"])
-                        )
+                        mcol = merge_fn(f"__p{i2_}")
+                    maggs.append(
+                        mcol.cast(raw_types[j_]).alias(it["alias"])
+                    )
                 merged = (rel.groupBy(*gb).agg(*maggs) if maggs
                           else rel.select(*gb).distinct())
                 final = merged.select(*[

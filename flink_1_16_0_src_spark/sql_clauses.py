@@ -554,7 +554,7 @@ def _agg_expr_measure(fn: str, var: str, code):
                 v = eval(code, {"__builtins__": {}}, {"r": r})
             except TypeError:
                 v = None  # NULL operand in the expression
-            if v is not None:
+            if v is not None and v == v:  # skip None and NaN (SQL NULL)
                 vals.append(v)
         if fn == "COUNT":
             return len(vals)
@@ -611,6 +611,13 @@ def _sql_bool_to_py(cond: str) -> str:
     return "".join(out)
 
 
+def _notnull(x) -> bool:
+    """SQL NULL test for match-state row values: rows that crossed a
+    pandas boundary carry NaN for NULL, fresh dicts carry None — both
+    must read as NULL for COUNT/SUM/AVG skip semantics."""
+    return x is not None and x == x
+
+
 def _crossvar_value(fn: str, m: dict, var: str, col: str | None, cand=None):
     """Aggregate over ``var``'s matched-so-far rows; ``cand`` (set for
     aggregates over the variable BEING defined) is the candidate row
@@ -623,14 +630,14 @@ def _crossvar_value(fn: str, m: dict, var: str, col: str | None, cand=None):
     if fn == "COUNT":
         if col is None:
             return len(rows)
-        return sum(1 for r in rows if r[col] is not None)
+        return sum(1 for r in rows if _notnull(r[col]))
     if not rows:
         return None  # SQL NULL: aggregate over an unmatched variable
     if fn == "FIRST":
         return rows[0][col]
     if fn == "LAST":
         return rows[-1][col]
-    vals = [r[col] for r in rows if r[col] is not None]
+    vals = [r[col] for r in rows if _notnull(r[col])]
     if not vals:
         return None
     s = sum(vals)
@@ -782,6 +789,14 @@ def lower_match_recognize(
 
         def sub_crossvar(m: re.Match) -> str:
             fn, v, col = m.group(1).upper(), m.group(2).upper(), m.group(3)
+            if col == "*" and fn != "COUNT":
+                # only COUNT takes the V.* form — FIRST/LAST/SUM/AVG
+                # need a column; rejecting here gives a clear parse
+                # error instead of a KeyError inside the NFA evaluator
+                raise ValueError(
+                    f"{fn}({v}.*) inside DEFINE: only COUNT accepts "
+                    "V.* — name a column"
+                )
             # v == var: RUNNING aggregate over the variable being
             # defined — the candidate row joins the aggregate as if
             # already mapped (r12; MatchCodeGenerator.scala:61-71,121;
@@ -899,6 +914,11 @@ def lower_match_recognize(
         fm = _MEASURE_FN.match(expr_txt)
         if fm:
             fn, var, col = fm.group(1).upper(), fm.group(2).upper(), fm.group(3)
+            if col == "*" and fn != "COUNT":
+                raise ValueError(
+                    f"{fn}({var}.*) in MEASURES: only COUNT accepts "
+                    "V.* — name a column"
+                )
             if fn == "FIRST":
                 measures[out_name] = (lambda v, c: lambda m: cep.first(m, v, c))(var, col)
                 fields.append(StructField(out_name, in_cols[col]))
@@ -906,7 +926,15 @@ def lower_match_recognize(
                 measures[out_name] = (lambda v, c: lambda m: cep.last(m, v, c))(var, col)
                 fields.append(StructField(out_name, in_cols[col]))
             elif fn == "COUNT":
-                measures[out_name] = (lambda v: lambda m: cep.count_of(m, v))(var)
+                if col == "*":
+                    measures[out_name] = (
+                        lambda v: lambda m: cep.count_of(m, v)
+                    )(var)
+                else:
+                    # SQL COUNT(col) skips NULLs (COUNT(*) counts rows)
+                    measures[out_name] = (lambda v, c: lambda m: sum(
+                        1 for r in (m.get(v) or []) if _notnull(r[c])
+                    ))(var, col)
                 fields.append(StructField(out_name, LongType()))
             elif fn == "SUM":
                 measures[out_name] = (lambda v, c: lambda m: cep.sum_of(m, v, c))(var, col)

@@ -2111,6 +2111,72 @@ def test_stream_statement_set_window_agg_two_batches(tenv, spark, tmp_path):
     assert [g for g in got1 if g[0] != 11] == [g for g in got if g[0] != 11]
 
 
+def test_stream_statement_set_acc_decimal_type_parity(tenv, spark, tmp_path):
+    """The partial-accumulator staging path emits the SAME result types
+    as the raw plan (r12 self-review): AVG(DECIMAL(10,2)) is
+    DECIMAL(14,6) under Spark's typing — the naive sum/count division
+    is not — and SUM-of-SUMs would silently widen decimal precision
+    without the merge cast."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "accdec")
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 0), Decimal("1.10")),
+         (2, dt.datetime(2024, 1, 1, 10, 30), Decimal("2.05")),
+         (3, dt.datetime(2024, 1, 1, 12, 0), Decimal("9.00"))],
+        "eid bigint, ts timestamp, v decimal(10,2)",
+    ).write.parquet(d)
+    tenv.execute_sql(
+        f"CREATE TABLE accdec_ev (eid BIGINT, ts TIMESTAMP(3),"
+        f" v DECIMAL(10, 2), WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{d}','format'='parquet')"
+    )
+    sink = str(tmp_path / "accdec_snk")
+    tenv.execute_sql(
+        f"CREATE TABLE accdec_w WITH ('connector'='filesystem',"
+        f"'path'='{sink}','format'='parquet')"
+    )
+    ss = tenv.create_stream_statement_set().add_insert_sql(
+        "INSERT INTO accdec_w SELECT window_end, COUNT(*) AS n, "
+        "SUM(v) AS s, AVG(v) AS av "
+        "FROM TABLE(TUMBLE(TABLE accdec_ev, DESCRIPTOR(ts), INTERVAL '1' HOUR)) "
+        "GROUP BY window_start, window_end"
+    )
+    assert ss._inserts[0][5]["acc"] is not None  # acc path engaged
+    ss.execute()
+    got = spark.read.parquet(sink)
+    exp = (
+        spark.read.parquet(d)
+        .select(F.window("ts", "1 hour").end.alias("window_end"), "v")
+        .groupBy("window_end")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"),
+             F.avg("v").alias("av"))
+    )
+    assert dict(got.dtypes) == dict(exp.dtypes)
+    rows = {r.window_end.hour: (r.n, r.s, r.av) for r in got.collect()}
+    assert rows == {11: (2, Decimal("3.15"), Decimal("1.575000"))}
+
+
+def test_relation_positions_backticked_identifiers():
+    """The CREATE VIEW router's relation scan handles backtick-quoted
+    relation names and comma FROM-lists, and ignores output aliases
+    (r12 self-review — backticked FROM used to escape the scan)."""
+    from flink_1_16_0_src_spark.session import relation_positions
+
+    rels = relation_positions("SELECT * FROM `events` JOIN `dim` d ON a = b")
+    assert {"events", "dim"} <= rels
+    rels = relation_positions("SELECT a.x AS events FROM batch_a a, `batch_b`")
+    assert {"batch_a", "batch_b"} <= rels and "events" not in rels
+    rels = relation_positions(
+        "SELECT window_end FROM TABLE(TUMBLE(TABLE `src`, "
+        "DESCRIPTOR(ts), INTERVAL '1' HOUR))"
+    )
+    assert "src" in rels
+
+
 def test_stream_statement_set_staging_writes_are_batch_delta(tenv, spark, tmp_path):
     """VERDICT r11 next-round #1 done-criterion: statement-set window
     staging is APPEND-ONLY — files written to staging per batch cover

@@ -389,6 +389,50 @@ def test_crossvar_predicate_null_vs_real_type_error():
         bad({"v": 1}, {})
 
 
+def test_star_aggregate_only_count(spark):
+    """FIRST/LAST/SUM/AVG(V.*) reject with a clear parse error in both
+    DEFINE and MEASURES — only COUNT takes the V.* form (r12
+    self-review: these used to KeyError inside the NFA evaluator
+    mid-stream instead of failing at lowering time)."""
+    _events(spark, [("k", 1, "a", 1.0), ("k", 2, "b", 2.0)])
+    with pytest.raises(ValueError, match="only COUNT accepts"):
+        lower_match_recognize(
+            spark, "sqlc_events",
+            "PARTITION BY k ORDER BY seq "
+            "MEASURES FIRST(A.seq) AS a0 "
+            "AFTER MATCH SKIP PAST LAST ROW "
+            "PATTERN (A+ B) "
+            "DEFINE A AS SUM(A.*) < 6, B AS c = 'b'",
+        )
+    with pytest.raises(ValueError, match="only COUNT accepts"):
+        lower_match_recognize(
+            spark, "sqlc_events",
+            "PARTITION BY k ORDER BY seq "
+            "MEASURES SUM(A.*) AS s "
+            "AFTER MATCH SKIP PAST LAST ROW "
+            "PATTERN (A+ B) "
+            "DEFINE A AS c = 'a', B AS c = 'b'",
+        )
+
+
+def test_measures_count_col_skips_nulls(spark):
+    """COUNT(V.col) in MEASURES skips NULLs like SQL COUNT(col);
+    COUNT(V.*) counts rows (r12 self-review — COUNT(V.col) used to
+    count rows regardless of NULL col values)."""
+    _events(spark, [
+        ("k", 1, "a", 1.0), ("k", 2, "a", None), ("k", 3, "b", 2.0),
+    ])
+    out = lower_match_recognize(
+        spark, "sqlc_events",
+        "PARTITION BY k ORDER BY seq "
+        "MEASURES COUNT(A.*) AS n_rows, COUNT(A.v) AS n_v "
+        "AFTER MATCH SKIP PAST LAST ROW "
+        "PATTERN (A+ B) "
+        "DEFINE A AS c = 'a', B AS c = 'b'",
+    )
+    assert [(r.n_rows, r.n_v) for r in out.collect()] == [(2, 1)]
+
+
 def test_temporal_table_fn_residual_where_and_inner_semantics(spark):
     """TemporalTableFunction rewrite: key conjunct becomes the as-of
     key, other WHERE conjuncts survive; probe rows with no valid
