@@ -2984,6 +2984,81 @@ def stream_sql_statement_set_cumacc_drain(spark: SparkSession, sf_dir: str) -> D
 
 
 @query(
+    "stream_sql_statement_set_topn_drain",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events),
+    base AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+                 AS window_end,
+             event_id, user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS vi
+      FROM events WHERE event_type = 'click'
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY window_start, window_end
+                                   ORDER BY vi DESC, event_id) AS rn
+      FROM base
+    )
+    SELECT window_start, window_end, event_id, user_id, vi,
+           CAST(rn AS BIGINT) AS rn
+    FROM ranked
+    WHERE rn <= 3 AND window_end <= (SELECT w FROM wm)
+    """,
+    tags=("streaming", "statement-set", "rank", "sql-surface"),
+)
+def stream_sql_statement_set_topn_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window Top-N inside a streaming statement set (r12): ROW_NUMBER()
+    OVER (PARTITION BY window_start, window_end ORDER BY cents DESC,
+    event_id) with an rn <= 3 filter — the reference's
+    window-rank-after-window-TVF statement-set pattern
+    (WindowRankProcessor.java; window-topn.md "Window Top-N follows
+    after Window TVF"). Admission requires every OVER to partition by
+    (window_start, window_end); raw-row staging then plans each window
+    ONCE over its complete row set, so the rank is exact without
+    cross-batch rank state. Integer cents + the unique event_id
+    tiebreak keep the rank deterministic on both engines; the oracle
+    gates windows at the final watermark."""
+    import os as _os
+    import tempfile as _tf
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE sq_sst_ev_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    d = _os.path.join(_tf.mkdtemp(prefix="spark_graft_sst_"), "topn")
+    t.execute_sql(
+        f"CREATE TABLE sq_sst_topn_{k} WITH ('connector'='filesystem',"
+        f"'path'='{d}','format'='parquet')"
+    )
+    ss = t.create_stream_statement_set().add_insert_sql(
+        f"INSERT INTO sq_sst_topn_{k} "
+        f"SELECT window_start, window_end, event_id, user_id, vi, "
+        f"CAST(rn AS BIGINT) AS rn FROM ("
+        f"SELECT window_start, window_end, event_id, user_id, "
+        f"CAST(ROUND(value * 100) AS BIGINT) AS vi, "
+        f"ROW_NUMBER() OVER (PARTITION BY window_start, window_end "
+        f"ORDER BY CAST(ROUND(value * 100) AS BIGINT) DESC, event_id) AS rn "
+        f"FROM TABLE(TUMBLE(TABLE sq_sst_ev_{k}, DESCRIPTOR(ts), "
+        f"INTERVAL '1' HOUR)) WHERE event_type = 'click'"
+        f") WHERE rn <= 3"
+    )
+    receipt = ss.execute()
+    assert receipt["window_agg_statements"] == 1
+    return spark.read.parquet(d).select(
+        "window_start", "window_end", "event_id", "user_id", "vi", "rn"
+    )
+
+
+@query(
     "stream_sql_statement_set_dim_drain",
     oracle="""
     WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events),

@@ -2615,6 +2615,48 @@ _SSET_AGG_HEAD = re.compile(
 )
 
 
+def _balanced_span(txt: str, start: int) -> int:
+    """End index (exclusive) of the paren group opening at
+    ``txt[start] == '('``."""
+    d = 0
+    for i in range(start, len(txt)):
+        d += txt[i] == "("
+        d -= txt[i] == ")"
+        if d == 0:
+            return i + 1
+    return len(txt)
+
+
+def _over_clauses(txt: str) -> list[tuple[int, int, str]]:
+    """Each window-function expression ``fn(args) OVER (spec)`` in
+    ``txt`` as (expr start, expr end, spec text) — the statement-set
+    admission gate uses the spec to decide whether every OVER is
+    window-scoped and the span to excise window functions before the
+    bare-aggregate scan."""
+    out: list[tuple[int, int, str]] = []
+    for m in re.finditer(r"\bOVER\s*\(", txt, re.IGNORECASE):
+        end = _balanced_span(txt, m.end() - 1)
+        spec = txt[m.end():end - 1]
+        j = m.start()
+        while j > 0 and txt[j - 1].isspace():
+            j -= 1
+        fn_start = j
+        if j > 0 and txt[j - 1] == ")":
+            d, k = 0, j - 1
+            while k >= 0:
+                d += txt[k] == ")"
+                d -= txt[k] == "("
+                if d == 0:
+                    break
+                k -= 1
+            k -= 1
+            while k >= 0 and (txt[k].isalnum() or txt[k] == "_"):
+                k -= 1
+            fn_start = k + 1
+        out.append((fn_start, end, spec))
+    return out
+
+
 class StreamStatementSet:
     """STREAMING multi-sink statement set — StreamStatementSetImpl.java
     (flink-table-api-bridge) parity: all buffered INSERTs optimize as
@@ -2728,12 +2770,14 @@ class StreamStatementSet:
                 "streaming statement set: MATCH_RECOGNIZE is stateful "
                 "across micro-batches — run it as its own stream_query"
             )
-        if re.search(r"\bOVER\s*\(", unquoted, re.IGNORECASE):
-            raise ValueError(
-                "streaming statement set: OVER aggregates are stateful "
-                "across micro-batches (per-batch re-planning would "
-                "mis-frame rows) — run them as their own stream_query"
-            )
+        # OVER is admissible ONLY when every window function is scoped
+        # to a (window_start, window_end) partition of a window TVF —
+        # then each frame lives inside one watermark-closed window and
+        # the per-window raw-row plan is exact (the reference's window
+        # Top-N / window rank inside statement sets,
+        # WindowRankProcessor.java). Validated below once the TVF is
+        # known; unscoped OVER stays rejected.
+        overs = _over_clauses(unquoted)
         if re.search(r"\bSELECT\s+DISTINCT\b|\(\s*DISTINCT\b", unquoted,
                      re.IGNORECASE):
             raise ValueError(
@@ -2743,6 +2787,12 @@ class StreamStatementSet:
         gm = re.search(r"\bGROUP\s+BY\b(?P<keys>.*)$", unquoted,
                        re.IGNORECASE | re.DOTALL)
         sm = _SSET_SESSION_TVF.search(body)
+        if sm is not None and overs:
+            raise ValueError(
+                "streaming statement set: OVER on a SESSION TVF is not "
+                "supported — sessions merge, so a row's window identity "
+                "isn't fixed; run it as its own stream_query"
+            )
         if sm is not None:
             # SESSION windows MERGE (a row's window identity isn't
             # fixed on arrival — SessionWindowAssigner.java merging
@@ -2791,6 +2841,15 @@ class StreamStatementSet:
             )
         tm = _SSET_WIN_TVF.search(body)
         if tm is None:
+            if overs:
+                raise ValueError(
+                    "streaming statement set: OVER aggregates are "
+                    "stateful across micro-batches (per-batch "
+                    "re-planning would mis-frame rows) — scope them to "
+                    "a window TVF with OVER (PARTITION BY window_start, "
+                    "window_end ...) or run them as their own "
+                    "stream_query"
+                )
             if gm is not None or _SSET_AGG_HEAD.search(unquoted):
                 raise ValueError(
                     "streaming statement set: a non-windowed aggregate "
@@ -2800,9 +2859,40 @@ class StreamStatementSet:
                     "CUMULATE window (GROUP BY window_start, window_end)"
                 )
             return "stateless", None
+        for _s, _e, spec in overs:
+            pspec = re.search(
+                r"PARTITION\s+BY\s+(?P<p>.*?)(?:\bORDER\s+BY\b|$)",
+                spec, re.IGNORECASE | re.DOTALL,
+            )
+            ptxt = pspec.group("p") if pspec else ""
+            if not (re.search(r"\bwindow_start\b", ptxt, re.IGNORECASE)
+                    and re.search(r"\bwindow_end\b", ptxt, re.IGNORECASE)):
+                raise ValueError(
+                    "streaming statement set: every OVER must "
+                    "PARTITION BY window_start, window_end (plus any "
+                    "keys) so each frame lives inside one "
+                    "watermark-closed window — unscoped OVER is "
+                    "stateful across micro-batches"
+                )
         keys = gm.group("keys") if gm else ""
-        if not (re.search(r"\bwindow_start\b", keys, re.IGNORECASE)
-                and re.search(r"\bwindow_end\b", keys, re.IGNORECASE)):
+        if gm is None:
+            # row-level windowed statement (window Top-N / enrichment):
+            # exact under raw-row staging — each window plans ONCE over
+            # its complete row set — provided no bare aggregate
+            # collapses rows ACROSS windows (window functions excised
+            # before the scan; their frames are window-scoped above)
+            bare = unquoted
+            for s_, e_, _spec in sorted(overs, reverse=True):
+                bare = bare[:s_] + bare[e_:]
+            if _SSET_AGG_HEAD.search(bare):
+                raise ValueError(
+                    "streaming statement set: aggregates over a window "
+                    "TVF need GROUP BY window_start, window_end — "
+                    "without it the aggregate collapses across windows "
+                    "and re-plans one PARTIAL result per batch"
+                )
+        elif not (re.search(r"\bwindow_start\b", keys, re.IGNORECASE)
+                  and re.search(r"\bwindow_end\b", keys, re.IGNORECASE)):
             raise ValueError(
                 "streaming statement set: a window TVF statement must "
                 "GROUP BY window_start, window_end so every emitted row "

@@ -2160,6 +2160,121 @@ def test_stream_statement_set_acc_decimal_type_parity(tenv, spark, tmp_path):
     assert rows == {11: (2, Decimal("3.15"), Decimal("1.575000"))}
 
 
+def test_stream_statement_set_window_topn_two_batches(tenv, spark, tmp_path):
+    """Window Top-N inside a streaming statement set (r12 — the
+    reference's window-rank-after-window-TVF statement-set pattern,
+    WindowRankProcessor.java): ROW_NUMBER() OVER (PARTITION BY
+    window_start, window_end ...) is exact under raw-row staging —
+    each window plans ONCE over its complete row set, so a window
+    spanning two micro-batches emits its true top-k once, and a late
+    row into a closed window is dropped."""
+    import datetime as dt
+    import os
+
+    src = str(tmp_path / "topnsrc")
+    os.makedirs(src)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "eid bigint, ts timestamp, v double")
+    # batch 1: three 10:00-window rows + the 11:05 row that closes it
+    _write_single_parquet_file(
+        spark,
+        mk([(1, dt.datetime(2024, 1, 1, 10, 0), 1.0),
+            (2, dt.datetime(2024, 1, 1, 10, 30), 5.0),
+            (3, dt.datetime(2024, 1, 1, 10, 15), 3.0),
+            (4, dt.datetime(2024, 1, 1, 11, 5), 4.0)]),
+        os.path.join(src, "f1.parquet"), mtime=1_000_000,
+    )
+    # batch 2: completes the 11:00 window (with staged eid=4), a LATE
+    # 10:45 row with the would-be-top value (dropped — its window
+    # closed in batch 1), and an open 12:00 row
+    _write_single_parquet_file(
+        spark,
+        mk([(5, dt.datetime(2024, 1, 1, 11, 10), 8.0),
+            (6, dt.datetime(2024, 1, 1, 11, 20), 2.0),
+            (7, dt.datetime(2024, 1, 1, 10, 45), 16.0),
+            (8, dt.datetime(2024, 1, 1, 12, 30), 32.0)]),
+        os.path.join(src, "f2.parquet"), mtime=2_000_000,
+    )
+    tenv.execute_sql(
+        f"CREATE TABLE topn_ev (eid BIGINT, ts TIMESTAMP(3), v DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{src}','format'='parquet')"
+    )
+    sink = str(tmp_path / "topn_snk")
+    tenv.execute_sql(
+        f"CREATE TABLE topn_w WITH ('connector'='filesystem',"
+        f"'path'='{sink}','format'='parquet')"
+    )
+    tenv.create_stream_statement_set().add_insert_sql(
+        "INSERT INTO topn_w SELECT window_start, window_end, eid, v, rn "
+        "FROM (SELECT window_start, window_end, eid, v, "
+        "ROW_NUMBER() OVER (PARTITION BY window_start, window_end "
+        "ORDER BY v DESC, eid) AS rn "
+        "FROM TABLE(TUMBLE(TABLE topn_ev, DESCRIPTOR(ts), "
+        "INTERVAL '1' HOUR))) WHERE rn <= 2"
+    ).execute(
+        checkpoint=str(tmp_path / "ckpt_topn"), max_files_per_trigger=1
+    )
+    got = sorted((r.window_end.hour, r.rn, r.eid, r.v)
+                 for r in spark.read.parquet(sink).collect())
+    assert got == [
+        (11, 1, 2, 5.0), (11, 2, 3, 3.0),   # 10:00 window, batch-1 rows
+        (12, 1, 5, 8.0), (12, 2, 4, 4.0),   # 11:00 window spans batches
+    ]
+
+
+def test_stream_statement_set_over_admission(tenv, spark, tmp_path):
+    """OVER admission rules (r12): window-scoped OVER is admitted only
+    on a TUMBLE/HOP/CUMULATE TVF; unscoped OVER, OVER without the TVF,
+    OVER on SESSION, and a bare cross-window aggregate without GROUP BY
+    all reject at add time with actionable messages."""
+    import datetime as dt
+
+    import pytest
+
+    d = str(tmp_path / "ovsrc")
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 0), 1.0)],
+        "eid bigint, ts timestamp, v double",
+    ).write.parquet(d)
+    tenv.execute_sql(
+        f"CREATE TABLE ov_ev (eid BIGINT, ts TIMESTAMP(3), v DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{d}','format'='parquet')"
+    )
+    tenv.execute_sql(
+        f"CREATE TABLE ov_snk WITH ('connector'='filesystem',"
+        f"'path'='{tmp_path / 'ov_out'}','format'='parquet')"
+    )
+    ss = tenv.create_stream_statement_set()
+    with pytest.raises(ValueError, match="PARTITION BY window_start"):
+        ss.add_insert_sql(
+            "INSERT INTO ov_snk SELECT window_start, window_end, eid, "
+            "ROW_NUMBER() OVER (PARTITION BY window_start ORDER BY v) AS rn "
+            "FROM TABLE(TUMBLE(TABLE ov_ev, DESCRIPTOR(ts), INTERVAL '1' HOUR))"
+        )
+    with pytest.raises(ValueError, match="stateful across micro-batches"):
+        ss.add_insert_sql(
+            "INSERT INTO ov_snk SELECT eid, "
+            "SUM(v) OVER (PARTITION BY eid ORDER BY ts) AS s FROM ov_ev"
+        )
+    with pytest.raises(ValueError, match="SESSION TVF is not"):
+        ss.add_insert_sql(
+            "INSERT INTO ov_snk SELECT window_start, window_end, eid, "
+            "ROW_NUMBER() OVER (PARTITION BY window_start, window_end "
+            "ORDER BY v) AS rn "
+            "FROM TABLE(SESSION(TABLE ov_ev, DESCRIPTOR(ts), "
+            "INTERVAL '10' MINUTE))"
+        )
+    with pytest.raises(ValueError, match="GROUP BY window_start"):
+        ss.add_insert_sql(
+            "INSERT INTO ov_snk SELECT window_start, window_end, eid, v, "
+            "ROW_NUMBER() OVER (PARTITION BY window_start, window_end "
+            "ORDER BY v) AS rn, COUNT(*) AS n "
+            "FROM TABLE(TUMBLE(TABLE ov_ev, DESCRIPTOR(ts), INTERVAL '1' HOUR))"
+        )
+
+
 def test_relation_positions_backticked_identifiers():
     """The CREATE VIEW router's relation scan handles backtick-quoted
     relation names and comma FROM-lists, and ignores output aliases
