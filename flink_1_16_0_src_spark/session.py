@@ -2776,7 +2776,13 @@ class StreamStatementSet:
         # the per-window raw-row plan is exact (the reference's window
         # Top-N / window rank inside statement sets,
         # WindowRankProcessor.java). Validated below once the TVF is
-        # known; unscoped OVER stays rejected.
+        # known; unscoped OVER stays rejected. Scale note: these
+        # statements stage the OPEN windows' full row sets (bounded by
+        # watermark delay + window span — the generic raw-row bound),
+        # not the k-bounded rank state the standalone stream_query
+        # window Top-N keeps (streaming/windows.py window_topn,
+        # TopNBuffer parity) — for very hot windows with a small k,
+        # prefer the standalone form.
         overs = _over_clauses(unquoted)
         if re.search(r"\bSELECT\s+DISTINCT\b|\(\s*DISTINCT\b", unquoted,
                      re.IGNORECASE):

@@ -2223,6 +2223,49 @@ def test_stream_statement_set_window_topn_two_batches(tenv, spark, tmp_path):
     ]
 
 
+def test_stream_statement_set_hop_topn(tenv, spark, tmp_path):
+    """Window Top-N over a HOP TVF in a statement set: a row belongs to
+    SEVERAL windows; the rank partitions per (window_start, window_end)
+    so each closing window emits its own exact top-k, and output
+    post-filters to windows the watermark closed."""
+    import datetime as dt
+
+    d = str(tmp_path / "hoptopn")
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 0), 1.0),
+         (2, dt.datetime(2024, 1, 1, 10, 30), 5.0),
+         (3, dt.datetime(2024, 1, 1, 10, 15), 3.0),
+         (4, dt.datetime(2024, 1, 1, 11, 5), 4.0)],
+        "eid bigint, ts timestamp, v double",
+    ).write.parquet(d)
+    tenv.execute_sql(
+        f"CREATE TABLE hoptopn_ev (eid BIGINT, ts TIMESTAMP(3), v DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)"
+        f" WITH ('connector'='filesystem','path'='{d}','format'='parquet')"
+    )
+    sink = str(tmp_path / "hoptopn_snk")
+    tenv.execute_sql(
+        f"CREATE TABLE hoptopn_w WITH ('connector'='filesystem',"
+        f"'path'='{sink}','format'='parquet')"
+    )
+    tenv.create_stream_statement_set().add_insert_sql(
+        "INSERT INTO hoptopn_w SELECT window_end, eid, v, rn "
+        "FROM (SELECT window_start, window_end, eid, v, "
+        "ROW_NUMBER() OVER (PARTITION BY window_start, window_end "
+        "ORDER BY v DESC, eid) AS rn "
+        "FROM TABLE(HOP(TABLE hoptopn_ev, DESCRIPTOR(ts), "
+        "INTERVAL '30' MINUTE, INTERVAL '1' HOUR))) WHERE rn <= 2"
+    ).execute()
+    got = sorted((r.window_end.strftime("%H:%M"), r.rn, r.eid)
+                 for r in spark.read.parquet(sink).collect())
+    # wm = 11:04 closes window-ends 10:30 (rows 1,3) and 11:00
+    # (rows 1,2,3); the 11:05 row's windows stay open
+    assert got == [
+        ("10:30", 1, 3), ("10:30", 2, 1),
+        ("11:00", 1, 2), ("11:00", 2, 3),
+    ]
+
+
 def test_stream_statement_set_over_admission(tenv, spark, tmp_path):
     """OVER admission rules (r12): window-scoped OVER is admitted only
     on a TUMBLE/HOP/CUMULATE TVF; unscoped OVER, OVER without the TVF,
