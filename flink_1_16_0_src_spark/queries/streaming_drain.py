@@ -3059,6 +3059,76 @@ def stream_sql_statement_set_topn_drain(spark: SparkSession, sf_dir: str) -> Dat
 
 
 @query(
+    "stream_sql_statement_set_dedup_drain",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events),
+    base AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+                 AS window_end,
+             event_id, user_id, ts
+      FROM events WHERE event_type = 'click'
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY window_start, window_end, user_id
+        ORDER BY ts, event_id) AS rn
+      FROM base
+    )
+    SELECT window_start, window_end, user_id, event_id
+    FROM ranked
+    WHERE rn = 1 AND window_end <= (SELECT w FROM wm)
+    """,
+    tags=("streaming", "statement-set", "dedup", "sql-surface"),
+)
+def stream_sql_statement_set_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOW DEDUPLICATION inside a streaming statement set (r12): the
+    reference's window-deduplication.md pattern — ROW_NUMBER() OVER
+    (PARTITION BY window_start, window_end, user_id ORDER BY ts) with
+    rn = 1 keeps each user's FIRST click per hour window
+    (WindowDeduplicateOperator / the rank special case with k=1).
+    Rides the same window-scoped OVER admission as window Top-N: each
+    window plans once, complete, so the keep-first pick is exact across
+    micro-batches. (user_id, ts) is unique at every SF (fixture
+    contract) and event_id breaks any residual tie deterministically."""
+    import os as _os
+    import tempfile as _tf
+
+    from flink_1_16_0_src_spark.session import TableEnvironment
+
+    t = TableEnvironment(spark)
+    k = next(_seq)
+    t.execute_sql(
+        f"CREATE TABLE sq_ssd_ev_{k} (event_id BIGINT, ts TIMESTAMP(3),"
+        f" user_id BIGINT, event_type STRING, value DOUBLE,"
+        f" WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)"
+        f" WITH ('connector'='filesystem',"
+        f"'path'='{_os.path.join(sf_dir, 'events.parquet')}',"
+        f"'format'='parquet')"
+    )
+    d = _os.path.join(_tf.mkdtemp(prefix="spark_graft_ssd_"), "dedup")
+    t.execute_sql(
+        f"CREATE TABLE sq_ssd_out_{k} WITH ('connector'='filesystem',"
+        f"'path'='{d}','format'='parquet')"
+    )
+    ss = t.create_stream_statement_set().add_insert_sql(
+        f"INSERT INTO sq_ssd_out_{k} "
+        f"SELECT window_start, window_end, user_id, event_id FROM ("
+        f"SELECT window_start, window_end, user_id, event_id, "
+        f"ROW_NUMBER() OVER (PARTITION BY window_start, window_end, "
+        f"user_id ORDER BY ts, event_id) AS rn "
+        f"FROM TABLE(TUMBLE(TABLE sq_ssd_ev_{k}, DESCRIPTOR(ts), "
+        f"INTERVAL '1' HOUR)) WHERE event_type = 'click'"
+        f") WHERE rn = 1"
+    )
+    receipt = ss.execute()
+    assert receipt["window_agg_statements"] == 1
+    return spark.read.parquet(d).select(
+        "window_start", "window_end", "user_id", "event_id"
+    )
+
+
+@query(
     "stream_sql_statement_set_dim_drain",
     oracle="""
     WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events),
