@@ -1986,6 +1986,9 @@ class TableEnvironment:
             if not os.path.exists(link):
                 os.symlink(path, link)
             path = link_dir
+        from flink_1_16_0_src_spark.streaming.sources import note_source_bytes
+
+        note_source_bytes(path)
         sdf = getattr(reader, props.get("format", "parquet"))(path)
         if name in self._watermarks:
             sdf = sdf.withWatermark(*self._watermarks[name])
@@ -2058,15 +2061,25 @@ class TableEnvironment:
             checkpoint or _tf.mkdtemp(prefix="spark_graft_ckpt_"),
         )
         conn = sink["connector"]
-        if conn == "filesystem":
-            q = writer.format(sink["props"].get("format", "parquet")).option(
-                "path", sink["props"]["path"]
-            ).outputMode("append").start()
-        elif conn in ("blackhole", "print"):
-            q = writer.format("noop").outputMode("append").start()
-        else:
-            raise ValueError(f"streaming insert: unsupported sink connector {conn!r}")
-        q.awaitTermination()
+        from flink_1_16_0_src_spark.streaming.sources import (
+            _scoped_shuffle_partitions,
+            derived_stream_partitions,
+        )
+
+        with _scoped_shuffle_partitions(
+            self.spark, derived_stream_partitions(self.spark, out)
+        ):
+            if conn == "filesystem":
+                q = writer.format(sink["props"].get("format", "parquet")).option(
+                    "path", sink["props"]["path"]
+                ).outputMode("append").start()
+            elif conn in ("blackhole", "print"):
+                q = writer.format("noop").outputMode("append").start()
+            else:
+                raise ValueError(
+                    f"streaming insert: unsupported sink connector {conn!r}"
+                )
+            q.awaitTermination()
         return q
 
     def stream_query(self, sql: str, _nested: int = 0) -> DataFrame:
@@ -3866,16 +3879,25 @@ class StreamStatementSet:
             finally:
                 batch_df.unpersist()
 
-        q = (
-            sdf.writeStream.foreachBatch(fn)
-            .trigger(availableNow=True)
-            .option(
-                "checkpointLocation",
-                checkpoint or _tf.mkdtemp(prefix="spark_graft_sset_"),
-            )
-            .start()
+        from flink_1_16_0_src_spark.streaming.sources import (
+            _scoped_shuffle_partitions,
+            derived_stream_partitions,
         )
-        q.awaitTermination()
+
+        _sess = sdf.sparkSession
+        with _scoped_shuffle_partitions(
+            _sess, derived_stream_partitions(_sess)
+        ):
+            q = (
+                sdf.writeStream.foreachBatch(fn)
+                .trigger(availableNow=True)
+                .option(
+                    "checkpointLocation",
+                    checkpoint or _tf.mkdtemp(prefix="spark_graft_sset_"),
+                )
+                .start()
+            )
+            q.awaitTermination()
         if stage_root is not None and not checkpoint:
             # windows still open at end-of-drain are NOT emitted
             # (append-mode contract, same as the stream_query drains);
