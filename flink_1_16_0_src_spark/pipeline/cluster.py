@@ -20,16 +20,19 @@ def _centroid_means(assigned: DataFrame, vec_col: str, dim: int) -> DataFrame:
     # Decimal-exact means: sum each dimension in DECIMAL(25,10) (decimal
     # addition is order-independent, unlike double — Spark's partition
     # summation order flipped a round(avg(double),4) hash at a …x.00005
-    # boundary in driver r2), then ONE double divide per cell.
-    v = F.col(vec_col).cast("array<double>")
-
-    def _mean(d: int):
-        e = F.element_at(v, d + 1).cast("decimal(25,10)")
-        return (F.sum(e).cast("double") / F.count(F.lit(1))).alias(f"m{d}")
-
-    return assigned.groupBy("cell").agg(
-        F.count("*").alias("n"), *[_mean(d) for d in range(dim)]
-    )
+    # boundary in driver r2), then ONE double divide per cell. Each
+    # per-dim aggregate is ONE parsed F.expr instead of six chained
+    # Column calls — the Column form cost ~dim×6 py4j round-trips of
+    # driver time per refine pass (similarity._arr_sql rationale).
+    vsql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+    aggs = [
+        F.expr(
+            f"CAST(SUM(CAST(element_at({vsql}, {d + 1}) AS DECIMAL(25,10)))"
+            f" AS DOUBLE) / COUNT(1)"
+        ).alias(f"m{d}")
+        for d in range(dim)
+    ]
+    return assigned.groupBy("cell").agg(F.count("*").alias("n"), *aggs)
 
 
 def refine_seeds(
@@ -75,13 +78,13 @@ def kmeans(
 def inertia(assigned: DataFrame, vec_col: str, cents: list[list[float]]) -> float:
     """Sum of squared distances to the assigned centroid — the Lloyd
     objective (non-increasing across iterations)."""
-    from flink_1_16_0_src_spark.pipeline.similarity import _l2sq_to_seed
+    from flink_1_16_0_src_spark.pipeline.similarity import _l2sq_sql
 
-    v = F.col(vec_col).cast("array<double>")
+    vsql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
     # one masked distance term per centroid, summed — k sibling
     # expressions, no row fan-out
-    expr = None
-    for c, cent in enumerate(cents):
-        t = F.when(F.col("cell") == c, _l2sq_to_seed(v, cent)).otherwise(F.lit(0.0))
-        expr = t if expr is None else expr + t
-    return assigned.select(F.sum(expr).alias("i")).collect()[0]["i"]
+    terms = " + ".join(
+        f"(CASE WHEN cell = {c} THEN {_l2sq_sql(vsql, cent)} ELSE 0.0D END)"
+        for c, cent in enumerate(cents)
+    )
+    return assigned.select(F.expr(f"SUM({terms})").alias("i")).collect()[0]["i"]

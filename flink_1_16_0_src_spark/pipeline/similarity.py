@@ -101,65 +101,82 @@ def lsh_bucket(
     if dim is None:
         first = df.select(F.size(vec_col).alias("d")).first()
         dim = int(first["d"])
-    v = F.col(vec_col)
-    bucket = None
+    terms = []
     for j in range(n_planes):
-        signs = F.array(*[F.lit(float(_plane_sign(j, d))) for d in range(dim)])
-        dot = F.aggregate(
-            F.zip_with(v, signs, lambda x, s: x.cast("double") * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        signs = _arr_sql([float(_plane_sign(j, d)) for d in range(dim)])
+        dot = (
+            f"aggregate(zip_with(`{vec_col}`, {signs},"
+            f" (x, s) -> CAST(x AS DOUBLE) * s), 0.0D, (acc, x) -> acc + x)"
         )
-        # sign test on the ROUNDED dot (6 dp, the _argmin_rounded
+        # sign test on the ROUNDED dot (6 dp, the _argmin_sql
         # convention): a one-ulp cross-engine difference at dot≈0 flips
         # a bucket bit; rounding collapses ±1-ulp-of-zero to ±0.0 (≥ 0
         # in both engines). Oracles mirror round(dot, 6).
-        term = F.when(F.round(dot, 6) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = term if bucket is None else bucket + term
-    return df.select(F.col(id_col), bucket.cast("int").alias("bucket"))
-
-
-def _l2sq_to_seed(vec: Column, seed: list[float]) -> Column:
-    """Squared L2 distance from an array<double> column to a literal
-    centroid — a left-fold over zip_with, so the summation order is the
-    ascending dimension index (the oracle's generate_series order)."""
-    sarr = F.array(*[F.lit(float(x)) for x in seed])
-    return F.aggregate(
-        F.zip_with(vec, sarr, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+        terms.append(f"(CASE WHEN round({dot}, 6) >= 0 THEN {1 << j} ELSE 0 END)")
+    return df.selectExpr(
+        f"`{id_col}`", f"CAST({' + '.join(terms)} AS INT) AS bucket"
     )
 
 
-def _argmin_rounded(dists: Column) -> Column:
-    """First-minimum index (0-based) over distances ROUNDED to 6 dp.
-    Raw-double argmin is the same cross-engine hazard as raw-float
-    ranking (repo float rule): two near-equal distances can differ in
-    the last ulp between Spark's fold and DuckDB's list_sum, flipping
-    the chosen cell near a tie (the driver r2/r3 kmeans hash-fail
-    class). Rounding collapses near-ties into exact ties broken by the
-    lowest index identically on both engines; oracles mirror with
-    ``ORDER BY round(d, 6), cell``."""
-    rd = F.transform(dists, lambda x: F.round(x, 6))
-    return (F.array_position(rd, F.array_min(rd)) - 1).cast("int")
+def _dsql(x: float) -> str:
+    """Exact SQL double literal: ``repr`` emits the shortest decimal
+    that round-trips the IEEE-754 value, and Spark's parser
+    (Double.parseDouble) is correctly rounded — the parsed double is
+    bit-identical to ``x``."""
+    return f"{float(x)!r}D"
+
+
+def _arr_sql(vals) -> str:
+    """SQL array literal of exact double literals.
+
+    These centroid/LUT literals used to be built as nested ``F.lit``
+    Columns — one py4j round-trip per element, ~2 ms each, so an
+    8-seed × 64-dim assignment cost >1 s of DRIVER time before any job
+    ran (guide §5: the driver should do almost no work; §7.3 planning
+    time). One ``F.expr`` parse of the same tree is ~3 ms total; the
+    parsed plan — and therefore every computed value — is identical."""
+    return "array(" + ", ".join(_dsql(x) for x in vals) + ")"
+
+
+def _l2sq_sql(vec_sql: str, seed: list[float]) -> str:
+    """SQL text of the squared-L2 left fold from an array<double>
+    expression to a literal centroid — summation order is the ascending
+    dimension index (the oracle's generate_series order), exactly the
+    tree the previous Column-by-Column builder produced."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {_arr_sql(seed)}, "
+        f"(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _argmin_sql(dists_sql: str) -> str:
+    """SQL text of the first-minimum index (0-based) over distances
+    ROUNDED to 6 dp. Raw-double argmin is the same cross-engine hazard
+    as raw-float ranking (repo float rule): two near-equal distances
+    can differ in the last ulp between Spark's fold and DuckDB's
+    list_sum, flipping the chosen cell near a tie (the driver r2/r3
+    kmeans hash-fail class). Rounding collapses near-ties into exact
+    ties broken by the lowest index identically on both engines;
+    oracles mirror with ``ORDER BY round(d, 6), cell``."""
+    rd = f"transform({dists_sql}, x -> round(x, 6))"
+    return f"CAST(array_position({rd}, array_min({rd})) - 1 AS INT)"
 
 
 def ivf_assign(df: DataFrame, vec_col: str, id_col: str, seeds: list[list[float]]) -> DataFrame:
     """IVF coarse quantizer: each vector joins the cell of its nearest
     seed centroid. Ties break to the lowest cell id (array_position
     returns the FIRST minimum) over 6-dp-rounded distances (see
-    ``_argmin_rounded``); ``__dists`` stays raw for objective sums.
+    ``_argmin_sql``); ``__dists`` stays raw for objective sums.
     Map-only — no explode, no shuffle: the n_cells distances are
     sibling expressions in one projection, the same shape as the
-    minhash permutation fold."""
-    v = F.col(vec_col).cast("array<double>")
-    dists = F.array(*[_l2sq_to_seed(v, s) for s in seeds])
-    return df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        dists.alias("__dists"),
-        _argmin_rounded(dists).alias("cell"),
-    )
+    minhash permutation fold. Built as ONE parsed SQL projection
+    (``_arr_sql`` rationale): the Column-by-Column form paid
+    ~n_cells×dim py4j round-trips of driver time per call."""
+    vsql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+    dists_sql = "array(" + ", ".join(_l2sq_sql(vsql, s) for s in seeds) + ")"
+    return df.selectExpr(
+        f"`{id_col}`", f"`{vec_col}`", f"{dists_sql} AS __dists"
+    ).selectExpr("*", f"{_argmin_sql('__dists')} AS cell")
 
 
 def ivf_topk(
@@ -210,7 +227,7 @@ def ivf_topk(
     # nprobe nearest cells: repeated first-minimum with the taken cell
     # masked out — identical tie behavior to sorting by (round(d,6), cell);
     # round ONCE up front (inf masking preserves roundedness), same
-    # cross-engine argmin rule as ivf_assign/_argmin_rounded
+    # cross-engine argmin rule as ivf_assign/_argmin_sql
     probe_cols = []
     q = q.withColumn("__rdists", F.transform(F.col("__dists"), lambda x: F.round(x, 6)))
     cur = F.col("__rdists")
@@ -291,15 +308,14 @@ def pq_encode(
     minhash-fold shape); a 100 TB corpus encodes in a single narrow
     pass and the stored codes are m bytes per vector instead of
     4·dim — the memory compression that lets an ADC scan run from RAM."""
-    v = F.col(vec_col).cast("array<double>")
-    m = len(codebooks)
+    vsql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
     sub = len(codebooks[0][0])
-    cols = [F.col(id_col), F.col(vec_col)]
+    exprs = [f"`{id_col}`", f"`{vec_col}`"]
     for j, cents in enumerate(codebooks):
-        svec = F.slice(v, j * sub + 1, sub)
-        dists = F.array(*[_l2sq_to_seed(svec, c) for c in cents])
-        cols.append(_argmin_rounded(dists).alias(f"code{j}"))
-    return df.select(*cols)
+        svec = f"slice({vsql}, {j * sub + 1}, {sub})"
+        dists = "array(" + ", ".join(_l2sq_sql(svec, c) for c in cents) + ")"
+        exprs.append(f"{_argmin_sql(dists)} AS code{j}")
+    return df.selectExpr(*exprs)
 
 
 def ivfpq_topk(
@@ -325,34 +341,33 @@ def ivfpq_topk(
     and the scans touch only their lists); LUTs are
     nprobe × m × ncent driver floats; the global top-k is a
     TakeOrderedAndProject heap merge. Determinism: every argmin runs
-    over 6-dp-rounded distances (``_argmin_rounded``), cell probe
+    over 6-dp-rounded distances (``_argmin_sql``), cell probe
     order ties on the cell id, final ranking on the 4-dp ADC — the
     engine-exact conventions of the sibling IVF/PQ operators."""
     seeds_rows = df.where(F.col(id_col) < n_cells).select(id_col, vec_col).collect()
     seeds = [list(map(float, r[1])) for r in sorted(seeds_rows, key=lambda r: r[0])]
     assigned = ivf_assign(df, vec_col, id_col, seeds)
-    cents_lit = F.array(*[F.array(*[F.lit(float(x)) for x in s]) for s in seeds])
-    v = F.col(vec_col).cast("array<double>")
-    res_df = assigned.select(
-        F.col(id_col),
-        F.col("cell"),
-        F.zip_with(
-            v, F.element_at(cents_lit, F.col("cell") + 1), lambda x, y: x - y
-        ).alias("__res"),
+    cents_sql = "array(" + ", ".join(_arr_sql(s) for s in seeds) + ")"
+    vsql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+    res_df = assigned.selectExpr(
+        f"`{id_col}`",
+        "cell",
+        f"zip_with({vsql}, element_at({cents_sql}, cell + 1),"
+        f" (x, y) -> x - y) AS __res",
     )
     books = pq_codebooks(res_df, "__res", id_col, m, ncent)
     sub = len(books[0][0])
-    enc_cols = [F.col(id_col), F.col("cell")]
+    enc_exprs = [f"`{id_col}`", "cell"]
     for j, cents in enumerate(books):
-        svec = F.slice(F.col("__res"), j * sub + 1, sub)
-        dists = F.array(*[_l2sq_to_seed(svec, c) for c in cents])
-        enc_cols.append(_argmin_rounded(dists).alias(f"code{j}"))
-    encoded = res_df.select(*enc_cols)
+        svec = f"slice(__res, {j * sub + 1}, {sub})"
+        dists = "array(" + ", ".join(_l2sq_sql(svec, c) for c in cents) + ")"
+        enc_exprs.append(f"{_argmin_sql(dists)} AS code{j}")
+    encoded = res_df.selectExpr(*enc_exprs)
 
     qrow = df.where(F.col(id_col) == query_id).select(vec_col).collect()
     qv = list(map(float, qrow[0][0]))
     # nprobe nearest cells: 6-dp-rounded coarse distances, ties to the
-    # lowest cell id — the _argmin_rounded convention, driver-side
+    # lowest cell id — the _argmin_sql convention, driver-side
     coarse = sorted(
         (round(sum((qv[i] - s[i]) ** 2 for i in range(len(qv))), 6), c)
         for c, s in enumerate(seeds)
@@ -367,20 +382,16 @@ def ivfpq_topk(
             ]
             for j in range(m)
         ]
-        dist = None
-        for j in range(m):
-            term = F.element_at(
-                F.array(*[F.lit(float(d)) for d in lut[j]]),
-                F.col(f"code{j}") + 1,
-            )
-            dist = term if dist is None else dist + term
+        dist_sql = " + ".join(
+            f"element_at({_arr_sql(lut[j])}, code{j} + 1)" for j in range(m)
+        )
         scans.append(
             encoded.where(
                 (F.col("cell") == cell) & (F.col(id_col) != query_id)
-            ).select(
-                F.lit(query_id).cast("bigint").alias("query_id"),
-                F.col(id_col).alias("neighbor_id"),
-                F.round(dist, 4).alias("adc_dist"),
+            ).selectExpr(
+                f"CAST({int(query_id)} AS BIGINT) AS query_id",
+                f"`{id_col}` AS neighbor_id",
+                f"round({dist_sql}, 4) AS adc_dist",
             )
         )
     allscans = scans[0]
@@ -427,12 +438,9 @@ def pq_adc_topk(
         for j in range(m)
     ]
     encoded = pq_encode(df, vec_col, id_col, codebooks)
-    dist = None
-    for j in range(m):
-        term = F.element_at(
-            F.array(*[F.lit(float(d)) for d in lut[j]]), F.col(f"code{j}") + 1
-        )
-        dist = term if dist is None else dist + term
+    dist_sql = " + ".join(
+        f"element_at({_arr_sql(lut[j])}, code{j} + 1)" for j in range(m)
+    )
     # Global top-k as orderBy().limit(k): Spark plans this as
     # TakeOrderedAndProject — a size-k heap per partition, then a
     # driver-side merge of k·partitions rows — never a corpus-sized
@@ -447,10 +455,10 @@ def pq_adc_topk(
     # bounded by k, not by the corpus.
     topk = (
         encoded.where(F.col(id_col) != query_id)
-        .select(
-            F.lit(query_id).cast("bigint").alias("query_id"),
-            F.col(id_col).alias("neighbor_id"),
-            F.round(dist, 4).alias("adc_dist"),
+        .selectExpr(
+            f"CAST({int(query_id)} AS BIGINT) AS query_id",
+            f"`{id_col}` AS neighbor_id",
+            f"round({dist_sql}, 4) AS adc_dist",
         )
         .orderBy("adc_dist", "neighbor_id")
         .limit(k)
