@@ -44,10 +44,17 @@ def contamination_hits(
     against another CORPUS), pass False: the check becomes a shuffle
     join on the gram hash, whose key cardinality spreads evenly by
     construction (n-grams of text) — no hot keys."""
+    from flink_1_16_0_src_spark.pipeline.dedup import spread_input
+
     grams_b = bench.select(F.explode(shingles(text_col, n)).alias("__g")).distinct()
     if broadcast_bench:
         grams_b = F.broadcast(grams_b)
-    doc_grams = docs.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("__g"))
+    # spread_input: the per-doc n-gram transform is the expensive pass —
+    # parallelize it when the corpus scan has fewer splits than cores
+    # (no-op at scale; see spread_input docstring)
+    doc_grams = spread_input(docs.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("__g")
+    )
     return (
         doc_grams.join(grams_b, "__g")
         .groupBy(id_col)
