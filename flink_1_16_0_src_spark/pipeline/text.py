@@ -139,6 +139,62 @@ def gopher_signals(col: Column | str) -> dict[str, Column]:
     }
 
 
+def gopher_gate(
+    col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> Column:
+    """The composed Gopher quality gate as ONE boolean Column with the
+    token array bound once via a transform() lambda variable (the
+    shingles()/hash_lm_ppl_micro idiom). Composing the gate from the
+    five independent ``gopher_signals`` Columns re-evaluated the
+    tokenizer ~11x per row: higher-order functions put the whole
+    predicate on the interpreted path (no whole-stage codegen, no
+    common-subexpression elimination), and ``sum_wchars BETWEEN
+    3*n_words AND 10*n_words`` alone expands to four copies of the
+    split() subtree. Binding the rules inside a single lambda keeps the
+    expression self-contained, so Catalyst's filter pushdown cannot
+    re-duplicate it either (projecting a signal struct and filtering on
+    its fields gets collapsed back into N inlined copies — measured 25
+    split() sites in the e2e plan under that shape). Thresholds mirror
+    gopher_signals' integer cross-multiplication rules exactly."""
+    toks = f"split(lower(trim({col})), '\\\\s+')"
+    stops = ",".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return F.expr(
+        f"transform(array({toks}), t -> "
+        f"size(t) between {min_words} and {max_words} "
+        f"and length(concat_ws('', t)) between 3 * size(t) and 10 * size(t) "
+        f"and 10 * size(filter(t, w -> w = '#' or w = '…')) <= size(t) "
+        f"and 10 * size(filter(t, w -> w rlike '[a-z]')) >= 8 * size(t) "
+        f"and size(array_intersect(t, array({stops}))) >= 2"
+        f")[0]"
+    )
+
+
+def gopher_signals_struct(col: str) -> Column:
+    """The five ``gopher_signals`` fields fused into ONE struct Column
+    with the token array bound once (the shingles() idiom): project
+    this struct in its own select, then extract fields in a SECOND
+    select — one tokenizer pass per row instead of one per signal.
+    Catalyst's Project-Project collapse keeps the alias because the
+    struct is non-cheap and referenced repeatedly (verified: 1 split()
+    site in the collapsed plan). Do NOT filter directly on the fields
+    of the projected struct — filter pushdown substitutes the alias
+    and re-duplicates the whole expression per reference; use
+    ``gopher_gate`` for predicates."""
+    toks = f"split(lower(trim({col})), '\\\\s+')"
+    stops = ",".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return F.expr(
+        f"transform(array({toks}), t -> named_struct("
+        f"'n_words', cast(size(t) as bigint), "
+        f"'sum_wchars', cast(length(concat_ws('', t)) as bigint), "
+        f"'n_alpha_words', cast(size(filter(t, w -> w rlike '[a-z]')) as bigint), "
+        f"'n_symbol_words', cast(size(filter(t, w -> w = '#' or w = '…')) as bigint), "
+        f"'stop_hits', cast(size(array_intersect(t, array({stops}))) as bigint)"
+        f"))[0]"
+    )
+
+
 def c4_line_stats(lines: Column) -> dict[str, Column]:
     """C4 line/page filters (Raffel et al. 2020, §2.2 — public): keep
     only lines that end in a terminal punctuation mark AND contain at

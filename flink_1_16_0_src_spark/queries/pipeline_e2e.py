@@ -95,23 +95,23 @@ def pipeline_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets (windows inside buckets only). Every stage is the same
     public operator its standalone query exercises."""
     from flink_1_16_0_src_spark.pipeline.decontam import decontaminate
-    from flink_1_16_0_src_spark.pipeline.dedup import exact_dedup
+    from flink_1_16_0_src_spark.pipeline.dedup import exact_dedup, spread_input
     from flink_1_16_0_src_spark.pipeline.packing import pack_sequences
     from flink_1_16_0_src_spark.pipeline.sampling import hash_sample
-    from flink_1_16_0_src_spark.pipeline.text import gopher_signals
+    from flink_1_16_0_src_spark.pipeline.text import gopher_gate
 
-    docs = load(spark, sf_dir, "documents")
+    # spread_input at the DAG head: every downstream stage (fingerprint
+    # groupBy, gate, gram explode, packing) otherwise inherits the
+    # single input split of a small corpus and runs serially; no-op at
+    # scale (see spread_input docstring)
+    docs = spread_input(load(spark, sf_dir, "documents"))
     kept = exact_dedup(docs, "text", "doc_id").select("doc_id")
     deduped = docs.join(kept, "doc_id")
 
-    s = gopher_signals("text")
-    gated = deduped.where(
-        s["n_words"].between(50, 100000)
-        & s["sum_wchars"].between(3 * s["n_words"], 10 * s["n_words"])
-        & (10 * s["n_symbol_words"] <= s["n_words"])
-        & (10 * s["n_alpha_words"] >= 8 * s["n_words"])
-        & (s["stop_hits"] >= 2)
-    )
+    # fused one-pass gate (same five rules, same integer arithmetic):
+    # the dict-of-Columns composition re-ran the tokenizer ~11x per row
+    # on the interpreted HOF path — see gopher_gate
+    gated = deduped.where(gopher_gate("text"))
 
     bench = docs.where(F.col("doc_id") % 97 == 0)
     clean = decontaminate(gated, bench, "text", "doc_id", n=8)

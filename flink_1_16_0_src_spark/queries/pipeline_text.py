@@ -548,17 +548,18 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean word length is reported in half-up e4 units via the
     (20000*p + q) div (2*q) identity. Map-only at any corpus size —
     the whole panel is one projection over the scan."""
-    from flink_1_16_0_src_spark.pipeline.text import gopher_signals
+    from flink_1_16_0_src_spark.pipeline.text import gopher_signals_struct
 
     d = load(spark, sf_dir, "documents")
-    sig = gopher_signals("text")
-    base = d.select(
+    # fused struct, projected once then field-extracted: one tokenizer
+    # pass per row instead of five (see gopher_signals_struct)
+    base = d.select("doc_id", gopher_signals_struct("text").alias("__gs")).select(
         "doc_id",
-        sig["n_words"].alias("n_words"),
-        sig["sum_wchars"].alias("sum_wchars"),
-        sig["n_alpha_words"].alias("n_alpha_words"),
-        sig["n_symbol_words"].alias("n_symbol_words"),
-        sig["stop_hits"].alias("stop_hits"),
+        F.col("__gs")["n_words"].alias("n_words"),
+        F.col("__gs")["sum_wchars"].alias("sum_wchars"),
+        F.col("__gs")["n_alpha_words"].alias("n_alpha_words"),
+        F.col("__gs")["n_symbol_words"].alias("n_symbol_words"),
+        F.col("__gs")["stop_hits"].alias("stop_hits"),
     )
     wc_ok = F.col("n_words").between(50, 100000)
     mwl_ok = F.col("sum_wchars").between(3 * F.col("n_words"), 10 * F.col("n_words"))
