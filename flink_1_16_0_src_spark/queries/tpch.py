@@ -38,8 +38,14 @@ def _sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     return spark.sql(sql)
 
 
-def _register(name: str, sql: str, doc: str):
-    def _q(spark: SparkSession, sf_dir: str, _sql_text=sql) -> DataFrame:
+def _register(name: str, sql: str, doc: str, spark_sql: str | None = None):
+    """``spark_sql`` (r12): an optional Spark-side rewrite of the same
+    query — the DuckDB oracle ALWAYS runs the original ``sql``, so a
+    rewrite must produce bit-identical rows to stay driver-green. Used
+    where a declarative restructure gives Catalyst a fundamentally
+    cheaper plan than the literal transcription (see q21)."""
+
+    def _q(spark: SparkSession, sf_dir: str, _sql_text=(spark_sql or sql)) -> DataFrame:
         return _sql(spark, sf_dir, _sql_text)
 
     # doc/name must be set BEFORE the decorator captures them
@@ -339,6 +345,46 @@ GROUP BY s.s_name
 """,
     "TPC-H q21 (adapted): correlated EXISTS + NOT EXISTS pair "
     "(semi then anti join) over the same fact table.",
+    # r12 Spark-side rewrite (oracle unchanged, rows bit-identical):
+    # the literal EXISTS/NOT EXISTS transcription planned as a
+    # broadcast of the ENTIRE lineitem (the semi side) plus a
+    # two-Exchange sort-merge anti join — three lineitem scans, the
+    # fact table shuffled twice and broadcast once. Both subqueries
+    # only ask per-order questions answerable from min/max aggregates:
+    #   EXISTS(other supplier on the order)      ⟺ NOT(min_s = max_s = l1.supp)
+    #   NOT EXISTS(other LATE supplier on order) ⟺ min_late = max_late = l1.supp
+    # (l1 is itself late, so min/max_late are never NULL for surviving
+    # rows; min/max ignore NULL suppkeys exactly as <> does). The
+    # per-order stats aggregate folds map-side, so lineitem is scanned
+    # twice and shuffled once as (orderkey, 4 ints) partials — at any
+    # scale the stats join carries per-ORDER rows, never per-line.
+    spark_sql="""
+WITH ord AS (
+  SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'
+),
+stats AS (
+  SELECT l.l_orderkey,
+         min(l.l_suppkey) AS min_s, max(l.l_suppkey) AS max_s,
+         min(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                  THEN l.l_suppkey END) AS min_ls,
+         max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                  THEN l.l_suppkey END) AS max_ls
+  FROM lineitem l
+  JOIN ord o ON o.o_orderkey = l.l_orderkey
+  GROUP BY l.l_orderkey
+)
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN ord o ON o.o_orderkey = l1.l_orderkey
+JOIN stats t ON t.l_orderkey = l1.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND NOT (t.min_s = l1.l_suppkey AND t.max_s = l1.l_suppkey)
+  AND t.min_ls = l1.l_suppkey AND t.max_ls = l1.l_suppkey
+  AND n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+GROUP BY s.s_name
+""",
 )
 
 # q22: global sales opportunity. c_phone absent — country code is the

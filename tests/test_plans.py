@@ -90,9 +90,18 @@ def test_tpch_q9_pushdown_and_partial_agg(spark):
     assert "partial_sum" in plan
 
 
-def test_tpch_q21_semi_and_anti_joins(spark):
+def test_tpch_q21_per_order_stats_rewrite(spark):
+    """r12 rewrite: the EXISTS/NOT EXISTS pair is answered from one
+    per-order min/max aggregate (map-side partial fold) joined back to
+    the late lines — no semi/anti join over the fact table, no
+    lineitem broadcast, exactly two lineitem scans. The DuckDB oracle
+    still runs the original EXISTS/NOT EXISTS text, so equivalence is
+    value-checked every driver round."""
     plan = _plan(spark, "tpch_q21_suppliers_waiting")
-    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+    # the per-order stats aggregate folds map-side before its exchange
+    assert "partial_min" in plan and "partial_max" in plan
+    assert plan.count("lineitem.parquet") == 2
 
 
 def test_tpch_q19_disjunction_partial_pushdown(spark):
