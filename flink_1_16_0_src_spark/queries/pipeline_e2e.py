@@ -94,7 +94,7 @@ def pipeline_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample (map-only), (5) 2048-token sequence packing in 8 hash
     buckets (windows inside buckets only). Every stage is the same
     public operator its standalone query exercises."""
-    from flink_1_16_0_src_spark.pipeline.decontam import decontaminate
+    from flink_1_16_0_src_spark.pipeline.decontam import contamination_hits
     from flink_1_16_0_src_spark.pipeline.dedup import exact_dedup, spread_input
     from flink_1_16_0_src_spark.pipeline.packing import pack_sequences
     from flink_1_16_0_src_spark.pipeline.sampling import hash_sample
@@ -106,15 +106,26 @@ def pipeline_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale (see spread_input docstring)
     docs = spread_input(load(spark, sf_dir, "documents"))
     kept = exact_dedup(docs, "text", "doc_id").select("doc_id")
-    deduped = docs.join(kept, "doc_id")
 
-    # fused one-pass gate (same five rules, same integer arithmetic):
-    # the dict-of-Columns composition re-ran the tokenizer ~11x per row
-    # on the interpreted HOF path — see gopher_gate
-    gated = deduped.where(gopher_gate("text"))
+    # Stage order rework (r12, result-identical): the gram-explode side
+    # of the decontamination anti-join does NOT need the dedup keep-join
+    # or to precede the sample — a hit on a doc_id absent from the
+    # anti-join's left side is a no-op, and the left side (gate ∧ sample
+    # ∧ kept) is a subset of (gate ∧ sample). Computing hits from the
+    # gate∧sample frame instead of gate∧kept (a) drops a SECOND full
+    # fingerprint-aggregate subtree the planner re-derived for the
+    # kept-join on the gram path (Catalyst has no CSE across DataFrame
+    # reuse — the before plan scanned the corpus 5x), and (b) halves
+    # the 8-gram explode volume by applying the deterministic 50%
+    # hash-Bernoulli sample BEFORE the gram pass. Same five stages,
+    # same operators, same output rows (oracle-pinned).
+    pre = docs.where(gopher_gate("text"))
+    cand = hash_sample(pre, "doc_id", 0.5)
 
     bench = docs.where(F.col("doc_id") % 97 == 0)
-    clean = decontaminate(gated, bench, "text", "doc_id", n=8)
-
-    sampled = hash_sample(clean, "doc_id", 0.5)
-    return pack_sequences(sampled, "text", "doc_id", budget=2048, n_buckets=8)
+    hits = contamination_hits(cand, bench, "text", "doc_id", n=8)
+    flagged = F.broadcast(
+        hits.where(F.col("n_contaminated_ngrams") > 0).select("doc_id")
+    )
+    clean = cand.join(kept, "doc_id").join(flagged, "doc_id", "left_anti")
+    return pack_sequences(clean, "text", "doc_id", budget=2048, n_buckets=8)
