@@ -200,10 +200,18 @@ def dsir_logratio_weights(
     rule). Feature hashing is the md5→conv recipe shared with MinHash.
 
     Scale: the feature table is ≤ ``n_features`` rows — broadcast; the
-    corpus token stream is scanned once for counts (target counts are
-    a filtered re-aggregation of the same pass shape) and once for the
-    score join; both groupBys fold map-side. No corpus-sized shuffle
-    other than the per-doc score reduction.
+    corpus token stream is tokenized+hashed exactly TWICE — once for
+    the global feature counts (folds map-side to ≤ n_features rows per
+    task), once for the score join (the broadcast-join + per-doc
+    partial aggregation also folds map-side, so no corpus-sized bytes
+    ever shuffle). Two passes is the data-dependency floor: the ratios
+    need the completed global counts before any score can be formed.
+    ``totals`` folds the 256-row counts table instead of re-running a
+    third corpus pass (r12; identical integer sums, one less scan —
+    a per-(doc, feature) materialized intermediate was MEASURED and
+    rejected: at realistic doc lengths it barely compacts the token
+    stream, so it traded a map-only pass for a corpus-scale shuffle
+    plus checkpoint, 1.16 → 1.95 s at sf0.1).
     """
     toks = df.select(
         F.col(id_col),
@@ -219,15 +227,19 @@ def dsir_logratio_weights(
         F.count("*").alias("__cq"),
         F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("__cp"),
     )
-    totals = toks.agg(
-        F.count("*").alias("__tq"),
-        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("__tp"),
-    )
-    ratios = counts.crossJoin(F.broadcast(totals)).select(
+    # totals = the column sums of the ≤ n_features-row counts frame —
+    # an unpartitioned window over 256 rows (one trivial task) instead
+    # of a separate totals aggregation, whose subtree Catalyst would
+    # re-derive as a THIRD full corpus pass (no CSE across DataFrame
+    # reuse)
+    w_all = Window.partitionBy()
+    tq = F.sum("__cq").over(w_all)
+    tp = F.sum("__cp").over(w_all)
+    ratios = counts.select(
         "__f",
         F.round(
-            (F.log((F.col("__cp") + 1) / (F.col("__tp") + n_features))
-             - F.log((F.col("__cq") + 1) / (F.col("__tq") + n_features))) * 1e6,
+            (F.log((F.col("__cp") + 1) / (tp + n_features))
+             - F.log((F.col("__cq") + 1) / (tq + n_features))) * 1e6,
             0,
         ).cast("bigint").alias("__lr_e6"),
     )

@@ -730,9 +730,16 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = d.select(
         "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
     ).where(F.col("term").isin(*_TFIDF_TERMS))
+    # materialize tf ONCE (lazy localCheckpoint, the jaccard_verify
+    # precedent): tf feeds both the score join and the df aggregation,
+    # and without the barrier the dfreq subtree re-ran the corpus
+    # explode+IN-filter scan a second time (Catalyst has no CSE across
+    # DataFrame reuse). Size is bounded by |query terms| rows per
+    # matching doc — tiny at any corpus scale. Recompute-on-executor-
+    # loss caveat as documented at dedup.jaccard_verify.
     tf = postings.groupBy("doc_id", "term").agg(
         F.count("*").alias("tf"), F.first("dl").alias("dl")
-    )
+    ).localCheckpoint(eager=False)
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = d.agg(F.count("*").alias("n_docs"))
     scored = (
