@@ -365,6 +365,27 @@ def main() -> None:
     ):
         probe = _scale_probe(spark, registry)
 
+    def _pcanary() -> float:
+        """Parallel-capacity canary for the HEADLINE loop (additive
+        r12 field; the probe already brackets its ops with one): a
+        fixed 32-way Spark sum, min-of-2. The sandbox's PARALLEL
+        capacity swings 3-10x across hours (burst throttling /
+        invisible neighbors) while the single-core canary stays flat —
+        a 32-way query's wall time tracks this number, so cross-round
+        per-query comparisons must read it before blaming code.
+        Measured r12: pcanary 0.09-0.17 s fresh box, 0.31-1.57 s
+        drained; dedup_minhash_lsh moved 4.6 -> 14.3 s with ZERO code
+        change, ratio matching the pcanary swing."""
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spark.range(300_000_000).selectExpr("sum(id * 3 + 1)").collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 4)
+
+    _pcanary()  # warm codegen so the start sample is honest
+    pcanary_start = _pcanary()
     timings: dict[str, float] = {}
     query_canaries: dict[str, float] = {}
     for n in names:
@@ -418,6 +439,11 @@ def main() -> None:
         # bench start and end; this box has 32 CPUs.
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        # parallel-capacity canaries bracketing the headline loop
+        # (r12, additive — see _pcanary): a 32-way query's seconds
+        # scale with these, not with canary_sec
+        "pcanary_start_sec": pcanary_start,
+        "pcanary_end_sec": _pcanary(),
     }
     print(json.dumps(out))
     # durability: the round driver stores only a ~2 KB tail of stdout
