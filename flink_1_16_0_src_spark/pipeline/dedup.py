@@ -1277,6 +1277,16 @@ def hamming_near_dup_pairs(
     Self-join twin of simhash_dedup_against's base x new form."""
     from pyspark.sql import Window
 
+    # Materialize the (id, signature) projection ONCE (r12): both join
+    # sides derive from it, and without the barrier Catalyst re-runs
+    # the caller's ENTIRE upstream subtree per side — for the
+    # multimodal callers that is the per-asset codec DECODE pass, the
+    # single most expensive stage of the pipeline, paid twice (the
+    # plan audit read 4 media scans per near-dup plan). Two BIGINTs
+    # per row at any scale; recompute-on-executor-loss caveat as
+    # documented at jaccard_verify.
+    df = df.select(F.col(id_col), F.col(hash_col)).localCheckpoint(eager=False)
+
     nb = max_hamming + 1
     widths = [bits // nb + (1 if i < bits % nb else 0) for i in range(nb)]
     offs = [sum(widths[:i]) for i in range(nb)]

@@ -536,17 +536,26 @@ def source_distribution_drift(
         F.col(source_col).alias("source"),
         F.explode(tokens(text_col)).alias("tok"),
     )
+    # vocab (top_n rows) and cnts (|sources| x top_n rows) each feed
+    # MULTIPLE downstream consumers; without the lazy localCheckpoint
+    # barriers Catalyst re-derived the corpus explode for every one of
+    # them — the plan audit read TEN documents scans / 15 shuffles for
+    # this report (r12). With both bounded frames materialized, the
+    # corpus is tokenized exactly twice (vocab pass, counts pass — the
+    # data-dependency floor: counts filter on the completed vocab) and
+    # everything downstream runs on sub-thousand-row frames.
+    # Recompute-on-loss caveat as documented at dedup.jaccard_verify.
     vocab = (
         tok.groupBy("tok").count()
         .orderBy(F.col("count").desc(), "tok")
         .limit(top_n)
         .select("tok")
-    )
+    ).localCheckpoint(eager=False)
     cnts = (
         tok.join(F.broadcast(vocab), "tok")
         .groupBy("source", "tok")
         .agg(F.count("*").alias("cnt"))
-    )
+    ).localCheckpoint(eager=False)
     totals = cnts.groupBy("source").agg(
         F.sum("cnt").cast("bigint").alias("total")
     )
