@@ -94,19 +94,31 @@ WHERE coalesce(w.cume, 0) > 2 * coalesce(s.cume, 0)
     "full-outer joined and compared.",
 )
 
-_register(
-    "tpcds_q88_multi_scalar_row",
-    """
+# q88 r12: the DuckDB oracle keeps the literal five-scalar-subquery
+# text (the q88 SHAPE being exercised); the Spark side fuses the five
+# band counts into ONE conditional-aggregate scan — count(CASE) counts
+# exactly the rows each subquery's WHERE kept, so the row is
+# bit-identical while the fact table is read once instead of five
+# times (the multi-scan fusion a good planner would do itself; Spark's
+# does not share scalar-subquery scans). Registered via _register_pair
+# (defined below; registration deferred to module end).
+_Q88_SPARK = """
+SELECT
+  count(CASE WHEN l_quantity BETWEEN 1 AND 10 THEN 1 END) AS b1,
+  count(CASE WHEN l_quantity BETWEEN 11 AND 20 THEN 1 END) AS b2,
+  count(CASE WHEN l_quantity BETWEEN 21 AND 30 THEN 1 END) AS b3,
+  count(CASE WHEN l_quantity BETWEEN 31 AND 40 THEN 1 END) AS b4,
+  count(CASE WHEN l_quantity BETWEEN 41 AND 50 THEN 1 END) AS b5
+FROM lineitem
+"""
+_Q88_ORACLE = """
 SELECT
   (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) AS b1,
   (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) AS b2,
   (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 21 AND 30) AS b3,
   (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 31 AND 40) AS b4,
   (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 41 AND 50) AS b5
-""",
-    "TPC-DS q88 shape: five scalar-subquery scans fused into a single "
-    "output row.",
-)
+"""
 
 _register(
     "tpcds_q74_year_over_year",
@@ -907,9 +919,34 @@ WHERE c1 > 0 AND c2 > 0 AND c3 > 0
 )
 
 
-_register(
-    "tpcds_q9_case_band_subqueries",
-    """
+# q9 r12: same fusion as q88 — the oracle keeps the literal
+# nine-scalar-subquery text; the Spark side computes every band's
+# count/avg(price)/avg(discount) in ONE conditional-aggregate pass.
+# avg(CASE WHEN band THEN x END) aggregates exactly the rows the
+# filtered subquery aggregated, in the same scan/partition order
+# (partial sums add the same doubles in the same sequence), and both
+# sides round to 4 dp — bit-identical while lineitem is read once
+# instead of nine times. Registered at module end via _register_pair.
+_Q9_SPARK = """
+WITH bands AS (
+  SELECT
+    count(CASE WHEN l_quantity BETWEEN 1 AND 20 THEN 1 END) AS n1,
+    round(avg(CASE WHEN l_quantity BETWEEN 1 AND 20 THEN l_extendedprice END), 4) AS p1,
+    round(avg(CASE WHEN l_quantity BETWEEN 1 AND 20 THEN l_discount END), 4) AS d1,
+    count(CASE WHEN l_quantity BETWEEN 21 AND 35 THEN 1 END) AS n2,
+    round(avg(CASE WHEN l_quantity BETWEEN 21 AND 35 THEN l_extendedprice END), 4) AS p2,
+    round(avg(CASE WHEN l_quantity BETWEEN 21 AND 35 THEN l_discount END), 4) AS d2,
+    count(CASE WHEN l_quantity BETWEEN 36 AND 50 THEN 1 END) AS n3,
+    round(avg(CASE WHEN l_quantity BETWEEN 36 AND 50 THEN l_extendedprice END), 4) AS p3,
+    round(avg(CASE WHEN l_quantity BETWEEN 36 AND 50 THEN l_discount END), 4) AS d3
+  FROM lineitem
+)
+SELECT CASE WHEN n1 > 25000 THEN p1 ELSE d1 END AS bucket1,
+       CASE WHEN n2 > 25000 THEN p2 ELSE d2 END AS bucket2,
+       CASE WHEN n3 > 25000 THEN p3 ELSE d3 END AS bucket3
+FROM bands
+"""
+_Q9_ORACLE = """
 SELECT CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 1 AND 20) > 25000
             THEN (SELECT round(avg(l_extendedprice), 4) FROM lineitem WHERE l_quantity BETWEEN 1 AND 20)
             ELSE (SELECT round(avg(l_discount), 4) FROM lineitem WHERE l_quantity BETWEEN 1 AND 20)
@@ -922,11 +959,7 @@ SELECT CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 1 AND 2
             THEN (SELECT round(avg(l_extendedprice), 4) FROM lineitem WHERE l_quantity BETWEEN 36 AND 50)
             ELSE (SELECT round(avg(l_discount), 4) FROM lineitem WHERE l_quantity BETWEEN 36 AND 50)
        END AS bucket3
-""",
-    "q9: CASE selecting between pairs of scalar subqueries per quantity "
-    "band — nine scalar subqueries over one fact, the multi-scalar "
-    "fusion stress (a good planner shares the per-band scans).",
-)
+"""
 
 
 _register(
@@ -975,6 +1008,28 @@ def _register_pair(name: str, spark_sql: str, oracle_sql: str, doc: str):
     _q.__doc__ = doc
     _q.__name__ = name
     return query(name, oracle=oracle_sql, tags=("tpcds-shape",))(_q)
+
+
+_register_pair(
+    "tpcds_q88_multi_scalar_row",
+    _Q88_SPARK,
+    _Q88_ORACLE,
+    "TPC-DS q88 shape: five scalar-subquery scans fused into a single "
+    "output row (r12 Spark side: ONE conditional-aggregate scan; the "
+    "oracle keeps the literal subquery text — see the comment at "
+    "_Q88_SPARK).",
+)
+
+_register_pair(
+    "tpcds_q9_case_band_subqueries",
+    _Q9_SPARK,
+    _Q9_ORACLE,
+    "q9: CASE selecting between pairs of scalar subqueries per quantity "
+    "band — nine scalar subqueries over one fact, the multi-scalar "
+    "fusion stress (r12 Spark side: ONE conditional-aggregate pass; "
+    "the oracle keeps the literal nine-subquery text — see the "
+    "comment at _Q9_SPARK).",
+)
 
 
 _Q43_SPARK = """

@@ -297,6 +297,21 @@ def test_vocab_top_tokens_heap_merge_not_global_sort(spark):
     assert "rangepartitioning" not in plan
 
 
+def test_tpcds_q9_q88_single_scan_fusion(spark):
+    """r12: the q9/q88 scalar-subquery panels run as ONE
+    conditional-aggregate scan of the fact table on the Spark side
+    (the DuckDB oracles keep the literal multi-subquery texts, so
+    equivalence is value-checked every driver round)."""
+    for name, scans_before in (
+        ("tpcds_q9_case_band_subqueries", 9),
+        ("tpcds_q88_multi_scalar_row", 5),
+    ):
+        plan = _plan(spark, name)
+        assert plan.count("lineitem.parquet") == 1, (
+            f"{name}: expected the fused single scan (was {scans_before})"
+        )
+
+
 def test_tpcds_suite_no_python_no_unbounded_cartesian(spark):
     """Planner sweep over EVERY tpcds_* shape: no Python evaluation
     anywhere (all shapes are pure Catalyst SQL), and no CartesianProduct
