@@ -115,9 +115,15 @@ def sim_bucket_join_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full LSH ANN shape: bucket both sides, join on bucket, exact
     cosine rerank inside buckets — O(collisions), not O(n²)."""
     emb = load(spark, sf_dir, "embeddings")
-    buckets = lsh_bucket(emb, "embedding", "vec_id", n_planes=8).join(
-        emb.select("vec_id", "embedding"), "vec_id"
+    # materialize the (vec_id, bucket) LSH projection once (r12): both
+    # join sides derive from it, and without the barrier the 8-plane
+    # dot-product pass ran twice. Two ints per vector; the embedding
+    # payload stays OUT of the checkpoint and re-reads from parquet
+    # per side (scans are cheap, vector recompute is not).
+    bk = lsh_bucket(emb, "embedding", "vec_id", n_planes=8).localCheckpoint(
+        eager=False
     )
+    buckets = bk.join(emb.select("vec_id", "embedding"), "vec_id")
     a = buckets.select(
         F.col("vec_id").alias("query_id"), F.col("bucket"), F.col("embedding").alias("__va")
     )
@@ -338,17 +344,27 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_16_0_src_spark.pipeline.similarity import lsh_bucket
 
     emb = load(spark, sf_dir, "embeddings")
+    # The three reused frames each materialize ONCE (r12 lazy
+    # localCheckpoints, the jaccard_verify precedent): without the
+    # barriers the plan re-derived the LSH projection pass FOUR times
+    # (both sides of the bucket join × both cand consumers), the
+    # brute-force ground truth twice, and the candidate join twice —
+    # the audit read 8 embeddings scans for one eval. All three are
+    # bounded: exact is |queries|·k rows, b is two ints per vector,
+    # cand is the candidate set the harness by definition enumerates.
     exact = brute_force_topk(
         emb.where(F.col("vec_id") < 10), emb, "embedding", "vec_id", k=5
-    ).select("query_id", "neighbor_id")
-    b = lsh_bucket(emb, "embedding", "vec_id", n_planes=8)
+    ).select("query_id", "neighbor_id").localCheckpoint(eager=False)
+    b = lsh_bucket(emb, "embedding", "vec_id", n_planes=8).localCheckpoint(
+        eager=False
+    )
     cand = (
         b.where(F.col("vec_id") < 10)
         .select(F.col("vec_id").alias("query_id"), "bucket")
         .join(b.select(F.col("vec_id").alias("neighbor_id"), "bucket"), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
-    )
+    ).localCheckpoint(eager=False)
     ncand = cand.groupBy("query_id").agg(F.count("*").alias("n_candidates"))
     hits = exact.join(cand, ["query_id", "neighbor_id"], "left_semi")
     per_q = (
