@@ -663,7 +663,9 @@ def keyed_inactivity_timer(
             # as Flink registering an already-elapsed event-time timer)
             wm = state.getCurrentWatermarkMs()
             state.setTimeoutTimestamp(max(last_ms + timeout_ms, wm + 1))
-        yield pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        # non-firing groups yield NOTHING — an empty frame per group per
+        # batch pays one Arrow round-trip per key (windows.window_topn
+        # r13 lesson), and append mode emits the same either way
 
     return sdf.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
