@@ -141,6 +141,11 @@ SCALE_PROBE_QUERIES = [
     # this kind of one-off measurement (fixed to ~6.6x in r8)
     "dedup_semantic",
     "dedup_substring_spans",
+    # r13 addition (ADDITIVE — VERDICT r12 #5): the scale-honest IVF
+    # variant (n_cells = ceil(sqrt N), fixed query set) next to the
+    # pinned-8-cell bench query, so the probe separates corpus growth
+    # from the pinned config's quadratic-by-construction rerank
+    "sim_ivf_topk_autocells",
 ]
 _SCALE_BASE = "/root/testdata/sf0.1"
 _SCALE_DIR = "/tmp/spark_graft_scale_probe/sf1"

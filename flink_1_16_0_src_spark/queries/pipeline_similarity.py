@@ -234,6 +234,110 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_ivf_topk_autocells",
+    oracle="""
+    WITH nc AS (
+      SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS n_cells FROM embeddings
+    ),
+    seeds0 AS (
+      SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < (SELECT n_cells FROM nc)
+    ),
+    d0 AS (
+      SELECT e.vec_id, s.cell,
+             list_sum(list_transform(generate_series(1, len(e.embedding)),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - s.cvec[i])
+                  * (CAST(e.embedding[i] AS DOUBLE) - s.cvec[i]))) AS d
+      FROM embeddings e, seeds0 s
+    ),
+    a0 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY round(d, 6), cell) AS rn
+        FROM d0
+      ) WHERE rn = 1
+    ),
+    -- one Lloyd refinement pass: decimal-exact per-dimension means
+    -- (order-independent sums, ONE double divide — mirrors Spark's
+    -- _centroid_means), empty cells keep their seed
+    dims AS (
+      SELECT a.cell, i.i,
+             CAST(CAST(e.embedding[i.i] AS DOUBLE) AS DECIMAL(25,10)) AS dv
+      FROM a0 a
+      JOIN embeddings e ON e.vec_id = a.vec_id
+      CROSS JOIN generate_series(1, 64) i(i)
+    ),
+    refined AS (
+      SELECT cell, list(m ORDER BY i) AS cvec FROM (
+        SELECT cell, i, CAST(sum(dv) AS DOUBLE) / count(*) AS m
+        FROM dims GROUP BY cell, i
+      ) GROUP BY cell
+    ),
+    seeds AS (
+      SELECT s0.cell, COALESCE(r.cvec, s0.cvec) AS cvec
+      FROM seeds0 s0 LEFT JOIN refined r ON r.cell = s0.cell
+    ),
+    dists AS (
+      SELECT e.vec_id, s.cell,
+             list_sum(list_transform(generate_series(1, len(e.embedding)),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - s.cvec[i])
+                  * (CAST(e.embedding[i] AS DOUBLE) - s.cvec[i]))) AS d
+      FROM embeddings e, seeds s
+    ),
+    ranked AS (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY round(d, 6), cell) AS rn
+      FROM dists
+    ),
+    assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id, cell FROM ranked
+               WHERE rn <= 2 AND vec_id % 50 = 0 AND vec_id < 2000)
+    SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank_num FROM (
+      SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) AS cos,
+             row_number() OVER (PARTITION BY p.vec_id
+               ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                     CAST(c.embedding AS DOUBLE[])), 4) DESC,
+                        a.vec_id) AS rank_num
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+      JOIN embeddings q ON q.vec_id = p.vec_id
+      JOIN embeddings c ON c.vec_id = a.vec_id
+    ) WHERE rank_num <= 5
+    """,
+    tags=("pipeline", "similarity", "custom-op"),
+)
+def sim_ivf_topk_autocells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE-HONEST IVF variant (r13, VERDICT r12 #5): same pipeline as
+    ``sim_ivf_topk`` but (a) n_cells grows as ceil(sqrt(N)) — the
+    standard IVF sizing rule that keeps per-query rerank ~ nprobe·sqrt(N)
+    instead of the pinned-8-cell variant's N/4 — and (b) the query set
+    is FIXED to sf0.1's (vec_id % 50 = 0 AND vec_id < 2000), the
+    realistic 100 TB framing of a constant external workload against a
+    growing corpus. Every term is then sublinear-or-linear in N:
+    assignment N·sqrt(N) cheap codegen'd arithmetic, rerank |Q|·2·sqrt(N)
+    exact cosines. The oracle derives the identical n_cells from its own
+    count(*) and replays seeds/Lloyd/probes bit-for-bit. At true 100 TB
+    n_cells the expression-built assignment would swap to the BLAS
+    mapInPandas pass (dedup._ivf_assign_blas — same contract); at probe
+    scales the expression form measures the honest decade. The pinned
+    sim_ivf_topk stays registered unchanged (its oracle pins 8 cells)."""
+    import math
+
+    from flink_1_16_0_src_spark.pipeline.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    n_cells = int(math.ceil(math.sqrt(n)))
+    return ivf_topk(
+        emb, "embedding", "vec_id",
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000),
+        k=5, n_cells=n_cells, nprobe=2, refine=1,
+    )
+
+
+@query(
     "sim_pq_adc_topk",
     oracle="""
     WITH cb AS (
