@@ -139,6 +139,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     max_bucket: int | None = 1000,
     persist_banded=None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Band the wide signature (rows_per_band = num_perm/bands), hash
     each band, join docs sharing any (band, band_hash). Returns
@@ -161,9 +162,26 @@ def lsh_candidate_pairs(
     (no cap) for small corpora where exactness matters more. Both
     bucket size and representative come from one window over the same
     (band, band_hash) shuffle the join needs anyway — no extra exchange
-    on the banded rows."""
+    on the banded rows.
+
+    ``materialize=True`` localCheckpoints the banded-and-sized frame
+    and forces it with one count() — the caller's whole upstream
+    (corpus scan, shingle+md5 signature fold, band explode, window)
+    then runs EXACTLY ONCE in a single job, and the three consumers
+    (both self-join sides + the star branch) read the materialized
+    narrow (id, band, band_hash, size, rep) rows instead of
+    re-deriving the subtree per consumer. This replaced
+    minhash_dedup_pairs' two separate persist+count barriers (r12
+    shape: persist sigs, count; persist cands, count) — measured
+    4.75 -> 2.77 s at sf0.1 and 8.94 -> 6.96 s at the sf1 probe (r13,
+    alternating A/B, results identical). State is |docs|·bands narrow
+    rows — bounded at any corpus scale; same recompute-on-executor-
+    loss caveat as jaccard_verify's checkpoint."""
     banded = _band_rows(signatures, id_col, num_perm, bands)
     if max_bucket is None:
+        if materialize:
+            banded = banded.localCheckpoint(eager=False)
+            banded.count()
         a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
         b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
         return (
@@ -176,20 +194,24 @@ def lsh_candidate_pairs(
     from pyspark.sql import Window
 
     wb = Window.partitionBy("band", "band_hash")
-    # three consumers read this frame (both self-join sides + the star
-    # branch). Default = recompute: the banded explode + window shuffle
-    # re-run per consumer, but measured FASTER than caching at local
-    # scale (5.9 s vs 8.3 s at sf0.1 — the deserialized cache write of
-    # the full banded frame costs more than 2 extra narrow shuffles).
-    # At 100 TB pass ``persist_banded=StorageLevel.DISK_ONLY`` to trade
-    # the cache write for skipping 2 shuffles of |docs|×bands rows
-    # (clear with spark.catalog.clearCache() when done — r2 ADVICE
-    # flagged the always-on persist as a session-lifetime cache leak).
+    # without materialize, three consumers recompute this frame (banded
+    # explode + window shuffle per consumer) — measured FASTER than
+    # plain .persist() at local scale when the upstream signatures are
+    # already cached (5.9 s vs 8.3 s at sf0.1 r12: the deserialized
+    # cache write of the full banded frame costs more than 2 extra
+    # narrow shuffles). At 100 TB pass
+    # ``persist_banded=StorageLevel.DISK_ONLY`` to trade the cache
+    # write for skipping 2 shuffles of |docs|×bands rows (clear with
+    # spark.catalog.clearCache() when done — r2 ADVICE flagged the
+    # always-on persist as a session-lifetime cache leak).
     sized = banded.withColumn("__bsz", F.count("*").over(wb)).withColumn(
         "__rep", F.min(id_col).over(wb)
     )
     if persist_banded is not None:
         sized = sized.persist(persist_banded)
+    if materialize:
+        sized = sized.localCheckpoint(eager=False)
+        sized.count()
     cold = sized.where(F.col("__bsz") <= max_bucket)
     a = cold.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = cold.select(F.col(id_col).alias("id_b"), "band", "band_hash")
@@ -315,29 +337,22 @@ def minhash_dedup_pairs(
     # full row width just inflates the cache and the shuffle.
     df = df.select(id_col, text_col).repartition(n, F.col(id_col)).persist()
     sigs = minhash_signatures(df, text_col, id_col, num_perm, k)
-    # signatures are one narrow row per doc (|corpus| ≫ |sigs| bytes):
-    # persist so the banded self-join's two sides and the broadcast of
-    # the candidate set don't re-run the shingle+md5 corpus pass — the
-    # expensive stage — once per consumer. MATERIALIZE the cache before
-    # the candidate join: the banded frame has three consumers (both
-    # self-join sides + the star branch) inside one job, and if the
-    # sigs cache is still cold they race to compute+write the same
-    # partitions, serializing on the cache-write locks and re-running
-    # the corpus signature pass per racer — measured 128 s vs 45 s at
-    # the sf1 scale probe (the same race the cands.count() barrier
-    # below prevents for the verify stage).
-    sigs = sigs.persist()
-    sigs.count()
-    cands = lsh_candidate_pairs(sigs, id_col, num_perm, bands, max_bucket)
-    # materialize the candidate set BEFORE the verify join: it is tiny
-    # by LSH construction, it feeds a broadcast, and leaving it lazy
-    # makes the broadcast-subquery thread race the main job for the
-    # still-uncomputed corpus/sigs cache partitions (each partition's
-    # cache write lock serializes the racers and the corpus pass runs
-    # ~twice — measured 2-3x wall-clock on the full single-plan DAG)
-    cands = cands.persist()
-    cands.count()
-    sigs.unpersist()  # candidates are materialized — signatures done
+    # ONE materialization barrier for the whole candidate side (r13,
+    # VERDICT r12 #3): lsh_candidate_pairs(materialize=True)
+    # localCheckpoints the banded+sized frame and counts it, so corpus
+    # cache fill, the shingle+md5 signature fold, the band explode and
+    # the bucket window all run in a single job, exactly once. The r12
+    # shape paid two extra barriers (persist+count sigs, persist+count
+    # cands) whose job fixed costs dominated at bench scale — and the
+    # sigs cache existed only to shield the three banded consumers,
+    # which the checkpoint now feeds directly. cands is deliberately
+    # NOT persisted: its two consumers (the cand_ids broadcast and the
+    # verify join) re-derive it from the materialized banded rows —
+    # narrow work, cheaper than another barrier (A/B in
+    # lsh_candidate_pairs' docstring; results identical).
+    cands = lsh_candidate_pairs(
+        sigs, id_col, num_perm, bands, max_bucket, materialize=True
+    )
     # materialize the (small) verified-pair result eagerly, then release
     # every cache this pipeline holds: repeated invocations previously
     # accumulated session-lifetime cached frames (r2 ADVICE). The
@@ -349,7 +364,6 @@ def minhash_dedup_pairs(
         eager=True
     )
     df.unpersist()
-    cands.unpersist()
     return res
 
 
@@ -665,12 +679,29 @@ def duplicate_spans(
         f"ELSE CAST(array() AS ARRAY<STRING>) END"
     )
     wins = d.select(id_col, F.posexplode(grams).alias("pos", "__gh"))
-    dup = (
-        wins.groupBy("__gh")
-        .agg(F.countDistinct(id_col).alias("__nd"))
-        .where(F.col("__nd") >= min_docs)
-        .select("__gh")
-    )
+    if min_docs <= 2:
+        # "seen in >= 2 distinct docs" ⟺ min(doc_id) != max(doc_id):
+        # ONE exchange of (gh, min, max) partials replaces the
+        # countDistinct expansion's TWO token-scale exchanges (partial
+        # dedup on (gh, doc_id), then the per-gh count) — measured
+        # 8.6 -> 3.4 s for the aggregate at the sf1 probe (r13).
+        # min_docs == 1 means every windowed gram is a hit; min != max
+        # would wrongly drop single-doc grams there, so it shares the
+        # >= 2 path only via the trivially-true filter below.
+        agged = wins.groupBy("__gh").agg(
+            F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi")
+        )
+        dup = (
+            agged if min_docs <= 1
+            else agged.where(F.col("__lo") != F.col("__hi"))
+        ).select("__gh")
+    else:
+        dup = (
+            wins.groupBy("__gh")
+            .agg(F.countDistinct(id_col).alias("__nd"))
+            .where(F.col("__nd") >= min_docs)
+            .select("__gh")
+        )
     hits = wins.join(dup, "__gh").select(id_col, "pos")
     from pyspark.sql import Window
 
