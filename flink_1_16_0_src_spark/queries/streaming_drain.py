@@ -430,7 +430,13 @@ def stream_asof_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # versions keep arrival order)... to stay deterministic, pre-dedupe
     # with a batch-computed key set is required; simplest: restrict to
     # orders that are the per-(cust, date) max orderkey.
-    keep = o.select("custkey", "rts", "o_orderkey")
+    # materialize the batch-computed key set ONCE (r13 stream-scan
+    # audit: this drain was the only >2-source-scan plan — the argmax
+    # subtree re-scanned orders per micro-batch on top of the version
+    # stream's own scan; the dim is static for the drain's lifetime, so
+    # the checkpointed (cust, rts, orderkey) keys are reused by every
+    # batch's broadcast)
+    keep = o.select("custkey", "rts", "o_orderkey").localCheckpoint(eager=False)
     r = r.join(F.broadcast(keep), ["custkey", "rts", "o_orderkey"], "left_semi")
     out = streaming_asof_join(ev, r, "custkey", "ts", "rts", ["o_orderkey", "o_totalprice"])
     drained = ssrc.run_to_memory(out, f"drain_asof_{next(_seq)}", "append")

