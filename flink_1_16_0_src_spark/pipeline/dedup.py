@@ -702,7 +702,24 @@ def duplicate_spans(
             .where(F.col("__nd") >= min_docs)
             .select("__gh")
         )
-    hits = wins.join(dup, "__gh").select(id_col, "pos")
+    # measure-then-choose the dup join strategy (guide §3.1 — size
+    # ESTIMATES above an aggregate are unusable, and without the hint
+    # AQE first materialized the token-scale wins shuffle before
+    # flipping SMJ -> broadcast at runtime: measured 5.1-7.9 s vs
+    # 3.2-4.3 s per run at the sf1 probe, every rep, r13). The dup-gram
+    # frame is materialized once (it is this pass's whole output
+    # anyway), its REAL row count picks the strategy: broadcast when it
+    # provably fits, plain shuffle join otherwise — at 100 TB the dup
+    # set exceeds any broadcast budget and the rule degrades to the
+    # exchange the optimizer would pick. Threshold parameterized
+    # (rows; ~32-char md5 keys, default ≈ 100-150 MB built relation).
+    import os as _os
+
+    dup = dup.localCheckpoint(eager=False)
+    n_dup = dup.count()
+    bcast_max = int(_os.environ.get("SPARK_GRAFT_BCAST_DUP_ROWS", "2000000"))
+    jdup = F.broadcast(dup) if n_dup <= bcast_max else dup
+    hits = wins.join(jdup, "__gh").select(id_col, "pos")
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy("pos")

@@ -1,5 +1,5 @@
 """Capture .explain('formatted') for named registry queries into
-plans/r12/<name>_<tag>.txt (judge evidence for plan claims).
+plans/$SPARK_GRAFT_PLANS_TAG (default r13)/<name>_<tag>.txt (judge evidence for plan claims).
 
 Usage: python tools/capture_plans.py <tag> <name> [<name> ...]
        python tools/capture_plans.py <tag> BENCH      # all bench queries
@@ -29,7 +29,7 @@ def main() -> int:
     spark = get_spark("plan-capture")
     registry = all_queries()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_TAG", "r13"))
     os.makedirs(out_dir, exist_ok=True)
     for n in names:
         df = registry[n].fn(spark, sf_dir)
