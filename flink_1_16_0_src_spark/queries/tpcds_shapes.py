@@ -927,6 +927,14 @@ WHERE c1 > 0 AND c2 > 0 AND c3 > 0
 # (partial sums add the same doubles in the same sequence), and both
 # sides round to 4 dp — bit-identical while lineitem is read once
 # instead of nine times. Registered at module end via _register_pair.
+# Tolerance assumption (ADVICE r12 #1, documented): each band average is
+# round(avg(...), 4) on BOTH engines; Spark's partition fold and DuckDB's
+# sequential fold can differ in the last ulp, and 4-dp rounding absorbs
+# that — the same float-surface rule every rounded aggregate in the repo
+# relies on. The residual risk is an average landing within one ulp of a
+# .00005 boundary; if such a flake ever appears, compute the averages as
+# exact sum-and-count pairs (decimal sums, one double divide — the
+# _centroid_means recipe) on both sides instead of widening tolerance.
 _Q9_SPARK = """
 WITH bands AS (
   SELECT
