@@ -162,6 +162,67 @@ def _argmin_sql(dists_sql: str) -> str:
     return f"CAST(array_position({rd}, array_min({rd})) - 1 AS INT)"
 
 
+# expression-built assignment evaluates n_cells sibling fold expressions
+# per row — fine for the handful-of-cells quantizers every pinned query
+# uses, but O(N·n_cells·dim) interpreted work once n_cells grows (the
+# sqrt(N)-cells variant measured 67 s at the sf1 probe on it, r13). At
+# and above this cell count the BLAS mapInPandas form takes over — same
+# contract (6-dp HALF_UP rounded squared L2, first-minimum tie to the
+# lowest cell; numpy's fold order differs at the ~1e-15 level, the same
+# accepted class as dedup._ivf_assign_blas, absorbed by the 6-dp round
+# both engines apply before any comparison).
+_BLAS_CELLS_MIN = 32
+
+
+def _ivf_assign_dists_blas(
+    df: DataFrame, vec_col: str, id_col: str, seeds: list[list[float]]
+) -> DataFrame:
+    """BLAS form of ``ivf_assign`` — identical output contract
+    (id, vec, __dists RAW, cell): the full distance row is emitted so
+    ``ivf_topk``'s nprobe selection keeps working unchanged."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    S = np.asarray(seeds, dtype=np.float64)  # k x d
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            df.schema[vec_col],
+            StructField("__dists", ArrayType(DoubleType()), True),
+            StructField("cell", IntegerType(), False),
+        ]
+    )
+
+    def _fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            n = len(pdf)
+            dists = np.empty((n, len(S)), dtype=np.float64)
+            # bound the block x k x d intermediate (~8 MB at any k)
+            block = max(1, 16384 // max(1, len(S)))
+            for s in range(0, n, block):
+                e = min(s + block, n)
+                # direct (v - s)^2 form — the _ivf_assign_blas numerics
+                dists[s:e] = ((V[s:e, None, :] - S[None, :, :]) ** 2).sum(axis=2)
+            R = np.floor(dists * 1e6 + 0.5) / 1e6  # HALF_UP like round(,6)
+            cells = np.argmin(R, axis=1).astype("int32")  # first minimum
+            out = pdf[[id_col, vec_col]].copy()
+            out["__dists"] = list(dists)
+            out["cell"] = cells
+            yield out
+
+    return df.select(id_col, vec_col).mapInPandas(_fn, out_schema)
+
+
 def ivf_assign(df: DataFrame, vec_col: str, id_col: str, seeds: list[list[float]]) -> DataFrame:
     """IVF coarse quantizer: each vector joins the cell of its nearest
     seed centroid. Ties break to the lowest cell id (array_position
@@ -171,7 +232,10 @@ def ivf_assign(df: DataFrame, vec_col: str, id_col: str, seeds: list[list[float]
     sibling expressions in one projection, the same shape as the
     minhash permutation fold. Built as ONE parsed SQL projection
     (``_arr_sql`` rationale): the Column-by-Column form paid
-    ~n_cells×dim py4j round-trips of driver time per call."""
+    ~n_cells×dim py4j round-trips of driver time per call. Above
+    ``_BLAS_CELLS_MIN`` cells the BLAS form takes over (see above)."""
+    if len(seeds) >= _BLAS_CELLS_MIN:
+        return _ivf_assign_dists_blas(df, vec_col, id_col, seeds)
     vsql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
     dists_sql = "array(" + ", ".join(_l2sq_sql(vsql, s) for s in seeds) + ")"
     return df.selectExpr(
