@@ -50,7 +50,18 @@ def refine_seeds(
     cents = [list(map(float, s)) for s in seeds]
     dim = len(cents[0])
     for _ in range(iters):
-        assigned = ivf_assign(df, vec_col, id_col, cents)
+        # refinement reads only the cell — skip the per-row k-doubles
+        # __dists Arrow transfer in the large-cell BLAS regime (r13)
+        from flink_1_16_0_src_spark.pipeline.similarity import (
+            _BLAS_CELLS_MIN,
+            _ivf_assign_blas,
+        )
+
+        assigned = (
+            _ivf_assign_blas(df, vec_col, id_col, cents, with_dists=False)
+            if len(cents) >= _BLAS_CELLS_MIN
+            else ivf_assign(df, vec_col, id_col, cents)
+        )
         stats = _centroid_means(assigned, vec_col, dim).collect()
         new = {int(r["cell"]): [float(r[f"m{d}"]) for d in range(dim)] for r in stats}
         cents = [new.get(c, cents[c]) for c in range(len(cents))]

@@ -174,12 +174,19 @@ def _argmin_sql(dists_sql: str) -> str:
 _BLAS_CELLS_MIN = 32
 
 
-def _ivf_assign_dists_blas(
-    df: DataFrame, vec_col: str, id_col: str, seeds: list[list[float]]
+def _ivf_assign_blas(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    seeds: list[list[float]],
+    with_dists: bool = True,
 ) -> DataFrame:
-    """BLAS form of ``ivf_assign`` — identical output contract
-    (id, vec, __dists RAW, cell): the full distance row is emitted so
-    ``ivf_topk``'s nprobe selection keeps working unchanged."""
+    """BLAS form of ``ivf_assign`` — same output contract
+    (id, vec, __dists RAW, cell). ``with_dists=False`` omits the
+    __dists column AND its Arrow transfer: shipping k doubles per row
+    out of the Python worker is the dominant cost of the kernel once k
+    is large, and only nprobe selection (the query side) ever reads
+    them — corpus assignment and Lloyd refinement need the cell only."""
     import numpy as np
 
     from pyspark.sql.types import (
@@ -191,14 +198,11 @@ def _ivf_assign_dists_blas(
     )
 
     S = np.asarray(seeds, dtype=np.float64)  # k x d
-    out_schema = StructType(
-        [
-            df.schema[id_col],
-            df.schema[vec_col],
-            StructField("__dists", ArrayType(DoubleType()), True),
-            StructField("cell", IntegerType(), False),
-        ]
-    )
+    fields = [df.schema[id_col], df.schema[vec_col]]
+    if with_dists:
+        fields.append(StructField("__dists", ArrayType(DoubleType()), True))
+    fields.append(StructField("cell", IntegerType(), False))
+    out_schema = StructType(fields)
 
     def _fn(batches):
         for pdf in batches:
@@ -211,12 +215,13 @@ def _ivf_assign_dists_blas(
             block = max(1, 16384 // max(1, len(S)))
             for s in range(0, n, block):
                 e = min(s + block, n)
-                # direct (v - s)^2 form — the _ivf_assign_blas numerics
+                # direct (v - s)^2 form — the dedup._ivf_assign_blas numerics
                 dists[s:e] = ((V[s:e, None, :] - S[None, :, :]) ** 2).sum(axis=2)
             R = np.floor(dists * 1e6 + 0.5) / 1e6  # HALF_UP like round(,6)
             cells = np.argmin(R, axis=1).astype("int32")  # first minimum
             out = pdf[[id_col, vec_col]].copy()
-            out["__dists"] = list(dists)
+            if with_dists:
+                out["__dists"] = list(dists)
             out["cell"] = cells
             yield out
 
@@ -235,7 +240,7 @@ def ivf_assign(df: DataFrame, vec_col: str, id_col: str, seeds: list[list[float]
     ~n_cells×dim py4j round-trips of driver time per call. Above
     ``_BLAS_CELLS_MIN`` cells the BLAS form takes over (see above)."""
     if len(seeds) >= _BLAS_CELLS_MIN:
-        return _ivf_assign_dists_blas(df, vec_col, id_col, seeds)
+        return _ivf_assign_blas(df, vec_col, id_col, seeds)
     vsql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
     dists_sql = "array(" + ", ".join(_l2sq_sql(vsql, s) for s in seeds) + ")"
     return df.selectExpr(
@@ -272,7 +277,23 @@ def ivf_topk(
         from flink_1_16_0_src_spark.pipeline.cluster import refine_seeds
 
         seeds = refine_seeds(df, vec_col, id_col, seeds, refine)
-    assigned = ivf_assign(df, vec_col, id_col, seeds)
+    if len(seeds) >= _BLAS_CELLS_MIN:
+        # large-cell regime: the corpus side needs ONLY the cell — the
+        # k-doubles __dists row it would otherwise ship out of the
+        # Python worker for every corpus vector is read by nothing
+        # (and `assigned` has two consumers, so it shipped TWICE);
+        # probe selection reruns the kernel with dists on the FILTERED
+        # query side only. Same 6-dp HALF_UP argmin both ways.
+        corpus_assigned = _ivf_assign_blas(
+            df, vec_col, id_col, seeds, with_dists=False
+        )
+        q_assigned = _ivf_assign_blas(
+            df.where(query_pred), vec_col, id_col, seeds, with_dists=True
+        )
+    else:
+        assigned = ivf_assign(df, vec_col, id_col, seeds)
+        corpus_assigned = assigned
+        q_assigned = assigned.where(query_pred)
     # norms hoisted to one per-row column on EACH side (the
     # embedding_near_dup_pairs precedent): inside the probe join the
     # inline-_cosine form recomputed both norms per candidate PAIR —
@@ -280,11 +301,11 @@ def ivf_topk(
     # unchanged, so the rounded cosine surface is bit-identical
     vd = F.col(vec_col).cast("array<double>")
     norm = F.sqrt(F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x * x))
-    corpus = assigned.select(
+    corpus = corpus_assigned.select(
         F.col(id_col).alias("neighbor_id"), vd.alias("__vc"),
         norm.alias("__nc"), "cell",
     )
-    q = assigned.where(query_pred).select(
+    q = q_assigned.select(
         F.col(id_col).alias("query_id"), vd.alias("__vq"),
         norm.alias("__nq"), "__dists",
     )
